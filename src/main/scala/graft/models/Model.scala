@@ -1,0 +1,109 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A transformation model: the engine's equivalent of a dbt model
+  * (reference: the SQL files under models/example plus dbt_project.yml:31-42).
+  *
+  * `build` receives the session and resolves upstream models with
+  * `spark.table(name)` — the engine registers each materialized model as a
+  * view before its dependents run, which is the `ref()` dataflow edge
+  * (reference models/example/my_second_dbt_model.sql:5).
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    materialization: Materialization,
+    build: SparkSession => DataFrame)
+
+sealed trait Materialization
+object Materialization {
+  /** dbt default (dbt_project.yml:31-35): a view — no data movement. */
+  case object View extends Materialization
+  /** `materialized='table'` (my_first_dbt_model.sql:10): full rebuild CTAS. */
+  case object Table extends Materialization
+}
+
+/** Topological model runner — the engine's in-process `dbt run`
+  * (reference README.md:6, orchestration shape in tests/orchestrate.md).
+  */
+object ModelDag {
+
+  /** Kahn toposort; throws on cycles or missing refs. */
+  def topoSort(models: Seq[Model]): Seq[Model] = {
+    val byName = models.map(m => m.name -> m).toMap
+    models.foreach { m =>
+      m.deps.foreach { d =>
+        require(byName.contains(d), s"model ${m.name} refs unknown model $d")
+      }
+    }
+    val indeg = scala.collection.mutable.Map(models.map(m => m.name -> m.deps.size): _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Model]
+    val ready = scala.collection.mutable.Queue(
+      models.filter(_.deps.isEmpty).map(_.name).sorted: _*)
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      out += byName(n)
+      models.filter(_.deps.contains(n)).foreach { m =>
+        indeg(m.name) -= 1
+        if (indeg(m.name) == 0) ready.enqueue(m.name)
+      }
+    }
+    require(out.size == models.size,
+      s"model DAG has a cycle among ${models.map(_.name).diff(out.map(_.name)).mkString(",")}")
+    out.toSeq
+  }
+
+  /** Build every model in dependency order; materialize each as a temp view
+    * (Table models are additionally persisted under `warehouseDir` when
+    * given — the CTAS full-rebuild semantics of dbt_project.yml:38-42).
+    * Returns the materialized frames by name.
+    */
+  def run(
+      spark: SparkSession,
+      models: Seq[Model],
+      warehouseDir: Option[String] = None): Map[String, DataFrame] = {
+    topoSort(models).map { m =>
+      val df = m.build(spark)
+      val materialized = (m.materialization, warehouseDir) match {
+        case (Materialization.Table, Some(dir)) =>
+          val p = s"$dir/${m.name}"
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        case _ => df
+      }
+      materialized.createOrReplaceTempView(m.name)
+      m.name -> materialized
+    }.toMap
+  }
+}
+
+/** dbt schema tests (reference models/example/schema.yml:10-21): each test
+  * compiles to a query returning *violating rows*; PASS ⇔ 0 rows.
+  */
+object SchemaTests {
+  import org.apache.spark.sql.functions._
+
+  /** `unique`: values of `col` that appear more than once. */
+  def unique(df: DataFrame, col: String): DataFrame =
+    df.groupBy(col).count().filter(org.apache.spark.sql.functions.col("count") > 1)
+
+  /** `not_null`: rows where `col` is null. */
+  def notNull(df: DataFrame, col: String): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col(col).isNull)
+
+  final case class TestResult(model: String, column: String, test: String, status: String)
+
+  def runAll(
+      spark: SparkSession,
+      tests: Seq[(String, String, String)]): Seq[TestResult] =
+    tests.map { case (model, column, kind) =>
+      val df = spark.table(model)
+      val violations = kind match {
+        case "unique"   => unique(df, column).count()
+        case "not_null" => notNull(df, column).count()
+        case other      => throw new IllegalArgumentException(s"unknown test $other")
+      }
+      TestResult(model, column, kind, if (violations == 0) "PASS" else "FAIL")
+    }
+}

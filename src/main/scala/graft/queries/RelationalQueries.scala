@@ -1,0 +1,423 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Reference-parity relational operators (SURVEY.md §2.1–§2.6), each a
+  * named query over the driver testdata with a DuckDB oracle.
+  *
+  * Scale posture: filters/projections reach the parquet scan (Catalyst
+  * pushdown); dimension joins are broadcast; aggregations are partial+final
+  * hash aggregates; no driver-side collection anywhere.
+  */
+object RelationalQueries extends QueryModule {
+  import Exact._
+
+  private def ts(s: String): Column = lit(Timestamp.valueOf(s + " 00:00:00"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── flagship: scan + filter + multi-aggregate (TPC-H Q1 shape) ──────
+    QueryDef("q1_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .filter($"l_shipdate" <= ts("1998-09-02"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            sum(dec2($"l_extendedprice") * (one - rate($"l_discount")))
+              .cast(DoubleType).as("sum_disc_price"),
+            sum(dec2($"l_extendedprice") * (one - rate($"l_discount")) *
+                (one + rate($"l_tax"))).cast(DoubleType).as("sum_charge"),
+            (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+            (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+            (sum(rate($"l_discount")).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        CAST(sum(${sqlDec2("l_extendedprice")} * ($sqlOne - ${sqlRate("l_discount")})) AS DOUBLE) AS sum_disc_price,
+        CAST(sum(${sqlDec2("l_extendedprice")} * ($sqlOne - ${sqlRate("l_discount")}) * ($sqlOne + ${sqlRate("l_tax")})) AS DOUBLE) AS sum_charge,
+        sum(l_quantity) / count(*) AS avg_qty,
+        ${sqlDsum("l_extendedprice")} / count(*) AS avg_price,
+        CAST(sum(${sqlRate("l_discount")}) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ── §2.1 scans / sources ─────────────────────────────────────────────
+    QueryDef("src_table_scan",
+      (s, dir) => Tables.load(s, dir, "region").orderBy("r_regionkey"),
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    QueryDef("src_inline_values",
+      (s, _) => {
+        import s.implicits._
+        Seq(Option(1)).toDF("id").union(Seq(Option.empty[Int]).toDF("id"))
+          .orderBy($"id".asc_nulls_last)
+      },
+      Some("SELECT * FROM (SELECT CAST(1 AS INTEGER) AS id UNION ALL SELECT CAST(NULL AS INTEGER)) t ORDER BY id NULLS LAST")),
+
+    // ── §2.2 projections / filters / predicates ─────────────────────────
+    QueryDef("proj_star",
+      (s, dir) => Tables.load(s, dir, "nation").select("*").orderBy("n_nationkey"),
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    QueryDef("proj_alias_literal",
+      (s, _) => s.range(1).select(lit(1).cast(IntegerType).as("id")),
+      Some("SELECT CAST(1 AS INTEGER) AS id")),
+
+    QueryDef("proj_add_metadata",
+      (s, dir) => Tables.load(s, dir, "region")
+        .withColumn("run_id", lit("run_2024_01_01"))
+        .withColumn("environment", lit("production"))
+        .orderBy("r_regionkey"),
+      Some("SELECT *, 'run_2024_01_01' AS run_id, 'production' AS environment FROM region ORDER BY r_regionkey")),
+
+    QueryDef("filter_eq",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders").filter($"o_custkey" === 42)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .orderBy($"o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey")),
+
+    QueryDef("filter_partition_date",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .filter($"l_shipdate" === ts("1997-03-04"))
+          .agg(count(lit(1)).as("n"), coalesce(sum($"l_quantity"), lit(0.0)).as("sum_qty"))
+      },
+      Some("SELECT count(*) AS n, coalesce(sum(l_quantity), 0.0) AS sum_qty FROM lineitem WHERE l_shipdate = TIMESTAMP '1997-03-04 00:00:00'")),
+
+    QueryDef("pred_not_null",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "customer").agg(
+          count(lit(1)).as("total"),
+          sum(when($"c_name".isNull, 1).otherwise(0)).as("null_names"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_names FROM customer")),
+
+    QueryDef("pred_empty_string",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events").agg(
+          count(lit(1)).as("total"),
+          sum(when($"props".isNull || $"props" === "", 1).otherwise(0)).as("missing_props"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS missing_props FROM events")),
+
+    QueryDef("pred_isnan",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events").agg(
+          count(lit(1)).as("total"),
+          sum(when($"value".isNull || isnan($"value"), 1).otherwise(0)).as("missing_value"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS missing_value FROM events")),
+
+    QueryDef("pred_regex",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "customer").agg(
+          count(lit(1)).as("total"),
+          sum(when(!$"c_mktsegment".rlike("^[A-Z]{3,10}$"), 1).otherwise(0)).as("format_failures"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN NOT regexp_matches(c_mktsegment, '^[A-Z]{3,10}$') THEN 1 ELSE 0 END) AS format_failures FROM customer")),
+
+    QueryDef("pred_positive",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem").agg(
+          count(lit(1)).as("total"),
+          sum(when(!($"l_quantity" > 0), 1).otherwise(0)).as("nonpositive"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS nonpositive FROM lineitem")),
+
+    QueryDef("pred_range",
+      (s, dir) => {
+        import s.implicits._
+        val inRange = $"l_discount".isNotNull && $"l_discount" >= 0.0 && $"l_discount" <= 0.08
+        Tables.load(s, dir, "lineitem").agg(
+          count(lit(1)).as("total"),
+          sum(when(!inRange, 1).otherwise(0)).as("out_of_range"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.08) THEN 1 ELSE 0 END) AS out_of_range FROM lineitem")),
+
+    QueryDef("pred_in_list",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "customer").agg(
+          count(lit(1)).as("total"),
+          sum(when(!$"c_mktsegment".isin("AUTOMOBILE", "BUILDING", "FURNITURE"), 1)
+            .otherwise(0)).as("not_in_list"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE') THEN 1 ELSE 0 END) AS not_in_list FROM customer")),
+
+    QueryDef("pred_current_date",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders").agg(
+          count(lit(1)).as("total"),
+          sum(when($"o_orderdate" > current_date().cast(TimestampType), 1).otherwise(0)).as("future_dates"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN o_orderdate > CAST(current_date AS TIMESTAMP) THEN 1 ELSE 0 END) AS future_dates FROM orders")),
+
+    QueryDef("pred_implication",
+      (s, dir) => {
+        import s.implicits._
+        val ok = $"o_orderstatus" =!= "F" ||
+          ($"o_totalprice".isNotNull && $"o_orderpriority".isNotNull)
+        Tables.load(s, dir, "orders").agg(
+          count(lit(1)).as("total"),
+          sum(when(!ok, 1).otherwise(0)).as("violations"))
+      },
+      Some("SELECT count(*) AS total, sum(CASE WHEN NOT (o_orderstatus <> 'F' OR (o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL)) THEN 1 ELSE 0 END) AS violations FROM orders")),
+
+    QueryDef("pred_bool_algebra",
+      (s, dir) => {
+        import s.implicits._
+        val cond = ($"l_discount" > 0.05 && $"l_tax" <= 0.04) || !($"l_returnflag" === "N")
+        Tables.load(s, dir, "lineitem").filter(cond)
+          .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      },
+      Some("SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem WHERE (l_discount > 0.05 AND l_tax <= 0.04) OR NOT (l_returnflag = 'N')")),
+
+    // ── §2.3 joins ───────────────────────────────────────────────────────
+    // Tolerance-rule shape (reference dq_sql_notes.md:36-43): LEFT JOIN on a
+    // 2-key equi condition, then |measure − standard| > tolerance.
+    QueryDef("join_left_equi_2key",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        li.join(broadcast(p),
+            li("l_partkey") === p("p_partkey") &&
+            li("l_quantity") === p("p_size").cast(DoubleType), "left")
+          .filter($"p_partkey".isNotNull &&
+            abs($"l_extendedprice" - $"p_retailprice" * $"l_quantity") > lit(1000.0))
+          .groupBy($"p_brand").agg(count(lit(1)).as("violations"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS violations
+        FROM lineitem t LEFT JOIN part r
+          ON t.l_partkey = r.p_partkey AND t.l_quantity = CAST(r.p_size AS DOUBLE)
+        WHERE r.p_partkey IS NOT NULL
+          AND abs(t.l_extendedprice - r.p_retailprice * t.l_quantity) > 1000.0
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // NOT EXISTS hierarchy-membership shape (dq_sql_notes.md:23-27) → anti join.
+    QueryDef("join_anti_not_exists",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_orders"),
+            coalesce(min($"o_orderkey"), lit(-1L)).as("min_key"),
+            coalesce(max($"o_orderkey"), lit(-1L)).as("max_key"))
+      },
+      Some("""SELECT count(*) AS orphan_orders,
+        coalesce(min(o_orderkey), -1) AS min_key, coalesce(max(o_orderkey), -1) AS max_key
+        FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""")),
+
+    // Star-schema rollup: fact ⋈ three broadcast dims, exact revenue.
+    QueryDef("join_star_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+          .orderBy($"r_name")
+      },
+      Some(s"""SELECT r_name, count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")),
+
+    QueryDef("join_broadcast_li_part",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy($"p_brand")
+          .agg(sum(dec2($"l_extendedprice") * (one - rate($"l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy($"revenue".desc, $"p_brand").limit(10)
+      },
+      Some(s"""SELECT p_brand,
+        CAST(sum(${sqlDec2("l_extendedprice")} * ($sqlOne - ${sqlRate("l_discount")})) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10""")),
+
+    // ── §2.4 aggregations ────────────────────────────────────────────────
+    QueryDef("agg_count_total",
+      (s, dir) => Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("total")),
+      Some("SELECT count(*) AS total FROM lineitem")),
+
+    // Rule fusion: k DQ predicates → ONE scan (SURVEY.md §4 rewrite 1).
+    QueryDef("agg_count_filtered",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem").agg(
+          count(lit(1)).as("total"),
+          sum(when($"l_quantity" <= 0, 1).otherwise(0)).as("fail_positive_qty"),
+          sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1).otherwise(0)).as("fail_discount_range"),
+          sum(when(!$"l_returnflag".isin("A", "N", "R"), 1).otherwise(0)).as("fail_flag_enum"),
+          sum(when($"l_shipdate".isNull, 1).otherwise(0)).as("fail_shipdate_null"))
+      },
+      Some("""SELECT count(*) AS total,
+        sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS fail_positive_qty,
+        sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS fail_discount_range,
+        sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS fail_flag_enum,
+        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS fail_shipdate_null
+        FROM lineitem""")),
+
+    QueryDef("agg_group_count_dupes",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .filter($"n" > 1)
+          .agg(count(lit(1)).as("dup_groups"), coalesce(sum($"n"), lit(0L)).as("dup_rows"))
+      },
+      Some("""SELECT count(*) AS dup_groups, coalesce(sum(n), 0) AS dup_rows FROM
+        (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1) g""")),
+
+    QueryDef("agg_having",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy($"event_type").agg(count(lit(1)).as("n"))
+          .filter($"n" > 10)
+          .orderBy($"event_type")
+      },
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type HAVING count(*) > 10 ORDER BY event_type")),
+
+    // Custom-SQL contract shape (dq_sql_notes.md:238-244): verbatim
+    // `count(*) WHERE NOT (cond)` via spark.sql over a temp view.
+    QueryDef("agg_count_where_not",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("SELECT count(*) AS violations FROM lineitem WHERE NOT (l_discount <= 0.06)")
+      },
+      Some("SELECT count(*) AS violations FROM lineitem WHERE NOT (l_discount <= 0.06)")),
+
+    // failure_rate with divide-by-zero guard over an empty slice
+    // (dq_sql_notes.md:94): empty → rate 0.0.
+    QueryDef("agg_failure_rate",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .filter($"l_shipdate" === ts("1905-01-01"))
+          .agg(count(lit(1)).as("total"),
+            coalesce(sum(when($"l_quantity" <= 0, 1).otherwise(0)), lit(0L)).as("failed"))
+          .select($"failed", $"total",
+            when($"total" === 0, lit(0.0))
+              .otherwise($"failed".cast(DoubleType) / $"total").as("failure_rate"))
+      },
+      Some("""SELECT failed, total,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate
+        FROM (SELECT count(*) AS total,
+          coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS failed
+          FROM lineitem WHERE l_shipdate = TIMESTAMP '1905-01-01 00:00:00') t""")),
+
+    QueryDef("agg_unique_test",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+          .filter($"n" > 1)
+          .agg(count(lit(1)).as("duplicate_keys"))
+      },
+      Some("SELECT count(*) AS duplicate_keys FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) v")),
+
+    QueryDef("agg_not_null_test",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders").filter($"o_orderkey".isNull)
+          .agg(count(lit(1)).as("null_keys"))
+      },
+      Some("SELECT count(*) AS null_keys FROM orders WHERE o_orderkey IS NULL")),
+
+    // ── §2.5 set ops, sort/limit, windows ───────────────────────────────
+    QueryDef("setop_union_all",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+        val hi = o.filter($"o_totalprice" > 300000.0).select($"o_orderstatus")
+        val old = o.filter($"o_orderdate" < ts("1996-01-01")).select($"o_orderstatus")
+        hi.union(old).groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n FROM (
+        SELECT o_orderstatus FROM orders WHERE o_totalprice > 300000.0
+        UNION ALL
+        SELECT o_orderstatus FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') u
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef("sort_limit_topk",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey").limit(10)
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // SCD-2 / snapshot slot (SURVEY.md §2.5): latest row per key by window.
+    QueryDef("window_rownum_latest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        Tables.load(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1 && $"o_custkey" <= 100)
+          .select($"o_custkey", $"o_orderkey", $"o_orderstatus")
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1 AND o_custkey <= 100 ORDER BY o_custkey""")),
+
+    QueryDef("window_running_sum",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .filter($"user_id" < 5)
+          .withColumn("running_value", sum(dec2($"value")).over(w).cast(DoubleType))
+          .select($"user_id", $"event_id", $"running_value")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some(s"""SELECT user_id, event_id,
+        CAST(sum(${sqlDec2("value")}) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events WHERE user_id < 5 ORDER BY user_id, event_id"""))
+  )
+}
