@@ -8,7 +8,10 @@ object SparkEntry {
 
   /** All registered query modules (one per SURVEY.md §2 capability area). */
   def modules: Seq[QueryModule] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    ModelQueries,
+    DqQueries,
+    ProfileQueries)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -92,7 +92,8 @@ object SchemaTests {
   def notNull(df: DataFrame, col: String): DataFrame =
     df.filter(org.apache.spark.sql.functions.col(col).isNull)
 
-  final case class TestResult(model: String, column: String, test: String, status: String)
+  final case class TestResult(
+      model_name: String, column_name: String, test_name: String, status: String)
 
   def runAll(
       spark: SparkSession,

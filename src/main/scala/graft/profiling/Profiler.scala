@@ -1,0 +1,131 @@
+package graft.profiling
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data profiler — fixes the contract of the reference's undefined
+  * `SimpleDataProfiler` (tests/profiling_example.py:11-17; config hints at
+  * :37-56: table list, optional fecha filter, optional sampling, schema
+  * info, histograms off by default).
+  *
+  * One row per (table, column) with: type, total, null count/rate,
+  * distinct count, min/max. Numeric bounds are reported as DOUBLE
+  * (`min_numeric`/`max_numeric`), string/temporal bounds as text
+  * (`min_text`/`max_text`) — no lossy double→string formatting.
+  *
+  * Scale: a single `agg` pass per table (partial+final hash aggregate);
+  * `approxDistinct=true` swaps exact `count(DISTINCT)` (which needs an
+  * Expand at one extra row-multiplier per column) for single-pass HLL
+  * `approx_count_distinct` — the right choice at 100 TB.
+  */
+object Profiler {
+
+  /** Column families the profiler can bound. Complex types (arrays, maps,
+    * structs) get schema info + null counts only.
+    */
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+  private def isTextual(dt: DataType): Boolean = dt match {
+    case StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  def profile(
+      spark: SparkSession,
+      df0: DataFrame,
+      tableName: String,
+      fecha: Option[String] = None,
+      dateColumn: String = "fecha",
+      approxDistinct: Boolean = false,
+      sampleRows: Option[Long] = None): DataFrame = {
+
+    val df1 = fecha match {
+      case Some(d) => df0.filter(col(dateColumn) === lit(java.sql.Date.valueOf(d)))
+      case None    => df0
+    }
+    val df = sampleRows match {
+      case Some(n) => df1.limit(n.toInt) // reference sample_size semantics (profiling_example.py:54)
+      case None    => df1
+    }
+
+    val fields = df.schema.fields
+    def distinctAgg(c: Column): Column =
+      if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
+
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
+      val atomic = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+        case _ => true
+      }
+      val dist =
+        if (atomic) Seq(distinctAgg(c).as(s"${f.name}__distinct"))
+        else Seq(lit(null).cast(LongType).as(s"${f.name}__distinct"))
+      val bounds =
+        if (isNumeric(f.dataType)) Seq(
+          min(c).cast(DoubleType).as(s"${f.name}__min_n"),
+          max(c).cast(DoubleType).as(s"${f.name}__max_n"),
+          lit(null).cast(StringType).as(s"${f.name}__min_t"),
+          lit(null).cast(StringType).as(s"${f.name}__max_t"))
+        else if (isTextual(f.dataType)) Seq(
+          lit(null).cast(DoubleType).as(s"${f.name}__min_n"),
+          lit(null).cast(DoubleType).as(s"${f.name}__max_n"),
+          min(c).cast(StringType).as(s"${f.name}__min_t"),
+          max(c).cast(StringType).as(s"${f.name}__max_t"))
+        else Seq(
+          lit(null).cast(DoubleType).as(s"${f.name}__min_n"),
+          lit(null).cast(DoubleType).as(s"${f.name}__max_n"),
+          lit(null).cast(StringType).as(s"${f.name}__min_t"),
+          lit(null).cast(StringType).as(s"${f.name}__max_t"))
+      base ++ dist ++ bounds
+    }
+
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    // Pivot the single stats row into one row per column with `stack`
+    // (driver never sees the data; this is a 1-row local transform).
+    // Friendly type labels: local (NTZ) and instant timestamps both
+    // profile as "timestamp" — the storage flavor is not a data property.
+    def label(dt: DataType): String = dt match {
+      case TimestampNTZType => "timestamp"
+      case other => other.typeName
+    }
+    val stackArgs = fields.map { f =>
+      s"'${f.name}', '${label(f.dataType)}', `${f.name}__nulls`, `${f.name}__distinct`, " +
+        s"`${f.name}__min_n`, `${f.name}__max_n`, `${f.name}__min_t`, `${f.name}__max_t`"
+    }.mkString(", ")
+
+    one.select(
+        lit(tableName).as("table_name"), col("__total").as("total_records"),
+        expr(s"stack(${fields.length}, $stackArgs) AS " +
+          "(column_name, data_type, null_count, distinct_count, min_numeric, max_numeric, min_text, max_text)"))
+      .select(
+        col("table_name"), col("column_name"), col("data_type"),
+        col("total_records"), col("null_count"),
+        when(col("total_records") === 0, 0.0)
+          .otherwise(col("null_count").cast(DoubleType) / col("total_records"))
+          .as("null_rate"),
+        col("distinct_count"),
+        col("min_numeric"), col("max_numeric"), col("min_text"), col("max_text"))
+  }
+
+  /** Reference call-site shape (profiling_example.py:11-21): several
+    * tables → one frame, with run metadata appended.
+    */
+  def profileTables(
+      spark: SparkSession,
+      tables: Seq[(String, DataFrame)],
+      runId: String,
+      environment: String,
+      fecha: Option[String] = None,
+      approxDistinct: Boolean = false): DataFrame =
+    tables.map { case (n, df) => profile(spark, df, n, fecha, approxDistinct = approxDistinct) }
+      .reduce(_.union(_))
+      .withColumn("run_id", lit(runId))
+      .withColumn("environment", lit(environment))
+}

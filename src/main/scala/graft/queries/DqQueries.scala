@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.dq._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The five DQ check families (SURVEY.md §2.2/§2.4, M1) run through
+  * [[graft.dq.DqEngine]] against testdata tables, each with a DuckDB
+  * oracle that recomputes the full PASS/FAIL result relation in SQL.
+  */
+object DqQueries extends QueryModule {
+
+  private val testDate = "2024-01-01"
+
+  private def run(s: SparkSession, dir: String, table: String, tests: DqTests): DataFrame =
+    DqEngine.run(s, Tables.load(s, dir, table),
+      DqConfig(tableName = table, tests = tests), testDate).toDF()
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("dq_completeness",
+      (s, dir) => run(s, dir, "customer",
+        DqTests(completeness = Seq("c_name", "c_acctbal", "c_mktsegment")))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "column_name")
+        .orderBy("test_name"),
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS f_name,
+          sum(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 ELSE 0 END) AS f_bal,
+          sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS f_mkt
+        FROM customer),
+      r AS (
+        SELECT 'completeness_c_name' AS test_name, f_name AS failed, total, 'c_name' AS column_name FROM agg
+        UNION ALL SELECT 'completeness_c_acctbal', f_bal, total, 'c_acctbal' FROM agg
+        UNION ALL SELECT 'completeness_c_mktsegment', f_mkt, total, 'c_mktsegment' FROM agg)
+      SELECT '$testDate' AS test_date, test_name, 'completeness' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+        column_name
+      FROM r ORDER BY test_name""")),
+
+    QueryDef("dq_uniqueness",
+      (s, dir) => run(s, dir, "orders",
+        DqTests(uniqueness = Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_custkey", "o_orderstatus"))))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "key_columns")
+        .orderBy("test_name"),
+      Some(s"""WITH total AS (SELECT count(*) AS total FROM orders),
+      d1 AS (SELECT count(*) AS n FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) x),
+      d2 AS (SELECT count(*) AS n FROM (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1) x),
+      d3 AS (SELECT count(*) AS n FROM (SELECT o_custkey, o_orderstatus FROM orders GROUP BY o_custkey, o_orderstatus HAVING count(*) > 1) x),
+      r AS (
+        SELECT 'uniqueness_o_orderkey' AS test_name, (SELECT n FROM d1) AS failed, 'o_orderkey' AS key_columns
+        UNION ALL SELECT 'uniqueness_o_custkey', (SELECT n FROM d2), 'o_custkey'
+        UNION ALL SELECT 'uniqueness_o_custkey_o_orderstatus', (SELECT n FROM d3), 'o_custkey,o_orderstatus')
+      SELECT '$testDate' AS test_date, test_name, 'uniqueness' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, (SELECT total FROM total) AS total_records,
+        CASE WHEN (SELECT total FROM total) = 0 THEN 0.0
+             ELSE CAST(failed AS DOUBLE) / (SELECT total FROM total) END AS failure_rate,
+        key_columns
+      FROM r ORDER BY test_name""")),
+
+    QueryDef("dq_format",
+      (s, dir) => run(s, dir, "customer",
+        DqTests(format = Seq(
+          "c_acctbal" -> "positive",
+          "c_mktsegment" -> "not_empty",
+          "c_name" -> "not_empty")))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "column_name", "rule")
+        .orderBy("test_name"),
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS f_pos,
+          sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS f_mkt,
+          sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS f_name
+        FROM customer),
+      r AS (
+        SELECT 'format_c_acctbal_positive' AS test_name, f_pos AS failed, total, 'c_acctbal' AS column_name, 'positive' AS rule FROM agg
+        UNION ALL SELECT 'format_c_mktsegment_not_empty', f_mkt, total, 'c_mktsegment', 'not_empty' FROM agg
+        UNION ALL SELECT 'format_c_name_not_empty', f_name, total, 'c_name', 'not_empty' FROM agg)
+      SELECT '$testDate' AS test_date, test_name, 'format' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+        column_name, rule
+      FROM r ORDER BY test_name""")),
+
+    QueryDef("dq_range",
+      (s, dir) => run(s, dir, "lineitem",
+        DqTests(range = Seq(
+          "l_discount" -> RangeBounds(Some(0.0), Some(0.06)),
+          "l_quantity" -> RangeBounds(Some(1.0), None),
+          "l_tax" -> RangeBounds(None, Some(0.05)))))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "column_name",
+          "min_value", "max_value")
+        .orderBy("test_name"),
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.06) THEN 1 ELSE 0 END) AS f_disc,
+          sum(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity >= 1.0) THEN 1 ELSE 0 END) AS f_qty,
+          sum(CASE WHEN NOT (l_tax IS NOT NULL AND l_tax <= 0.05) THEN 1 ELSE 0 END) AS f_tax
+        FROM lineitem),
+      r AS (
+        SELECT 'range_l_discount' AS test_name, f_disc AS failed, total, 'l_discount' AS column_name,
+          CAST(0.0 AS DOUBLE) AS min_value, CAST(0.06 AS DOUBLE) AS max_value FROM agg
+        UNION ALL SELECT 'range_l_quantity', f_qty, total, 'l_quantity', CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE) FROM agg
+        UNION ALL SELECT 'range_l_tax', f_tax, total, 'l_tax', CAST(NULL AS DOUBLE), CAST(0.05 AS DOUBLE) FROM agg)
+      SELECT '$testDate' AS test_date, test_name, 'range' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+        column_name, min_value, max_value
+      FROM r ORDER BY test_name""")),
+
+    QueryDef("dq_custom_sql",
+      (s, dir) => run(s, dir, "orders",
+        DqTests(customSql = Seq(
+          CustomSqlTest("valid_status", "o_orderstatus IN ('O', 'F', 'P')"),
+          CustomSqlTest("no_future_orders", "o_orderdate <= CURRENT_DATE()"),
+          CustomSqlTest("price_cap", "o_totalprice <= 450000.0", severity = "WARNING"))))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "sql_condition")
+        .orderBy("test_name"),
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS f_status,
+          sum(CASE WHEN NOT (o_orderdate <= CAST(current_date AS TIMESTAMP)) THEN 1 ELSE 0 END) AS f_future,
+          sum(CASE WHEN NOT (o_totalprice <= 450000.0) THEN 1 ELSE 0 END) AS f_price
+        FROM orders),
+      r AS (
+        SELECT 'custom_valid_status' AS test_name, f_status AS failed, total, 'o_orderstatus IN (''O'', ''F'', ''P'')' AS sql_condition FROM agg
+        UNION ALL SELECT 'custom_no_future_orders', f_future, total, 'o_orderdate <= CURRENT_DATE()' FROM agg
+        UNION ALL SELECT 'custom_price_cap', f_price, total, 'o_totalprice <= 450000.0' FROM agg)
+      SELECT '$testDate' AS test_date, test_name, 'custom' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+        sql_condition
+      FROM r ORDER BY test_name"""))
+  )
+}

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.Tables
+import graft.profiling.Profiler
+import org.apache.spark.sql.functions._
+
+/** Profiler over testdata (SURVEY.md §2.4 `agg_profile_stats`, §3.3). */
+object ProfileQueries extends QueryModule {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("agg_profile_stats",
+      (s, dir) => Profiler.profileTables(s,
+          Seq("region" -> Tables.load(s, dir, "region"),
+              "orders" -> Tables.load(s, dir, "orders")),
+          runId = "run_2024_01_01", environment = "production")
+        .orderBy("table_name", "column_name"),
+      Some("""WITH
+      oa AS (SELECT count(*) AS total,
+        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n1, count(DISTINCT o_orderkey) AS d1,
+          CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n2, count(DISTINCT o_custkey) AS d2,
+          CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2,
+        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n3, count(DISTINCT o_orderstatus) AS d3,
+          CAST(min(o_orderstatus) AS VARCHAR) AS mnt3, CAST(max(o_orderstatus) AS VARCHAR) AS mxt3,
+        sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n4, count(DISTINCT o_totalprice) AS d4,
+          CAST(min(o_totalprice) AS DOUBLE) AS mn4, CAST(max(o_totalprice) AS DOUBLE) AS mx4,
+        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n5, count(DISTINCT o_orderdate) AS d5,
+          CAST(min(o_orderdate) AS VARCHAR) AS mnt5, CAST(max(o_orderdate) AS VARCHAR) AS mxt5,
+        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n6, count(DISTINCT o_orderpriority) AS d6,
+          CAST(min(o_orderpriority) AS VARCHAR) AS mnt6, CAST(max(o_orderpriority) AS VARCHAR) AS mxt6
+        FROM orders),
+      ra AS (SELECT count(*) AS total,
+        sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS n1, count(DISTINCT r_regionkey) AS d1,
+          CAST(min(r_regionkey) AS DOUBLE) AS mn1, CAST(max(r_regionkey) AS DOUBLE) AS mx1,
+        sum(CASE WHEN r_name IS NULL THEN 1 ELSE 0 END) AS n2, count(DISTINCT r_name) AS d2,
+          CAST(min(r_name) AS VARCHAR) AS mnt2, CAST(max(r_name) AS VARCHAR) AS mxt2
+        FROM region),
+      rows_ AS (
+        SELECT 'orders' AS table_name, 'o_orderkey' AS column_name, 'long' AS data_type, total, n1 AS null_count, d1 AS distinct_count, mn1 AS min_numeric, mx1 AS max_numeric, CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text FROM oa
+        UNION ALL SELECT 'orders', 'o_custkey', 'long', total, n2, d2, mn2, mx2, NULL, NULL FROM oa
+        UNION ALL SELECT 'orders', 'o_orderstatus', 'string', total, n3, d3, NULL, NULL, mnt3, mxt3 FROM oa
+        UNION ALL SELECT 'orders', 'o_totalprice', 'double', total, n4, d4, mn4, mx4, NULL, NULL FROM oa
+        UNION ALL SELECT 'orders', 'o_orderdate', 'timestamp', total, n5, d5, NULL, NULL, mnt5, mxt5 FROM oa
+        UNION ALL SELECT 'orders', 'o_orderpriority', 'string', total, n6, d6, NULL, NULL, mnt6, mxt6 FROM oa
+        UNION ALL SELECT 'region', 'r_regionkey', 'integer', total, n1, d1, mn1, mx1, NULL, NULL FROM ra
+        UNION ALL SELECT 'region', 'r_name', 'string', total, n2, d2, NULL, NULL, mnt2, mxt2 FROM ra)
+      SELECT table_name, column_name, data_type, total AS total_records, null_count,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(null_count AS DOUBLE) / total END AS null_rate,
+        distinct_count, min_numeric, max_numeric, min_text, max_text,
+        'run_2024_01_01' AS run_id, 'production' AS environment
+      FROM rows_ ORDER BY table_name, column_name"""))
+  )
+}

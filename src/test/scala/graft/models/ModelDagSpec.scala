@@ -1,0 +1,42 @@
+package graft.models
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ModelDagSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("example models build in DAG order with exact dbt-faithful contents") {
+    val out = ModelDag.run(spark, ExampleModels.all)
+    val first = out("my_first_dbt_model").collect().map(r => Option(r.get(0))).toSet
+    assert(first == Set(Some(1), None)) // {1, NULL} — my_first_dbt_model.sql:12-21
+    val second = out("my_second_dbt_model").collect().map(_.get(0)).toSeq
+    assert(second == Seq(1)) // {1} — my_second_dbt_model.sql:4-6
+  }
+
+  test("declared schema tests: 3 pass, not_null on first model FAILS by design (schema.yml)") {
+    ModelDag.run(spark, ExampleModels.all)
+    val results = SchemaTests.runAll(spark, ExampleModels.declaredTests)
+      .map(t => (t.model_name, t.test_name) -> t.status).toMap
+    assert(results(("my_first_dbt_model", "unique")) == "PASS")
+    assert(results(("my_first_dbt_model", "not_null")) == "FAIL")
+    assert(results(("my_second_dbt_model", "unique")) == "PASS")
+    assert(results(("my_second_dbt_model", "not_null")) == "PASS")
+  }
+
+  test("toposort rejects cycles and unknown refs") {
+    val a = Model("a", Seq("b"), Materialization.View, s => s.range(1).toDF())
+    val b = Model("b", Seq("a"), Materialization.View, s => s.range(1).toDF())
+    assertThrows[IllegalArgumentException](ModelDag.topoSort(Seq(a, b)))
+    val c = Model("c", Seq("nope"), Materialization.View, s => s.range(1).toDF())
+    assertThrows[IllegalArgumentException](ModelDag.topoSort(Seq(c)))
+  }
+
+  test("table materialization persists to the warehouse dir") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "wh").toString
+    val out = ModelDag.run(spark, ExampleModels.all, warehouseDir = Some(dir))
+    assert(new java.io.File(s"$dir/my_first_dbt_model").exists())
+    assert(out("my_first_dbt_model").count() == 2)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.profiling
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("one-pass stats per column: nulls, distinct, numeric and text bounds") {
+    val df = Seq(
+      (1L, Some(2.5), "b"),
+      (2L, None, "a"),
+      (3L, Some(7.5), null),
+      (3L, Some(2.5), "c"))
+      .toDF("id", "x", "s")
+    val p = Profiler.profile(spark, df, "t")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(p("id").getLong(3) == 4) // total_records
+    assert(p("id").getLong(4) == 0) // null_count
+    assert(p("id").getLong(6) == 3) // distinct
+    assert(p("x").getLong(4) == 1)
+    assert(p("x").getDouble(5) == 0.25) // null_rate
+    assert(p("x").getDouble(7) == 2.5 && p("x").getDouble(8) == 7.5)
+    assert(p("s").getString(9) == "a" && p("s").getString(10) == "c")
+    assert(p("id").isNullAt(9) && p("x").isNullAt(9)) // numerics: no text bounds
+  }
+
+  test("approx distinct mode stays single-pass and close to exact") {
+    val df = (1 to 1000).map(i => i % 97).toDF("k")
+    val exact = Profiler.profile(spark, df, "t").collect()(0).getLong(6)
+    val approx = Profiler.profile(spark, df, "t", approxDistinct = true).collect()(0).getLong(6)
+    assert(exact == 97)
+    assert(math.abs(approx - 97) <= 10)
+  }
+
+  test("complex-typed columns get schema info without bounds") {
+    val df = Seq((1, Seq(1.0f, 2.0f))).toDF("id", "emb")
+    val p = Profiler.profile(spark, df, "t")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(p("emb").getString(2) == "array")
+    assert(p("emb").isNullAt(6) && p("emb").isNullAt(7) && p("emb").isNullAt(9))
+  }
+
+  test("profileTables unions tables and appends run metadata (profiling_example.py:20-21)") {
+    val a = Seq(1).toDF("x"); val b = Seq("y").toDF("s")
+    val out = Profiler.profileTables(spark, Seq("a" -> a, "b" -> b), "r1", "test")
+    assert(out.columns.contains("run_id") && out.columns.contains("environment"))
+    assert(out.select("table_name").distinct().count() == 2)
+    assert(out.filter($"run_id" === "r1").count() == out.count())
+  }
+}
