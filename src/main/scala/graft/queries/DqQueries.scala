@@ -26,9 +26,9 @@ object DqQueries extends QueryModule {
           "failed_records", "total_records", "failure_rate", "column_name")
         .orderBy("test_name"),
       Some(s"""WITH agg AS (SELECT count(*) AS total,
-          sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS f_name,
-          sum(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 ELSE 0 END) AS f_bal,
-          sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS f_mkt
+          CAST(sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_name,
+          CAST(sum(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 ELSE 0 END) AS BIGINT) AS f_bal,
+          CAST(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_mkt
         FROM customer),
       r AS (
         SELECT 'completeness_c_name' AS test_name, f_name AS failed, total, 'c_name' AS column_name FROM agg
@@ -73,9 +73,9 @@ object DqQueries extends QueryModule {
           "failed_records", "total_records", "failure_rate", "column_name", "rule")
         .orderBy("test_name"),
       Some(s"""WITH agg AS (SELECT count(*) AS total,
-          sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS f_pos,
-          sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS f_mkt,
-          sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS f_name
+          CAST(sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_pos,
+          CAST(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_mkt,
+          CAST(sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_name
         FROM customer),
       r AS (
         SELECT 'format_c_acctbal_positive' AS test_name, f_pos AS failed, total, 'c_acctbal' AS column_name, 'positive' AS rule FROM agg
@@ -99,9 +99,9 @@ object DqQueries extends QueryModule {
           "min_value", "max_value")
         .orderBy("test_name"),
       Some(s"""WITH agg AS (SELECT count(*) AS total,
-          sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.06) THEN 1 ELSE 0 END) AS f_disc,
-          sum(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity >= 1.0) THEN 1 ELSE 0 END) AS f_qty,
-          sum(CASE WHEN NOT (l_tax IS NOT NULL AND l_tax <= 0.05) THEN 1 ELSE 0 END) AS f_tax
+          CAST(sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.06) THEN 1 ELSE 0 END) AS BIGINT) AS f_disc,
+          CAST(sum(CASE WHEN NOT (l_quantity IS NOT NULL AND l_quantity >= 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS f_qty,
+          CAST(sum(CASE WHEN NOT (l_tax IS NOT NULL AND l_tax <= 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS f_tax
         FROM lineitem),
       r AS (
         SELECT 'range_l_discount' AS test_name, f_disc AS failed, total, 'l_discount' AS column_name,
@@ -125,9 +125,9 @@ object DqQueries extends QueryModule {
           "failed_records", "total_records", "failure_rate", "sql_condition")
         .orderBy("test_name"),
       Some(s"""WITH agg AS (SELECT count(*) AS total,
-          sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS f_status,
-          sum(CASE WHEN NOT (o_orderdate <= CAST(current_date AS TIMESTAMP)) THEN 1 ELSE 0 END) AS f_future,
-          sum(CASE WHEN NOT (o_totalprice <= 450000.0) THEN 1 ELSE 0 END) AS f_price
+          CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS f_status,
+          CAST(sum(CASE WHEN NOT (o_orderdate <= CAST(current_date AS TIMESTAMP)) THEN 1 ELSE 0 END) AS BIGINT) AS f_future,
+          CAST(sum(CASE WHEN NOT (o_totalprice <= 450000.0) THEN 1 ELSE 0 END) AS BIGINT) AS f_price
         FROM orders),
       r AS (
         SELECT 'custom_valid_status' AS test_name, f_status AS failed, total, 'o_orderstatus IN (''O'', ''F'', ''P'')' AS sql_condition FROM agg

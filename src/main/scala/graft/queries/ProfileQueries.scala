@@ -16,23 +16,23 @@ object ProfileQueries extends QueryModule {
         .orderBy("table_name", "column_name"),
       Some("""WITH
       oa AS (SELECT count(*) AS total,
-        sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n1, count(DISTINCT o_orderkey) AS d1,
+        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1, count(DISTINCT o_orderkey) AS d1,
           CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1,
-        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n2, count(DISTINCT o_custkey) AS d2,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2, count(DISTINCT o_custkey) AS d2,
           CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2,
-        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n3, count(DISTINCT o_orderstatus) AS d3,
+        CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3, count(DISTINCT o_orderstatus) AS d3,
           CAST(min(o_orderstatus) AS VARCHAR) AS mnt3, CAST(max(o_orderstatus) AS VARCHAR) AS mxt3,
-        sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n4, count(DISTINCT o_totalprice) AS d4,
+        CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4, count(DISTINCT o_totalprice) AS d4,
           CAST(min(o_totalprice) AS DOUBLE) AS mn4, CAST(max(o_totalprice) AS DOUBLE) AS mx4,
-        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n5, count(DISTINCT o_orderdate) AS d5,
+        CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n5, count(DISTINCT o_orderdate) AS d5,
           CAST(min(o_orderdate) AS VARCHAR) AS mnt5, CAST(max(o_orderdate) AS VARCHAR) AS mxt5,
-        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n6, count(DISTINCT o_orderpriority) AS d6,
+        CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n6, count(DISTINCT o_orderpriority) AS d6,
           CAST(min(o_orderpriority) AS VARCHAR) AS mnt6, CAST(max(o_orderpriority) AS VARCHAR) AS mxt6
         FROM orders),
       ra AS (SELECT count(*) AS total,
-        sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS n1, count(DISTINCT r_regionkey) AS d1,
+        CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1, count(DISTINCT r_regionkey) AS d1,
           CAST(min(r_regionkey) AS DOUBLE) AS mn1, CAST(max(r_regionkey) AS DOUBLE) AS mx1,
-        sum(CASE WHEN r_name IS NULL THEN 1 ELSE 0 END) AS n2, count(DISTINCT r_name) AS d2,
+        CAST(sum(CASE WHEN r_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2, count(DISTINCT r_name) AS d2,
           CAST(min(r_name) AS VARCHAR) AS mnt2, CAST(max(r_name) AS VARCHAR) AS mxt2
         FROM region),
       rows_ AS (

@@ -108,7 +108,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when($"c_name".isNull, 1).otherwise(0)).as("null_names"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS null_names FROM customer")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_names FROM customer")),
 
     QueryDef("pred_empty_string",
       (s, dir) => {
@@ -117,7 +117,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when($"props".isNull || $"props" === "", 1).otherwise(0)).as("missing_props"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS missing_props FROM events")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS missing_props FROM events")),
 
     QueryDef("pred_isnan",
       (s, dir) => {
@@ -126,7 +126,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when($"value".isNull || isnan($"value"), 1).otherwise(0)).as("missing_value"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS missing_value FROM events")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS missing_value FROM events")),
 
     QueryDef("pred_regex",
       (s, dir) => {
@@ -135,7 +135,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when(!$"c_mktsegment".rlike("^[A-Z]{3,10}$"), 1).otherwise(0)).as("format_failures"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN NOT regexp_matches(c_mktsegment, '^[A-Z]{3,10}$') THEN 1 ELSE 0 END) AS format_failures FROM customer")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN NOT regexp_matches(c_mktsegment, '^[A-Z]{3,10}$') THEN 1 ELSE 0 END) AS BIGINT) AS format_failures FROM customer")),
 
     QueryDef("pred_positive",
       (s, dir) => {
@@ -144,7 +144,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when(!($"l_quantity" > 0), 1).otherwise(0)).as("nonpositive"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS nonpositive FROM lineitem")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive FROM lineitem")),
 
     QueryDef("pred_range",
       (s, dir) => {
@@ -154,7 +154,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when(!inRange, 1).otherwise(0)).as("out_of_range"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.08) THEN 1 ELSE 0 END) AS out_of_range FROM lineitem")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN NOT (l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range FROM lineitem")),
 
     QueryDef("pred_in_list",
       (s, dir) => {
@@ -164,7 +164,7 @@ object RelationalQueries extends QueryModule {
           sum(when(!$"c_mktsegment".isin("AUTOMOBILE", "BUILDING", "FURNITURE"), 1)
             .otherwise(0)).as("not_in_list"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE') THEN 1 ELSE 0 END) AS not_in_list FROM customer")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE') THEN 1 ELSE 0 END) AS BIGINT) AS not_in_list FROM customer")),
 
     QueryDef("pred_current_date",
       (s, dir) => {
@@ -173,7 +173,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when($"o_orderdate" > current_date().cast(TimestampType), 1).otherwise(0)).as("future_dates"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN o_orderdate > CAST(current_date AS TIMESTAMP) THEN 1 ELSE 0 END) AS future_dates FROM orders")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN o_orderdate > CAST(current_date AS TIMESTAMP) THEN 1 ELSE 0 END) AS BIGINT) AS future_dates FROM orders")),
 
     QueryDef("pred_implication",
       (s, dir) => {
@@ -184,7 +184,7 @@ object RelationalQueries extends QueryModule {
           count(lit(1)).as("total"),
           sum(when(!ok, 1).otherwise(0)).as("violations"))
       },
-      Some("SELECT count(*) AS total, sum(CASE WHEN NOT (o_orderstatus <> 'F' OR (o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL)) THEN 1 ELSE 0 END) AS violations FROM orders")),
+      Some("SELECT count(*) AS total, CAST(sum(CASE WHEN NOT (o_orderstatus <> 'F' OR (o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL)) THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders")),
 
     QueryDef("pred_bool_algebra",
       (s, dir) => {
@@ -288,10 +288,10 @@ object RelationalQueries extends QueryModule {
           sum(when($"l_shipdate".isNull, 1).otherwise(0)).as("fail_shipdate_null"))
       },
       Some("""SELECT count(*) AS total,
-        sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS fail_positive_qty,
-        sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS fail_discount_range,
-        sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS fail_flag_enum,
-        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS fail_shipdate_null
+        CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_positive_qty,
+        CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_discount_range,
+        CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS fail_flag_enum,
+        CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fail_shipdate_null
         FROM lineitem""")),
 
     QueryDef("agg_group_count_dupes",
@@ -302,7 +302,7 @@ object RelationalQueries extends QueryModule {
           .filter($"n" > 1)
           .agg(count(lit(1)).as("dup_groups"), coalesce(sum($"n"), lit(0L)).as("dup_rows"))
       },
-      Some("""SELECT count(*) AS dup_groups, coalesce(sum(n), 0) AS dup_rows FROM
+      Some("""SELECT count(*) AS dup_groups, CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_rows FROM
         (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1) g""")),
 
     QueryDef("agg_having",
@@ -340,7 +340,7 @@ object RelationalQueries extends QueryModule {
       Some("""SELECT failed, total,
         CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate
         FROM (SELECT count(*) AS total,
-          coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS failed
+          coalesce(CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT), 0) AS failed
           FROM lineitem WHERE l_shipdate = TIMESTAMP '1905-01-01 00:00:00') t""")),
 
     QueryDef("agg_unique_test",

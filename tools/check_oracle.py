@@ -43,6 +43,7 @@ def main():
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
+            otypes = [str(d[1]) for d in res.description]
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
@@ -52,6 +53,7 @@ def main():
             sres = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             scols = [d[0] for d in sres.description]
+            stypes = [str(d[1]) for d in sres.description]
             srows = sres.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
@@ -59,6 +61,16 @@ def main():
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: columns differ oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        # The driver's hash covers value *encoding*: DuckDB HUGEINT vs Spark
+        # BIGINT hash differently even when repr-equal. Compare types too.
+        otypemap = dict(zip(ocols, otypes))
+        stypemap = dict(zip(scols, stypes))
+        tdiff = {c: (otypemap[c], stypemap[c]) for c in ocols
+                 if otypemap[c] != stypemap[c]}
+        if tdiff:
+            print(f"FAIL {name}: column types differ (oracle, spark): {tdiff}")
             n_fail += 1
             continue
         on = norm_rows(ocols, orows)
