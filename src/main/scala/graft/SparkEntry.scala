@@ -11,7 +11,8 @@ object SparkEntry {
     RelationalQueries,
     ModelQueries,
     DqQueries,
-    ProfileQueries)
+    ProfileQueries,
+    PipelineQueries)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -91,8 +91,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "graft")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "graft")
+    reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
   }
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)

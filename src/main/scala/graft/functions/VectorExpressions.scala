@@ -95,9 +95,9 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es(0), es(1)), "graft")
+      es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("inner_product",
-      es => InnerProduct(es(0), es(1)), "graft")
+      es => InnerProduct(es(0), es(1)), "scala_udf")
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

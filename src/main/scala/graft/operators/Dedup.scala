@@ -25,18 +25,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
   // ── MinHash + LSH ─────────────────────────────────────────────────────
-  /** MinHash signature: one base xxhash64 per shingle, then `numHashes`
-    * cheap bijective remixes (odd-multiplier affine maps over Z/2^64) with
-    * a min-reduce each — avoids numHashes string hashes per shingle.
+  /** MinHash signature over a *pre-hashed* shingle array (`baseHashCol` =
+    * one xxhash64 long per shingle): slot i = min over shingles of
+    * xxhash64(i, h). Re-hashing the 8-byte base long per slot keeps all
+    * arithmetic overflow-free under ANSI mode (no raw 64-bit multiply)
+    * while paying only numHashes cheap long-hashes per shingle — the
+    * expensive string hash happens once, in `baseHashCol`.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val base = transform(shingleCol, s => xxhash64(s))
+  def minhashSignature(baseHashCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      val a = 2L * (0x9E3779B97F4A7C15L * (i + 1) | 1L) + 1L // odd multiplier
-      val b = 0xC2B2AE3D27D4EB4FL * i
-      array_min(transform(base, h => h * lit(a) + lit(b)))
+      array_min(transform(baseHashCol, h => xxhash64(lit(i), h)))
     }: _*)
-  }
 
   /** Candidate pairs whose banded minhash signatures collide, verified
     * with exact shingle-set Jaccard >= `threshold`.
@@ -53,11 +52,16 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val withSig = docs
+    val shingled = docs
       .select(col(idCol).as("id"), shingles(tokens(col(textCol)), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-    // band key = hash of r consecutive signature slots
-    val banded = withSig.select(col("id"), col("sh"),
+    val withSig = shingled
+      .withColumn("hb", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignature(col("hb"), bands * rowsPerBand))
+    // band key = hash of r consecutive signature slots. Only (id, band key)
+    // enters the join — the shuffle payload is O(bands × ids), not
+    // O(bands × corpus shingle bytes); shingles re-attach after the
+    // candidate set is deduplicated to one row per pair.
+    val banded = withSig.select(col("id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -67,14 +71,22 @@ object Dedup {
     val candidates = l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    attachShingles(candidates, shingled)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Re-attach each side's shingle set to an id-pair relation and compute
+    * exact Jaccard — two equi joins shuffled by id, paid once per
+    * *surviving* candidate pair.
+    */
+  private def attachShingles(pairs: DataFrame, shingled: DataFrame): DataFrame =
+    pairs
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
 
   /** Exact Jaccard over two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -83,9 +95,13 @@ object Dedup {
   // ── n-gram Jaccard with size-ratio blocking ──────────────────────────
   /** All pairs with shingle-Jaccard >= `threshold`, exactly — without a
     * cross join. Blocking is lossless: j >= t implies the smaller shingle
-    * set is >= t·|larger|, so sizes differ by factor <= 1/t; docs are
-    * bucketed by floor(log_base |sh|) with each doc emitted into its own
-    * and the next bucket, and base chosen so ratio-1/t pairs share a key.
+    * set is >= t·|larger|, so sizes differ by factor <= 1/t and bucket
+    * numbers floor(log_base |sh|) differ by at most 1 (base > 1/t).
+    * Blocking is *symmetric* — BOTH sides expand into {bucket, bucket+1},
+    * so a qualifying pair lands on a shared key whichever side has the
+    * smaller id (same- and adjacent-bucket pairs always share a key;
+    * one-sided expansion misses pairs whose lower-id doc sits in the
+    * higher bucket).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -94,18 +110,20 @@ object Dedup {
       threshold: Double = 0.8,
       shingleSize: Int = 3): DataFrame = {
     val base = 1.0 / threshold + 0.05
-    val withSh = docs.select(col(idCol).as("id"),
+    val shingled = docs.select(col(idCol).as("id"),
       shingles(tokens(col(textCol)), shingleSize).as("sh"))
+    val expanded = shingled
       .withColumn("bucket",
         floor(log(base, greatest(size(col("sh")).cast(DoubleType), lit(1.0)))))
-    val expanded = withSh.select(col("id"), col("sh"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
-    val l = expanded.alias("l"); val r = withSh.alias("r")
-    l.join(r, col("l.bkey") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-        jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("id"), explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
+    val l = expanded.alias("l"); val r = expanded.alias("r")
+    val candidates = l.join(r,
+        col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    attachShingles(candidates, shingled)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ── SimHash ───────────────────────────────────────────────────────────
@@ -149,6 +167,36 @@ object Dedup {
     val l = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val r = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     l.join(r, col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.VectorFunctions.cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH buckets
+    * generate candidates (equi join, no cross product); the left side is
+    * multi-probed to hamming distance 1, so any pair whose signatures
+    * differ in ≤ 1 bit is considered; exact cosine verifies. Recall vs
+    * [[embeddingCosinePairs]] is measured in DedupSpec.
+    */
+  def embeddingNearDupPairsLsh(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val sig = Similarity.signature(col("v"), dim, bits, seed)
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", sig)
+    // One side expands into hamming-1 probes, the other keeps its single
+    // bucket: a pair matches iff hamming ≤ 1, and at most once (probe
+    // values are distinct) — no pair-dedup shuffle needed.
+    val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
+      explode(Similarity.probes(col("bucket"), bits)).as("probe"))
+    val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    l.join(r, col("probe") === col("bucket") && col("id_a") < col("id_b"))
       .withColumn("cosine", graft.functions.VectorFunctions.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** LLM-training-data pipeline operators (north-star) as oracle-checked
+  * queries over the driver's `documents` / `embeddings` tables:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine),
+  * similarity search (brute-force + LSH top-k), text analysis
+  * (lang-id, quality, token stats).
+  *
+  * Oracle notes: the DuckDB twins recompute shingle sets / cosine values
+  * exactly — `list_cosine_similarity` over DOUBLE[] matches
+  * [[graft.functions.VectorKernels.cosine]] bit-for-bit (sequential
+  * double accumulation, dot/(√nx·√ny)), and integer-ratio Jaccard is
+  * exact in both engines. Approximate operators (SimHash bands, LSH
+  * probes) register without an oracle — their guarantees are asserted in
+  * DedupSpec/SimilaritySpec instead.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** DuckDB fragment: distinct word-3-gram shingles of lower-cased text —
+    * the exact twin of [[graft.functions.TextFunctions.shingles]].
+    */
+  private val sqlShingles =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  FOR i IN generate_series(1, greatest(len(toks)-2, 1))])""".stripMargin
+
+  private val sqlExactJaccardPairs =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM s a, s b
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── exact dedup: one hash aggregate on a text fingerprint ───────────
+    QueryDef("dedup_exact_groups",
+      (s, dir) => Dedup.exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS canonical_id
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ── n-gram Jaccard near-dup (lossless size blocking, exact result) ──
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(sqlExactJaccardPairs)),
+
+    // ── MinHash+LSH near-dup: banded candidates, exact-Jaccard verify ───
+    // Oracle is the same exact pair set: at (bands=16, r=4) the miss
+    // probability at j≥0.8 is ≈ (1-0.8^4)^16 ≈ 2e-4 per pair, and the
+    // verify step removes all false positives — asserted equal to the
+    // exact result on this data (checked locally; DedupSpec guards it).
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(sqlExactJaccardPairs)),
+
+    // ── SimHash near-dup: approximate (banded 64-bit simhash) — no SQL
+    //    twin; DedupSpec asserts the distance-≤3 recall guarantee. ───────
+    QueryDef("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxDistance = 3)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // ── embedding-cosine near-dup: exact quadratic baseline ─────────────
+    QueryDef("dedup_embedding_cosine",
+      (s, dir) => Dedup.embeddingCosinePairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ORDER BY id_a, id_b""")),
+
+    // ── similarity search: exact top-k per query (bounded-heap agg) ─────
+    QueryDef("sim_topk_brute",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.bruteForceTopK(queries, candidates, k = 5)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+        WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ── similarity search: LSH-bucketed ANN (approximate — recall vs
+    //    brute force asserted in SimilaritySpec, no SQL twin) ────────────
+    QueryDef("sim_topk_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.lshTopK(queries, candidates, k = 5, dim = 64, bits = 8)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ── text analysis: language-ID + quality score ──────────────────────
+    QueryDef("text_lang_quality",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), col("lang"),
+            langId(col("text")).as("lang_pred"),
+            qualityScore(col("text")).as("q"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("n_match_actual"),
+            min(col("q")).as("min_quality"),
+            max(col("q")).as("max_quality"))
+          .orderBy("lang_pred")
+      },
+      Some(s"""WITH t AS (
+          SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks, text FROM documents),
+        m AS (SELECT lang, toks, text,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','los','las','una','por','con'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','les','des','une','est','dans'))) AS fr
+          FROM t),
+        p AS (SELECT lang,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+               WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+               WHEN es >= de AND es >= fr THEN 'es'
+               WHEN de >= fr THEN 'de'
+               ELSE 'fr' END AS lang_pred,
+          0.4 * least(1.0, len(toks) / 50.0)
+            + 0.3 * (en / greatest(len(toks), 1))
+            + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / greatest(length(text), 1)) AS q
+          FROM m)
+        SELECT lang_pred, count(*) AS n_docs,
+          CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_match_actual,
+          min(q) AS min_quality, max(q) AS max_quality
+        FROM p GROUP BY lang_pred ORDER BY lang_pred""")),
+
+    // ── text analysis: token statistics ─────────────────────────────────
+    QueryDef("text_token_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(
+            size(tokens(col("text"))).cast(LongType).as("n_ws"),
+            size(bpeishTokens(col("text"))).cast(LongType).as("n_bpe"),
+            punctCount(col("text")).cast(LongType).as("n_punct"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ws")).as("sum_ws_tokens"),
+            sum(col("n_bpe")).as("sum_bpeish_tokens"),
+            sum(col("n_punct")).as("sum_punct_chars"),
+            max(col("n_ws")).as("max_ws_tokens"),
+            min(col("n_ws")).as("min_ws_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n_ws,
+          len(regexp_extract_all(lower(text), '${TextFunctionsSql.bpeish}')) AS n_bpe,
+          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+        FROM documents)
+        SELECT count(*) AS n_docs,
+          CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+          CAST(sum(n_bpe) AS BIGINT) AS sum_bpeish_tokens,
+          CAST(sum(n_punct) AS BIGINT) AS sum_punct_chars,
+          max(n_ws) AS max_ws_tokens, min(n_ws) AS min_ws_tokens
+        FROM t"""))
+  )
+}
+
+/** SQL-side constants kept next to their Spark twins. */
+object TextFunctionsSql {
+  /** [[graft.functions.TextFunctions.BpeishPattern]] with regex escapes
+    * preserved for SQL string context.
+    */
+  val bpeish: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators against planted duplicates with hand-computed overlap. */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Planted corpus: 1↔2 exact dup (modulo case/whitespace), 3↔4 near-dup
+  // (one word changed), 5 unrelated, 6↔7 near-dup with different sizes.
+  private def corpus: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "  The quick brown fox jumps over the lazy dog and runs far away home "),
+    (3L, "pack my box with five dozen liquor jugs before the long trip starts now"),
+    (4L, "pack my box with five dozen liquor jugs before the long trip ends now"),
+    (5L, "completely different text about spark query engines and distributed systems"),
+    (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+    (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups case/whitespace-normalized duplicates") {
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text").collect()
+    assert(groups.length == 6) // 7 docs, one pair merged
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("canonical_id") == 1L)
+  }
+
+  /** Hand math for 3↔4: 14-token texts, 12 shingles each (3-grams); the
+    * changed 13th word "starts"→"ends" appears in the last 2 windows →
+    * 10 shared shingles, 14 distinct → j = 10/14.
+    */
+  test("ngramJaccardPairs finds near-dups with exact hand-computed jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((3L, 4L)) && math.abs(pairs((3L, 4L)) - 10.0 / 14.0) < 1e-12)
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  /** ADVICE round-1 regression: one-sided blocking missed pairs whose
+    * lower-id doc was in the HIGHER size bucket. 6↔7: doc 6 has 14 tokens
+    * (12 shingles), doc 7 has 16 (14 shingles), 12 shared → j = 12/14 ≈
+    * 0.857 ≥ 0.8, while sizes straddle a bucket boundary for base ≈ 1.3.
+    */
+  test("ngramJaccardPairs blocking is symmetric (adjacent-bucket pairs found)") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((6L, 7L)))
+    // exhaustive check against a brute-force pass at several thresholds
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val blocked = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = bruteJaccardPairs(t)
+      assert(blocked == brute, s"threshold $t: blocked=$blocked brute=$brute")
+    }
+  }
+
+  private def bruteJaccardPairs(t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[String] = {
+      val toks = s.trim.toLowerCase.split("\\s+").toSeq
+      (0 to math.max(toks.size - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val docs = corpus.collect().map(r => r.getLong(0) -> sh(r.getString(1)))
+    (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhashLshPairs recalls all planted near-dups and verifies exactly") {
+    val mh = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // verify step makes every reported jaccard exact → subset of brute
+    val brute = bruteJaccardPairs(0.5)
+    assert(mh.keySet.subsetOf(brute))
+    // and the planted pairs (j = 1.0, 0.857, 0.538 — all with detection
+    // prob ≈ 1 at b=16,r=4) are present with exact values
+    assert(mh((1L, 2L)) == 1.0)
+    assert(math.abs(mh((3L, 4L)) - 10.0 / 14.0) < 1e-12)
+    assert(mh.contains((6L, 7L)))
+  }
+
+  test("simhashPairs honors the 4-band hamming<=3 guarantee") {
+    import graft.functions.TextHashFunctions
+    TextHashFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    // all-pairs hamming distances, brute force
+    val hashes = corpus
+      .select(col("doc_id"), TextHashFunctions.simhash64(tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected) // banding loses nothing at distance <= 3
+    assert(got.contains((1L, 2L))) // identical normalized text → distance 0
+  }
+
+  test("embedding near-dup: LSH path result ⊆ exact path, full recall here") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // near 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.15f, 0.0f)), // near 3
+      (5L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (3L, 4L)))
+    val lsh = Dedup.embeddingNearDupPairsLsh(vecs, "vec_id", "embedding", 0.9,
+      dim = 4, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact) // hamming-1 probing recovers both planted pairs
+  }
+}

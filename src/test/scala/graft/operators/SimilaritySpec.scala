@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Top-k similarity: bounded-heap aggregate correctness + LSH recall
+  * measured against the exact baseline on the driver's embeddings table.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def asQ(df: DataFrame) =
+    df.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def asC(df: DataFrame) =
+    df.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  test("bruteForceTopK matches a literal sort-and-take per query") {
+    val k = 4
+    val got = Similarity.bruteForceTopK(asQ(emb.filter($"vec_id" < 5)), asC(emb), k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    // reference: driver-side exact computation
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { val a = x(i).toDouble; val b = y(i).toDouble; d += a*b; nx += a*a; ny += b*b }
+      val den = math.sqrt(nx) * math.sqrt(ny); if (den == 0) 0 else d / den
+    }
+    for ((q, qv) <- vecs if q < 5) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k).toSeq
+      assert(got(q) == expect, s"query $q")
+    }
+  }
+
+  test("topk aggregate keeps ties deterministic (smaller id wins)") {
+    val pairs = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.5), (1L, 12L, 0.5), (1L, 13L, 0.9)
+    ).toDF("qid", "cid", "sim")
+    graft.functions.TopKFunctions.register(spark)
+    val top = pairs
+      .select(col("qid"), struct(col("sim").as("score"), col("cid").as("id")).as("p"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKFunctions.topKPairs(col("p"), 3).as("top"))
+      .select(explode(col("top")).as("e")).select("e.id").as[Long].collect().toSeq
+    assert(top == Seq(13L, 10L, 11L)) // 0.9 first, then tie broken by id
+  }
+
+  /** LSH only concentrates genuinely-near neighbors into shared buckets —
+    * on clustered vectors (the realistic near-dup/ANN workload) the
+    * multi-table hamming-1 probe must recover ≥ 0.9 of the true top-k;
+    * uniform-random vectors have no structure to exploit and are not a
+    * meaningful recall benchmark.
+    */
+  test("lshTopK recall >= 0.9 vs bruteForceTopK on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val center = Array.fill(dim)(0.0)
+      val crnd = new scala.util.Random(1000 + i / 10) // 20 clusters of 10
+      for (d <- 0 until dim) center(d) = crnd.nextGaussian()
+      val v = center.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 5
+    val q = asQ(df.filter($"vec_id" < 40))
+    val c = asC(df)
+    val brute = Similarity.bruteForceTopK(q, c, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, c, k, dim = dim, bits = 8, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
+  }
+
+  test("lshTopK explain has no cartesian/broadcast-nested-loop join") {
+    val q = asQ(emb.filter($"vec_id" < 5))
+    val plan = Similarity.lshTopK(q, asC(emb), 5, dim = 64, bits = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("topk plans contain no Window operator (bounded aggregate instead)") {
+    val plan = Similarity.bruteForceTopK(asQ(emb.filter($"vec_id" < 5)), asC(emb), 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+}
