@@ -12,7 +12,8 @@ object SparkEntry {
     ModelQueries,
     DqQueries,
     ProfileQueries,
-    PipelineQueries)
+    PipelineQueries,
+    SourceSinkQueries)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)

@@ -18,13 +18,26 @@ final case class DqTests(
     uniqueness: Seq[Seq[String]] = Nil,
     format: Seq[(String, String)] = Nil, // (column, named rule) — ordered
     range: Seq[(String, RangeBounds)] = Nil,
-    customSql: Seq[CustomSqlTest] = Nil)
+    customSql: Seq[CustomSqlTest] = Nil,
+    customSelect: Seq[CustomSelectTest] = Nil)
 
 final case class RangeBounds(min: Option[Double], max: Option[Double])
 
 final case class CustomSqlTest(
     testName: String,
     sqlCondition: String,
+    severity: String = "ERROR",
+    expectedResult: Long = 0L)
+
+/** A complete user-supplied SELECT returning the *failing* rows — the
+  * reference's flagship rule shape (hierarchy NOT EXISTS check,
+  * dq_sql_notes.md:17-29; currency-tolerance LEFT JOIN, :36-44). The
+  * statement may join any registered table/view; the rule passes when the
+  * row count equals `expectedResult` (reference `expected_result: 0`).
+  */
+final case class CustomSelectTest(
+    testName: String,
+    sql: String,
     severity: String = "ERROR",
     expectedResult: Long = 0L)
 
@@ -89,6 +102,15 @@ object DqConfig {
           testName = str(m, "test_name").getOrElse(sys.error("custom_sql needs test_name")),
           sqlCondition = str(m, "sql_condition").orElse(str(m, "sql"))
             .getOrElse(sys.error("custom_sql needs sql_condition")),
+          severity = str(m, "severity").getOrElse("ERROR"),
+          expectedResult = m.get("expected_result")
+            .collect { case l: java.lang.Long => l.longValue }.getOrElse(0L))
+      },
+      customSelect = list(testsM.getOrElse("custom_select", null)).map { t =>
+        val m = map(t)
+        CustomSelectTest(
+          testName = str(m, "test_name").getOrElse(sys.error("custom_select needs test_name")),
+          sql = str(m, "sql").getOrElse(sys.error("custom_select needs sql")),
           severity = str(m, "severity").getOrElse("ERROR"),
           expectedResult = m.get("expected_result")
             .collect { case l: java.lang.Long => l.longValue }.getOrElse(0L))

@@ -125,25 +125,30 @@ object DqEngine {
     }
 
     val rowRules = completeness ++ format ++ range ++ custom
-    val fusedResults: Seq[DqResult] =
-      if (rowRules.isEmpty && cfg.tests.uniqueness.isEmpty && unfusableCustom.isEmpty) Nil
+    val needTotal = rowRules.nonEmpty || cfg.tests.uniqueness.nonEmpty ||
+      unfusableCustom.nonEmpty || cfg.tests.customSelect.nonEmpty
+    // ONE scan computes the total AND every fused rule counter — also when
+    // only uniqueness/custom rules need the denominator (no second
+    // df.count() pass).
+    val (fusedResults: Seq[DqResult], total: Long) =
+      if (!needTotal) (Nil, 0L)
       else {
         val aggCols = count(lit(1)).as("__total") +:
           rowRules.zipWithIndex.map { case (r, i) =>
             sum(when(r.failCond, 1L).otherwise(0L)).as(s"__f$i")
           }
         val row = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-        val total = row.getLong(0)
-        rowRules.zipWithIndex.map { case (r, i) =>
+        val t = row.getLong(0)
+        val rs = rowRules.zipWithIndex.map { case (r, i) =>
           val failed = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
           r.meta.copy(
             status = if (failed == r.expected) "PASS" else "FAIL",
             failed_records = failed,
-            total_records = total,
-            failure_rate = if (total == 0) 0.0 else failed.toDouble / total)
+            total_records = t,
+            failure_rate = if (t == 0) 0.0 else failed.toDouble / t)
         }
+        (rs, t)
       }
-    lazy val total = fusedResults.headOption.map(_.total_records).getOrElse(df.count())
 
     // ── uniqueness: one shuffle per key combination ───────────────────
     val uniqueResults = cfg.tests.uniqueness.map { keys =>
@@ -157,19 +162,41 @@ object DqEngine {
     }
 
     // ── non-row-local custom SQL: reference-faithful spark.sql ────────
-    val customResults = unfusableCustom.map { t =>
-      df.createOrReplaceTempView("temp_table")
-      val failed = spark
-        .sql(s"SELECT COUNT(*) AS failed_count FROM temp_table WHERE NOT (${t.sqlCondition})")
-        .collect()(0).getLong(0)
-      DqResult(testDate, s"custom_${t.testName}", "custom",
+    // The input slice registers under a per-run unique view name (Verify
+    // runs queries concurrently in one session — a fixed name would
+    // cross-contaminate runs); the reference's `temp_table` contract
+    // (dq_sql_notes.md:228) is preserved by aliasing inside the statement.
+    val customResults =
+      if (unfusableCustom.isEmpty) Nil
+      else {
+        val view = s"graft_dq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        df.createOrReplaceTempView(view)
+        try unfusableCustom.map { t =>
+          val failed = spark
+            .sql(s"SELECT COUNT(*) AS failed_count FROM $view temp_table WHERE NOT (${t.sqlCondition})")
+            .collect()(0).getLong(0)
+          DqResult(testDate, s"custom_${t.testName}", "custom",
+            if (failed == t.expectedResult) "PASS" else "FAIL",
+            failed, total,
+            if (total == 0) 0.0 else failed.toDouble / total,
+            sql_condition = Some(t.sqlCondition))
+        } finally spark.catalog.dropTempView(view)
+      }
+
+    // ── full-SELECT rules: the reference's flagship shape — a complete
+    //    statement (joins/NOT EXISTS against other registered tables)
+    //    whose result rows ARE the failures (dq_sql_notes.md:17-29,36-44).
+    val selectResults = cfg.tests.customSelect.map { t =>
+      Validators.validateCustomSelect(t.sql)
+      val failed = spark.sql(t.sql).count()
+      DqResult(testDate, s"custom_${t.testName}", "custom_select",
         if (failed == t.expectedResult) "PASS" else "FAIL",
         failed, total,
         if (total == 0) 0.0 else failed.toDouble / total,
-        sql_condition = Some(t.sqlCondition))
+        sql_condition = Some(t.sql))
     }
 
-    spark.createDataset(fusedResults ++ uniqueResults ++ customResults)
+    spark.createDataset(fusedResults ++ uniqueResults ++ customResults ++ selectResults)
   }
 
   /** Threshold/severity gating (example_templates.yaml:30,45,51-54):

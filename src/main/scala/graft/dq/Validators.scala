@@ -54,6 +54,19 @@ object Validators {
     }
   }
 
+  /** Full-SELECT rule: must be a single SELECT statement (reference
+    * flagship rules, dq_sql_notes.md:17-29,36-44) and pass the keyword
+    * scan; statement separators are rejected so one rule is one query.
+    */
+  def validateCustomSelect(sql: String): Unit = {
+    val trimmed = sql.trim
+    require(trimmed.toLowerCase.startsWith("select") ||
+      trimmed.toLowerCase.startsWith("with"),
+      s"custom_select must be a SELECT statement: ${trimmed.take(40)}...")
+    require(!trimmed.contains(";"), "custom_select must be a single statement")
+    scanSqlForDangerousKeywords(trimmed)
+  }
+
   /** Comprehensive config validation (dq_sql_notes.md:319-344). */
   def validateConfig(cfg: DqConfig): Unit = {
     validateTableName(cfg.tableName)
@@ -63,5 +76,6 @@ object Validators {
     validateColumnNames(cfg.tests.format.map(_._1))
     validateColumnNames(cfg.tests.range.map(_._1))
     cfg.tests.customSql.foreach(t => scanSqlForDangerousKeywords(t.sqlCondition))
+    cfg.tests.customSelect.foreach(t => validateCustomSelect(t.sql))
   }
 }

@@ -115,6 +115,79 @@ object DqQueries extends QueryModule {
         column_name, min_value, max_value
       FROM r ORDER BY test_name""")),
 
+    // The reference's two flagship DQ rules are COMPLETE SELECT statements
+    // joining other tables (currency-tolerance LEFT JOIN,
+    // dq_sql_notes.md:36-44; hierarchy NOT EXISTS, :17-29) — run through
+    // the engine's custom_select path over registered views.
+    QueryDef("dq_custom_join",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        Tables.load(s, dir, "part").createOrReplaceTempView("part")
+        val orders = Tables.load(s, dir, "orders")
+        orders.createOrReplaceTempView("orders")
+        DqEngine.run(s, orders,
+          DqConfig(tableName = "orders", tests = DqTests(customSelect = Seq(
+            CustomSelectTest("tolerance_violations",
+              """SELECT t.l_orderkey, t.l_partkey FROM lineitem t
+                 LEFT JOIN part r ON t.l_partkey = r.p_partkey
+                 WHERE r.p_partkey IS NOT NULL
+                   AND ABS(t.l_extendedprice - r.p_retailprice * t.l_quantity) > 1000.0"""),
+            CustomSelectTest("orphan_orders",
+              """SELECT o.o_orderkey FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""")))),
+          testDate).toDF()
+          .select("test_date", "test_name", "test_category", "status",
+            "failed_records", "total_records", "failure_rate")
+          .orderBy("test_name")
+      },
+      Some(s"""WITH total AS (SELECT count(*) AS t FROM orders),
+        f1 AS (SELECT count(*) AS n FROM lineitem t
+          LEFT JOIN part r ON t.l_partkey = r.p_partkey
+          WHERE r.p_partkey IS NOT NULL
+            AND ABS(t.l_extendedprice - r.p_retailprice * t.l_quantity) > 1000.0),
+        f2 AS (SELECT count(*) AS n FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)),
+        r AS (
+          SELECT 'custom_tolerance_violations' AS test_name, (SELECT n FROM f1) AS failed
+          UNION ALL SELECT 'custom_orphan_orders', (SELECT n FROM f2))
+        SELECT '$testDate' AS test_date, test_name, 'custom_select' AS test_category,
+          CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+          failed AS failed_records, (SELECT t FROM total) AS total_records,
+          CASE WHEN (SELECT t FROM total) = 0 THEN 0.0
+               ELSE CAST(failed AS DOUBLE) / (SELECT t FROM total) END AS failure_rate
+        FROM r ORDER BY test_name""")),
+
+    // Every named format rule the reference declares (including the
+    // declared-but-unimplemented numeric_11/email_format/phone_format —
+    // engine-defined regexes, SURVEY.md §2.6).
+    QueryDef("dq_format_rules",
+      (s, dir) => run(s, dir, "customer",
+        DqTests(format = Seq(
+          "c_mktsegment" -> "length_3",
+          "c_custkey" -> "numeric_11",
+          "c_name" -> "email_format",
+          "c_name" -> "phone_format")))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "column_name", "rule")
+        .orderBy("test_name"),
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          CAST(sum(CASE WHEN NOT regexp_matches(c_mktsegment, '^[A-Z]{3}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+          CAST(sum(CASE WHEN NOT regexp_matches(CAST(c_custkey AS VARCHAR), '^[0-9]{11}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_num,
+          CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_email,
+          CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^[+]?[0-9][0-9 ()-]{6,18}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_phone
+        FROM customer),
+      r AS (
+        SELECT 'format_c_mktsegment_length_3' AS test_name, f_len AS failed, total, 'c_mktsegment' AS column_name, 'length_3' AS rule FROM agg
+        UNION ALL SELECT 'format_c_custkey_numeric_11', f_num, total, 'c_custkey', 'numeric_11' FROM agg
+        UNION ALL SELECT 'format_c_name_email_format', f_email, total, 'c_name', 'email_format' FROM agg
+        UNION ALL SELECT 'format_c_name_phone_format', f_phone, total, 'c_name', 'phone_format' FROM agg)
+      SELECT '$testDate' AS test_date, test_name, 'format' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+        column_name, rule
+      FROM r ORDER BY test_name""")),
+
     QueryDef("dq_custom_sql",
       (s, dir) => run(s, dir, "orders",
         DqTests(customSql = Seq(

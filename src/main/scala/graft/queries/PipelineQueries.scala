@@ -162,6 +162,54 @@ object PipelineQueries extends QueryModule {
           min(q) AS min_quality, max(q) AS max_quality
         FROM p GROUP BY lang_pred ORDER BY lang_pred""")),
 
+    // ── multimodal: JSON-typed column (events.props) ────────────────────
+    QueryDef("multimodal_json_extract",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, MapType, StringType}
+        Tables.load(s, dir, "events")
+          .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+          .withColumn("k", element_at(col("m"), "k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+          CASE WHEN props IS NOT NULL AND json_valid(props)
+               THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        FROM events)
+        SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+          CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        FROM t GROUP BY event_type ORDER BY event_type""")),
+
+    // ── multimodal: opaque binary payloads round-trip through the fake
+    //    codec (encode → binary column → mapPartitions decode → stats);
+    //    the oracle recomputes the same stats from the source columns,
+    //    proving decode ∘ encode = id through the whole Spark plan. ──────
+    QueryDef("multimodal_decode_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val records = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .as[(Long, Long, String)]
+          .map { case (eid, uid, et) =>
+            val width = (eid % 640 + 1).toInt
+            val height = (uid % 480 + 1).toInt
+            val payload = new Array[Byte]((eid % 32).toInt)
+            Multimodal.MediaRecord(eid, et, Multimodal.FakeCodec.encode(width, height, payload))
+          }
+        Multimodal.metaStats(Multimodal.decodeMeta(records)).orderBy("media_type")
+      },
+      Some("""SELECT event_type AS media_type, count(*) AS n_media,
+        CAST(sum(event_id % 640 + 1) AS BIGINT) AS sum_width,
+        CAST(sum(user_id % 480 + 1) AS BIGINT) AS sum_height,
+        CAST(sum(event_id % 32 + 8) AS BIGINT) AS sum_bytes
+        FROM events GROUP BY event_type ORDER BY media_type""")),
+
     // ── text analysis: token statistics ─────────────────────────────────
     QueryDef("text_token_stats",
       (s, dir) => {

@@ -83,6 +83,57 @@ class DqEngineSpec extends AnyFunSuite {
     assert(r("custom_expected_one").status == "PASS")
   }
 
+  test("custom_select: full SELECT over other registered tables, reference flagship shape") {
+    Seq((1, "USD"), (2, "EUR"), (3, "XXX")).toDF("tid", "currency")
+      .createOrReplaceTempView("dq_spec_tx")
+    Seq("USD", "EUR").toDF("code").createOrReplaceTempView("dq_spec_codes")
+    val df = Seq((1, "USD")).toDF("tid", "currency")
+    val r = results(df, DqTests(customSelect = Seq(
+      CustomSelectTest("unknown_currency",
+        """SELECT t.tid FROM dq_spec_tx t
+           WHERE NOT EXISTS (SELECT 1 FROM dq_spec_codes c WHERE c.code = t.currency)"""),
+      CustomSelectTest("known_count", "SELECT tid FROM dq_spec_tx WHERE currency = 'XXX'",
+        expectedResult = 1))))
+    assert(r("custom_unknown_currency").failed_records == 1) // tid 3
+    assert(r("custom_unknown_currency").status == "FAIL")
+    assert(r("custom_unknown_currency").test_category == "custom_select")
+    assert(r("custom_known_count").status == "PASS") // 1 == expected 1
+  }
+
+  test("custom_select validator rejects non-SELECT and multi-statement SQL") {
+    val df = Seq((1, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      results(df, DqTests(customSelect = Seq(
+        CustomSelectTest("bad", "DELETE FROM t"))))
+    }
+    intercept[IllegalArgumentException] {
+      results(df, DqTests(customSelect = Seq(
+        CustomSelectTest("bad2", "SELECT 1; SELECT 2"))))
+    }
+  }
+
+  test("concurrent runs don't cross-contaminate custom-SQL temp views") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // temp_table-qualified references don't resolve against the bare df,
+    // so these conditions take the unfusable spark.sql path (per-run view,
+    // reference contract preserved through the temp_table alias)
+    val futures = (0 until 4).map { i =>
+      Future {
+        val df = Seq.tabulate(10)(j => (j, i)).toDF("id", "tag")
+        results(df, DqTests(customSql = Seq(
+          CustomSqlTest("tag_check", s"temp_table.tag = $i AND temp_table.id < 9"))))
+      }
+    }
+    val all = Await.result(Future.sequence(futures), Duration.Inf)
+    all.foreach { r =>
+      // with a shared fixed view name another run's df could be read
+      // instead (wrong tag → all 10 rows fail); per-run views see 1
+      assert(r("custom_tag_check").failed_records == 1)
+    }
+  }
+
   test("fecha filter slices by date column (dq_sql_notes.md:75)") {
     val df = Seq(
       (java.sql.Date.valueOf("2024-01-01"), "a"),
