@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Native sketch kernels for the dedup/similarity operators.
+  *
+  * The first implementations composed these from `transform`/`aggregate`
+  * higher-order functions — correct, but HOFs evaluate one boxed lambda
+  * call per array element outside whole-stage codegen, which made the
+  * signature computations the bench bottleneck (64 hashes × shingles per
+  * doc, bits × dim multiply-adds per vector). These kernels run the same
+  * math as one static while-loop per row, called from generated code —
+  * the pattern that survives a 100 TB scan.
+  */
+object SketchKernels {
+
+  /** xxhash64-style avalanche of a long (same finalizer family the
+    * engine uses elsewhere; exact function is engine-defined).
+    */
+  @inline private def mix(h0: Long): Long = {
+    var h = h0
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 33)
+    h
+  }
+
+  /** MinHash signature over pre-hashed shingles: slot i =
+    * min over elements of mix(h ^ seed_i). One pass per slot over a
+    * primitive long array — no boxing, no per-slot array allocation.
+    */
+  def minhash(baseHashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = baseHashes.numElements()
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val seed = 0x9E3779B97F4A7C15L * (i + 1)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = mix(baseHashes.getLong(j) ^ seed)
+        if (v < best) best = v
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane signature: bit j = [dot(v, plane_j) >= 0] with
+    * plane components ±1 derived from mix(seed, bit, dim) parity — the
+    * planes never materialize.
+    */
+  def rhSignature(vec: ArrayData, bits: Int, seed: Long): Int = {
+    val n = vec.numElements()
+    var sig = 0
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val h = mix(seed ^ (j.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL))
+        val w = if ((h & 1L) == 1L) 1.0 else -1.0
+        dot += vec.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (dot >= 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** minhash64(base_hashes, num_hashes) → array<bigint>. */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash64 expects array<bigint>, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    SketchKernels.minhash(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash64"
+}
+
+/** rh_signature(vec, bits, seed) → int bucket. */
+case class RhSignature(child: Expression, bits: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"rh_signature expects array<float>, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    SketchKernels.rhSignature(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.rhSignature($c, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "rh_signature"
+}
+
+object SketchFunctions {
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected literal int, got $other")
+  }
+  private def litLong(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"expected literal long, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash64",
+      es => MinHashSignature(es.head, litInt(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("rh_signature",
+      es => RhSignature(es.head, litInt(es(1)), litLong(es(2))), "scala_udf")
+  }
+
+  def minhash64(baseHashes: Column, numHashes: Int): Column =
+    call_function("minhash64", baseHashes, lit(numHashes))
+  def rhSignature(vec: Column, bits: Int, seed: Long): Column =
+    call_function("rh_signature", vec, lit(bits), lit(seed))
+}

@@ -60,6 +60,63 @@ object TextKernels {
   }
 }
 
+object ShingleKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** text → SORTED DISTINCT hashes of lower-cased word n-gram shingles,
+    * in one pass (tokenize, per-window hash combine, hash-set dedup,
+    * sort). Replaces the tokens→shingles→hash→distinct→sort composition
+    * of higher-order functions, whose per-element boxing and O(n²)
+    * string `array_distinct` dominated the dedup operators' runtime.
+    * Texts shorter than n tokens yield the whole-text shingle, matching
+    * [[TextFunctions.shingles]]. Downstream set math (Jaccard, MinHash,
+    * prefix keys) is hash-isomorphic: sizes and intersections are
+    * preserved modulo 64-bit collisions.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase.trim
+    val toks = if (s.isEmpty) Array("") else Ws.split(s)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      th(i) = TextKernels.fnv1a64(UTF8String.fromString(toks(i)))
+      i += 1
+    }
+    val nWindows = math.max(toks.length - n + 1, 1)
+    val set = new java.util.HashSet[java.lang.Long](nWindows * 2)
+    var w = 0
+    while (w < nWindows) {
+      var h = 0xCBF29CE484222325L
+      var j = w
+      val end = math.min(w + n, toks.length)
+      while (j < end) { h = (h ^ th(j)) * 0x100000001B3L; j += 1 }
+      set.add(h)
+      w += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** shingle_hashes(text, n) → sorted distinct array<bigint>. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"shingle_hashes expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.shingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -93,7 +150,17 @@ object TextHashFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes", es => {
+      val n = es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"shingle_hashes n must be a literal int, got $other")
+      }
+      ShingleHashes(es.head, n)
+    }, "scala_udf")
   }
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def shingleHashes(c: Column, n: Int): Column =
+    call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
 }

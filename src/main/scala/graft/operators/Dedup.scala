@@ -10,11 +10,24 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Scale posture: every variant is shuffle-bounded — exact dedup is one
   * hash aggregate on a fingerprint; MinHash/SimHash generate candidates
-  * by *banding* (equality join on band keys — no O(n²) pair scan) and only
-  * verified candidates pay the exact-similarity cost; the naive pairwise
-  * variants use size-ratio blocking so the join is equi, not cross.
+  * by *banding* (equality join on band keys — no O(n²) pair scan),
+  * n-gram Jaccard by lossless prefix filtering, and only verified
+  * candidates pay the exact-similarity cost. Text is reduced to sorted
+  * distinct shingle-hash arrays by the one-pass
+  * [[graft.functions.ShingleHashes]] kernel — set math downstream
+  * (Jaccard, MinHash slots, prefix keys) runs on primitive longs.
   */
 object Dedup {
+
+  /** (id, sorted distinct shingle-hash array) for a corpus — the shared
+    * front end of every text near-dup operator here.
+    */
+  private def shingleHashed(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    graft.functions.TextHashFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextHashFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
+  }
 
   /** Exact dedup on normalized-text fingerprint: one hash aggregate.
     * Returns (fingerprint, n_copies, canonical_id) per duplicate group.
@@ -26,16 +39,12 @@ object Dedup {
 
   // ── MinHash + LSH ─────────────────────────────────────────────────────
   /** MinHash signature over a *pre-hashed* shingle array (`baseHashCol` =
-    * one xxhash64 long per shingle): slot i = min over shingles of
-    * xxhash64(i, h). Re-hashing the 8-byte base long per slot keeps all
-    * arithmetic overflow-free under ANSI mode (no raw 64-bit multiply)
-    * while paying only numHashes cheap long-hashes per shingle — the
-    * expensive string hash happens once, in `baseHashCol`.
+    * one xxhash64 long per shingle) via the native
+    * [[graft.functions.MinHashSignature]] kernel — one while-loop per row
+    * instead of numHashes boxed higher-order-function passes.
     */
   def minhashSignature(baseHashCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(baseHashCol, h => xxhash64(lit(i), h)))
-    }: _*)
+    graft.functions.SketchFunctions.minhash64(baseHashCol, numHashes)
 
   /** Candidate pairs whose banded minhash signatures collide, verified
     * with exact shingle-set Jaccard >= `threshold`.
@@ -52,11 +61,10 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val shingled = docs
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), shingleSize).as("sh"))
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val shingled = shingleHashed(docs, idCol, textCol, shingleSize)
     val withSig = shingled
-      .withColumn("hb", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", minhashSignature(col("hb"), bands * rowsPerBand))
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
     // band key = hash of r consecutive signature slots. Only (id, band key)
     // enters the join — the shuffle payload is O(bands × ids), not
     // O(bands × corpus shingle bytes); shingles re-attach after the
@@ -92,16 +100,18 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)) / size(array_union(a, b))
 
-  // ── n-gram Jaccard with size-ratio blocking ──────────────────────────
+  // ── n-gram Jaccard with prefix filtering (AllPairs/PPJoin family) ────
   /** All pairs with shingle-Jaccard >= `threshold`, exactly — without a
-    * cross join. Blocking is lossless: j >= t implies the smaller shingle
-    * set is >= t·|larger|, so sizes differ by factor <= 1/t and bucket
-    * numbers floor(log_base |sh|) differ by at most 1 (base > 1/t).
-    * Blocking is *symmetric* — BOTH sides expand into {bucket, bucket+1},
-    * so a qualifying pair lands on a shared key whichever side has the
-    * smaller id (same- and adjacent-bucket pairs always share a key;
-    * one-sided expansion misses pairs whose lower-id doc sits in the
-    * higher bucket).
+    * cross join. Candidate generation uses *prefix filtering*: order each
+    * doc's shingle hashes by a global total order (the hash value) and
+    * emit only the first ⌊(1−t)·|sh|⌋+1 as join keys. If j(A,B) ≥ t then
+    * |A∩B| ≥ t·max(|A|,|B|), and two sets with that much overlap must
+    * share an element inside those prefixes (Bayardo et al., "Scaling Up
+    * All Pairs Similarity Search", WWW'07) — so the equi join on prefix
+    * keys is lossless, and it prunes homogeneous corpora that size-based
+    * blocking cannot (size blocking degenerates to ~all-pairs when every
+    * doc is similar in length). Exact Jaccard verifies each candidate, so
+    * the output is exact.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -109,16 +119,25 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       shingleSize: Int = 3): DataFrame = {
-    val base = 1.0 / threshold + 0.05
-    val shingled = docs.select(col(idCol).as("id"),
-      shingles(tokens(col(textCol)), shingleSize).as("sh"))
+    val shingled = shingleHashed(docs, idCol, textCol, shingleSize)
+    // prefix length ⌊(1−t)·|sh|⌋+1 == |sh|−⌈t·|sh|⌉+1 (the AllPairs
+    // bound); the 1e-9 guards the float product dipping just below an
+    // exact integer, which would shrink the prefix and lose pairs.
+    // `sh` is already sorted by the kernel — the hash value is the
+    // global element order.
     val expanded = shingled
-      .withColumn("bucket",
-        floor(log(base, greatest(size(col("sh")).cast(DoubleType), lit(1.0)))))
-      .select(col("id"), explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
+      .withColumn("plen",
+        (floor(size(col("sh")).cast(DoubleType) * lit(1.0 - threshold) + lit(1e-9)) + 1)
+          .cast("int"))
+      .select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), col("plen"))).as("pkey"))
     val l = expanded.alias("l"); val r = expanded.alias("r")
+    // length filter (AllPairs): j ≥ t forces t·|A| ≤ |B| ≤ |A|/t — prunes
+    // size-incompatible collisions before the pair-dedup shuffle
     val candidates = l.join(r,
-        col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
+        col("l.pkey") === col("r.pkey") && col("l.id") < col("r.id") &&
+          col("l.sz") * lit(threshold) <= col("r.sz") &&
+          col("r.sz") * lit(threshold) <= col("l.sz"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     attachShingles(candidates, shingled)
@@ -187,6 +206,7 @@ object Dedup {
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.SketchFunctions.register(embeddings.sparkSession)
     val sig = Similarity.signature(col("v"), dim, bits, seed)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", sig)

@@ -53,29 +53,14 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for (seed, bit, dim):
-    * parity of a xxhash-style avalanche over the packed indices.
+  /** Random-hyperplane signature as an Int column: bit j =
+    * [dot(v, plane_j) >= 0] with ±1 plane components derived in-kernel —
+    * a native codegen'd expression ([[graft.functions.RhSignature]]); the
+    * earlier `zip_with`/`aggregate` composition paid a boxed lambda call
+    * per (bit × dim) element. `dim` is implied by the vector length.
     */
-  private def planeSign(seed: Long, bit: Int, d: Int): Double = {
-    var h = seed ^ (bit.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL)
-    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
-    if ((h & 1L) == 1L) 1.0 else -1.0
-  }
-
-  /** Random-hyperplane signature as an Int column built from codegen'd
-    * builtins: bit j = [dot(v, plane_j) >= 0], planes are ±1 vectors from
-    * [[planeSign]]. `aggregate` keeps the dot inside codegen.
-    */
-  def signature(vec: Column, dim: Int, bits: Int, seed: Long): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val dot = aggregate(
-        zip_with(vec, typedLit((0 until dim).map(d => planeSign(seed, j, d))),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, 1 << j).otherwise(0)
-    }
-    bitCols.reduce(_ + _)
-  }
+  def signature(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    graft.functions.SketchFunctions.rhSignature(vec, bits, seed)
 
   /** The signature bucket plus all `bits` single-bit flips of it —
     * hamming-1 multi-probe expansion.
@@ -106,6 +91,7 @@ object Similarity {
       tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     VectorFunctions.register(candidates.sparkSession)
+    graft.functions.SketchFunctions.register(candidates.sparkSession)
     def tableSeed(t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
     val q = queries
       .select(col("qid"), col("qvec"),

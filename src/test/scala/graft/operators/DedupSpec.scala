@@ -45,7 +45,11 @@ class DedupSpec extends AnyFunSuite {
     * (12 shingles), doc 7 has 16 (14 shingles), 12 shared → j = 12/14 ≈
     * 0.857 ≥ 0.8, while sizes straddle a bucket boundary for base ≈ 1.3.
     */
-  test("ngramJaccardPairs blocking is symmetric (adjacent-bucket pairs found)") {
+  // Round-1 ADVICE regression (one-sided size blocking lost pairs like
+  // 6↔7 where the lower-id doc sat in the higher size bucket) — kept as a
+  // general exactness guard: prefix-filtered candidates must reproduce
+  // the brute-force pair set at every threshold.
+  test("ngramJaccardPairs candidate filter is lossless vs brute force") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((6L, 7L)))
