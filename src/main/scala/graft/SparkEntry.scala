@@ -13,7 +13,8 @@ object SparkEntry {
     DqQueries,
     ProfileQueries,
     PipelineQueries,
-    SourceSinkQueries)
+    SourceSinkQueries,
+    StreamingQueries)
 
   private lazy val allDefs: Seq[QueryDef] = {
     val ds = modules.flatMap(_.defs)
