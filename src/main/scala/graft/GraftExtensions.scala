@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+  * injects every graft function into the session at build time, so SQL
+  * and DataFrame users get `cosine_sim`, `topk_pairs`, `shingle_hashes`,
+  * … without calling the per-module `register()` helpers.
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  *   .sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected literal int, got $other")
+  }
+  private def litLong(e: Expression): Long = e.eval(null) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"expected literal long, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), builder))
+
+    inject("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors") {
+      es => CosineSimilarity(es(0), es(1))
+    }
+    inject("inner_product", "inner_product(a, b) - dot product of two float vectors") {
+      es => InnerProduct(es(0), es(1))
+    }
+    inject("rolling_hash64", "rolling_hash64(s) - polynomial rolling hash of a string") {
+      es => RollingHash64(es.head)
+    }
+    inject("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array") {
+      es => SimHash64(es.head)
+    }
+    inject("shingle_hashes", "shingle_hashes(text, n) - sorted distinct word n-gram hashes") {
+      es => ShingleHashes(es.head, litInt(es(1)))
+    }
+    inject("minhash64", "minhash64(hashes, k) - k-slot MinHash signature") {
+      es => MinHashSignature(es.head, litInt(es(1)))
+    }
+    inject("rh_signature", "rh_signature(vec, bits, seed) - random-hyperplane LSH bucket") {
+      es => RhSignature(es.head, litInt(es(1)), litLong(es(2)))
+    }
+    inject("topk_pairs", "topk_pairs(struct(score, id), k) - bounded top-k aggregate") {
+      es => TopKPairs(es.head, litInt(es(1)))
+    }
+  }
+}

@@ -33,13 +33,19 @@ object Profiler {
     case _ => false
   }
 
+  /** `approxDistinct` defaults to the scale-safe HLL path: exact
+    * `count(DISTINCT)` multiplies scan rows by an Expand factor per
+    * profiled column, which is the wrong default at 100 TB. The
+    * oracle-checked query passes `approxDistinct = false` explicitly
+    * (DuckDB recomputes exact distincts).
+    */
   def profile(
       spark: SparkSession,
       df0: DataFrame,
       tableName: String,
       fecha: Option[String] = None,
       dateColumn: String = "fecha",
-      approxDistinct: Boolean = false,
+      approxDistinct: Boolean = true,
       sampleRows: Option[Long] = None): DataFrame = {
 
     val df1 = fecha match {
@@ -123,7 +129,7 @@ object Profiler {
       runId: String,
       environment: String,
       fecha: Option[String] = None,
-      approxDistinct: Boolean = false): DataFrame =
+      approxDistinct: Boolean = true): DataFrame =
     tables.map { case (n, df) => profile(spark, df, n, fecha, approxDistinct = approxDistinct) }
       .reduce(_.union(_))
       .withColumn("run_id", lit(runId))

@@ -87,6 +87,15 @@ object PipelineQueries extends QueryModule {
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         ORDER BY id_a, id_b""")),
 
+    // ── embedding near-dup, scale path: LSH-bucketed candidates with
+    //    hamming-1 probes, exact-cosine verified (approximate candidate
+    //    set — recall asserted in DedupSpec, no SQL twin) ────────────────
+    QueryDef("dedup_embedding_lsh",
+      (s, dir) => Dedup.embeddingNearDupPairsLsh(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, dim = 64, bits = 8)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // ── similarity search: exact top-k per query (bounded-heap agg) ─────
     QueryDef("sim_topk_brute",
       (s, dir) => {

@@ -12,7 +12,8 @@ object ProfileQueries extends QueryModule {
       (s, dir) => Profiler.profileTables(s,
           Seq("region" -> Tables.load(s, dir, "region"),
               "orders" -> Tables.load(s, dir, "orders")),
-          runId = "run_2024_01_01", environment = "production")
+          runId = "run_2024_01_01", environment = "production",
+          approxDistinct = false) // oracle recomputes exact distincts
         .orderBy("table_name", "column_name"),
       Some("""WITH
       oa AS (SELECT count(*) AS total,

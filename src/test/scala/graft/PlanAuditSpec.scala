@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits over the registered queries (SURVEY.md §4): the
+  * scale properties the engine relies on must be visible in `explain` —
+  * filter pushdown into the parquet scan, column pruning, broadcast
+  * joins for dimensions, partial+final aggregation, whole-stage codegen.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("date filter is pushed down to the parquet scan") {
+    val p = plan("filter_partition_date")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(l_shipdate.*"), p)
+  }
+
+  test("column pruning reaches the scan (ReadSchema carries only used columns)") {
+    val p = plan("filter_eq")
+    // query touches 4 of lineitem's/orders' columns; the scan must not read all
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty, p)
+    val cols = read.split(",").map(_.takeWhile(_ != ':').trim)
+    assert(cols.toSet == Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"), read)
+  }
+
+  test("star-schema rollup broadcasts every dimension (no sort-merge join)") {
+    val p = plan("join_star_rollup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregations run partial+final (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("flagship query runs inside whole-stage codegen") {
+    // AQE's executedPlan prints before codegen collapse; CodegenMode
+    // explain shows the generated stages
+    val p = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), p.take(500))
+  }
+
+  test("anti join compiles to a broadcast/shuffled anti join, not a filter") {
+    val p = plan("join_anti_not_exists")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("top-k similarity aggregates with bounded state (ObjectHashAggregate)") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.toLowerCase.contains("window"), p)
+  }
+
+  test("no scan in any registered query reads all columns of a wide table for a narrow projection") {
+    // sort_limit_topk projects 3 of orders' 6 columns
+    val p = plan("sort_limit_topk")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.takeWhile(_ != ':').trim)
+    assert(cols.toSet == Set("o_orderkey", "o_custkey", "o_totalprice"), read)
+  }
+
+  test("global sort+limit compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

@@ -14,7 +14,7 @@ class ProfilerSpec extends AnyFunSuite {
       (3L, Some(7.5), null),
       (3L, Some(2.5), "c"))
       .toDF("id", "x", "s")
-    val p = Profiler.profile(spark, df, "t")
+    val p = Profiler.profile(spark, df, "t", approxDistinct = false)
       .collect().map(r => r.getString(1) -> r).toMap
     assert(p("id").getLong(3) == 4) // total_records
     assert(p("id").getLong(4) == 0) // null_count
@@ -26,10 +26,10 @@ class ProfilerSpec extends AnyFunSuite {
     assert(p("id").isNullAt(9) && p("x").isNullAt(9)) // numerics: no text bounds
   }
 
-  test("approx distinct mode stays single-pass and close to exact") {
+  test("approx distinct (the scale-safe default) stays close to exact") {
     val df = (1 to 1000).map(i => i % 97).toDF("k")
-    val exact = Profiler.profile(spark, df, "t").collect()(0).getLong(6)
-    val approx = Profiler.profile(spark, df, "t", approxDistinct = true).collect()(0).getLong(6)
+    val exact = Profiler.profile(spark, df, "t", approxDistinct = false).collect()(0).getLong(6)
+    val approx = Profiler.profile(spark, df, "t").collect()(0).getLong(6)
     assert(exact == 97)
     assert(math.abs(approx - 97) <= 10)
   }
