@@ -109,4 +109,57 @@ object Similarity {
         VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
     rankTopK(scored, k)
   }
+
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer partitions
+    * the candidate corpus into `numCentroids` cells; each query probes its
+    * `nProbe` nearest cells and scores only those candidates. The probe
+    * assignment reuses the bounded top-k aggregate (score = −distance),
+    * and the candidate join is an equi join on cell id — candidate rows
+    * stream through a broadcast hash join against the (small) probe set.
+    * At 100 TB the cell assignment is a write-time partitioning key
+    * (train once, assign at ingest), so queries touch nProbe/numCentroids
+    * of the data.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    VectorFunctions.register(candidates.sparkSession)
+
+    val trainDf = candidates.select(array_to_vector(col("cvec")).as("features"))
+    val model = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("features")
+      .fit(trainDf)
+
+    // candidate → owning cell (at scale this is precomputed at ingest)
+    val cAssigned = model.transform(
+        candidates.select(col("cid"), col("cvec"),
+          array_to_vector(col("cvec")).as("features")))
+      .select(col("cid"), col("cvec"), col("prediction").as("cell"))
+
+    // query → nProbe nearest cells, ranked with the bounded heap over the
+    // tiny |Q| × numCentroids cross product of broadcast centroids
+    val centroids = candidates.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toArray.map(_.toFloat))
+      }.toSeq).toDF("cell_id", "centroid")
+    val qProbes = rankTopK(
+        queries.crossJoin(broadcast(centroids))
+          .select(col("qid"),
+            col("cell_id").as("cid"), // rankTopK contract: (qid, cid, sim)
+            VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("sim")),
+        nProbe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
+      .join(queries, "qid")
+
+    val scored = cAssigned.join(broadcast(qProbes),
+        cAssigned("cell") === qProbes("cell") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(scored, k)
+  }
 }

@@ -133,6 +133,21 @@ object PipelineQueries extends QueryModule {
       },
       None),
 
+    // ── similarity search: IVF (k-means cells + nProbe) — approximate,
+    //    recall vs brute force asserted in SimilaritySpec ────────────────
+    QueryDef("sim_topk_ivf",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.ivfTopK(queries, candidates, k = 5, numCentroids = 8, nProbe = 3)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
       (s, dir) => {

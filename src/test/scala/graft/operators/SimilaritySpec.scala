@@ -83,6 +83,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (|brute|=${brute.size}, |lsh|=${lsh.size})")
   }
 
+  test("ivfTopK recall >= 0.9 vs bruteForceTopK on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val crnd = new scala.util.Random(2000 + i / 10) // 20 clusters of 10
+      val center = Array.fill(dim)(crnd.nextGaussian())
+      (i.toLong, center.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 5
+    val q = asQ(df.filter($"vec_id" < 40))
+    val c = asC(df)
+    val brute = Similarity.bruteForceTopK(q, c, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, c, k, numCentroids = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9 (|brute|=${brute.size}, |ivf|=${ivf.size})")
+  }
+
   test("lshTopK explain has no cartesian/broadcast-nested-loop join") {
     val q = asQ(emb.filter($"vec_id" < 5))
     val plan = Similarity.lshTopK(q, asC(emb), 5, dim = 64, bits = 8)
