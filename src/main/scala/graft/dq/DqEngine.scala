@@ -199,6 +199,22 @@ object DqEngine {
     spark.createDataset(fusedResults ++ uniqueResults ++ customResults ++ selectResults)
   }
 
+  /** Column-expression form of [[classify]] — classification stays in the
+    * plan (no driver round-trip) when gating a whole results relation.
+    */
+  def classificationColumn(th: QualityThresholds): Column = {
+    val pct = col("failure_rate") * 100.0
+    val isCritical =
+      if (th.criticalColumns.isEmpty) lit(false)
+      else col("column_name").isin(th.criticalColumns: _*)
+    when(col("status") === "PASS", "OK")
+      .when(isCritical, "CRITICAL")
+      .when(col("test_category") === "completeness" &&
+        (lit(100.0) - pct) < th.completenessThreshold, "CRITICAL")
+      .when(pct > th.maxFailureRate, "CRITICAL")
+      .otherwise("WARNING")
+  }
+
   /** Threshold/severity gating (example_templates.yaml:30,45,51-54):
     * classify each result row for alerting. Critical columns and
     * completeness use the configured thresholds; failure rates are in

@@ -120,6 +120,35 @@ object Profiler {
         col("min_numeric"), col("max_numeric"), col("min_text"), col("max_text"))
   }
 
+  /** Equi-width histogram of a numeric column (the reference's
+    * `calculate_histograms` config hint, profiling_example.py:56 — off by
+    * default there and here). Two passes: one min/max scan, then a
+    * bucketed count aggregate; bucket = floor((x−min)/width) clamped to
+    * [0, buckets−1] so max lands in the last bucket.
+    */
+  def histogram(
+      df: DataFrame,
+      column: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val c = col(column)
+    val mm = df.agg(min(c).cast(DoubleType).as("mn"), max(c).cast(DoubleType).as("mx"))
+    val b = mm.select(col("mn"), col("mx"),
+      when(col("mx") === col("mn"), 1.0)
+        .otherwise((col("mx") - col("mn")) / buckets).as("w"))
+    df.filter(c.isNotNull).crossJoin(broadcast(b))
+      .select(least(
+        floor((c.cast(DoubleType) - col("mn")) / col("w")).cast("int"),
+        lit(buckets - 1)).as("bucket"),
+        col("mn"), col("w"))
+      .groupBy(col("bucket"), col("mn"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (col("mn") + col("bucket") * col("w")).as("lo"),
+        (col("mn") + (col("bucket") + 1) * col("w")).as("hi"),
+        col("n"))
+  }
+
   /** Reference call-site shape (profiling_example.py:11-21): several
     * tables → one frame, with run metadata appended.
     */

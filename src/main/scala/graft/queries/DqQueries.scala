@@ -188,6 +188,43 @@ object DqQueries extends QueryModule {
         column_name, rule
       FROM r ORDER BY test_name""")),
 
+    // Threshold/severity gating applied in-plan over the results relation
+    // (example_templates.yaml:30,45,51-54).
+    QueryDef("dq_classified",
+      (s, dir) => {
+        val th = QualityThresholds(completenessThreshold = 95.0,
+          maxFailureRate = 1.0, criticalColumns = Seq("c_name"))
+        run(s, dir, "customer", DqTests(
+            completeness = Seq("c_name", "c_acctbal"),
+            format = Seq("c_mktsegment" -> "length_3")))
+          .withColumn("alert", DqEngine.classificationColumn(th))
+          .select("test_name", "status", "failed_records", "total_records",
+            "failure_rate", "alert")
+          .orderBy("test_name")
+      },
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          CAST(sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_name,
+          CAST(sum(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 ELSE 0 END) AS BIGINT) AS f_bal,
+          CAST(sum(CASE WHEN NOT regexp_matches(c_mktsegment, '^[A-Z]{3}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_len
+        FROM customer),
+      r AS (
+        SELECT 'completeness_c_name' AS test_name, 'completeness' AS cat, f_name AS failed, total, 'c_name' AS column_name FROM agg
+        UNION ALL SELECT 'completeness_c_acctbal', 'completeness', f_bal, total, 'c_acctbal' FROM agg
+        UNION ALL SELECT 'format_c_mktsegment_length_3', 'format', f_len, total, 'c_mktsegment' FROM agg),
+      c AS (
+        SELECT test_name,
+          CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+          failed AS failed_records, total AS total_records,
+          CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+          cat, column_name FROM r)
+      SELECT test_name, status, failed_records, total_records, failure_rate,
+        CASE WHEN status = 'PASS' THEN 'OK'
+             WHEN column_name IN ('c_name') THEN 'CRITICAL'
+             WHEN cat = 'completeness' AND (100.0 - failure_rate * 100.0) < 95.0 THEN 'CRITICAL'
+             WHEN failure_rate * 100.0 > 1.0 THEN 'CRITICAL'
+             ELSE 'WARNING' END AS alert
+      FROM c ORDER BY test_name""")),
+
     QueryDef("dq_custom_sql",
       (s, dir) => run(s, dir, "orders",
         DqTests(customSql = Seq(

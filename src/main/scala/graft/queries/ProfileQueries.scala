@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
 object ProfileQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
+    // Equi-width histogram (reference `calculate_histograms` hint,
+    // profiling_example.py:56).
+    QueryDef("agg_profile_histogram",
+      (s, dir) => Profiler.histogram(Tables.load(s, dir, "orders"), "o_totalprice", 10)
+        .orderBy("bucket"),
+      Some("""WITH mm AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+            CAST(max(o_totalprice) AS DOUBLE) AS mx FROM orders),
+        b AS (SELECT mn, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 10 END AS w FROM mm),
+        h AS (SELECT least(CAST(floor((o_totalprice - mn) / w) AS INTEGER), 9) AS bucket, mn, w
+              FROM orders, b WHERE o_totalprice IS NOT NULL)
+        SELECT bucket, mn + bucket * w AS lo, mn + (bucket + 1) * w AS hi, count(*) AS n
+        FROM h GROUP BY bucket, mn, w ORDER BY bucket""")),
+
     QueryDef("agg_profile_stats",
       (s, dir) => Profiler.profileTables(s,
           Seq("region" -> Tables.load(s, dir, "region"),
