@@ -40,6 +40,53 @@ object SourceSinkQueries extends QueryModule {
         ('USD', CAST(1.0 AS DOUBLE))) t(currency_code, standard_rate)
         ORDER BY currency_code""")),
 
+    // YAML job config (reference orchestrate.md:221-242 /
+    // example_templates.yaml shape) driving the DQ engine end to end —
+    // gives src_config_yaml a correctness row, not just a unit test.
+    QueryDef("src_config_yaml",
+      (s, dir) => {
+        val cfg = graft.dq.DqConfig.fromYaml(
+          """table_name: customer
+            |tests:
+            |  completeness:
+            |    - c_name
+            |  format:
+            |    c_mktsegment: not_empty
+            |quality_thresholds:
+            |  max_failure_rate: 5.0
+            |""".stripMargin)
+        graft.dq.DqEngine.run(s, Tables.load(s, dir, cfg.tableName), cfg, "2024-01-01")
+          .toDF()
+          .select("test_date", "test_name", "test_category", "status",
+            "failed_records", "total_records", "failure_rate")
+          .orderBy("test_name")
+      },
+      Some("""WITH agg AS (SELECT count(*) AS total,
+          CAST(sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_name,
+          CAST(sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_mkt
+        FROM customer),
+      r AS (
+        SELECT 'completeness_c_name' AS test_name, 'completeness' AS cat, f_name AS failed, total FROM agg
+        UNION ALL SELECT 'format_c_mktsegment_not_empty', 'format', f_mkt, total FROM agg)
+      SELECT '2024-01-01' AS test_date, test_name, cat AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate
+      FROM r ORDER BY test_name""")),
+
+    // CTAS table sink: full-rebuild overwrite semantics (dbt
+    // materialized='table', dbt_project.yml:38-42) — write, overwrite
+    // with a different slice, read back: only the second write survives.
+    QueryDef("sink_table_roundtrip",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_wh").resolve("region_ctas").toString
+        val region = Tables.load(s, dir, "region")
+        region.filter(col("r_regionkey") < 2).write.mode("overwrite").parquet(out)
+        region.filter(col("r_regionkey") >= 2).write.mode("overwrite").parquet(out)
+        s.read.parquet(out).select("r_regionkey", "r_name").orderBy("r_regionkey")
+      },
+      Some("SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2 ORDER BY r_regionkey")),
+
     // Profiler → APPEND monitoring sink → read back (two appended runs
     // must both be present — proves mode("append"), not overwrite).
     QueryDef("sink_append_roundtrip",
