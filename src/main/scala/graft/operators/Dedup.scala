@@ -37,6 +37,55 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
+  /** The apply step: corpus minus exact duplicates, keeping the
+    * minimum-id (canonical) doc of each fingerprint group — a
+    * deterministic `dropDuplicates`. One aggregate + one semi join.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = exactGroups(docs, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    docs.join(canon, Seq(idCol), "left_semi")
+  }
+
+  /** Duplicate clusters from a near-dup pair relation (doc_a, doc_b):
+    * connected components by iterative min-label propagation —
+    * each round every node takes the minimum label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * clusters are shallow). Each round is one shuffle join + aggregate;
+    * the loop is driver-coordinated but all data stays distributed.
+    * Returns (doc_id, cluster_id = min doc id of the component) for every
+    * doc appearing in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list once — `pairs` is usually an expensive
+    // lazy plan (candidate join + verify) that every propagation round
+    // would otherwise recompute twice
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true) // truncate the iterative lineage before reuse
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ── MinHash + LSH ─────────────────────────────────────────────────────
   /** MinHash signature over a *pre-hashed* shingle array (`baseHashCol` =
     * one xxhash64 long per shingle) via the native

@@ -67,6 +67,44 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 
+    // ── near-dup clustering: connected components over the exact pair
+    //    relation (min-label propagation); oracle = DuckDB recursive
+    //    reachability over the same pairs ──────────────────────────────
+    QueryDef("dedup_clusters",
+      (s, dir) => Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", threshold = 0.8))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+        t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a, s b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
+    // ── the apply step: corpus minus exact duplicates (canonical kept).
+    //    Input is the corpus unioned with a re-keyed copy of itself, so
+    //    the dedup provably removes the planted copies. ─────────────────
+    QueryDef("dedup_apply",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val doubled = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 100000L))
+        Dedup.dropExactDuplicates(doubled, "doc_id", "text")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            max(col("doc_id")).as("max_id"))
+      },
+      Some("""SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        max(doc_id) AS max_id FROM documents""")),
+
     // ── SimHash near-dup: approximate (banded 64-bit simhash) — no SQL
     //    twin; DedupSpec asserts the distance-≤3 recall guarantee. ───────
     QueryDef("dedup_simhash",

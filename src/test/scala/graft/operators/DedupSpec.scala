@@ -107,6 +107,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L))) // identical normalized text → distance 0
   }
 
+  test("dropExactDuplicates keeps the canonical (min-id) doc per group") {
+    val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L, 7L)) // doc 2 is the dup of 1
+  }
+
+  test("duplicateClusters finds connected components with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component {1,2,3,7} → 1; component {5,6} → 5
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicateClusters converges on a chain (diameter > 1)") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet == Set(1L))
+    assert(clusters.keySet == (1L to 9L).toSet)
+  }
+
   test("embedding near-dup: LSH path result ⊆ exact path, full recall here") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
