@@ -132,7 +132,10 @@ object Similarity {
     VectorFunctions.register(candidates.sparkSession)
 
     val trainDf = candidates.select(array_to_vector(col("cvec")).as("features"))
-    val model = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("features")
+    // few iterations suffice: the quantizer only routes probes — recall
+    // comes from nProbe, not from a converged clustering
+    val model = new KMeans().setK(numCentroids).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features")
       .fit(trainDf)
 
     // candidate → owning cell (at scale this is precomputed at ingest)

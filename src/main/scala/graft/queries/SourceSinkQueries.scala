@@ -27,6 +27,19 @@ object SourceSinkQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Skew-salted two-stage aggregation over a hot-keyed table; the
+    // oracle is the direct GROUP BY — salting must be invisible in the
+    // results.
+    QueryDef("agg_salted_hotkey",
+      (s, dir) => graft.operators.Skew.saltedAggregate(
+          Tables.load(s, dir, "events").select("event_type", "user_id"),
+          Seq("event_type"), buckets = 8,
+          Seq("n" -> (count(lit(1)), sum),
+            "n_users_max" -> (max(col("user_id")), (c: org.apache.spark.sql.Column) => max(c))))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n, max(user_id) AS n_users_max
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     QueryDef("src_seed_csv",
       (s, _) => {
         val dir = Files.createTempDirectory("graft_seed")

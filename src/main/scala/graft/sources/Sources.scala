@@ -2,11 +2,27 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Pluggable scan/sink layer (SURVEY.md §2.1). The warehouse scan
-  * (`spark.read.format("bigquery").load(name)`, reference
-  * dq_sql_notes.md:74) is stood in by parquet via [[graft.Tables]]; the
-  * pieces here fill the remaining capability slots.
+/** Pluggable scan layer (SURVEY.md §2.1): the reference loads whole
+  * tables from a warehouse by name
+  * (`spark.read.format("bigquery").load(name)`, dq_sql_notes.md:74) —
+  * this trait keeps that format pluggable, so a `bigquery` (or iceberg,
+  * jdbc, …) source drops in without touching the engine.
   */
+trait Source {
+  /** Load a table by reference (path or name, format-defined). */
+  def load(spark: SparkSession, ref: String): DataFrame
+}
+
+/** Parquet-directory source — the testdata stand-in for the warehouse. */
+object ParquetSource extends Source {
+  def load(spark: SparkSession, ref: String): DataFrame = spark.read.parquet(ref)
+}
+
+/** Header+inferSchema CSV (dbt seeds). */
+object CsvSource extends Source {
+  def load(spark: SparkSession, ref: String): DataFrame = Sources.seedCsv(spark, ref)
+}
+
 object Sources {
 
   /** dbt seed: a version-controlled CSV loaded as a table
