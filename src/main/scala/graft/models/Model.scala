@@ -22,6 +22,18 @@ object Materialization {
   case object View extends Materialization
   /** `materialized='table'` (my_first_dbt_model.sql:10): full rebuild CTAS. */
   case object Table extends Materialization
+  /** dbt `materialized='incremental'` with `unique_key`: on the first run
+    * a plain CTAS; afterwards the build's output rows *replace* existing
+    * rows sharing the unique key and all other existing rows are kept —
+    * dbt's merge semantics. The build is expected to read only the new
+    * slice (the reference's universal date-partition filter,
+    * dq_sql_notes.md:75), so each run shuffles only the increment, never
+    * the accumulated table; the untouched remainder is carried by an
+    * anti join keyed on `uniqueKey` (at warehouse scale the same contract
+    * maps onto MERGE / dynamic-partition-overwrite of a real table
+    * format, so the remainder is not even rewritten).
+    */
+  final case class Incremental(uniqueKey: Seq[String]) extends Materialization
 }
 
 /** Topological model runner — the engine's in-process `dbt run`
@@ -69,6 +81,21 @@ object ModelDag {
         case (Materialization.Table, Some(dir)) =>
           val p = s"$dir/${m.name}"
           df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+        case (Materialization.Incremental(keys), Some(dir)) =>
+          val p = s"$dir/${m.name}"
+          val target = new java.io.File(p)
+          if (target.exists()) {
+            // merge: new rows win on uniqueKey; stage first because the
+            // merged plan reads the same parquet it will overwrite
+            val existing = spark.read.parquet(p)
+            val merged = existing.join(df, keys, "left_anti").unionByName(df)
+            val stage = s"$dir/${m.name}__stage"
+            merged.write.mode("overwrite").parquet(stage)
+            spark.read.parquet(stage).write.mode("overwrite").parquet(p)
+          } else {
+            df.write.mode("overwrite").parquet(p)
+          }
           spark.read.parquet(p)
         case _ => df
       }

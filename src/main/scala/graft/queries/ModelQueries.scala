@@ -1,7 +1,11 @@
 package graft.queries
 
+import java.nio.file.Files
+
+import graft.Tables
 import graft.models._
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** dbt-parity end-to-end: build the reference's two example models through
   * the DAG runner and run their declared schema tests (SURVEY.md §5.2
@@ -46,6 +50,96 @@ object ModelQueries extends QueryModule {
           CASE WHEN (SELECT count(*) FROM (SELECT id FROM m2 GROUP BY id HAVING count(*) > 1) v) = 0 THEN 'PASS' ELSE 'FAIL' END
         UNION ALL SELECT 'my_second_dbt_model', 'id', 'not_null',
           CASE WHEN (SELECT count(*) FROM m2 WHERE id IS NULL) = 0 THEN 'PASS' ELSE 'FAIL' END)
-      SELECT * FROM r ORDER BY model_name, test_name"""))
+      SELECT * FROM r ORDER BY model_name, test_name""")),
+
+    // dbt snapshots slot, timestamp strategy: rebuild SCD-2 validity
+    // intervals from the orders change stream (customer's order-status
+    // history). One window shuffle on the snapshot key, no joins.
+    QueryDef("snapshot_scd2_history",
+      (s, dir) => Snapshot.scd2History(Tables.load(s, dir, "orders"),
+          Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"),
+          col("valid_to").asc_nulls_last),
+      Some("""WITH s AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+        c AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM s
+          WHERE prev IS NULL OR prev <> o_orderstatus),
+        h AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+            lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM c)
+        SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+          valid_to IS NULL AS is_current
+        FROM h
+        ORDER BY o_custkey, valid_from, o_orderstatus, valid_to NULLS LAST""")),
+
+    // dbt snapshots slot, check strategy: initial snapshot of the
+    // point-in-time state at T1, then merge the state at T2 — changed
+    // keys are closed out and reopened, unchanged keys stay open.
+    QueryDef("snapshot_scd2_merge",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val t1 = lit("1998-01-01").cast("timestamp")
+        val t2 = lit("2000-01-01").cast("timestamp")
+        val key = Seq("o_custkey")
+        val st1 = Snapshot.stateAsOf(orders, key, "o_orderstatus",
+          "o_orderdate", "o_orderkey", t1)
+        val st2 = Snapshot.stateAsOf(orders, key, "o_orderstatus",
+          "o_orderdate", "o_orderkey", t2)
+        Snapshot.scd2Merge(Snapshot.scd2Init(st1, key, "o_orderstatus", t1),
+            st2, key, "o_orderstatus", t2)
+          .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
+      },
+      Some("""WITH st1 AS (
+          SELECT o_custkey, o_orderstatus FROM (
+            SELECT o_custkey, o_orderstatus,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01') t WHERE rn = 1),
+        st2 AS (
+          SELECT o_custkey, o_orderstatus FROM (
+            SELECT o_custkey, o_orderstatus,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') t WHERE rn = 1),
+        merged AS (
+          SELECT h.o_custkey, h.o_orderstatus, TIMESTAMP '1998-01-01' AS valid_from,
+            CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+          FROM st1 h LEFT JOIN st2 s ON h.o_custkey = s.o_custkey
+          WHERE s.o_custkey IS NULL OR s.o_orderstatus = h.o_orderstatus
+          UNION ALL
+          SELECT h.o_custkey, h.o_orderstatus, TIMESTAMP '1998-01-01',
+            TIMESTAMP '2000-01-01', false
+          FROM st1 h JOIN st2 s ON h.o_custkey = s.o_custkey
+          WHERE s.o_orderstatus <> h.o_orderstatus
+          UNION ALL
+          SELECT s.o_custkey, s.o_orderstatus, TIMESTAMP '2000-01-01',
+            CAST(NULL AS TIMESTAMP), true
+          FROM st2 s LEFT JOIN st1 h ON h.o_custkey = s.o_custkey
+          WHERE h.o_custkey IS NULL OR h.o_orderstatus <> s.o_orderstatus)
+        SELECT * FROM merged ORDER BY o_custkey, valid_from, o_orderstatus""")),
+
+    // dbt materialized='incremental' with unique_key: first run builds
+    // days < 2000-01-01, second run rebuilds only days >= 1999-11-01
+    // (the reference's date-partition filter, dq_sql_notes.md:75) and
+    // merges them in; the final table must equal the full-history build.
+    QueryDef("model_incremental",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_inc").toString
+        def daily(pred: org.apache.spark.sql.Column): Model =
+          Model("orders_daily", Nil, Materialization.Incremental(Seq("d")),
+            sp => Tables.load(sp, dir, "orders")
+              .filter(pred)
+              .groupBy(to_date(col("o_orderdate")).as("d"))
+              .agg(count(lit(1)).as("n"),
+                Exact.dsum(col("o_totalprice")).as("revenue")))
+        ModelDag.run(s,
+          Seq(daily(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))), Some(wh))
+        val out = ModelDag.run(s,
+          Seq(daily(col("o_orderdate") >= lit("1999-11-01").cast("timestamp"))), Some(wh))
+        out("orders_daily").orderBy("d")
+      },
+      Some(s"""SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+          ${Exact.sqlDsum("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1 ORDER BY d"""))
   )
 }
