@@ -58,20 +58,21 @@ object Profiler {
     }
 
     val fields = df.schema.fields
-    def distinctAgg(c: Column): Column =
-      if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
+    def atomic(f: StructField): Boolean = f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    }
 
-    val aggs: Seq[Column] = count(lit(1)).as("__total") +: fields.flatMap { f =>
+    val baseAggs: Seq[Column] = count(lit(1)).as("__total") +: fields.flatMap { f =>
       val c = col(f.name)
       val base = Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
-      val atomic = f.dataType match {
-        case _: ArrayType | _: MapType | _: StructType | BinaryType => false
-        case _ => true
-      }
       val dist =
-        if (atomic) Seq(distinctAgg(c).as(s"${f.name}__distinct"))
-        else Seq(lit(null).cast(LongType).as(s"${f.name}__distinct"))
+        if (atomic(f) && approxDistinct)
+          Seq(approx_count_distinct(c).as(s"${f.name}__distinct"))
+        else if (!atomic(f))
+          Seq(lit(null).cast(LongType).as(s"${f.name}__distinct"))
+        else Nil // exact path: separate aggregate below
       val bounds =
         if (isNumeric(f.dataType)) Seq(
           min(c).cast(DoubleType).as(s"${f.name}__min_n"),
@@ -91,7 +92,23 @@ object Profiler {
       base ++ dist ++ bounds
     }
 
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Exact count(DISTINCT) lives in its OWN aggregate: mixed with
+    // min/max over string columns the whole aggregate falls back to
+    // SortAggregate (string-typed aggregation buffers disqualify
+    // HashAggregate), which fully sorts the Expand's ×(n_cols+1) row
+    // blow-up — measured 5× slower than the split plan. Distinct-only
+    // aggregation keeps long-typed buffers (strings appear only as
+    // grouping keys, which UnsafeRow hashing handles), so both passes
+    // stay hash-based; the two 1-row results recombine by cross join.
+    val one =
+      if (approxDistinct) df.agg(baseAggs.head, baseAggs.tail: _*)
+      else {
+        val distAggs = fields.filter(atomic).map(f =>
+          countDistinct(col(f.name)).as(s"${f.name}__distinct"))
+        val basic = df.agg(baseAggs.head, baseAggs.tail: _*)
+        if (distAggs.isEmpty) basic
+        else basic.crossJoin(broadcast(df.agg(distAggs.head, distAggs.tail: _*)))
+      }
 
     // Pivot the single stats row into one row per column with `stack`
     // (driver never sees the data; this is a 1-row local transform).
