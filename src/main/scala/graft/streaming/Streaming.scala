@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming slot (SURVEY.md §2.7 — the reference has no
   * streaming; its incremental unit is a daily date partition). The
@@ -38,4 +42,99 @@ object Streaming {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(20,2)")).cast("double").as("total_value"))
+
+  // ── sessionization: custom state via flatMapGroupsWithState ──────────
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp)
+  /** Open-session state: bounds in epoch millis + event count. */
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+
+  /** Batch sessionization twin: a session is a maximal run of a user's
+    * events with consecutive gaps <= `gapMinutes`. Two windows over one
+    * shuffle partitioning on user_id (gap flag, then running session
+    * index) + the final per-session aggregate. This is the oracle-checked
+    * plan; [[sessionizeStream]] is the same semantics as streaming state.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .withColumn("new_s",
+        when(col("gap_s").isNull || col("gap_s") > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("sidx", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sidx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  /** Streaming sessionization with arbitrary per-key state
+    * (`flatMapGroupsWithState`, event-time timeout): state is one open
+    * session per user; events extend it or close it; a session also
+    * closes when the watermark passes its end + gap (timeout), so state
+    * is bounded no matter how long the stream runs. Emits closed
+    * sessions (append mode). Event times are handled at millisecond
+    * precision in state.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gapMinutes: Int,
+      watermarkDur: String = "1 hour"): Dataset[SessionOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, s: OpenSession) =
+      SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+
+    events.select(col("user_id"), col("ts")).withWatermark("ts", watermarkDur)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            // a micro-batch's group iterator is unordered — sort in memory
+            // (bounded by per-user-per-batch volume, not stream history)
+            val times = it.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= close(uid, s); Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /** Exact streaming dedup on event id: streaming uses
+    * `dropDuplicatesWithinWatermark` (state for an id is dropped once the
+    * watermark passes — bounded memory, the streaming form of the exact
+    * dedup operator in [[graft.operators.Dedup]]); batch is a plain
+    * `dropDuplicates`.
+    */
+  def dedupEvents(events: DataFrame, watermarkDur: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDur)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 }

@@ -83,4 +83,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest == Set((1L, 3L, 20.0), (2L, 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization: gap closes, timeout closes, parity with batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)] // (user_id, event_id, ts)
+    val q = Streaming.sessionizeStream(
+        mem.toDF().toDF("user_id", "event_id", "ts"), gapMinutes = 30,
+        watermarkDur = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      mem.addData((1L, 1L, ts("2024-01-01 10:00:00")), (1L, 2L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // the 12:30 event closes user 1's first session (gap > 30 min) and
+      // pushes the watermark far enough to time out nothing yet
+      mem.addData((1L, 3L, ts("2024-01-01 12:30:00")), (2L, 4L, ts("2024-01-01 12:31:00")))
+      q.processAllAvailable()
+      // advance event time so the watermark (16:00 - 10min) passes every
+      // open session's end + gap → the remaining sessions close by timeout
+      mem.addData((3L, 5L, ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, 6L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val expected = Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        (1L, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:00"), 1L),
+        (2L, ts("2024-01-01 12:31:00"), ts("2024-01-01 12:31:00"), 1L),
+        (3L, ts("2024-01-01 16:00:00"), ts("2024-01-01 16:00:00"), 1L))
+      assert(got == expected)
+
+      // parity: batch twin over the same events gives the same sessions
+      // (plus user 3's last, still open in the stream)
+      val batchRows = Seq(
+        (1L, 1L, ts("2024-01-01 10:00:00")), (1L, 2L, ts("2024-01-01 10:10:00")),
+        (1L, 3L, ts("2024-01-01 12:30:00")), (2L, 4L, ts("2024-01-01 12:31:00")),
+        (3L, 5L, ts("2024-01-01 16:00:00")), (3L, 6L, ts("2024-01-01 23:00:00")))
+      val batch = Streaming.sessionize(
+          batchRows.toDF("user_id", "event_id", "ts"), gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(batch == expected + ((3L, ts("2024-01-01 23:00:00"), ts("2024-01-01 23:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-sent event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)] // (event_id, ts, event_type)
+    val q = Streaming.dedupEvents(
+        mem.toDF().toDF("event_id", "ts", "event_type"), watermarkDur = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+        (1L, ts("2024-01-01 10:00:00"), "click"), // same-batch duplicate
+        (2L, ts("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:05:00"), "click")) // cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
