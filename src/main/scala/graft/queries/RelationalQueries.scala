@@ -418,6 +418,38 @@ object RelationalQueries extends QueryModule {
       Some(s"""SELECT user_id, event_id,
         CAST(sum(${sqlDec2("value")}) OVER (PARTITION BY user_id ORDER BY event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-        FROM events WHERE user_id < 5 ORDER BY user_id, event_id"""))
+        FROM events WHERE user_id < 5 ORDER BY user_id, event_id""")),
+
+    // As-of join: each event gets the customer's most recent order at or
+    // before the event's time. Spark has no ASOF JOIN; the operator is
+    // the union+window plan (one shuffle, no range explosion) and the
+    // oracle is DuckDB's native ASOF LEFT JOIN.
+    QueryDef("join_asof_latest_order",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts")
+        val orders = graft.operators.AsofJoin.latestPerKeyTs(
+          Tables.load(s, dir, "orders")
+            .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"),
+              $"o_orderkey", $"o_totalprice"),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        graft.operators.AsofJoin.asof(events, orders,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTs = "ts", rightTs = "o_orderdate",
+            payload = Seq("o_orderkey", "o_totalprice"))
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+              ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t WHERE rn = 1),
+        e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        FROM e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        ORDER BY event_id"""))
   )
 }

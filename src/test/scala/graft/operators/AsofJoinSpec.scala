@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof attaches the latest right row at-or-before each left ts") {
+    val quotes = Seq( // (sym, qts, px)
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:05:00"), 2.0),
+      ("B", ts("2024-01-01 10:03:00"), 9.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq( // (id, sym, tts)
+      (1L, "A", ts("2024-01-01 10:00:00")), // exact match: inclusive
+      (2L, "A", ts("2024-01-01 10:04:00")), // between quotes -> 1.0
+      (3L, "A", ts("2024-01-01 11:00:00")), // after last -> 2.0
+      (4L, "B", ts("2024-01-01 10:00:00")), // before any quote -> null
+      (5L, "C", ts("2024-01-01 10:00:00"))  // key never quoted -> null
+    ).toDF("id", "sym", "tts")
+
+    val got = AsofJoin.asof(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0), 4L -> None, 5L -> None))
+  }
+
+  test("latestPerKeyTs keeps the max-tie row per (key, ts)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "old"),
+      (1L, ts("2024-01-01 10:00:00"), 9L, "new"),
+      (1L, ts("2024-01-01 11:00:00"), 1L, "later")
+    ).toDF("k", "t", "ver", "v")
+    val got = AsofJoin.latestPerKeyTs(df, "k", "t", "ver")
+      .orderBy("t").collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(9L -> "new", 1L -> "later"))
+  }
+
+  test("asof plan has a single exchange (no range-join explosion)") {
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qts", "px")
+    val trades = Seq((1L, "A", ts("2024-01-01 10:01:00"))).toDF("id", "sym", "tts")
+    val plan = AsofJoin.asof(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1)
+  }
+}
