@@ -40,4 +40,27 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(finalCols.head, finalCols.tail: _*)
   }
+
+  /** Skew-salted equi join: every fact row gets a deterministic salt in
+    * [0, buckets); the (small) dim side is replicated once per salt value
+    * and the join runs on (keys, salt) — a hot key's rows spread over
+    * `buckets` reducers instead of funneling into one sort-merge task.
+    * Dim replication costs buckets × |dim|, so this is for the
+    * hot-fact/small-dim shape where the dim is too big (or the planner
+    * declines) to broadcast; AQE's skew-join split is the runtime
+    * alternative, but salting also fixes the *partial aggregate* stage
+    * of whatever runs downstream of the join.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = facts.withColumn("__salt",
+      pmod(hash(facts.columns.map(col): _*), lit(buckets)))
+    val expanded = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(expanded.hint("shuffle_merge"), keys :+ "__salt").drop("__salt")
+  }
 }

@@ -451,5 +451,53 @@ object RelationalQueries extends QueryModule {
         FROM e ASOF LEFT JOIN r
           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         ORDER BY event_id"""))
+    ,
+
+    // Skew-salted equi join: 5 hot event_type keys spread over 8 salt
+    // buckets; salting must be invisible in the results (oracle = the
+    // plain join).
+    QueryDef("join_salted_skew",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+          ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+        graft.operators.Skew.saltedJoin(
+            Tables.load(s, dir, "events").select($"event_id", $"event_type"),
+            weights, Seq("event_type"), buckets = 8)
+          .select($"event_id", $"event_type", $"weight")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT e.event_id, e.event_type, w.weight
+        FROM events e JOIN (VALUES
+          ('click', CAST(1.0 AS DOUBLE)), ('view', CAST(0.5 AS DOUBLE)),
+          ('purchase', CAST(5.0 AS DOUBLE)), ('signup', CAST(2.0 AS DOUBLE)),
+          ('error', CAST(0.0 AS DOUBLE))) w(event_type, weight)
+          ON e.event_type = w.event_type
+        ORDER BY e.event_id""")),
+
+    // Range join via bin expansion: events.value matched to [lo, hi)
+    // tiers through a bin equi join, never a nested-loop inequality
+    // join; oracle is DuckDB's direct inequality join.
+    QueryDef("join_range_tiers",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = Seq(("bronze", 0.0, 50.0), ("silver", 50.0, 150.0),
+          ("gold", 150.0, 300.0), ("platinum", 300.0, 500.0))
+          .toDF("tier", "lo", "hi")
+        graft.operators.RangeJoin.pointInRange(
+            Tables.load(s, dir, "events").select($"event_id", $"value"),
+            "value", tiers, "lo", "hi", binWidth = 50.0)
+          .select($"event_id", $"tier")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT e.event_id, t.tier
+        FROM events e JOIN (VALUES
+          ('bronze', CAST(0.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+          ('silver', CAST(50.0 AS DOUBLE), CAST(150.0 AS DOUBLE)),
+          ('gold', CAST(150.0 AS DOUBLE), CAST(300.0 AS DOUBLE)),
+          ('platinum', CAST(300.0 AS DOUBLE), CAST(500.0 AS DOUBLE)))
+          t(tier, lo, hi)
+          ON e.value >= t.lo AND e.value < t.hi
+        ORDER BY e.event_id"""))
   )
 }
