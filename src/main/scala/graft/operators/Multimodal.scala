@@ -83,6 +83,41 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: nearest-neighbor downsample of the fake w×h byte
+    * raster so that max(w, h) <= maxDim (integer scale factor; never
+    * upscales). Binary in → binary out inside the partition iterator —
+    * the standard pre-tokenization image normalization step; swap the
+    * loop for a real scaler and the plan is unchanged.
+    */
+  def resize(records: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    require(maxDim > 0, "maxDim must be positive")
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val (w, h) = FakeCodec.decode(r.media)
+        val scale = math.max(1, math.ceil(math.max(w, h).toDouble / maxDim).toInt)
+        if (scale == 1) r
+        else {
+          val payload = r.media.drop(8)
+          val nw = math.max(1, w / scale)
+          val nh = math.max(1, h / scale)
+          val out = new Array[Byte](nw * nh)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              val idx = (y * scale) * w + (x * scale)
+              out(y * nw + x) = if (idx < payload.length) payload(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          MediaRecord(r.id, r.mediaType, FakeCodec.encode(nw, nh, out))
+        }
+      }
+    }
+  }
+
   /** Sample every `stride`-th fixed-size chunk of the payload as a
     * "frame" (explode shape: one row in, up to `maxFrames` rows out).
     */

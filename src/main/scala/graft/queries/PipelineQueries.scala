@@ -272,6 +272,40 @@ object PipelineQueries extends QueryModule {
         CAST(sum(event_id % 32 + 8) AS BIGINT) AS sum_bytes
         FROM events GROUP BY event_type ORDER BY media_type""")),
 
+    // Resize step of the multimodal pipeline: real w×h byte rasters,
+    // nearest-neighbor downsample to max dim 8, then decode + stats —
+    // the oracle recomputes the integer scale arithmetic in SQL.
+    QueryDef("multimodal_resize_stats",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val records = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .as[(Long, Long, String)]
+          .map { case (eid, uid, et) =>
+            val w = (eid % 16 + 1).toInt
+            val h = (uid % 16 + 1).toInt
+            Multimodal.MediaRecord(eid, et,
+              Multimodal.FakeCodec.encode(w, h, new Array[Byte](w * h)))
+          }
+        Multimodal.metaStats(
+            Multimodal.decodeMeta(Multimodal.resize(records, maxDim = 8)))
+          .orderBy("media_type")
+      },
+      Some("""WITH m AS (SELECT event_type,
+            CAST(event_id % 16 + 1 AS INTEGER) AS w,
+            CAST(user_id % 16 + 1 AS INTEGER) AS h
+          FROM events),
+        r AS (SELECT event_type,
+            GREATEST(1, w // CAST(CEIL(GREATEST(w, h) / 8.0) AS INTEGER)) AS nw,
+            GREATEST(1, h // CAST(CEIL(GREATEST(w, h) / 8.0) AS INTEGER)) AS nh
+          FROM m)
+        SELECT event_type AS media_type, count(*) AS n_media,
+          CAST(sum(nw) AS BIGINT) AS sum_width,
+          CAST(sum(nh) AS BIGINT) AS sum_height,
+          CAST(sum(nw * nh + 8) AS BIGINT) AS sum_bytes
+        FROM r GROUP BY event_type ORDER BY media_type""")),
+
     // ── text analysis: token statistics ─────────────────────────────────
     QueryDef("text_token_stats",
       (s, dir) => {

@@ -51,4 +51,22 @@ class MultimodalSpec extends AnyFunSuite {
     // different payloads → different features
     assert(!a(0).embedding.sameElements(a(1).embedding))
   }
+
+  test("resize downsamples to maxDim with integer scale; small images untouched") {
+    import spark.implicits._
+    val raster = Array.tabulate(12 * 8)(i => i.toByte) // 12×8 image
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.FakeCodec.encode(12, 8, raster)),
+      Multimodal.MediaRecord(2L, "image", Multimodal.FakeCodec.encode(4, 3, new Array[Byte](12)))
+    ).toDS()
+    val out = Multimodal.resize(recs, maxDim = 6).collect().sortBy(_.id)
+    val (w1, h1) = Multimodal.FakeCodec.decode(out(0).media)
+    assert((w1, h1) == (6, 4)) // scale 2
+    // nearest-neighbor: pixel (y, x) of the output is (2y, 2x) of the input
+    val outPayload = out(0).media.drop(8)
+    assert(outPayload(0) == raster(0) && outPayload(1) == raster(2))
+    assert(outPayload(6) == raster(2 * 12)) // output row 1 col 0
+    val (w2, h2) = Multimodal.FakeCodec.decode(out(1).media)
+    assert((w2, h2) == (4, 3)) // under maxDim: untouched
+  }
 }
