@@ -120,6 +120,54 @@ object SourceSinkQueries extends QueryModule {
         ('region', 'r_name', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
         ('region', 'r_regionkey', CAST(2 AS BIGINT), CAST(2 AS BIGINT)))
         t(table_name, column_name, n_rows, n_runs)
-        ORDER BY column_name"""))
+        ORDER BY column_name""")),
+
+    // Bucketed co-located join: both sides written bucketBy(8, key) with
+    // one file per bucket (repartition first), then sort-merge joined —
+    // the bucket layout replaces both shuffle exchanges, the pattern
+    // that amortizes one shuffle across every future join of a 100 TB
+    // fact table. PlanAuditSpec asserts the exchange-free plan.
+    QueryDef("join_bucketed_colocated",
+      (s, dir) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        val loc = Files.createTempDirectory("graft_bucketed")
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite").option("path", loc.resolve("orders").toString)
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(s"orders_bkt_$tag")
+        Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+          .repartition(8, col("c_custkey"))
+          .write.mode("overwrite").option("path", loc.resolve("customer").toString)
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable(s"customer_bkt_$tag")
+        s.table(s"orders_bkt_$tag").hint("merge")
+          .join(s.table(s"customer_bkt_$tag"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            graft.queries.Exact.dsum(col("o_totalprice")).as("revenue"))
+          .filter(col("c_custkey") <= 100)
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+          ${graft.queries.Exact.sqlDsum("o_totalprice")} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey <= 100
+        GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    // Hive-style partitioned sink + partition-pruned read-back: the
+    // filter on the partition column must prune directories, not rows
+    // (PlanAuditSpec asserts PartitionFilters on the scan).
+    QueryDef("sink_partitioned_pruning",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_part").resolve("events_by_type").toString
+        Tables.load(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
+          .write.partitionBy("event_type").mode("overwrite").parquet(out)
+        s.read.parquet(out).filter(col("event_type") === "click")
+          .agg(count(lit(1)).as("n"),
+            graft.queries.Exact.dsum(col("value")).as("value_sum"))
+      },
+      Some(s"""SELECT count(*) AS n, ${graft.queries.Exact.sqlDsum("value")} AS value_sum
+        FROM events WHERE event_type = 'click'"""))
   )
 }

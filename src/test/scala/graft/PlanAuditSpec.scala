@@ -73,4 +73,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("sort_limit_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("bucketed co-located join runs with zero hash exchanges") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("partitioned sink read-back prunes on the partition column") {
+    val p = plan("sink_partitioned_pruning")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
+  }
 }
