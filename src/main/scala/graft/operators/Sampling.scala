@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines. `df.sample()` is seed-dependent *per partitioning* — the
+  * same corpus re-partitioned samples differently, which breaks
+  * reproducibility audits and incremental reprocessing. Hashing a stable
+  * key instead makes membership a pure function of the row: any engine,
+  * any partitioning, any day recomputes the same sample (the oracle
+  * recomputes it in DuckDB to prove exactly that).
+  *
+  * Both operators are stateless narrow filters/projections — they fuse
+  * into the scan under whole-stage codegen, no shuffle, no driver state.
+  */
+object Sampling {
+
+  private def nibble(keyCol: String) =
+    substring(md5(col(keyCol).cast("string")), 1, 1)
+
+  /** Keep rows whose md5(key) first hex nibble < `sixteenths`: a
+    * deterministic ~(sixteenths/16) sample.
+    */
+  def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 15, "sixteenths in [1, 15]")
+    df.filter(nibble(keyCol) < lit(Integer.toHexString(sixteenths)))
+  }
+
+  /** Label every row 'train' or 'test' by the same nibble rule —
+    * complementary by construction (no row lost, none duplicated),
+    * stable under reprocessing.
+    */
+  def trainTestSplit(df: DataFrame, keyCol: String, testSixteenths: Int): DataFrame = {
+    require(testSixteenths >= 1 && testSixteenths <= 15, "testSixteenths in [1, 15]")
+    df.withColumn("split",
+      when(nibble(keyCol) < lit(Integer.toHexString(testSixteenths)), "test")
+        .otherwise("train"))
+  }
+}

@@ -331,7 +331,61 @@ object PipelineQueries extends QueryModule {
           CAST(sum(n_bpe) AS BIGINT) AS sum_bpeish_tokens,
           CAST(sum(n_punct) AS BIGINT) AS sum_punct_chars,
           max(n_ws) AS max_ws_tokens, min(n_ws) AS min_ws_tokens
-        FROM t"""))
+        FROM t""")),
+
+    // ── deterministic sampling: membership is a pure function of the
+    //    stable key (md5 nibble), so any engine / partitioning / rerun
+    //    reproduces the same sample — proven by DuckDB recomputing it ──
+    QueryDef("sample_hash_deterministic",
+      (s, dir) => graft.operators.Sampling.hashSample(
+          Tables.load(s, dir, "documents"), "doc_id", sixteenths = 4)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id")),
+      Some("""SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""")),
+
+    QueryDef("split_train_test",
+      (s, dir) => graft.operators.Sampling.trainTestSplit(
+          Tables.load(s, dir, "documents"), "doc_id", testSixteenths = 2)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+            THEN 'test' ELSE 'train' END AS split,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY split""")),
+
+    // ── distinctive terms per doc: tf / df ranking in pure integer
+    //    arithmetic (no float idf → bit-exact across engines) ──────────
+    QueryDef("text_top_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
+        val terms = docs.select(col("doc_id"),
+            explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        terms.join(dfreq, "term")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents WHERE doc_id < 200),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        ranked AS (SELECT t.doc_id, t.term, t.tf, d.df,
+            row_number() OVER (PARTITION BY t.doc_id
+              ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rnk
+          FROM tf t JOIN dfreq d ON t.term = d.term)
+        SELECT doc_id, rnk, term, tf, df FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk"""))
   )
 }
 
