@@ -385,7 +385,41 @@ object PipelineQueries extends QueryModule {
               ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rnk
           FROM tf t JOIN dfreq d ON t.term = d.term)
         SELECT doc_id, rnk, term, tf, df FROM ranked WHERE rnk <= 3
-        ORDER BY doc_id, rnk"""))
+        ORDER BY doc_id, rnk""")),
+
+    // ── end-to-end corpus curation: quality filter → exact dedup
+    //    (canonical kept) → deterministic train/test split — the whole
+    //    north-star pipeline composed, one DuckDB twin replaying every
+    //    stage (quality arithmetic, fingerprint dedup, md5 split) ───────
+    QueryDef("pipeline_corpus_curation",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val quality = docs.filter(qualityScore(col("text")) >= 0.5)
+        val deduped = Dedup.dropExactDuplicates(quality, "doc_id", "text")
+        graft.operators.Sampling.trainTestSplit(deduped, "doc_id", testSixteenths = 2)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("split")
+      },
+      Some("""WITH m AS (SELECT doc_id, n_chars, text,
+            string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        q AS (SELECT doc_id, n_chars,
+            0.4 * least(1.0, len(toks) / 50.0)
+              + 0.3 * (len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that'))) / greatest(len(toks), 1))
+              + 0.3 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / greatest(length(text), 1)) AS q,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM m),
+        f AS (SELECT doc_id, n_chars, fp FROM q WHERE q >= 0.5),
+        d AS (SELECT doc_id, n_chars FROM f
+          WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY fp)),
+        sp AS (SELECT doc_id, n_chars,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              THEN 'test' ELSE 'train' END AS split
+          FROM d)
+        SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM sp GROUP BY split ORDER BY split"""))
   )
 }
 
