@@ -57,12 +57,13 @@ object Dedup {
     * doc appearing in `pairs`.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // materialize the edge list once — `pairs` is usually an expensive
-    // lazy plan (candidate join + verify) that every propagation round
-    // would otherwise recompute twice
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    // materialize the pair relation once BEFORE mirroring — `pairs` is
+    // usually an expensive lazy plan (candidate join + verify), and a
+    // union of two references to it would compute it twice; every
+    // propagation round then reads the checkpointed edges
+    val p = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint(true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
