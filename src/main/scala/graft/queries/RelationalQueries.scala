@@ -498,6 +498,91 @@ object RelationalQueries extends QueryModule {
           ('platinum', CAST(300.0 AS DOUBLE), CAST(500.0 AS DOUBLE)))
           t(tier, lo, hi)
           ON e.value >= t.lo AND e.value < t.hi
-        ORDER BY e.event_id"""))
+        ORDER BY e.event_id""")),
+
+    // Ranking-window family: rank / dense_rank / ntile per customer.
+    QueryDef("window_rank_functions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        Tables.load(s, dir, "orders")
+          .filter($"o_custkey" <= 20)
+          .select($"o_custkey", $"o_orderkey",
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(rank() OVER w AS INTEGER) AS rnk,
+          CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+          CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM orders WHERE o_custkey <= 20
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ORDER BY o_custkey, rnk, o_orderkey""")),
+
+    // INTERSECT / EXCEPT (distinct set semantics) — union_all was the
+    // reference's only set op; these complete the family.
+    QueryDef("setop_intersect_except",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.load(s, dir, "orders")
+        val l = orders.filter($"o_orderstatus" === "F").select($"o_orderpriority")
+        val r = orders.filter($"o_totalprice" > lit(400000.0)).select($"o_orderpriority")
+        l.intersect(r).withColumn("op", lit("intersect"))
+          .unionByName(l.except(r).withColumn("op", lit("except")))
+          .select($"op", $"o_orderpriority")
+          .orderBy($"op", $"o_orderpriority")
+      },
+      Some("""WITH l AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        r AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 400000.0)
+        SELECT 'intersect' AS op, o_orderpriority FROM (SELECT * FROM l INTERSECT SELECT * FROM r) a
+        UNION ALL
+        SELECT 'except', o_orderpriority FROM (SELECT * FROM l EXCEPT SELECT * FROM r) b
+        ORDER BY op, o_orderpriority""")),
+
+    // ROLLUP with grouping flags — subtotals and the grand total in one
+    // aggregate (Expand under the hood, still partial+final).
+    QueryDef("agg_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"),
+            grouping($"o_orderstatus").as("g_status"),
+            grouping($"o_orderpriority").as("g_prio"))
+          .orderBy($"g_status", $"g_prio",
+            $"o_orderstatus".asc_nulls_last, $"o_orderpriority".asc_nulls_last)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          ${sqlDsum("o_totalprice")} AS revenue,
+          CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio,
+          o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
+    // PIVOT: status values become columns (explicit value list so the
+    // plan is a single aggregate, no distinct-values pre-pass).
+    QueryDef("agg_pivot_status",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("n_f"),
+            coalesce($"O", lit(0L)).as("n_o"),
+            coalesce($"P", lit(0L)).as("n_p"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
