@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.dq.{DqConfig, DqEngine}
-import graft.models.{ExampleModels, ModelDag, SchemaTests}
+import graft.models.{ExampleModels, ModelDag, SchemaTests, Snapshot}
 import graft.profiling.Profiler
 import graft.sources.Sinks
 
@@ -17,6 +17,7 @@ import graft.sources.Sinks
   *   test                            run declared schema tests
   *   dq <configYaml> <sfDir> [fecha] run a YAML-configured DQ job
   *   profile <sfDir> <outDir> t1,t2  profile tables, APPEND to outDir
+  *   snapshot <sfDir> <outDir> [asOf] capture/merge the SCD-2 snapshot
   *   clean <warehouseDir>            delete build artifacts
   */
 object EngineCli {
@@ -68,6 +69,37 @@ object EngineCli {
         runId = s"run_${java.time.LocalDate.now}", environment = "cli")
       Sinks.appendParquet(prof, outDir)
       Sinks.console(prof)
+
+    // dbt snapshot: each invocation captures the source's current state
+    // into the SCD-2 table — first run initializes, later runs merge
+    // (check strategy; see graft.models.Snapshot).
+    case "snapshot" =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val Seq(sfDir, outDir, rest @ _*) = args: @unchecked
+      val asOf = lit(rest.headOption
+        .getOrElse(java.time.LocalDateTime.now.toString.replace('T', ' ')))
+        .cast("timestamp")
+      val orders = Tables.load(spark, sfDir, "orders")
+      val key = Seq("o_custkey")
+      val state = Snapshot.stateAsOf(orders, key, "o_orderstatus",
+        "o_orderdate", "o_orderkey", lit("9999-01-01").cast("timestamp"))
+      val path = s"$outDir/orders_status_scd2"
+      val target = new java.io.File(path)
+      val history =
+        if (target.exists()) {
+          val merged = Snapshot.scd2Merge(
+            spark.read.parquet(path), state, key, "o_orderstatus", asOf)
+          val stage = s"${path}__stage"
+          merged.write.mode("overwrite").parquet(stage)
+          spark.read.parquet(stage).write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        } else {
+          Snapshot.scd2Init(state, key, "o_orderstatus", asOf)
+            .write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
+      val open = history.filter(col("is_current")).count()
+      println(s"OK    snapshot orders_status_scd2 rows=${history.count()} open=$open")
 
     case "clean" =>
       val dir = java.nio.file.Paths.get(args.head)

@@ -48,6 +48,19 @@ class EngineCliSpec extends AnyFunSuite {
     assert(back.select("table_name").distinct().count() == 2)
   }
 
+  test("snapshot verb initializes then merges the SCD-2 table idempotently") {
+    val out = Files.createTempDirectory("graft_snap").toString
+    EngineCli.execute(spark, "snapshot", Seq(sfDir, out, "2024-01-01 00:00:00"))
+    val first = spark.read.parquet(s"$out/orders_status_scd2")
+    val nKeys = first.count()
+    assert(nKeys > 0 && first.filter("is_current").count() == nKeys)
+    // second capture with an unchanged source: no new versions opened
+    EngineCli.execute(spark, "snapshot", Seq(sfDir, out, "2024-02-01 00:00:00"))
+    val second = spark.read.parquet(s"$out/orders_status_scd2")
+    assert(second.count() == nKeys)
+    assert(second.filter("is_current").count() == nKeys)
+  }
+
   test("unknown verb is rejected") {
     intercept[IllegalArgumentException] {
       EngineCli.execute(spark, "explode", Seq.empty)
