@@ -166,6 +166,21 @@ object Profiler {
         col("n"))
   }
 
+  /** Run-over-run drift of the monitoring metrics — the comparison the
+    * reference's APPEND monitoring table exists to enable
+    * (profiling_example.py:24-28): join two profile frames on
+    * (table, column) and report integer row/null deltas. Full outer so
+    * added or dropped columns surface as NULL-sided rows.
+    */
+  def drift(current: DataFrame, previous: DataFrame): DataFrame =
+    current.select(col("table_name"), col("column_name"),
+        col("total_records").as("cur_total"), col("null_count").as("cur_nulls"))
+      .join(previous.select(col("table_name"), col("column_name"),
+          col("total_records").as("prev_total"), col("null_count").as("prev_nulls")),
+        Seq("table_name", "column_name"), "full_outer")
+      .withColumn("row_delta", col("cur_total") - col("prev_total"))
+      .withColumn("null_delta", col("cur_nulls") - col("prev_nulls"))
+
   /** Reference call-site shape (profiling_example.py:11-21): several
     * tables → one frame, with run metadata appended.
     */

@@ -62,6 +62,31 @@ object ProfileQueries extends QueryModule {
         CASE WHEN total = 0 THEN 0.0 ELSE CAST(null_count AS DOUBLE) / total END AS null_rate,
         distinct_count, min_numeric, max_numeric, min_text, max_text,
         'run_2024_01_01' AS run_id, 'production' AS environment
-      FROM rows_ ORDER BY table_name, column_name"""))
+      FROM rows_ ORDER BY table_name, column_name""")),
+
+    // Run-over-run drift: today's slice (orders from 2000-01-01) vs the
+    // full history — integer row/null deltas per column, the check the
+    // APPEND monitoring table exists for.
+    QueryDef("agg_profile_drift",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val prev = Profiler.profile(s, orders, "orders")
+        val cur = Profiler.profile(s,
+          orders.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          "orders")
+        Profiler.drift(cur, prev)
+          .select("table_name", "column_name", "cur_total", "prev_total",
+            "row_delta", "cur_nulls", "prev_nulls", "null_delta")
+          .orderBy("column_name")
+      },
+      Some("""WITH p AS (SELECT count(*) AS t FROM orders),
+        c AS (SELECT count(*) AS t FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        cols AS (SELECT unnest(['o_custkey','o_orderdate','o_orderkey',
+          'o_orderpriority','o_orderstatus','o_totalprice']) AS column_name)
+        SELECT 'orders' AS table_name, column_name,
+          c.t AS cur_total, p.t AS prev_total, c.t - p.t AS row_delta,
+          CAST(0 AS BIGINT) AS cur_nulls, CAST(0 AS BIGINT) AS prev_nulls,
+          CAST(0 AS BIGINT) AS null_delta
+        FROM cols, p, c ORDER BY column_name"""))
   )
 }

@@ -168,6 +168,28 @@ object SourceSinkQueries extends QueryModule {
             graft.queries.Exact.dsum(col("value")).as("value_sum"))
       },
       Some(s"""SELECT count(*) AS n, ${graft.queries.Exact.sqlDsum("value")} AS value_sum
-        FROM events WHERE event_type = 'click'"""))
+        FROM events WHERE event_type = 'click'""")),
+
+    // Schema evolution: two parquet slices with different column sets,
+    // read back with mergeSchema — missing columns surface as nulls
+    // instead of breaking the scan (how a lakehouse table widens at
+    // 100 TB without rewriting history).
+    QueryDef("src_merge_schema",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_evo").resolve("nation_evo").toString
+        val nation = Tables.load(s, dir, "nation")
+        nation.select(col("n_nationkey"), col("n_name"))
+          .write.parquet(s"$out/slice=a")
+        nation.select(col("n_nationkey"), col("n_regionkey"))
+          .write.parquet(s"$out/slice=b")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("n_name")).as("n_with_name"),
+            count(col("n_regionkey")).as("n_with_region"))
+      },
+      Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_with_name,
+          CAST(count(*) AS BIGINT) AS n_with_region
+        FROM nation"""))
   )
 }
