@@ -583,6 +583,118 @@ object RelationalQueries extends QueryModule {
           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Analytic-window family: lag/lead/first/last/percent_rank/cume_dist.
+    QueryDef("window_analytics",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, dir, "orders")
+          .filter($"o_custkey" <= 10)
+          .select($"o_custkey", $"o_orderkey",
+            lag($"o_orderkey", 1).over(w).as("prev_ok"),
+            lead($"o_orderkey", 1).over(w).as("next_ok"),
+            first($"o_orderkey").over(w).as("first_ok"),
+            last($"o_orderkey").over(wFull).as("last_ok"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          lag(o_orderkey, 1) OVER w AS prev_ok,
+          lead(o_orderkey, 1) OVER w AS next_ok,
+          first_value(o_orderkey) OVER w AS first_ok,
+          last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd
+        FROM orders WHERE o_custkey <= 10
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Higher-order array functions over token-length arrays — pure
+    // integer lambdas so both engines agree bitwise.
+    QueryDef("func_array_higher_order",
+      (s, dir) => {
+        import s.implicits._
+        val lens = transform(
+          split(lower(trim(col("text"))), "\\s+"), t => length(t))
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" < 100)
+          .select($"doc_id",
+            aggregate(filter(lens, l => l > 3), lit(0),
+              (acc, x) => acc + x).as("sum_long_lens"),
+            size(filter(lens, l => l > 3)).as("n_long"),
+            array_max(lens).as("max_len"),
+            array_min(lens).as("min_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          list_transform(string_split_regex(lower(trim(text)), '\s+'),
+            x -> length(x)) AS lens
+        FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+          CAST(coalesce(list_sum(list_filter(lens, x -> x > 3)), 0) AS INTEGER) AS sum_long_lens,
+          CAST(len(list_filter(lens, x -> x > 3)) AS INTEGER) AS n_long,
+          list_max(lens) AS max_len, list_min(lens) AS min_len
+        FROM t ORDER BY doc_id""")),
+
+    // String-function family incl. edit distance.
+    QueryDef("func_string_family",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "nation")
+          .select($"n_nationkey", $"n_name",
+            length($"n_name").as("len"),
+            reverse($"n_name").as("rev"),
+            lpad($"n_name", 20, ".").as("padded"),
+            translate($"n_name", "AEIOU", "aeiou").as("xlat"),
+            levenshtein($"n_name", lit("UNITED STATES")).as("edit_dist"),
+            substring($"n_name", 1, 3).as("pre3"),
+            concat_ws("-", $"n_name", $"n_nationkey").as("tagged"))
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          length(n_name) AS len, reverse(n_name) AS rev,
+          lpad(n_name, 20, '.') AS padded,
+          translate(n_name, 'AEIOU', 'aeiou') AS xlat,
+          CAST(levenshtein(n_name, 'UNITED STATES') AS INTEGER) AS edit_dist,
+          substr(n_name, 1, 3) AS pre3,
+          concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tagged
+        FROM nation ORDER BY n_nationkey""")),
+
+    // Datetime-function family (conventions aligned explicitly: Spark
+    // dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday).
+    QueryDef("func_datetime_family",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .filter($"o_orderkey" <= 100)
+          .select($"o_orderkey",
+            year($"o_orderdate").as("y"),
+            quarter($"o_orderdate").as("q"),
+            month($"o_orderdate").as("m"),
+            dayofmonth($"o_orderdate").as("dom"),
+            dayofweek($"o_orderdate").as("dow"),
+            datediff(lit("2020-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2020"),
+            add_months($"o_orderdate", 3).as("plus_3m"),
+            last_day($"o_orderdate").as("eom"),
+            date_trunc("month", $"o_orderdate").as("month_start"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INTEGER) AS y,
+          CAST(quarter(o_orderdate) AS INTEGER) AS q,
+          CAST(month(o_orderdate) AS INTEGER) AS m,
+          CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+          CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2020-01-01') AS INTEGER) AS days_to_2020,
+          CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+          last_day(CAST(o_orderdate AS DATE)) AS eom,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey"""))
   )
 }
