@@ -84,4 +84,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("sink_partitioned_pruning")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
   }
+
+  // Every BroadcastNestedLoopJoin in the suite must be one of these
+  // documented bounded shapes; anything new is a scale regression.
+  //  - histogram / profile_stats: cross join against a 1-row broadcast
+  //  - embedding_cosine: the labeled quadratic baseline (LSH is the path)
+  //  - topk_brute: brute-force scoring baseline (bounded-heap ranked)
+  //  - topk_ivf: query×centroid assignment, |centroids| is a small const
+  private val allowedBnlj = Set("agg_profile_histogram", "agg_profile_stats",
+    "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_ivf")
+
+  test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name)
+      if (cart || bnlj) Some(s"$name cartesian=$cart unexpectedBnlj=$bnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
