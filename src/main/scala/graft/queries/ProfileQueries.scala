@@ -87,6 +87,22 @@ object ProfileQueries extends QueryModule {
           c.t AS cur_total, p.t AS prev_total, c.t - p.t AS row_delta,
           CAST(0 AS BIGINT) AS cur_nulls, CAST(0 AS BIGINT) AS prev_nulls,
           CAST(0 AS BIGINT) AS null_delta
-        FROM cols, p, c ORDER BY column_name"""))
+        FROM cols, p, c ORDER BY column_name""")),
+
+    // Incremental distinct via mergeable HLL sketches: one sketch per
+    // day (persisted in production), unioned for any window — the only
+    // way distinct-users-over-N-days scales, since exact distincts can't
+    // merge. Estimate is deterministic but not SQL-reproducible → no
+    // oracle; ProfilerSpec bounds the error against the exact count.
+    QueryDef("agg_sketch_incremental_distinct",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val daily = ev.groupBy(to_date(col("ts")).as("d"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      },
+      None)
   )
 }

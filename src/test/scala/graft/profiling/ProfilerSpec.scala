@@ -49,4 +49,26 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out.select("table_name").distinct().count() == 2)
     assert(out.filter($"run_id" === "r1").count() == out.count())
   }
+
+  test("drift reports integer row/null deltas between two runs") {
+    val prev = Profiler.profile(spark, Seq((1, Option(2)), (3, None)).toDF("a", "b"), "t")
+    val cur = Profiler.profile(spark, Seq((1, Option(2))).toDF("a", "b"), "t")
+    val d = Profiler.drift(cur, prev).collect()
+      .map(r => r.getString(1) -> (r.getLong(6), r.getLong(7))).toMap // (row_delta, null_delta)
+    assert(d("a") == (-1L, 0L))
+    assert(d("b") == (-1L, -1L))
+  }
+
+  test("unioned daily HLL sketches estimate the window distinct within 5%") {
+    import org.apache.spark.sql.functions._
+    // 3 "days", overlapping user sets, 300 distinct overall
+    val rows = (0 until 3).flatMap(day =>
+      (0 until 200).map(i => (day, (day * 100 + i).toLong)))
+    val df = rows.toDF("day", "user_id")
+    val daily = df.groupBy("day").agg(hll_sketch_agg($"user_id").as("sk"))
+    val est = daily.agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .collect()(0).getLong(0)
+    val exact = df.select("user_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+  }
 }
