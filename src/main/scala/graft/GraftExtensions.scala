@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // conf-gated incremental date-partition injection (no-op by default)
+    ext.injectOptimizerRule(session => graft.plans.DatePartitionInjection(session))
+
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""), builder))

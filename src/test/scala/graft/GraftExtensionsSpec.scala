@@ -32,6 +32,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
            FROM VALUES (1L, 0.5), (2L, 0.9), (3L, 0.1) AS x(id, v)""")
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
       assert(top.map(_.getLong(1)) == Seq(2L, 1L))
+
+      // conf-gated date-partition injection: same scan, restricted to
+      // the run date once the confs are set; pushdown reaches the scan
+      val sfDir = "/root/testdata/sf0.001"
+      val all = s.read.parquet(s"$sfDir/orders.parquet").count()
+      s.conf.set("spark.graft.inject.dateColumn", "o_orderdate")
+      s.conf.set("spark.graft.inject.runDate", "1995-06-15 00:00:00")
+      try {
+        val injected = s.read.parquet(s"$sfDir/orders.parquet")
+        val manual = s.read.parquet(s"$sfDir/orders.parquet")
+        assert(injected.count() > 0 && injected.count() < all)
+        s.conf.unset("spark.graft.inject.dateColumn")
+        val expected = manual
+          .filter(org.apache.spark.sql.functions.col("o_orderdate") ===
+            org.apache.spark.sql.functions.lit("1995-06-15 00:00:00").cast("timestamp_ntz"))
+          .count()
+        s.conf.set("spark.graft.inject.dateColumn", "o_orderdate")
+        assert(injected.count() == expected)
+        val plan = injected.queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"), plan)
+      } finally {
+        s.conf.unset("spark.graft.inject.dateColumn")
+        s.conf.unset("spark.graft.inject.runDate")
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
