@@ -419,7 +419,88 @@ object PipelineQueries extends QueryModule {
           FROM d)
         SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           min(doc_id) AS min_id, max(doc_id) AS max_id
-        FROM sp GROUP BY split ORDER BY split"""))
+        FROM sp GROUP BY split ORDER BY split""")),
+
+    // ── repetition quality signals (Gopher-family duplicate-fraction
+    //    rules): distinct-token fraction, duplicate-bigram fraction,
+    //    top-token dominance, mean word length — all integer ratios, so
+    //    the DuckDB twin reproduces them bitwise ───────────────────────
+    QueryDef("text_repetition_signals",
+      (s, dir) => {
+        import s.implicits._
+        val toks = tokens(col("text"))
+        val grams = transform(
+          sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" < 300)
+          .select($"doc_id", toks.as("toks"), grams.as("grams"))
+          .select($"doc_id",
+            size($"toks").as("n_tokens"),
+            (size(array_distinct($"toks")).cast("double") / size($"toks"))
+              .as("distinct_tok_frac"),
+            (lit(1.0) - size(array_distinct($"grams")).cast("double") / size($"grams"))
+              .as("dup_bigram_frac"),
+            (array_max(transform(array_distinct($"toks"),
+                d => size(filter($"toks", t => t === d)))).cast("double")
+              / size($"toks")).as("top_tok_frac"),
+            (aggregate(transform($"toks", t => length(t)), lit(0),
+                (acc, x) => acc + x).cast("double") / size($"toks"))
+              .as("mean_word_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 300),
+        g AS (SELECT doc_id, toks,
+            [array_to_string(toks[i:i+1], ' ')
+              FOR i IN generate_series(1, len(toks) - 1)] AS grams
+          FROM t)
+        SELECT doc_id,
+          CAST(len(toks) AS INTEGER) AS n_tokens,
+          len(list_distinct(toks)) / len(toks) AS distinct_tok_frac,
+          1.0 - len(list_distinct(grams)) / len(grams) AS dup_bigram_frac,
+          list_max(list_transform(list_distinct(toks),
+            d -> len(list_filter(toks, x -> x = d)))) / len(toks) AS top_tok_frac,
+          list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_word_len
+        FROM g ORDER BY doc_id""")),
+
+    // ── PII redaction: deterministic fake contact info appended, then
+    //    email/phone patterns redacted; counts + redacted text length
+    //    prove the patterns fire identically in both engines ───────────
+    QueryDef("text_redact_pii",
+      (s, dir) => {
+        import s.implicits._
+        val withPii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-0"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 3, "0"))
+        val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" < 300)
+          .select($"doc_id", withPii.as("raw"))
+          .select($"doc_id",
+            size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phones"),
+            length(regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("redacted_len"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_emails").as("total_emails"),
+            sum($"n_phones").as("total_phones"),
+            sum($"redacted_len").as("sum_redacted_len"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-0'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS raw
+          FROM documents WHERE doc_id < 300)
+        SELECT count(*) AS n_docs,
+          CAST(sum(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+'))) AS BIGINT) AS total_emails,
+          CAST(sum(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS total_phones,
+          CAST(sum(length(regexp_replace(regexp_replace(raw,
+            '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+            '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT) AS sum_redacted_len
+        FROM r"""))
   )
 }
 
