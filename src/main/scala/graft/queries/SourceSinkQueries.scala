@@ -190,6 +190,24 @@ object SourceSinkQueries extends QueryModule {
       Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
           CAST(count(*) AS BIGINT) AS n_with_name,
           CAST(count(*) AS BIGINT) AS n_with_region
-        FROM nation"""))
+        FROM nation""")),
+
+    // Small-file compaction: a fragmented write (64 files) compacts to
+    // far fewer, rows and values intact — the silent scan tax
+    // incremental writers accumulate at warehouse scale.
+    QueryDef("maintenance_compact",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_compact").resolve("events_frag").toString
+        Tables.load(s, dir, "events").select("event_id", "event_type")
+          .repartition(64).write.parquet(out)
+        val stats = graft.sources.Maintenance.compactParquet(s, out, 512L * 1024 * 1024)
+        val back = s.read.parquet(out)
+        back.agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"))
+          .withColumn("compacted", lit(stats.filesAfter < stats.filesBefore))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+          true AS compacted
+        FROM events"""))
   )
 }
