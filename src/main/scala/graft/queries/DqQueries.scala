@@ -248,6 +248,109 @@ object DqQueries extends QueryModule {
         failed AS failed_records, total AS total_records,
         CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
         sql_condition
+      FROM r ORDER BY test_name""")),
+
+    // The reference's full daily-transactions template — 16 rules
+    // (5 completeness + 2 uniqueness + 4 format + 2 range + 3 custom,
+    // example_templates.yaml:11-48) mapped onto events and run through
+    // the complete YAML → config → fused-engine path. BASELINE.md's
+    // derived sanity target: this must be ONE scan + two uniqueness
+    // shuffles, never 16 scans.
+    QueryDef("dq_full_template",
+      (s, dir) => {
+        val cfg = DqConfig.fromYaml(
+          """project_id: "analytics-project"
+            |table_name: events
+            |notifications:
+            |  on_failure: ["data-team@example.com", "events-team@example.com"]
+            |  on_warning: ["data-team@example.com"]
+            |tests:
+            |  completeness:
+            |    - event_id
+            |    - user_id
+            |    - event_type
+            |    - value
+            |    - props
+            |  uniqueness:
+            |    - [user_id, event_type]
+            |    - [event_id]
+            |  format:
+            |    event_type: length_3
+            |    props: not_empty
+            |    value: positive
+            |    user_id: numeric_11
+            |  range:
+            |    value:
+            |      min: 0.001
+            |      max: 500.0
+            |    user_id:
+            |      min: 0
+            |      max: 10000
+            |  custom_sql:
+            |    - test_name: valid_event_types
+            |      sql_condition: "event_type IN ('click', 'view', 'purchase', 'signup', 'error')"
+            |      severity: ERROR
+            |    - test_name: non_negative_value
+            |      sql_condition: "value >= 0"
+            |      severity: ERROR
+            |    - test_name: props_present_shape
+            |      sql_condition: "props IS NULL OR length(props) >= 2"
+            |      severity: WARNING
+            |quality_thresholds:
+            |  completeness_threshold: 95.0
+            |  max_failure_rate: 5.0
+            |  critical_columns: [user_id, event_type, value]
+            |processing:
+            |  batch_size: 100000
+            |  timeout_seconds: 300
+            |  retry_failed_tests: true
+            |""".stripMargin)
+        DqEngine.run(s, Tables.load(s, dir, cfg.tableName), cfg, testDate).toDF()
+          .select("test_date", "test_name", "test_category", "status",
+            "failed_records", "total_records", "failure_rate")
+          .orderBy("test_name")
+      },
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_c_eid,
+          CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_c_uid,
+          CAST(sum(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_c_et,
+          CAST(sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS f_c_val,
+          CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_c_props,
+          CAST(sum(CASE WHEN NOT regexp_matches(event_type, '^[A-Z]{3}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_f_et,
+          CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_f_props,
+          CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS f_f_pos,
+          CAST(sum(CASE WHEN NOT regexp_matches(CAST(user_id AS VARCHAR), '^[0-9]{11}$$') THEN 1 ELSE 0 END) AS BIGINT) AS f_f_u11,
+          CAST(sum(CASE WHEN NOT (value IS NOT NULL AND value >= 0.001 AND value <= 500.0) THEN 1 ELSE 0 END) AS BIGINT) AS f_r_val,
+          CAST(sum(CASE WHEN NOT (user_id IS NOT NULL AND user_id >= 0 AND user_id <= 10000) THEN 1 ELSE 0 END) AS BIGINT) AS f_r_uid,
+          CAST(sum(CASE WHEN NOT (event_type IN ('click', 'view', 'purchase', 'signup', 'error')) THEN 1 ELSE 0 END) AS BIGINT) AS f_x_types,
+          CAST(sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS f_x_nonneg,
+          CAST(sum(CASE WHEN NOT (props IS NULL OR length(props) >= 2) THEN 1 ELSE 0 END) AS BIGINT) AS f_x_shape
+        FROM events),
+      d1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 1 FROM events GROUP BY user_id, event_type HAVING count(*) > 1) t),
+      d2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT 1 FROM events GROUP BY event_id HAVING count(*) > 1) t),
+      r AS (
+        SELECT 'completeness_event_id' AS test_name, 'completeness' AS cat, f_c_eid AS failed, total FROM agg
+        UNION ALL SELECT 'completeness_user_id', 'completeness', f_c_uid, total FROM agg
+        UNION ALL SELECT 'completeness_event_type', 'completeness', f_c_et, total FROM agg
+        UNION ALL SELECT 'completeness_value', 'completeness', f_c_val, total FROM agg
+        UNION ALL SELECT 'completeness_props', 'completeness', f_c_props, total FROM agg
+        UNION ALL SELECT 'format_event_type_length_3', 'format', f_f_et, total FROM agg
+        UNION ALL SELECT 'format_props_not_empty', 'format', f_f_props, total FROM agg
+        UNION ALL SELECT 'format_value_positive', 'format', f_f_pos, total FROM agg
+        UNION ALL SELECT 'format_user_id_numeric_11', 'format', f_f_u11, total FROM agg
+        UNION ALL SELECT 'range_value', 'range', f_r_val, total FROM agg
+        UNION ALL SELECT 'range_user_id', 'range', f_r_uid, total FROM agg
+        UNION ALL SELECT 'custom_valid_event_types', 'custom', f_x_types, total FROM agg
+        UNION ALL SELECT 'custom_non_negative_value', 'custom', f_x_nonneg, total FROM agg
+        UNION ALL SELECT 'custom_props_present_shape', 'custom', f_x_shape, total FROM agg
+        UNION ALL SELECT 'uniqueness_user_id_event_type', 'uniqueness', (SELECT n FROM d1), total FROM agg
+        UNION ALL SELECT 'uniqueness_event_id', 'uniqueness', (SELECT n FROM d2), total FROM agg)
+      SELECT '$testDate' AS test_date, test_name, cat AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate
       FROM r ORDER BY test_name"""))
   )
 }
