@@ -37,4 +37,22 @@ object Sampling {
       when(nibble(keyCol) < lit(Integer.toHexString(testSixteenths)), "test")
         .otherwise("train"))
   }
+
+  /** Deterministic stratified sample: a per-stratum rate (in sixteenths)
+    * applied with the same hash rule — `df.stat.sampleBy` with
+    * reproducibility. Strata absent from `rates` are dropped, matching
+    * sampleBy. The class-rebalancing primitive for skewed corpora.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(r => r >= 1 && r <= 15), "rates in [1, 15]")
+    val threshold = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(Integer.toHexString(r))).otherwise(acc)
+    }
+    df.filter(nibble(keyCol) < threshold)
+  }
 }

@@ -346,6 +346,23 @@ object PipelineQueries extends QueryModule {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""")),
 
+    // Stratified rebalancing: downsample the dominant class, keep the
+    // rest — per-stratum deterministic rates via the same md5 rule.
+    QueryDef("sample_stratified",
+      (s, dir) => graft.operators.Sampling.stratifiedHashSample(
+          Tables.load(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 2, "es" -> 8, "de" -> 8, "fr" -> 8, "zh" -> 8))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+          CASE lang WHEN 'en' THEN '2' WHEN 'es' THEN '8' WHEN 'de' THEN '8'
+            WHEN 'fr' THEN '8' WHEN 'zh' THEN '8' END
+        GROUP BY lang ORDER BY lang""")),
+
     QueryDef("split_train_test",
       (s, dir) => graft.operators.Sampling.trainTestSplit(
           Tables.load(s, dir, "documents"), "doc_id", testSixteenths = 2)

@@ -695,6 +695,51 @@ object RelationalQueries extends QueryModule {
           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
           last_day(CAST(o_orderdate AS DATE)) AS eom,
           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
-        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""")),
+
+    // FULL OUTER join: order counts vs a customer slice — unmatched
+    // sides survive with nulls on the other side.
+    QueryDef("join_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.load(s, dir, "orders")
+          .filter($"o_custkey" <= 30)
+          .groupBy($"o_custkey".as("custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        val custs = Tables.load(s, dir, "customer")
+          .filter($"c_custkey" >= 20 && $"c_custkey" <= 40)
+          .select($"c_custkey".as("custkey"), $"c_mktsegment")
+        counts.join(custs, Seq("custkey"), "full_outer")
+          .orderBy($"custkey")
+      },
+      Some("""WITH a AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+          FROM orders WHERE o_custkey <= 30 GROUP BY 1),
+        b AS (SELECT c_custkey AS custkey, c_mktsegment
+          FROM customer WHERE c_custkey BETWEEN 20 AND 40)
+        SELECT coalesce(a.custkey, b.custkey) AS custkey, a.n_orders, b.c_mktsegment
+        FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+        ORDER BY custkey""")),
+
+    // NULL-semantics family: coalesce, nullif, null-safe equality, and
+    // explicit null ordering — the three-valued-logic corners.
+    QueryDef("func_null_semantics",
+      (s, dir) => {
+        import s.implicits._
+        Seq((1L, Option(10L)), (2L, None), (3L, Option(30L)), (4L, None))
+          .toDF("id", "v")
+          .select($"id", $"v",
+            coalesce($"v", lit(-1L)).as("v_or_default"),
+            nullif($"v", lit(30L)).as("v_unless_30"),
+            ($"v" <=> lit(10L)).as("is_ten_nullsafe"),
+            $"v".isNull.as("is_missing"))
+          .orderBy($"v".asc_nulls_first, $"id".asc)
+      },
+      Some("""SELECT id, v, coalesce(v, -1) AS v_or_default,
+          nullif(v, 30) AS v_unless_30,
+          v IS NOT DISTINCT FROM 10 AS is_ten_nullsafe,
+          v IS NULL AS is_missing
+        FROM (VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+          (2, NULL), (3, 30), (4, NULL)) t(id, v)
+        ORDER BY v NULLS FIRST, id"""))
   )
 }
