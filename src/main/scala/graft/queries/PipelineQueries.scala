@@ -156,6 +156,62 @@ object PipelineQueries extends QueryModule {
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
         WHERE rn <= 5 ORDER BY query_id, rank""")),
 
+    // ── filtered similarity search: top-k under a metadata predicate
+    //    (the vector-DB "pre-filter" pattern — the label filter prunes
+    //    candidates BEFORE any scoring, visible as a pushed filter) ─────
+    QueryDef("sim_topk_filtered",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb.filter(col("label") === 1)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.bruteForceTopK(queries, candidates, k = 5)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND c.label = 1) t
+        WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ── int8 embedding quantization: per-vector max-abs scale, floor
+    //    codes (floor, not round — identical across engines), the 4×
+    //    storage cut applied before embeddings land in parquet ──────────
+    QueryDef("embed_quantize_int8",
+      (s, dir) => {
+        val maxabs = array_max(transform(col("embedding"),
+          v => abs(v.cast("double"))))
+        val codes = transform(col("embedding"),
+          v => when(maxabs === 0.0, 0)
+            .otherwise(floor(v.cast("double") / maxabs * 127)).cast("int"))
+        Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 200)
+          .select(col("vec_id"), codes.as("codes"))
+          .select(col("vec_id"),
+            aggregate(col("codes"), lit(0), (a, x) => a + x).as("code_sum"),
+            array_min(col("codes")).as("code_min"),
+            array_max(col("codes")).as("code_max"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs,
+          CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 200),
+      c AS (SELECT vec_id,
+          list_transform(e, v -> CAST(CASE WHEN maxabs = 0 THEN 0
+            ELSE floor(v / maxabs * 127) END AS INTEGER)) AS codes
+        FROM q)
+      SELECT vec_id,
+        CAST(coalesce(list_sum(codes), 0) AS INTEGER) AS code_sum,
+        list_min(codes) AS code_min, list_max(codes) AS code_max
+      FROM c ORDER BY vec_id""")),
+
     // ── similarity search: LSH-bucketed ANN (approximate — recall vs
     //    brute force asserted in SimilaritySpec, no SQL twin) ────────────
     QueryDef("sim_topk_lsh",
