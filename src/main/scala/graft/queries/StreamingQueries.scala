@@ -60,6 +60,29 @@ object StreamingQueries extends QueryModule {
       },
       Some("""SELECT event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS value_sum
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Stream-static enrichment: the stream joins a broadcast dimension
+    // (no stream-side shuffle); batch twin anchored to DuckDB,
+    // streaming parity in StreamingSpec.
+    QueryDef("streaming_enrich_dim",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+          ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+        Streaming.enrichWithDim(
+            Tables.load(s, dir, "events").select($"event_id", $"event_type"),
+            weights, "event_type")
+          .groupBy($"event_type", $"weight")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT e.event_type, w.weight, count(*) AS n
+        FROM events e LEFT JOIN (VALUES
+          ('click', CAST(1.0 AS DOUBLE)), ('view', CAST(0.5 AS DOUBLE)),
+          ('purchase', CAST(5.0 AS DOUBLE)), ('signup', CAST(2.0 AS DOUBLE)),
+          ('error', CAST(0.0 AS DOUBLE))) w(event_type, weight)
+          ON e.event_type = w.event_type
+        GROUP BY e.event_type, w.weight ORDER BY e.event_type"""))
   )
 }

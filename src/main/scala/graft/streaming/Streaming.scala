@@ -126,6 +126,14 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment: join each (micro-batch of) events to a
+    * static dimension — Spark re-plans the static side per batch, and a
+    * small dim broadcasts, so the stream never shuffles. Identical code
+    * path for batch and streaming inputs.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Exact streaming dedup on event id: streaming uses
     * `dropDuplicatesWithinWatermark` (state for an id is dropped once the
     * watermark passes — bounded memory, the streaming form of the exact

@@ -128,6 +128,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches micro-batches without stream shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.enrichWithDim(
+        mem.toDF().toDF("event_id", "event_type"), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (2L, "view"), (3L, "scroll"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(rows == Set(1L -> Some(1.0), 2L -> Some(0.5), 3L -> None))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-sent event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)] // (event_id, ts, event_type)
