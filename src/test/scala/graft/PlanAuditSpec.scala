@@ -92,7 +92,7 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - topk_brute: brute-force scoring baseline (bounded-heap ranked)
   //  - topk_ivf: query×centroid assignment, |centroids| is a small const
   private val allowedBnlj = Set("agg_profile_histogram", "agg_profile_stats",
-    "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_ivf")
+    "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf")
 
   test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
