@@ -740,6 +740,34 @@ object RelationalQueries extends QueryModule {
           v IS NULL AS is_missing
         FROM (VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
           (2, NULL), (3, 30), (4, NULL)) t(id, v)
-        ORDER BY v NULLS FIRST, id"""))
+        ORDER BY v NULLS FIRST, id""")),
+
+    // Map-function family: construct, probe, filter, and fold a map —
+    // the oracle recomputes each output arithmetically.
+    QueryDef("func_map_family",
+      (s, dir) => {
+        import s.implicits._
+        val m = map(
+          lit("uid"), $"user_id",
+          lit("eid"), $"event_id",
+          lit("vmod"), pmod($"event_id", lit(7L)))
+        Tables.load(s, dir, "events")
+          .filter($"event_id" < 100)
+          .select($"event_id",
+            size(m).as("n_keys"),
+            element_at(m, "uid").as("uid_val"),
+            map_contains_key(m, "eid").as("has_eid"),
+            aggregate(map_values(map_filter(m, (_, v) => v > 10)),
+              lit(0L), (a, x) => a + x).as("big_vals_sum"),
+            array_join(sort_array(map_keys(m)), ",").as("keys_str"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, CAST(3 AS INTEGER) AS n_keys,
+          user_id AS uid_val, true AS has_eid,
+          CAST(CASE WHEN user_id > 10 THEN user_id ELSE 0 END
+            + CASE WHEN event_id > 10 THEN event_id ELSE 0 END
+            + CASE WHEN event_id % 7 > 10 THEN event_id % 7 ELSE 0 END AS BIGINT) AS big_vals_sum,
+          'eid,uid,vmod' AS keys_str
+        FROM events WHERE event_id < 100 ORDER BY event_id"""))
   )
 }
