@@ -768,6 +768,30 @@ object RelationalQueries extends QueryModule {
             + CASE WHEN event_id > 10 THEN event_id ELSE 0 END
             + CASE WHEN event_id % 7 > 10 THEN event_id % 7 ELSE 0 END AS BIGINT) AS big_vals_sum,
           'eid,uid,vmod' AS keys_str
-        FROM events WHERE event_id < 100 ORDER BY event_id"""))
+        FROM events WHERE event_id < 100 ORDER BY event_id""")),
+
+    // RANGE-frame window: per-user trailing 7-day event value total —
+    // the frame is bounded by event TIME, not row count, so bursts and
+    // gaps are handled correctly (the standard trailing-metric shape).
+    QueryDef("window_range_7day",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".cast("long"))
+          .rangeBetween(-7L * 86400, 0)
+        Tables.load(s, dir, "events")
+          .filter($"user_id" < 10)
+          .withColumn("trailing_7d",
+            sum($"value".cast("decimal(20,2)")).over(w).cast("double"))
+          .select($"user_id", $"event_id", $"trailing_7d")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (
+            PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        FROM events WHERE user_id < 10
+        ORDER BY user_id, event_id"""))
   )
 }
