@@ -62,6 +62,34 @@ object StreamingQueries extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Native session_window aggregation (gap-merged sessions) — must
+    // produce the same sessions as the flatMapGroupsWithState /
+    // window-function implementations; session_end is max(ts), not the
+    // window's gap-extended end, so all three share one oracle shape.
+    QueryDef("streaming_session_window_native",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "6 hours"))
+          .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select($"user_id", $"session_start", $"session_end", $"n_events")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        f AS (SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 21600 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sidx
+          FROM f)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events
+        FROM g GROUP BY user_id, sidx ORDER BY user_id, session_start""")),
+
     // Stream-static enrichment: the stream joins a broadcast dimension
     // (no stream-side shuffle); batch twin anchored to DuckDB,
     // streaming parity in StreamingSpec.
