@@ -166,6 +166,30 @@ object Profiler {
         col("n"))
   }
 
+  /** Distribution quantiles per numeric column: single-pass
+    * `approx_percentile` (GK sketch — mergeable partials, bounded
+    * memory, the only viable percentile at 100 TB; exact percentiles
+    * need a full sort per column). Accuracy bounded in ProfilerSpec.
+    */
+  def quantiles(
+      df: DataFrame,
+      columns: Seq[String],
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val probsArr = array(probabilities.map(lit): _*)
+    val aggs = columns.map(c =>
+      approx_percentile(col(c).cast(DoubleType), probsArr, lit(10000))
+        .as(s"${c}__q"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = columns.map(c =>
+      s"'$c', `${c}__q`").mkString(", ")
+    one.select(expr(
+        s"stack(${columns.length}, $stacked) AS (column_name, qs)"))
+      .select(col("column_name") +:
+        probabilities.zipWithIndex.map { case (p, i) =>
+          element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
+        }: _*)
+  }
+
   /** Run-over-run drift of the monitoring metrics — the comparison the
     * reference's APPEND monitoring table exists to enable
     * (profiling_example.py:24-28): join two profile frames on

@@ -103,6 +103,16 @@ object ProfileQueries extends QueryModule {
           count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
       },
+      None),
+
+    // Per-column distribution quantiles via single-pass mergeable GK
+    // sketches (approx_percentile) — exact percentiles need a full sort
+    // per column, a non-starter at scale. Deterministic but not
+    // SQL-reproducible → no oracle; accuracy bounded in ProfilerSpec.
+    QueryDef("agg_profile_quantiles",
+      (s, dir) => Profiler.quantiles(
+          Tables.load(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
+        .orderBy("column_name"),
       None)
   )
 }

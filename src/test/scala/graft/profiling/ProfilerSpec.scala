@@ -59,6 +59,18 @@ class ProfilerSpec extends AnyFunSuite {
     assert(d("b") == (-1L, -1L))
   }
 
+  test("approx quantiles stay within 2% rank error of exact percentiles") {
+    val df = (1 to 10000).map(_.toDouble).toDF("x")
+    val qs = Profiler.quantiles(df, Seq("x"))
+      .collect()(0)
+    // uniform 1..10000: p25≈2500, p50≈5000, p75≈7500, p95≈9500
+    val got = Seq(qs.getDouble(1), qs.getDouble(2), qs.getDouble(3), qs.getDouble(4))
+    val want = Seq(2500.0, 5000.0, 7500.0, 9500.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= 200.0, s"got $g want $w")
+    }
+  }
+
   test("unioned daily HLL sketches estimate the window distinct within 5%") {
     import org.apache.spark.sql.functions._
     // 3 "days", overlapping user sets, 300 distinct overall
