@@ -564,6 +564,30 @@ object RelationalQueries extends QueryModule {
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // Explicit GROUPING SETS (DataFrame API, Spark 4): two independent
+    // subtotal dimensions + grand total in one Expand aggregate.
+    QueryDef("agg_grouping_sets",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"),
+            grouping($"o_orderstatus").as("g_status"),
+            grouping($"o_orderpriority").as("g_prio"))
+          .orderBy($"g_status", $"g_prio",
+            $"o_orderstatus".asc_nulls_last, $"o_orderpriority".asc_nulls_last)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          ${sqlDsum("o_totalprice")} AS revenue,
+          CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+          o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
     // PIVOT: status values become columns (explicit value list so the
     // plan is a single aggregate, no distinct-values pre-pass).
     QueryDef("agg_pivot_status",
