@@ -250,6 +250,32 @@ object DqQueries extends QueryModule {
         sql_condition
       FROM r ORDER BY test_name""")),
 
+    // Daily date-slice mode (the reference's fecha parameter,
+    // dq_sql_notes.md:75): the engine audits ONE day's partition, not
+    // the accumulated table — the incremental-DQ shape that keeps a
+    // daily audit O(day) at any table size.
+    QueryDef("dq_date_slice",
+      (s, dir) => DqEngine.run(s, Tables.load(s, dir, "orders"),
+          DqConfig(tableName = "orders", fecha = Some("1998-03-02"),
+            dateColumn = "o_orderdate",
+            tests = DqTests(completeness = Seq("o_orderstatus", "o_totalprice"))),
+          "1998-03-02").toDF()
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate")
+        .orderBy("test_name"),
+      Some("""WITH agg AS (SELECT count(*) AS total,
+          CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_st,
+          CAST(sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 ELSE 0 END) AS BIGINT) AS f_tp
+        FROM orders WHERE o_orderdate = TIMESTAMP '1998-03-02'),
+      r AS (
+        SELECT 'completeness_o_orderstatus' AS test_name, f_st AS failed, total FROM agg
+        UNION ALL SELECT 'completeness_o_totalprice', f_tp, total FROM agg)
+      SELECT '1998-03-02' AS test_date, test_name, 'completeness' AS test_category,
+        CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate
+      FROM r ORDER BY test_name""")),
+
     // The reference's full daily-transactions template — 16 rules
     // (5 completeness + 2 uniqueness + 4 format + 2 range + 3 custom,
     // example_templates.yaml:11-48) mapped onto events and run through
