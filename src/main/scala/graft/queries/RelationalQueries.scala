@@ -564,6 +564,28 @@ object RelationalQueries extends QueryModule {
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // Conditional/boolean/argmax aggregate family: count_if, bool_and,
+    // bool_or, max_by/min_by (argmax on the unique-in-practice price).
+    QueryDef("agg_bool_argmax_family",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(count_if($"o_totalprice" > 100000.0).as("n_large"),
+            bool_and($"o_totalprice" > 0).as("all_positive"),
+            bool_or($"o_orderpriority" === "1-URGENT").as("any_urgent"),
+            max_by($"o_orderkey", $"o_totalprice").as("priciest_order"),
+            min_by($"o_orderkey", $"o_totalprice").as("cheapest_order"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+          CAST(count(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT) AS n_large,
+          bool_and(o_totalprice > 0) AS all_positive,
+          bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+          arg_max(o_orderkey, o_totalprice) AS priciest_order,
+          arg_min(o_orderkey, o_totalprice) AS cheapest_order
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Explicit GROUPING SETS (DataFrame API, Spark 4): two independent
     // subtotal dimensions + grand total in one Expand aggregate.
     QueryDef("agg_grouping_sets",
