@@ -564,6 +564,42 @@ object RelationalQueries extends QueryModule {
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // Generator family: posexplode — one row per array element with its
+    // ordinal, the order-preserving flatten.
+    QueryDef("func_posexplode",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" < 50)
+          .select($"doc_id", posexplode(split(lower(trim($"text")), "\\s+")))
+          .toDF("doc_id", "pos", "tok")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 50),
+        u AS (SELECT doc_id,
+            unnest([{'i': i, 't': toks[i]} FOR i IN generate_series(1, len(toks))]) AS p
+          FROM t)
+        SELECT doc_id, CAST(p.i - 1 AS INTEGER) AS pos, p.t AS tok
+        FROM u ORDER BY doc_id, pos""")),
+
+    // unionByName with allowMissingColumns: frames with different column
+    // sets align by NAME, absent columns null-filled — positional UNION
+    // would silently mismatch.
+    QueryDef("setop_union_by_name",
+      (s, dir) => {
+        import s.implicits._
+        val a = Tables.load(s, dir, "nation").select($"n_nationkey", $"n_name")
+        val b = Tables.load(s, dir, "nation").select($"n_nationkey", $"n_regionkey")
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy($"n_nationkey", $"n_name".asc_nulls_last)
+      },
+      Some("""SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+        UNION ALL BY NAME
+        SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey FROM nation
+        ORDER BY n_nationkey, n_name NULLS LAST""")),
+
     // Conditional/boolean/argmax aggregate family: count_if, bool_and,
     // bool_or, max_by/min_by (argmax on the unique-in-practice price).
     QueryDef("agg_bool_argmax_family",
