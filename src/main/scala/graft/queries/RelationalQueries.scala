@@ -564,6 +564,80 @@ object RelationalQueries extends QueryModule {
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // TPC-H Q3 analog: segment-filtered customer ⋈ orders ⋈ lineitem,
+    // top-10 orders by exact-decimal revenue — the canonical
+    // filter-join-aggregate-topk OLAP shape (dims broadcast, final
+    // TakeOrdered bounds the sort).
+    QueryDef("q3_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("1997-01-01").cast("timestamp")
+        val c = Tables.load(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+        val o = Tables.load(s, dir, "orders")
+          .filter($"o_orderdate" < cut)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        val l = Tables.load(s, dir, "lineitem")
+          .filter($"l_shipdate" > cut)
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey", $"o_orderdate")
+          .agg(sum(dec2($"l_extendedprice") * (one - rate($"l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some(s"""SELECT o_orderkey, o_orderdate,
+          CAST(sum(${sqlDec2("l_extendedprice")} * ($sqlOne - ${sqlRate("l_discount")})) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 analog: six-table star join (region→nation→customer→
+    // orders→lineitem→supplier with the local-supplier constraint),
+    // revenue per nation — the join-order stress test.
+    QueryDef("q5_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val r = Tables.load(s, dir, "region").filter($"r_name" === "ASIA")
+          .select($"r_regionkey")
+        val n = Tables.load(s, dir, "nation")
+          .select($"n_nationkey", $"n_regionkey", $"n_name")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val o = Tables.load(s, dir, "orders")
+          .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+          .select($"o_orderkey", $"o_custkey")
+        val l = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        val su = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(su, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(n, $"s_nationkey" === $"n_nationkey")
+          .join(r, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(sum(dec2($"l_extendedprice") * (one - rate($"l_discount")))
+            .cast(DoubleType).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some(s"""SELECT n_name,
+          CAST(sum(${sqlDec2("l_extendedprice")} * ($sqlOne - ${sqlRate("l_discount")})) AS DOUBLE) AS revenue
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+          AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+          AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // Generator family: posexplode — one row per array element with its
     // ordinal, the order-preserving flatten.
     QueryDef("func_posexplode",
