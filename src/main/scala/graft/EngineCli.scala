@@ -33,7 +33,7 @@ object EngineCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try execute(spark, args.head, args.tail)
+    try execute(spark, args.head, args.tail.toIndexedSeq)
     finally spark.stop()
   }
 

@@ -37,7 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, ""), builder))
+        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
+        builder))
 
     inject("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors") {
       es => CosineSimilarity(es(0), es(1))

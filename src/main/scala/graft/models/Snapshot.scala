@@ -90,7 +90,7 @@ object Snapshot {
     val unchanged = j
       .filter(col("__in_batch").isNull || col(valueCol) <=> col("__new_value"))
       .filter(col("is_current").isNotNull) // key present in history
-      .select(current.columns.map(col): _*)
+      .select(current.columns.toIndexedSeq.map(col): _*)
     val closedNow = j
       .filter(col("is_current").isNotNull && col("__in_batch").isNotNull &&
         !(col(valueCol) <=> col("__new_value")))

@@ -30,7 +30,7 @@ object Skew {
     // with a hot key differ in other columns, so they spread; identical
     // full rows co-locate, which is harmless for algebraic aggregates)
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val partialCols = aggs.map { case (name, (partial, _)) => partial.as(s"__p_$name") }
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -58,7 +58,7 @@ object Skew {
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val salted = facts.withColumn("__salt",
-      pmod(hash(facts.columns.map(col): _*), lit(buckets)))
+      pmod(hash(facts.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val expanded = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(expanded.hint("shuffle_merge"), keys :+ "__salt").drop("__salt")

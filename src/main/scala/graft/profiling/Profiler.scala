@@ -63,7 +63,7 @@ object Profiler {
       case _ => true
     }
 
-    val baseAggs: Seq[Column] = count(lit(1)).as("__total") +: fields.flatMap { f =>
+    val baseAggs: Seq[Column] = count(lit(1)).as("__total") +: fields.toIndexedSeq.flatMap { f =>
       val c = col(f.name)
       val base = Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
@@ -107,7 +107,7 @@ object Profiler {
           countDistinct(col(f.name)).as(s"${f.name}__distinct"))
         val basic = df.agg(baseAggs.head, baseAggs.tail: _*)
         if (distAggs.isEmpty) basic
-        else basic.crossJoin(broadcast(df.agg(distAggs.head, distAggs.tail: _*)))
+        else basic.crossJoin(broadcast(df.agg(distAggs.head, distAggs.tail.toIndexedSeq: _*)))
       }
 
     // Pivot the single stats row into one row per column with `stack`
