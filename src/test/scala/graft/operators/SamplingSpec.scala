@@ -25,4 +25,23 @@ class SamplingSpec extends AnyFunSuite {
     val sampled = Sampling.hashSample(ids, "id", 4).collect().map(_.getLong(0)).toSet
     assert(split.filter(_._2 == "test").keySet == sampled)
   }
+
+  test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {
+    val df = ids.withColumn("cls",
+      org.apache.spark.sql.functions.when($"id" % 3 === 0, "a")
+        .when($"id" % 3 === 1, "b").otherwise("c"))
+    val got = Sampling.stratifiedHashSample(df, "id", "cls", Map("a" -> 2, "b" -> 12))
+      .groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("c")) // unlisted stratum dropped (sampleBy semantics)
+    // ~2/16 of ~333 and ~12/16 of ~333, wide tolerance
+    assert(got("a") > 15 && got("a") < 90, got)
+    assert(got("b") > 180 && got("b") < 310, got)
+    // per-row membership equals the single-rate sampler at the same rate
+    val only_a = Sampling.hashSample(df.filter($"cls" === "a"), "id", 2)
+      .collect().map(_.getLong(0)).toSet
+    val strat_a = Sampling.stratifiedHashSample(df, "id", "cls", Map("a" -> 2))
+      .collect().map(_.getLong(0)).toSet
+    assert(only_a == strat_a)
+  }
 }
