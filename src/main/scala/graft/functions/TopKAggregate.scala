@@ -25,6 +25,12 @@ import org.apache.spark.sql.types._
   * Ordering contract: higher score wins; ties break on smaller id — the
   * same total order as `ORDER BY sim DESC, id` so results stay
   * deterministic and oracle-comparable.
+  *
+  * Duplicate semantics: exact (score, id) duplicate inputs count ONCE —
+  * this is a top-k over the distinct pair set, not a bag. That is load-
+  * bearing for the multi-table LSH caller (the same pair surfaces once
+  * per hash table) and differs from `ORDER BY ... LIMIT k`, which would
+  * keep duplicate rows. See [[TopKBuffer.offer]].
   */
 case class TopKPairs(
     child: Expression,
@@ -159,7 +165,11 @@ object TopKFunctions {
     }, "scala_udf")
   }
 
-  /** agg column: array<struct<score,id>> of the k best pairs, best first. */
+  /** agg column: array<struct<score,id>> of the k best pairs, best first.
+    * NOTE: exact (score, id) duplicate input rows are counted once (set
+    * semantics, not bag) — see [[TopKPairs]]; use `ORDER BY ... LIMIT k`
+    * if duplicate pairs must be preserved.
+    */
   def topKPairs(pair: Column, k: Int): Column =
     call_function("topk_pairs", pair, org.apache.spark.sql.functions.lit(k))
 }

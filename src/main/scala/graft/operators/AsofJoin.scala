@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) join — for each left row, attach the most
   * recent right row with the same key and right.ts <= left.ts. The
@@ -52,24 +53,33 @@ object AsofJoin {
     require(!leftCols.exists(payload.contains),
       s"payload ${payload.mkString(",")} collides with a left column")
 
+    // Carry ONE struct of the payload columns forward, not each column
+    // independently: per-column last(ignoreNulls) would stitch values from
+    // DIFFERENT right rows whenever the latest matching row has a null in
+    // one payload column. A struct from a right row is never null (even if
+    // every field is), so last(struct, ignoreNulls) skips exactly the
+    // left-side rows and returns the whole most-recent right row — the
+    // DuckDB ASOF JOIN semantics.
+    val pSchema = StructType(payload.map(p => right.schema(p)))
     val lTagged = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(col) ++ payload.map(p => lit(null).as(p)): _*)
+        leftCols.map(col) :+ lit(null).cast(pSchema).as("__p"): _*)
     val rTagged = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(c => lit(null).as(c)) ++ payload.map(col): _*)
+        leftCols.map(c => lit(null).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lTagged.unionByName(rTagged)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

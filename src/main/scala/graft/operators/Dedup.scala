@@ -48,43 +48,74 @@ object Dedup {
   }
 
   /** Duplicate clusters from a near-dup pair relation (doc_a, doc_b):
-    * connected components by iterative min-label propagation —
-    * each round every node takes the minimum label among itself and its
-    * neighbors; converges in O(component diameter) rounds (near-dup
-    * clusters are shallow). Each round is one shuffle join + aggregate;
-    * the loop is driver-coordinated but all data stays distributed.
+    * connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round halves chain-shaped components' height, so
+    * convergence is O(log² n) rounds vs O(diameter) for plain min-label
+    * propagation — a 1M-node chain finishes in ~20 rounds instead of 1M.
+    * Each round is two join+aggregate shuffles over the (shrinking) edge
+    * set; the loop is driver-coordinated but all data stays distributed.
     * Returns (doc_id, cluster_id = min doc id of the component) for every
     * doc appearing in `pairs`.
+    *
+    * Throws `IllegalStateException` if the fixed point is not reached in
+    * `maxIterations` rounds (would mean wrong labels; at the default 20
+    * star rounds that needs a graph far beyond 2^20 nodes) — non-converged
+    * output is never returned silently.
     */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    // materialize the pair relation once BEFORE mirroring — `pairs` is
-    // usually an expensive lazy plan (candidate join + verify), and a
-    // union of two references to it would compute it twice; every
-    // propagation round then reads the checkpointed edges
-    val p = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // materialize the pair relation once BEFORE deriving nodes/edges —
+    // `pairs` is usually an expensive lazy plan (candidate join + verify),
+    // and multiple references to it would compute it multiple times
+    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint(true)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    val nodes = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id"))).distinct()
+    // canonical edge orientation: high id → low id
+    var edges = p.select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
+    var prevSig = (-1L, 0L)
     while (!converged && i < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("label")).as("nlabel"))
-      // prev rides along so convergence reads off the checkpointed frame
-      // directly — no extra join against the previous labels
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // truncate the iterative lineage before reuse
-      val changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.select(col("id"), col("label"))
-      converged = changed == 0
+      // large-star: every neighbor LARGER than the center u links to the
+      // min of u's closed neighborhood — flattens tall trees
+      val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = und.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("mn"))
+      val large = und.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("mn").as("dst"))
+      // small-star: edges now all point high→low, so each center's whole
+      // closed neighborhood links to its minimum — merges shallow stars
+      val mins2 = large.groupBy("src").agg(min(col("dst")).as("mn"))
+      val next = large.join(mins2, "src")
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .union(mins2.select(col("src"), col("mn").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true) // truncate iterative lineage before reuse
+      // fixed point = edge set unchanged; (count, hash-xor) signature
+      // piggybacks on the checkpoint's materialized frame as ONE action
+      // (xor: order-independent over the distinct set, cannot overflow)
+      val sigRow = next.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      edges = next
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIterations rounds; " +
+        "raise maxIterations — returning partial labels would be wrong")
+    // at the fixed point edges are disjoint stars rooted at each
+    // component's min id; roots and isolated nodes label themselves
+    nodes.join(edges.select(col("src").as("id"), col("dst").as("cid")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cid"), col("id")).as("cluster_id"))
   }
 
   // ── MinHash + LSH ─────────────────────────────────────────────────────

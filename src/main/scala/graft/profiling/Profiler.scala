@@ -52,9 +52,23 @@ object Profiler {
       case Some(d) => df0.filter(col(dateColumn) === lit(java.sql.Date.valueOf(d)))
       case None    => df0
     }
+    // Reference sample_size semantics (profiling_example.py:54): profile
+    // ~n rows. A global `limit(n)` would funnel the entire sample through
+    // ONE task (GlobalLimit exchanges to a single partition) and its Int
+    // cast silently truncates n > 2³¹ — both wrong at scale. Each
+    // partition instead contributes an equal share of the budget via a
+    // per-partition take: no exchange, no driver round-trip, ≤ max(n,
+    // numPartitions) rows total (each partition yields ≥ 1 row, so tiny
+    // budgets over many partitions over-deliver slightly — a sample-size
+    // approximation profiling tolerates by construction).
     val df = sampleRows match {
-      case Some(n) => df1.limit(n.toInt) // reference sample_size semantics (profiling_example.py:54)
-      case None    => df1
+      case Some(n) =>
+        require(n > 0, s"sampleRows must be positive, got $n")
+        val parts = math.max(1, df1.rdd.getNumPartitions)
+        val perPart = math.min(math.max(1L, n / parts), Int.MaxValue.toLong).toInt
+        df1.mapPartitions(_.take(perPart))(
+          org.apache.spark.sql.Encoders.row(df1.schema))
+      case None => df1
     }
 
     val fields = df.schema.fields

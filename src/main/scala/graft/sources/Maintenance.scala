@@ -23,6 +23,18 @@ object Maintenance {
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq
 
+  private def deleteTree(dir: Path): Unit =
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+  /** Hive partition columns, in nesting order, inferred from the first
+    * leaf file's `key=value` path segments (empty → unpartitioned). */
+  private def partitionCols(dir: Path, leaves: Seq[Path]): Seq[String] =
+    leaves.headOption.toSeq.flatMap { leaf =>
+      dir.relativize(leaf).iterator().asScala.toSeq
+        .map(_.toString).filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))
+    }
+
   def compactParquet(
       spark: SparkSession,
       path: String,
@@ -32,15 +44,30 @@ object Maintenance {
     val before = parquetFiles(dir)
     val totalBytes = before.map(Files.size).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val partCols = partitionCols(dir, before)
 
     val stage = Paths.get(path + "__compact")
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(stage.toString)
+    // Partitioned tables keep their layout: hash-repartition on the
+    // partition columns co-locates each partition value in one task, so
+    // every partition dir is rewritten as one file. Unpartitioned tables
+    // get a round-robin repartition into ceil(bytes/target) files.
+    val src = spark.read.option("basePath", path).parquet(path)
+    val writer =
+      if (partCols.nonEmpty)
+        src.repartition(nFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(partCols: _*)
+      else src.repartition(nFiles).write
+    writer.mode("overwrite").parquet(stage.toString)
 
-    // swap: drop the fragmented dir, move the staged one into place
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    // Swap via two atomic renames so a crash never strands the table with
+    // no live copy: move the old dir aside, move the staged dir into
+    // place, then drop the old copy. A reader can race only into the
+    // instant between the two renames — never into a half-deleted tree.
+    val old = Paths.get(path + "__old")
+    if (Files.exists(old)) deleteTree(old)
+    Files.move(dir, old)
     Files.move(stage, dir)
+    deleteTree(old)
     CompactStats(before.size, parquetFiles(dir).size, totalBytes)
   }
 }

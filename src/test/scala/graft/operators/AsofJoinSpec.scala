@@ -43,6 +43,21 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(9L -> "new", 1L -> "later"))
   }
 
+  test("asof keeps all payload values from the SAME right row when a field is null") {
+    // latest quote for A has px=null, sz=20: a per-column carry-forward
+    // would stitch px=1.0 from the OLDER row with sz=20 from the newer —
+    // the whole-row (struct) semantics must return (null, 20)
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(1.0), Some(10L)),
+      ("A", ts("2024-01-01 10:05:00"), None, Some(20L))
+    ).toDF("sym", "qts", "px", "sz")
+    val trades = Seq((1L, "A", ts("2024-01-01 10:06:00"))).toDF("id", "sym", "tts")
+    val got = AsofJoin.asof(trades, quotes, "sym", "sym", "tts", "qts", Seq("px", "sz"))
+      .select("px", "sz").collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(0) && got(0).getLong(1) == 20L)
+  }
+
   test("asof plan has a single exchange (no range-join explosion)") {
     val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qts", "px")
     val trades = Seq((1L, "A", ts("2024-01-01 10:01:00"))).toDF("id", "sym", "tts")

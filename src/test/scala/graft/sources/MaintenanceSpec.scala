@@ -22,5 +22,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.count() == 5000)
     assert(back.agg(org.apache.spark.sql.functions.sum($"id")).collect()(0).getLong(0)
       == 5000L * 5001 / 2)
+    assert(!Files.exists(Paths.get(dir + "__old"))) // old copy dropped
+  }
+
+  test("compactParquet preserves a Hive partition layout") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "compactp").resolve("t").toString
+    val df = (1L to 1000L).map(i => (i, (i % 3).toString)).toDF("id", "p")
+    df.repartition(8).write.partitionBy("p").parquet(dir)
+    Maintenance.compactParquet(spark, dir, targetBytes = 512L * 1024 * 1024)
+    // layout survives: p=0/1/2 dirs still exist, each compacted to 1 file
+    (0 to 2).foreach { p =>
+      val pd = Paths.get(dir, s"p=$p")
+      assert(Files.exists(pd), s"partition dir p=$p lost by compaction")
+      assert(Files.list(pd).iterator().asScala.count(_.toString.endsWith(".parquet")) == 1)
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.columns.toSet == Set("id", "p"))
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
 }
