@@ -31,7 +31,10 @@ object ExampleModels {
     build = { spark: SparkSession =>
       import spark.implicits._
       spark.table("my_first_dbt_model").filter($"id" === 1)
-    })
+    },
+    // the model's literal SELECT body (my_second_dbt_model.sql:4-6) —
+    // enables exact catalog-view parity with dbt's default materialization
+    sqlText = Some("SELECT * FROM my_first_dbt_model WHERE id = 1"))
 
   val all: Seq[Model] = Seq(myFirst, mySecond)
 

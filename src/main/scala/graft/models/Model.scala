@@ -9,12 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.table(name)` — the engine registers each materialized model as a
   * view before its dependents run, which is the `ref()` dataflow edge
   * (reference models/example/my_second_dbt_model.sql:5).
+  *
+  * `sqlText`, when given, is the model's SELECT body as SQL (what a dbt
+  * model file literally is) — required for catalog-view materialization
+  * ([[ModelDag.run]] `catalogViews`), since a persistent `CREATE OR
+  * REPLACE VIEW` stores SQL text, not a DataFrame plan.
   */
 final case class Model(
     name: String,
     deps: Seq[String],
     materialization: Materialization,
-    build: SparkSession => DataFrame)
+    build: SparkSession => DataFrame,
+    sqlText: Option[String] = None)
 
 sealed trait Materialization
 object Materialization {
@@ -70,14 +76,29 @@ object ModelDag {
     * (Table models are additionally persisted under `warehouseDir` when
     * given — the CTAS full-rebuild semantics of dbt_project.yml:38-42).
     * Returns the materialized frames by name.
+    *
+    * `catalogViews = true` is the exact dbt-default parity mode
+    * (dbt_project.yml:31-35): Table models register as catalog tables
+    * (`saveAsTable`, external at the warehouse path) and View models with
+    * `sqlText` as persistent `CREATE OR REPLACE VIEW`s — visible to every
+    * session sharing the metastore, not just this one. Temp-view mode
+    * stays the default: the engine is driver-scoped in this harness, and
+    * temp views add no catalog state to clean up between queries.
     */
   def run(
       spark: SparkSession,
       models: Seq[Model],
-      warehouseDir: Option[String] = None): Map[String, DataFrame] = {
+      warehouseDir: Option[String] = None,
+      catalogViews: Boolean = false): Map[String, DataFrame] = {
     topoSort(models).map { m =>
+      if (catalogViews) spark.catalog.dropTempView(m.name) // unshadow catalog names
       val df = m.build(spark)
       val materialized = (m.materialization, warehouseDir) match {
+        case (Materialization.Table, Some(dir)) if catalogViews =>
+          val p = s"$dir/${m.name}"
+          spark.sql(s"DROP TABLE IF EXISTS `${m.name}`")
+          df.write.mode("overwrite").option("path", p).saveAsTable(m.name)
+          spark.table(m.name)
         case (Materialization.Table, Some(dir)) =>
           val p = s"$dir/${m.name}"
           df.write.mode("overwrite").parquet(p)
@@ -99,8 +120,15 @@ object ModelDag {
           spark.read.parquet(p)
         case _ => df
       }
-      materialized.createOrReplaceTempView(m.name)
-      m.name -> materialized
+      (m.materialization, m.sqlText) match {
+        case (Materialization.View, Some(sql)) if catalogViews =>
+          spark.sql(s"CREATE OR REPLACE VIEW `${m.name}` AS $sql")
+        case (Materialization.Table, _) if catalogViews && warehouseDir.isDefined =>
+          () // already a catalog table via saveAsTable — don't shadow it
+        case _ =>
+          materialized.createOrReplaceTempView(m.name)
+      }
+      m.name -> spark.table(m.name)
     }.toMap
   }
 }

@@ -204,6 +204,29 @@ object Profiler {
         }: _*)
   }
 
+  /** Exact interpolated percentiles (SQL PERCENTILE_CONT semantics:
+    * linear interpolation at rank p·(n−1)) — the oracle-checkable twin of
+    * [[quantiles]]. Needs a full per-column sort inside the aggregate, so
+    * it is the small-data/audit path; production profiling stays on the
+    * mergeable GK sketch.
+    */
+  def quantilesExact(
+      df: DataFrame,
+      columns: Seq[String],
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val probsArr = array(probabilities.map(lit): _*)
+    val aggs = columns.map(c =>
+      percentile(col(c).cast(DoubleType), probsArr).as(s"${c}__q"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = columns.map(c => s"'$c', `${c}__q`").mkString(", ")
+    one.select(expr(
+        s"stack(${columns.length}, $stacked) AS (column_name, qs)"))
+      .select(col("column_name") +:
+        probabilities.zipWithIndex.map { case (p, i) =>
+          element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
+        }: _*)
+  }
+
   /** Run-over-run drift of the monitoring metrics — the comparison the
     * reference's APPEND monitoring table exists to enable
     * (profiling_example.py:24-28): join two profile frames on

@@ -140,6 +140,67 @@ object ModelQueries extends QueryModule {
       },
       Some(s"""SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
           ${Exact.sqlDsum("o_totalprice")} AS revenue
-        FROM orders GROUP BY 1 ORDER BY d"""))
+        FROM orders GROUP BY 1 ORDER BY d""")),
+
+    // The reference's daily Airflow DAG in miniature (orchestrate.md:
+    // 256-306): ONE registered query drives model build → date-slice DQ →
+    // profiler drift for a single execution date, and emits the unified
+    // run report the orchestrator would persist. Each step's frame is
+    // projected onto (step, item, status, records) and unioned — the
+    // whole day's pipeline is one Spark job graph, no driver round-trips
+    // between stages beyond the model materialization itself.
+    QueryDef("pipeline_daily_run",
+      (s, dir) => {
+        import graft.dq._
+        import graft.profiling.Profiler
+        val day = "1998-03-02"
+        val cut = lit(day).cast("timestamp")
+        val orders = Tables.load(s, dir, "orders")
+        // 1. model: build the day's slice through the DAG runner
+        val slice = ModelDag.run(s, Seq(Model("orders_slice", Nil,
+          Materialization.View,
+          sp => Tables.load(sp, dir, "orders")
+            .filter(col("o_orderdate") === cut))))("orders_slice")
+        val modelStep = slice.agg(count(lit(1)).as("records"))
+          .select(lit("model").as("step"), lit("orders_slice").as("item"),
+            lit("OK").as("status"), col("records"))
+        // 2. DQ: completeness over the same date slice
+        val dqStep = DqEngine.run(s, orders,
+            DqConfig(tableName = "orders", fecha = Some(day),
+              dateColumn = "o_orderdate",
+              tests = DqTests(completeness = Seq("o_orderstatus", "o_totalprice"))),
+            day).toDF()
+          .select(lit("dq").as("step"), col("test_name").as("item"),
+            col("status"), col("failed_records").as("records"))
+        // 3. profiling: today's slice vs full history → row drift
+        val driftStep = Profiler.drift(
+            Profiler.profile(s, orders.filter(col("o_orderdate") === cut), "orders"),
+            Profiler.profile(s, orders, "orders"))
+          .select(lit("profile_drift").as("step"),
+            col("column_name").as("item"), lit("OK").as("status"),
+            col("row_delta").as("records"))
+        modelStep.unionByName(dqStep).unionByName(driftStep)
+          .orderBy("step", "item")
+      },
+      Some("""WITH slice AS (
+          SELECT * FROM orders WHERE o_orderdate = TIMESTAMP '1998-03-02'),
+        sc AS (SELECT count(*) AS n FROM slice),
+        fc AS (SELECT count(*) AS n FROM orders),
+        dq AS (SELECT
+            CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT) AS f_st,
+            CAST(sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 ELSE 0 END) AS BIGINT) AS f_tp
+          FROM slice),
+        rows_ AS (
+          SELECT 'model' AS step, 'orders_slice' AS item, 'OK' AS status,
+            (SELECT n FROM sc) AS records
+          UNION ALL SELECT 'dq', 'completeness_o_orderstatus',
+            CASE WHEN f_st = 0 THEN 'PASS' ELSE 'FAIL' END, f_st FROM dq
+          UNION ALL SELECT 'dq', 'completeness_o_totalprice',
+            CASE WHEN f_tp = 0 THEN 'PASS' ELSE 'FAIL' END, f_tp FROM dq
+          UNION ALL SELECT 'profile_drift', c, 'OK',
+            (SELECT n FROM sc) - (SELECT n FROM fc)
+          FROM (SELECT unnest(['o_custkey','o_orderdate','o_orderkey',
+            'o_orderpriority','o_orderstatus','o_totalprice']) AS c) cols)
+        SELECT step, item, status, records FROM rows_ ORDER BY step, item"""))
   )
 }

@@ -113,15 +113,20 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b"),
       None),
 
-    // ── embedding-cosine near-dup: exact quadratic baseline ─────────────
+    // ── embedding-cosine near-dup: exact quadratic baseline. The
+    //    registered query BOUNDS its input to the first 1000 ids so the
+    //    O(n²) oracle anchor stays constant-cost as sf grows (a no-op at
+    //    the 500-vector correctness sf); the LSH query below is the
+    //    unbounded scale path. ──────────────────────────────────────────
     QueryDef("dedup_embedding_cosine",
-      (s, dir) => Dedup.embeddingCosinePairs(Tables.load(s, dir, "embeddings"),
+      (s, dir) => Dedup.embeddingCosinePairs(
+          Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
         FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
+        WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         ORDER BY id_a, id_b""")),
 

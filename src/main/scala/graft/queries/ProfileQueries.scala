@@ -93,7 +93,9 @@ object ProfileQueries extends QueryModule {
     // day (persisted in production), unioned for any window — the only
     // way distinct-users-over-N-days scales, since exact distincts can't
     // merge. Estimate is deterministic but not SQL-reproducible → no
-    // oracle; ProfilerSpec bounds the error against the exact count.
+    // oracle; ProfilerSpec bounds the error against the exact count, and
+    // agg_incremental_distinct_exact below is the oracle-checked exact
+    // twin over the same window.
     QueryDef("agg_sketch_incremental_distinct",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
@@ -105,14 +107,61 @@ object ProfileQueries extends QueryModule {
       },
       None),
 
+    // Exact twin of the sketch query: per-day exact distincts plus the
+    // exact window distinct — shows why sketches exist (sum of dailies
+    // over-counts returning users; the union does not) and gives the
+    // incremental-distinct operator a hash-checked oracle.
+    QueryDef("agg_incremental_distinct_exact",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val daily = ev.groupBy(to_date(col("ts")).as("d"))
+          .agg(countDistinct(col("user_id")).as("du"))
+        daily.agg(
+            count(lit(1)).as("n_days"),
+            sum(col("du")).as("sum_daily_users"))
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS du
+          FROM events GROUP BY 1)
+        SELECT (SELECT count(*) FROM daily) AS n_days,
+               (SELECT CAST(sum(du) AS BIGINT) FROM daily) AS sum_daily_users,
+               (SELECT count(DISTINCT user_id) FROM events) AS exact_users""")),
+
     // Per-column distribution quantiles via single-pass mergeable GK
     // sketches (approx_percentile) — exact percentiles need a full sort
     // per column, a non-starter at scale. Deterministic but not
-    // SQL-reproducible → no oracle; accuracy bounded in ProfilerSpec.
+    // SQL-reproducible → no oracle; accuracy bounded in ProfilerSpec,
+    // and agg_profile_quantiles_exact below is the oracle-checked exact
+    // variant.
     QueryDef("agg_profile_quantiles",
       (s, dir) => Profiler.quantiles(
           Tables.load(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
         .orderBy("column_name"),
-      None)
+      None),
+
+    // Exact interpolated percentiles (PERCENTILE_CONT): Spark
+    // `percentile` and DuckDB `quantile_cont` share the definition
+    // lower + (upper − lower)·frac at rank p·(n−1), so the hash compare
+    // is exact. The audit-path twin of agg_profile_quantiles.
+    QueryDef("agg_profile_quantiles_exact",
+      (s, dir) => Profiler.quantilesExact(
+          Tables.load(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
+        .orderBy("column_name"),
+      Some("""SELECT 'o_custkey' AS column_name,
+          quantile_cont(CAST(o_custkey AS DOUBLE), 0.25) AS p25,
+          quantile_cont(CAST(o_custkey AS DOUBLE), 0.50) AS p50,
+          quantile_cont(CAST(o_custkey AS DOUBLE), 0.75) AS p75,
+          quantile_cont(CAST(o_custkey AS DOUBLE), 0.95) AS p95
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+          quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25),
+          quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50),
+          quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75),
+          quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95)
+        FROM orders
+        ORDER BY column_name"""))
   )
 }

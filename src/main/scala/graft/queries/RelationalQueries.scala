@@ -638,6 +638,72 @@ object RelationalQueries extends QueryModule {
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q18 analog: top-k over a grouped aggregate gated by an IN
+    // subquery over another grouped aggregate — the aggregate-subquery
+    // decorrelation shape. Catalyst's RewritePredicateSubquery must turn
+    // the IN into a left-semi join against the HAVING aggregate (asserted
+    // in PlanAuditSpec); a naive engine re-evaluates the subquery per row.
+    QueryDef("q18_large_volume_customer",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""SELECT c_name, c_custkey, o_orderkey, sum(l_quantity) AS total_qty
+          FROM customer, orders, lineitem
+          WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          GROUP BY c_name, c_custkey, o_orderkey
+          ORDER BY total_qty DESC, o_orderkey LIMIT 100""")
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, sum(l_quantity) AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 100""")),
+
+    // TPC-H Q21 analog: the semi + anti multi-join chain. The testdata
+    // lineitem has no commit/receipt dates, so "late" is stood in by
+    // l_returnflag = 'R': suppliers who were the ONLY returned-flag
+    // supplier in a multi-supplier finalized order. EXISTS → left-semi,
+    // NOT EXISTS → left-anti, both correlated on l1.l_orderkey with an
+    // extra non-equi conjunct (l_suppkey <>) — the decorrelation case a
+    // single-level NOT-EXISTS (join_anti_not_exists) doesn't cover.
+    QueryDef("q21_sole_fault_supplier",
+      (s, dir) => {
+        Seq("supplier", "orders", "lineitem", "nation").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""SELECT s_name, count(*) AS numwait
+          FROM supplier, lineitem l1, orders, nation
+          WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+            AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            AND EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey
+                              AND l3.l_returnflag = 'R')
+            AND s_nationkey = n_nationkey
+            AND n_name IN ('NATION_3', 'NATION_7')
+          GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey
+          AND n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
     // Generator family: posexplode — one row per array element with its
     // ordinal, the order-preserving flatten.
     QueryDef("func_posexplode",

@@ -55,6 +55,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("Q18's IN-subquery decorrelates to a semi join against the HAVING aggregate") {
+    val p = plan("q18_large_volume_customer")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q21's EXISTS/NOT EXISTS chain decorrelates to semi + anti joins") {
+    val p = plan("q21_sole_fault_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("top-k similarity aggregates with bounded state (ObjectHashAggregate)") {
     val p = plan("sim_topk_brute")
     assert(p.contains("ObjectHashAggregate"), p)
@@ -87,11 +100,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // Every BroadcastNestedLoopJoin in the suite must be one of these
   // documented bounded shapes; anything new is a scale regression.
-  //  - histogram / profile_stats: cross join against a 1-row broadcast
+  //  - histogram / profile_stats / incremental_distinct_exact: cross join
+  //    against a 1-row broadcast (scalar recombine)
   //  - embedding_cosine: the labeled quadratic baseline (LSH is the path)
   //  - topk_brute: brute-force scoring baseline (bounded-heap ranked)
   //  - topk_ivf: query×centroid assignment, |centroids| is a small const
   private val allowedBnlj = Set("agg_profile_histogram", "agg_profile_stats",
+    "agg_incremental_distinct_exact",
     "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf")
 
   test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {

@@ -39,4 +39,23 @@ class ModelDagSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/my_first_dbt_model").exists())
     assert(out("my_first_dbt_model").count() == 2)
   }
+
+  test("catalog mode: table model becomes a catalog table, view model a CREATE OR REPLACE VIEW") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "whcat").toString
+    val out = ModelDag.run(spark, ExampleModels.all,
+      warehouseDir = Some(dir), catalogViews = true)
+    // both are persistent catalog objects now, not session temp views
+    val tbl = spark.catalog.getTable("my_first_dbt_model")
+    assert(!tbl.isTemporary, "table model is still a temp view")
+    val vw = spark.catalog.getTable("my_second_dbt_model")
+    assert(!vw.isTemporary, "view model is still a temp view")
+    assert(vw.tableType == "VIEW", vw.tableType)
+    // dbt contents preserved through the catalog round-trip
+    assert(out("my_second_dbt_model").collect().map(_.get(0)).toSeq == Seq(1))
+    assert(spark.table("my_second_dbt_model").count() == 1)
+    // cleanup so other suites' temp-view mode is unaffected
+    spark.sql("DROP VIEW IF EXISTS my_second_dbt_model")
+    spark.sql("DROP TABLE IF EXISTS my_first_dbt_model")
+  }
 }
