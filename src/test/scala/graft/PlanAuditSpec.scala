@@ -118,4 +118,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // The SCALING.md stress set: plans must keep their shape when the data
+  // grows 10× — no query may pick up a cartesian/BNLJ (or lose its
+  // broadcast to a sort-merge explosion) just because stats changed.
+  // Runs only when tools/gen_sf1.py's output is present.
+  private val stressQueries = Seq("dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_embedding_cosine", "join_asof_latest_order",
+    "snapshot_scd2_history", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q18_large_volume_customer",
+    "q21_sole_fault_supplier", "agg_profile_stats", "sim_topk_ivf",
+    "pipeline_daily_run")
+
+  test("stress queries keep cartesian/BNLJ-free plans at sf1 (10× data)") {
+    val sf1 = "/root/repo/sf1"
+    assume(new java.io.File(s"$sf1/lineitem.parquet").exists(),
+      "sf1 not generated (tools/gen_sf1.py)")
+    val offenders = stressQueries.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf1).queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name)
+      if (cart || bnlj) Some(s"$name cartesian=$cart unexpectedBnlj=$bnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
