@@ -28,4 +28,37 @@ object Exact {
   def sqlRate(e: String): String = s"CAST($e AS DECIMAL(6,2))"
   val sqlOne: String = "CAST(1 AS DECIMAL(6,2))"
   def sqlDsum(e: String): String = s"CAST(sum(${sqlDec2(e)}) AS DOUBLE)"
+
+  // ── BigQuery NUMERIC-faithful money mode (SURVEY §1.2) ────────────────
+  // The engine's default money type is DoubleType because the driver
+  // parquet stores doubles; BigQuery NUMERIC is exactly DecimalType(38,9).
+  // MoneyMode gates which arithmetic a query runs — set the
+  // GRAFT_MONEY_MODE=numeric env (or pass NumericMode explicitly) for
+  // decimal-exact money columns end to end, including the OUTPUT type
+  // (dsum above is decimal-exact internally but returns DOUBLE).
+  sealed trait MoneyMode
+  case object DoubleMode extends MoneyMode
+  case object NumericMode extends MoneyMode
+  def moneyModeFromEnv: MoneyMode =
+    if (sys.env.get("GRAFT_MONEY_MODE").exists(_.equalsIgnoreCase("numeric")))
+      NumericMode
+    else DoubleMode
+
+  /** A money column in the configured representation. */
+  def money(c: Column, mode: MoneyMode): Column = mode match {
+    case DoubleMode  => c.cast(DoubleType)
+    case NumericMode => c.cast(DecimalType(38, 9))
+  }
+
+  /** Exact money sum; NUMERIC mode keeps DECIMAL(38,9) in the output
+    * (sum of decimal(38,9) stays decimal(38,9) — precision is already at
+    * Spark's cap), DOUBLE mode matches [[dsum]].
+    */
+  def moneySum(c: Column, mode: MoneyMode): Column = mode match {
+    case DoubleMode  => dsum(c)
+    case NumericMode => sum(c.cast(DecimalType(38, 9)))
+  }
+
+  def sqlNumeric(e: String): String = s"CAST($e AS DECIMAL(38,9))"
+  def sqlNumericSum(e: String): String = s"sum(${sqlNumeric(e)})"
 }

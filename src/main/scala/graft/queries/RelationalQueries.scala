@@ -564,6 +564,30 @@ object RelationalQueries extends QueryModule {
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // BigQuery NUMERIC-faithful money mode (SURVEY §1.2, r2-verdict
+    // missing #2): the same money aggregation the engine usually runs in
+    // DOUBLE, computed and RETURNED as DECIMAL(38,9) — config-gated via
+    // Exact.MoneyMode / GRAFT_MONEY_MODE. All money inputs carry ≤ 2
+    // decimal digits, so the double→NUMERIC cast is lossless and the
+    // decimal outputs hash-match DuckDB's DECIMAL(38,9) bit-for-bit.
+    QueryDef("agg_numeric_money_mode",
+      (s, dir) => {
+        val mode = NumericMode
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(moneySum(col("o_totalprice"), mode).as("revenue_numeric"),
+            min(money(col("o_totalprice"), mode)).as("min_numeric"),
+            max(money(col("o_totalprice"), mode)).as("max_numeric"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+          ${sqlNumericSum("o_totalprice")} AS revenue_numeric,
+          min(${sqlNumeric("o_totalprice")}) AS min_numeric,
+          max(${sqlNumeric("o_totalprice")}) AS max_numeric,
+          count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // TPC-H Q3 analog: segment-filtered customer ⋈ orders ⋈ lineitem,
     // top-10 orders by exact-decimal revenue — the canonical
     // filter-join-aggregate-topk OLAP shape (dims broadcast, final
@@ -703,6 +727,57 @@ object RelationalQueries extends QueryModule {
           AND s_nationkey = n_nationkey
           AND n_name IN ('NATION_3', 'NATION_7')
         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""")),
+
+    // TPC-H Q17 analog: correlated SCALAR subquery with an aggregate
+    // (l_quantity < 0.2·avg per part) — the third decorrelation class
+    // after IN (Q18) and EXISTS (Q21). Catalyst's
+    // RewriteCorrelatedScalarSubquery must turn the per-row subquery into
+    // one per-part aggregate joined back; a naive engine re-runs the avg
+    // for every lineitem row. Quantities are integer-valued doubles, so
+    // the avg and the 0.2· compare are bit-identical across engines.
+    QueryDef("q17_small_quantity_revenue",
+      (s, dir) => {
+        Seq("part", "lineitem").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+          FROM lineitem, part
+          WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+            AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = p_partkey)""")
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")),
+
+    // TPC-H Q20 analog: nested IN subqueries where the inner one carries
+    // a correlated scalar aggregate in HAVING — dominant-share suppliers
+    // (> 20% of a sizeable part's shipped quantity). Two levels of
+    // rewrite: both INs become semi joins, the HAVING subquery a per-part
+    // aggregate joined to the (suppkey, partkey) aggregate. Quantity sums
+    // are integer-valued doubles — exact in both engines.
+    QueryDef("q20_dominant_share_supplier",
+      (s, dir) => {
+        Seq("supplier", "part", "lineitem").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""SELECT s_name FROM supplier
+          WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem l1
+            WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 25)
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > (SELECT 0.2 * sum(l_quantity) FROM lineitem l2
+                                      WHERE l2.l_partkey = l1.l_partkey))
+          ORDER BY s_name""")
+      },
+      Some("""SELECT s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem l1
+          WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 25)
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > (SELECT 0.2 * sum(l_quantity) FROM lineitem l2
+                                    WHERE l2.l_partkey = l1.l_partkey))
+        ORDER BY s_name""")),
 
     // Generator family: posexplode — one row per array element with its
     // ordinal, the order-preserving flatten.

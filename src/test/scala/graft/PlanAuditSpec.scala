@@ -68,6 +68,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("Q17/Q20's correlated scalar subqueries decorrelate to aggregates + joins") {
+    val p17 = plan("q17_small_quantity_revenue")
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"), p17)
+    assert("HashAggregate".r.findAllIn(p17).size >= 2, p17) // per-part avg is ONE aggregate, not per-row
+    val p20 = plan("q20_dominant_share_supplier")
+    assert(p20.contains("LeftSemi"), p20)
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"), p20)
+  }
+
   test("top-k similarity aggregates with bounded state (ObjectHashAggregate)") {
     val p = plan("sim_topk_brute")
     assert(p.contains("ObjectHashAggregate"), p)
