@@ -367,6 +367,40 @@ object PipelineQueries extends QueryModule {
           CAST(sum(nw * nh + 8) AS BIGINT) AS sum_bytes
         FROM r GROUP BY event_type ORDER BY media_type""")),
 
+    // Frame-sampling step of the multimodal pipeline (video → every
+    // stride-th fixed-size chunk, capped): explode shape, one binary row
+    // in → ≤ maxFrames frame rows out. The oracle recomputes the chunk
+    // arithmetic — frames per media = min(maxFrames, ⌈nChunks/stride⌉),
+    // frame indices 0,2,… sum to cnt·(cnt−1), every frame is exactly
+    // frameBytes long — proving the explode produced precisely the
+    // sampled chunks and nothing else.
+    QueryDef("multimodal_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val records = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"))
+          .as[(Long, String)]
+          .map { case (eid, et) =>
+            Multimodal.MediaRecord(eid, et,
+              Multimodal.FakeCodec.encode(16, 16, new Array[Byte]((eid % 257).toInt)))
+          }
+        Multimodal.sampleFrames(records, frameBytes = 16, stride = 2, maxFrames = 4)
+          .toDF()
+          .agg(count(lit(1)).as("n_frames"),
+            countDistinct(col("id")).as("n_media_with_frames"),
+            sum(col("frameIndex").cast("long")).as("sum_frame_index"),
+            sum(length(col("frame")).cast("long")).as("sum_frame_bytes"))
+      },
+      Some("""WITH m AS (SELECT event_id, (event_id % 257) // 16 AS nchunks FROM events),
+          c AS (SELECT event_id, LEAST(4, (nchunks + 1) // 2) AS cnt
+                FROM m WHERE nchunks > 0)
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_frames,
+          count(*) AS n_media_with_frames,
+          CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS sum_frame_index,
+          CAST(sum(cnt * 16) AS BIGINT) AS sum_frame_bytes
+        FROM c""")),
+
     // ── text analysis: token statistics ─────────────────────────────────
     QueryDef("text_token_stats",
       (s, dir) => {

@@ -111,6 +111,31 @@ object StreamingQueries extends QueryModule {
           ('purchase', CAST(5.0 AS DOUBLE)), ('signup', CAST(2.0 AS DOUBLE)),
           ('error', CAST(0.0 AS DOUBLE))) w(event_type, weight)
           ON e.event_type = w.event_type
-        GROUP BY e.event_type, w.weight ORDER BY e.event_type"""))
+        GROUP BY e.event_type, w.weight ORDER BY e.event_type""")),
+
+    // Stream-stream interval join: clicks ⋈ same-user purchases within
+    // 30 minutes — the double-watermark join whose time-interval bound
+    // is what keeps streaming state finite. Batch twin anchored to
+    // DuckDB; streaming parity (MemoryStream both sides) in
+    // StreamingSpec. `value` carries ≤ 2 decimals → decimal-exact sum.
+    QueryDef("streaming_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        Streaming.intervalJoin(
+            ev.filter($"event_type" === "click"),
+            ev.filter($"event_type" === "purchase"), intervalMin = 30)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"user_id").as("n_users"),
+            sum($"purchase_value".cast("decimal(20,2)")).cast("double")
+              .as("total_purchase_value"))
+      },
+      Some("""SELECT count(*) AS n_pairs,
+          count(DISTINCT l.user_id) AS n_users,
+          CAST(sum(CAST(r.value AS DECIMAL(20,2))) AS DOUBLE) AS total_purchase_value
+        FROM events l JOIN events r
+          ON r.user_id = l.user_id
+          AND l.event_type = 'click' AND r.event_type = 'purchase'
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""))
   )
 }

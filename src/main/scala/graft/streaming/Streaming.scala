@@ -134,6 +134,35 @@ object Streaming {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join with an event-time interval: each left
+    * event pairs with same-key right events inside
+    * [left.ts, left.ts + intervalMin]. On streams BOTH sides carry
+    * watermarks and the time-interval condition is what lets Spark bound
+    * join state: a buffered left row can be dropped once the right-side
+    * watermark passes its ts + interval (and vice versa) — without the
+    * interval bound, stream-stream inner join state grows forever. On
+    * batch frames the same plan is an equi join with a range conjunct.
+    * Left columns come out as (user_id, click_id, click_ts), right as
+    * (purchase_id, purchase_ts, purchase_value).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      intervalMin: Int,
+      watermarkDur: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermarkDur) else df
+    val l = wm(left).select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val r = wm(right).select(col("user_id").as("r_uid"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    l.join(r, col("user_id") === col("r_uid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $intervalMin MINUTES"))
+      .drop("r_uid")
+  }
+
   /** Exact streaming dedup on event id: streaming uses
     * `dropDuplicatesWithinWatermark` (state for an id is dropped once the
     * watermark passes — bounded memory, the streaming form of the exact

@@ -145,6 +145,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases; parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_id, ts, value)
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cols = Seq("user_id", "event_id", "ts", "value")
+    val q = Streaming.intervalJoin(
+        clicks.toDF().toDF(cols: _*), purchases.toDF().toDF(cols: _*),
+        intervalMin = 30)
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      val clickRows = Seq(
+        (1L, 10L, ts("2024-01-01 10:00:00"), 0.0),
+        (2L, 11L, ts("2024-01-01 10:00:00"), 0.0))
+      val purchaseRows = Seq(
+        (1L, 20L, ts("2024-01-01 10:10:00"), 9.5),  // in window for user 1
+        (1L, 21L, ts("2024-01-01 10:45:00"), 3.0),  // outside 30 min
+        (2L, 22L, ts("2024-01-01 09:50:00"), 1.0),  // before the click
+        (3L, 23L, ts("2024-01-01 10:10:00"), 2.0))  // user never clicked
+      clicks.addData(clickRows: _*)
+      purchases.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(streamed == Set((1L, 10L, 20L))) // (user, click_id, purchase_id)
+      // parity: the same operator over batch frames gives the same pairs
+      val batch = Streaming.intervalJoin(
+          clickRows.toDF(cols: _*), purchaseRows.toDF(cols: _*), intervalMin = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-sent event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)] // (event_id, ts, event_type)
