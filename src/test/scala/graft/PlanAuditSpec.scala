@@ -137,7 +137,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "snapshot_scd2_history", "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q18_large_volume_customer",
     "q21_sole_fault_supplier", "agg_profile_stats", "sim_topk_ivf",
-    "pipeline_daily_run")
+    "pipeline_daily_run", "q17_small_quantity_revenue",
+    "q20_dominant_share_supplier", "streaming_interval_join")
 
   test("stress queries keep cartesian/BNLJ-free plans at sf1 (10× data)") {
     val sf1 = "/root/repo/sf1"
