@@ -242,26 +242,50 @@ object Dedup {
   }
 
   // ── SimHash ───────────────────────────────────────────────────────────
-  /** Near-dup pairs by SimHash hamming distance <= maxDistance, candidates
-    * from 16-bit band collisions (4 bands over the 64-bit hash: any pair
-    * within hamming distance 3 shares at least one intact band).
+  /** Near-dup pairs by SimHash hamming distance <= maxDistance.
+    *
+    * Candidates come from TWO-LEVEL band collisions: 4 primary 16-bit
+    * bands, and for each primary band the REMAINING 48 bits split into 4
+    * sub-bands of 12. Double pigeonhole keeps the recall guarantee: ≤ 3
+    * errors over 4 primary bands leave one band intact, and the ≤ 3
+    * errors then fall on that band's 4 sub-bands, leaving one sub-band
+    * intact — so every pair within distance 3 shares a full
+    * (band, sub-band) key. The effective join key is 28 bits instead of
+    * 16: a FIXED 65536-bucket space saturates as the corpus grows (bucket
+    * occupancy ∝ n ⇒ candidates ∝ n², measured 30× cost at 10× docs);
+    * the 2²⁸ key space pushes that wall out 4096× for 16× more exploded
+    * rows — linear cost to kill a quadratic one.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxDistance: Int = 3): DataFrame = {
-    require(maxDistance <= 3, "4-band LSH only guarantees recall for distance <= 3")
+    require(maxDistance <= 3, "the 4-band scheme only guarantees recall for distance <= 3")
     graft.functions.TextHashFunctions.register(docs.sparkSession)
     val withHash = docs.select(col(idCol).as("id"),
       graft.functions.TextHashFunctions.simhash64(tokens(col(textCol))).as("h"))
+    // key layout per (band b, sub s): [16-bit band b | 12-bit sub-band s
+    // of the other 48 bits | b | s] packed into one long
+    val keys = for (b <- 0 until 4; s <- 0 until 4) yield {
+      val bandBits = shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))
+      // remaining 48 bits = hash with band b's 16 bits dropped (band 3
+      // has no high part — and >>> 64 would wrap to >>> 0)
+      val loMask = (1L << (b * 16)) - 1L
+      val rest =
+        if (b == 3) col("h").bitwiseAND(lit(loMask))
+        else shiftrightunsigned(col("h"), (b + 1) * 16)
+          .multiply(lit(1L << (b * 16)))
+          .bitwiseOR(col("h").bitwiseAND(lit(loMask)))
+      val subBits = shiftrightunsigned(rest, s * 12).bitwiseAND(lit(0xFFFL))
+      bandBits.multiply(lit(1L << 16))
+        .bitwiseOR(subBits.multiply(lit(16L)))
+        .bitwiseOR(lit((b * 4 + s).toLong))
+    }
     val banded = withHash.select(col("id"), col("h"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("band", "bkey")))
+      explode(array(keys: _*)).as("bkey"))
     val l = banded.alias("l"); val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-        col("l.id") < col("r.id"))
+    l.join(r, col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
         bit_count(col("l.h").bitwiseXOR(col("r.h"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
@@ -292,6 +316,15 @@ object Dedup {
     * multi-probed to hamming distance 1, so any pair whose signatures
     * differ in ≤ 1 bit is considered; exact cosine verifies. Recall vs
     * [[embeddingCosinePairs]] is measured in DedupSpec.
+    *
+    * `bits = 0` (the default) sizes the bucket space to the corpus:
+    * ~log₂(n/32), clamped to [8, 16]. A FIXED bucket count is a scale
+    * trap — occupancy grows ∝ n, so within-bucket candidates grow ∝ n²
+    * (measured 17× cost at 10× vectors with bits=8). Growing the space
+    * with n keeps occupancy, and so cost per vector, roughly constant;
+    * the hamming-1 multi-probe keeps adjacent buckets reachable so
+    * recall degrades gently, not cliff-like, as bits rise. The sizing
+    * count() is one metadata-fast action.
     */
   def embeddingNearDupPairsLsh(
       embeddings: DataFrame,
@@ -299,18 +332,25 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       dim: Int,
-      bits: Int = 8,
+      bits: Int = 0,
       seed: Long = 42L): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     graft.functions.SketchFunctions.register(embeddings.sparkSession)
-    val sig = Similarity.signature(col("v"), dim, bits, seed)
+    val nBits =
+      if (bits > 0) bits
+      else {
+        val n = embeddings.count()
+        math.min(16, math.max(8,
+          math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+      }
+    val sig = Similarity.signature(col("v"), dim, nBits, seed)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", sig)
     // One side expands into hamming-1 probes, the other keeps its single
     // bucket: a pair matches iff hamming ≤ 1, and at most once (probe
     // values are distinct) — no pair-dedup shuffle needed.
     val l = base.select(col("id").as("id_a"), col("v").as("v_a"),
-      explode(Similarity.probes(col("bucket"), bits)).as("probe"))
+      explode(Similarity.probes(col("bucket"), nBits)).as("probe"))
     val r = base.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     l.join(r, col("probe") === col("bucket") && col("id_a") < col("id_b"))
       .withColumn("cosine", graft.functions.VectorFunctions.cosineSim(col("v_a"), col("v_b")))

@@ -135,7 +135,7 @@ object PipelineQueries extends QueryModule {
     //    set — recall asserted in DedupSpec, no SQL twin) ────────────────
     QueryDef("dedup_embedding_lsh",
       (s, dir) => Dedup.embeddingNearDupPairsLsh(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4, dim = 64, bits = 8)
+          "vec_id", "embedding", threshold = 0.4, dim = 64) // bits auto-sized to corpus
         .orderBy("id_a", "id_b"),
       None),
 
