@@ -89,28 +89,15 @@ object ProfileQueries extends QueryModule {
           CAST(0 AS BIGINT) AS null_delta
         FROM cols, p, c ORDER BY column_name""")),
 
-    // Incremental distinct via mergeable HLL sketches: one sketch per
-    // day (persisted in production), unioned for any window — the only
-    // way distinct-users-over-N-days scales, since exact distincts can't
-    // merge. Estimate is deterministic but not SQL-reproducible → no
-    // oracle; ProfilerSpec bounds the error against the exact count, and
-    // agg_incremental_distinct_exact below is the oracle-checked exact
-    // twin over the same window.
-    QueryDef("agg_sketch_incremental_distinct",
-      (s, dir) => {
-        val ev = Tables.load(s, dir, "events")
-        val daily = ev.groupBy(to_date(col("ts")).as("d"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        daily.agg(
-          count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
-      },
-      None),
-
-    // Exact twin of the sketch query: per-day exact distincts plus the
-    // exact window distinct — shows why sketches exist (sum of dailies
-    // over-counts returning users; the union does not) and gives the
-    // incremental-distinct operator a hash-checked oracle.
+    // Incremental distinct over daily windows. The production path is
+    // mergeable per-day HLL sketches unioned for any window (the only
+    // way distinct-users-over-N-days scales — exact distincts can't
+    // merge); its estimate is deterministic but not SQL-reproducible, so
+    // the sketch path lives as a Profiler/ProfilerSpec capability (error
+    // bounded ≤ 5% there) and the REGISTRY slot is carried by this exact
+    // twin: per-day exact distincts plus the exact window distinct. The
+    // sum-of-dailies vs window-distinct gap in the result is exactly why
+    // the sketch path exists (dailies over-count returning users).
     QueryDef("agg_incremental_distinct_exact",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
@@ -129,22 +116,15 @@ object ProfileQueries extends QueryModule {
                (SELECT CAST(sum(du) AS BIGINT) FROM daily) AS sum_daily_users,
                (SELECT count(DISTINCT user_id) FROM events) AS exact_users""")),
 
-    // Per-column distribution quantiles via single-pass mergeable GK
-    // sketches (approx_percentile) — exact percentiles need a full sort
-    // per column, a non-starter at scale. Deterministic but not
-    // SQL-reproducible → no oracle; accuracy bounded in ProfilerSpec,
-    // and agg_profile_quantiles_exact below is the oracle-checked exact
-    // variant.
-    QueryDef("agg_profile_quantiles",
-      (s, dir) => Profiler.quantiles(
-          Tables.load(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
-        .orderBy("column_name"),
-      None),
-
-    // Exact interpolated percentiles (PERCENTILE_CONT): Spark
-    // `percentile` and DuckDB `quantile_cont` share the definition
-    // lower + (upper − lower)·frac at rank p·(n−1), so the hash compare
-    // is exact. The audit-path twin of agg_profile_quantiles.
+    // Per-column distribution quantiles. The production path is the
+    // single-pass mergeable GK sketch (approx_percentile — exact
+    // percentiles need a full sort per column, a non-starter at scale);
+    // it is deterministic but not SQL-reproducible, so it lives as a
+    // Profiler/ProfilerSpec capability (rank error bounded there) and
+    // the REGISTRY slot is carried by the exact-percentile variant:
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // PERCENTILE_CONT definition lower + (upper − lower)·frac at rank
+    // p·(n−1), so the hash compare is exact.
     QueryDef("agg_profile_quantiles_exact",
       (s, dir) => Profiler.quantilesExact(
           Tables.load(s, dir, "orders"), Seq("o_totalprice", "o_custkey"))
