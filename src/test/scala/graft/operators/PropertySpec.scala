@@ -37,6 +37,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof with random NULLs in payload columns returns whole-row-consistent values") {
+    // the r2-advice bug class: per-column carry-forward stitches values
+    // from different right rows when the latest row has a null field —
+    // both payload values must always come from the SAME right row
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val left = (0 until 20).map(i => (i.toLong, rnd.nextInt(3), ts(rnd.nextInt(40))))
+      val rrows = (0 until 10).map(_ => (rnd.nextInt(3), rnd.nextInt(40),
+          if (rnd.nextBoolean()) Some(rnd.nextInt(100)) else None, rnd.nextInt(1000)))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val expected = left.map { case (id, k, lt) =>
+        val best = rrows.filter(r => r._1 == k && !ts(r._2).after(lt))
+          .sortBy(_._2).lastOption
+        id -> best.map(b => (b._3, b._4))
+      }.toMap
+
+      val lDf = left.toDF("id", "k", "lts")
+      val rDf = rrows.map { case (k, t, a, b) => (k, ts(t), a, b) }
+        .toDF("k", "rts", "a", "b")
+      val got = AsofJoin.asof(lDf, rDf, "k", "k", "lts", "rts", Seq("a", "b"))
+        .collect().map { r =>
+          val matched = !r.isNullAt(4) // b is non-nullable per right row
+          r.getLong(0) -> (if (matched)
+            Some((Option(r.get(3)).map(_.asInstanceOf[Int]), r.getInt(4)))
+          else None)
+        }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("saltedAggregate equals direct groupBy for count/sum/max on random data") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 10) {
