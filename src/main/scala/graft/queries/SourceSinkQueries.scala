@@ -53,6 +53,26 @@ object SourceSinkQueries extends QueryModule {
         ('USD', CAST(1.0 AS DOUBLE))) t(currency_code, standard_rate)
         ORDER BY currency_code""")),
 
+    // ORC source/sink round-trip: the columnar alternative Spark ships
+    // in-box. The region dims write to ORC, read back, and aggregate —
+    // the oracle recomputes from the original parquet, so value equality
+    // proves type-faithful fidelity through the ORC writer/reader
+    // (strings, ints) with zero extra dependencies.
+    QueryDef("src_orc_roundtrip",
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft_orc").resolve("nation").toString
+        Tables.load(s, dir, "nation").write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("n_name")).as("first_name"),
+            max(col("n_nationkey")).as("max_key"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+          min(n_name) AS first_name, CAST(max(n_nationkey) AS INTEGER) AS max_key
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // YAML job config (reference orchestrate.md:221-242 /
     // example_templates.yaml shape) driving the DQ engine end to end —
     // gives src_config_yaml a correctness row, not just a unit test.
