@@ -73,6 +73,29 @@ object SourceSinkQueries extends QueryModule {
           min(n_name) AS first_name, CAST(max(n_nationkey) AS INTEGER) AS max_key
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // JSON-lines source/sink round-trip with INFERRED schema — the
+    // other in-box format (spark-avro isn't shipped in /opt/spark/jars).
+    // Doubles survive because the JSON writer emits round-trippable
+    // reprs; integers infer back to BIGINT. Oracle recomputes from the
+    // original parquet.
+    QueryDef("src_json_roundtrip",
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft_json").resolve("events").toString
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(tmp)
+        s.read.json(tmp) // schema inferred from the JSON lines
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(20,2)")).cast("double").as("total_value"),
+            max(col("user_id")).as("max_user"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value,
+          max(user_id) AS max_user
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // YAML job config (reference orchestrate.md:221-242 /
     // example_templates.yaml shape) driving the DQ engine end to end —
     // gives src_config_yaml a correctness row, not just a unit test.
