@@ -226,14 +226,26 @@ object Dedup {
     val expanded = exploded.join(freq, "h")
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= col("plen"))
-      .select(col("id"), col("sz"), col("h").as("pkey"))
+      .select(col("id"), col("sz"), col("rnk"), col("h").as("pkey"))
     val l = expanded.alias("l"); val r = expanded.alias("r")
     // length filter (AllPairs): j ≥ t forces t·|A| ≤ |B| ≤ |A|/t — prunes
-    // size-incompatible collisions before the pair-dedup shuffle
+    // size-incompatible collisions before the pair-dedup shuffle.
+    // positional filter (PPJoin, Xiao et al. WWW'08): a token shared at
+    // (1-based) positions (i, j) of the df-ordered arrays bounds the
+    // overlap by 1 + min(|A|−i, |B|−j) — for the pair's FIRST shared
+    // token (always inside both prefixes, in the join output) every
+    // common token sits at positions ≥ (i, j), so the bound is valid
+    // there and maximal; j ≥ t needs overlap ≥ t/(1+t)·(|A|+|B|), so
+    // occurrences whose bound falls short are dropped before the
+    // pair-dedup shuffle and the exact-verify joins. Lossless: a true
+    // pair always survives via its first-shared-token occurrence
+    // (asserted against brute force in DedupSpec).
     val candidates = l.join(r,
         col("l.pkey") === col("r.pkey") && col("l.id") < col("r.id") &&
           col("l.sz") * lit(threshold) <= col("r.sz") &&
-          col("r.sz") * lit(threshold) <= col("l.sz"))
+          col("r.sz") * lit(threshold) <= col("l.sz") &&
+          (lit(1) + least(col("l.sz") - col("l.rnk"), col("r.sz") - col("r.rnk"))) >=
+            (col("l.sz") + col("r.sz")) * lit(threshold / (1.0 + threshold)) - lit(1e-9))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     attachShingles(candidates, shingled)
