@@ -566,25 +566,36 @@ object RelationalQueries extends QueryModule {
 
     // BigQuery NUMERIC-faithful money mode (SURVEY §1.2, r2-verdict
     // missing #2): the same money aggregation the engine usually runs in
-    // DOUBLE, computed and RETURNED as DECIMAL(38,9) — config-gated via
+    // DOUBLE, computed end-to-end as DECIMAL(38,9) — config-gated via
     // Exact.MoneyMode / GRAFT_MONEY_MODE. All money inputs carry ≤ 2
-    // decimal digits, so the double→NUMERIC cast is lossless and the
-    // decimal outputs hash-match DuckDB's DECIMAL(38,9) bit-for-bit.
+    // decimal digits, so the double→NUMERIC cast is lossless.
+    // The registered result canonicalizes each decimal to its plain string
+    // ('13169277.090000000' in both engines): parquet readers disagree on
+    // decimal→pandas conversion (DuckDB fetchdf silently widens DECIMAL to
+    // float64, pyarrow keeps Decimal objects), so a raw DECIMAL output
+    // hash-mismatches even when values are identical (CORRECTNESS_r03).
+    // MoneyModeSpec asserts the engine-side output type IS DecimalType(38,9)
+    // before the string boundary.
     QueryDef("agg_numeric_money_mode",
       (s, dir) => {
         val mode = NumericMode
         Tables.load(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
-          .agg(moneySum(col("o_totalprice"), mode).as("revenue_numeric"),
-            min(money(col("o_totalprice"), mode)).as("min_numeric"),
-            max(money(col("o_totalprice"), mode)).as("max_numeric"),
+          .agg(moneySum(col("o_totalprice"), mode).as("rev_dec"),
+            min(money(col("o_totalprice"), mode)).as("min_dec"),
+            max(money(col("o_totalprice"), mode)).as("max_dec"),
             count(lit(1)).as("n"))
+          .select(col("o_orderpriority"),
+            col("rev_dec").cast(StringType).as("revenue_numeric"),
+            col("min_dec").cast(StringType).as("min_numeric"),
+            col("max_dec").cast(StringType).as("max_numeric"),
+            col("n"))
           .orderBy("o_orderpriority")
       },
       Some(s"""SELECT o_orderpriority,
-          ${sqlNumericSum("o_totalprice")} AS revenue_numeric,
-          min(${sqlNumeric("o_totalprice")}) AS min_numeric,
-          max(${sqlNumeric("o_totalprice")}) AS max_numeric,
+          CAST(${sqlNumericSum("o_totalprice")} AS VARCHAR) AS revenue_numeric,
+          CAST(min(${sqlNumeric("o_totalprice")}) AS VARCHAR) AS min_numeric,
+          CAST(max(${sqlNumeric("o_totalprice")}) AS VARCHAR) AS max_numeric,
           count(*) AS n
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 

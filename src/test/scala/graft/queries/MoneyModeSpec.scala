@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NUMERIC money mode (SURVEY §1.2): the engine-side pipeline must carry
+  * and RETURN DecimalType(38,9) — BigQuery NUMERIC — in NumericMode; the
+  * registered query's string boundary exists only because driver-side
+  * parquet readers disagree on decimal→pandas conversion (DuckDB fetchdf
+  * widens DECIMAL to float64), not because the engine loses the type.
+  */
+class MoneyModeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("moneySum/money output DecimalType(38,9) in NumericMode") {
+    val df = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(Exact.moneySum(col("o_totalprice"), Exact.NumericMode).as("rev"),
+        min(Exact.money(col("o_totalprice"), Exact.NumericMode)).as("mn"))
+    assert(df.schema("rev").dataType == DecimalType(38, 9))
+    assert(df.schema("mn").dataType == DecimalType(38, 9))
+  }
+
+  test("DoubleMode matches NumericMode values exactly (lossless inputs)") {
+    val num = Tables.load(spark, sfDir, "orders")
+      .agg(Exact.moneySum(col("o_totalprice"), Exact.NumericMode)
+        .cast("double").as("v")).head.getDouble(0)
+    val dbl = Tables.load(spark, sfDir, "orders")
+      .agg(Exact.moneySum(col("o_totalprice"), Exact.DoubleMode).as("v"))
+      .head.getDouble(0)
+    assert(num == dbl)
+  }
+
+  test("decimal→string boundary is the 9-scale plain form both engines print") {
+    val row = Tables.load(spark, sfDir, "orders")
+      .agg(min(Exact.money(col("o_totalprice"), Exact.NumericMode))
+        .cast(StringType).as("s")).head.getString(0)
+    // plain notation, exactly 9 fractional digits, no exponent
+    assert(row.matches("""-?\d+\.\d{9}"""), s"unexpected decimal form: $row")
+  }
+}
