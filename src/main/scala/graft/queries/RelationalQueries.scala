@@ -18,6 +18,60 @@ object RelationalQueries extends QueryModule {
 
   private def ts(s: String): Column = lit(Timestamp.valueOf(s + " 00:00:00"))
 
+  // Dialect-neutral SQL shared verbatim by spark.sql and the DuckDB
+  // oracle (the q2/q4/q7/q13/q22 analogs below).
+  private val Q2Sql = """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15 AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      AND s_acctbal = (SELECT min(s2.s_acctbal)
+                       FROM supplier s2, lineitem l2, nation n2, region r2
+                       WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+
+  private val Q4Sql = """SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private val Q7Sql = """SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2))) AS volume
+          FROM supplier, lineitem, orders, customer, nation n1, nation n2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+            AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  private val Q13Sql = """SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  private val Q22Sql = """SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (SELECT right(c_name, 2) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE right(c_name, 2) IN ('13','31','23','29','30','18','17')
+            AND c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                             FROM customer c2
+                             WHERE c2.c_acctbal > 0.00
+                               AND right(c2.c_name, 2) IN ('13','31','23','29','30','18','17'))
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) custsale
+    GROUP BY cntrycode ORDER BY cntrycode"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── flagship: scan + filter + multi-aggregate (TPC-H Q1 shape) ──────
@@ -789,6 +843,73 @@ object RelationalQueries extends QueryModule {
           HAVING sum(l_quantity) > (SELECT 0.2 * sum(l_quantity) FROM lineitem l2
                                     WHERE l2.l_partkey = l1.l_partkey))
         ORDER BY s_name""")),
+
+    // TPC-H Q2 analog: correlated scalar MIN subquery over a multi-join
+    // (the testdata has no partsupp, so "supplies part" is stood in by
+    // "shipped part" via lineitem). The subquery shares the full
+    // region-bounded join with the outer block; Catalyst must rewrite it
+    // to ONE per-part min aggregate joined back (asserted in
+    // PlanAuditSpec) — a naive engine re-runs the 4-table join per row.
+    // Equality on the double min is exact: both engines compare the same
+    // IEEE value it selected.
+    QueryDef("q2_min_cost_supplier",
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem", "nation", "region").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q2Sql)
+      },
+      Some(Q2Sql)),
+
+    // TPC-H Q4 analog: EXISTS with a correlated NON-EQUI conjunct
+    // (l_shipdate > o_orderdate — the testdata has no commitdate) over a
+    // date-sliced orders scan → left-semi join with the date filter
+    // pushed to both scans.
+    QueryDef("q4_order_priority_check",
+      (s, dir) => {
+        Seq("orders", "lineitem").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q4Sql)
+      },
+      Some(Q4Sql)),
+
+    // TPC-H Q7 analog: bidirectional nation-pair volume by ship year —
+    // the double-dimension-alias join (nation n1 ⋈ supplier, nation n2 ⋈
+    // customer) with a disjunctive pair predicate that must NOT become a
+    // cartesian; year() is cast to INT on both sides (DuckDB's year()
+    // returns BIGINT, Spark's INT).
+    QueryDef("q7_nation_volume_shipping",
+      (s, dir) => {
+        Seq("supplier", "lineitem", "orders", "customer", "nation").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q7Sql)
+      },
+      Some(Q7Sql)),
+
+    // TPC-H Q13 analog: LEFT OUTER join with an ON-clause filter on the
+    // null-producing side (orders that aren't URGENT), then a two-level
+    // aggregate — customers with zero qualifying orders must survive as
+    // c_count=0, which an inner join (or a WHERE-clause filter) would
+    // silently drop.
+    QueryDef("q13_customer_distribution",
+      (s, dir) => {
+        Seq("customer", "orders").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q13Sql)
+      },
+      Some(Q13Sql)),
+
+    // TPC-H Q22 analog: uncorrelated scalar AVG subquery (decimal-exact
+    // sum/count, identical IEEE division both engines) + NOT EXISTS anti
+    // join. The testdata has no c_phone and every custkey has orders, so
+    // cntrycode is the last two digits of c_name and "no orders" becomes
+    // "no URGENT orders" — same decorrelation shape, non-empty result.
+    QueryDef("q22_global_sales_opportunity",
+      (s, dir) => {
+        Seq("customer", "orders").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q22Sql)
+      },
+      Some(Q22Sql)),
 
     // Generator family: posexplode — one row per array element with its
     // ordinal, the order-preserving flatten.

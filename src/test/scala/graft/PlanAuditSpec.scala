@@ -77,6 +77,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"), p20)
   }
 
+  test("Q2's correlated scalar MIN decorrelates to one per-part aggregate") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // min-per-part is ONE agg, not per-row
+  }
+
+  test("Q4's non-equi EXISTS decorrelates to a semi join with pushed date filters") {
+    val p = plan("q4_order_priority_check")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate.*"), p)
+  }
+
+  test("Q7's disjunctive nation-pair predicate stays a hash join, not a cartesian") {
+    val p = plan("q7_nation_volume_shipping")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // both nation aliases broadcast
+  }
+
+  test("Q13's outer join keeps zero-order customers (LeftOuter in the plan)") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q22's NOT EXISTS anti-joins; the scalar avg is a one-row subquery, not a rescan") {
+    val p = plan("q22_global_sales_opportunity")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("top-k similarity aggregates with bounded state (ObjectHashAggregate)") {
     val p = plan("sim_topk_brute")
     assert(p.contains("ObjectHashAggregate"), p)
@@ -138,7 +169,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q5_local_supplier_volume", "q18_large_volume_customer",
     "q21_sole_fault_supplier", "agg_profile_stats", "sim_topk_ivf",
     "pipeline_daily_run", "q17_small_quantity_revenue",
-    "q20_dominant_share_supplier", "streaming_interval_join")
+    "q20_dominant_share_supplier", "streaming_interval_join",
+    "q2_min_cost_supplier", "q7_nation_volume_shipping",
+    "q13_customer_distribution", "q22_global_sales_opportunity")
 
   test("stress queries keep cartesian/BNLJ-free plans at sf1 (10× data)") {
     val sf1 = "/root/repo/sf1"
