@@ -53,6 +53,15 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** The ±1 component of hyperplane `j` at dimension `d` — public so the
+    * oracle-SQL generator (and specs) can restate the exact plane matrix
+    * as literals; [[rhSignature]] derives the same value inline.
+    */
+  def planeWeight(seed: Long, j: Int, d: Int): Double = {
+    val h = mix(seed ^ (j.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL))
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
   /** Random-hyperplane signature: bit j = [dot(v, plane_j) >= 0] with
     * plane components ±1 derived from mix(seed, bit, dim) parity — the
     * planes never materialize.

@@ -38,13 +38,25 @@ object TextKernels {
   /** 64-bit SimHash of a token array: per-bit votes weighted by token
     * frequency; bit set iff vote sum > 0.
     */
-  def simhash64(tokens: ArrayData): Long = {
+  def simhash64(tokens: ArrayData): Long =
+    simhashFromVotes(tokens, md5Based = false)
+
+  /** SimHash over md5-derived token hashes (see [[md5Low64]]) — slower
+    * than the FNV path, but md5 is a cross-engine primitive, so an
+    * external ANSI-SQL engine can recompute the identical simhash and
+    * serve as an exact correctness oracle for the near-dup pair set.
+    */
+  def simhash64Md5(tokens: ArrayData): Long =
+    simhashFromVotes(tokens, md5Based = true)
+
+  private def simhashFromVotes(tokens: ArrayData, md5Based: Boolean): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = fnv1a64(tokens.getUTF8String(i))
+        val t = tokens.getUTF8String(i)
+        val h = if (md5Based) md5Low64(t) else fnv1a64(t)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -57,6 +69,25 @@ object TextKernels {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Low 64 bits of md5(utf8 bytes): digest bytes 8..15 big-endian —
+    * exactly the number an ANSI engine gets by parsing hex chars 17..32
+    * of the md5 hex string as one base-16 integer.
+    */
+  def md5Low64(s: UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var h = 0L
+    var i = 8
+    while (i < 16) { h = (h << 8) | (digest(i) & 0xFFL); i += 1 }
+    h
   }
 }
 
@@ -131,18 +162,20 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash64"
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, md5Based: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got ${dt.simpleString}")
   }
+  private def kernel: String = if (md5Based) "simhash64Md5" else "simhash64"
   override protected def nullSafeEval(v: Any): Any =
-    TextKernels.simhash64(v.asInstanceOf[ArrayData])
+    if (md5Based) TextKernels.simhash64Md5(v.asInstanceOf[ArrayData])
+    else TextKernels.simhash64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.$kernel($c)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (md5Based) "simhash64_md5" else "simhash64"
 }
 
 object TextHashFunctions {
@@ -150,6 +183,8 @@ object TextHashFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64_md5",
+      es => SimHash64(es.head, md5Based = true), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => {
       val n = es(1).eval(null) match {
         case i: Int => i
@@ -161,6 +196,7 @@ object TextHashFunctions {
   }
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
+  def simhash64Md5(c: Column): Column = call_function("simhash64_md5", c)
   def shingleHashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
 }

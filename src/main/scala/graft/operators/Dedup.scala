@@ -272,11 +272,18 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      md5TokenHash: Boolean = false): DataFrame = {
     require(maxDistance <= 3, "the 4-band scheme only guarantees recall for distance <= 3")
     graft.functions.TextHashFunctions.register(docs.sparkSession)
+    // md5TokenHash swaps the FNV-1a token hash for md5-low-64: slower,
+    // but recomputable by any ANSI engine — with the pigeonhole recall
+    // guarantee this makes the whole operator exactly oracle-checkable
+    val hashFn: Column => Column =
+      if (md5TokenHash) graft.functions.TextHashFunctions.simhash64Md5
+      else graft.functions.TextHashFunctions.simhash64
     val withHash = docs.select(col(idCol).as("id"),
-      graft.functions.TextHashFunctions.simhash64(tokens(col(textCol))).as("h"))
+      hashFn(tokens(col(textCol))).as("h"))
     // key layout per (band b, sub s): [16-bit band b | 12-bit sub-band s
     // of the other 48 bits | b | s] packed into one long
     val keys = for (b <- 0 until 4; s <- 0 until 4) yield {

@@ -120,6 +120,50 @@ object Similarity {
     * (train once, assign at ingest), so queries touch nProbe/numCentroids
     * of the data.
     */
+  /** IVF top-k with a *deterministic* coarse quantizer: the centroids are
+    * the candidate vectors with the `numCentroids` smallest ids (corpus
+    * sampling is a standard quantizer initialization; quantizer quality
+    * only moves recall/cost, never the operator's semantics). Every step —
+    * centroid pick, cell assignment (argmax cosine, ties to the lower
+    * cell), probe choice, final ranking — is a pure function of the data,
+    * so an external ANSI-SQL engine can replay the whole algorithm and
+    * serve as an exact oracle. Plan shape matches [[ivfTopK]]: candidates
+    * stream through broadcast joins; only |C| + |Q|·k rows shuffle.
+    */
+  def ivfTopKSeeded(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      numCentroids: Int = 8,
+      nProbe: Int = 3): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    val centroids = candidates.orderBy(col("cid"))
+      .limit(numCentroids)
+      .select(col("cid").as("cell_id"), col("cvec").as("centroid"))
+    // candidate → owning cell: argmax cosine over the broadcast centroid
+    // set via the k=1 bounded heap (ties: lower cell id, the heap's order)
+    val cAssigned = rankTopK(
+        candidates.crossJoin(broadcast(centroids))
+          .select(col("cid").as("qid"), col("cell_id").as("cid"),
+            VectorFunctions.cosineSim(col("cvec"), col("centroid")).as("sim")),
+        1)
+      .select(col("query_id").as("cid"), col("neighbor_id").as("cell"))
+      .join(candidates, "cid")
+    val qProbes = rankTopK(
+        queries.crossJoin(broadcast(centroids))
+          .select(col("qid"),
+            col("cell_id").as("cid"),
+            VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("sim")),
+        nProbe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
+      .join(queries, "qid")
+    val scored = cAssigned.join(broadcast(qProbes),
+        cAssigned("cell") === qProbes("cell") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)

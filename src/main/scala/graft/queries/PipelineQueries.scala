@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * exactly — `list_cosine_similarity` over DOUBLE[] matches
   * [[graft.functions.VectorKernels.cosine]] bit-for-bit (sequential
   * double accumulation, dot/(√nx·√ny)), and integer-ratio Jaccard is
-  * exact in both engines. Approximate operators (SimHash bands, LSH
-  * probes) register without an oracle — their guarantees are asserted in
-  * DedupSpec/SimilaritySpec instead.
+  * exact in both engines. Every query here is oracle-checked, including
+  * the LSH/SimHash/IVF family: their randomness is seed-derived and
+  * data-independent, so [[OracleGen]] restates the exact hyperplane
+  * matrices / hash constants in SQL and the oracle replays the full
+  * algorithm (see each query's comment for the exactness argument).
   */
 object PipelineQueries extends QueryModule {
 
@@ -105,13 +107,33 @@ object PipelineQueries extends QueryModule {
       Some("""SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         max(doc_id) AS max_id FROM documents""")),
 
-    // ── SimHash near-dup: approximate (banded 64-bit simhash) — no SQL
-    //    twin; DedupSpec asserts the distance-≤3 recall guarantee. ───────
+    // ── SimHash near-dup, EXACT-oracle form: the two-level 4×16-bit
+    //    banding guarantees 100% recall at hamming ≤ 3 (pigeonhole), and
+    //    the final bit_count filter removes every false positive — so the
+    //    output IS the brute-force hamming-≤3 pair set. With md5-low-64
+    //    token hashes (a cross-engine primitive, vs the default FNV-1a)
+    //    the oracle rebuilds the identical simhashes in SQL and replays
+    //    that brute force. ──────────────────────────────────────────────
     QueryDef("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", maxDistance = 3)
+          "doc_id", "text", maxDistance = 3, md5TokenHash = true)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH t AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        hv AS (SELECT doc_id, ${OracleGen.md5Low64Expr("md5(tok)")} AS hv FROM t),
+        votes AS (SELECT doc_id, b,
+            sum(CASE WHEN (hv >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+          GROUP BY doc_id, b),
+        sh AS (SELECT doc_id,
+            sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)::UBIGINT AS h
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+        ORDER BY doc_a, doc_b""")),
 
     // ── embedding-cosine near-dup: exact quadratic baseline. The
     //    registered query BOUNDS its input to the first 1000 ids so the
@@ -131,13 +153,28 @@ object PipelineQueries extends QueryModule {
         ORDER BY id_a, id_b""")),
 
     // ── embedding near-dup, scale path: LSH-bucketed candidates with
-    //    hamming-1 probes, exact-cosine verified (approximate candidate
-    //    set — recall asserted in DedupSpec, no SQL twin) ────────────────
+    //    hamming-1 probes, exact-cosine verified. The hyperplane matrix
+    //    is a pure function of the seed, so the oracle restates it as
+    //    literal ±1 chains and replays the full algorithm: auto-sized
+    //    bucket width, signature, hamming-≤1 candidate rule (≡ the
+    //    probe join), exact cosine ≥ t. ─────────────────────────────────
     QueryDef("dedup_embedding_lsh",
       (s, dir) => Dedup.embeddingNearDupPairsLsh(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, dim = 64) // bits auto-sized to corpus
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH p AS (SELECT least(16, greatest(8,
+            CAST(ceil(ln(count(*) / 32.0) / ln(2)) AS INTEGER))) AS nbits
+          FROM embeddings),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        sig AS (SELECT vec_id, e,
+            ${OracleGen.sigExprMasked(42L, 16, 64, "e", "nbits")} AS s
+          FROM v CROSS JOIN p)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_cosine_similarity(a.e, b.e) AS cosine
+        FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.s, b.s)) <= 1
+          AND list_cosine_similarity(a.e, b.e) >= 0.4
+        ORDER BY id_a, id_b""")),
 
     // ── similarity search: exact top-k per query (bounded-heap agg) ─────
     QueryDef("sim_topk_brute",
@@ -217,8 +254,11 @@ object PipelineQueries extends QueryModule {
         list_min(codes) AS code_min, list_max(codes) AS code_max
       FROM c ORDER BY vec_id""")),
 
-    // ── similarity search: LSH-bucketed ANN (approximate — recall vs
-    //    brute force asserted in SimilaritySpec, no SQL twin) ────────────
+    // ── similarity search: multi-table LSH-bucketed ANN. Deterministic
+    //    seed-derived hyperplanes → the oracle restates all 4 tables'
+    //    plane matrices as literals; a pair is a candidate iff some
+    //    table's signatures sit within hamming 1 (≡ the probe join);
+    //    duplicate matches across tables collapse (heap ↔ one SQL row). ─
     QueryDef("sim_topk_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -230,10 +270,34 @@ object PipelineQueries extends QueryModule {
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some {
+        val sigs = (0 until 4).map(t =>
+          s"${OracleGen.sigExpr(OracleGen.lshTableSeed(42L, t), 8, 64, "e")} AS s$t")
+          .mkString(",\n            ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        sig AS (SELECT vec_id, e,
+            $sigs
+          FROM v),
+        pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10 AND (
+            bit_count(xor(q.s0, c.s0)) <= 1 OR bit_count(xor(q.s1, c.s1)) <= 1 OR
+            bit_count(xor(q.s2, c.s2)) <= 1 OR bit_count(xor(q.s3, c.s3)) <= 1)),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM pairs)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
+      }),
 
-    // ── similarity search: IVF (k-means cells + nProbe) — approximate,
-    //    recall vs brute force asserted in SimilaritySpec ────────────────
+    // ── similarity search: IVF with a deterministic seeded coarse
+    //    quantizer (centroids = lowest-id corpus vectors, one-pass argmax
+    //    assignment) — every step is a pure function of the data, so the
+    //    oracle replays the whole algorithm: centroid pick, cell
+    //    assignment, nProbe probe choice, exact in-cell ranking. The
+    //    KMeans-trained variant stays the library's tunable path
+    //    (SimilaritySpec bounds its recall). ─────────────────────────────
     QueryDef("sim_topk_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -241,11 +305,34 @@ object PipelineQueries extends QueryModule {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val candidates = emb
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        Similarity.ivfTopK(queries, candidates, k = 5, numCentroids = 8, nProbe = 3)
+        Similarity.ivfTopKSeeded(queries, candidates, k = 5, numCentroids = 8, nProbe = 3)
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 3),
+        scored AS (SELECT p.qid, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
 
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
