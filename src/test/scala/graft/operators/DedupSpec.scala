@@ -107,6 +107,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L))) // identical normalized text → distance 0
   }
 
+  test("simhashPairs md5 variant equals brute force (the oracle's exactness premise)") {
+    import graft.functions.TextHashFunctions
+    TextHashFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val hashes = corpus
+      .select(col("doc_id"), TextHashFunctions.simhash64Md5(tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxDistance = 3, md5TokenHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // the md5 kernel itself: low 64 bits of the hex digest, big-endian
+    val one = graft.functions.TextKernels.md5Low64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+    // md5('hello') = 5d41402abc4b2a76 b9719d911017c592 → low half b971…c592
+    assert(one == java.lang.Long.parseUnsignedLong("b9719d911017c592", 16))
+  }
+
   test("dropExactDuplicates keeps the canonical (min-id) doc per group") {
     val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -103,6 +103,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9 (|brute|=${brute.size}, |ivf|=${ivf.size})")
   }
 
+  /** ivfTopKSeeded is a pure function of the data — this replays the
+    * exact algorithm driver-side (lowest-id centroids, argmax cell
+    * assignment with ties to the lower cell, top-nProbe probe cells,
+    * in-cell exact ranking) and demands equality, the same argument the
+    * DuckDB oracle twin rests on.
+    */
+  test("ivfTopKSeeded equals a driver-side replay of the deterministic algorithm") {
+    val (nc, np, k) = (8, 3, 5)
+    val got = Similarity.ivfTopKSeeded(asQ(emb.filter($"vec_id" < 10)), asC(emb), k, nc, np)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { val a = x(i).toDouble; val b = y(i).toDouble; d += a*b; nx += a*a; ny += b*b }
+      val den = math.sqrt(nx) * math.sqrt(ny); if (den == 0) 0 else d / den
+    }
+    val cents = vecs.take(nc)
+    def bestCells(v: Array[Float], n: Int): Seq[Long] =
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+    val cellOf = vecs.map { case (id, v) => id -> bestCells(v, 1).head }.toMap
+    for ((q, qv) <- vecs if q < 10) {
+      val probed = bestCells(qv, np).toSet
+      val expect = vecs
+        .filter { case (c, _) => c != q && probed.contains(cellOf(c)) }
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k).toSeq
+      assert(got(q) == expect, s"query $q")
+    }
+  }
+
   test("lshTopK explain has no cartesian/broadcast-nested-loop join") {
     val q = asQ(emb.filter($"vec_id" < 5))
     val plan = Similarity.lshTopK(q, asC(emb), 5, dim = 64, bits = 8)
