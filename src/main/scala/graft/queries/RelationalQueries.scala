@@ -52,6 +52,99 @@ object RelationalQueries extends QueryModule {
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year"""
 
+  private val Q6Sql = """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+  private val Q8Sql = """SELECT o_year,
+           CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(19,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2))) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND p_type = 'LARGE') all_nations
+    GROUP BY o_year ORDER BY o_year"""
+
+  private val Q9Sql = """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))
+                   - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%') profit
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+
+  private val Q10Sql = """SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  private val Q12Sql = """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private val Q14Sql = """SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(19,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM (SELECT p_type,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2))) AS volume
+          FROM lineitem, part
+          WHERE l_partkey = p_partkey
+            AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01') pv"""
+
+  private val Q15Sql = """WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  private val Q16Sql = """SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  private val Q19Sql = """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+           AND l_quantity >= 1 AND l_quantity <= 11 AND p_size >= 1 AND p_size <= 5)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND l_quantity >= 10 AND l_quantity <= 20 AND p_size >= 1 AND p_size <= 10)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+           AND l_quantity >= 20 AND l_quantity <= 30 AND p_size >= 1 AND p_size <= 15)"""
+
   private val Q13Sql = """SELECT c_count, count(*) AS custdist
     FROM (SELECT c_custkey, count(o_orderkey) AS c_count
           FROM customer LEFT OUTER JOIN orders
@@ -910,6 +1003,118 @@ object RelationalQueries extends QueryModule {
         s.sql(Q22Sql)
       },
       Some(Q22Sql)),
+
+    // TPC-H Q6 analog: single-table forecast-revenue — every predicate
+    // (date range, discount band, quantity cap) must reach the parquet
+    // scan as PushedFilters; the whole query is one scan + one partial/
+    // final agg, zero joins. The discount bounds compare stored doubles
+    // against the same parsed literals — exact in both engines.
+    QueryDef("q6_forecast_revenue",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(Q6Sql)
+      },
+      Some(Q6Sql)),
+
+    // TPC-H Q8 analog: market share — the 8-table join with a CASE
+    // numerator over a shared decimal volume; the two nation aliases
+    // route customer-side (region filter) and supplier-side (share
+    // dimension) independently. Ratio division happens on DOUBLE after
+    // decimal-exact sums, so it is one IEEE op in both engines.
+    QueryDef("q8_market_share",
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q8Sql)
+      },
+      Some(Q8Sql)),
+
+    // TPC-H Q9 analog: product-type profit across all years — 5-table
+    // join, LIKE filter on the part name, per-(nation, year) aggregate
+    // of a two-term decimal expression (price·(1−disc) − cost·qty; the
+    // testdata has no partsupp, so p_retailprice stands in for
+    // ps_supplycost). No date filter: this is the full-history scan
+    // shape whose join order matters most at scale.
+    QueryDef("q9_product_type_profit",
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem", "orders", "nation")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q9Sql)
+      },
+      Some(Q9Sql)),
+
+    // TPC-H Q10 analog: returned-item revenue ranking — 4-table join,
+    // one-quarter date slice, group by the full customer tuple, top 20
+    // by revenue. The sort-limit must collapse to TakeOrderedAndProject
+    // (no full sort of the aggregate output at scale).
+    QueryDef("q10_returned_item_ranking",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "nation")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q10Sql)
+      },
+      Some(Q10Sql)),
+
+    // TPC-H Q12 analog: shipping-priority counts — join + two CASE-sum
+    // counters split by order priority, with a non-equi date conjunct
+    // (shipped > 30 days after ordering; the testdata has no
+    // commit/receipt dates). INTERVAL arithmetic is identical in both
+    // engines; the counts are integers.
+    QueryDef("q12_priority_shipping",
+      (s, dir) => {
+        Seq("orders", "lineitem")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q12Sql)
+      },
+      Some(Q12Sql)),
+
+    // TPC-H Q14 analog: promo-revenue percentage — one month slice, CASE
+    // numerator over the shared decimal volume, 100·x/y on doubles.
+    QueryDef("q14_promo_revenue",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q14Sql)
+      },
+      Some(Q14Sql)),
+
+    // TPC-H Q15 analog: top supplier — a CTE aggregate referenced twice
+    // (once as the join input, once under an uncorrelated scalar MAX).
+    // Equality on total_revenue compares the same double both references
+    // computed from the same decimal sum — exact in both engines.
+    QueryDef("q15_top_supplier",
+      (s, dir) => {
+        Seq("supplier", "lineitem")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q15Sql)
+      },
+      Some(Q15Sql)),
+
+    // TPC-H Q16 analog: supplier-count distribution — COUNT(DISTINCT)
+    // per group plus a NOT IN subquery, which Spark must plan as a
+    // null-aware anti join (s_suppkey is non-null, so semantics match a
+    // plain anti join; the planner still proves it). lineitem stands in
+    // for the absent partsupp as the supplier-part relation.
+    QueryDef("q16_supplier_part_counts",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q16Sql)
+      },
+      Some(Q16Sql)),
+
+    // TPC-H Q19 analog: the disjunctive-predicate join — three OR'd
+    // conjunction groups each repeating the equi-join key. Catalyst must
+    // extract the common p_partkey = l_partkey as the join condition
+    // (no cartesian; asserted suite-wide in PlanAuditSpec) and push the
+    // residual OR below as a filter.
+    QueryDef("q19_disjunctive_revenue",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q19Sql)
+      },
+      Some(Q19Sql)),
 
     // Generator family: posexplode — one row per array element with its
     // ordinal, the order-preserving flatten.
