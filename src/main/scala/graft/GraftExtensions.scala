@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array") {
       es => SimHash64(es.head)
     }
+    inject("simhash64_md5", "simhash64_md5(tokens) - SimHash over md5-low-64 token hashes (oracle-replayable)") {
+      es => SimHash64(es.head, md5Based = true)
+    }
+    inject("token_rolling_hash64", "token_rolling_hash64(tokens) - order-sensitive rolling document fingerprint") {
+      es => TokenRollingHash64(es.head)
+    }
     inject("shingle_hashes", "shingle_hashes(text, n) - sorted distinct word n-gram hashes") {
       es => ShingleHashes(es.head, litInt(es(1)))
     }

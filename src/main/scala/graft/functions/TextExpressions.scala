@@ -71,6 +71,26 @@ object TextKernels {
     out
   }
 
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * the tokens' md5-low-64 values (mod 2⁶⁴ via natural long wrap —
+    * bit-identical to unsigned mod-2⁶⁴ arithmetic). Unlike the md5
+    * whole-text fingerprint this is incrementally computable over
+    * chunked documents (combine chunk A's hash with chunk B via
+    * h_A·1000003^|B| + h_B), the property a 100 TB ingest needs; unlike
+    * SimHash it distinguishes token permutations. md5 per token keeps it
+    * recomputable by any ANSI engine.
+    */
+  def tokenRollingHash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) h = h * 1000003L + md5Low64(tokens.getUTF8String(i))
+      i += 1
+    }
+    h
+  }
+
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -178,6 +198,21 @@ case class SimHash64(child: Expression, md5Based: Boolean = false) extends Unary
   override def prettyName: String = if (md5Based) "simhash64_md5" else "simhash64"
 }
 
+/** token_rolling_hash64(tokens) → bigint document fingerprint. */
+case class TokenRollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"token_rolling_hash64 expects array<string>, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.tokenRollingHash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenRollingHash64($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "token_rolling_hash64"
+}
+
 object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -185,6 +220,8 @@ object TextHashFunctions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64_md5",
       es => SimHash64(es.head, md5Based = true), "scala_udf")
+    reg.createOrReplaceTempFunction("token_rolling_hash64",
+      es => TokenRollingHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => {
       val n = es(1).eval(null) match {
         case i: Int => i
@@ -197,6 +234,7 @@ object TextHashFunctions {
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def simhash64Md5(c: Column): Column = call_function("simhash64_md5", c)
+  def tokenRollingHash64(c: Column): Column = call_function("token_rolling_hash64", c)
   def shingleHashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
 }

@@ -664,6 +664,35 @@ object PipelineQueries extends QueryModule {
           list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mean_word_len
         FROM g ORDER BY doc_id""")),
 
+    // ── document fingerprinting, rolling-hash form: order-sensitive
+    //    polynomial fold over token md5-low-64 values (incrementally
+    //    computable over chunked docs — the 100 TB ingest property; see
+    //    TextKernels.tokenRollingHash64). The oracle refolds the same
+    //    hash in SQL (HUGEINT mod 2⁶⁴, then two's-complement to BIGINT)
+    //    and recomputes the per-fingerprint duplicate counts. ───────────
+    QueryDef("text_fingerprint_rolling",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.TextHashFunctions.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextHashFunctions.tokenRollingHash64(tokens(col("text"))).as("fp"))
+          .withColumn("n_same", count(lit(1)).over(Window.partitionBy("fp")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, list_reduce(
+            list_prepend(0::HUGEINT, [${OracleGen.md5Low64Expr("md5(tok)")} FOR tok IN toks]),
+            (acc, x) -> (acc * 1000003::HUGEINT + x) % 18446744073709551616::HUGEINT) AS fpu
+          FROM t),
+        g AS (SELECT doc_id, CAST(CASE WHEN fpu >= 9223372036854775808::HUGEINT
+            THEN fpu - 18446744073709551616::HUGEINT ELSE fpu END AS BIGINT) AS fp
+          FROM f)
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+        FROM g ORDER BY doc_id""")),
+
     // ── PII redaction: deterministic fake contact info appended, then
     //    email/phone patterns redacted; counts + redacted text length
     //    prove the patterns fire identically in both engines ───────────

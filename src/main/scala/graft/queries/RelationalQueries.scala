@@ -711,6 +711,27 @@ object RelationalQueries extends QueryModule {
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // CUBE: all four grouping combinations in one Expand aggregate —
+    // completes the multi-dim family (grouping sets / rollup / cube).
+    QueryDef("agg_cube",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"),
+            grouping($"o_orderstatus").as("g_status"),
+            grouping($"o_orderpriority").as("g_prio"))
+          .orderBy($"g_status", $"g_prio",
+            $"o_orderstatus".asc_nulls_last, $"o_orderpriority".asc_nulls_last)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          ${sqlDsum("o_totalprice")} AS revenue,
+          CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio,
+          o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
     // BigQuery NUMERIC-faithful money mode (SURVEY §1.2, r2-verdict
     // missing #2): the same money aggregation the engine usually runs in
     // DOUBLE, computed end-to-end as DECIMAL(38,9) — config-gated via

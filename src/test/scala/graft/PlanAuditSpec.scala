@@ -108,6 +108,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("Q6's predicates all reach the parquet scan") {
+    // FormattedMode prints the full PushedFilters list (the plan
+    // toString truncates it)
+    val p = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+  }
+
+  test("Q10's top-20 compiles to TakeOrderedAndProject (no full sort of the aggregate)") {
+    val p = plan("q10_returned_item_ranking")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q16's NOT IN plans as a null-aware anti join") {
+    val p = plan("q16_supplier_part_counts")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q19's disjunctive predicate keeps the common equi key as a hash join") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("top-k similarity aggregates with bounded state (ObjectHashAggregate)") {
     val p = plan("sim_topk_brute")
     assert(p.contains("ObjectHashAggregate"), p)
@@ -171,7 +202,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_daily_run", "q17_small_quantity_revenue",
     "q20_dominant_share_supplier", "streaming_interval_join",
     "q2_min_cost_supplier", "q7_nation_volume_shipping",
-    "q13_customer_distribution", "q22_global_sales_opportunity")
+    "q13_customer_distribution", "q22_global_sales_opportunity",
+    "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_item_ranking", "q12_priority_shipping",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q19_disjunctive_revenue", "dedup_simhash", "text_fingerprint_rolling")
 
   test("stress queries keep cartesian/BNLJ-free plans at sf1 (10× data)") {
     val sf1 = "/root/repo/sf1"
