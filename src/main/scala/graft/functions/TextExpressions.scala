@@ -56,7 +56,7 @@ object TextKernels {
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val t = tokens.getUTF8String(i)
-        val h = if (md5Based) md5Low64(t) else fnv1a64(t)
+        val h = if (md5Based) md5Low64Cached(t) else fnv1a64(t)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -85,10 +85,32 @@ object TextKernels {
     var h = 0L
     var i = 0
     while (i < n) {
-      if (!tokens.isNullAt(i)) h = h * 1000003L + md5Low64(tokens.getUTF8String(i))
+      if (!tokens.isNullAt(i)) h = h * 1000003L + md5Low64Cached(tokens.getUTF8String(i))
       i += 1
     }
     h
+  }
+
+  /** [[md5Low64]] behind a per-thread memo: token frequencies are
+    * zipfian, so most md5 calls in a corpus pass repeat a hash already
+    * computed on this thread. Bounded at 64k entries (few MB/thread);
+    * past the bound new tokens pay the digest, the memo keeps serving
+    * the head of the distribution.
+    */
+  private val Md5Memo = new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+    override def initialValue() = new java.util.HashMap[String, java.lang.Long](1 << 14)
+  }
+
+  def md5Low64Cached(s: UTF8String): Long = {
+    val memo = Md5Memo.get()
+    val key = s.toString
+    val hit = memo.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val v = md5Low64(s)
+      if (memo.size < 65536) memo.put(key, v)
+      v
+    }
   }
 
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {

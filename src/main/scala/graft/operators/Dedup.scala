@@ -63,7 +63,8 @@ object Dedup {
     * star rounds that needs a graph far beyond 2^20 nodes) — non-converged
     * output is never returned silently.
     */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20,
+      localFinishEdges: Long = 10000000L): DataFrame = {
     // materialize the pair relation once BEFORE deriving nodes/edges —
     // `pairs` is usually an expensive lazy plan (candidate join + verify),
     // and multiple references to it would compute it multiple times
@@ -76,10 +77,21 @@ object Dedup {
         least(col("a"), col("b")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
+    // Hybrid finish (the shape GraphX/GraphFrames CC uses): star rounds
+    // contract the edge set distributively; once it fits one partition,
+    // a single-task union-find replaces the remaining O(log n) rounds —
+    // each of which costs ~5 driver-coordinated jobs regardless of size.
+    // At 100 TB the loop below runs until the contraction crosses the
+    // threshold; at test SFs the pair relation is already below it and
+    // clustering is one shuffle-free pass. Longs only (every caller's id
+    // type); other key types take the pure star loop.
+    val isLongKeyed = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
     var converged = false
     var i = 0
     var prevSig = (-1L, 0L)
-    while (!converged && i < maxIterations) {
+    var edgeCount = if (isLongKeyed) edges.count() else Long.MaxValue
+    while (!converged && i < maxIterations && edgeCount > localFinishEdges) {
       // large-star: every neighbor LARGER than the center u links to the
       // min of u's closed neighborhood — flattens tall trees
       val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -105,15 +117,53 @@ object Dedup {
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
+      edgeCount = sig._1
       edges = next
       i += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"duplicateClusters did not converge in $maxIterations rounds; " +
-        "raise maxIterations — returning partial labels would be wrong")
+    val starEdges =
+      if (isLongKeyed && !converged && edgeCount <= localFinishEdges) {
+        // local finish: one shuffle-free union-find pass over the (small,
+        // possibly pre-contracted) edge set; min-rooted unions make every
+        // root the component minimum, matching the star loop's labels
+        val sess = edges.sparkSession
+        import sess.implicits._
+        edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val parent = new java.util.HashMap[Long, Long]()
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+              var c = x
+              while (parent.getOrDefault(c, c) != c) {
+                val n = parent.get(c); parent.put(c, r); c = n
+              }
+              r
+            }
+            it.foreach { case (a, b) =>
+              parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) {
+                if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+              }
+            }
+            val out = Vector.newBuilder[(Long, Long)]
+            parent.keySet.forEach(k => out += (k -> find(k)))
+            out.result().iterator
+          }
+          .toDF("src", "dst")
+          .filter(col("src") =!= col("dst"))
+      } else {
+        if (!converged) throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxIterations rounds; " +
+            "raise maxIterations — returning partial labels would be wrong")
+        edges
+      }
     // at the fixed point edges are disjoint stars rooted at each
     // component's min id; roots and isolated nodes label themselves
-    nodes.join(edges.select(col("src").as("id"), col("dst").as("cid")), Seq("id"), "left")
+    nodes.join(starEdges.select(col("src").as("id"), col("dst").as("cid")), Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("cid"), col("id")).as("cluster_id"))
   }

@@ -151,6 +151,18 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters.keySet == (1L to 9L).toSet)
   }
 
+  test("duplicateClusters star loop (local finish disabled) agrees with the union-find path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L), (9L, 9L)) ++
+      (10L to 18L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val df = pairs.toDF("doc_a", "doc_b")
+    val viaLoop = Dedup.duplicateClusters(df, localFinishEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = Dedup.duplicateClusters(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == viaLocal)
+    assert(viaLoop((18L)) == 10L) // chain labeled by its min
+  }
+
   test("embedding near-dup: LSH path result ⊆ exact path, full recall here") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
