@@ -145,6 +145,19 @@ object RelationalQueries extends QueryModule {
        OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
            AND l_quantity >= 20 AND l_quantity <= 30 AND p_size >= 1 AND p_size <= 15)"""
 
+  // Threshold is a multiple of the AVERAGE part share (TPC-H Q11's own
+  // 0.0001/SF device) so the qualifying fraction is scale-free — a fixed
+  // fraction-of-total empties the result as the part count grows.
+  private val Q11Sql = """SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) >
+      (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 1.2
+         / CAST(count(DISTINCT l_partkey) AS DOUBLE)
+       FROM lineitem)
+    ORDER BY part_value DESC, l_partkey"""
+
   private val Q13Sql = """SELECT c_count, count(*) AS custdist
     FROM (SELECT c_custkey, count(o_orderkey) AS c_count
           FROM customer LEFT OUTER JOIN orders
@@ -710,6 +723,72 @@ object RelationalQueries extends QueryModule {
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY g_status, g_prio,
           o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
+    // TPC-H Q11 analog: HAVING gated by an UNCORRELATED scalar subquery
+    // (a global fraction-of-total threshold) — one extra full aggregate
+    // evaluated once and broadcast into the HAVING filter, not per
+    // group. lineitem value stands in for the absent partsupp stock.
+    QueryDef("q11_important_part_value",
+      (s, dir) => {
+        Seq("lineitem").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(Q11Sql)
+      },
+      Some(Q11Sql)),
+
+    // Bitwise aggregate family: AND/OR/XOR folds per group (the
+    // flag-mask summaries a feature-flag/permissions pipeline needs).
+    QueryDef("agg_bitwise_family",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(bit_and($"l_linenumber").as("mask_and"),
+            bit_or($"l_linenumber").as("mask_or"),
+            bit_xor($"l_linenumber").as("mask_xor"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          bit_and(l_linenumber) AS mask_and,
+          bit_or(l_linenumber) AS mask_or,
+          bit_xor(l_linenumber) AS mask_xor,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Distribution window functions: percent_rank/cume_dist (exact
+    // integer-ratio doubles) + first/nth/last over an explicit
+    // unbounded ROWS frame (the default frame differs between engines
+    // for last_value — always state it).
+    QueryDef("window_dist_functions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val order = Seq($"o_totalprice".desc, $"o_orderkey".asc)
+        val w = Window.partitionBy($"o_custkey").orderBy(order: _*)
+        val frame = Window.partitionBy($"o_custkey").orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, dir, "orders")
+          .filter($"o_custkey" <= 20)
+          .select($"o_custkey", $"o_orderkey",
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"),
+            first($"o_orderkey").over(frame).as("top_order"),
+            nth_value($"o_orderkey", 2).over(frame).as("second_order"),
+            last($"o_orderkey").over(frame).as("bottom_order"))
+          .orderBy($"o_custkey", $"pct_rank", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cdist,
+          first_value(o_orderkey) OVER wf AS top_order,
+          nth_value(o_orderkey, 2) OVER wf AS second_order,
+          last_value(o_orderkey) OVER wf AS bottom_order
+        FROM orders WHERE o_custkey <= 20
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+          wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, pct_rank, o_orderkey""")),
 
     // CUBE: all four grouping combinations in one Expand aggregate —
     // completes the multi-dim family (grouping sets / rollup / cube).

@@ -18,6 +18,20 @@ object StreamingQueries extends QueryModule {
           event_type, count(*) AS n_events
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // Sliding windows (2h window, 1h slide — every event in exactly two
+    // epoch-aligned windows); the oracle materializes both window starts
+    // per event and re-aggregates.
+    QueryDef("streaming_sliding_counts",
+      (s, dir) => Streaming.slidingEventCounts(Tables.load(s, dir, "events"))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH e AS (SELECT event_type,
+            CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h
+          FROM events),
+        w AS (SELECT event_type, unnest([h, h - INTERVAL 1 HOUR]) AS ws FROM e)
+        SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+          event_type, count(*) AS n_events
+        FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
+
     QueryDef("streaming_user_totals",
       (s, dir) => Streaming.userValueTotals(
           Tables.load(s, dir, "events").filter(col("user_id") < 50))

@@ -34,6 +34,23 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
   }
 
+  /** Sliding-window counts (each event lands in windowDur/slideDur
+    * windows): same plan shape as the tumbling variant, overlapping
+    * epoch-aligned windows. Streaming form adds the watermark.
+    */
+  def slidingEventCounts(
+      events: DataFrame,
+      windowDur: String = "2 hours",
+      slideDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDur) else events
+    src
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n_events"))
+  }
+
   /** Per-user running value totals via stateful streaming aggregation —
     * batch twin is a plain groupBy; streaming runs in update mode.
     */

@@ -63,6 +63,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: batch and streaming plans agree; every event in two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:59:00"), "view"),
+      (ts("2024-01-01 11:05:00"), "click"))
+    val batch = Streaming.slidingEventCounts(data.toDF("ts", "event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3))).toSet
+    // 2h windows sliding 1h: each event appears in exactly two windows
+    assert(batch.toSeq.map(_._4).sum == data.size * 2)
+    assert(batch.contains((ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), "click", 2L)))
+
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streaming.slidingEventCounts(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("sliding_parity")
+      .outputMode("complete").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_parity")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful user totals run in update mode with bounded output") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
