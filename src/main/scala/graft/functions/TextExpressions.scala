@@ -220,6 +220,126 @@ case class SimHash64(child: Expression, md5Based: Boolean = false) extends Unary
   override def prettyName: String = if (md5Based) "simhash64_md5" else "simhash64"
 }
 
+/** One-pass kernels for the language-ID / quality-score operators.
+  *
+  * The Column compositions in [[TextFunctions]] evaluate 5 boxed
+  * `filter(isin…)` higher-order passes plus two regex passes per row —
+  * the dominant cost of the text-analysis queries at scale. These
+  * kernels compute the identical doubles/strings in ONE pass per text
+  * (bit-exactness asserted against the compositions in
+  * TextFunctionsSpec, and by the unchanged DuckDB oracles). Every
+  * semantic subtlety of the composition is reproduced: `trim` strips
+  * ASCII space only, tokenization is Java `\s+` split with limit -1
+  * (empty text → one empty token), `length` counts codepoints, the
+  * punctuation class is the Java-regex complement of `[a-zA-Z0-9\s]`.
+  */
+object TextProfileKernels {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private def set(words: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+  private lazy val En = set(TextFunctions.EnMarkers)
+  private lazy val Es = set(TextFunctions.EsMarkers)
+  private lazy val De = set(TextFunctions.DeMarkers)
+  private lazy val Fr = set(TextFunctions.FrMarkers)
+
+  private def tokensOf(text: UTF8String): Array[String] = {
+    val t = text.trim().toLowerCase.toString
+    if (t.isEmpty) Array("") else Ws.split(t, -1)
+  }
+
+  @inline private def isJavaWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  def quality(text: UTF8String): Double = {
+    val toks = tokensOf(text)
+    val n = toks.length
+    var en = 0
+    var i = 0
+    while (i < n) { if (En.contains(toks(i))) en += 1; i += 1 }
+    val s = text.toString
+    var punct = 0
+    var nChars = 0
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      nChars += 1
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      if (!alnum && !isJavaWs(cp)) punct += 1
+      j += Character.charCount(cp)
+    }
+    val tokensNorm = math.min(1.0, n / 50.0)
+    val stopRatio = en.toDouble / math.max(n, 1).toDouble
+    val punctRatio = punct.toDouble / math.max(nChars, 1).toDouble
+    0.4 * tokensNorm + 0.3 * stopRatio + 0.3 * (1.0 - punctRatio)
+  }
+
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    var cjk = false
+    var j = 0
+    while (!cjk && j < s.length) {
+      val cp = s.codePointAt(j)
+      if (cp >= 0x4E00 && cp <= 0x9FFF) cjk = true
+      j += Character.charCount(cp)
+    }
+    val lang =
+      if (cjk) "zh"
+      else {
+        val toks = tokensOf(text)
+        var en = 0; var es = 0; var de = 0; var fr = 0
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (En.contains(t)) en += 1
+          if (Es.contains(t)) es += 1
+          if (De.contains(t)) de += 1
+          if (Fr.contains(t)) fr += 1
+          i += 1
+        }
+        if (en == 0 && es == 0 && de == 0 && fr == 0) "und"
+        else if (en >= es && en >= de && en >= fr) "en"
+        else if (es >= de && es >= fr) "es"
+        else if (de >= fr) "de"
+        else "fr"
+      }
+    UTF8String.fromString(lang)
+  }
+}
+
+/** text_quality(text) → double engine-defined quality score. */
+case class TextQuality(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"text_quality expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextProfileKernels.quality(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfileKernels.quality($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "text_quality"
+}
+
+/** text_lang_id(text) → string heuristic language code. */
+case class TextLangId(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"text_lang_id expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextProfileKernels.langId(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextProfileKernels.langId($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "text_lang_id"
+}
+
 /** token_rolling_hash64(tokens) → bigint document fingerprint. */
 case class TokenRollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -244,6 +364,10 @@ object TextHashFunctions {
       es => SimHash64(es.head, md5Based = true), "scala_udf")
     reg.createOrReplaceTempFunction("token_rolling_hash64",
       es => TokenRollingHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("text_quality",
+      es => TextQuality(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("text_lang_id",
+      es => TextLangId(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => {
       val n = es(1).eval(null) match {
         case i: Int => i
@@ -257,6 +381,8 @@ object TextHashFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def simhash64Md5(c: Column): Column = call_function("simhash64_md5", c)
   def tokenRollingHash64(c: Column): Column = call_function("token_rolling_hash64", c)
+  def textQuality(c: Column): Column = call_function("text_quality", c)
+  def textLangId(c: Column): Column = call_function("text_lang_id", c)
   def shingleHashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
 }

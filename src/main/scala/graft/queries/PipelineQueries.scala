@@ -337,10 +337,13 @@ object PipelineQueries extends QueryModule {
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
       (s, dir) => {
+        // one-pass kernels (TextProfileKernels) — bit-identical to the
+        // langId/qualityScore Column compositions (TextFunctionsSpec)
+        graft.functions.TextHashFunctions.register(s)
         val d = Tables.load(s, dir, "documents")
         d.select(col("doc_id"), col("lang"),
-            langId(col("text")).as("lang_pred"),
-            qualityScore(col("text")).as("q"))
+            graft.functions.TextHashFunctions.textLangId(col("text")).as("lang_pred"),
+            graft.functions.TextHashFunctions.textQuality(col("text")).as("q"))
           .groupBy(col("lang_pred"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("n_match_actual"),
@@ -592,8 +595,10 @@ object PipelineQueries extends QueryModule {
     //    stage (quality arithmetic, fingerprint dedup, md5 split) ───────
     QueryDef("pipeline_corpus_curation",
       (s, dir) => {
+        graft.functions.TextHashFunctions.register(s)
         val docs = Tables.load(s, dir, "documents")
-        val quality = docs.filter(qualityScore(col("text")) >= 0.5)
+        val quality = docs.filter(
+          graft.functions.TextHashFunctions.textQuality(col("text")) >= 0.5)
         val deduped = Dedup.dropExactDuplicates(quality, "doc_id", "text")
         graft.operators.Sampling.trainTestSplit(deduped, "doc_id", testSixteenths = 2)
           .groupBy("split")

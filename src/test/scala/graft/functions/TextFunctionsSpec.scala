@@ -53,6 +53,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b && a.length == 32)
   }
 
+  test("one-pass text kernels are bit-identical to the Column compositions") {
+    TextHashFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    // the whole driver corpus plus adversarial edges: empty, whitespace
+    // variants (tab/newline/vertical-tab survive trim), CJK, punct-only,
+    // supplementary-plane codepoints, marker ties
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq ++ Seq(
+      "", " ", "\t", "\n x \n", "the the el la der die le les", "一二三",
+      "!!!", "ab", "mixed 中文 text the", "😀 emoji the cat",
+      "  padded  ", "el la los las une est dans der")
+    val df = corpus.toDF("t")
+    val rows = df.select(
+        langId(col("t")).as("l1"),
+        TextHashFunctions.textLangId(col("t")).as("l2"),
+        qualityScore(col("t")).as("q1"),
+        TextHashFunctions.textQuality(col("t")).as("q2"))
+      .collect()
+    rows.zip(corpus).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1), s"langId mismatch on ${t.take(40)}")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"quality mismatch on ${t.take(40)}: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("rollingHash64 and simhash64 registered expressions evaluate") {
     TextHashFunctions.register(spark)
     val h1 = one[Long](TextHashFunctions.rollingHash64(col("t")), "abc")
