@@ -790,6 +790,28 @@ object RelationalQueries extends QueryModule {
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY o_custkey, pct_rank, o_orderkey""")),
 
+    // UNPIVOT/melt: wide metric columns → long (metric, value) rows —
+    // the Expand-based reshape (inverse of PIVOT), then re-aggregated
+    // so the oracle compares one row per metric.
+    QueryDef("agg_unpivot_melt",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .unpivot(
+            Array($"l_orderkey", $"l_linenumber"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+            "metric", "val")
+          .groupBy($"metric")
+          .agg(count(lit(1)).as("n"), dsum($"val").as("total"))
+          .orderBy($"metric")
+      },
+      Some(s"""SELECT metric, count(*) AS n, ${sqlDsum("val")} AS total
+        FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                l_extendedprice, l_discount, l_tax FROM lineitem)
+              ON l_quantity, l_extendedprice, l_discount, l_tax
+              INTO NAME metric VALUE val)
+        GROUP BY metric ORDER BY metric""")),
+
     // CUBE: all four grouping combinations in one Expand aggregate —
     // completes the multi-dim family (grouping sets / rollup / cube).
     QueryDef("agg_cube",
