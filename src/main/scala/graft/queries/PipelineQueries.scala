@@ -625,6 +625,64 @@ object PipelineQueries extends QueryModule {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM sp GROUP BY split ORDER BY split""")),
 
+    // ── decontamination: flag TRAIN docs sharing any word-8-gram with
+    //    the TEST set (the n-gram-overlap contamination check run before
+    //    every pretraining job; long grams so only real text reuse — not
+    //    shared vocabulary — fires). Plan shape at scale: one distinct
+    //    on the (small) test shingle set, one semi-style join on shingle
+    //    hash — no doc×doc product. Hash-isomorphic to the oracle's
+    //    string shingles (same premise as dedup_ngram_jaccard). ─────────
+    QueryDef("pipeline_decontaminate",
+      (s, dir) => {
+        graft.functions.TextHashFunctions.register(s)
+        val sh = graft.functions.TextHashFunctions.shingleHashes(col("text"), 8)
+        val withSplit = graft.operators.Sampling.trainTestSplit(
+          Tables.load(s, dir, "documents"), "doc_id", testSixteenths = 2)
+        val testH = withSplit.filter(col("split") === "test")
+          .select(explode(sh).as("h")).distinct()
+        val trainDocs = withSplit.filter(col("split") === "train")
+        val contaminated = trainDocs.select(col("doc_id"), explode(sh).as("h"))
+          .join(testH, "h")
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(1L))
+        trainDocs.join(contaminated, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_train"),
+            sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"),
+            sum(when(col("contaminated").isNull, col("n_chars"))).as("clean_chars"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              THEN 'test' ELSE 'train' END AS split,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, n_chars, split,
+            list_distinct([array_to_string(toks[i:i+7], ' ')
+              FOR i IN generate_series(1, greatest(len(toks)-7, 1))]) AS sh
+          FROM d),
+        th AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE split = 'test'),
+        c AS (SELECT DISTINCT doc_id FROM
+            (SELECT doc_id, unnest(sh) AS h FROM s WHERE split = 'train') tr
+          WHERE h IN (SELECT h FROM th))
+        SELECT count(*) AS n_train,
+          CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM c)) AS BIGINT) AS n_contaminated,
+          CAST(sum(n_chars) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM c)) AS BIGINT) AS clean_chars
+        FROM s WHERE split = 'train'""")),
+
+    // ── vocabulary build: global token frequencies, top 100 by count —
+    //    the tokenizer-training precursor. One partial+final aggregate
+    //    over the exploded corpus, TakeOrderedAndProject tail. ──────────
+    QueryDef("text_vocab_topk",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100),
+      Some("""SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+              FROM documents) t
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
+
     // ── repetition quality signals (Gopher-family duplicate-fraction
     //    rules): distinct-token fraction, duplicate-bigram fraction,
     //    top-token dominance, mean word length — all integer ratios, so
