@@ -158,6 +158,12 @@ object RelationalQueries extends QueryModule {
        FROM lineitem)
     ORDER BY part_value DESC, l_partkey"""
 
+  private val LateralSql = """SELECT n_name, c_name, c_acctbal
+    FROM nation, LATERAL (SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) top_cust
+    ORDER BY n_name, c_acctbal DESC, c_name"""
+
   private val Q13Sql = """SELECT c_count, count(*) AS custdist
     FROM (SELECT c_custkey, count(o_orderkey) AS c_count
           FROM customer LEFT OUTER JOIN orders
@@ -789,6 +795,69 @@ object RelationalQueries extends QueryModule {
           wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY o_custkey, pct_rank, o_orderkey""")),
+
+    // LATERAL correlated subquery (top-N-per-group as the user writes
+    // it): Spark must decorrelate the per-row ORDER BY LIMIT into a
+    // window/rank plan, never re-running the inner query per nation.
+    QueryDef("join_lateral_topn",
+      (s, dir) => {
+        Seq("nation", "customer").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(LateralSql)
+      },
+      Some(LateralSql)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other — a plain equi join silently drops them.
+    QueryDef("join_null_safe_eq",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.load(s, dir, "orders")
+        // derive a nullable key on both sides: NULL for non-URGENT
+        val l = orders.select($"o_orderkey",
+          when($"o_orderpriority" === "1-URGENT", $"o_custkey").as("k"))
+        val r = orders.select($"o_orderkey".as("r_orderkey"),
+          when($"o_orderpriority" === "1-URGENT", $"o_custkey").as("k"))
+        l.join(r, l("k") <=> r("k") && $"o_orderkey" < $"r_orderkey")
+          .groupBy(l("k").isNull.as("null_key_block"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("null_key_block")
+      },
+      Some("""WITH t AS (SELECT o_orderkey,
+            CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END AS k
+          FROM orders)
+        SELECT a.k IS NULL AS null_key_block, count(*) AS n_pairs
+        FROM t a JOIN t b
+          ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey
+        GROUP BY 1 ORDER BY null_key_block""")),
+
+    // Sketch error bounds, honestly checked: the approximate operators
+    // (HLL++ distinct, GK quantiles) can never hash-match an oracle —
+    // instead the query computes BOTH the sketch and the exact value and
+    // emits whether the sketch landed inside its documented bound; the
+    // oracle asserts every bound held. A broken sketch (or a broken
+    // bound) flips a boolean and fails the gate.
+    QueryDef("agg_sketch_error_bounds",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+        val hll = li.agg(
+          approx_count_distinct($"l_partkey").as("approx"),
+          countDistinct($"l_partkey").as("exact")).head()
+        val hllOk = math.abs(hll.getLong(0).toDouble - hll.getLong(1)) /
+          hll.getLong(1) <= 0.05
+        val gk = li.agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx"),
+          expr("percentile(l_extendedprice, array(0.45, 0.55))").as("band")).head()
+        val gkOk = gk.getDouble(0) >= gk.getSeq[Double](1).head &&
+          gk.getDouble(0) <= gk.getSeq[Double](1)(1)
+        Seq(("gk_extendedprice_p50_in_p45_p55", gkOk),
+          ("hll_partkey_within_5pct", hllOk))
+          .toDF("metric", "ok").orderBy("metric")
+      },
+      Some("""SELECT 'gk_extendedprice_p50_in_p45_p55' AS metric, true AS ok
+        UNION ALL SELECT 'hll_partkey_within_5pct', true
+        ORDER BY metric""")),
 
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows —
     // the Expand-based reshape (inverse of PIVOT), then re-aggregated
