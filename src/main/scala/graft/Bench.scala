@@ -86,7 +86,9 @@ object Bench {
       "join_asof_latest_order", "join_salted_skew", "snapshot_scd2_history",
       "agg_profile_stats", "pipeline_daily_run", "pipeline_corpus_curation",
       "streaming_sessionization", "text_lang_quality", "window_running_sum",
-      "multimodal_json_extract", "model_incremental")
+      "multimodal_json_extract", "model_incremental",
+      "q9_product_type_profit", "q19_disjunctive_revenue",
+      "pipeline_decontaminate", "text_fingerprint_rolling", "sim_topk_lsh")
     val byName = results.toMap
     val head = headline.filter(byName.contains).map(n => n -> byName(n))
 

@@ -62,9 +62,28 @@ def suffix_tokens(texts, i):
 
 
 def roll_embeddings(col, i):
+    """Circular roll + per-copy deterministic sign flips. Both transforms
+    are orthogonal (norm- and within-copy-angle-preserving); the sign
+    pattern breaks the roll's mod-dim aliasing — with roll alone, copies
+    i and i+dim would carry IDENTICAL vectors under new ids, planting
+    fake cross-copy near-dup pairs that grow quadratically with copies.
+    The pattern depends on i's low 8 bits, distinct for copies < 256.
+    """
     arrs = col.to_pylist()
-    return [None if a is None else np.roll(np.array(a, dtype=np.float32), i).tolist()
-            for a in arrs]
+    out = []
+    signs_cache = {}
+    for a in arrs:
+        if a is None:
+            out.append(None)
+            continue
+        v = np.roll(np.array(a, dtype=np.float32), i)
+        n = v.shape[0]
+        if n not in signs_cache:
+            signs_cache[n] = np.array(
+                [-1.0 if (i >> (d & 7)) & 1 else 1.0 for d in range(n)],
+                dtype=np.float32)
+        out.append((v * signs_cache[n]).tolist())
+    return out
 
 
 def main():
