@@ -808,11 +808,15 @@ object RelationalQueries extends QueryModule {
       Some(LateralSql)),
 
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
-    // match each other — a plain equi join silently drops them.
+    // match each other — a plain equi join silently drops them. NULL
+    // forms a CLIQUE under null-safe equality (every null row pairs with
+    // every other), so the input is a FIXED customer slice: constant
+    // cost at every scale factor, and the semantics still exercise both
+    // the null block and the value blocks.
     QueryDef("join_null_safe_eq",
       (s, dir) => {
         import s.implicits._
-        val orders = Tables.load(s, dir, "orders")
+        val orders = Tables.load(s, dir, "orders").filter($"o_custkey" <= 200)
         // derive a nullable key on both sides: NULL for non-URGENT
         val l = orders.select($"o_orderkey",
           when($"o_orderpriority" === "1-URGENT", $"o_custkey").as("k"))
@@ -825,7 +829,7 @@ object RelationalQueries extends QueryModule {
       },
       Some("""WITH t AS (SELECT o_orderkey,
             CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END AS k
-          FROM orders)
+          FROM orders WHERE o_custkey <= 200)
         SELECT a.k IS NULL AS null_key_block, count(*) AS n_pairs
         FROM t a JOIN t b
           ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey
