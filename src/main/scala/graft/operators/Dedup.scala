@@ -168,6 +168,20 @@ object Dedup {
         coalesce(col("cid"), col("id")).as("cluster_id"))
   }
 
+  /** The near-dup apply step: corpus minus near-duplicates — cluster the
+    * exact n-gram-Jaccard pair relation, keep each cluster's canonical
+    * (min-id) doc, pass unpaired docs through. One anti join against the
+    * (small) non-canonical id set.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val clusters = duplicateClusters(
+      ngramJaccardPairs(docs, idCol, textCol, threshold))
+    val nonCanonical = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(nonCanonical, Seq(idCol), "left_anti")
+  }
+
   // ── MinHash + LSH ─────────────────────────────────────────────────────
   /** MinHash signature over a *pre-hashed* shingle array (`baseHashCol` =
     * one xxhash64 long per shingle) via the native

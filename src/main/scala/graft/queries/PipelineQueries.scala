@@ -107,6 +107,35 @@ object PipelineQueries extends QueryModule {
       Some("""SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         max(doc_id) AS max_id FROM documents""")),
 
+    // ── the near-dup APPLY step: corpus minus near-duplicates (cluster
+    //    the exact pair relation, keep each cluster's min-id canonical,
+    //    unpaired docs pass through) — the step that actually shrinks a
+    //    pretraining corpus. Oracle replays clustering via recursive
+    //    reachability and drops the same non-canonical ids. ────────────
+    QueryDef("dedup_apply_near",
+      (s, dir) => Dedup.dropNearDuplicates(
+          Tables.load(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("sum_chars")),
+      Some(s"""WITH RECURSIVE
+        t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a, s b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        lbl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        dropped AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+        SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""")),
+
     // ── SimHash near-dup, EXACT-oracle form: the two-level 4×16-bit
     //    banding guarantees 100% recall at hamming ≤ 3 (pigeonhole), and
     //    the final bit_count filter removes every false positive — so the

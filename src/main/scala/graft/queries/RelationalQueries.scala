@@ -845,16 +845,16 @@ object RelationalQueries extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val li = Tables.load(s, dir, "lineitem")
-        val hll = li.agg(
-          approx_count_distinct($"l_partkey").as("approx"),
-          countDistinct($"l_partkey").as("exact")).head()
-        val hllOk = math.abs(hll.getLong(0).toDouble - hll.getLong(1)) /
-          hll.getLong(1) <= 0.05
-        val gk = li.agg(
-          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx"),
+        // sketches + exact references in ONE scan/aggregate
+        val r = li.agg(
+          approx_count_distinct($"l_partkey").as("hll"),
+          countDistinct($"l_partkey").as("hll_exact"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("gk"),
           expr("percentile(l_extendedprice, array(0.45, 0.55))").as("band")).head()
-        val gkOk = gk.getDouble(0) >= gk.getSeq[Double](1).head &&
-          gk.getDouble(0) <= gk.getSeq[Double](1)(1)
+        val hllOk = math.abs(r.getLong(0).toDouble - r.getLong(1)) /
+          r.getLong(1) <= 0.05
+        val gkOk = r.getDouble(2) >= r.getSeq[Double](3).head &&
+          r.getDouble(2) <= r.getSeq[Double](3)(1)
         Seq(("gk_extendedprice_p50_in_p45_p55", gkOk),
           ("hll_partkey_within_5pct", hllOk))
           .toDF("metric", "ok").orderBy("metric")
