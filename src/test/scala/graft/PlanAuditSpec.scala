@@ -206,7 +206,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
     "q10_returned_item_ranking", "q12_priority_shipping",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q19_disjunctive_revenue", "dedup_simhash", "text_fingerprint_rolling")
+    "q19_disjunctive_revenue", "dedup_simhash", "text_fingerprint_rolling",
+    "dedup_apply_near", "pipeline_decontaminate", "join_lateral_topn",
+    "join_null_safe_eq", "text_vocab_topk", "agg_unpivot_melt",
+    "q11_important_part_value", "streaming_sliding_counts")
 
   test("stress queries keep cartesian/BNLJ-free plans at sf1 (10× data)") {
     val sf1 = "/root/repo/sf1"
