@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// consumer that expects Bench/Verify's machine-readable JSON line to
+// start with '{' (BENCH_r01–r05 all recorded `parsed: null` because of
+// the prefix, even once the line fit the capture window).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
