@@ -163,6 +163,29 @@ class DedupSpec extends AnyFunSuite {
     assert(viaLoop((18L)) == 10L) // chain labeled by its min
   }
 
+  /** ADVICE round-5/6: the at-scale path is a HANDOFF — some star rounds
+    * contract the edge set, THEN the union-find finishes over the partially
+    * contracted edges. Force it with localFinishEdges strictly between 1 and
+    * the initial edge count, so at least one star round runs before the
+    * local finish, and assert label equality with the pure star loop.
+    */
+  test("duplicateClusters mid-contraction handoff agrees with the pure star loop") {
+    // 50-node chain (49 edges) + a separate triangle + an isolated pair:
+    // deep component exercises multi-round contraction before the handoff
+    val pairs = (1L to 50L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val df = pairs.toDF("doc_a", "doc_b")
+    val viaLoop = Dedup.duplicateClusters(df, localFinishEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 53 initial edges; thresholds force 1+ star rounds then the union-find
+    for (threshold <- Seq(2L, 10L, 40L)) {
+      val viaHandoff = Dedup.duplicateClusters(df, localFinishEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaHandoff == viaLoop, s"handoff at localFinishEdges=$threshold")
+    }
+    assert(viaLoop(50L) == 1L && viaLoop(102L) == 100L && viaLoop(201L) == 200L)
+  }
+
   test("embedding near-dup: LSH path result ⊆ exact path, full recall here") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
