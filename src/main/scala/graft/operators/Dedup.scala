@@ -428,8 +428,13 @@ object Dedup {
       if (bits > 0) bits
       else {
         val n = embeddings.count()
-        math.min(16, math.max(8,
-          math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
+        // ceil(log2(n/32)) by integer bit-length, NOT Math.log: ln is not
+        // correctly rounded, so at near-power-of-two corpora a last-ulp
+        // disagreement with the oracle's ln() would flip the ceil and
+        // change nbits. smallest k with 32·2^k ≥ n == bitLength(⌈n/32⌉-1).
+        val m = (n + 31L) / 32L
+        val k = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+        math.min(16, math.max(8, k))
       }
     val sig = Similarity.signature(col("v"), dim, nBits, seed)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -191,8 +191,10 @@ object PipelineQueries extends QueryModule {
       (s, dir) => Dedup.embeddingNearDupPairsLsh(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, dim = 64) // bits auto-sized to corpus
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH p AS (SELECT least(16, greatest(8,
-            CAST(ceil(ln(count(*) / 32.0) / ln(2)) AS INTEGER))) AS nbits
+      Some(s"""WITH p AS (SELECT least(16, greatest(8, CAST(
+            CASE WHEN ((count(*) + 31) // 32) <= 1 THEN 0
+                 ELSE length(format('{:b}', ((count(*) + 31) // 32) - 1)) END
+            AS INTEGER))) AS nbits
           FROM embeddings),
         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         sig AS (SELECT vec_id, e,

@@ -171,14 +171,39 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // Every BroadcastNestedLoopJoin in the suite must be one of these
   // documented bounded shapes; anything new is a scale regression.
-  //  - histogram / profile_stats / incremental_distinct_exact: cross join
-  //    against a 1-row broadcast (scalar recombine)
+  //  - histogram / profile_stats / incremental_distinct_exact /
+  //    sketch_error_bounds: cross join against a 1-row broadcast
+  //    (scalar recombine)
   //  - embedding_cosine: the labeled quadratic baseline (LSH is the path)
   //  - topk_brute: brute-force scoring baseline (bounded-heap ranked)
   //  - topk_ivf: query×centroid assignment, |centroids| is a small const
   private val allowedBnlj = Set("agg_profile_histogram", "agg_profile_stats",
-    "agg_incremental_distinct_exact",
+    "agg_incremental_distinct_exact", "agg_sketch_error_bounds",
     "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf")
+
+  test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
+    // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
+    // cross join), not in eager .head() calls — otherwise every plan
+    // audit or dry explain of the registry pays two full aggregations.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // warm the memoized lineitem schema first — the footer-inference job
+    // belongs to first table touch, not to this query's construction
+    SparkEntry.queries("agg_sketch_error_bounds")(spark, sfDir)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("agg_sketch_error_bounds")(spark, sfDir)
+      df.queryExecution.executedPlan.toString
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      Thread.sleep(1500) // listener bus is async; give any job event time to land
+      assert(jobs.get() == 0, s"plan construction/explain ran ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 
   test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
