@@ -82,4 +82,82 @@ object AsofJoin {
       .select(leftCols.map(col) ++
         payload.map(p => col("__p").getField(p).as(p)): _*)
   }
+
+  /** As-of join, `nearest` direction (pandas `merge_asof
+    * (direction='nearest')`, kdb `aj` generalization): for each left row,
+    * attach the right row with the same key whose timestamp is CLOSEST to
+    * the left row's — before or after — within `toleranceMicros`; ties
+    * (equal distance before and after) keep the EARLIER right row. Left
+    * rows with no right row in range keep null payload.
+    *
+    * Plan shape: same single-shuffle union trick as [[asof]], but the one
+    * sorted pass carries TWO frames — last-right-at-or-before (backward)
+    * and first-right-strictly-after (forward; an equal-ts right row sorts
+    * before the left row, so backward catches it at distance 0). Both
+    * window frames share the (key) partitioning and (ts, side) sort, so
+    * Catalyst plans ONE exchange + ONE sort with two Window operators on
+    * top — no range join, no per-key candidate explosion; the two
+    * candidates per left row are compared with plain column arithmetic.
+    *
+    * `right` must be unique per (key, ts) (see [[latestPerKeyTs]]) so the
+    * backward/forward candidates — and therefore the output — are
+    * deterministic.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceMicros: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+
+    // the carried struct embeds the right timestamp (micros) so distance
+    // is computable from the struct alone
+    val pSchema = StructType(payload.map(p => right.schema(p)))
+    val lTagged = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", unix_micros(col(leftTs)))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        leftCols.map(col) :+ lit(null).cast(pSchema).as("__p"): _*)
+    val rTagged = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", unix_micros(col(rightTs)))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        leftCols.map(c => lit(null).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+
+    val order = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__pb", last(col("__p"), ignoreNulls = true).over(back))
+      .withColumn("__tb", last(when(col("__side") === 0, col("__t")),
+        ignoreNulls = true).over(back))
+      .withColumn("__pf", first(col("__p"), ignoreNulls = true).over(fwd))
+      .withColumn("__tf", first(when(col("__side") === 0, col("__t")),
+        ignoreNulls = true).over(fwd))
+
+    val db = col("__t") - col("__tb") // ≥ 0 (backward)
+    val df = col("__tf") - col("__t") // > 0 (forward; equal ts went backward)
+    val bOk = col("__tb").isNotNull && db <= toleranceMicros
+    val fOk = col("__tf").isNotNull && df <= toleranceMicros
+    // tie (db == df) keeps the earlier (backward) row
+    val useBack = bOk && (!fOk || db <= df)
+    val chosen = when(useBack, col("__pb")).when(fOk, col("__pf"))
+    val delta = when(useBack, -db).when(fOk, df).cast("long")
+
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => chosen.getField(p).as(p)) :+
+        delta.as("asof_delta_us"): _*)
+  }
 }

@@ -619,6 +619,50 @@ object RelationalQueries extends QueryModule {
         ORDER BY event_id"""))
     ,
 
+    // As-of NEAREST (pandas merge_asof direction='nearest'): each error
+    // event attaches the same user's closest click within ±10 min —
+    // before or after; equidistant ties keep the earlier click. DuckDB
+    // has no nearest ASOF, so the oracle replays it as a tolerance-
+    // bounded candidate join + argmin (fine at oracle sf; the Spark plan
+    // is the single-shuffle two-frame union trick with no candidate
+    // explosion — see AsofJoin.asofNearest).
+    QueryDef("join_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = graft.operators.AsofJoin.latestPerKeyTs(
+          ev.filter($"event_type" === "click")
+            .select($"user_id", $"ts", $"event_id".as("click_id")),
+          "user_id", "ts", "click_id")
+        graft.operators.AsofJoin.asofNearest(errors, clicks,
+            leftKey = "user_id", rightKey = "user_id",
+            leftTs = "ts", rightTs = "ts",
+            payload = Seq("click_id"), toleranceMicros = 600000000L)
+          .select($"event_id", $"user_id", $"click_id", $"asof_delta_us")
+          .orderBy($"event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error'),
+        c0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+              ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'click'),
+        c AS (SELECT user_id, ts, click_id FROM c0 WHERE rn = 1),
+        cand AS (SELECT e.event_id, c.click_id,
+            epoch_us(c.ts) - epoch_us(e.ts) AS asof_delta_us,
+            row_number() OVER (PARTITION BY e.event_id
+              ORDER BY abs(epoch_us(c.ts) - epoch_us(e.ts)),
+                       epoch_us(c.ts) - epoch_us(e.ts)) AS rn
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 600000000)
+        SELECT e.event_id, e.user_id, b.click_id, b.asof_delta_us
+        FROM e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
+          ON e.event_id = b.event_id
+        ORDER BY e.event_id"""))
+    ,
+
     // Skew-salted equi join: 5 hot event_type keys spread over 8 salt
     // buckets; salting must be invisible in the results (oracle = the
     // plain join).

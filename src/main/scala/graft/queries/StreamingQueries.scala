@@ -76,6 +76,27 @@ object StreamingQueries extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Watermark late-data admission (drop iff window end ≤ watermark at
+    // arrival; StreamingSpec pins the rule against a live MemoryStream).
+    // The in-order synthetic stream gets a deterministic arrival
+    // permutation — batch = event_id DIV 8, every 5th event 3 batches
+    // late — replayed identically by the oracle's integer arithmetic.
+    QueryDef("streaming_late_drop",
+      (s, dir) => Streaming.lateDropTumblingCounts(Tables.load(s, dir, "events"))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH e AS (SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+            (event_id // 8) + (CASE WHEN event_id % 5 = 0 THEN 3 ELSE 0 END) AS b
+          FROM events),
+        m AS (SELECT *, max(epoch_us(ts)) OVER
+            (ORDER BY b RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            - 600000000 AS wm
+          FROM e),
+        k AS (SELECT * FROM m WHERE wm IS NULL
+            OR epoch_us(date_trunc('hour', ts)) + 3600000000 > wm)
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+          count(*) AS n_events
+        FROM k GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
     // Native session_window aggregation (gap-merged sessions) — must
     // produce the same sessions as the flatMapGroupsWithState /
     // window-function implementations; session_end is max(ts), not the

@@ -191,4 +191,45 @@ object Streaming {
       events.withWatermark("ts", watermarkDur)
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+
+  /** Watermark late-data ADMISSION, batch twin (oracle-checkable where a
+    * live stream is not). The synthetic events table arrives in event-time
+    * order (zero natural lateness), so a deterministic integer permutation
+    * re-creates the stressed arrival shape: event e lands in micro-batch
+    * `event_id DIV batchSize`, except every `lateEvery`-th event is held
+    * back `lateBatches` batches. Spark's admission rule for an append-mode
+    * windowed aggregation, which StreamingSpec pins against a real
+    * MemoryStream run: a row is DROPPED iff its window's END ≤ the
+    * watermark in force when it arrives, and the watermark entering batch
+    * b is max(event time over batches < b) − delay (watermarks update at
+    * batch completion, never regress).
+    *
+    * The twin computes that watermark with a running max over the batch
+    * order (RANGE … 1 PRECEDING excludes the current batch — its rows are
+    * admitted against the PRIOR watermark), filters, then aggregates
+    * hourly counts. The global-order window is one sort at anchor scale;
+    * in production the engine tracks the watermark and this plan is never
+    * executed over the full stream.
+    */
+  def lateDropTumblingCounts(
+      events: DataFrame,
+      delayMinutes: Int = 10,
+      batchSize: Int = 8,
+      lateEvery: Int = 5,
+      lateBatches: Int = 3): DataFrame = {
+    val batch = (col("event_id") - pmod(col("event_id"), lit(batchSize))) / batchSize +
+      when(pmod(col("event_id"), lit(lateEvery)) === 0, lateBatches).otherwise(0)
+    val wmWindow = Window.orderBy(col("__b"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    events.select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("__b", batch.cast("long"))
+      .withColumn("__wm",
+        max(unix_micros(col("ts"))).over(wmWindow) - delayMinutes * 60000000L)
+      .filter(col("__wm").isNull ||
+        unix_micros(date_trunc("hour", col("ts"))) + 3600000000L > col("__wm"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+  }
 }

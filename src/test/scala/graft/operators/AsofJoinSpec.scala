@@ -66,4 +66,43 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1)
   }
+
+  test("asofNearest picks the closer of before/after within tolerance; ties keep earlier") {
+    val quotes = Seq( // (sym, qts, px)
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:10:00"), 2.0),
+      ("B", ts("2024-01-01 09:00:00"), 9.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq( // (id, sym, tts)
+      (1L, "A", ts("2024-01-01 10:02:00")), // closer to 10:00 -> 1.0, delta -120s
+      (2L, "A", ts("2024-01-01 10:09:00")), // closer to 10:10 -> 2.0, delta +60s
+      (3L, "A", ts("2024-01-01 10:05:00")), // equidistant -> earlier -> 1.0
+      (4L, "A", ts("2024-01-01 10:10:00")), // exact match -> 2.0, delta 0
+      (5L, "B", ts("2024-01-01 10:00:00")), // only match 60min away > tol -> null
+      (6L, "C", ts("2024-01-01 10:00:00"))  // key never quoted -> null
+    ).toDF("id", "sym", "tts")
+    val got = AsofJoin.asofNearest(trades, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), toleranceMicros = 600000000L) // ±10 min
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (1L, Some(1.0), Some(-120000000L)),
+      (2L, Some(2.0), Some(60000000L)),
+      (3L, Some(1.0), Some(-300000000L)),
+      (4L, Some(2.0), Some(0L)),
+      (5L, None, None),
+      (6L, None, None)))
+  }
+
+  test("asofNearest plans one exchange and one sort (two frames share them)") {
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qts", "px")
+    val trades = Seq((1L, "A", ts("2024-01-01 10:01:00"))).toDF("id", "sym", "tts")
+    val plan = AsofJoin.asofNearest(trades, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), toleranceMicros = 600000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+    assert("Sort \\[".r.findAllIn(plan).size <= 1, plan)
+  }
 }

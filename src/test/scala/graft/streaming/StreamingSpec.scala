@@ -221,4 +221,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("admission boundary: a late row whose window end EQUALS the watermark is dropped") {
+    // pins the exact predicate lateDropTumblingCounts encodes
+    // (drop iff window.end <= watermark, not <)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streaming.tumblingEventCounts(
+        mem.toDF().toDF("ts", "event_type"), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("boundary_counts")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 11:30:00"), "view")) // wm after batch: 11:00
+      q.processAllAvailable()
+      // [10:00, 11:00) window: end == wm exactly → must be dropped
+      mem.addData((ts("2024-01-01 10:59:00"), "click"))
+      q.processAllAvailable()
+      // [11:00, 12:00) window: end 12:00 > wm 11:00 → admitted
+      mem.addData((ts("2024-01-01 11:01:00"), "click"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 23:00:00"), "flush")) // close everything real
+      q.processAllAvailable()
+      val rows = spark.table("boundary_counts")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts("2024-01-01 11:00:00"), "view", 1L),
+        (ts("2024-01-01 11:00:00"), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("lateDropTumblingCounts twin matches a real per-batch MemoryStream run") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, type): in-order base, every 5th event held back 3
+    // batches, batchSize 2 — exactly the twin's arrival permutation
+    val events = (0L until 20L).map { i =>
+      (i, ts(f"2024-01-01 ${10 + (i / 4)}%02d:${(i % 4) * 15}%02d:00"), // 15-min spacing
+        if (i % 2 == 0) "click" else "view")
+    }
+    val batchOf = events.map { case (id, _, _) =>
+      id / 2 + (if (id % 5 == 0) 3 else 0)
+    }
+    val twin = Streaming.lateDropTumblingCounts(
+        events.toDF("event_id", "ts", "event_type"),
+        delayMinutes = 10, batchSize = 2, lateEvery = 5, lateBatches = 3)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.tumblingEventCounts(
+        mem.toDF().toDF("event_id", "ts", "event_type"), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late_parity")
+      .outputMode("append").start()
+    try {
+      (0L to batchOf.max).foreach { b =>
+        val batch = events.zip(batchOf).collect { case (e, bb) if bb == b => e }
+        if (batch.nonEmpty) { mem.addData(batch: _*); q.processAllAvailable() }
+      }
+      mem.addData((99L, ts("2024-01-02 12:00:00"), "flush")) // close all real windows
+      q.processAllAvailable()
+      val streamed = spark.table("late_parity")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .filter(_._1.before(ts("2024-01-02 00:00:00"))).toSet
+      assert(streamed == twin, s"\ntwin: $twin\nstreamed: $streamed")
+    } finally q.stop()
+  }
 }
