@@ -925,6 +925,41 @@ object RelationalQueries extends QueryModule {
         FROM (SELECT 1 FROM lineitem WHERE l_orderkey < 15000 LIMIT 1)
         ORDER BY metric""")),
 
+    // Heavy hitters via the approx_top_k frequent-items sketch (Spark
+    // 4.1), same honestly-checked shape as agg_sketch_error_bounds: the
+    // sketch result is compared IN-PLAN against the exact per-key counts
+    // and the exact top-5 count multiset (multiset, so a boundary tie
+    // cannot flip the boolean). maxItemsTracked=65536 keeps the sketch in
+    // exact mode over the fixed slice's NDV at every SF; production use
+    // at full scale is the approximate regime the same plan shape
+    // handles. All lazy — one action computes both aggregates.
+    QueryDef("agg_approx_topk_bounds",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").filter($"l_orderkey" < 15000)
+        val ex = li.groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+        val sk = li.agg(expr("approx_top_k(l_suppkey, 5, 65536)").as("tk"))
+          .select(explode($"tk").as("e"))
+          .select($"e.item".as("item"), $"e.count".as("sk_cnt"))
+        val agreed = sk.join(broadcast(ex), sk("item") === ex("l_suppkey"))
+          .agg(bool_and($"sk_cnt" === $"cnt").as("itemCountsExact"),
+            sort_array(collect_list($"sk_cnt"), asc = false).as("skCounts"))
+        val exact5 = ex.agg(
+          slice(sort_array(collect_list($"cnt"), asc = false), 1, 5).as("exCounts"))
+        agreed.crossJoin(broadcast(exact5))
+          .select(explode(map(
+            lit("approx_topk_item_counts_exact"), $"itemCountsExact",
+            lit("approx_topk_top5_counts_match"), $"skCounts" === $"exCounts"))
+            .as(Seq("metric", "ok")))
+          .orderBy("metric")
+      },
+      Some("""SELECT 'approx_topk_item_counts_exact' AS metric, true AS ok
+        FROM (SELECT 1 FROM lineitem WHERE l_orderkey < 15000 LIMIT 1)
+        UNION ALL
+        SELECT 'approx_topk_top5_counts_match', true
+        FROM (SELECT 1 FROM lineitem WHERE l_orderkey < 15000 LIMIT 1)
+        ORDER BY metric""")),
+
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows —
     // the Expand-based reshape (inverse of PIVOT), then re-aggregated
     // so the oracle compares one row per metric.
@@ -1632,6 +1667,28 @@ object RelationalQueries extends QueryModule {
         FROM (VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
           (2, NULL), (3, 30), (4, NULL)) t(id, v)
         ORDER BY v NULLS FIRST, id""")),
+
+    // ANSI-safe arithmetic (try_* family): the engine runs ANSI mode,
+    // where /0 and 64-bit overflow THROW — try_divide/try_add/
+    // try_multiply return NULL instead, the semantics a pipeline needs
+    // when dirty rows must not kill a 100 TB job. The oracle rebuilds
+    // each NULL case with nullif/CASE integer arithmetic.
+    QueryDef("func_try_arith",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders").filter($"o_orderkey" < 2000)
+          .select($"o_orderkey",
+            expr("try_divide(o_totalprice, o_custkey % 3)").as("price_per_mod3"),
+            expr("try_add(9223372036854775807, o_custkey)").as("overflow_add"),
+            expr("try_multiply(o_custkey, 4611686018427387904)").as("overflow_mul"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          o_totalprice / nullif(o_custkey % 3, 0) AS price_per_mod3,
+          CASE WHEN o_custkey = 0 THEN 9223372036854775807 END AS overflow_add,
+          CASE WHEN o_custkey = 0 THEN CAST(0 AS BIGINT)
+               WHEN o_custkey = 1 THEN 4611686018427387904 END AS overflow_mul
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
 
     // Map-function family: construct, probe, filter, and fold a map —
     // the oracle recomputes each output arithmetically.

@@ -252,5 +252,32 @@ object SourceSinkQueries extends QueryModule {
       Some("""SELECT count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
           true AS compacted
         FROM events"""))
+    ,
+
+    // Z-order (Morton) layout key: interleave (l_partkey, l_suppkey) low
+    // bits into one clustering key — range-partitioning and sorting files
+    // by it bounds every file's (partkey, suppkey) min/max rectangle, so
+    // footer stats prune on EITHER dimension (LayoutSpec asserts the
+    // partition-disjointness that makes this work). The oracle replays
+    // the mask-shift chain with the same integer arithmetic; output is
+    // per-z-bucket row counts + the exact z checksum.
+    QueryDef("maintenance_zorder",
+      (s, dir) => {
+        val z = graft.functions.Layout.morton16(col("l_partkey"), col("l_suppkey"))
+        Tables.load(s, dir, "lineitem")
+          .select(z.as("z"))
+          .groupBy(shiftright(col("z"), 12).as("z_bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("z")).as("z_sum"))
+          .orderBy("z_bucket")
+      },
+      Some("""WITH base AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+          FROM lineitem),
+        s1 AS (SELECT ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM base),
+        s2 AS (SELECT ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+        s3 AS (SELECT ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+        s4 AS (SELECT ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3),
+        zt AS (SELECT (x | (y << 1)) AS z FROM s4)
+        SELECT z >> 12 AS z_bucket, count(*) AS n, CAST(sum(z) AS BIGINT) AS z_sum
+        FROM zt GROUP BY 1 ORDER BY z_bucket"""))
   )
 }
