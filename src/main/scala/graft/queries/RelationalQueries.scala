@@ -710,6 +710,57 @@ object RelationalQueries extends QueryModule {
           ON e.value >= t.lo AND e.value < t.hi
         ORDER BY e.event_id""")),
 
+    // Sequential funnel (view → click within 60 min → purchase within
+    // 24 h), EXISTS-chain semantics: a click qualifies if ANY view
+    // precedes it inside the conversion window, a purchase if ANY
+    // qualified click does — not just the user's first view, which at
+    // event density makes every later click "late" and collapses the
+    // funnel. Implementation is a per-row running conditional max over
+    // ONE (user_id, ts)-sorted partitioning: one shuffle, one sort, no
+    // per-stage self-join, no per-user collect — the MATCH_RECOGNIZE
+    // analytic Spark lacks, expressed scale-linear.
+    QueryDef("window_funnel_stages",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val run = Window.partitionBy("user_id").orderBy("t", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wClick = 60L * 60 * 1000000    // view→click: 60 min, micros
+        val wBuy = 24L * 3600 * 1000000    // click→purchase: 24 h
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("t"))
+          .withColumn("last_view",
+            max(when($"event_type" === "view", $"t")).over(run))
+          .withColumn("qc", when($"event_type" === "click" &&
+            $"last_view".isNotNull && $"t" - $"last_view" <= wClick, $"t"))
+          .withColumn("last_qc", max($"qc").over(run))
+          .withColumn("qp", when($"event_type" === "purchase" &&
+            $"last_qc".isNotNull && $"t" - $"last_qc" <= wBuy, 1).otherwise(0))
+          .groupBy($"user_id")
+          .agg(max(when($"qp" === 1, 3).when($"qc".isNotNull, 2)
+            .when($"event_type" === "view", 1).otherwise(0)).as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN t END) OVER
+            (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS last_view
+          FROM e),
+        w2 AS (SELECT *, CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+            AND t - last_view <= 3600000000 THEN t END AS qc FROM w1),
+        w3 AS (SELECT *, max(qc) OVER
+            (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS last_qc
+          FROM w2),
+        w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND last_qc IS NOT NULL
+            AND t - last_qc <= 86400000000 THEN 1 ELSE 0 END AS qp FROM w3),
+        s AS (SELECT user_id, max(CASE WHEN qp = 1 THEN 3
+            WHEN qc IS NOT NULL THEN 2
+            WHEN event_type = 'view' THEN 1 ELSE 0 END) AS stage
+          FROM w4 GROUP BY user_id)
+        SELECT stage, count(*) AS n_users FROM s
+        GROUP BY stage ORDER BY stage""")),
+
     // Ranking-window family: rank / dense_rank / ntile per customer.
     QueryDef("window_rank_functions",
       (s, dir) => {
