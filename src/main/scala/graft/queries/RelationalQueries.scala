@@ -1011,6 +1011,62 @@ object RelationalQueries extends QueryModule {
         FROM (SELECT 1 FROM lineitem WHERE l_orderkey < 15000 LIMIT 1)
         ORDER BY metric""")),
 
+    // Exact distinct counting via segment bitmaps (bitmap_bucket_number /
+    // bitmap_construct_agg / bitmap_count): the RE-AGGREGABLE exact-NDV
+    // pattern — each (key, bucket) holds a fixed-size bitmap, partial
+    // bitmaps OR-merge across partitions/increments, counts sum across
+    // buckets. Unlike COUNT(DISTINCT) whose Expand plan must reshuffle
+    // raw values, pre-bucketed bitmaps aggregate bounded state — the
+    // incremental/MPP distinct primitive. Result is EXACT, so the oracle
+    // is the plain COUNT(DISTINCT).
+    QueryDef("agg_bitmap_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("bitmap_bucket_number(user_id)").as("bkt"),
+            expr("bitmap_bit_position(user_id)").as("pos"))
+          .groupBy("event_type", "bkt")
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+          .groupBy("event_type")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Mergeable HLL sketches (DataSketches hll_sketch_agg family): the
+    // 100 TB distinct story is per-partition/per-day sketches UNION-merged
+    // at read time, never re-scanning raw data. Checked in-plan: the
+    // union of per-day sketches must estimate EXACTLY what the one-shot
+    // global sketch estimates (register-wise max is order/partition
+    // invariant), and the estimate must sit within ~3×rsd of the exact
+    // count. Lazy single-action plan, constant-true oracle.
+    QueryDef("agg_hll_mergeable_bounds",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val daily = ev.groupBy(date_trunc("day", $"ts").as("d"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+        val global = ev.agg(
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est_global"),
+          countDistinct($"user_id").as("exact"))
+        global.crossJoin(broadcast(daily))
+          .select(explode(map(
+            lit("hll_union_matches_global"), $"est_merged" === $"est_global",
+            lit("hll_estimate_within_3rsd"),
+            abs($"est_global".cast("double") - $"exact") / $"exact" <= 0.05))
+            .as(Seq("metric", "ok")))
+          .orderBy("metric")
+      },
+      Some("""SELECT 'hll_estimate_within_3rsd' AS metric, true AS ok
+        FROM (SELECT 1 FROM events LIMIT 1)
+        UNION ALL
+        SELECT 'hll_union_matches_global', true
+        FROM (SELECT 1 FROM events LIMIT 1)
+        ORDER BY metric""")),
+
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows —
     // the Expand-based reshape (inverse of PIVOT), then re-aggregated
     // so the oracle compares one row per metric.
