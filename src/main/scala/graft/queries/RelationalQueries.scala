@@ -1797,6 +1797,52 @@ object RelationalQueries extends QueryModule {
                WHEN o_custkey = 1 THEN 4611686018427387904 END AS overflow_mul
         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
 
+    // VARIANT (Spark 4 semi-structured type): parse the events props
+    // JSON once into a variant and extract typed fields with
+    // variant_get — the shredding-friendly path for open schemas, vs
+    // per-field get_json_object re-parsing the string each time. The
+    // oracle extracts the same field with DuckDB's JSON operators.
+    QueryDef("func_variant_json",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum($"k".cast("long")).as("k_sum"),
+            min($"k").as("k_min"), max($"k").as("k_max"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+          CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+          CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Recursive CTE (Spark 4.1): the dbt-style date spine — generate a
+    // calendar month, left-join daily event counts, zero-fill silent
+    // days (a plain GROUP BY cannot emit rows for days with no data).
+    QueryDef("cte_recursive_date_spine",
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_spine_v")
+        s.sql("""WITH RECURSIVE days(d) AS (
+            SELECT DATE'2024-01-01'
+            UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE'2024-01-31'),
+          daily AS (SELECT to_date(ts) AS d, count(*) AS n
+            FROM events_spine_v GROUP BY 1)
+          SELECT days.d AS day, coalesce(daily.n, 0L) AS n_events
+          FROM days LEFT JOIN daily ON days.d = daily.d
+          ORDER BY day""")
+      },
+      Some("""WITH RECURSIVE days(d) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL SELECT d + 1 FROM days WHERE d < DATE '2024-01-31'),
+        daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS n
+          FROM events GROUP BY 1)
+        SELECT days.d AS day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        ORDER BY day""")),
+
     // Map-function family: construct, probe, filter, and fold a map —
     // the oracle recomputes each output arithmetically.
     QueryDef("func_map_family",
