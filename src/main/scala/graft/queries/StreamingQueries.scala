@@ -172,5 +172,33 @@ object StreamingQueries extends QueryModule {
           ON r.user_id = l.user_id
           AND l.event_type = 'click' AND r.event_type = 'purchase'
           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""))
+    ,
+
+    // Left-OUTER stream-stream interval join: clicks that never convert
+    // inside the window survive null-padded (in streaming they emit once
+    // the watermark proves no match can still arrive — StreamingSpec).
+    QueryDef("streaming_interval_join_outer",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        Streaming.intervalJoinOuter(
+            ev.filter($"event_type" === "click"),
+            ev.filter($"event_type" === "purchase"), intervalMin = 30)
+          .agg(count(lit(1)).as("n_rows"),
+            count($"purchase_id").as("n_matched"),
+            sum(when($"purchase_id".isNull, 1L).otherwise(0L)).as("n_unmatched"),
+            sum($"purchase_value".cast("decimal(20,2)")).cast("double")
+              .as("total_purchase_value"))
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+          r AS (SELECT user_id, event_id AS purchase_id, ts, value FROM events
+            WHERE event_type = 'purchase')
+        SELECT count(*) AS n_rows,
+          count(r.purchase_id) AS n_matched,
+          CAST(sum(CASE WHEN r.purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+          CAST(sum(CAST(r.value AS DECIMAL(20,2))) AS DOUBLE) AS total_purchase_value
+        FROM l LEFT JOIN r
+          ON r.user_id = l.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""))
   )
 }

@@ -180,6 +180,34 @@ object Streaming {
       .drop("r_uid")
   }
 
+  /** Left-outer form of [[intervalJoin]]: clicks with no purchase in the
+    * interval survive null-padded. Streaming semantics differ from inner
+    * in WHEN rows emit: an unmatched left row can only be declared
+    * unmatched — and emitted with nulls — once the watermark passes its
+    * join-window end (until then a matching right row could still
+    * arrive); StreamingSpec pins that with a live MemoryStream pair. On
+    * batch frames this is a plain left outer join with the range
+    * conjunct.
+    */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      intervalMin: Int,
+      watermarkDur: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermarkDur) else df
+    val l = wm(left).select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val r = wm(right).select(col("user_id").as("r_uid"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    l.join(r, col("user_id") === col("r_uid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $intervalMin MINUTES"),
+      "left_outer")
+      .drop("r_uid")
+  }
+
   /** Exact streaming dedup on event id: streaming uses
     * `dropDuplicatesWithinWatermark` (state for an id is dropped once the
     * watermark passes — bounded memory, the streaming form of the exact

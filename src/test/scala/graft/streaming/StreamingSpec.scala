@@ -203,6 +203,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched clicks emit null-padded once the watermark expires them") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp, Double)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    val cols = Seq("user_id", "event_id", "ts", "value")
+    val q = Streaming.intervalJoinOuter(
+        clicks.toDF().toDF(cols: _*), purchases.toDF().toDF(cols: _*),
+        intervalMin = 30, watermarkDur = "10 minutes")
+      .writeStream.format("memory").queryName("ssjoin_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 10L, ts("2024-01-01 10:00:00"), 0.0), // will match
+        (2L, 11L, ts("2024-01-01 10:00:00"), 0.0)) // never matches
+      purchases.addData((1L, 20L, ts("2024-01-01 10:10:00"), 9.5))
+      q.processAllAvailable()
+      // user 2's click is still inside its join window — not yet emitted
+      val early = spark.table("ssjoin_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toSet
+      assert(!early.exists(_._1 == 2L), early.mkString)
+      // advance both watermarks past 10:30 + 10 min → click 11 provably
+      // unmatched → emits with null purchase columns
+      clicks.addData((9L, 90L, ts("2024-01-01 12:00:00"), 0.0))
+      purchases.addData((9L, 91L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(rows.contains((1L, 10L, Some(20L))), rows.mkString)
+      assert(rows.contains((2L, 11L, None)), rows.mkString)
+      // batch twin on the same rows agrees on the matched/unmatched split
+      val batch = Streaming.intervalJoinOuter(
+          Seq((1L, 10L, ts("2024-01-01 10:00:00"), 0.0),
+            (2L, 11L, ts("2024-01-01 10:00:00"), 0.0)).toDF(cols: _*),
+          Seq((1L, 20L, ts("2024-01-01 10:10:00"), 9.5)).toDF(cols: _*),
+          intervalMin = 30)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(batch == Set((1L, 10L, Some(20L)), (2L, 11L, None)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-sent event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)] // (event_id, ts, event_type)
