@@ -406,6 +406,74 @@ object PipelineQueries extends QueryModule {
           min(q) AS min_quality, max(q) AS max_quality
         FROM p GROUP BY lang_pred ORDER BY lang_pred""")),
 
+    // ── Gopher-style quality filter rules (Rae et al. 2021 §A1.1): the
+    //    published pretraining heuristics as INTEGER comparisons (cross-
+    //    multiplied ratios — 10·symbols ≤ words, 5·alpha ≥ 4·words — so
+    //    Spark and DuckDB agree bitwise with zero float arithmetic).
+    //    Word-count and mean-word-length bounds, symbol-to-word ratio
+    //    (#/…), alphabetic-word fraction, stop-word presence; the
+    //    line-based bullet/ellipsis rules are omitted — the synthetic
+    //    docs are single-line, the rules would be vacuously true. ───────
+    QueryDef("text_quality_gopher",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text",
+            split(lower(trim($"text")), "\\s+").as("toks"))
+          .select($"doc_id",
+            size($"toks").cast("long").as("words"),
+            length(regexp_replace($"text", "\\s", "")).cast("long").as("nonws"),
+            (length($"text") - length(expr("replace(text, '#', '')"))).cast("long")
+              .as("n_hash"),
+            expr("(length(text) - length(replace(text, '...', ''))) DIV 3")
+              .cast("long").as("n_ell"),
+            size(filter($"toks", t => t.rlike("[a-z]"))).cast("long").as("alpha_words"),
+            size(array_intersect(array_distinct($"toks"),
+              array(Seq("the", "a", "and", "of", "to", "in", "is", "that")
+                .map(lit): _*))).cast("long").as("n_stop"))
+          .select($"doc_id",
+            ($"words" >= 50L && $"words" <= 100000L).as("ok_wordcount"),
+            (lit(3L) * $"words" <= $"nonws" && $"nonws" <= lit(10L) * $"words")
+              .as("ok_meanlen"),
+            (lit(10L) * ($"n_hash" + $"n_ell") <= $"words").as("ok_symbol"),
+            (lit(5L) * $"alpha_words" >= lit(4L) * $"words").as("ok_alpha"),
+            ($"n_stop" >= 2L).as("ok_stop"))
+        d.agg(count(lit(1)).as("n_docs"),
+          sum(when($"ok_wordcount" && $"ok_meanlen" && $"ok_symbol" &&
+            $"ok_alpha" && $"ok_stop", 1L).otherwise(0L)).as("n_keep"),
+          sum(when(!$"ok_wordcount", 1L).otherwise(0L)).as("f_wordcount"),
+          sum(when(!$"ok_meanlen", 1L).otherwise(0L)).as("f_meanlen"),
+          sum(when(!$"ok_symbol", 1L).otherwise(0L)).as("f_symbol"),
+          sum(when(!$"ok_alpha", 1L).otherwise(0L)).as("f_alpha"),
+          sum(when(!$"ok_stop", 1L).otherwise(0L)).as("f_stop"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        m AS (SELECT doc_id, len(toks) AS words,
+            length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+            (length(text) - length(replace(text, '#', ''))) AS n_hash,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+            len(list_intersect(list_distinct(toks),
+              ['the','a','and','of','to','in','is','that'])) AS n_stop
+          FROM t),
+        f AS (SELECT doc_id,
+            (words >= 50 AND words <= 100000) AS ok_wordcount,
+            (3 * words <= nonws AND nonws <= 10 * words) AS ok_meanlen,
+            (10 * (n_hash + n_ell) <= words) AS ok_symbol,
+            (5 * alpha_words >= 4 * words) AS ok_alpha,
+            (n_stop >= 2) AS ok_stop
+          FROM m)
+        SELECT count(*) AS n_docs,
+          CAST(sum(CASE WHEN ok_wordcount AND ok_meanlen AND ok_symbol
+            AND ok_alpha AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          CAST(sum(CASE WHEN NOT ok_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+          CAST(sum(CASE WHEN NOT ok_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+          CAST(sum(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+          CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+          CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop
+        FROM f""")),
+
     // ── multimodal: JSON-typed column (events.props) ────────────────────
     QueryDef("multimodal_json_extract",
       (s, dir) => {
