@@ -143,6 +143,78 @@ object Streaming {
       }
   }
 
+  /** Sessionization on the Spark 4 `transformWithState` arbitrary-state
+    * API (the successor to flatMapGroupsWithState: typed ValueState,
+    * explicit event-time timers, RocksDB-backed): identical semantics to
+    * [[sessionizeStream]] — extend-or-close per event, timer at
+    * session end + gap closes idle sessions once the watermark passes.
+    * StreamingSpec asserts 3-way agreement with the
+    * flatMapGroupsWithState path and the batch twin. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider at query start.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, SessionOut] {
+    @transient private var session:
+      org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[OpenSession]("session",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def close(uid: Long, s: OpenSession) =
+      SessionOut(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+
+    override def handleInputRows(uid: Long, rows: Iterator[SessionEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val times = rows.map(_.ts.getTime).toArray.sorted
+      var closed = List.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      times.foreach { t =>
+        cur = cur match {
+          case Some(s) if t - s.endMs <= gapMs =>
+            Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= close(uid, s); Some(OpenSession(t, t, 1))
+          case None => Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        // one live timer per key: re-arm at the new idle deadline
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.endMs + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out = if (session.exists()) Iterator(close(uid, session.get())) else Iterator.empty
+      session.clear()
+      out
+    }
+  }
+
+  /** [[sessionizeStream]] re-expressed on transformWithState. */
+  def sessionizeStreamTws(
+      events: DataFrame,
+      gapMinutes: Int,
+      watermarkDur: String = "1 hour"): Dataset[SessionOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("ts")).withWatermark("ts", watermarkDur)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream-static enrichment: join each (micro-batch of) events to a
     * static dimension — Spark re-plans the static side per batch, and a
     * small dim broadcasts, so the stream never shuffles. Identical code

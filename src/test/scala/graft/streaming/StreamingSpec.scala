@@ -152,6 +152,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState path") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Timestamp)] // (user_id, event_id, ts)
+    val q = Streaming.sessionizeStreamTws(
+        mem.toDF().toDF("user_id", "event_id", "ts"), gapMinutes = 30,
+        watermarkDur = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_tws")
+      .outputMode("append").start()
+    try {
+      // identical feed to the flatMapGroupsWithState test above — the
+      // two arbitrary-state APIs must produce the same closed sessions
+      mem.addData((1L, 1L, ts("2024-01-01 10:00:00")), (1L, 2L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, ts("2024-01-01 12:30:00")), (2L, 4L, ts("2024-01-01 12:31:00")))
+      q.processAllAvailable()
+      mem.addData((3L, 5L, ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, 6L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions_tws")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L),
+        (1L, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:00"), 1L),
+        (2L, ts("2024-01-01 12:31:00"), ts("2024-01-01 12:31:00"), 1L),
+        (3L, ts("2024-01-01 16:00:00"), ts("2024-01-01 16:00:00"), 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast join enriches micro-batches without stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
