@@ -88,7 +88,10 @@ object Bench {
       "streaming_sessionization", "text_lang_quality", "window_running_sum",
       "multimodal_json_extract", "model_incremental",
       "q9_product_type_profit", "q19_disjunctive_revenue",
-      "pipeline_decontaminate", "text_fingerprint_rolling", "sim_topk_lsh")
+      "pipeline_decontaminate", "text_fingerprint_rolling", "sim_topk_lsh",
+      "join_asof_nearest", "window_funnel_stages", "text_quality_gopher",
+      "agg_bitmap_distinct", "agg_hll_mergeable_bounds", "streaming_late_drop",
+      "maintenance_zorder", "streaming_interval_join_outer")
     val byName = results.toMap
     val head = headline.filter(byName.contains).map(n => n -> byName(n))
 
