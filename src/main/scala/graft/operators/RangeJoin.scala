@@ -39,4 +39,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: all pairs whose half-open intervals
+    * intersect (`lLo < rHi && rLo < lHi`), optionally under equi keys
+    * (`usingKeys` must exist on BOTH sides under the same names). A raw
+    * overlap conjunct plans as a per-key cartesian; here both sides
+    * explode into the fixed-width bins they span and candidates
+    * equi-join on (keys, bin). A pair whose intervals span several bins
+    * would match in each shared bin, so each pair is emitted ONLY in the
+    * bin containing its overlap start (`max(lLo, rLo)`) — exactly-once
+    * without a distinct/dedup shuffle. Cost is candidates-bounded; pick
+    * `binWidth` near the typical interval width. Bound columns are
+    * numeric (e.g. epoch micros).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lLo: String,
+      lHi: String,
+      right: DataFrame,
+      rLo: String,
+      rHi: String,
+      binWidth: Long,
+      usingKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    bins(left, lLo, lHi).join(bins(right, rLo, rHi), "__bin" +: usingKeys)
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long") === col("__bin"))
+      .drop("__bin")
+  }
 }

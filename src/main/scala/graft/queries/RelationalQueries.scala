@@ -761,6 +761,42 @@ object RelationalQueries extends QueryModule {
         SELECT stage, count(*) AS n_users FROM s
         GROUP BY stage ORDER BY stage""")),
 
+    // Interval-OVERLAP join (interval × interval, vs join_range_tiers'
+    // point-in-interval): click attribution windows [t, t+30min) against
+    // purchase windows [t, t+15min) per user. The binned plan emits each
+    // pair exactly once (in its overlap-start bin) — no distinct, no
+    // per-key cartesian; the oracle is the plain overlap-conjunct join.
+    QueryDef("join_interval_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", unix_micros($"ts").as("t"), $"event_type")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"),
+            $"t".as("lo"), ($"t" + 1800000000L).as("hi"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"),
+            $"t".as("plo"), ($"t" + 900000000L).as("phi"))
+        graft.operators.RangeJoin.intervalOverlap(
+            clicks, "lo", "hi", purchases, "plo", "phi",
+            binWidth = 1800000000L, usingKeys = Seq("user_id"))
+          .select($"click_id", $"purchase_id",
+            (least($"hi", $"phi") - greatest($"lo", $"plo")).as("overlap_us"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+            epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS hi
+          FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS plo,
+            epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS phi
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.click_id, p.purchase_id,
+          least(c.hi, p.phi) - greatest(c.lo, p.plo) AS overlap_us
+        FROM c JOIN p ON c.user_id = p.user_id AND c.lo < p.phi AND p.plo < c.hi
+        ORDER BY click_id, purchase_id""")),
+
     // Ranking-window family: rank / dense_rank / ntile per customer.
     QueryDef("window_rank_functions",
       (s, dir) => {
