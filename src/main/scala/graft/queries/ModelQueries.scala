@@ -142,6 +142,36 @@ object ModelQueries extends QueryModule {
           ${Exact.sqlDsum("o_totalprice")} AS revenue
         FROM orders GROUP BY 1 ORDER BY d""")),
 
+    // Incremental AGGREGATE maintenance: where model_incremental replaces
+    // whole key-rows, this COMBINES partial aggregates — the base table's
+    // per-user (count, decimal sum) merges with the new slice's partials
+    // via full-outer + coalesce-add. Decimal partial sums re-add exactly,
+    // so the merged table is bitwise the full recompute (the oracle) —
+    // the pattern that lets a 100 TB daily rollup absorb a day of data
+    // without rescanning history.
+    QueryDef("model_incremental_agg_merge",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events").select($"user_id", $"ts", $"value")
+        val cut = lit("2024-01-10").cast("timestamp")
+        def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(20,2)")).as("v"))
+        val base = partial(ev.filter($"ts" < cut))
+          .select($"user_id", $"n".as("bn"), $"v".as("bv"))
+        val delta = partial(ev.filter($"ts" >= cut))
+          .select($"user_id", $"n".as("dn"), $"v".as("dv"))
+        base.join(delta, Seq("user_id"), "full_outer")
+          .select($"user_id",
+            (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_events"),
+            (coalesce($"bv", lit(0).cast("decimal(20,2)")) +
+              coalesce($"dv", lit(0).cast("decimal(20,2)"))).cast("double")
+              .as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // The reference's daily Airflow DAG in miniature (orchestrate.md:
     // 256-306): ONE registered query drives model build → date-slice DQ →
     // profiler drift for a single execution date, and emits the unified
