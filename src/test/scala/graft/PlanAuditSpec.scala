@@ -237,6 +237,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_null_safe_eq", "text_vocab_topk", "agg_unpivot_melt",
     "q11_important_part_value", "streaming_sliding_counts")
 
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("stress queries keep cartesian/BNLJ-free plans at sf1 (10× data)") {
     val sf1 = "/root/repo/sf1"
     assume(new java.io.File(s"$sf1/lineitem.parquet").exists(),
