@@ -474,6 +474,41 @@ object PipelineQueries extends QueryModule {
           CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop
         FROM f""")),
 
+    // ── sequence packing (concat-and-chunk): documents tokenize, concat
+    //    in doc_id order, and chunk every B=512 tokens — the standard
+    //    pretraining batch layout. Each doc's chunk span is pure integer
+    //    prefix-sum arithmetic (exclusive-prefix DIV B .. (inclusive-1)
+    //    DIV B), exactly replayable. The global prefix sum is one sort at
+    //    anchor scale; production packs per shard with a shard-local
+    //    prefix, same arithmetic. ─────────────────────────────────────────
+    QueryDef("pipeline_pack_chunks",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            size(split(lower(trim($"text")), "\\s+")).cast("long").as("n_tok"))
+          .withColumn("cum", sum($"n_tok").over(w))
+          .select($"doc_id", $"n_tok",
+            expr("(cum - n_tok) DIV 512").as("first_chunk"),
+            expr("(cum - 1) DIV 512").as("last_chunk"))
+          .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+          FROM documents),
+        c AS (SELECT doc_id, n_tok,
+            sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          CAST((cum - n_tok) // 512 AS BIGINT) AS first_chunk,
+          CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+          CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS n_chunks
+        FROM c ORDER BY doc_id""")),
+
     // ── multimodal: JSON-typed column (events.props) ────────────────────
     QueryDef("multimodal_json_extract",
       (s, dir) => {
