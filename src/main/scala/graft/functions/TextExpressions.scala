@@ -355,6 +355,112 @@ case class TokenRollingHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_rolling_hash64"
 }
 
+/** One-pass Gopher-rule counters (PipelineQueries.text_quality_gopher):
+  * replaces six separate regex/higher-order passes per document (split +
+  * per-token rlike filter + array_intersect + two regexp_replaces + two
+  * replaces) with a single scan. Semantics are EXACTLY the composed
+  * built-ins' — space-only trim, Java-\s token runs with leading AND
+  * trailing empty tokens kept (Spark split keeps both), ASCII-lower
+  * comparisons — so the DuckDB oracle is unchanged.
+  */
+object GopherKernel {
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private val Stop = Array("the", "a", "and", "of", "to", "in", "is", "that")
+
+  /** → [words, non-ws chars, '#' count, non-overlapping "..." count,
+    *    tokens containing an ASCII letter, distinct stop words present]
+    */
+  def gopherStats(text: UTF8String): ArrayData = {
+    val str = text.toString
+    val len = str.length
+    var nonws = 0L
+    var nHash = 0L
+    var i = 0
+    while (i < len) {
+      val c = str.charAt(i)
+      if (!isWs(c)) nonws += 1
+      if (c == '#') nHash += 1
+      i += 1
+    }
+    // non-overlapping "..." (replace() semantics: left-to-right, skip 3)
+    var nEll = 0L
+    i = 0
+    while (i < len) {
+      if (str.charAt(i) == '.' && i + 2 < len &&
+          str.charAt(i + 1) == '.' && str.charAt(i + 2) == '.') {
+        nEll += 1; i += 3
+      } else i += 1
+    }
+    // space-only trim (Spark/DuckDB trim), then \s+-separated tokens
+    var lo = 0
+    var hi = len
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    var words = 1L
+    var alpha = 0L
+    var stopMask = 0
+    var tokHasAlpha = false
+
+    def endToken(s: Int, e: Int): Unit = {
+      if (tokHasAlpha) alpha += 1
+      val tl = e - s
+      if (tl >= 1 && tl <= 4) {
+        var k = 0
+        while (k < Stop.length) {
+          val w = Stop(k)
+          if (w.length == tl) {
+            var m = 0
+            var ok = true
+            while (m < tl && ok) {
+              var c = str.charAt(s + m)
+              if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+              if (c != w.charAt(m)) ok = false
+              m += 1
+            }
+            if (ok) stopMask |= (1 << k)
+          }
+          k += 1
+        }
+      }
+    }
+
+    var tokStart = lo
+    var j = lo
+    while (j < hi) {
+      if (isWs(str.charAt(j))) {
+        endToken(tokStart, j)
+        while (j < hi && isWs(str.charAt(j))) j += 1
+        words += 1
+        tokStart = j
+        tokHasAlpha = false
+      } else {
+        val c = str.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) tokHasAlpha = true
+        j += 1
+      }
+    }
+    endToken(tokStart, hi)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(
+      words, nonws, nHash, nEll, alpha, Integer.bitCount(stopMask).toLong))
+  }
+}
+
+/** gopher_stats(text) → array<bigint> of the six Gopher-rule counters. */
+case class GopherStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"gopher_stats expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    GopherKernel.gopherStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherKernel.gopherStats($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "gopher_stats"
+}
+
 object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -368,6 +474,8 @@ object TextHashFunctions {
       es => TextQuality(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("text_lang_id",
       es => TextLangId(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("gopher_stats",
+      es => GopherStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes", es => {
       val n = es(1).eval(null) match {
         case i: Int => i
@@ -383,6 +491,7 @@ object TextHashFunctions {
   def tokenRollingHash64(c: Column): Column = call_function("token_rolling_hash64", c)
   def textQuality(c: Column): Column = call_function("text_quality", c)
   def textLangId(c: Column): Column = call_function("text_lang_id", c)
+  def gopherStats(c: Column): Column = call_function("gopher_stats", c)
   def shingleHashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
 }
