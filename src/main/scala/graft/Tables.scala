@@ -21,10 +21,32 @@ object Tables {
   // job; a Verify/Bench pass loads these immutable tables hundreds of
   // times. Memoizing the DataFrame (an immutable plan — downstream
   // operators stack on top without mutating it) makes repeat loads
-  // job-free. Keyed by session so a stopped session's plans are never
-  // handed to a live one.
+  // job-free. The cache is a size-bounded LRU (a weak map keyed by session
+  // would be self-defeating: a DataFrame strongly references its session,
+  // so the value would pin the key and nothing would ever be collected) —
+  // at most `maxEntries` plans are retained, so a stopped session's plans
+  // age out instead of living for the JVM lifetime.
+  private val maxEntries = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+        size() > maxEntries
+    }
+
+  /** Drop every memoized plan for `spark` (all sessions if null). Call after
+    * regenerating a table directory in place — a cached plan pins the file
+    * listing it was created with, so a rewrite under the same path would
+    * otherwise serve stale splits.
+    */
+  def invalidate(spark: SparkSession = null): Unit = cache.synchronized {
+    if (spark == null) cache.clear()
+    else {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    }
+  }
 
   /** Load one testdata table.
     *
@@ -34,15 +56,23 @@ object Tables {
     * microsecond timestamp, matching DuckDB's TIMESTAMP_NS → TIMESTAMP
     * truncation so oracle comparisons agree.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, dir, name), _ =>
-      if (name == "events") {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path(dir, name))
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      } else {
-        spark.read.parquet(path(dir, name))
-      })
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = cache.synchronized {
+    val key = (spark, dir, name)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val df =
+        if (name == "events") {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path(dir, name))
+            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        } else {
+          spark.read.parquet(path(dir, name))
+        }
+      cache.put(key, df)
+      df
+    }
+  }
 
   /** Register every testdata table as a temp view so `spark.sql` queries
     * (custom-SQL DQ rules, reference dq_sql_notes.md:228) can address them

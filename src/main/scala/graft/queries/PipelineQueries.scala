@@ -476,19 +476,35 @@ object PipelineQueries extends QueryModule {
     //    in doc_id order, and chunk every B=512 tokens — the standard
     //    pretraining batch layout. Each doc's chunk span is pure integer
     //    prefix-sum arithmetic (exclusive-prefix DIV B .. (inclusive-1)
-    //    DIV B), exactly replayable. The global prefix sum is one sort at
-    //    anchor scale; production packs per shard with a shard-local
-    //    prefix, same arithmetic. ─────────────────────────────────────────
+    //    DIV B), exactly replayable. The prefix sum is DISTRIBUTED as the
+    //    classic two-pass scan: range-partition by doc_id (shard i holds
+    //    strictly lower ids than shard i+1), sum tokens per shard, take an
+    //    exclusive prefix over the tiny one-row-per-shard table, broadcast
+    //    it back, and finish with a shard-local running sum — no task ever
+    //    sorts or scans more than one shard, so the plan holds at 100 TB.
+    //    (Shard ids are stable across the plan's two uses of the exchange:
+    //    range partitioning is deterministic and Spark reuses the shuffle.)
     QueryDef("pipeline_pack_chunks",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.load(s, dir, "documents")
+        val shards = s.sessionState.conf.numShufflePartitions
+        val toks = Tables.load(s, dir, "documents")
           .select($"doc_id",
             size(split(lower(trim($"text")), "\\s+")).cast("long").as("n_tok"))
-          .withColumn("cum", sum($"n_tok").over(w))
+          .repartitionByRange(shards, $"doc_id")
+          .withColumn("__shard", spark_partition_id().cast("long"))
+        // pass 1: per-shard totals → exclusive scan over ≤`shards` rows
+        val offs = toks.groupBy($"__shard").agg(sum($"n_tok").as("__tot"))
+          .withColumn("__off", coalesce(
+            sum($"__tot").over(Window.orderBy("__shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"__shard".as("__shard_o"), $"__off")
+        // pass 2: shard-local running sum, rebased by the broadcast offset
+        val local = Window.partitionBy("__shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(broadcast(offs), $"__shard" === $"__shard_o")
+          .withColumn("cum", sum($"n_tok").over(local) + $"__off")
           .select($"doc_id", $"n_tok",
             expr("(cum - n_tok) DIV 512").as("first_chunk"),
             expr("(cum - 1) DIV 512").as("last_chunk"))

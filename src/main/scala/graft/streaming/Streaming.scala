@@ -304,12 +304,15 @@ object Streaming {
     * b is max(event time over batches < b) − delay (watermarks update at
     * batch completion, never regress).
     *
-    * The twin computes that watermark with a running max over the batch
-    * order (RANGE … 1 PRECEDING excludes the current batch — its rows are
-    * admitted against the PRIOR watermark), filters, then aggregates
-    * hourly counts. The global-order window is one sort at anchor scale;
-    * in production the engine tracks the watermark and this plan is never
-    * executed over the full stream.
+    * The watermark entering a batch is a PER-BATCH quantity (max event
+    * time over earlier batches − delay), so the twin computes it
+    * distributed, never over full-table input: per-batch max event time
+    * via a hash aggregate, a running max over the one-row-per-batch
+    * summary (RANGE … 1 PRECEDING excludes the current batch — its rows
+    * are admitted against the PRIOR watermark; the only ordered window,
+    * over input already reduced by the aggregate — in production a batch
+    * is millions of rows, so #batches ≪ #rows), then a join back on the
+    * batch id to filter admissions and aggregate hourly counts.
     */
   def lateDropTumblingCounts(
       events: DataFrame,
@@ -319,12 +322,16 @@ object Streaming {
       lateBatches: Int = 3): DataFrame = {
     val batch = (col("event_id") - pmod(col("event_id"), lit(batchSize))) / batchSize +
       when(pmod(col("event_id"), lit(lateEvery)) === 0, lateBatches).otherwise(0)
+    val base = events.select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("__b", batch.cast("long"))
     val wmWindow = Window.orderBy(col("__b"))
       .rangeBetween(Window.unboundedPreceding, -1)
-    events.select(col("event_id"), col("event_type"), col("ts"))
-      .withColumn("__b", batch.cast("long"))
+    val watermarks = base.groupBy(col("__b"))
+      .agg(max(unix_micros(col("ts"))).as("__bmax"))
       .withColumn("__wm",
-        max(unix_micros(col("ts"))).over(wmWindow) - delayMinutes * 60000000L)
+        max(col("__bmax")).over(wmWindow) - delayMinutes * 60000000L)
+      .select(col("__b").as("__b_wm"), col("__wm"))
+    base.join(watermarks, col("__b") === col("__b_wm"))
       .filter(col("__wm").isNull ||
         unix_micros(date_trunc("hour", col("ts"))) + 3600000000L > col("__wm"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -206,6 +206,32 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("no registered query plans an unpartitioned window over unreduced input") {
+    // An unpartitioned Window moves ALL its input through one task — the
+    // classic single-task scale killer (WindowExec warns exactly this).
+    // Allowed only when the window's input was already reduced by an
+    // aggregate below it (e.g. the one-row-per-shard offset scan in
+    // pipeline_pack_chunks, the one-row-per-batch watermark scan in
+    // streaming_late_drop): there the window input is O(shards)/O(batches),
+    // not O(rows). `reduced` uses an exists-walk, which is the right
+    // grain here — every global window in the suite sits directly on its
+    // reducing aggregate, not across a join.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case other => other.children.exists(reduced)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !reduced(w.child) => w
+      }
+      if (bad.nonEmpty) Some(s"$name: ${bad.size} global window(s) over unreduced input")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
