@@ -129,11 +129,9 @@ object SketchFunctions {
   }
 
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash64",
-      es => MinHashSignature(es.head, litInt(es(1))), "scala_udf")
-    reg.createOrReplaceTempFunction("rh_signature",
-      es => RhSignature(es.head, litInt(es(1)), litLong(es(2))), "scala_udf")
+    Registration.ifAbsent(spark, "minhash64")(es => MinHashSignature(es.head, litInt(es(1))))
+    Registration.ifAbsent(spark, "rh_signature")(
+      es => RhSignature(es.head, litInt(es(1)), litLong(es(2))))
   }
 
   def minhash64(baseHashes: Column, numHashes: Int): Column =

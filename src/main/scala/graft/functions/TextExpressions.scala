@@ -364,6 +364,14 @@ case class TokenRollingHash64(child: Expression) extends UnaryExpression {
   * comparisons — so the DuckDB oracle is unchanged.
   */
 object GopherKernel {
+  // Case-folding boundary: the alpha/stop-word checks fold ASCII A-Z
+  // only, while the built-ins' lower() folds full Unicode. The rare
+  // letters whose Unicode lowercase lands in [a-z] but whose code point
+  // is outside A-Z (e.g. U+212A KELVIN SIGN → 'k', U+0130 İ → 'i'+dot)
+  // therefore count as alpha for the built-ins but not for the kernel.
+  // Exact parity would need utf8proc-identical casing (what DuckDB
+  // uses), which the JVM does not expose; GopherKernelSpec pins this
+  // boundary explicitly. Code-POINT counting (non-BMP text) is exact.
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
   private val Stop = Array("the", "a", "and", "of", "to", "in", "is", "that")
@@ -379,7 +387,10 @@ object GopherKernel {
     var i = 0
     while (i < len) {
       val c = str.charAt(i)
-      if (!isWs(c)) nonws += 1
+      // count CODE POINTS, not UTF-16 units — length()/regexp_replace in
+      // both engines count code points, so a surrogate pair is ONE char
+      // (no \s char is supplementary, so pairs are always non-ws)
+      if (!isWs(c) && !Character.isLowSurrogate(c)) nonws += 1
       if (c == '#') nHash += 1
       i += 1
     }
@@ -463,27 +474,21 @@ case class GopherStats(child: Expression) extends UnaryExpression {
 
 object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("rolling_hash64", es => RollingHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64_md5",
-      es => SimHash64(es.head, md5Based = true), "scala_udf")
-    reg.createOrReplaceTempFunction("token_rolling_hash64",
-      es => TokenRollingHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("text_quality",
-      es => TextQuality(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("text_lang_id",
-      es => TextLangId(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("gopher_stats",
-      es => GopherStats(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_hashes", es => {
+    Registration.ifAbsent(spark, "rolling_hash64")(es => RollingHash64(es.head))
+    Registration.ifAbsent(spark, "simhash64")(es => SimHash64(es.head))
+    Registration.ifAbsent(spark, "simhash64_md5")(es => SimHash64(es.head, md5Based = true))
+    Registration.ifAbsent(spark, "token_rolling_hash64")(es => TokenRollingHash64(es.head))
+    Registration.ifAbsent(spark, "text_quality")(es => TextQuality(es.head))
+    Registration.ifAbsent(spark, "text_lang_id")(es => TextLangId(es.head))
+    Registration.ifAbsent(spark, "gopher_stats")(es => GopherStats(es.head))
+    Registration.ifAbsent(spark, "shingle_hashes") { es =>
       val n = es(1).eval(null) match {
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(s"shingle_hashes n must be a literal int, got $other")
       }
       ShingleHashes(es.head, n)
-    }, "scala_udf")
+    }
   }
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)

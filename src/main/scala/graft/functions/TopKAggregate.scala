@@ -154,15 +154,14 @@ object TopKBuffer {
 
 object TopKFunctions {
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("topk_pairs", es => {
+    Registration.ifAbsent(spark, "topk_pairs") { es =>
       val k = es(1).eval(null) match {
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(s"topk_pairs k must be a literal int, got $other")
       }
       TopKPairs(es.head, k)
-    }, "scala_udf")
+    }
   }
 
   /** agg column: array<struct<score,id>> of the k best pairs, best first.

@@ -93,11 +93,8 @@ case class InnerProduct(left: Expression, right: Expression)
 /** Session registration + typed Column API. */
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSimilarity(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("inner_product",
-      es => InnerProduct(es(0), es(1)), "scala_udf")
+    Registration.ifAbsent(spark, "cosine_sim")(es => CosineSimilarity(es(0), es(1)))
+    Registration.ifAbsent(spark, "inner_product")(es => InnerProduct(es(0), es(1)))
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

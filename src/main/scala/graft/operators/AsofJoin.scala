@@ -26,6 +26,30 @@ import org.apache.spark.sql.types.StructType
   */
 object AsofJoin {
 
+  // Names the union-window plan claims for itself. A caller column with
+  // one of these names would be silently overwritten by the tagging
+  // `withColumn`s (wrong results, no error) — so reject it up front.
+  private val reservedNames =
+    Seq("__k", "__t", "__side", "__p", "__pb", "__pf", "__tb", "__tf")
+
+  private def checkColumns(
+      left: DataFrame,
+      right: DataFrame,
+      payload: Seq[String],
+      emitted: Seq[String]): Unit = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payload.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+    val clash = (leftCols ++ right.columns).filter(reservedNames.contains).distinct
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(",")} collide with AsofJoin internal names " +
+        s"(${reservedNames.mkString(",")}) — rename before joining")
+    val outClash = emitted.filter(leftCols.contains)
+    require(outClash.isEmpty,
+      s"left column(s) ${outClash.mkString(",")} collide with emitted output " +
+        s"column(s) ${emitted.mkString(",")}")
+  }
+
   /** Reduce `df` to one row per (key, ts): the max-`tieCol` row wins. */
   def latestPerKeyTs(df: DataFrame, key: String, ts: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(key), col(ts)).orderBy(col(tieCol).desc)
@@ -50,8 +74,7 @@ object AsofJoin {
       rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.exists(payload.contains),
-      s"payload ${payload.mkString(",")} collides with a left column")
+    checkColumns(left, right, payload, emitted = Nil)
 
     // Carry ONE struct of the payload columns forward, not each column
     // independently: per-column last(ignoreNulls) would stitch values from
@@ -113,8 +136,7 @@ object AsofJoin {
       payload: Seq[String],
       toleranceMicros: Long): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.exists(payload.contains),
-      s"payload ${payload.mkString(",")} collides with a left column")
+    checkColumns(left, right, payload, emitted = Seq("asof_delta_us"))
 
     // the carried struct embeds the right timestamp (micros) so distance
     // is computable from the struct alone

@@ -36,7 +36,10 @@ class ScalingSmokeSpec extends AnyFunSuite {
   test("approximate dedup operators stay sub-quadratic at 10× data") {
     assume(new java.io.File(s"$sf1/documents.parquet").exists(),
       "sf1 not generated (tools/gen_sf1.py)")
-    timeOnce(guarded.head, sf01) // warmup: absorb codegen/JIT startup
+    // warm up EVERY guarded query, not just the first — each has its own
+    // codegen/JIT startup, and a warmup landing inside a timed sf0.1 run
+    // inflates that query's denominator (r7 advice)
+    guarded.foreach(timeOnce(_, sf01))
     val offenders = guarded.flatMap { name =>
       val small = timeOnce(name, sf01)
       val big = timeOnce(name, sf1)

@@ -24,6 +24,8 @@ class GopherKernelSpec extends AnyFunSuite {
     "THE The tHe of of that", // case-folded distinct stopwords: the,of,that
     "12 34 #56",              // no alphabetic tokens
     "一二三 the 四五",          // CJK tokens have no [a-z]
+    "smile 😀😀 the end", // supplementary (non-BMP): 1 code point each
+    "🍕 pizza...#🍕",     // surrogate pairs around symbols
     "word." * 3 + " tail")
 
   test("kernel counters equal the built-in composition on edge cases") {
@@ -46,5 +48,21 @@ class GopherKernelSpec extends AnyFunSuite {
     cases.indices.foreach { i =>
       assert(viaKernel(i) == viaBuiltins(i), s"case '${cases(i)}'")
     }
+  }
+
+  test("documented casing boundary: ASCII-fold only (U+212A Kelvin stays non-alpha)") {
+    // lower('K') is 'k' in full-Unicode casing, so the BUILT-IN
+    // composition counts "212K" as an alpha token; the kernel folds
+    // ASCII only and must NOT (GopherKernel scaladoc pins this choice).
+    val df = Seq("212K the").toDF("text")
+    TextHashFunctions.register(spark)
+    val g = df.select(TextHashFunctions.gopherStats(col("text")).as("g"))
+      .select(col("g").getItem(0), col("g").getItem(4), col("g").getItem(5))
+      .head().toSeq
+    assert(g == Seq(2L, 1L, 1L), g) // 2 words, 1 alpha token ("the"), 1 stop word
+    val builtinAlpha = df.select(
+      size(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t.rlike("[a-z]"))).cast("long")).head().getLong(0)
+    assert(builtinAlpha == 2L) // built-ins also count "212K" — the divergence
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 class AsofJoinSpec extends AnyFunSuite {
@@ -104,5 +105,26 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
     assert("Sort \\[".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("reserved internal / emitted column names are rejected, not silently clobbered") {
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qts", "px")
+    val trades = Seq((1L, "A", ts("2024-01-01 10:01:00"))).toDF("id", "sym", "tts")
+    // a left column named like an internal tag would be overwritten by the plan
+    val badLeft = trades.withColumn("__t", lit(0L))
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.asof(badLeft, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+    }
+    // same guard covers the right side
+    val badRight = quotes.withColumn("__side", lit(9))
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.asof(trades, badRight, "sym", "sym", "tts", "qts", Seq("px"))
+    }
+    // nearest additionally owns the emitted asof_delta_us column
+    val deltaLeft = trades.withColumn("asof_delta_us", lit(0L))
+    assertThrows[IllegalArgumentException] {
+      AsofJoin.asofNearest(deltaLeft, quotes, "sym", "sym", "tts", "qts",
+        Seq("px"), toleranceMicros = 1L)
+    }
   }
 }
