@@ -62,19 +62,30 @@ object Similarity {
   def signature(vec: Column, dim: Int, bits: Int, seed: Long): Column =
     graft.functions.SketchFunctions.rhSignature(vec, bits, seed)
 
-  /** The signature bucket plus all `bits` single-bit flips of it —
-    * hamming-1 multi-probe expansion.
+  /** The signature bucket plus every bucket within hamming distance
+    * `maxHamming` of it — multi-probe expansion. Probe count is
+    * Σ_{d≤maxHamming} C(bits, d) (e.g. 56 for bits=10, maxHamming=2);
+    * the expansion lives on the broadcast query side only, so deeper
+    * probing never touches the candidate-side scan.
     */
-  def probes(bucket: Column, bits: Int): Column =
-    array(bucket +: (0 until bits).map(j => bucket.bitwiseXOR(lit(1 << j))): _*)
+  def probes(bucket: Column, bits: Int, maxHamming: Int = 1): Column = {
+    val masks = (1 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
+    array(bucket +: masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
+  }
 
   /** ANN top-k with multi-table random-hyperplane LSH: `tables`
     * independent signatures bucket the candidates; the (broadcast) query
-    * side probes each table at hamming distance ≤ 1. A neighbor at angle
-    * θ agrees with a query bit w.p. p = 1−θ/π, so the per-table
-    * hamming-≤1 hit rate is p^b + b·p^(b−1)(1−p) and the overall miss
-    * rate decays as (1−hit)^L — recall vs [[bruteForceTopK]] is measured
-    * in SimilaritySpec on clustered data.
+    * side probes each table at hamming distance ≤ `probeHamming`. A
+    * neighbor at angle θ agrees with a query bit w.p. p = 1−θ/π, so the
+    * per-table hamming-≤d hit rate is Σ_{j≤d} C(b,j)·p^(b−j)(1−p)^j and
+    * the overall miss rate decays as (1−hit)^L — recall vs
+    * [[bruteForceTopK]] is measured in SimilaritySpec on clustered data
+    * and re-measured at 10× corpus in ScalingSmokeSpec, whose sweep
+    * picked the default operating point: on a corpus whose true top-k
+    * are mid-similarity (~0.45 cosine — pure noise neighbors, the
+    * hardest regime), bits=10/L=8/hamming≤2 holds recall ≥0.9 while
+    * scoring ~6% of the brute-force pair space; hamming-1 probing at
+    * bits=8/L=4 holds ≥0.9 only when true neighbors are high-similarity.
     *
     * Plan shape: candidate rows stream through a broadcast hash join
     * (no candidate-side shuffle, explode factor L), duplicate (q,c)
@@ -89,14 +100,15 @@ object Similarity {
       dim: Int,
       bits: Int = 8,
       tables: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      probeHamming: Int = 1): DataFrame = {
     VectorFunctions.register(candidates.sparkSession)
     graft.functions.SketchFunctions.register(candidates.sparkSession)
     def tableSeed(t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
     val q = queries
       .select(col("qid"), col("qvec"),
         posexplode(array((0 until tables).map(t =>
-          probes(signature(col("qvec"), dim, bits, tableSeed(t)), bits)): _*))
+          probes(signature(col("qvec"), dim, bits, tableSeed(t)), bits, probeHamming)): _*))
           .as(Seq("qtable", "ps")))
       .select(col("qid"), col("qvec"), col("qtable"), explode(col("ps")).as("probe"))
     val c = candidates.select(col("cid"), col("cvec"),

@@ -297,14 +297,21 @@ object PipelineQueries extends QueryModule {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val candidates = emb
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        Similarity.lshTopK(queries, candidates, k = 5, dim = 64, bits = 8)
+        // bits=10/L=8/hamming≤2: the ScalingSmokeSpec-validated operating
+        // point — holds recall ≥0.9 at 10× corpus even when true top-k
+        // are mid-similarity chance neighbors (see Similarity.lshTopK doc)
+        Similarity.lshTopK(queries, candidates, k = 5, dim = 64, bits = 10,
+            tables = 8, probeHamming = 2)
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
       Some {
-        val sigs = (0 until 4).map(t =>
-          s"${OracleGen.sigExpr(OracleGen.lshTableSeed(42L, t), 8, 64, "e")} AS s$t")
+        val sigs = (0 until 8).map(t =>
+          s"${OracleGen.sigExpr(OracleGen.lshTableSeed(42L, t), 10, 64, "e")} AS s$t")
           .mkString(",\n            ")
+        val anyTable = (0 until 8)
+          .map(t => s"bit_count(xor(q.s$t, c.s$t)) <= 2")
+          .mkString(" OR\n            ")
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         sig AS (SELECT vec_id, e,
             $sigs
@@ -313,8 +320,7 @@ object PipelineQueries extends QueryModule {
             list_cosine_similarity(q.e, c.e) AS sim
           FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
           WHERE q.vec_id < 10 AND (
-            bit_count(xor(q.s0, c.s0)) <= 1 OR bit_count(xor(q.s1, c.s1)) <= 1 OR
-            bit_count(xor(q.s2, c.s2)) <= 1 OR bit_count(xor(q.s3, c.s3)) <= 1)),
+            $anyTable)),
         r AS (SELECT qid, cid, sim,
             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
           FROM pairs)
@@ -336,12 +342,16 @@ object PipelineQueries extends QueryModule {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val candidates = emb
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        Similarity.ivfTopKSeeded(queries, candidates, k = 5, numCentroids = 8, nProbe = 3)
+        // nc=64/nProbe=24: ScalingSmokeSpec's sf1 sweep point — on an
+        // unclustered corpus IVF recall tracks the scanned fraction
+        // (nProbe/nc), and 24/64 holds ≥0.9 at 10×; fewer, coarser cells
+        // (8/3) degraded to 0.72 as the corpus grew
+        Similarity.ivfTopKSeeded(queries, candidates, k = 5, numCentroids = 64, nProbe = 24)
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
         assign AS (SELECT vec_id, cell FROM (
             SELECT c.vec_id, t.cell,
               row_number() OVER (PARTITION BY c.vec_id
@@ -351,7 +361,7 @@ object PipelineQueries extends QueryModule {
             SELECT q.vec_id AS qid, t.cell,
               row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
-            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 3),
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
         scored AS (SELECT p.qid, a.vec_id AS cid,
             list_cosine_similarity(q.e, c.e) AS sim
           FROM probes p

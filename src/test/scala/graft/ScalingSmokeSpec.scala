@@ -30,6 +30,12 @@ class ScalingSmokeSpec extends AnyFunSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
+  // min-of-2 like the bench: one-shot timings put dedup_embedding_lsh
+  // (~10× at 10× data — linear, its signature+bucket join cost tracks n)
+  // right against the 12× bar on a noisy run
+  private def timeMin2(name: String, dir: String): Double =
+    math.min(timeOnce(name, dir), timeOnce(name, dir))
+
   private val guarded =
     Seq("dedup_simhash", "dedup_embedding_lsh", "dedup_minhash_lsh")
 
@@ -41,13 +47,42 @@ class ScalingSmokeSpec extends AnyFunSuite {
     // inflates that query's denominator (r7 advice)
     guarded.foreach(timeOnce(_, sf01))
     val offenders = guarded.flatMap { name =>
-      val small = timeOnce(name, sf01)
-      val big = timeOnce(name, sf1)
+      val small = timeMin2(name, sf01)
+      val big = timeMin2(name, sf1)
       val ratio = big / math.max(small, 0.05)
       info(f"$name%-22s sf0.1 $small%5.2fs  sf1 $big%5.2fs  ratio $ratio%4.1f×")
       if (ratio > 12.0) Some(f"$name $ratio%.1f× at 10× data") else None
     }
     assert(offenders.isEmpty,
       "bucket-space saturation (quadratic wall): " + offenders.mkString(", "))
+  }
+
+  test("ANN recall vs brute-force truth holds at sf1 (10× corpus)") {
+    // The SimilaritySpec recall bound is asserted at fixture scale only;
+    // hyperplane bucket occupancy and IVF cell population both change
+    // with corpus size, so re-measure recall@k at 10× with the SAME
+    // parameters the registered sim_topk_* queries use (r7 verdict item 2).
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
+      "sf1 not generated (tools/gen_sf1.py)")
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf1, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(queries, cands, k))
+    val lsh = pairs(Similarity.lshTopK(queries, cands, k, dim = 64, bits = 10,
+      tables = 8, probeHamming = 2))
+    val ivf = pairs(Similarity.ivfTopKSeeded(queries, cands, k,
+      numCentroids = 64, nProbe = 24))
+    val rLsh = (truth & lsh).size.toDouble / truth.size
+    val rIvf = (truth & ivf).size.toDouble / truth.size
+    info(f"sf1 recall@$k over ${queries.count()} queries: lsh $rLsh%.3f  ivf $rIvf%.3f")
+    assert(rLsh >= 0.9, f"sim_topk_lsh recall degraded at sf1: $rLsh%.3f")
+    assert(rIvf >= 0.9, f"sim_topk_ivf recall degraded at sf1: $rIvf%.3f")
   }
 }
