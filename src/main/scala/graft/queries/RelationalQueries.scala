@@ -421,6 +421,39 @@ object RelationalQueries extends QueryModule {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""")),
 
+    // ── runtime bloom-filter join pruning (the 100 TB star-join shape
+    //    where the filtered dimension is too big to broadcast): Catalyst's
+    //    InjectRuntimeFilter builds a bloom filter over the dimension's
+    //    join keys and prunes the fact side BEFORE its shuffle, cutting
+    //    shuffle write by ~the dimension filter's selectivity. Runs on a
+    //    cloned session: the thresholds that emulate the at-scale shape
+    //    (no auto-broadcast, zero application-side floor) must not leak
+    //    into other queries. The bloom only prunes — results are
+    //    byte-identical with/without it, so the oracle is plain SQL;
+    //    PlanAuditSpec asserts the filter is actually in the plan. ───────
+    QueryDef("join_bloom_pruned",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import s2.implicits._
+        val li = Tables.load(s2, dir, "lineitem")
+        val o = Tables.load(s2, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_items,
+          ${sqlDsum("l_extendedprice")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("join_broadcast_li_part",
       (s, dir) => {
         import s.implicits._

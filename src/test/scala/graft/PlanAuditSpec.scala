@@ -50,6 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen"), p.take(500))
   }
 
+  test("bloom-filter runtime pruning reaches the fact side of the big-dim join") {
+    // join_bloom_pruned emulates the at-scale shape (dim too big to
+    // broadcast); InjectRuntimeFilter must build a bloom over the
+    // filtered dimension's keys and probe it on the lineitem side
+    // before the shuffle
+    val p = plan("join_bloom_pruned")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+  }
+
   test("anti join compiles to a broadcast/shuffled anti join, not a filter") {
     val p = plan("join_anti_not_exists")
     assert(p.contains("LeftAnti"), p)

@@ -15,8 +15,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * stays fast; the scaling pass re-arms it by generating sf1.
   *
   * One timed pass per (query, sf) after a warmup — noisier than the
-  * bench's min-of-2, hence the generous 12× bar: a healthy sub-linear
-  * operator measures ≤ 8× even with noise, a quadratic wall ≥ 17×.
+  * bench's min-of-2, hence the generous 15× bar: a healthy sub-linear
+  * operator measures ≤ 13× even with noise, a quadratic wall ≥ 17×.
   */
 class ScalingSmokeSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -32,7 +32,7 @@ class ScalingSmokeSpec extends AnyFunSuite {
 
   // min-of-2 like the bench: one-shot timings put dedup_embedding_lsh
   // (~10× at 10× data — linear, its signature+bucket join cost tracks n)
-  // right against the 12× bar on a noisy run
+  // right against the old 12× bar on a noisy run
   private def timeMin2(name: String, dir: String): Double =
     math.min(timeOnce(name, dir), timeOnce(name, dir))
 
@@ -51,7 +51,13 @@ class ScalingSmokeSpec extends AnyFunSuite {
       val big = timeMin2(name, sf1)
       val ratio = big / math.max(small, 0.05)
       info(f"$name%-22s sf0.1 $small%5.2fs  sf1 $big%5.2fs  ratio $ratio%4.1f×")
-      if (ratio > 12.0) Some(f"$name $ratio%.1f× at 10× data") else None
+      // Bar rationale: the walls this guard exists for measured ≥17×
+      // (dedup_simhash 29.9×, dedup_embedding_lsh 17.1×, SCALING.md).
+      // Healthy shapes measure 4–13×: embedding LSH's corpus-auto-sized
+      // bucket bits step with bit-length (11→15 bits across this decade,
+      // so signature cost grows ~n·log n in steps), and the ~0.3 s sf0.1
+      // runs are fixed-overhead-dominated. 15 separates the populations.
+      if (ratio > 15.0) Some(f"$name $ratio%.1f× at 10× data") else None
     }
     assert(offenders.isEmpty,
       "bucket-space saturation (quadratic wall): " + offenders.mkString(", "))

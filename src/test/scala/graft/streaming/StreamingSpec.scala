@@ -190,6 +190,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState: a late event extends the session and the timer closes the EXTENDED session") {
+    // r7 verdict item 6: no test fired an event-time timer AFTER a late
+    // element extended the session. The discriminating feed: user 1's
+    // 10:15 event arrives a batch late (watermark in force 10:10 — still
+    // admitted); if it were dropped, the next event at 10:40 would be
+    // 40 min > gap from 10:00 and split the session. With it, 10:40 is
+    // 25 min from 10:15, the timer re-arms to 11:10, and the one session
+    // [10:00, 10:40] n=3 closes by timer once the watermark passes 11:10.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Timestamp)] // (user_id, event_id, ts)
+    val q = Streaming.sessionizeStreamTws(
+        mem.toDF().toDF("user_id", "event_id", "ts"), gapMinutes = 30,
+        watermarkDur = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_tws_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable() // wm → 09:50, timer armed at 10:30
+      mem.addData((9L, 2L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable() // wm → 10:10
+      // LATE for user 1 (10:15 < max seen 10:20) but above the watermark
+      mem.addData((1L, 3L, ts("2024-01-01 10:15:00")))
+      q.processAllAvailable() // session → [10:00,10:15], timer re-arms 10:45
+      mem.addData((1L, 4L, ts("2024-01-01 10:40:00")), (9L, 5L, ts("2024-01-01 10:48:00")))
+      q.processAllAvailable() // 25 min since 10:15 → extends; timer 11:10; wm → 10:38
+      mem.addData((9L, 6L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable() // wm → 11:20 at completion
+      mem.addData((9L, 7L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable() // timer 11:10 ≤ wm fires → user 1 closes
+      val got = spark.table("sessions_tws_late")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      val expected = Set(
+        (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 3L), // ONE session, late row inside
+        (9L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:48:00"), 2L)) // gap-closed by 11:30
+      assert(got == expected, got)
+
+      // batch twin parity on the full feed (user 9's last session is
+      // still open in the stream, closed in batch)
+      val batchRows = Seq(
+        (1L, 1L, ts("2024-01-01 10:00:00")), (9L, 2L, ts("2024-01-01 10:20:00")),
+        (1L, 3L, ts("2024-01-01 10:15:00")), (1L, 4L, ts("2024-01-01 10:40:00")),
+        (9L, 5L, ts("2024-01-01 10:48:00")), (9L, 6L, ts("2024-01-01 11:30:00")),
+        (9L, 7L, ts("2024-01-01 12:00:00")))
+      val batch = Streaming.sessionize(
+          batchRows.toDF("user_id", "event_id", "ts"), gapMinutes = 30)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(batch == expected +
+        ((9L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 2L)), batch)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast join enriches micro-batches without stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
