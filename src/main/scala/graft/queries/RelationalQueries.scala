@@ -753,28 +753,8 @@ object RelationalQueries extends QueryModule {
     // per-stage self-join, no per-user collect — the MATCH_RECOGNIZE
     // analytic Spark lacks, expressed scale-linear.
     QueryDef("window_funnel_stages",
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val run = Window.partitionBy("user_id").orderBy("t", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wClick = 60L * 60 * 1000000    // view→click: 60 min, micros
-        val wBuy = 24L * 3600 * 1000000    // click→purchase: 24 h
-        Tables.load(s, dir, "events")
-          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("t"))
-          .withColumn("last_view",
-            max(when($"event_type" === "view", $"t")).over(run))
-          .withColumn("qc", when($"event_type" === "click" &&
-            $"last_view".isNotNull && $"t" - $"last_view" <= wClick, $"t"))
-          .withColumn("last_qc", max($"qc").over(run))
-          .withColumn("qp", when($"event_type" === "purchase" &&
-            $"last_qc".isNotNull && $"t" - $"last_qc" <= wBuy, 1).otherwise(0))
-          .groupBy($"user_id")
-          .agg(max(when($"qp" === 1, 3).when($"qc".isNotNull, 2)
-            .when($"event_type" === "view", 1).otherwise(0)).as("stage"))
-          .groupBy("stage").agg(count(lit(1)).as("n_users"))
-          .orderBy("stage")
-      },
+      (s, dir) =>
+        graft.operators.Funnel.stageCounts(Tables.load(s, dir, "events")),
       Some("""WITH e AS (SELECT user_id, event_id, event_type,
             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
         w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN t END) OVER

@@ -63,6 +63,37 @@ class ScalingSmokeSpec extends AnyFunSuite {
       "bucket-space saturation (quadratic wall): " + offenders.mkString(", "))
   }
 
+  test("funnel window tolerates a planted hot user holding 20% of sf10 events") {
+    // The funnel's per-user running windows route a hot key through one
+    // task; its cost there is the task-local sort, so a 20%-of-corpus
+    // user must degrade boundedly, not explode — and out-of-order input
+    // needs no repair pass (the window's (t, event_id) sort re-orders).
+    val sf10 = "/root/repo/sf10"
+    assume(new java.io.File(s"$sf10/events.parquet").exists(),
+      "sf10 not generated (tools/gen_sf1.py)")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Funnel
+    val events = Tables.load(spark, sf10, "events")
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(Funnel.stageCounts(events)) // warmup
+    val even = time(Funnel.stageCounts(events))
+    // plant the hot key AND scramble arrival order within it: rows keep
+    // their (t, event_id) but lose any correlation with input order
+    val skewed = events.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) === 0, lit(-42L)).otherwise(col("user_id")))
+    val hot = time(Funnel.stageCounts(skewed))
+    info(f"funnel sf10: even $even%5.2fs  hot-key $hot%5.2fs  ratio ${hot / even}%4.1f×")
+    assert(hot <= even * 5 + 5.0,
+      f"hot user exploded the funnel window: even $even%.2fs hot $hot%.2fs")
+    // sanity: the hot variant still yields a well-formed stage histogram
+    val stages = Funnel.stageCounts(skewed).collect().map(_.getInt(0)).toSet
+    assert(stages.subsetOf(Set(0, 1, 2, 3)), stages)
+  }
+
   test("ANN recall vs brute-force truth holds at sf1 (10× corpus)") {
     // The SimilaritySpec recall bound is asserted at fixture scale only;
     // hyperplane bucket occupancy and IVF cell population both change
