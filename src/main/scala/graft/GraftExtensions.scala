@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("topk_pairs", "topk_pairs(struct(score, id), k) - bounded top-k aggregate") {
       es => TopKPairs(es.head, litInt(es(1)))
     }
+    inject("cms_estimate", "cms_estimate(sketch, item) - point estimate from a count_min_sketch binary") {
+      es => CountMinEstimate(es(0), es(1))
+    }
   }
 }

@@ -116,6 +116,41 @@ case class RhSignature(child: Expression, bits: Int, seed: Long) extends UnaryEx
   override def prettyName: String = "rh_signature"
 }
 
+/** Point estimate from a serialized Spark `CountMinSketch` (the binary
+  * produced by SQL `count_min_sketch(...)`): Spark ships the aggregate
+  * but no SQL-level probe, so querying an estimate IN-PLAN (the lazy
+  * bounds pattern — no driver-side .head()) needs this expression. The
+  * sketch deserializes per evaluation; by design it sits on the probe
+  * side of a 1-row broadcast recombine (a handful of rows), never on a
+  * corpus scan.
+  */
+object CmsKernel {
+  def estimate(sketch: Array[Byte], item: Long): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+      .estimateCount(java.lang.Long.valueOf(item))
+}
+
+case class CountMinEstimate(sketch: Expression, item: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = sketch
+  override def right: Expression = item
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sketch.dataType, item.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate expects (binary, bigint), got (${s.simpleString}, ${i.simpleString})")
+    }
+  override protected def nullSafeEval(sk: Any, it: Any): Any =
+    CmsKernel.estimate(sk.asInstanceOf[Array[Byte]], it.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, i) => s"graft.functions.CmsKernel.estimate($s, $i)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression) = copy(sketch = newLeft, item = newRight)
+  override def prettyName: String = "cms_estimate"
+}
+
 object SketchFunctions {
   private def litInt(e: Expression): Int = e.eval(null) match {
     case i: Int => i
@@ -132,10 +167,13 @@ object SketchFunctions {
     Registration.ifAbsent(spark, "minhash64")(es => MinHashSignature(es.head, litInt(es(1))))
     Registration.ifAbsent(spark, "rh_signature")(
       es => RhSignature(es.head, litInt(es(1)), litLong(es(2))))
+    Registration.ifAbsent(spark, "cms_estimate")(es => CountMinEstimate(es(0), es(1)))
   }
 
   def minhash64(baseHashes: Column, numHashes: Int): Column =
     call_function("minhash64", baseHashes, lit(numHashes))
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    call_function("cms_estimate", sketch, item)
   def rhSignature(vec: Column, bits: Int, seed: Long): Column =
     call_function("rh_signature", vec, lit(bits), lit(seed))
 }

@@ -533,6 +533,57 @@ object PipelineQueries extends QueryModule {
           CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS n_chunks
         FROM c ORDER BY doc_id""")),
 
+    // ── curriculum quality binning: documents bucketed by how many of
+    //    the five Gopher criteria they pass (0–5, a pure-integer
+    //    composite), with per-bin doc/token mass — the inputs a
+    //    quality-mixed pretraining sampler draws from. One kernel scan +
+    //    one hash aggregate; at 100 TB the bin histogram is 6 rows. ─────
+    QueryDef("pipeline_quality_bins",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            graft.functions.TextHashFunctions.gopherStats($"text").as("g"))
+          .select($"doc_id",
+            $"g".getItem(0).as("words"), $"g".getItem(1).as("nonws"),
+            $"g".getItem(2).as("n_hash"), $"g".getItem(3).as("n_ell"),
+            $"g".getItem(4).as("alpha_words"), $"g".getItem(5).as("n_stop"))
+          .select($"doc_id", $"words",
+            (when($"words" >= 50L && $"words" <= 100000L, 1L).otherwise(0L) +
+             when(lit(3L) * $"words" <= $"nonws" && $"nonws" <= lit(10L) * $"words", 1L)
+               .otherwise(0L) +
+             when(lit(10L) * ($"n_hash" + $"n_ell") <= $"words", 1L).otherwise(0L) +
+             when(lit(5L) * $"alpha_words" >= lit(4L) * $"words", 1L).otherwise(0L) +
+             when($"n_stop" >= 2L, 1L).otherwise(0L)).as("quality_bin"))
+        d.groupBy($"quality_bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"words").as("sum_tokens"),
+            min($"words").as("min_tokens"), max($"words").as("max_tokens"))
+          .orderBy("quality_bin")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        m AS (SELECT doc_id, len(toks) AS words,
+            length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+            (length(text) - length(replace(text, '#', ''))) AS n_hash,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+            len(list_intersect(list_distinct(toks),
+              ['the','a','and','of','to','in','is','that'])) AS n_stop
+          FROM t),
+        b AS (SELECT doc_id, words,
+            (CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END +
+             CASE WHEN 3 * words <= nonws AND nonws <= 10 * words THEN 1 ELSE 0 END +
+             CASE WHEN 10 * (n_hash + n_ell) <= words THEN 1 ELSE 0 END +
+             CASE WHEN 5 * alpha_words >= 4 * words THEN 1 ELSE 0 END +
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS quality_bin
+          FROM m)
+        SELECT CAST(quality_bin AS BIGINT) AS quality_bin, count(*) AS n_docs,
+          CAST(sum(words) AS BIGINT) AS sum_tokens,
+          CAST(min(words) AS BIGINT) AS min_tokens,
+          CAST(max(words) AS BIGINT) AS max_tokens
+        FROM b GROUP BY quality_bin ORDER BY quality_bin""")),
+
     // ── multimodal: JSON-typed column (events.props) ────────────────────
     QueryDef("multimodal_json_extract",
       (s, dir) => {
@@ -705,6 +756,58 @@ object PipelineQueries extends QueryModule {
           CASE lang WHEN 'en' THEN '2' WHEN 'es' THEN '8' WHEN 'de' THEN '8'
             WHEN 'fr' THEN '8' WHEN 'zh' THEN '8' END
         GROUP BY lang ORDER BY lang""")),
+
+    // ── train/test leakage check: near-duplicate pairs that CROSS the
+    //    split are evaluation contamination (the test doc has a near-copy
+    //    in train). Composes the two exact-oracle primitives: simhash
+    //    near-dup pairs (banded, bucketed candidate generation — the
+    //    scale path) joined to the deterministic md5 split assignment,
+    //    rolled up per (split_a, split_b) combo. The cross-split rows are
+    //    the leak report; same-split rows are the in-split dup baseline.
+    //    At 100 TB this is two hash joins of the (small) pair set against
+    //    the split map — no new shuffle over the corpus itself. ─────────
+    QueryDef("pipeline_leakage_check",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxDistance = 3, md5TokenHash = true)
+        val split = graft.operators.Sampling
+          .trainTestSplit(docs, "doc_id", testSixteenths = 2)
+          .select(col("doc_id"), col("split"))
+        pairs
+          .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+          .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+          .groupBy($"split_a", $"split_b")
+          .agg(count(lit(1)).as("n_pairs"), min($"hamming").as("min_hamming"),
+            sum(when($"split_a" =!= $"split_b", 1L).otherwise(0L)).as("n_leaks"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        hv AS (SELECT doc_id, ${OracleGen.md5Low64Expr("md5(tok)")} AS hv FROM t),
+        votes AS (SELECT doc_id, b,
+            sum(CASE WHEN (hv >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+          GROUP BY doc_id, b),
+        sh AS (SELECT doc_id,
+            sum(CASE WHEN v > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)::UBIGINT AS h
+          FROM votes GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.h, b.h)) <= 3),
+        sp AS (SELECT doc_id,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+              THEN 'test' ELSE 'train' END AS split FROM documents)
+        SELECT sa.split AS split_a, sb.split AS split_b,
+          count(*) AS n_pairs, min(p.hamming) AS min_hamming,
+          CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.doc_a
+        JOIN sp sb ON sb.doc_id = p.doc_b
+        GROUP BY sa.split, sb.split ORDER BY split_a, split_b""")),
 
     QueryDef("split_train_test",
       (s, dir) => graft.operators.Sampling.trainTestSplit(

@@ -1116,6 +1116,38 @@ object RelationalQueries extends QueryModule {
         FROM (SELECT 1 FROM events LIMIT 1)
         ORDER BY metric""")),
 
+    // ── count-min sketch heavy-hitter estimates with in-plan bounds:
+    //    Spark ships the count_min_sketch aggregate but no SQL probe, so
+    //    the native cms_estimate expression queries the serialized sketch
+    //    in-plan (lazy bounds pattern — zero driver actions; the sketch
+    //    is a 1-row broadcast, probes a 5-row side). Checked guarantees:
+    //    CMS never underestimates, and overestimate ≤ eps·N — the eps
+    //    check is the integer cross-multiplication 1000·(est−exact) ≤ N,
+    //    no float arithmetic. ─────────────────────────────────────────────
+    QueryDef("agg_countmin_bounds",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.SketchFunctions.register(s)
+        import graft.functions.SketchFunctions.cmsEstimate
+        val ev = Tables.load(s, dir, "events")
+        val sk = ev.agg(
+          expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n_total"))
+        val exact = ev.filter($"user_id" < 5)
+          .groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+        exact.crossJoin(broadcast(sk))
+          .select($"user_id",
+            (cmsEstimate($"sk", $"user_id") >= $"exact_n")
+              .as("cms_never_underestimates"),
+            (lit(1000L) * (cmsEstimate($"sk", $"user_id") - $"exact_n") <= $"n_total")
+              .as("cms_within_eps"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, true AS cms_never_underestimates,
+          true AS cms_within_eps
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5)
+        ORDER BY user_id""")),
+
     // UNPIVOT/melt: wide metric columns → long (metric, value) rows —
     // the Expand-based reshape (inverse of PIVOT), then re-aggregated
     // so the oracle compares one row per metric.

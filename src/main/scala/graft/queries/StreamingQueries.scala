@@ -76,6 +76,15 @@ object StreamingQueries extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS value_sum
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Per-user event-type cardinality — batch twin of the MapState
+    // transformWithState processor (StreamingSpec pins last-snapshot
+    // parity against a MemoryStream run of the same processor).
+    QueryDef("streaming_user_event_types",
+      (s, dir) => Streaming.userEventTypeCounts(Tables.load(s, dir, "events")),
+      Some("""SELECT user_id, count(DISTINCT event_type) AS n_types,
+          count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Watermark late-data admission (drop iff window end ≤ watermark at
     // arrival; StreamingSpec pins the rule against a live MemoryStream).
     // The in-order synthetic stream gets a deterministic arrival

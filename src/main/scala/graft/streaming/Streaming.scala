@@ -215,6 +215,61 @@ object Streaming {
         OutputMode.Append())
   }
 
+  final case class TypeEvent(user_id: Long, event_type: String)
+  final case class UserTypeCounts(user_id: Long, n_types: Long, n_events: Long)
+
+  /** Per-user event-type cardinality on `transformWithState` MapState —
+    * the keyed-map arbitrary-state primitive the sessionization paths
+    * (ValueState + timers) don't exercise: one `MapState[event_type →
+    * count]` per user, emitted as an updated (n_types, n_events) snapshot
+    * every batch the user appears in. State is bounded by the event-type
+    * vocabulary per user, never by stream length. StreamingSpec pins
+    * last-snapshot parity with [[userEventTypeCounts]], the batch twin.
+    */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypeEvent, UserTypeCounts] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TypeEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypeCounts] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      var types = 0L
+      var events = 0L
+      counts.values().foreach { v => types += 1; events += v }
+      Iterator(UserTypeCounts(uid, types, events))
+    }
+  }
+
+  /** [[TypeCountProcessor]] wiring: update-mode snapshots per batch. */
+  def userEventTypesStream(events: DataFrame): Dataset[UserTypeCounts] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_type")).as[TypeEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Batch twin of [[userEventTypesStream]]'s final snapshot. */
+  def userEventTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   /** Stream-static enrichment: join each (micro-batch of) events to a
     * static dimension — Spark re-plans the static side per batch, and a
     * small dim broadcasts, so the stream never shuffles. Identical code

@@ -189,7 +189,7 @@ class PlanAuditSpec extends AnyFunSuite {
   //  - topk_ivf: query×centroid assignment, |centroids| is a small const
   private val allowedBnlj = Set("agg_profile_histogram", "agg_profile_stats",
     "agg_incremental_distinct_exact", "agg_sketch_error_bounds",
-    "agg_approx_topk_bounds", "agg_hll_mergeable_bounds",
+    "agg_approx_topk_bounds", "agg_hll_mergeable_bounds", "agg_countmin_bounds",
     "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {

@@ -250,6 +250,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState: per-user type counts snapshot to batch-twin parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.userEventTypesStream(
+        mem.toDF().toDF("user_id", "event_type"))
+      .writeStream.format("memory").queryName("user_types")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "view"), (1L, "view"), (2L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, "click"), (2L, "click"), (1L, "view"))
+      q.processAllAvailable()
+      mem.addData((3L, "purchase"))
+      q.processAllAvailable()
+      // update mode emits one snapshot per (user, batch) — keep the LAST
+      // per user and compare against the batch twin over the full feed
+      val snaps = spark.table("user_types")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val last = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }.toSet
+      val batchRows = Seq((1L, "view"), (1L, "view"), (2L, "click"),
+        (1L, "click"), (2L, "click"), (1L, "view"), (3L, "purchase"))
+      val twin = Streaming.userEventTypeCounts(
+          batchRows.toDF("user_id", "event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(last == twin, s"last=$last twin=$twin")
+      assert(twin == Set((1L, 2L, 4L), (2L, 1L, 2L), (3L, 1L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast join enriches micro-batches without stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
