@@ -85,6 +85,19 @@ object StreamingQueries extends QueryModule {
           count(*) AS n_events
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // Per-user last-3 event buffer — batch twin of the ListState
+    // transformWithState processor (StreamingSpec pins last-snapshot
+    // parity against a MemoryStream run).
+    QueryDef("streaming_user_recent_events",
+      (s, dir) => Streaming.userRecentEvents(Tables.load(s, dir, "events")),
+      Some("""WITH r AS (SELECT user_id, event_id,
+            row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, count(*) AS n_recent,
+          CAST(sum(event_id) AS BIGINT) AS sum_recent,
+          max(event_id) AS max_recent
+        FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""")),
+
     // Watermark late-data admission (drop iff window end ≤ watermark at
     // arrival; StreamingSpec pins the rule against a live MemoryStream).
     // The in-order synthetic stream gets a deterministic arrival

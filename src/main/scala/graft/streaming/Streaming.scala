@@ -270,6 +270,63 @@ object Streaming {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  final case class IdEvent(user_id: Long, event_id: Long)
+  final case class RecentOut(
+      user_id: Long, n_recent: Long, sum_recent: Long, max_recent: Long)
+
+  /** Per-user last-k event buffer on `transformWithState` ListState —
+    * the ordered-buffer arbitrary-state primitive (ValueState: session,
+    * MapState: type counts, ListState: this). Keeps the k LARGEST
+    * event_ids per user ("latest by event order" — deterministic
+    * regardless of batch iterator order), state bounded at k longs per
+    * user. Emits an updated (n, sum, max) snapshot of the buffer each
+    * batch the user appears in; StreamingSpec pins last-snapshot parity
+    * with [[userRecentEvents]], the batch twin.
+    */
+  class RecentEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, IdEvent, RecentOut] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[IdEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentOut] = {
+      val kept = (recent.get().toArray ++ rows.map(_.event_id))
+        .sorted.takeRight(k)
+      recent.put(kept)
+      Iterator(RecentOut(uid, kept.length.toLong, kept.sum, kept.max))
+    }
+  }
+
+  /** [[RecentEventsProcessor]] wiring: update-mode snapshots per batch. */
+  def userRecentEventsStream(events: DataFrame, k: Int = 3): Dataset[RecentOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_id")).as[IdEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Batch twin of [[userRecentEventsStream]]'s final snapshot. */
+  def userRecentEvents(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    events.select(col("user_id"), col("event_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recent"), sum(col("event_id")).as("sum_recent"),
+        max(col("event_id")).as("max_recent"))
+      .orderBy("user_id")
+  }
+
   /** Stream-static enrichment: join each (micro-batch of) events to a
     * static dimension — Spark re-plans the static side per batch, and a
     * small dim broadcasts, so the stream never shuffles. Identical code

@@ -289,6 +289,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState: last-k buffer snapshots to batch-twin parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long)] // (user_id, event_id)
+    val q = Streaming.userRecentEventsStream(
+        mem.toDF().toDF("user_id", "event_id"), k = 3)
+      .writeStream.format("memory").queryName("user_recent")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 12L), (1L, 13L)) // user 1 exceeds k=3 → 10 evicted
+      q.processAllAvailable()
+      mem.addData((2L, 21L), (3L, 30L))
+      q.processAllAvailable()
+      val snaps = spark.table("user_recent")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val last = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }.toSet
+      val batchRows = Seq((1L, 10L), (1L, 11L), (2L, 20L), (1L, 12L),
+        (1L, 13L), (2L, 21L), (3L, 30L))
+      val twin = Streaming.userRecentEvents(
+          batchRows.toDF("user_id", "event_id"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(last == twin, s"last=$last twin=$twin")
+      assert(twin == Set((1L, 3L, 36L, 13L), (2L, 2L, 41L, 21L), (3L, 1L, 30L, 30L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static broadcast join enriches micro-batches without stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
