@@ -310,6 +310,67 @@ object TextProfileKernels {
   }
 }
 
+/** One-pass repetition counters — replaces the HOF composition in
+  * `text_repetition_signals`, whose `array_max(transform(array_distinct,
+  * d => size(filter(toks, t === d))))` top-token pass is O(tokens ×
+  * distinct) boxed comparisons per row. One hash-map scan computes the
+  * identical integer counters; the fractions stay in the query as the
+  * same double divisions, so the DuckDB oracle is unchanged.
+  *
+  * → [n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams,
+  *    top_token_count, sum_token_codepoints]. Tokenization is
+  * [[TextProfileKernels]]' exact built-in replica (UTF8String trim +
+  * toLowerCase, Java \s+ split keeping boundary empties); bigrams join
+  * adjacent tokens with a space, which is injective because tokens
+  * contain no whitespace. n_bigrams is max(n−1, 0).
+  */
+object RepetitionKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val t = text.trim().toLowerCase.toString
+    val toks: Array[String] = if (t.isEmpty) Array("") else Ws.split(t, -1)
+    val n = toks.length
+    val counts = new java.util.HashMap[String, Long](n * 2)
+    var sumLen = 0L
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val tok = toks(i)
+      sumLen += tok.codePointCount(0, tok.length)
+      val c = counts.merge(tok, 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    var nGrams = 0L
+    var distinctGrams = 0L
+    if (n >= 2) {
+      nGrams = n - 1L
+      val grams = new java.util.HashSet[String](n * 2)
+      var j = 0
+      while (j < n - 1) { grams.add(toks(j) + " " + toks(j + 1)); j += 1 }
+      distinctGrams = grams.size.toLong
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(
+      n.toLong, counts.size.toLong, nGrams, distinctGrams, top, sumLen))
+  }
+}
+
+/** repetition_stats(text) → array<bigint> of the six repetition counters. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"repetition_stats expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    RepetitionKernel.repetitionStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionKernel.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 /** text_quality(text) → double engine-defined quality score. */
 case class TextQuality(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -481,6 +542,7 @@ object TextHashFunctions {
     Registration.ifAbsent(spark, "text_quality")(es => TextQuality(es.head))
     Registration.ifAbsent(spark, "text_lang_id")(es => TextLangId(es.head))
     Registration.ifAbsent(spark, "gopher_stats")(es => GopherStats(es.head))
+    Registration.ifAbsent(spark, "repetition_stats")(es => RepetitionStats(es.head))
     Registration.ifAbsent(spark, "shingle_hashes") { es =>
       val n = es(1).eval(null) match {
         case i: Int => i
@@ -497,6 +559,7 @@ object TextHashFunctions {
   def textQuality(c: Column): Column = call_function("text_quality", c)
   def textLangId(c: Column): Column = call_function("text_lang_id", c)
   def gopherStats(c: Column): Column = call_function("gopher_stats", c)
+  def repetitionStats(c: Column): Column = call_function("repetition_stats", c)
   def shingleHashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
 }

@@ -951,24 +951,24 @@ object PipelineQueries extends QueryModule {
     QueryDef("text_repetition_signals",
       (s, dir) => {
         import s.implicits._
-        val toks = tokens(col("text"))
-        val grams = transform(
-          sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+        // one-pass native kernel (RepetitionKernel) — the HOF composition
+        // it replaced paid O(tokens × distinct) boxed comparisons per doc
+        // for the top-token count alone; counters are identical integers,
+        // fractions the same double divisions, oracle unchanged
+        graft.functions.TextHashFunctions.register(s)
         Tables.load(s, dir, "documents")
           .filter($"doc_id" < 300)
-          .select($"doc_id", toks.as("toks"), grams.as("grams"))
           .select($"doc_id",
-            size($"toks").as("n_tokens"),
-            (size(array_distinct($"toks")).cast("double") / size($"toks"))
+            graft.functions.TextHashFunctions.repetitionStats($"text").as("r"))
+          .select($"doc_id",
+            $"r".getItem(0).cast("int").as("n_tokens"),
+            ($"r".getItem(1).cast("double") / $"r".getItem(0))
               .as("distinct_tok_frac"),
-            (lit(1.0) - size(array_distinct($"grams")).cast("double") / size($"grams"))
+            (lit(1.0) - $"r".getItem(3).cast("double") / $"r".getItem(2))
               .as("dup_bigram_frac"),
-            (array_max(transform(array_distinct($"toks"),
-                d => size(filter($"toks", t => t === d)))).cast("double")
-              / size($"toks")).as("top_tok_frac"),
-            (aggregate(transform($"toks", t => length(t)), lit(0),
-                (acc, x) => acc + x).cast("double") / size($"toks"))
+            ($"r".getItem(4).cast("double") / $"r".getItem(0))
+              .as("top_tok_frac"),
+            ($"r".getItem(5).cast("double") / $"r".getItem(0))
               .as("mean_word_len"))
           .orderBy($"doc_id")
       },
