@@ -18,6 +18,27 @@ object RelationalQueries extends QueryModule {
 
   private def ts(s: String): Column = lit(Timestamp.valueOf(s + " 00:00:00"))
 
+  // One tuned clone per parent session for join_bloom_pruned, not one
+  // per build: a fresh SessionState each call re-registers functions and
+  // re-infers every parquet footer (the per-session Tables memo starts
+  // cold). Weak on the parent; the clone shares context/sharedState but
+  // holds no reference back to its parent, so entries stay collectable.
+  private val bloomSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def bloomSession(s: SparkSession): SparkSession = bloomSessions.synchronized {
+    var c = bloomSessions.get(s)
+    if (c == null) {
+      c = s.newSession()
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      bloomSessions.put(s, c)
+    }
+    c
+  }
+
   // Dialect-neutral SQL shared verbatim by spark.sql and the DuckDB
   // oracle (the q2/q4/q7/q13/q22 analogs below).
   private val Q2Sql = """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey
@@ -433,12 +454,7 @@ object RelationalQueries extends QueryModule {
     //    PlanAuditSpec asserts the filter is actually in the plan. ───────
     QueryDef("join_bloom_pruned",
       (s, dir) => {
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        s2.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val s2 = bloomSession(s)
         import s2.implicits._
         val li = Tables.load(s2, dir, "lineitem")
         val o = Tables.load(s2, dir, "orders")
