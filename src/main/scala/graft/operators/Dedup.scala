@@ -236,6 +236,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental (asymmetric) near-dup detection: which INCOMING docs
+    * near-duplicate a doc already in the EXISTING corpus — the streaming
+    * ingest shape. At 100 TB the existing side's banded signatures are a
+    * precomputed index written once at ingest; only the (small) incoming
+    * shard is shingled, signed, and joined per batch — nothing corpus-wide
+    * recomputes. Here both sides derive from their inputs; the plan is the
+    * same band-key equi join as [[minhashLshPairs]] with the existing side
+    * as the probe index. Ids must be disjoint across sides.
+    *
+    * Returns (doc_existing, doc_incoming, jaccard ≥ threshold).
+    */
+  def minhashLshPairsAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    graft.functions.SketchFunctions.register(existing.sparkSession)
+    def banded(docs: DataFrame): (DataFrame, DataFrame) = {
+      val shingled = shingleHashed(docs, idCol, textCol, shingleSize)
+      val withSig = shingled
+        .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      (shingled, withSig.select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bkey"))))
+    }
+    val (shE, bandE) = banded(existing)
+    val (shI, bandI) = banded(incoming)
+    val candidates = bandE.alias("l").join(bandI.alias("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(shE.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shI.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Re-attach each side's shingle set to an id-pair relation and compute
     * exact Jaccard — two equi joins shuffled by id, paid once per
     * *surviving* candidate pair.

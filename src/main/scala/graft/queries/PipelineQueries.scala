@@ -69,6 +69,31 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 
+    // ── incremental (asymmetric) dedup: which INCOMING docs (deterministic
+    //    20% slice) near-duplicate the EXISTING corpus — the streaming
+    //    ingest shape, where the existing side's banded signatures are a
+    //    write-once index and only the incoming shard computes per batch.
+    //    Same no-miss band parameters as dedup_minhash_lsh, so the oracle
+    //    is the exact cross-side Jaccard. ────────────────────────────────
+    QueryDef("dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.minhashLshPairsAgainst(
+            docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+            docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+            "doc_id", "text", threshold = 0.8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        e AS (SELECT * FROM s WHERE doc_id % 10 < 8),
+        i AS (SELECT * FROM s WHERE doc_id % 10 >= 8)
+        SELECT e.doc_id AS doc_a, i.doc_id AS doc_b,
+          len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) AS jaccard
+        FROM e, i
+        WHERE len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) >= 0.8
+        ORDER BY doc_a, doc_b""")),
+
     // ── near-dup clustering: connected components over the exact pair
     //    relation (min-label propagation); oracle = DuckDB recursive
     //    reachability over the same pairs ──────────────────────────────

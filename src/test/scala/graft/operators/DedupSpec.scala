@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.TestSpark
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Dedup operators against planted duplicates with hand-computed overlap. */
@@ -86,6 +87,25 @@ class DedupSpec extends AnyFunSuite {
     assert(mh((1L, 2L)) == 1.0)
     assert(math.abs(mh((3L, 4L)) - 10.0 / 14.0) < 1e-12)
     assert(mh.contains((6L, 7L)))
+  }
+
+  test("minhashLshPairsAgainst equals the symmetric pairs restricted to cross-side") {
+    // asymmetric ingest-shape dedup must find exactly the near-dup pairs
+    // that cross the existing/incoming boundary — no same-side pairs, no
+    // misses vs the symmetric operator
+    val existing = corpus.filter(col("doc_id") % 2 === 0)
+    val incoming = corpus.filter(col("doc_id") % 2 === 1)
+    val asym = Dedup.minhashLshPairsAgainst(existing, incoming,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sym = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val crossOnly = sym.collect {
+      case ((a, b), j) if a % 2 == 0 && b % 2 == 1 => (a, b) -> j
+      case ((a, b), j) if a % 2 == 1 && b % 2 == 0 => (b, a) -> j
+    }
+    assert(asym == crossOnly, s"asym=$asym cross=$crossOnly")
+    assert(asym.keys.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 })
   }
 
   test("simhashPairs honors the 4-band hamming<=3 guarantee") {
