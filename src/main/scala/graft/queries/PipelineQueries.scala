@@ -116,6 +116,76 @@ object PipelineQueries extends QueryModule {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    // ── quality-aware canonical selection: per near-dup CLUSTER keep the
+    //    doc with the highest Gopher pass count (ties → min id) — real
+    //    curation keeps the best copy, not the first-crawled. The argmax
+    //    is max(struct(quality, −id)) inside the same hash aggregate as
+    //    the cluster rollup: partial-mergeable, no window, no extra
+    //    shuffle beyond the cluster relation itself. ────────────────────
+    QueryDef("dedup_canonical_quality",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val docs = Tables.load(s, dir, "documents")
+        val clusters = Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+        val quality = docs
+          .select($"doc_id",
+            graft.functions.TextHashFunctions.gopherStats($"text").as("g"))
+          .select($"doc_id",
+            (when($"g".getItem(0) >= 50L && $"g".getItem(0) <= 100000L, 1L).otherwise(0L) +
+             when(lit(3L) * $"g".getItem(0) <= $"g".getItem(1) &&
+               $"g".getItem(1) <= lit(10L) * $"g".getItem(0), 1L).otherwise(0L) +
+             when(lit(10L) * ($"g".getItem(2) + $"g".getItem(3)) <= $"g".getItem(0), 1L)
+               .otherwise(0L) +
+             when(lit(5L) * $"g".getItem(4) >= lit(4L) * $"g".getItem(0), 1L).otherwise(0L) +
+             when($"g".getItem(5) >= 2L, 1L).otherwise(0L)).as("q"))
+        clusters.join(quality, "doc_id")
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct($"q", (-$"doc_id").as("negid"))).as("best"))
+          .select($"cluster_id", $"n_docs",
+            (-$"best.negid").as("canonical_id"),
+            $"best.q".as("canonical_quality"))
+          .orderBy($"cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+        t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a, s b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        reach AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        m AS (SELECT doc_id, len(toks) AS words,
+            length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+            (length(text) - length(replace(text, '#', ''))) AS n_hash,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+            len(list_intersect(list_distinct(toks),
+              ['the','a','and','of','to','in','is','that'])) AS n_stop
+          FROM t),
+        q AS (SELECT doc_id,
+            (CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END +
+             CASE WHEN 3 * words <= nonws AND nonws <= 10 * words THEN 1 ELSE 0 END +
+             CASE WHEN 10 * (n_hash + n_ell) <= words THEN 1 ELSE 0 END +
+             CASE WHEN 5 * alpha_words >= 4 * words THEN 1 ELSE 0 END +
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS q
+          FROM m),
+        j AS (SELECT cl.cluster_id, cl.doc_id, q.q FROM cl JOIN q USING (doc_id)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY q DESC, doc_id ASC) AS rn FROM j)
+        SELECT g.cluster_id, g.n_docs, r.doc_id AS canonical_id,
+          CAST(r.q AS BIGINT) AS canonical_quality
+        FROM (SELECT cluster_id, count(*) AS n_docs FROM j GROUP BY 1) g
+        JOIN r ON r.cluster_id = g.cluster_id AND r.rn = 1
+        ORDER BY g.cluster_id""")),
+
     // ── the apply step: corpus minus exact duplicates (canonical kept).
     //    Input is the corpus unioned with a re-keyed copy of itself, so
     //    the dedup provably removes the planted copies. ─────────────────
