@@ -163,6 +163,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cols.toSet == Set("o_orderkey", "o_custkey", "o_totalprice"), read)
   }
 
+  test("quality binning prunes the documents scan to the text column alone") {
+    // the query projects doc_id through intermediate selects but the
+    // final histogram doesn't use it — pruning must drop it at the scan
+    val p = plan("pipeline_quality_bins")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.takeWhile(_ != ':').trim)
+    assert(cols.toSet == Set("text"), read)
+  }
+
   test("global sort+limit compiles to TakeOrderedAndProject (no full sort)") {
     val p = plan("sort_limit_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
