@@ -58,6 +58,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("join_bloom_pruned")
     assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"), p)
     assert(p.contains("bloom_filter_agg"), p)
+    // the demo's whole point is the non-broadcast shape — losing the
+    // sort-merge join to a stats change would silently gut it
+    assert(p.contains("SortMergeJoin"), p)
   }
 
   test("anti join compiles to a broadcast/shuffled anti join, not a filter") {
@@ -280,7 +283,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q19_disjunctive_revenue", "dedup_simhash", "text_fingerprint_rolling",
     "dedup_apply_near", "pipeline_decontaminate", "join_lateral_topn",
     "join_null_safe_eq", "text_vocab_topk", "agg_unpivot_melt",
-    "q11_important_part_value", "streaming_sliding_counts")
+    "q11_important_part_value", "streaming_sliding_counts",
+    "pipeline_pack_chunks", "pipeline_leakage_check", "dedup_incremental",
+    "dedup_canonical_quality", "join_bloom_pruned")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
