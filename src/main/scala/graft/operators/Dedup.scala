@@ -69,6 +69,40 @@ object Dedup {
     docs.join(canon, Seq(idCol), "left_semi")
   }
 
+  /** Span-level exact dedup statistics (the line/paragraph-dedup step of
+    * RefinedWeb-style curation, expressed on fixed `spanWords`-token
+    * windows since the corpus carries no line structure): tokenize, chunk
+    * into non-overlapping spans, fingerprint each span, and keep only the
+    * corpus-wide FIRST occurrence of every fingerprint — first = smallest
+    * (doc id, span index), so the winner is reproducible under any
+    * partitioning. Returns per-doc (id, n_spans, n_kept, n_dropped) for
+    * docs that lost at least one span — the boilerplate-removal report.
+    *
+    * Scale shape: spans explode to ~tokens/spanWords rows, the
+    * first-occurrence rule is a window PARTITIONED BY span fingerprint
+    * (shuffle on the hash — no global order), and the report re-groups by
+    * doc id. Two shuffles total, both on high-cardinality keys.
+    */
+  def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 4): DataFrame = {
+    require(spanWords >= 1, "spanWords >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nspans = floor((size(toks) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
+    val spans = transform(sequence(lit(0), nspans - 1),
+      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
+    val w = Window.partitionBy(col("h")).orderBy(col("id"), col("span_idx"))
+    docs
+      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span")))
+      .select(col("id"), col("span_idx"), md5(col("span")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("n_dropped") > 0)
+  }
+
   /** Duplicate clusters from a near-dup pair relation (doc_a, doc_b):
     * connected components by alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

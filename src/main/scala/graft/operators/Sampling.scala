@@ -38,6 +38,30 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Exact-k-per-group deterministic sample: the k rows with the
+    * *smallest md5(key)* in each group — the distributed equivalent of a
+    * per-group reservoir sample, but reproducible (bottom-k of a hash is
+    * a pure function of the keys, independent of partitioning, arrival
+    * order, or cluster size; a reseeded `reservoir` is none of those).
+    * Rate-based sampling ([[hashSample]]) can't promise an exact count
+    * per group; this can, which is what eval-set construction and
+    * per-source spot-check pulls need. The window is PARTITIONED by the
+    * group column, so each group ranks locally after the hash shuffle —
+    * no global sort at any scale; skew is bounded by the largest group.
+    */
+  def bottomKPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic stratified sample: a per-stratum rate (in sixteenths)
     * applied with the same hash rule — `df.stat.sampleBy` with
     * reproducibility. Strata absent from `rates` are dropped, matching

@@ -176,6 +176,48 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Corpus×corpus k-NN JOIN via the same seeded IVF quantizer as
+    * [[ivfTopKSeeded]]: every vector gets its top-k neighbors from the
+    * whole corpus. The search variants broadcast the (small) query set;
+    * a k-NN join cannot — the "queries" ARE the corpus. So the probe
+    * side and the assignment side meet in a SHUFFLE join on the cell id:
+    * both sides hash-partition by cell, each cell's members score only
+    * against that cell's probes, and the bounded-heap aggregate ranks
+    * per vector. Nothing corpus-sized is ever broadcast or globally
+    * sorted — the |corpus|×|centroids| assignment cross product is the
+    * standard linear IVF routing cost, against a broadcast centroid set.
+    *
+    * Deterministic end to end (seeded centroids = lowest-id vectors,
+    * argmax ties to lower cell), so an external SQL engine can replay it
+    * exactly — the `sim_knn_join` oracle does.
+    */
+  def ivfKnnJoinSeeded(
+      vectors: DataFrame, // (vid, vec)
+      k: Int,
+      numCentroids: Int = 64,
+      nProbe: Int = 8): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("vid"), col("vec"))
+    val centroids = v.orderBy(col("vid")).limit(numCentroids)
+      .select(col("vid").as("cell_id"), col("vec").as("centroid"))
+    def cellRank(n: Int) = rankTopK(
+      v.crossJoin(broadcast(centroids))
+        .select(col("vid").as("qid"), col("cell_id").as("cid"),
+          VectorFunctions.cosineSim(col("vec"), col("centroid")).as("sim")),
+      n)
+    val assigned = cellRank(1)
+      .select(col("query_id").as("cid"), col("neighbor_id").as("cell"))
+      .join(v.select(col("vid").as("cid"), col("vec").as("cvec")), "cid")
+    val probes = cellRank(nProbe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
+      .join(v.select(col("vid").as("qid"), col("vec").as("qvec")), "qid")
+    val scored = assigned.join(probes, Seq("cell")) // shuffle on cell — by design
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)

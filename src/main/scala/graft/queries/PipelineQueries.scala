@@ -51,6 +51,32 @@ object PipelineQueries extends QueryModule {
         CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS canonical_id
         FROM documents GROUP BY 1 ORDER BY fp""")),
 
+    // ── span-level exact dedup (RefinedWeb line-dedup analog on 4-word
+    //    windows): corpus-wide first occurrence of every span fingerprint
+    //    wins, losers are the boilerplate-removal report. The window is
+    //    partitioned by the fingerprint — shuffle on a high-cardinality
+    //    hash, no global order. Oracle rebuilds the identical spans
+    //    (ordered string_agg ≡ array_join(slice)) and replays the rule. ──
+    QueryDef("dedup_span_exact",
+      (s, dir) => Dedup.spanDedupStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", spanWords = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+            generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS ti
+          FROM documents),
+        sp AS (SELECT doc_id, (ti - 1) // 4 AS span_idx,
+            md5(string_agg(tok, ' ' ORDER BY ti)) AS h
+          FROM t GROUP BY doc_id, (ti - 1) // 4),
+        r AS (SELECT doc_id, span_idx, h,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+          FROM sp)
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM r GROUP BY doc_id HAVING n_dropped > 0 ORDER BY doc_id""")),
+
     // ── n-gram Jaccard near-dup (lossless size blocking, exact result) ──
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
@@ -470,6 +496,45 @@ object PipelineQueries extends QueryModule {
         SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
 
+    // ── k-NN JOIN (corpus×corpus, every vector gets top-k neighbors):
+    //    the search queries above broadcast a small query set; here both
+    //    sides are the corpus, so probe and assignment meet in a SHUFFLE
+    //    join on the IVF cell id — the plan a 100 TB all-pairs kNN needs.
+    //    Deterministic seeded quantizer → the oracle replays centroid
+    //    pick, assignment, 8-probe choice, and exact in-cell ranking. ────
+    QueryDef("sim_knn_join",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        Similarity.ivfKnnJoinSeeded(emb, k = 3, numCentroids = 64, nProbe = 8)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t) WHERE rn <= 8),
+        scored AS (SELECT p.qid, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 3 ORDER BY query_id, rank""")),
+
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
       (s, dir) => {
@@ -851,6 +916,59 @@ object PipelineQueries extends QueryModule {
           CASE lang WHEN 'en' THEN '2' WHEN 'es' THEN '8' WHEN 'de' THEN '8'
             WHEN 'fr' THEN '8' WHEN 'zh' THEN '8' END
         GROUP BY lang ORDER BY lang""")),
+
+    // ── exact-k-per-group deterministic sample: the k smallest-md5 rows
+    //    of each language — a reproducible per-group reservoir pull
+    //    (eval-set construction / per-source spot checks). Partitioned
+    //    window — ranks locally per group after one hash shuffle. ───────
+    QueryDef("sample_bottomk_group",
+      (s, dir) => graft.operators.Sampling.bottomKPerGroup(
+          Tables.load(s, dir, "documents"), "doc_id", "lang", k = 5)
+        .select(col("lang"), col("doc_id"), col("rank"))
+        .orderBy("lang", "rank"),
+      Some("""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rank FROM (
+          SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) t WHERE rk <= 5 ORDER BY lang, rank""")),
+
+    // ── domain-mixture curation: cap every source at the smallest
+    //    source's char budget (a uniform target mixture), applied with
+    //    the deterministic md5-bucket rule so membership is a pure
+    //    function of the doc id. Two-pass shape: tiny per-source totals
+    //    aggregate (|sources| rows) broadcast back over the corpus —
+    //    the keep test `bucket·total·2 < 2¹⁶·target` is all-integer, so
+    //    both engines decide every row identically. The halved rate
+    //    keeps every source strictly downsampled. ───────────────────────
+    QueryDef("pipeline_domain_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val tot = docs.groupBy($"source").agg(sum($"n_chars").as("total"))
+        val cap = tot.agg(min($"total").as("target"))
+        val bucket =
+          conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+        docs.withColumn("bucket", bucket)
+          .join(broadcast(tot), "source")
+          .crossJoin(broadcast(cap))
+          .filter($"bucket" * $"total" * lit(2L) < lit(65536L) * $"target")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+          FROM documents GROUP BY source),
+        cap AS (SELECT min(total) AS target FROM tot),
+        b AS (SELECT doc_id, source, n_chars,
+          ((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+         + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+         + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+         + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[4]) - 1)) AS bucket
+          FROM documents)
+        SELECT b.source, count(*) AS n_docs, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars
+        FROM b JOIN tot ON b.source = tot.source CROSS JOIN cap
+        WHERE b.bucket * tot.total * 2 < 65536 * cap.target
+        GROUP BY b.source ORDER BY b.source""")),
 
     // ── train/test leakage check: near-duplicate pairs that CROSS the
     //    split are evaluation contamination (the test doc has a near-copy

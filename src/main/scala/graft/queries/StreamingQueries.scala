@@ -32,6 +32,23 @@ object StreamingQueries extends QueryModule {
           event_type, count(*) AS n_events
         FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
 
+    // Windowed top-k ("top event types this hour"): tumbling counts plus
+    // a window-partitioned rank. The streaming form ranks each
+    // micro-batch's updated counts in foreachBatch over the tiny
+    // per-window count table (StreamingSpec pins parity with this twin).
+    QueryDef("streaming_topk",
+      (s, dir) => Streaming.topEventTypesPerWindow(
+          Tables.load(s, dir, "events"), k = 3)
+        .orderBy("window_start", "rank"),
+      Some("""WITH c AS (SELECT
+            CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+            event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+            ORDER BY n_events DESC, event_type) AS rk FROM c)
+        SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rank
+        FROM r WHERE rk <= 3 ORDER BY window_start, rank""")),
+
     QueryDef("streaming_user_totals",
       (s, dir) => Streaming.userValueTotals(
           Tables.load(s, dir, "events").filter(col("user_id") < 50))

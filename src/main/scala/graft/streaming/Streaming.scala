@@ -51,6 +51,35 @@ object Streaming {
         col("window.end").as("window_end"), col("event_type"), col("n_events"))
   }
 
+  /** Rank step of the windowed top-k: keep the k most frequent event
+    * types per window (ties to the lexicographically first type). A
+    * window function can't run inside a streaming aggregation, so the
+    * streaming path applies this to each micro-batch's updated counts in
+    * `foreachBatch` (over the tiny per-window count table — O(windows ×
+    * types), not O(events)); the batch twin composes it in-plan. The
+    * row_number window is PARTITIONED by window_start — no global sort.
+    */
+  def rankWindowCounts(counts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Windowed top-k: the k most frequent event types in each tumbling
+    * window — the streaming dashboard staple ("top pages this hour").
+    * Batch twin = tumbling counts + [[rankWindowCounts]]; the streaming
+    * form runs [[tumblingEventCounts]] in update mode and ranks each
+    * micro-batch's output in `foreachBatch` (StreamingSpec pins parity).
+    */
+  def topEventTypesPerWindow(
+      events: DataFrame,
+      k: Int = 3,
+      windowDur: String = "1 hour",
+      watermarkDur: String = "2 hours"): DataFrame =
+    rankWindowCounts(tumblingEventCounts(events, windowDur, watermarkDur), k)
+
   /** Per-user running value totals via stateful streaming aggregation —
     * batch twin is a plain groupBy; streaming runs in update mode.
     */

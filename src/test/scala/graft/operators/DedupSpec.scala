@@ -149,6 +149,22 @@ class DedupSpec extends AnyFunSuite {
     assert(one == java.lang.Long.parseUnsignedLong("b9719d911017c592", 16))
   }
 
+  test("spanDedupStats keeps corpus-wide first occurrences of 4-word spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // both spans first occurrences → not reported
+      (2L, "a b c d x y z w"), // span 0 duplicates doc 1's span 0
+      (3L, "q r s t"), // unique single span → not reported
+      (4L, "a b c d e f g h") // both spans duplicate doc 1's
+    ).toDF("doc_id", "text")
+    def run(df: DataFrame) = Dedup.spanDedupStats(df, "doc_id", "text", spanWords = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run(docs)
+    assert(got == Set((2L, 2L, 1L, 1L), (4L, 2L, 0L, 2L)), got)
+    // first-occurrence winners are a pure function of (id, span_idx) —
+    // partitioning must not change the report
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("dropExactDuplicates keeps the canonical (min-id) doc per group") {
     val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -26,6 +26,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(split.filter(_._2 == "test").keySet == sampled)
   }
 
+  test("bottomKPerGroup: exactly k per group, partitioning-independent, nested in k") {
+    val df = ids.withColumn("g",
+      org.apache.spark.sql.functions.expr("cast(id % 3 as string)"))
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Sampling.bottomKPerGroup(d, "id", "g", k)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    val a = run(df, 5)
+    assert(a.size == 15 && a.groupBy(_._1).forall(_._2.size == 5), a)
+    assert(a.forall { case (_, _, rk) => rk >= 1 && rk <= 5 })
+    assert(run(df.repartition(13), 5) == a) // pure function of the keys
+    // bottom-5 is a prefix of bottom-7 (same hash order ⇒ same ranks)
+    assert(a.subsetOf(run(df, 7)))
+    // a group smaller than k returns whole group, ranks still dense
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(run(tiny, 5).map(_._3) == Set(1, 2))
+  }
+
   test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {
     val df = ids.withColumn("cls",
       org.apache.spark.sql.functions.when($"id" % 3 === 0, "a")

@@ -137,6 +137,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfKnnJoinSeeded equals a driver-side replay over the whole corpus") {
+    val (nc, np, k) = (8, 3, 3)
+    val got = Similarity.ivfKnnJoinSeeded(
+        emb.select(col("vec_id").as("vid"), col("embedding").as("vec")), k, nc, np)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { val a = x(i).toDouble; val b = y(i).toDouble; d += a*b; nx += a*a; ny += b*b }
+      val den = math.sqrt(nx) * math.sqrt(ny); if (den == 0) 0 else d / den
+    }
+    val cents = vecs.take(nc)
+    def bestCells(v: Array[Float], n: Int): Seq[Long] =
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1).toSeq
+    val cellOf = vecs.map { case (id, v) => id -> bestCells(v, 1).head }.toMap
+    for ((q, qv) <- vecs) {
+      val probed = bestCells(qv, np).toSet
+      val expect = vecs
+        .filter { case (c, _) => c != q && probed.contains(cellOf(c)) }
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k).toSeq
+      assert(got.getOrElse(q, Seq.empty) == expect, s"vector $q")
+    }
+  }
+
   test("lshTopK explain has no cartesian/broadcast-nested-loop join") {
     val q = asQ(emb.filter($"vec_id" < 5))
     val plan = Similarity.lshTopK(q, asC(emb), 5, dim = 64, bits = 8)

@@ -500,4 +500,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == twin, s"\ntwin: $twin\nstreamed: $streamed")
     } finally q.stop()
   }
+
+  test("windowed top-k: foreachBatch ranking over streamed counts matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (ts("2024-01-01 10:05:00"), "click"), (ts("2024-01-01 10:10:00"), "click"),
+      (ts("2024-01-01 10:15:00"), "view"), (ts("2024-01-01 10:20:00"), "view"),
+      (ts("2024-01-01 10:25:00"), "buy"), (ts("2024-01-01 10:30:00"), "scroll"),
+      (ts("2024-01-01 10:35:00"), "scroll"), (ts("2024-01-01 10:40:00"), "scroll"),
+      (ts("2024-01-01 11:05:00"), "view"))
+    val batch = Streaming.topEventTypesPerWindow(data.toDF("ts", "event_type"), k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = Streaming.tumblingEventCounts(mem.toDF().toDF("ts", "event_type"))
+    // the streaming form: update-mode counts; each micro-batch's output
+    // overwrites that window×type's count in the serving state, and the
+    // rank step runs over the (tiny) count table — here via the same
+    // rankWindowCounts the batch twin plans in
+    val state = scala.collection.concurrent.TrieMap.empty[(Timestamp, String), Long]
+    val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => {
+        b.collect().foreach(r => state((r.getTimestamp(0), r.getString(1))) = r.getLong(2))
+        ()
+      }
+    val q = counts.writeStream.outputMode("update").foreachBatch(upsert).start()
+    try {
+      mem.addData(data.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(data.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streaming.rankWindowCounts(
+        state.toSeq.map { case ((w, t), n) => (w, t, n) }
+          .toDF("window_start", "event_type", "n_events"), k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed == batch, s"\nbatch: $batch\nstreamed: $streamed")
+  }
 }
