@@ -73,5 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cms_estimate", "cms_estimate(sketch, item) - point estimate from a count_min_sketch binary") {
       es => CountMinEstimate(es(0), es(1))
     }
+    inject("ivf_route", "ivf_route(vec, centroids, nProbe) - top-nProbe IVF cell positions for a vector") {
+      es => IvfRoute(es(0), es(1), litInt(es(2)))
+    }
   }
 }

@@ -90,13 +90,107 @@ case class InnerProduct(left: Expression, right: Expression)
   override def prettyName: String = "inner_product"
 }
 
+/** The IVF routing step as a per-row kernel: cosine against every
+  * centroid of a (small, driver-known) matrix, returning the top-nProbe
+  * centroid POSITIONS ordered by (cosine desc, position asc). Routing is
+  * embarrassingly parallel — expressing it as an expression over a
+  * broadcast-literal matrix instead of a crossJoin + top-k aggregate
+  * removes a |corpus|×|centroids| join AND a corpus-cardinality
+  * aggregation from the plan (the ObjectHashAggregate behind the top-k
+  * falls back to object-serialized external sorts past 128 distinct keys
+  * — measured 10× slower than this narrow map at 200k vectors).
+  */
+class IvfRouter(cents: Array[Array[Float]], nProbe: Int) extends Serializable {
+  def route(v: ArrayData): ArrayData = {
+    val nc = cents.length
+    val sims = new Array[Double](nc)
+    var j = 0
+    while (j < nc) { sims(j) = cosineF(v, cents(j)); j += 1 }
+    val n = math.min(nProbe, nc)
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < n) {
+      var best = -1; var bs = Double.NegativeInfinity
+      var i = 0
+      // strict > keeps the FIRST (lowest-position) max on ties — the
+      // oracle's ORDER BY sim DESC, cell ASC
+      while (i < nc) { if (!used(i) && sims(i) > bs) { bs = sims(i); best = i }; i += 1 }
+      used(best) = true; out(r) = best; r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Same accumulation order as [[VectorKernels.cosine]]. */
+  private def cosineF(x: ArrayData, y: Array[Float]): Double = {
+    val n = math.min(x.numElements(), y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble; val b = y(i).toDouble
+      dot += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** `ivf_route(vec, centroids_literal, nProbe)` — see [[IvfRouter]]. The
+  * centroid matrix arrives as a foldable array<array<float>> literal
+  * (driver-known, e.g. the seeded lowest-id pick), evaluated once per
+  * executor into a primitive matrix.
+  */
+case class IvfRoute(vec: Expression, cents: Expression, nProbe: Int)
+    extends BinaryExpression {
+  override def left: Expression = vec
+  override def right: Expression = cents
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, cents.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) if cents.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"ivf_route expects (array<float>, foldable array<array<float>>), got " +
+        s"(${vec.dataType.simpleString}, ${cents.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val router: IvfRouter = {
+    val ad = cents.eval(null).asInstanceOf[ArrayData]
+    val m = Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray())
+    new IvfRouter(m, nProbe)
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    router.route(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfRouter", router, classOf[IvfRouter].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.route($v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(vec = l, cents = r)
+  override def prettyName: String = "ivf_route"
+}
+
 /** Session registration + typed Column API. */
 object VectorFunctions {
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"expected literal int, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     Registration.ifAbsent(spark, "cosine_sim")(es => CosineSimilarity(es(0), es(1)))
     Registration.ifAbsent(spark, "inner_product")(es => InnerProduct(es(0), es(1)))
+    Registration.ifAbsent(spark, "ivf_route")(es => IvfRoute(es(0), es(1), litInt(es(2))))
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def innerProduct(a: Column, b: Column): Column = call_function("inner_product", a, b)
+  def ivfRoute(vec: Column, cents: Column, nProbe: Int): Column =
+    call_function("ivf_route", vec, cents, org.apache.spark.sql.functions.lit(nProbe))
 }

@@ -194,28 +194,64 @@ object Similarity {
   def ivfKnnJoinSeeded(
       vectors: DataFrame, // (vid, vec)
       k: Int,
-      numCentroids: Int = 64,
+      numCentroids: Option[Int] = None,
       nProbe: Int = 8): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     val v = vectors.select(col("vid"), col("vec"))
-    val centroids = v.orderBy(col("vid")).limit(numCentroids)
-      .select(col("vid").as("cell_id"), col("vec").as("centroid"))
-    def cellRank(n: Int) = rankTopK(
-      v.crossJoin(broadcast(centroids))
-        .select(col("vid").as("qid"), col("cell_id").as("cid"),
-          VectorFunctions.cosineSim(col("vec"), col("centroid")).as("sim")),
-      n)
-    val assigned = cellRank(1)
-      .select(col("query_id").as("cid"), col("neighbor_id").as("cell"))
-      .join(v.select(col("vid").as("cid"), col("vec").as("cvec")), "cid")
-    val probes = cellRank(nProbe)
-      .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
-      .join(v.select(col("vid").as("qid"), col("vec").as("qvec")), "qid")
+    // Cell count must grow with the corpus or the join is a quadratic
+    // wall in disguise: fixed nc ⇒ cell size ∝ n ⇒ scored candidates
+    // ∝ n²/nc (measured: OOM at 200k vectors with nc=64). Auto-size to
+    // the flat-IVF cost-balance point nc ≈ √(8n) — routing (n·nc) and
+    // scoring (nProbe·n²/nc) both land at O(n^1.5), the inherent cost of
+    // a flat coarse quantizer (sub-√ growth re-opens the wall; linear nc
+    // makes ROUTING quadratic). Power-of-two via integer bit-length so
+    // the oracle replays the sizing exactly; the one count() action is
+    // the |corpus| a real ingest pipeline already knows.
+    val nc = numCentroids.getOrElse {
+      val n = math.max(v.count(), 1L)
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(8L * n - 1L)
+      1 << ((bitlen + 1) / 2)
+    }
+    // Routing (vector → ranked cells) is embarrassingly parallel, so it
+    // runs as the narrow codegen'd ivf_route kernel over the collected
+    // centroid matrix (nc rows — KBs to MBs; a real pipeline pins the
+    // trained quantizer exactly like this) instead of a corpus×centroid
+    // crossJoin + top-k aggregate: past 128 distinct keys the
+    // ObjectHashAggregate behind the heap falls back to object-serialized
+    // external sorts, measured 10× slower at 200k vectors. Same reason
+    // the final per-vector rank is a qid-PARTITIONED window over slim
+    // (qid, cid, sim) rows — flat-row sort, bounded partitions — rather
+    // than the corpus-cardinality heap aggregate the small-|Q| search
+    // variants correctly use.
+    val centRows = v.orderBy(col("vid")).limit(nc).collect()
+    val ids: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+    val mat: Seq[Seq[Float]] = centRows.map(_.getSeq[Float](1).toSeq).toSeq
+    val idsLit = typedlit(ids)
+    // The routing kernel is the compute-heavy narrow stage (nc·dim flops
+    // per row); spread it across spark.sql.shuffle.partitions instead of
+    // inheriting the scan's file-granularity partitioning — a compact
+    // embeddings table can land in ONE input split and serialize the
+    // whole join onto one core (measured 10× at sf1).
+    val vp = v.repartition(col("vid"))
+    val routed = vp.withColumn("cells",
+      VectorFunctions.ivfRoute(col("vec"), typedlit(mat), nProbe))
+    val assigned = routed.select(
+      element_at(idsLit, element_at(col("cells"), 1) + 1).as("cell"),
+      col("vid").as("cid"), col("vec").as("cvec"))
+    val probes = routed
+      .select(col("vid").as("qid"), col("vec").as("qvec"),
+        explode_outer(col("cells")).as("cpos"))
+      .select(col("qid"), col("qvec"), element_at(idsLit, col("cpos") + 1).as("cell"))
     val scored = assigned.join(probes, Seq("cell")) // shuffle on cell — by design
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
-    rankTopK(scored, k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").cast("long").as("neighbor_id"),
+        col("sim"), col("rank"))
   }
 
   def ivfTopK(

@@ -500,18 +500,26 @@ object PipelineQueries extends QueryModule {
     //    the search queries above broadcast a small query set; here both
     //    sides are the corpus, so probe and assignment meet in a SHUFFLE
     //    join on the IVF cell id — the plan a 100 TB all-pairs kNN needs.
-    //    Deterministic seeded quantizer → the oracle replays centroid
-    //    pick, assignment, 8-probe choice, and exact in-cell ranking. ────
+    //    The cell count auto-sizes to nc = 2^((bitlen(8n-1)+1) div 2)
+    //    ~ sqrt(8n) (integer bit-length, transcendental-free) so
+    //    candidates stay O(n^1.5) instead of n^2/const — the measured
+    //    sf10 OOM wall with a fixed nc=64.
+    //    Deterministic seeded quantizer → the oracle replays the sizing,
+    //    centroid pick, assignment, 8-probe choice, in-cell ranking. ────
     QueryDef("sim_knn_join",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id").as("vid"), col("embedding").as("vec"))
-        Similarity.ivfKnnJoinSeeded(emb, k = 3, numCentroids = 64, nProbe = 8)
+        Similarity.ivfKnnJoinSeeded(emb, k = 3, nProbe = 8)
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        w AS (SELECT (1::BIGINT << ((length(format('{:b}', 8 * count(*) - 1)) + 1) // 2)) AS nc
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          CROSS JOIN w WHERE rn <= nc),
         assign AS (SELECT vec_id, cell FROM (
             SELECT c.vec_id, t.cell,
               row_number() OVER (PARTITION BY c.vec_id

@@ -203,9 +203,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_incremental_distinct_exact", "agg_sketch_error_bounds",
     "agg_approx_topk_bounds", "agg_hll_mergeable_bounds", "agg_countmin_bounds",
     "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf",
-    // knn_join: corpus×centroid routing (|centroids| small const);
     // domain_mix / median: 1-row broadcast scalar recombine
-    "sim_knn_join", "pipeline_domain_mix", "agg_median_distributed")
+    "pipeline_domain_mix", "agg_median_distributed")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -140,7 +140,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("ivfKnnJoinSeeded equals a driver-side replay over the whole corpus") {
     val (nc, np, k) = (8, 3, 3)
     val got = Similarity.ivfKnnJoinSeeded(
-        emb.select(col("vec_id").as("vid"), col("embedding").as("vec")), k, nc, np)
+        emb.select(col("vec_id").as("vid"), col("embedding").as("vec")), k, Some(nc), np)
       .collect()
       .groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
