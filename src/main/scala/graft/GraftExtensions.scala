@@ -76,5 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("ivf_route", "ivf_route(vec, centroids, nProbe) - top-nProbe IVF cell positions for a vector") {
       es => IvfRoute(es(0), es(1), litInt(es(2)))
     }
+    inject("vec_fixedpoint_sum", "vec_fixedpoint_sum(vec, scaleBits) - exact element-wise sum of floor(x*2^scaleBits)") {
+      es => FixedPointVecSum(es(0), litInt(es(1)))
+    }
   }
 }

@@ -85,22 +85,65 @@ object Dedup {
     */
   def spanDedupStats(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 4): DataFrame = {
-    require(spanWords >= 1, "spanWords >= 1")
     import org.apache.spark.sql.expressions.Window
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val nspans = floor((size(toks) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
-    val spans = transform(sequence(lit(0), nspans - 1),
-      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
     val w = Window.partitionBy(col("h")).orderBy(col("id"), col("span_idx"))
-    docs
-      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span")))
-      .select(col("id"), col("span_idx"), md5(col("span")).as("h"))
+    spanFingerprints(docs, idCol, textCol, spanWords)
       .withColumn("rn", row_number().over(w))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"))
       .filter(col("n_dropped") > 0)
+  }
+
+  /** (id, span_idx, h): non-overlapping `spanWords`-token windows of the
+    * lower-cased text, md5-fingerprinted — the shared front end of
+    * [[spanDedupStats]] and [[boilerplateSpanStats]].
+    */
+  private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    require(spanWords >= 1, "spanWords >= 1")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nspans = floor((size(toks) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
+    val spans = transform(sequence(lit(0), nspans - 1),
+      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
+    docs
+      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span")))
+      .select(col("id"), col("span_idx"), md5(col("span")).as("h"))
+  }
+
+  /** Corpus-frequency boilerplate detection (the CCNet-style complement
+    * of [[spanDedupStats]]): a span is boilerplate when it occurs in at
+    * least `minDocs` DISTINCT documents — headers, footers, navigation
+    * chrome — and, unlike first-occurrence span dedup, is flagged in
+    * EVERY document including the first. The threshold is an absolute
+    * document count (as in CCNet's shard-duplication rule), not a corpus
+    * fraction: boilerplate is defined by repetition, and a phrase
+    * repeated across 5 documents does not stop being boilerplate because
+    * the corpus grew.
+    *
+    * Scale shape: spans explode to ~tokens/spanWords rows; the df
+    * aggregate is two partial-mergeable hash aggregates (distinct per
+    * (h, id), then count per h); the surviving frequent set is tiny by
+    * Zipf, so AQE broadcasts the join back onto the span stream; the
+    * report re-groups by doc. No window, no global order.
+    *
+    * Returns per-doc (id, n_spans, n_boiler) for docs containing at
+    * least one boilerplate span.
+    */
+  def boilerplateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2")
+    val sp = spanFingerprints(docs, idCol, textCol, spanWords)
+    val boiler = sp.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("is_boiler"))
+    sp.join(boiler, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .filter(col("n_boiler") > 0)
   }
 
   /** Duplicate clusters from a near-dup pair relation (doc_a, doc_b):

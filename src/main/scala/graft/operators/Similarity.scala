@@ -254,6 +254,54 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
+  /** One exact distributed Lloyd iteration over the seeded quantizer —
+    * the training step that turns [[ivfKnnJoinSeeded]]'s lowest-id seed
+    * pick into a principled coarse quantizer. Assignment is the same
+    * codegen'd `ivf_route` kernel (nProbe=1: nearest centroid, cosine
+    * ties to the lower cell); the update is one hash aggregate per cell
+    * with [[graft.functions.FixedPointVecSum]] — per-component FIXED-POINT
+    * integer sums, so the reduction is order-independent and bit-exact
+    * under any partitioning (the reason k-means on doubles is normally
+    * non-reproducible across cluster layouts). Only |cells| rows reach
+    * the shuffle: the aggregate state is one long per dimension per cell,
+    * combined map-side — the plan a 100 TB k-means needs.
+    *
+    * Returns one row per (cell, dimension): member count, exact
+    * fixed-point component sum, and the implied new centroid component
+    * (a single integer÷integer double division — reproducible anywhere).
+    */
+  def kmeansStepSeeded(
+      vectors: DataFrame, // (vid, vec)
+      numCentroids: Int = 32,
+      scaleBits: Int = 20): DataFrame = {
+    import graft.functions.VectorAggFunctions
+    VectorFunctions.register(vectors.sparkSession)
+    VectorAggFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col("vid"), col("vec"))
+    val centRows = v.orderBy(col("vid")).limit(numCentroids).collect()
+    val ids: Seq[Long] = centRows.map(_.getLong(0)).toSeq
+    val mat: Seq[Seq[Float]] = centRows.map(_.getSeq[Float](1).toSeq).toSeq
+    val idsLit = typedlit(ids)
+    // same narrow routing kernel + repartition rationale as
+    // ivfKnnJoinSeeded: spread the nc·dim-flop map stage across cores
+    // even when the scan yields one input split
+    val assigned = v.repartition(col("vid"))
+      .withColumn("cpos", element_at(
+        VectorFunctions.ivfRoute(col("vec"), typedlit(mat), 1), 1))
+      .select(element_at(idsLit, col("cpos") + 1).as("cell"), col("vec"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        VectorAggFunctions.vecFixedPointSum(col("vec"), scaleBits).as("sums"))
+      .select(col("cell"), col("n_members"),
+        posexplode(col("sums")).as(Seq("pos", "comp_sum")))
+      .select(col("cell"),
+        (col("pos") + 1).cast("int").as("dim"),
+        col("n_members"), col("comp_sum"),
+        (col("comp_sum").cast("double") /
+          (col("n_members") * lit(1L << scaleBits)).cast("double"))
+          .as("centroid_fp"))
+  }
+
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)

@@ -77,6 +77,29 @@ object PipelineQueries extends QueryModule {
           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM r GROUP BY doc_id HAVING n_dropped > 0 ORDER BY doc_id""")),
 
+    // ── corpus-frequency boilerplate (CCNet-style df rule): spans seen in
+    //    ≥ minDocs DISTINCT docs are chrome, flagged in EVERY doc (unlike
+    //    first-occurrence span dedup above). Absolute threshold, not a
+    //    fraction — repetition defines boilerplate regardless of corpus
+    //    size. Two hash aggregates + a Zipf-tiny broadcast join back. ────
+    QueryDef("text_boilerplate_spans",
+      (s, dir) => Dedup.boilerplateSpanStats(Tables.load(s, dir, "documents"),
+          "doc_id", "text", spanWords = 3, minDocs = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+            generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS ti
+          FROM documents),
+        sp AS (SELECT doc_id, (ti - 1) // 3 AS span_idx,
+            md5(string_agg(tok, ' ' ORDER BY ti)) AS h
+          FROM t GROUP BY doc_id, (ti - 1) // 3),
+        b AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 5)
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM sp LEFT JOIN b ON sp.h = b.h
+        GROUP BY doc_id HAVING n_boiler > 0 ORDER BY doc_id""")),
+
     // ── n-gram Jaccard near-dup (lossless size blocking, exact result) ──
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
@@ -542,6 +565,42 @@ object PipelineQueries extends QueryModule {
           FROM scored)
         SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")),
+
+    // ── one exact distributed Lloyd (k-means) iteration: assignment via
+    //    the codegen'd ivf_route kernel, update via the FixedPointVecSum
+    //    aggregate — per-component integer sums of floor(x·2^20), so the
+    //    reduction is order-independent and bit-exact under any
+    //    partitioning (doubles would drift by merge order), and only
+    //    |cells| rows reach the shuffle (state = dim longs per cell,
+    //    combined map-side; the posexplode runs on the 32-row aggregate
+    //    OUTPUT, never on the corpus). The oracle replays assignment
+    //    (list_cosine_similarity is bit-identical to the kernel) and the
+    //    fixed-point sums: floor of the identical IEEE product, then
+    //    integer aggregation — associative in both engines. ──────────────
+    QueryDef("embed_kmeans_step",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        Similarity.kmeansStepSeeded(emb, numCentroids = 32, scaleBits = 20)
+          .orderBy("cell", "dim")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          WHERE rn <= 32),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT q.vec_id, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t) WHERE rn = 1),
+        comp AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM v)
+        SELECT a.cell, CAST(c.dim AS INTEGER) AS dim, count(*) AS n_members,
+          CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS comp_sum,
+          CAST(CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / CAST(count(*) * 1048576 AS DOUBLE) AS centroid_fp
+        FROM comp c JOIN assign a ON c.vec_id = a.vec_id
+        GROUP BY a.cell, c.dim
+        ORDER BY a.cell, dim""")),
 
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
@@ -1106,6 +1165,59 @@ object PipelineQueries extends QueryModule {
         SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM sp GROUP BY split ORDER BY split""")),
+
+    // ── dataset card: the per-(source, lang) release report every corpus
+    //    ships with — volume (docs/chars/tokens), Gopher-keep counts, and
+    //    exact-dup counts — composed from the same one-pass kernels the
+    //    standalone queries use (GopherKernel, fingerprint, tokenizer).
+    //    One scan, one partial-mergeable aggregate; the dup count rides
+    //    count(DISTINCT fp) inside the same group. All-integer outputs. ──
+    QueryDef("pipeline_dataset_card",
+      (s, dir) => {
+        graft.functions.TextHashFunctions.register(s)
+        val d = Tables.load(s, dir, "documents")
+        val g = graft.functions.TextHashFunctions.gopherStats(col("text"))
+        d.select(col("source"), col("lang"), col("n_chars"),
+            size(tokens(col("text"))).cast(LongType).as("n_toks"),
+            fingerprint(col("text")).as("fp"), g.as("g"))
+          .select(col("source"), col("lang"), col("n_chars"), col("n_toks"),
+            col("fp"),
+            (col("g").getItem(0) >= 50L && col("g").getItem(0) <= 100000L &&
+              lit(3L) * col("g").getItem(0) <= col("g").getItem(1) &&
+              col("g").getItem(1) <= lit(10L) * col("g").getItem(0) &&
+              lit(10L) * (col("g").getItem(2) + col("g").getItem(3)) <= col("g").getItem(0) &&
+              lit(5L) * col("g").getItem(4) >= lit(4L) * col("g").getItem(0) &&
+              col("g").getItem(5) >= 2L).as("keep"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("n_toks")).as("sum_ws_tokens"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"),
+            (count(lit(1)) - count_distinct(col("fp"))).as("n_exact_dups"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH m AS (SELECT source, lang, n_chars, text,
+            string_split_regex(lower(trim(text)), '\s+') AS toks,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        g AS (SELECT source, lang, n_chars, fp, len(toks) AS words,
+            length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+            (length(text) - length(replace(text, '#', ''))) AS n_hash,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+            len(list_intersect(list_distinct(toks),
+              ['the','a','and','of','to','in','is','that'])) AS n_stop
+          FROM m)
+        SELECT source, lang, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(words) AS BIGINT) AS sum_ws_tokens,
+          CAST(sum(CASE WHEN words >= 50 AND words <= 100000
+              AND 3 * words <= nonws AND nonws <= 10 * words
+              AND 10 * (n_hash + n_ell) <= words
+              AND 5 * alpha_words >= 4 * words AND n_stop >= 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep,
+          CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+        FROM g GROUP BY source, lang ORDER BY source, lang""")),
 
     // ── decontamination: flag TRAIN docs sharing any word-8-gram with
     //    the TEST set (the n-gram-overlap contamination check run before

@@ -165,6 +165,24 @@ class DedupSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got)
   }
 
+  test("boilerplateSpanStats flags spans in >= minDocs distinct docs, everywhere") {
+    val docs = Seq(
+      (1L, "a b c d"), // "a b" + "c d"
+      (2L, "a b x y"), // "a b" + "x y"
+      (3L, "a b z w"), // "a b" + "z w"
+      (4L, "p q r s"), // no frequent span → not reported
+      (5L, "a b a b") // frequent span twice; df counts DISTINCT docs
+    ).toDF("doc_id", "text")
+    def run(df: DataFrame) = Dedup.boilerplateSpanStats(
+        df, "doc_id", "text", spanWords = 2, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(docs)
+    // "a b" appears in 4 distinct docs → boilerplate; flagged in EVERY
+    // doc (including the first), twice in doc 5
+    assert(got == Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (5L, 2L, 2L)), got)
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("dropExactDuplicates keeps the canonical (min-id) doc per group") {
     val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -166,6 +166,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansStepSeeded equals a driver-side fixed-point replay, any partitioning") {
+    val (nc, bits) = (4, 20)
+    val input = emb.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    def run(df: DataFrame) = Similarity.kmeansStepSeeded(df, nc, bits)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val got = run(input)
+
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { val a = x(i).toDouble; val b = y(i).toDouble; d += a*b; nx += a*a; ny += b*b }
+      val den = math.sqrt(nx) * math.sqrt(ny); if (den == 0) 0 else d / den
+    }
+    val cents = vecs.take(nc)
+    val expect = vecs
+      .groupBy { case (_, v) =>
+        // strict > keeps the first (lowest-cell) max on ties
+        cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }.head._1
+      }
+      .flatMap { case (cell, members) =>
+        val dim = members.head._2.length
+        (0 until dim).map { d =>
+          val s = members.map { case (_, v) =>
+            math.floor(v(d).toDouble * (1L << bits)).toLong }.sum
+          (cell, d + 1) -> (members.length.toLong, s,
+            s.toDouble / (members.length.toLong * (1L << bits)).toDouble)
+        }
+      }
+    assert(got == expect)
+    assert(run(input.repartition(7)) == got)
+  }
+
   test("lshTopK explain has no cartesian/broadcast-nested-loop join") {
     val q = asQ(emb.filter($"vec_id" < 5))
     val plan = Similarity.lshTopK(q, asC(emb), 5, dim = 64, bits = 8)
