@@ -79,5 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_fixedpoint_sum", "vec_fixedpoint_sum(vec, scaleBits) - exact element-wise sum of floor(x*2^scaleBits)") {
       es => FixedPointVecSum(es(0), litInt(es(1)))
     }
+    inject("span_md5s", "span_md5s(text, spanWords) - md5 hex of each non-overlapping token span") {
+      es => SpanMd5s(es(0), litInt(es(1)))
+    }
+    inject("span_texts", "span_texts(text, spanWords) - the non-overlapping token spans themselves") {
+      es => SpanTexts(es(0), litInt(es(1)))
+    }
   }
 }

@@ -533,6 +533,110 @@ case class GopherStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "gopher_stats"
 }
 
+object SpanKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** text → md5 hex of every NON-OVERLAPPING `spanWords`-token window of
+    * the space-trimmed lower-cased whitespace-split text, in document
+    * order (the last span may be short). One pass; replaces the
+    * sequence→transform→slice→array_join→md5 higher-order composition
+    * whose per-span boxing and array copies dominated the span-dedup
+    * operators' scan cost. Tokenization replicates Spark's
+    * `split(lower(trim(text)), "\\s+")` exactly — UTF8String trim
+    * (0x20 only) + UTF8String lower, then Java regex split with
+    * trailing empties kept — so the emitted hashes are bitwise the ones
+    * the DuckDB oracle replays.
+    */
+  private def spanStrings(text: UTF8String, spanWords: Int): Array[String] = {
+    val s = text.trim().toLowerCase().toString
+    val toks = Ws.split(s, -1)
+    val n = toks.length
+    val nspans = (n + spanWords - 1) / spanWords
+    val out = new Array[String](nspans)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < nspans) {
+      sb.setLength(0)
+      var j = w * spanWords
+      val end = math.min(j + spanWords, n)
+      while (j < end) {
+        // separator between POSITIONS, not non-empty tokens: array_join
+        // emits it even after an empty token ("" from a leading \t run)
+        if (j > w * spanWords) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(w) = sb.toString
+      w += 1
+    }
+    out
+  }
+
+  def spanMd5s(text: UTF8String, spanWords: Int): ArrayData = {
+    val spans = spanStrings(text, spanWords)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](spans.length)
+    var w = 0
+    while (w < spans.length) {
+      md.reset()
+      val digest = md.digest(spans(w).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((digest(b) >> 4) & 0xF)
+        hex(2 * b + 1) = HexDigits(digest(b) & 0xF)
+        b += 1
+      }
+      out(w) = UTF8String.fromString(new String(hex))
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** text → the span strings themselves, for operators that must carry
+    * the span content (e.g. the span-dedup APPLY step, which rebuilds
+    * the document from its kept spans).
+    */
+  def spanTexts(text: UTF8String, spanWords: Int): ArrayData = {
+    val spans = spanStrings(text, spanWords)
+    val out = new Array[Any](spans.length)
+    var w = 0
+    while (w < spans.length) { out(w) = UTF8String.fromString(spans(w)); w += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** span_md5s(text, spanWords) → array<string> of per-span md5 hex. */
+case class SpanMd5s(child: Expression, spanWords: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"span_md5s expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    SpanKernel.spanMd5s(v.asInstanceOf[UTF8String], spanWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanKernel.spanMd5s($c, $spanWords)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "span_md5s"
+}
+
+/** span_texts(text, spanWords) → array<string> of the spans themselves. */
+case class SpanTexts(child: Expression, spanWords: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"span_texts expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    SpanKernel.spanTexts(v.asInstanceOf[UTF8String], spanWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanKernel.spanTexts($c, $spanWords)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "span_texts"
+}
+
 object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
     Registration.ifAbsent(spark, "rolling_hash64")(es => RollingHash64(es.head))
@@ -551,6 +655,22 @@ object TextHashFunctions {
       }
       ShingleHashes(es.head, n)
     }
+    Registration.ifAbsent(spark, "span_md5s") { es =>
+      val n = es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"span_md5s spanWords must be a literal int, got $other")
+      }
+      SpanMd5s(es.head, n)
+    }
+    Registration.ifAbsent(spark, "span_texts") { es =>
+      val n = es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"span_texts spanWords must be a literal int, got $other")
+      }
+      SpanTexts(es.head, n)
+    }
   }
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
@@ -562,4 +682,8 @@ object TextHashFunctions {
   def repetitionStats(c: Column): Column = call_function("repetition_stats", c)
   def shingleHashes(c: Column, n: Int): Column =
     call_function("shingle_hashes", c, org.apache.spark.sql.functions.lit(n))
+  def spanMd5s(c: Column, spanWords: Int): Column =
+    call_function("span_md5s", c, org.apache.spark.sql.functions.lit(spanWords))
+  def spanTexts(c: Column, spanWords: Int): Column =
+    call_function("span_texts", c, org.apache.spark.sql.functions.lit(spanWords))
 }

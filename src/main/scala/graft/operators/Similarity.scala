@@ -274,25 +274,71 @@ object Similarity {
       vectors: DataFrame, // (vid, vec)
       numCentroids: Int = 32,
       scaleBits: Int = 20): DataFrame = {
+    val v = prepKmeans(vectors)
+    val (ids, mat) = seedCentroids(v, numCentroids)
+    explodeCentroids(lloydAgg(v, ids, mat, scaleBits), scaleBits)
+  }
+
+  /** TWO exact Lloyd iterations — the iterative form of
+    * [[kmeansStepSeeded]], proving the training LOOP (not just one step)
+    * stays bit-exact and cheap on Spark. The trick that keeps iteration
+    * 2 reproducible: cosine is scale-invariant, so the round-2 centroids
+    * are the round-1 INTEGER component sums themselves (no division —
+    * dividing by n·2^scaleBits changes no assignment), cast long→float
+    * by both engines' identical IEEE round-to-nearest. Per iteration:
+    * one corpus scan + a |cells|-row shuffle; the only driver traffic is
+    * the ≤numCentroids×dim sum matrix — the broadcast every distributed
+    * k-means round makes.
+    *
+    * Output shape = [[kmeansStepSeeded]] (cell label = its seed's vid).
+    */
+  def kmeansTwoStepSeeded(
+      vectors: DataFrame, // (vid, vec)
+      numCentroids: Int = 32,
+      scaleBits: Int = 20): DataFrame = {
+    val v = prepKmeans(vectors)
+    val (ids, mat) = seedCentroids(v, numCentroids)
+    val it1 = lloydAgg(v, ids, mat, scaleBits)
+      .select(col("cell"), col("sums")).orderBy(col("cell")).collect()
+    val ids2: Seq[Long] = it1.map(_.getLong(0)).toSeq
+    val mat2: Seq[Seq[Float]] =
+      it1.map(_.getSeq[Long](1).map(_.toFloat).toSeq).toSeq
+    explodeCentroids(lloydAgg(v, ids2, mat2, scaleBits), scaleBits)
+  }
+
+  private def prepKmeans(vectors: DataFrame): DataFrame = {
     import graft.functions.VectorAggFunctions
     VectorFunctions.register(vectors.sparkSession)
     VectorAggFunctions.register(vectors.sparkSession)
-    val v = vectors.select(col("vid"), col("vec"))
+    vectors.select(col("vid"), col("vec"))
+  }
+
+  private def seedCentroids(v: DataFrame, numCentroids: Int): (Seq[Long], Seq[Seq[Float]]) = {
     val centRows = v.orderBy(col("vid")).limit(numCentroids).collect()
-    val ids: Seq[Long] = centRows.map(_.getLong(0)).toSeq
-    val mat: Seq[Seq[Float]] = centRows.map(_.getSeq[Float](1).toSeq).toSeq
+    (centRows.map(_.getLong(0)).toSeq, centRows.map(_.getSeq[Float](1).toSeq).toSeq)
+  }
+
+  /** Assignment (nearest centroid, ties to the lower cell position) +
+    * per-cell fixed-point sum aggregate — one Lloyd half-step. The
+    * repartition spreads the nc·dim-flop map stage across cores even
+    * when the scan yields one input split (same rationale as
+    * ivfKnnJoinSeeded).
+    */
+  private def lloydAgg(v: DataFrame, ids: Seq[Long], mat: Seq[Seq[Float]],
+      scaleBits: Int): DataFrame = {
+    import graft.functions.VectorAggFunctions
     val idsLit = typedlit(ids)
-    // same narrow routing kernel + repartition rationale as
-    // ivfKnnJoinSeeded: spread the nc·dim-flop map stage across cores
-    // even when the scan yields one input split
-    val assigned = v.repartition(col("vid"))
+    v.repartition(col("vid"))
       .withColumn("cpos", element_at(
         VectorFunctions.ivfRoute(col("vec"), typedlit(mat), 1), 1))
       .select(element_at(idsLit, col("cpos") + 1).as("cell"), col("vec"))
-    assigned.groupBy(col("cell"))
+      .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
         VectorAggFunctions.vecFixedPointSum(col("vec"), scaleBits).as("sums"))
-      .select(col("cell"), col("n_members"),
+  }
+
+  private def explodeCentroids(agg: DataFrame, scaleBits: Int): DataFrame =
+    agg.select(col("cell"), col("n_members"),
         posexplode(col("sums")).as(Seq("pos", "comp_sum")))
       .select(col("cell"),
         (col("pos") + 1).cast("int").as("dim"),
@@ -300,7 +346,6 @@ object Similarity {
         (col("comp_sum").cast("double") /
           (col("n_members") * lit(1L << scaleBits)).cast("double"))
           .as("centroid_fp"))
-  }
 
   def ivfTopK(
       queries: DataFrame, // (qid, qvec)

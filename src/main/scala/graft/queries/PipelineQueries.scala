@@ -100,6 +100,35 @@ object PipelineQueries extends QueryModule {
         FROM sp LEFT JOIN b ON sp.h = b.h
         GROUP BY doc_id HAVING n_boiler > 0 ORDER BY doc_id""")),
 
+    // ── the span-dedup APPLY step: rebuild every doc from its KEPT spans
+    //    (same first-occurrence rule as dedup_span_exact); rebuilt text is
+    //    length+md5 summarized. Same two-shuffle shape as the stats query;
+    //    the rebuild sorts only each doc's own spans. The empty rebuild
+    //    (every span lost to an earlier doc) is pinned to '' in BOTH
+    //    engines (coalesce in the oracle ≡ array_join of empty array). ───
+    QueryDef("dedup_span_apply",
+      (s, dir) => Dedup.applySpanDedup(Tables.load(s, dir, "documents"),
+          "doc_id", "text", spanWords = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+            generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS ti
+          FROM documents),
+        sp AS (SELECT doc_id, (ti - 1) // 4 AS span_idx,
+            string_agg(tok, ' ' ORDER BY ti) AS span
+          FROM t GROUP BY doc_id, (ti - 1) // 4),
+        r AS (SELECT doc_id, span_idx, span,
+            row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn
+          FROM sp),
+        g AS (SELECT doc_id, count(*) AS n_spans,
+            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '') AS rebuilt
+          FROM r GROUP BY doc_id)
+        SELECT doc_id, n_spans, n_kept,
+          CAST(length(rebuilt) AS BIGINT) AS dedup_chars, md5(rebuilt) AS dedup_fp
+        FROM g ORDER BY doc_id""")),
+
     // ── n-gram Jaccard near-dup (lossless size blocking, exact result) ──
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
@@ -602,6 +631,48 @@ object PipelineQueries extends QueryModule {
         GROUP BY a.cell, c.dim
         ORDER BY a.cell, dim""")),
 
+    // ── TWO exact Lloyd iterations — the training LOOP, still bit-exact:
+    //    cosine is scale-invariant, so round-2 centroids are round-1's
+    //    INTEGER component sums themselves (no division changes any
+    //    assignment), cast long→float by both engines' identical IEEE
+    //    rounding. Per iteration: one corpus scan + a |cells|-row
+    //    shuffle; driver traffic is only the 32×64 sum matrix (the
+    //    broadcast every distributed k-means round makes). ───────────────
+    QueryDef("embed_kmeans_iter2",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        Similarity.kmeansTwoStepSeeded(emb, numCentroids = 32, scaleBits = 20)
+          .orderBy("cell", "dim")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          WHERE rn <= 32),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT q.vec_id, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t) WHERE rn = 1),
+        comp AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM v),
+        s1 AS (SELECT a.cell, c.dim,
+            CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS cs
+          FROM comp c JOIN assign a ON c.vec_id = a.vec_id GROUP BY a.cell, c.dim),
+        c2 AS (SELECT cell, list(CAST(CAST(cs AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce
+          FROM s1 GROUP BY cell),
+        a2 AS (SELECT vec_id, cell FROM (
+            SELECT q.vec_id, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN c2 t) WHERE rn = 1)
+        SELECT a2.cell, CAST(c.dim AS INTEGER) AS dim, count(*) AS n_members,
+          CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS comp_sum,
+          CAST(CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / CAST(count(*) * 1048576 AS DOUBLE) AS centroid_fp
+        FROM comp c JOIN a2 ON c.vec_id = a2.vec_id
+        GROUP BY a2.cell, c.dim
+        ORDER BY a2.cell, dim""")),
+
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
       (s, dir) => {
@@ -759,6 +830,40 @@ object PipelineQueries extends QueryModule {
           CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
           CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS n_chunks
         FROM c ORDER BY doc_id""")),
+
+    // ── shard manifest: the write-path layout step. Shard assignment is
+    //    the all-integer md5-bucket rule (partitioning-independent — a
+    //    doc's shard never depends on where it was read), the manifest is
+    //    ONE hash aggregate, and its row count equals the shard count, so
+    //    at 100 TB the output is thousands of rows regardless of input
+    //    size. Balance is a property of md5 uniformity; the manifest's
+    //    min/max ids double as the per-shard pruning index. ──────────────
+    QueryDef("pipeline_shard_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val bucket =
+          conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+        Tables.load(s, dir, "documents")
+          .withColumn("shard", pmod(bucket, lit(50L)))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            sum(size(tokens($"text")).cast("long")).as("sum_toks"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy("shard")
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+            ((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+           + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+           + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+           + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[4]) - 1)) % 50 AS shard
+          FROM documents)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(n_tok) AS BIGINT) AS sum_toks,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM b GROUP BY shard ORDER BY shard""")),
 
     // ── curriculum quality binning: documents bucketed by how many of
     //    the five Gopher criteria they pass (0–5, a pure-integer

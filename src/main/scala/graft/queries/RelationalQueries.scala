@@ -601,6 +601,33 @@ object RelationalQueries extends QueryModule {
       },
       Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
 
+    // Exact GLOBAL rank with no global sort — the curriculum-ordering
+    // primitive. Two passes: a value histogram (hash aggregate, O(domain)
+    // rows) whose exclusive prefix sum runs over the REDUCED table only,
+    // broadcast back as per-value offsets; then a window partitioned by
+    // the sort key ranks only within equal-key groups (bounded by key
+    // collisions, not corpus size). rank = offset + local row_number —
+    // the distributed form of ORDER BY n_chars DESC, doc_id.
+    QueryDef("sort_global_rank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents").select($"doc_id", $"n_chars")
+        val offs = d.groupBy($"n_chars").agg(count(lit(1)).as("__cnt"))
+          .withColumn("__off", coalesce(
+            sum($"__cnt").over(Window.orderBy($"n_chars".desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"n_chars".as("__k"), $"__off")
+        val local = Window.partitionBy($"n_chars").orderBy($"doc_id")
+        d.join(broadcast(offs), $"n_chars" === $"__k")
+          .withColumn("global_rank", row_number().over(local).cast("long") + $"__off")
+          .select($"doc_id", $"n_chars", $"global_rank")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+          CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS global_rank
+        FROM documents ORDER BY doc_id""")),
+
     // SCD-2 / snapshot slot (SURVEY.md §2.5): latest row per key by window.
     QueryDef("window_rownum_latest",
       (s, dir) => {

@@ -165,6 +165,25 @@ class DedupSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got)
   }
 
+  test("applySpanDedup rebuilds docs from kept spans, any partitioning") {
+    // sw=2 over docs 1/2: identical normalized text → doc 1 keeps all 7
+    // spans, doc 2 keeps none (every span first occurred in doc 1) and
+    // rebuilds to "" (the pinned empty-rebuild rule).
+    def run(df: DataFrame) = Dedup.applySpanDedup(df, "doc_id", "text", spanWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val got = run(corpus)
+    assert(got(1L)._1 == 7L && got(1L)._2 == 7L)
+    assert(got(2L) == (7L, 0L, 0L,
+      // md5("") — the deterministic empty-rebuild fingerprint
+      "d41d8cd98f00b204e9800998ecf8427e"))
+    // doc 5 shares nothing → rebuilt text is its normalized self
+    assert(got(5L)._2 == got(5L)._1 && got(5L)._3 > 0L)
+    // doc 7 loses its 7 leading spans to doc 6, keeps the 8th ("omicron pi")
+    assert(got(7L)._1 == 8L && got(7L)._2 == 1L && got(7L)._3 == "omicron pi".length.toLong)
+    assert(run(corpus.repartition(7)) == got)
+  }
+
   test("boilerplateSpanStats flags spans in >= minDocs distinct docs, everywhere") {
     val docs = Seq(
       (1L, "a b c d"), // "a b" + "c d"

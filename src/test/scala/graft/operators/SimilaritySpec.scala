@@ -202,6 +202,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(input.repartition(7)) == got)
   }
 
+  test("kmeansTwoStepSeeded keeps cluster mass exact and is partitioning-invariant") {
+    val input = emb.select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    def run(df: DataFrame) = Similarity.kmeansTwoStepSeeded(df, 4, 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val got = run(input)
+    // every vector lands in exactly one cell: per-dim member counts sum
+    // to the corpus size
+    assert(got.filter(_._1._2 == 1).values.map(_._1).sum == emb.count())
+    // iteration 2 must differ from iteration 1 somewhere on this fixture
+    // (otherwise the test would pass with a two-step that ignores round 1)
+    val one = Similarity.kmeansStepSeeded(input, 4, 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(one != got)
+    assert(run(input.repartition(7)) == got)
+  }
+
   test("lshTopK explain has no cartesian/broadcast-nested-loop join") {
     val q = asQ(emb.filter($"vec_id" < 5))
     val plan = Similarity.lshTopK(q, asC(emb), 5, dim = 64, bits = 8)
