@@ -998,6 +998,38 @@ object PipelineQueries extends QueryModule {
           CAST(sum(nw * nh + 8) AS BIGINT) AS sum_bytes
         FROM r GROUP BY event_type ORDER BY media_type""")),
 
+    // Feature-extraction step of the multimodal pipeline: binary payload →
+    // fixed-dim embedding (STUB encoder: FNV-1a/murmur-mix — swap for a
+    // real vision/audio model; the Spark plumbing is the point). The
+    // oracle is structural + replay: row-per-media, embedding exactly
+    // `dim` wide with every component in [0,1], and — the property stage
+    // RETRIES depend on at 100 TB — extracting twice from the same source
+    // yields bitwise-identical vectors (two independent mapPartitions
+    // pipelines joined on id). All booleans fold lazily in-plan.
+    QueryDef("multimodal_feature_extract",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        def records = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"))
+          .as[(Long, String)]
+          .map { case (eid, et) =>
+            Multimodal.MediaRecord(eid, et,
+              Multimodal.FakeCodec.encode(16, 16, new Array[Byte]((eid % 257).toInt)))
+          }
+        val f1 = Multimodal.extractFeatures(records, dim = 32).toDF()
+        val f2 = Multimodal.extractFeatures(records, dim = 32).toDF()
+          .select(col("id").as("id2"), col("embedding").as("embedding2"))
+        f1.join(f2, col("id") === col("id2"))
+          .agg(count(lit(1)).as("n_media"),
+            bool_and(size(col("embedding")) === 32).as("dim_ok"),
+            bool_and(array_min(col("embedding")) >= 0f).as("lo_ok"),
+            bool_and(array_max(col("embedding")) <= 1f).as("hi_ok"),
+            bool_and(col("embedding") === col("embedding2")).as("replay_ok"))
+      },
+      Some("""SELECT count(*) AS n_media, TRUE AS dim_ok, TRUE AS lo_ok,
+          TRUE AS hi_ok, TRUE AS replay_ok FROM events""")),
+
     // Frame-sampling step of the multimodal pipeline (video → every
     // stride-th fixed-size chunk, capped): explode shape, one binary row
     // in → ≤ maxFrames frame rows out. The oracle recomputes the chunk

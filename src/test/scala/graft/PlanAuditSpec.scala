@@ -186,6 +186,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("global rank joins its offset table by broadcast and ranks per-key only") {
+    // sort_global_rank's whole point: the O(domain) offset table is
+    // broadcast (never a corpus-wide shuffle for the join) and the only
+    // corpus-sized window is partitioned by the sort key.
+    val p = plan("sort_global_rank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("shard manifest is one partial+final aggregate, no window, no join") {
+    val p = plan("pipeline_shard_manifest")
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
+  }
+
   test("partitioned sink read-back prunes on the partition column") {
     val p = plan("sink_partitioned_pruning")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
