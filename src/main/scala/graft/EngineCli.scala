@@ -18,6 +18,7 @@ import graft.sources.Sinks
   *   dq <configYaml> <sfDir> [fecha] run a YAML-configured DQ job
   *   profile <sfDir> <outDir> t1,t2  profile tables, APPEND to outDir
   *   snapshot <sfDir> <outDir> [asOf] capture/merge the SCD-2 snapshot
+  *   explain <sfDir> <q1,q2,…>       print formatted physical plans
   *   clean <warehouseDir>            delete build artifacts
   */
 object EngineCli {
@@ -100,6 +101,19 @@ object EngineCli {
         }
       val open = history.filter(col("is_current")).count()
       println(s"OK    snapshot orders_status_scd2 rows=${history.count()} open=$open")
+
+    // Plan inspection: print the formatted physical plan of any registered
+    // query without executing it — the first thing to check when a query
+    // is slow (pushdown, broadcast vs sort-merge, exchange reuse).
+    case "explain" =>
+      val Seq(sfDir, nameCsv) = args: @unchecked
+      nameCsv.split(",").foreach { name =>
+        val q = SparkEntry.queries.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown query: $name"))
+        println(s"== $name ==")
+        println(q(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
 
     case "clean" =>
       val dir = java.nio.file.Paths.get(args.head)

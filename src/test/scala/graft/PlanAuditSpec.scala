@@ -202,6 +202,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
   }
 
+  test("boilerplate df-scan and report branches share one exchange at runtime") {
+    // boilerplateSpanStats derives both branches from the same reduced
+    // (h, id) pair table; the static plan shows two Scan+Generate branches
+    // but AQE's stage cache must collapse them — otherwise the expensive
+    // span-md5 explode over the corpus runs twice.
+    val df = SparkEntry.queries("text_boilerplate_spans")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") ||
+      "Scan parquet".r.findAllIn(finalPlan).size <= 1, finalPlan.take(4000))
+  }
+
   test("partitioned sink read-back prunes on the partition column") {
     val p = plan("sink_partitioned_pruning")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
