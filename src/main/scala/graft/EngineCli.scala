@@ -105,6 +105,11 @@ object EngineCli {
     // Plan inspection: print the formatted physical plan of any registered
     // query without executing it — the first thing to check when a query
     // is slow (pushdown, broadcast vs sort-merge, exchange reuse).
+    // Caveat: the centroid-seeded builders (sim_knn_join, embed_kmeans_*)
+    // run BOUNDED seeding jobs at build time (a count for auto-sizing plus
+    // an nc-row collect for the quantizer matrix — the trained-model state
+    // a real pipeline loads from disk), so explaining those executes small
+    // Spark jobs; the main query plan itself is still not run.
     case "explain" =>
       val Seq(sfDir, nameCsv) = args: @unchecked
       nameCsv.split(",").foreach { name =>

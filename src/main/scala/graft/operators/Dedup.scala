@@ -389,7 +389,13 @@ object Dedup {
     * shard is shingled, signed, and joined per batch — nothing corpus-wide
     * recomputes. Here both sides derive from their inputs; the plan is the
     * same band-key equi join as [[minhashLshPairs]] with the existing side
-    * as the probe index. Ids must be disjoint across sides.
+    * as the probe index. Ids SHOULD be disjoint across sides (they label
+    * the two corpora); as a guard, self-pairs (`doc_a = doc_b`) are
+    * filtered so an id accidentally present on both sides can never
+    * report itself as its own near-duplicate. Distinct overlapping ids
+    * are the caller's contract to avoid — the output labels columns by
+    * SIDE, so a shared id space would make (doc_existing, doc_incoming)
+    * ambiguous.
     *
     * Returns (doc_existing, doc_incoming, jaccard ≥ threshold).
     */
@@ -418,6 +424,7 @@ object Dedup {
     val candidates = bandE.alias("l").join(bandI.alias("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")) // self-pair guard (see scaladoc)
       .dropDuplicates("doc_a", "doc_b")
     candidates
       .join(shE.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

@@ -69,6 +69,12 @@ object Similarity {
     * probing never touches the candidate-side scan.
     */
   def probes(bucket: Column, bits: Int, maxHamming: Int = 1): Column = {
+    // The mask enumeration below scans all 2^bits ints on the driver —
+    // trivial at the operating point (bits=10) but a surprise allocation
+    // at bits≈24+; fail fast rather than silently burn driver CPU.
+    require(bits <= 20,
+      s"probes(): bits=$bits enumerates 2^$bits masks on the driver; " +
+        "use bits <= 20 (signature quality plateaus far below that)")
     val masks = (1 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
     array(bucket +: masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
   }
@@ -190,6 +196,15 @@ object Similarity {
     * Deterministic end to end (seeded centroids = lowest-id vectors,
     * argmax ties to lower cell), so an external SQL engine can replay it
     * exactly — the `sim_knn_join` oracle does.
+    *
+    * NOT side-effect-free at build time: constructing the DataFrame runs
+    * two bounded Spark jobs — a count() when `numCentroids` is None (the
+    * auto-sizing input, a number a real ingest pipeline already tracks)
+    * and an nc-row collect() for the quantizer matrix (the trained-model
+    * state a production system loads from its model store). Pass
+    * `numCentroids=Some(nc)` to skip the count on plan-only paths; the
+    * seed collect is inherent to the flat-IVF design. `EngineCli explain`
+    * documents the same caveat.
     */
   def ivfKnnJoinSeeded(
       vectors: DataFrame, // (vid, vec)

@@ -227,6 +227,52 @@ object Profiler {
         }: _*)
   }
 
+  /** Exact order statistics WITHOUT a global sort: group by value (the
+    * full-width shuffle is a hash aggregate), then run the cumulative
+    * count over the *reduced* distinct-value table, selecting the
+    * rank-⌈n/2⌉ / ⌈9n/10⌉ order statistics (lower median, lower p90) by
+    * integer rank arithmetic. This is the scale path where
+    * `percentile()`'s sort-based exact is a non-starter and a GK
+    * sketch's answer isn't exact enough (e.g. billing cutoffs).
+    *
+    * `maxDomain` guards the O(domain) single-task window: the cumulative
+    * sum is safe only because the distinct-value table is BOUNDED
+    * (DECIMAL prices, enums, dates — e.g. DECIMAL(12,2) prices are ≤10⁷
+    * distinct whatever the row count). If the observed domain exceeds
+    * `maxDomain` the query fails fast with a clear error instead of
+    * silently serializing an unbounded window through one task; an
+    * unbounded-domain column (raw doubles, ids) needs a two-level
+    * bucket-then-refine selection instead. The guard is IN-PLAN — it
+    * rides the same one-row broadcast aggregate (folded into the rank
+    * threshold so column pruning can't drop it), so building/explaining
+    * the query stays job-free. Default bound 10⁸ ≈ 1.6 GB through the
+    * window task — loose enough for every bounded domain, tight enough
+    * to catch a mistaken unbounded column.
+    */
+  def exactOrderStats(
+      df: DataFrame,
+      valueCol: String,
+      maxDomain: Long = 100000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val cum = vals.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = vals.agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
+      .select(col("n"),
+        when(col("d") <= maxDomain, expr("(n + 1) div 2"))
+          .otherwise(raise_error(concat(
+            lit(s"exactOrderStats($valueCol): distinct-value domain "),
+            col("d").cast("string"),
+            lit(s" exceeds maxDomain=$maxDomain — unbounded domain; " +
+              "use a bucket-then-refine selection")))).as("t50"),
+        expr("(9 * n + 9) div 10").as("t90"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("cum") >= col("t50"), col("v"))).cast("double").as("p50_low"),
+        min(when(col("cum") >= col("t90"), col("v"))).cast("double").as("p90_low"))
+  }
+
   /** Run-over-run drift of the monitoring metrics — the comparison the
     * reference's APPEND monitoring table exists to enable
     * (profiling_example.py:24-28): join two profile frames on

@@ -785,23 +785,34 @@ object PipelineQueries extends QueryModule {
     //    pretraining batch layout. Each doc's chunk span is pure integer
     //    prefix-sum arithmetic (exclusive-prefix DIV B .. (inclusive-1)
     //    DIV B), exactly replayable. The prefix sum is DISTRIBUTED as the
-    //    classic two-pass scan: range-partition by doc_id (shard i holds
-    //    strictly lower ids than shard i+1), sum tokens per shard, take an
-    //    exclusive prefix over the tiny one-row-per-shard table, broadcast
-    //    it back, and finish with a shard-local running sum — no task ever
-    //    sorts or scans more than one shard, so the plan holds at 100 TB.
-    //    (Shard ids are stable across the plan's two uses of the exchange:
-    //    range partitioning is deterministic and Spark reuses the shuffle.)
+    //    classic two-pass scan: bucket docs into `shards` id-ordered shards
+    //    (shard i holds strictly lower ids than shard i+1), sum tokens per
+    //    shard, take an exclusive prefix over the tiny one-row-per-shard
+    //    table, broadcast it back, and finish with a shard-local running
+    //    sum — no task ever sorts or scans more than one shard, so the
+    //    plan holds at 100 TB. The shard id is a PURE FUNCTION OF THE DATA
+    //    (a monotonic width-bucket of doc_id rebased on the broadcast
+    //    min/max — NOT spark_partition_id over a sampled range partition),
+    //    so the two plan branches that reuse `toks` agree even if the
+    //    optimizer re-plans them with different physical partitionings.
+    //    Bucket arithmetic stays in Long: (doc_id − lo) × shards overflows
+    //    only past ~2^53 ids at 1024 shards, far beyond any corpus.
+    //    Balance assumes roughly dense ids (true for ingest sequence
+    //    numbers); skewed id spaces would want an explicit range index.
     QueryDef("pipeline_pack_chunks",
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val shards = s.sessionState.conf.numShufflePartitions
-        val toks = Tables.load(s, dir, "documents")
+        val docs = Tables.load(s, dir, "documents")
           .select($"doc_id",
             size(split(lower(trim($"text")), "\\s+")).cast("long").as("n_tok"))
-          .repartitionByRange(shards, $"doc_id")
-          .withColumn("__shard", spark_partition_id().cast("long"))
+        val bounds = docs.agg(min($"doc_id").cast("long").as("__lo"),
+          max($"doc_id").cast("long").as("__hi"))
+        val toks = docs.crossJoin(broadcast(bounds))
+          .withColumn("__shard",
+            expr(s"(CAST(doc_id AS BIGINT) - __lo) * ${shards}L DIV (__hi - __lo + 1)"))
+          .drop("__lo", "__hi")
         // pass 1: per-shard totals → exclusive scan over ≤`shards` rows
         val offs = toks.groupBy($"__shard").agg(sum($"n_tok").as("__tot"))
           .withColumn("__off", coalesce(
@@ -1143,7 +1154,11 @@ object PipelineQueries extends QueryModule {
     //    aggregate (|sources| rows) broadcast back over the corpus —
     //    the keep test `bucket·total·2 < 2¹⁶·target` is all-integer, so
     //    both engines decide every row identically. The halved rate
-    //    keeps every source strictly downsampled. ───────────────────────
+    //    keeps every source strictly downsampled. The products are
+    //    evaluated in Decimal(38,0) (DuckDB: HUGEINT) because
+    //    bucket·total·2 exceeds Long once a source holds ~7·10¹³ chars —
+    //    exactly the 100 TB regime; 128-bit integer math never wraps and
+    //    both engines still decide bit-identically. ─────────────────────
     QueryDef("pipeline_domain_mix",
       (s, dir) => {
         import s.implicits._
@@ -1155,7 +1170,8 @@ object PipelineQueries extends QueryModule {
         docs.withColumn("bucket", bucket)
           .join(broadcast(tot), "source")
           .crossJoin(broadcast(cap))
-          .filter($"bucket" * $"total" * lit(2L) < lit(65536L) * $"target")
+          .filter($"bucket".cast("decimal(38,0)") * $"total" * lit(2L) <
+            lit(65536L) * $"target".cast("decimal(38,0)"))
           .groupBy($"source")
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
           .orderBy("source")
@@ -1171,7 +1187,8 @@ object PipelineQueries extends QueryModule {
           FROM documents)
         SELECT b.source, count(*) AS n_docs, CAST(sum(b.n_chars) AS BIGINT) AS sum_chars
         FROM b JOIN tot ON b.source = tot.source CROSS JOIN cap
-        WHERE b.bucket * tot.total * 2 < 65536 * cap.target
+        WHERE CAST(b.bucket AS HUGEINT) * tot.total * 2
+            < 65536 * CAST(cap.target AS HUGEINT)
         GROUP BY b.source ORDER BY b.source""")),
 
     // ── train/test leakage check: near-duplicate pairs that CROSS the

@@ -144,33 +144,17 @@ object ProfileQueries extends QueryModule {
         FROM orders
         ORDER BY column_name""")),
 
-    // Exact order statistics WITHOUT a global sort: group by value (the
-    // full-width shuffle is a hash aggregate), then run the cumulative
-    // count over the *reduced* distinct-value table — its size is the
-    // value domain (bounded: prices are DECIMAL(12,2), ≤10⁷ distinct
-    // whatever the row count), so the single-task window scans O(domain)
-    // rows, not O(rows). The selected statistic is the rank-⌈n/2⌉ /
-    // ⌈9n/10⌉ order statistic (lower median, lower p90) — integer rank
-    // arithmetic, so both engines pick the identical row. This is the
-    // scale path where `percentile()`'s sort-based exact is a
-    // non-starter and a GK sketch's answer isn't exact enough (e.g.
-    // billing cutoffs).
+    // Exact order statistics WITHOUT a global sort — see
+    // [[graft.profiling.Profiler.exactOrderStats]] for the shape
+    // (hash-agg by value → cumulative count over the REDUCED
+    // distinct-value table → integer-rank selection) and for the
+    // in-plan maxDomain guard that keeps the O(domain) single-task
+    // window from silently serializing an unbounded-domain column
+    // (l_extendedprice is DECIMAL(12,2): ≤10⁷ distinct, well inside
+    // the default 10⁸ bound).
     QueryDef("agg_median_distributed",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        import s.implicits._
-        val li = Tables.load(s, dir, "lineitem")
-        val vals = li.groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
-        val cum = vals.withColumn("cum", sum($"c").over(
-          Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val tot = vals.agg(sum($"c").as("n"))
-          .select($"n", expr("(n + 1) div 2").as("t50"),
-            expr("(9 * n + 9) div 10").as("t90"))
-        cum.crossJoin(broadcast(tot))
-          .agg(max($"n").as("n_rows"),
-            min(when($"cum" >= $"t50", $"v")).cast("double").as("p50_low"),
-            min(when($"cum" >= $"t90", $"v")).cast("double").as("p90_low"))
-      },
+      (s, dir) => graft.profiling.Profiler.exactOrderStats(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice"),
       Some("""WITH v AS (SELECT l_extendedprice AS v, count(*) AS c
           FROM lineitem GROUP BY 1),
         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v),

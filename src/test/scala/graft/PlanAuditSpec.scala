@@ -209,7 +209,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // span-md5 explode over the corpus runs twice.
     val df = SparkEntry.queries("text_boilerplate_spans")(spark, sfDir)
     df.collect()
+    // AdaptiveSparkPlanExec.toString with isFinalPlan=true prints BOTH the
+    // "== Final Plan ==" and "== Initial Plan ==" sections, so a naive count
+    // over the whole string sees every surviving scan twice. Audit only the
+    // final section.
     val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(finalPlan.contains("ReusedExchange") ||
       "Scan parquet".r.findAllIn(finalPlan).size <= 1, finalPlan.take(4000))
   }
@@ -231,8 +236,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_incremental_distinct_exact", "agg_sketch_error_bounds",
     "agg_approx_topk_bounds", "agg_hll_mergeable_bounds", "agg_countmin_bounds",
     "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf",
-    // domain_mix / median: 1-row broadcast scalar recombine
-    "pipeline_domain_mix", "agg_median_distributed")
+    // domain_mix / median / pack_chunks: 1-row broadcast scalar recombine
+    // (pack_chunks rebases its data-derived shard bucket on broadcast
+    // min/max ids — see the scaladoc at its QueryDef)
+    "pipeline_domain_mix", "agg_median_distributed", "pipeline_pack_chunks")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

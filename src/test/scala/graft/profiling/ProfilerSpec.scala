@@ -84,6 +84,30 @@ class ProfilerSpec extends AnyFunSuite {
     assert(!plan.contains("GlobalLimit"), "sampling still funnels through GlobalLimit")
   }
 
+  test("exactOrderStats picks the exact lower median and p90") {
+    import org.apache.spark.sql.functions._
+    // 1..100 with duplicates on the evens — known order statistics
+    val df = ((1 to 100) ++ (2 to 100 by 2)).map(_.toDouble).toDF("v")
+    val r = Profiler.exactOrderStats(df, "v").head()
+    val sorted = ((1 to 100) ++ (2 to 100 by 2)).map(_.toDouble).sorted
+    val n = sorted.length
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == sorted((n + 1) / 2 - 1)) // lower median
+    assert(r.getDouble(2) == sorted((9 * n + 9) / 10 - 1)) // lower p90
+  }
+
+  test("exactOrderStats fails fast when the value domain exceeds maxDomain") {
+    // The O(domain) single-task window must never silently serialize an
+    // unbounded-domain column; the in-plan guard turns it into an error.
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val e = intercept[Exception] {
+      Profiler.exactOrderStats(df, "v", maxDomain = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds maxDomain")), e.toString)
+  }
+
   test("unioned daily HLL sketches estimate the window distinct within 5%") {
     import org.apache.spark.sql.functions._
     // 3 "days", overlapping user sets, 300 distinct overall
