@@ -321,6 +321,51 @@ object Similarity {
     explodeCentroids(lloydAgg(v, ids2, mat2, scaleBits), scaleBits)
   }
 
+  /** Lloyd to CONVERGENCE (bounded): run up to `maxIters` exact
+    * fixed-point iterations, stopping early when the per-cell integer
+    * state — (cell, member count, component-sum vector) — reaches a
+    * FIXPOINT. The stop rule needs no epsilon: the state is integers, so
+    * "unchanged" is exact equality, and once s_t = s_(t-1) the centroids
+    * reproduce themselves (cosine is scale-invariant; round-t centroids
+    * are round-(t-1)'s integer sums), making every later iteration a
+    * no-op. That no-op property is also what keeps the operator
+    * oracle-checkable with a data-dependent iteration count: an engine
+    * that always runs exactly `maxIters` iterations produces the
+    * identical final state, so early exit changes cost, never results.
+    *
+    * Per iteration: one corpus scan + a |cells|-row shuffle; driver
+    * traffic is the ≤numCentroids×dim integer sum matrix (the broadcast
+    * every distributed k-means round makes). The returned frame is the
+    * final iteration's lazy plan with a `converged` flag — true iff the
+    * fixpoint appeared among the `maxIters - 1` collected states.
+    */
+  def kmeansConvergedSeeded(
+      vectors: DataFrame, // (vid, vec)
+      numCentroids: Int = 32,
+      scaleBits: Int = 20,
+      maxIters: Int = 3): DataFrame = {
+    require(maxIters >= 2, s"maxIters must be >= 2, got $maxIters")
+    val v = prepKmeans(vectors)
+    val (ids0, mat0) = seedCentroids(v, numCentroids)
+    def state(ids: Seq[Long], mat: Seq[Seq[Float]]): Seq[(Long, Long, Seq[Long])] =
+      lloydAgg(v, ids, mat, scaleBits).orderBy(col("cell")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
+    var cur = state(ids0, mat0)
+    var converged = false
+    var it = 1
+    while (it < maxIters - 1 && !converged) {
+      val next = state(cur.map(_._1), cur.map(_._3.map(_.toFloat)))
+      converged = next == cur
+      if (!converged) cur = next
+      it += 1
+    }
+    // final iteration stays lazy: centroids = last collected state's sums
+    explodeCentroids(
+        lloydAgg(v, cur.map(_._1), cur.map(_._3.map(_.toFloat)), scaleBits),
+        scaleBits)
+      .withColumn("converged", lit(converged))
+  }
+
   private def prepKmeans(vectors: DataFrame): DataFrame = {
     import graft.functions.VectorAggFunctions
     VectorFunctions.register(vectors.sparkSession)

@@ -377,6 +377,40 @@ object DqQueries extends QueryModule {
         CASE WHEN failed = 0 THEN 'PASS' ELSE 'FAIL' END AS status,
         failed AS failed_records, total AS total_records,
         CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate
+      FROM r ORDER BY test_name""")),
+
+    // The reference's `expected_result` assertion aggregate (SURVEY §2.4
+    // agg_expected_zero; tests/dq_sql_notes.md:29,44): a rule PASSes iff
+    // its violation count equals the declared constant — usually 0, but
+    // the comparison is against the config value, not zero. region is
+    // constant at every SF (5 fixed rows), so all three verdicts are
+    // deterministic: expected-0 met (PASS), expected-1 met on a nonzero
+    // count (PASS — proves the comparand is the config value), and
+    // expected-0 violated (FAIL). All three fuse into the engine's single
+    // row-local scan.
+    QueryDef("agg_expected_zero",
+      (s, dir) => run(s, dir, "region",
+        DqTests(customSql = Seq(
+          CustomSqlTest("nonneg_key", "r_regionkey >= 0", expectedResult = 0L),
+          CustomSqlTest("exactly_one_asia", "r_name <> 'ASIA'", expectedResult = 1L),
+          CustomSqlTest("all_keys_small", "r_regionkey < 3", expectedResult = 0L))))
+        .select("test_date", "test_name", "test_category", "status",
+          "failed_records", "total_records", "failure_rate", "sql_condition")
+        .orderBy("test_name"),
+      Some(s"""WITH agg AS (SELECT count(*) AS total,
+          CAST(sum(CASE WHEN NOT (r_regionkey >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS f_nonneg,
+          CAST(sum(CASE WHEN NOT (r_name <> 'ASIA') THEN 1 ELSE 0 END) AS BIGINT) AS f_asia,
+          CAST(sum(CASE WHEN NOT (r_regionkey < 3) THEN 1 ELSE 0 END) AS BIGINT) AS f_small
+        FROM region),
+      r AS (
+        SELECT 'custom_nonneg_key' AS test_name, f_nonneg AS failed, 0 AS expected, 'r_regionkey >= 0' AS sql_condition, total FROM agg
+        UNION ALL SELECT 'custom_exactly_one_asia', f_asia, 1, 'r_name <> ''ASIA''', total FROM agg
+        UNION ALL SELECT 'custom_all_keys_small', f_small, 0, 'r_regionkey < 3', total FROM agg)
+      SELECT '$testDate' AS test_date, test_name, 'custom' AS test_category,
+        CASE WHEN failed = expected THEN 'PASS' ELSE 'FAIL' END AS status,
+        failed AS failed_records, total AS total_records,
+        CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
+        sql_condition
       FROM r ORDER BY test_name"""))
   )
 }

@@ -231,6 +231,73 @@ object ModelQueries extends QueryModule {
             (SELECT n FROM sc) - (SELECT n FROM fc)
           FROM (SELECT unnest(['o_custkey','o_orderdate','o_orderkey',
             'o_orderpriority','o_orderstatus','o_totalprice']) AS c) cols)
-        SELECT step, item, status, records FROM rows_ ORDER BY step, item"""))
+        SELECT step, item, status, records FROM rows_ ORDER BY step, item""")),
+
+    // View materialization, dbt's default (SURVEY §2.1 sink_view;
+    // dbt_project.yml:31-35): a Table model persists as a catalog table,
+    // then a dependent View model materializes as a persistent
+    // `CREATE OR REPLACE VIEW` over it — no data movement, SQL text in
+    // the catalog. The result is read back THROUGH the view name
+    // (`spark.table`), and is_catalog_view confirms the catalog object
+    // really is a VIEW, not a table or temp view.
+    QueryDef("sink_view",
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft_view_wh").toString
+        val base = Model("graft_region_base", Nil, Materialization.Table,
+          sp => Tables.load(sp, dir, "region").select(col("r_regionkey"), col("r_name")))
+        val view = Model("graft_region_view", Seq("graft_region_base"),
+          Materialization.View,
+          sp => sp.table("graft_region_base").filter(col("r_regionkey") >= 1),
+          sqlText = Some(
+            "SELECT r_regionkey, r_name FROM graft_region_base WHERE r_regionkey >= 1"))
+        ModelDag.run(s, Seq(base, view), Some(wh), catalogViews = true)
+        val isView = s.catalog.getTable("graft_region_view").tableType == "VIEW"
+        s.table("graft_region_view")
+          .withColumn("is_catalog_view", lit(isView))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, true AS is_catalog_view
+        FROM region WHERE r_regionkey >= 1 ORDER BY r_regionkey""")),
+
+    // The ref() dataflow edge (SURVEY §2.3 join_ref_dag;
+    // models/example/my_second_dbt_model.sql:5): a four-model diamond —
+    // staging feeds a fact filter and a dimension distinct, which a mart
+    // row-joins back together — resolved purely by name through
+    // `spark.table` at build time. The output is the engine's compiled
+    // execution manifest: topological build order, each model's declared
+    // upstream refs, and its materialized row count. Counts are computed
+    // as one lazy union of per-model aggregates — the DAG builds at plan
+    // time, Spark runs one job.
+    QueryDef("join_ref_dag",
+      (s, dir) => {
+        val models = Seq(
+          Model("stg_orders", Nil, Materialization.View,
+            sp => Tables.load(sp, dir, "orders")
+              .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))),
+          Model("fct_priced", Seq("stg_orders"), Materialization.View,
+            sp => sp.table("stg_orders").filter(col("o_totalprice") > 0)),
+          Model("dim_status", Seq("stg_orders"), Materialization.View,
+            sp => sp.table("stg_orders").select(col("o_orderstatus")).distinct()),
+          Model("mart_by_status", Seq("fct_priced", "dim_status"), Materialization.View,
+            sp => sp.table("fct_priced")
+              .join(sp.table("dim_status"), Seq("o_orderstatus"))))
+        val order = ModelDag.topoSort(models)
+        val built = ModelDag.run(s, models)
+        order.zipWithIndex.map { case (m, i) =>
+          built(m.name).agg(count(lit(1)).as("n_rows"))
+            .select(lit(i + 1).as("build_order"), lit(m.name).as("model_name"),
+              lit(m.deps.mkString(",")).as("depends_on"), col("n_rows"))
+        }.reduce(_.unionByName(_)).orderBy("build_order")
+      },
+      Some("""SELECT * FROM (
+          SELECT 1 AS build_order, 'stg_orders' AS model_name, '' AS depends_on,
+            (SELECT count(*) FROM orders) AS n_rows
+          UNION ALL SELECT 2, 'fct_priced', 'stg_orders',
+            (SELECT count(*) FROM orders WHERE o_totalprice > 0)
+          UNION ALL SELECT 3, 'dim_status', 'stg_orders',
+            (SELECT count(DISTINCT o_orderstatus) FROM orders)
+          UNION ALL SELECT 4, 'mart_by_status', 'fct_priced,dim_status',
+            (SELECT count(*) FROM orders WHERE o_totalprice > 0))
+        ORDER BY build_order"""))
   )
 }

@@ -673,6 +673,67 @@ object PipelineQueries extends QueryModule {
         GROUP BY a2.cell, c.dim
         ORDER BY a2.cell, dim""")),
 
+    // ── Lloyd to CONVERGENCE (bounded): up to 3 exact iterations with an
+    //    integer-fixpoint stop — no epsilon, no drift: the per-cell state
+    //    (count, fixed-point sums) is integers, so "unchanged" is exact
+    //    equality, and a fixpoint makes every later iteration a no-op.
+    //    That no-op property keeps a data-dependent iteration count
+    //    oracle-checkable: DuckDB always runs all 3 iterations and must
+    //    land on the identical final state; `converged` (did iterations
+    //    2 and 1 agree?) is recomputed by the oracle as a set-equality
+    //    check over the two integer states. ───────────────────────────────
+    QueryDef("embed_kmeans_converged",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+        Similarity.kmeansConvergedSeeded(emb, numCentroids = 32,
+            scaleBits = 20, maxIters = 3)
+          .orderBy("cell", "dim")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          WHERE rn <= 32),
+        comp AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS dim FROM v),
+        a1 AS (SELECT vec_id, cell FROM (
+            SELECT q.vec_id, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t) WHERE rn = 1),
+        s1 AS (SELECT a.cell, c.dim, count(*) AS n,
+            CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS cs
+          FROM comp c JOIN a1 a ON c.vec_id = a.vec_id GROUP BY a.cell, c.dim),
+        c2 AS (SELECT cell, list(CAST(CAST(cs AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce
+          FROM s1 GROUP BY cell),
+        a2 AS (SELECT vec_id, cell FROM (
+            SELECT q.vec_id, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN c2 t) WHERE rn = 1),
+        s2 AS (SELECT a.cell, c.dim, count(*) AS n,
+            CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS cs
+          FROM comp c JOIN a2 a ON c.vec_id = a.vec_id GROUP BY a.cell, c.dim),
+        conv AS (SELECT (SELECT count(*) FROM (
+            (SELECT cell, dim, n, cs FROM s2 EXCEPT SELECT cell, dim, n, cs FROM s1)
+            UNION ALL
+            (SELECT cell, dim, n, cs FROM s1 EXCEPT SELECT cell, dim, n, cs FROM s2)) d) = 0
+          AS converged),
+        c3 AS (SELECT cell, list(CAST(CAST(cs AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce
+          FROM s2 GROUP BY cell),
+        a3 AS (SELECT vec_id, cell FROM (
+            SELECT q.vec_id, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN c3 t) WHERE rn = 1)
+        SELECT a3.cell, CAST(c.dim AS INTEGER) AS dim, count(*) AS n_members,
+          CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS comp_sum,
+          CAST(CAST(sum(CAST(floor(c.x * 1048576.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / CAST(count(*) * 1048576 AS DOUBLE) AS centroid_fp,
+          (SELECT converged FROM conv) AS converged
+        FROM comp c JOIN a3 ON c.vec_id = a3.vec_id
+        GROUP BY a3.cell, c.dim
+        ORDER BY a3.cell, dim""")),
+
     // ── text analysis: language-ID + quality score ──────────────────────
     QueryDef("text_lang_quality",
       (s, dir) => {

@@ -278,6 +278,57 @@ object SourceSinkQueries extends QueryModule {
         s4 AS (SELECT ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3),
         zt AS (SELECT (x | (y << 1)) AS z FROM s4)
         SELECT z >> 12 AS z_bucket, count(*) AS n, CAST(sum(z) AS BIGINT) AS z_sum
-        FROM zt GROUP BY 1 ORDER BY z_bucket"""))
+        FROM zt GROUP BY 1 ORDER BY z_bucket""")),
+
+    // Temp-view sink (SURVEY §2.1 sink_temp_view; reference
+    // tests/dq_sql_notes.md:228 `createOrReplaceTempView("temp_table")`):
+    // register the DataFrame, then answer the query through spark.sql
+    // against the registered NAME — the round-trip the reference's
+    // custom-SQL rules depend on. The emitted is_temp_view flag is read
+    // back from the catalog, proving the registration is session-scoped
+    // (temporary), not a persisted object.
+    QueryDef("sink_temp_view",
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("graft_events_tmp")
+        val isTemp = s.catalog.getTable("graft_events_tmp").isTemporary
+        s.sql("""SELECT event_type, count(*) AS n,
+                   CAST(max(user_id) AS BIGINT) AS max_user
+                 FROM graft_events_tmp GROUP BY event_type""")
+          .withColumn("is_temp_view", lit(isTemp))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, CAST(max(user_id) AS BIGINT) AS max_user,
+          true AS is_temp_view
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Console sink (SURVEY §2.1 sink_console; reference
+    // tests/profiling_example.py:31 `show(truncate=False)`): capture the
+    // rendered ASCII table off the real console stream and parse its
+    // geometry back into a relation — data rows, columns, border rules.
+    // region is 5 rows at every SF, so the oracle recomputes the row
+    // count from the table while the column/border counts pin the
+    // show(truncate=false) frame format itself.
+    QueryDef("sink_console",
+      (s, dir) => {
+        import s.implicits._
+        val region = Tables.load(s, dir, "region")
+          .select("r_regionkey", "r_name").orderBy("r_regionkey")
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+          Sinks.console(region)
+        }
+        // +---+----+ borders and |…|…| rows; anything else (log noise) is
+        // not part of the rendered table and is ignored
+        val lines = buf.toString("UTF-8").split("\n")
+        val borders = lines.count(_.startsWith("+"))
+        val printedRows = lines.count(_.startsWith("|")) - 1L // minus header
+        val header = lines.find(_.startsWith("|")).getOrElse("|")
+        val printedCols = header.count(_ == '|') - 1L
+        Seq((printedRows, printedCols, borders.toLong))
+          .toDF("printed_rows", "printed_cols", "border_lines")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS printed_rows,
+          CAST(2 AS BIGINT) AS printed_cols, CAST(3 AS BIGINT) AS border_lines
+        FROM region"""))
   )
 }
