@@ -193,6 +193,55 @@ object Dedup {
       .filter(col("n_boiler") > 0)
   }
 
+  /** The fused curation front end: span-level first-occurrence dedup AND
+    * corpus-frequency boilerplate strip in ONE span shuffle. A span
+    * occurrence survives iff it is the corpus-wide FIRST occurrence of
+    * its fingerprint ([[spanDedupStats]]'s rule) and the fingerprint
+    * appears in fewer than `minDocs` distinct documents
+    * ([[boilerplateSpanStats]]'s rule — boilerplate is stripped from
+    * every doc including the first). Both rules are decided over the
+    * same fingerprint partitioning: `rn` = row_number over
+    * (h, order id, span_idx); `df` = max over h of dense_rank over
+    * (h, order id) — the distinct-doc count without a second aggregate
+    * branch (a second branch would re-explode the corpus; the window
+    * reuses the one exchange).
+    *
+    * Returns every doc that kept at least one span as
+    * (id, source, n_spans, n_kept, rebuilt) — the rebuilt text is the
+    * kept spans in original order, the input to downstream quality /
+    * mix / layout stages. Scale shape: one kernel scan (span_texts),
+    * one shuffle on the span fingerprint (high-cardinality, no global
+    * order), one re-group by doc; the rebuild sorts only each doc's own
+    * kept spans. `source` rides the exploded rows (a short dictionary
+    * string) so the regroup needs no join back to the corpus.
+    */
+  def curatedDocs(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, spanWords: Int = 4, minDocs: Int = 5): DataFrame = {
+    require(spanWords >= 1, "spanWords >= 1")
+    require(minDocs >= 2, "minDocs >= 2")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextHashFunctions.register(docs.sparkSession)
+    val sp = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+        posexplode(graft.functions.TextHashFunctions.spanTexts(col(textCol), spanWords))
+          .as(Seq("span_idx", "span")))
+      .withColumn("h", md5(col("span")))
+    val wOrd = Window.partitionBy(col("h")).orderBy(col("id"), col("span_idx"))
+    val wDoc = Window.partitionBy(col("h")).orderBy(col("id"))
+    val wAll = Window.partitionBy(col("h"))
+    val kept = col("rn") === 1 && col("df") < minDocs
+    sp.withColumn("rn", row_number().over(wOrd))
+      .withColumn("dr", dense_rank().over(wDoc))
+      .withColumn("df", max(col("dr")).over(wAll))
+      .groupBy(col("id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(kept,
+            struct(col("span_idx"), col("span"))))),
+          x => x.getField("span")), " ").as("rebuilt"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Duplicate clusters from a near-dup pair relation (doc_a, doc_b):
     * connected components by alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

@@ -937,6 +937,114 @@ object PipelineQueries extends QueryModule {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM b GROUP BY shard ORDER BY shard""")),
 
+    // ── the WHOLE curation run in one registered query — span-dedup +
+    //    boilerplate strip (fused: ONE span shuffle decides both rules)
+    //    → Gopher quality gate (bin ≥ 3 of 5) → char-budget domain mix
+    //    (md5-bucket rule against the smallest surviving source) → shard
+    //    manifest. Proves the kernels COMPOSE: each stage consumes the
+    //    previous stage's columns, the corpus is span-exploded exactly
+    //    once, every later stage is per-row arithmetic or a tiny
+    //    aggregate (|sources|, then |shards| rows) broadcast back.
+    //    At 100 TB: one big shuffle (span fingerprints), one doc
+    //    regroup, then nothing corpus-wide moves again — the mix join
+    //    is broadcast, the manifest is 50 rows. The oracle replays all
+    //    five stages in one CTE chain. ───────────────────────────────────
+    QueryDef("pipeline_full_curation",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val cur = Dedup.curatedDocs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", spanWords = 4, minDocs = 5)
+        val g = graft.functions.TextHashFunctions.gopherStats($"rebuilt")
+        val q = cur
+          .select($"id".as("doc_id"), $"source",
+            length($"rebuilt").cast("long").as("chars"), g.as("g"))
+          .select($"doc_id", $"source", $"chars",
+            $"g".getItem(0).as("words"), $"g".getItem(1).as("nonws"),
+            $"g".getItem(2).as("n_hash"), $"g".getItem(3).as("n_ell"),
+            $"g".getItem(4).as("alpha_words"), $"g".getItem(5).as("n_stop"))
+          .select($"doc_id", $"source", $"chars", $"words",
+            (when($"words" >= 50L && $"words" <= 100000L, 1L).otherwise(0L) +
+             when(lit(3L) * $"words" <= $"nonws" && $"nonws" <= lit(10L) * $"words", 1L)
+               .otherwise(0L) +
+             when(lit(10L) * ($"n_hash" + $"n_ell") <= $"words", 1L).otherwise(0L) +
+             when(lit(5L) * $"alpha_words" >= lit(4L) * $"words", 1L).otherwise(0L) +
+             when($"n_stop" >= 2L, 1L).otherwise(0L)).as("qbin"))
+          .filter($"qbin" >= 3L)
+          .withColumn("bucket",
+            conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long"))
+        // per-source totals AND the global min target in ONE branch: the
+        // min rides a global window over the |sources|-row aggregate
+        // (reduced input — PlanAuditSpec-allowlisted), so the corpus
+        // subtree has exactly two consumers (q, tot) and AQE's stage
+        // cache collapses the shared doc-regroup exchange at runtime
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        val tot = q.groupBy($"source").agg(sum($"chars").as("total"))
+          .withColumn("target", min($"total").over(wAll))
+        q.join(broadcast(tot), "source")
+          .filter($"bucket".cast("decimal(38,0)") * $"total" * lit(2L) <
+            lit(65536L) * $"target".cast("decimal(38,0)"))
+          .withColumn("shard", pmod($"bucket", lit(50L)))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"chars").as("sum_chars"),
+            sum($"words").as("sum_toks"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+            generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS ti
+          FROM documents),
+        sp AS (SELECT doc_id, source, (ti - 1) // 4 AS span_idx,
+            string_agg(tok, ' ' ORDER BY ti) AS span
+          FROM t GROUP BY doc_id, source, (ti - 1) // 4),
+        r AS (SELECT doc_id, source, span_idx, span, md5(span) AS h,
+            row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, span_idx) AS rn,
+            dense_rank() OVER (PARTITION BY md5(span) ORDER BY doc_id) AS dr
+          FROM sp),
+        r2 AS (SELECT doc_id, source, span_idx, span, rn,
+            max(dr) OVER (PARTITION BY h) AS df FROM r),
+        g AS (SELECT doc_id, source,
+            CAST(sum(CASE WHEN rn = 1 AND df < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN rn = 1 AND df < 5 THEN span END,
+              ' ' ORDER BY span_idx), '') AS rebuilt
+          FROM r2 GROUP BY doc_id, source),
+        k AS (SELECT doc_id, source, rebuilt, length(rebuilt) AS chars,
+            string_split_regex(rebuilt, '\s+') AS toks
+          FROM g WHERE n_kept > 0),
+        m AS (SELECT doc_id, source, chars, len(toks) AS words,
+            length(regexp_replace(rebuilt, '\s', '', 'g')) AS nonws,
+            (length(rebuilt) - length(replace(rebuilt, '#', ''))) AS n_hash,
+            (length(rebuilt) - length(replace(rebuilt, '...', ''))) // 3 AS n_ell,
+            len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+            len(list_intersect(list_distinct(toks),
+              ['the','a','and','of','to','in','is','that'])) AS n_stop
+          FROM k),
+        q AS (SELECT doc_id, source, chars, words,
+            (CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END +
+             CASE WHEN 3 * words <= nonws AND nonws <= 10 * words THEN 1 ELSE 0 END +
+             CASE WHEN 10 * (n_hash + n_ell) <= words THEN 1 ELSE 0 END +
+             CASE WHEN 5 * alpha_words >= 4 * words THEN 1 ELSE 0 END +
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS qbin
+          FROM m),
+        f AS (SELECT doc_id, source, chars, words,
+            ((strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1]) - 1) * 4096
+           + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2]) - 1) * 256
+           + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[3]) - 1) * 16
+           + (strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[4]) - 1)) AS bucket
+          FROM q WHERE qbin >= 3),
+        tot AS (SELECT source, CAST(sum(chars) AS BIGINT) AS total FROM f GROUP BY source),
+        cap AS (SELECT min(total) AS target FROM tot),
+        mix AS (SELECT f.doc_id, f.chars, f.words, f.bucket
+          FROM f JOIN tot ON f.source = tot.source CROSS JOIN cap
+          WHERE CAST(f.bucket AS HUGEINT) * tot.total * 2 < 65536 * CAST(cap.target AS HUGEINT))
+        SELECT CAST(bucket % 50 AS BIGINT) AS shard, count(*) AS n_docs,
+          CAST(sum(chars) AS BIGINT) AS sum_chars,
+          CAST(sum(words) AS BIGINT) AS sum_toks,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM mix GROUP BY 1 ORDER BY shard""")),
+
     // ── curriculum quality binning: documents bucketed by how many of
     //    the five Gopher criteria they pass (0–5, a pure-integer
     //    composite), with per-bin doc/token mass — the inputs a

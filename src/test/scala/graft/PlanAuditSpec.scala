@@ -297,8 +297,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - agg_median_distributed: cumulative count over the reduced
     //    distinct-value table (O(domain), maxDomain-guarded)
     //  - streaming_late_drop: one-row-per-batch watermark scan
+    //  - pipeline_full_curation: min-target over the |sources|-row
+    //    per-source char-total aggregate (the domain-mix cap)
     val allowedGlobalWindows = Set("pipeline_pack_chunks", "sort_global_rank",
-      "agg_median_distributed", "streaming_late_drop")
+      "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +

@@ -202,6 +202,28 @@ class DedupSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got)
   }
 
+  test("curatedDocs fuses first-occurrence dedup with boilerplate strip") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"), // "a b"(boiler) + "c d"(first occurrence)
+      (2L, "s1", "a b x y"), // "a b"(boiler) + "x y"(unique)
+      (3L, "s2", "a b z w"), // "a b"(boiler) + "z w"(unique)
+      (4L, "s2", "c d c d"), // both spans lost to doc 1's first "c d"
+      (5L, "s2", "m n") // unique single span
+    ).toDF("doc_id", "source", "text")
+    def run(df: DataFrame) = Dedup.curatedDocs(
+        df, "doc_id", "text", "source", spanWords = 2, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val got = run(docs)
+    // "a b" hits df=3 >= minDocs → stripped EVERYWHERE (even doc 1);
+    // "c d" df=2 → first occurrence (doc 1) survives, doc 4's copies
+    // don't; doc 4 keeps nothing → dropped from the output entirely
+    assert(got == Map(
+      (1L, "s1") -> (2L, 1L, "c d"), (2L, "s1") -> (2L, 1L, "x y"),
+      (3L, "s2") -> (2L, 1L, "z w"), (5L, "s2") -> (1L, 1L, "m n")), got)
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("dropExactDuplicates keeps the canonical (min-id) doc per group") {
     val kept = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
