@@ -50,11 +50,17 @@ object Tables {
 
   /** Load one testdata table.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
-    * has no native type for — we read nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a
-    * microsecond timestamp, matching DuckDB's TIMESTAMP_NS → TIMESTAMP
-    * truncation so oracle comparisons agree.
+    * `events.ts` has drifted across driver fixture generations:
+    * TIMESTAMP(NANOS) footers (no native Spark 4 type — read nanos as a
+    * long via `spark.sql.legacy.parquet.nanosAsLong`, floor-convert to
+    * micros) and plain `timestamp[us]` footers (read natively as
+    * TIMESTAMP_NTZ). Both are normalized to the session-timezone
+    * `TimestampType` the rest of the engine — and every prior
+    * oracle-green round — was built against, by dispatching on the
+    * FOOTER-inferred type rather than assuming one generation's schema.
+    * Values agree with DuckDB either way: nanos→micros is the same
+    * truncation DuckDB applies, and the NTZ→timestamp cast is a no-op
+    * re-tag under the UTC session timezone.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = cache.synchronized {
     val key = (spark, dir, name)
@@ -64,8 +70,14 @@ object Tables {
       val df =
         if (name == "events") {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path(dir, name))
-            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          val raw = spark.read.parquet(path(dir, name))
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              raw.withColumn("ts", col("ts").cast("timestamp"))
+            case _ => raw
+          }
         } else {
           spark.read.parquet(path(dir, name))
         }

@@ -391,6 +391,18 @@ object Dedup {
   def minhashSignature(baseHashCol: Column, numHashes: Int): Column =
     graft.functions.SketchFunctions.minhash64(baseHashCol, numHashes)
 
+  /** LSH band keys from a minhash signature: one (band, bkey) row per
+    * band, bkey = hash of the band's `rowsPerBand` consecutive signature
+    * slots. The SINGLE definition shared by the pair builders and the
+    * persisted-index probe — an index written by [[minhashIndex]] and a
+    * fresh in-memory signature must band identically or index lookups
+    * silently miss.
+    */
+  private def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    posexplode(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
   /** Candidate pairs whose banded minhash signatures collide, verified
     * with exact shingle-set Jaccard >= `threshold`.
     *
@@ -415,10 +427,7 @@ object Dedup {
     // O(bands × corpus shingle bytes); shingles re-attach after the
     // candidate set is deduplicated to one row per pair.
     val banded = withSig.select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bkey")))
+        bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
     val l = banded.alias("l")
     val r = banded.alias("r")
     val candidates = l.join(r,
@@ -463,10 +472,7 @@ object Dedup {
       val withSig = shingled
         .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
       (shingled, withSig.select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bkey"))))
+        bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey"))))
     }
     val (shE, bandE) = banded(existing)
     val (shI, bandI) = banded(incoming)

@@ -338,13 +338,24 @@ object Similarity {
     * every distributed k-means round makes). The returned frame is the
     * final iteration's lazy plan with a `converged` flag — true iff the
     * fixpoint appeared among the `maxIters - 1` collected states.
+    *
+    * `maxIters >= 3` is required because convergence DETECTION needs two
+    * collected states to compare: with maxIters = 2 the fixpoint loop
+    * body never runs (the only comparison would be against the lazy
+    * final iteration, which is never materialized), so `converged` could
+    * only ever be false — a silently degraded flag rather than a cheaper
+    * run. Callers wanting exactly 2 iterations without the flag should
+    * use [[kmeansTwoStepSeeded]].
     */
   def kmeansConvergedSeeded(
       vectors: DataFrame, // (vid, vec)
       numCentroids: Int = 32,
       scaleBits: Int = 20,
       maxIters: Int = 3): DataFrame = {
-    require(maxIters >= 2, s"maxIters must be >= 2, got $maxIters")
+    require(maxIters >= 3,
+      s"maxIters must be >= 3 (convergence detection compares two " +
+        s"collected states; use kmeansTwoStepSeeded for 2 iterations " +
+        s"without the flag), got $maxIters")
     val v = prepKmeans(vectors)
     val (ids0, mat0) = seedCentroids(v, numCentroids)
     def state(ids: Seq[Long], mat: Seq[Seq[Float]]): Seq[(Long, Long, Seq[Long])] =

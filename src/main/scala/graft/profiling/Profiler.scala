@@ -258,15 +258,21 @@ object Profiler {
     val cum = vals.withColumn("cum", sum(col("c")).over(
       Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // The guard is folded into BOTH rank thresholds: a consumer that
+    // projects only p90_low would otherwise let column pruning drop t50
+    // and the raise_error with it, silently running the O(domain)
+    // single-task window the guard exists to prevent.
+    def guarded(rank: org.apache.spark.sql.Column) =
+      when(col("d") <= maxDomain, rank)
+        .otherwise(raise_error(concat(
+          lit(s"exactOrderStats($valueCol): distinct-value domain "),
+          col("d").cast("string"),
+          lit(s" exceeds maxDomain=$maxDomain — unbounded domain; " +
+            "use a bucket-then-refine selection"))))
     val tot = vals.agg(sum(col("c")).as("n"), count(lit(1)).as("d"))
       .select(col("n"),
-        when(col("d") <= maxDomain, expr("(n + 1) div 2"))
-          .otherwise(raise_error(concat(
-            lit(s"exactOrderStats($valueCol): distinct-value domain "),
-            col("d").cast("string"),
-            lit(s" exceeds maxDomain=$maxDomain — unbounded domain; " +
-              "use a bucket-then-refine selection")))).as("t50"),
-        expr("(9 * n + 9) div 10").as("t90"))
+        guarded(expr("(n + 1) div 2")).as("t50"),
+        guarded(expr("(9 * n + 9) div 10")).as("t90"))
     cum.crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n_rows"),
         min(when(col("cum") >= col("t50"), col("v"))).cast("double").as("p50_low"),

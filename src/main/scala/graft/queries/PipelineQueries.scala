@@ -857,7 +857,11 @@ object PipelineQueries extends QueryModule {
     //    so the two plan branches that reuse `toks` agree even if the
     //    optimizer re-plans them with different physical partitionings.
     //    Bucket arithmetic stays in Long: (doc_id − lo) × shards overflows
-    //    only past ~2^53 ids at 1024 shards, far beyond any corpus.
+    //    only past ~2^53 ids at 1024 shards, far beyond any corpus; the
+    //    range WIDTH (__hi − __lo + 1) can likewise overflow only for an
+    //    id range spanning nearly the full Long domain, so the bounds row
+    //    carries an in-plan guard (width must stay positive) that fails
+    //    fast instead of dividing by a wrapped-negative denominator.
     //    Balance assumes roughly dense ids (true for ingest sequence
     //    numbers); skewed id spaces would want an explicit range index.
     QueryDef("pipeline_pack_chunks",
@@ -870,6 +874,13 @@ object PipelineQueries extends QueryModule {
             size(split(lower(trim($"text")), "\\s+")).cast("long").as("n_tok"))
         val bounds = docs.agg(min($"doc_id").cast("long").as("__lo"),
           max($"doc_id").cast("long").as("__hi"))
+          // one-row guard: (hi - lo) and (hi - lo + 1) must not wrap — an
+          // id range spanning ~the full Long domain would otherwise yield
+          // a negative shard denominator and silently misroute every doc
+          .select($"__lo", when($"__hi" - $"__lo" >= 0L && $"__hi" - $"__lo" + 1L > 0L, $"__hi")
+            .otherwise(raise_error(concat(lit("pipeline_pack_chunks: doc_id range ["),
+              $"__lo", lit(", "), $"__hi",
+              lit("] wider than Long arithmetic allows")))).as("__hi"))
         val toks = docs.crossJoin(broadcast(bounds))
           .withColumn("__shard",
             expr(s"(CAST(doc_id AS BIGINT) - __lo) * ${shards}L DIV (__hi - __lo + 1)"))

@@ -317,12 +317,20 @@ object SourceSinkQueries extends QueryModule {
         Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
           Sinks.console(region)
         }
-        // +---+----+ borders and |…|…| rows; anything else (log noise) is
-        // not part of the rendered table and is ignored
-        val lines = buf.toString("UTF-8").split("\n")
-        val borders = lines.count(_.startsWith("+"))
-        val printedRows = lines.count(_.startsWith("|")) - 1L // minus header
-        val header = lines.find(_.startsWith("|")).getOrElse("|")
+        // Anchor parsing to the rendered table's own +---+ border rules:
+        // only lines between the FIRST and LAST border belong to the
+        // table, so a concurrent stdout writer emitting a '|'-prefixed
+        // log line outside the frame can't skew the geometry, and an
+        // empty capture yields (0, 0, 0) instead of printed_rows = -1.
+        val all = buf.toString("UTF-8").split("\n")
+        val borderIdx = all.indices.filter(all(_).startsWith("+"))
+        val table =
+          if (borderIdx.isEmpty) Array.empty[String]
+          else all.slice(borderIdx.head, borderIdx.last + 1)
+        val borders = table.count(_.startsWith("+"))
+        val pipeLines = table.count(_.startsWith("|"))
+        val printedRows = math.max(0L, pipeLines - 1L) // minus header
+        val header = table.find(_.startsWith("|")).getOrElse("|")
         val printedCols = header.count(_ == '|') - 1L
         Seq((printedRows, printedCols, borders.toLong))
           .toDF("printed_rows", "printed_cols", "border_lines")

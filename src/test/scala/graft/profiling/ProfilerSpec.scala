@@ -108,6 +108,20 @@ class ProfilerSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("exceeds maxDomain")), e.toString)
   }
 
+  test("exactOrderStats guard survives projecting only p90_low") {
+    // The maxDomain guard is folded into BOTH rank thresholds: a consumer
+    // projecting only p90_low must not let column pruning drop the t50
+    // expression and the raise_error with it (round-9 advisory).
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val e = intercept[Exception] {
+      Profiler.exactOrderStats(df, "v", maxDomain = 100L)
+        .select("p90_low").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds maxDomain")), e.toString)
+  }
+
   test("unioned daily HLL sketches estimate the window distinct within 5%") {
     import org.apache.spark.sql.functions._
     // 3 "days", overlapping user sets, 300 distinct overall
