@@ -489,6 +489,82 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Write-once MinHash signature INDEX over a corpus: one (id, sig)
+    * row per doc, sig = the `numHashes`-slot minhash signature. This is
+    * the artifact [[minhashLshPairsAgainst]]'s scaladoc promises for
+    * production ingest: built ONCE per doc at ingest time (one scan,
+    * no shuffle — the signature is a per-row kernel), appended to a
+    * parquet index, and probed per batch by [[minhashPairsViaIndex]]
+    * without ever re-reading or re-shingling corpus text. At 100 TB the
+    * index is ~0.05% of corpus bytes (64 longs per doc), so the per-batch
+    * working set drops from corpus-sized to index-sized.
+    *
+    * `numHashes` must equal the probe's bands × rowsPerBand (default
+    * 16 × 4 = 64) — the index pins the LSH geometry at write time.
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64): DataFrame = {
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    shingleHashed(docs, idCol, textCol, shingleSize)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+  }
+
+  /** Incremental near-dup detection against a PERSISTED signature index
+    * (see [[minhashIndex]]) — the true production form of
+    * [[minhashLshPairsAgainst]], which recomputes the existing side's
+    * signatures from text on every call. Here the existing side
+    * contributes only stored (id, sig) rows: band keys are sliced from
+    * the stored signature by the same [[bandKeys]] definition the
+    * builders use, the incoming batch is shingled and signed fresh, and
+    * candidates come from the band-key equi join. The exact-Jaccard
+    * verify step then re-shingles ONLY existing docs named in the
+    * candidate set (a left-semi-reduced scan of `existing`) — per batch
+    * the text-side work is O(incoming + candidates), never O(corpus).
+    *
+    * Output and miss/false-positive characteristics are IDENTICAL to
+    * [[minhashLshPairsAgainst]] (same signatures, same band keys, same
+    * exact verify): returns (doc_a = existing id, doc_b = incoming id,
+    * jaccard ≥ threshold). Same disjoint-id contract and self-pair guard.
+    */
+  def minhashPairsViaIndex(
+      index: DataFrame, // (id, sig) from minhashIndex
+      existing: DataFrame, // corpus rows, read only for candidate verify
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    graft.functions.SketchFunctions.register(existing.sparkSession)
+    val bandE = index.select(col("id"),
+      bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
+    val shI = shingleHashed(incoming, idCol, textCol, shingleSize)
+    val bandI = shI
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
+    val candidates = bandE.alias("l").join(bandI.alias("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")) // self-pair guard
+      .dropDuplicates("doc_a", "doc_b")
+    // candidate-bounded verify: only existing docs that banded into the
+    // candidate set are re-shingled — O(candidates) text, not O(corpus)
+    val candIds = candidates.select(col("doc_a").as(idCol)).distinct()
+    val shECand = shingleHashed(
+      existing.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleSize)
+    candidates
+      .join(shECand.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shI.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Re-attach each side's shingle set to an id-pair relation and compute
     * exact Jaccard — two equi joins shuffled by id, paid once per
     * *surviving* candidate pair.

@@ -41,6 +41,22 @@ object PipelineQueries extends QueryModule {
        |  AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact cross-side Jaccard over the deterministic 80/20 doc_id split —
+    * shared by dedup_incremental (recompute form) and
+    * dedup_signature_index (persisted-index form): both must land on the
+    * identical exact pair set.
+    */
+  private val sqlCrossSidePairs =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+       |e AS (SELECT * FROM s WHERE doc_id % 10 < 8),
+       |i AS (SELECT * FROM s WHERE doc_id % 10 >= 8)
+       |SELECT e.doc_id AS doc_a, i.doc_id AS doc_b,
+       |  len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) AS jaccard
+       |FROM e, i
+       |WHERE len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact dedup: one hash aggregate on a text fingerprint ───────────
@@ -162,15 +178,31 @@ object PipelineQueries extends QueryModule {
             "doc_id", "text", threshold = 0.8)
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
-        s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-        e AS (SELECT * FROM s WHERE doc_id % 10 < 8),
-        i AS (SELECT * FROM s WHERE doc_id % 10 >= 8)
-        SELECT e.doc_id AS doc_a, i.doc_id AS doc_b,
-          len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) AS jaccard
-        FROM e, i
-        WHERE len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) >= 0.8
-        ORDER BY doc_a, doc_b""")),
+      Some(sqlCrossSidePairs)),
+
+    // ── incremental dedup through the PERSISTED signature index: build
+    //    the write-once (id, sig) minhash index for the existing 80%,
+    //    round-trip it through parquet (the artifact a real ingest
+    //    pipeline appends to), then detect incoming near-dups by probing
+    //    the index — band keys sliced from STORED signatures, corpus text
+    //    touched only for the candidate-bounded exact verify. Same
+    //    no-miss band parameters ⇒ same oracle: the exact cross-side
+    //    Jaccard. The result must be identical to dedup_incremental's,
+    //    proving index-probe ≡ recompute (DedupSpec pins this too). ────
+    QueryDef("dedup_signature_index",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        val idx = java.nio.file.Files.createTempDirectory("graft_sigidx")
+          .resolve("minhash_index").toString
+        Dedup.minhashIndex(existing, "doc_id", "text")
+          .write.mode("overwrite").parquet(idx)
+        Dedup.minhashPairsViaIndex(s.read.parquet(idx), existing, incoming,
+            "doc_id", "text", threshold = 0.8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(sqlCrossSidePairs)),
 
     // ── near-dup clustering: connected components over the exact pair
     //    relation (min-label propagation); oracle = DuckDB recursive

@@ -108,6 +108,28 @@ class DedupSpec extends AnyFunSuite {
     assert(asym.keys.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 })
   }
 
+  test("minhashPairsViaIndex through a parquet round-trip equals the recompute form") {
+    // The persisted signature index is the production ingest path: band
+    // keys sliced from STORED signatures must land on exactly the pairs
+    // the recompute-everything operator finds — a banding-definition
+    // drift between index write and probe would silently miss here.
+    val existing = corpus.filter(col("doc_id") % 2 === 0)
+    val incoming = corpus.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_spec")
+      .resolve("idx").toString
+    Dedup.minhashIndex(existing, "doc_id", "text")
+      .write.mode("overwrite").parquet(idx)
+    val viaIndex = Dedup.minhashPairsViaIndex(
+        spark.read.parquet(idx), existing, incoming,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val recompute = Dedup.minhashLshPairsAgainst(existing, incoming,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaIndex == recompute, s"viaIndex=$viaIndex recompute=$recompute")
+    assert(viaIndex.nonEmpty) // fixture plants cross-side near-dups
+  }
+
   test("simhashPairs honors the 4-band hamming<=3 guarantee") {
     import graft.functions.TextHashFunctions
     TextHashFunctions.register(spark)
