@@ -17,6 +17,18 @@ import org.apache.spark.sql.SparkSession
   * `"failed"` list, never an elapsed time, so broken queries can't
   * masquerade as valid timings.
   *
+  * Contamination canary (r10 verdict item 1): BENCH_r10 recorded 238 s
+  * where an idle re-run measured 94 s — the driver's bench shared the
+  * machine with other load, and nothing in the artifact could tell a
+  * contended run from a real regression. So the suite now times a fixed
+  * calibration probe (`proj_alias_literal`, a no-table constant
+  * projection, plus a 600 k-row range aggregate — work that no engine
+  * change should move) BEFORE and AFTER the suite and emits
+  * `"canary":{"pre":s,"post":s,"floor":s,"contended":bool}`. The floor
+  * is the idle-machine cost measured at r10 (~0.08 s with margin);
+  * either probe exceeding 3× floor flags `"contended":true`, telling
+  * the judge the totals are load-poisoned, not regressed.
+  *
   * The printed line must fit the driver's 2000-char stdout-tail capture:
   * BENCH_r01–r03 all show `parsed: null` because the full per-query map
   * (126 queries × full-precision doubles ≈ 4.5 KB) overflows the window,
@@ -58,13 +70,40 @@ object Bench {
         case _                  => -1.0
       }
 
+    // ── contamination canary: fixed-cost probe timed before/after the
+    //    suite; engine changes can't move it, so movement == machine load
+    val canaryFloor = 0.08 // idle-machine cost (measured r10/r11)
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      if (SparkEntry.queries.contains("proj_alias_literal"))
+        SparkEntry.queries("proj_alias_literal")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      spark.range(600000L).selectExpr("sum(id) AS s", "count(*) AS n")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canary(): Double = math.min(canaryOnce(), canaryOnce())
+
     // optional args: run only the named queries (local profiling aid);
     // the driver passes none and gets the full sorted suite
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     runOnce("q1_pricing_summary") // discarded warmup
+    canaryOnce() // discarded: absorbs the canary's own codegen compile,
+                 // so `pre` measures machine load, not first-run JIT
+    val canaryPre = canary()
     val results = names.map(n => n -> run(n))
+    val canaryPost = canary()
+    // min, not max: `pre` sits ~2× floor even on an idle box (JIT
+    // tiering hasn't finished after one discarded pass), while a
+    // load-poisoned run (the r10 artifact: every query ~2.5×, probes
+    // 6–17× floor THROUGHOUT) elevates both probes. min can only trip
+    // when contention spans the whole suite — exactly the case where
+    // the totals are untrustworthy; a transient spike shows up as
+    // pre/post asymmetry in the emitted fields instead.
+    val contended =
+      math.min(canaryPre, canaryPost) > 3.0 * canaryFloor
 
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String =
@@ -95,15 +134,18 @@ object Bench {
     val byName = results.toMap
     val head = headline.filter(byName.contains).map(n => n -> byName(n))
 
+    val canaryJson =
+      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"contended":$contended}"""
+
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"canary":$canaryJson,"queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
 
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"queries":${jmap(head)},"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"canary":$canaryJson,"queries":${jmap(head)},"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     if (line.length > 1800) // stay under the 2000-char tail minus sbt trailer
       System.err.println(s"[bench] WARNING printed line ${line.length} chars")
     println(line)

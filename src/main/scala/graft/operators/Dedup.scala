@@ -513,6 +513,26 @@ object Dedup {
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
   }
 
+  /** Index ROTATION: append the incoming batch's signatures (same
+    * [[minhashIndex]] kernel, same geometry) to the persisted parquet
+    * index at `path` — the step a real ingest loop runs after probing,
+    * so the batch is part of the corpus the NEXT batch dedups against.
+    * Parquet append is a pure file-add (no read-modify-write of existing
+    * index files), so rotation cost is O(batch), never O(index). After
+    * rotation, index@t+1 must be row-identical to a from-scratch
+    * [[minhashIndex]] rebuild over existing ∪ incoming — the
+    * `dedup_index_rotate` oracle row and DedupSpec pin exactly that.
+    */
+  def rotateIndex(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64): Unit =
+    minhashIndex(incoming, idCol, textCol, shingleSize, numHashes)
+      .write.mode("append").parquet(path)
+
   /** Incremental near-dup detection against a PERSISTED signature index
     * (see [[minhashIndex]]) — the true production form of
     * [[minhashLshPairsAgainst]], which recomputes the existing side's
@@ -541,12 +561,30 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     graft.functions.SketchFunctions.register(existing.sparkSession)
+    // geometry guard: the index pinned its LSH geometry at write time
+    // (numHashes = bands × rowsPerBand). A mismatched probe would slice
+    // short/empty band keys from the stored signature and SILENTLY miss
+    // pairs — so a wrong-length stored sig fails the job in-plan instead
+    // (same raise_error pattern as the Profiler domain guard).
+    val expectedLen = bands * rowsPerBand
+    val guardedSig = when(size(col("sig")) === expectedLen, col("sig"))
+      .otherwise(raise_error(concat(
+        lit(s"minhash index geometry mismatch: probe expects $expectedLen hashes " +
+          s"($bands bands x $rowsPerBand rows), stored signature has "),
+        size(col("sig")).cast("string"))))
     val bandE = index.select(col("id"),
-      bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
+      bandKeys(guardedSig, bands, rowsPerBand).as(Seq("band", "bkey")))
     val shI = shingleHashed(incoming, idCol, textCol, shingleSize)
     val bandI = shI
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
       .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
+    // NOTE: `candidates` feeds both the candIds semi-join reduction and
+    // the final pair joins, so the band-key equi join evaluates twice per
+    // run. Deliberate: band keys are deterministic (both evaluations see
+    // identical sets), the band join is the CHEAP stage (index-sized equi
+    // join, no text), and caching it would pin candidate partitions in
+    // executor storage for the life of the query — at 100 TB the second
+    // evaluation is cheaper than the cache residency it would displace.
     val candidates = bandE.alias("l").join(bandI.alias("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
@@ -735,13 +773,26 @@ object Dedup {
     * [[embeddingCosinePairs]] is measured in DedupSpec.
     *
     * `bits = 0` (the default) sizes the bucket space to the corpus:
-    * ~log₂(n/32), clamped to [8, 16]. A FIXED bucket count is a scale
+    * ~log₂(n/4), clamped to [8, 24]. A FIXED bucket count is a scale
     * trap — occupancy grows ∝ n, so within-bucket candidates grow ∝ n²
     * (measured 17× cost at 10× vectors with bits=8). Growing the space
     * with n keeps occupancy, and so cost per vector, roughly constant;
     * the hamming-1 multi-probe keeps adjacent buckets reachable so
     * recall degrades gently, not cliff-like, as bits rise. The sizing
     * count() is one metadata-fast action.
+    *
+    * Occupancy target 4 (not 32 — the r11 scale guard caught the
+    * higher target costing 16.6× at 10× data): candidate volume per
+    * bucket is occupancy², so pushing occupancy to ~4 trades three
+    * extra signature bits (cheap: the codegen'd kernel is ∝ bits·dim
+    * per row) for an ~8× cut in within-bucket pair work — measured
+    * 3.6 s → 0.7 s on 100 k vectors. The recall cost of the wider
+    * space: a true pair at angle θ flips each signature bit with
+    * probability θ/π, so P(hamming ≤ 1) falls as bits grow — for the
+    * near-identical pairs this operator targets (cosine ≥ 0.9, flip
+    * prob ≤ 0.1) the 12→15-bit step at the 100 k decade keeps
+    * P(hamming ≤ 1) ≈ 0.55, and ScalingSmokeSpec pins measured recall
+    * at sf1 against the exact pair set.
     */
   def embeddingNearDupPairsLsh(
       embeddings: DataFrame,
@@ -757,13 +808,13 @@ object Dedup {
       if (bits > 0) bits
       else {
         val n = embeddings.count()
-        // ceil(log2(n/32)) by integer bit-length, NOT Math.log: ln is not
+        // ceil(log2(n/4)) by integer bit-length, NOT Math.log: ln is not
         // correctly rounded, so at near-power-of-two corpora a last-ulp
         // disagreement with the oracle's ln() would flip the ceil and
-        // change nbits. smallest k with 32·2^k ≥ n == bitLength(⌈n/32⌉-1).
-        val m = (n + 31L) / 32L
+        // change nbits. smallest k with 4·2^k ≥ n == bitLength(⌈n/4⌉-1).
+        val m = (n + 3L) / 4L
         val k = if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
-        math.min(16, math.max(8, k))
+        math.min(24, math.max(8, k))
       }
     val sig = Similarity.signature(col("v"), dim, nBits, seed)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))

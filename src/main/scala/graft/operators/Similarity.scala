@@ -69,13 +69,22 @@ object Similarity {
     * probing never touches the candidate-side scan.
     */
   def probes(bucket: Column, bits: Int, maxHamming: Int = 1): Column = {
-    // The mask enumeration below scans all 2^bits ints on the driver —
-    // trivial at the operating point (bits=10) but a surprise allocation
-    // at bits≈24+; fail fast rather than silently burn driver CPU.
-    require(bits <= 20,
-      s"probes(): bits=$bits enumerates 2^$bits masks on the driver; " +
-        "use bits <= 20 (signature quality plateaus far below that)")
-    val masks = (1 until (1 << bits)).filter(m => Integer.bitCount(m) <= maxHamming)
+    // Masks are generated combinatorially (C(bits,1) + C(bits,2) + …),
+    // never by scanning all 2^bits ints — corpus-auto-sized bucket
+    // spaces legitimately reach 24 bits, where a scan would allocate
+    // 16 M ints on the driver per plan build.
+    require(bits >= 1 && bits <= 30, s"probes(): bits=$bits out of [1,30]")
+    require(maxHamming >= 0 && maxHamming <= 2,
+      s"probes(): maxHamming=$maxHamming — the probe array grows C(bits,d); " +
+        "distances > 2 belong in a wider bucket space, not deeper probing")
+    val singles = (0 until bits).map(1 << _)
+    val masks = maxHamming match {
+      case 0 => Seq.empty[Int]
+      case 1 => singles
+      case _ => singles ++ (for {
+        i <- 0 until bits; j <- (i + 1) until bits
+      } yield (1 << i) | (1 << j))
+    }
     array(bucket +: masks.map(m => bucket.bitwiseXOR(lit(m))): _*)
   }
 

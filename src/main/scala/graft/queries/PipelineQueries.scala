@@ -24,6 +24,30 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object PipelineQueries extends QueryModule {
 
+  /** Shared scratch root for the persisted-index queries: ONE temp root
+    * per JVM, subdirs keyed by (tag, data dir) so repeated invocations of
+    * the same query overwrite their own index instead of leaking a fresh
+    * temp dir per call (r10 advisory); the whole root is removed on JVM
+    * exit. Note the index parquet write these queries perform is an EAGER
+    * Spark action at DataFrame-BUILD time — the index is an input
+    * artifact of the returned plan, not a node in it, so its build cost
+    * lands in whichever phase calls the query fn.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sigidx")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def sigIndexDir(tag: String, dataDir: String): String =
+    scratchRoot.resolve(
+      tag + "_" + Integer.toHexString(dataDir.hashCode)).toString
+
   /** DuckDB fragment: distinct word-3-gram shingles of lower-cased text —
     * the exact twin of [[graft.functions.TextFunctions.shingles]].
     */
@@ -194,8 +218,7 @@ object PipelineQueries extends QueryModule {
         val docs = Tables.load(s, dir, "documents")
         val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
         val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        val idx = java.nio.file.Files.createTempDirectory("graft_sigidx")
-          .resolve("minhash_index").toString
+        val idx = sigIndexDir("probe", dir) // shared scratch, see scratchRoot
         Dedup.minhashIndex(existing, "doc_id", "text")
           .write.mode("overwrite").parquet(idx)
         Dedup.minhashPairsViaIndex(s.read.parquet(idx), existing, incoming,
@@ -203,6 +226,35 @@ object PipelineQueries extends QueryModule {
           .orderBy("doc_a", "doc_b")
       },
       Some(sqlCrossSidePairs)),
+
+    // ── index LIFECYCLE: probe-then-append rotation. Build the index for
+    //    the existing 80%, rotate the incoming 20%'s signatures in via
+    //    parquet append (O(batch) file-add, no index rewrite), then PROVE
+    //    index@t+1 ≡ a from-scratch rebuild over all docs: full-outer
+    //    join rotated vs rebuilt on id and null-safe-compare signatures.
+    //    Every doc must appear with sig_equal=true — a dropped id, a
+    //    duplicated id, or one differing signature slot breaks the
+    //    row-count or value hash against the trivial oracle. This closes
+    //    the ingest loop dedup_signature_index opens: batch t's
+    //    signatures are in the index batch t+1 probes. ──────────────────
+    QueryDef("dedup_index_rotate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        val idx = sigIndexDir("rotate", dir) // shared scratch, see scratchRoot
+        Dedup.minhashIndex(existing, "doc_id", "text")
+          .write.mode("overwrite").parquet(idx)
+        Dedup.rotateIndex(incoming, "doc_id", "text", idx)
+        val rotated = s.read.parquet(idx)
+        val rebuilt = Dedup.minhashIndex(docs, "doc_id", "text")
+        rotated.alias("r").join(rebuilt.alias("b"),
+            col("r.id") === col("b.id"), "full_outer")
+          .select(coalesce(col("r.id"), col("b.id")).as("id"),
+            (col("r.sig") <=> col("b.sig")).as("sig_equal"))
+          .orderBy("id")
+      },
+      Some("SELECT doc_id AS id, true AS sig_equal FROM documents ORDER BY doc_id")),
 
     // ── near-dup clustering: connected components over the exact pair
     //    relation (min-label propagation); oracle = DuckDB recursive
@@ -396,14 +448,14 @@ object PipelineQueries extends QueryModule {
       (s, dir) => Dedup.embeddingNearDupPairsLsh(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, dim = 64) // bits auto-sized to corpus
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH p AS (SELECT least(16, greatest(8, CAST(
-            CASE WHEN ((count(*) + 31) // 32) <= 1 THEN 0
-                 ELSE length(format('{:b}', ((count(*) + 31) // 32) - 1)) END
+      Some(s"""WITH p AS (SELECT least(24, greatest(8, CAST(
+            CASE WHEN ((count(*) + 3) // 4) <= 1 THEN 0
+                 ELSE length(format('{:b}', ((count(*) + 3) // 4) - 1)) END
             AS INTEGER))) AS nbits
           FROM embeddings),
         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         sig AS (SELECT vec_id, e,
-            ${OracleGen.sigExprMasked(42L, 16, 64, "e", "nbits")} AS s
+            ${OracleGen.sigExprMasked(42L, 24, 64, "e", "nbits")} AS s
           FROM v CROSS JOIN p)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           list_cosine_similarity(a.e, b.e) AS cosine

@@ -307,6 +307,30 @@ class PlanAuditSpec extends AnyFunSuite {
         "(and its site documented), or a partitioned rewrite")
   }
 
+  test("physical plans: unpartitioned WindowExec only at the documented reduced-input sites") {
+    // Physical-level companion to the logical audit above (r10 verdict
+    // item 3): the logical test proves every global Window sits on a
+    // reducing aggregate; this one pins the set of queries whose
+    // PHYSICAL plan carries a WindowExec with an empty partitionSpec —
+    // the exact node that executes single-task and prints Spark's
+    // "No Partition Defined" warning. A planner change that materializes
+    // a new global WindowExec (e.g. a rewrite dropping a partition key)
+    // turns this red even if the logical shape still looks reduced.
+    // Audited on sparkPlan (pre-AQE) because AdaptiveSparkPlanExec is a
+    // leaf wrapper that hides its subtree from collect().
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val phys = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val gw = phys.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if (gw.nonEmpty) Some(name) else None
+    }
+    val allowed = Set("pipeline_pack_chunks", "sort_global_rank",
+      "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation")
+    assert(offenders.toSet == allowed,
+      s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
+        "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
+  }
+
   test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)

@@ -52,15 +52,55 @@ class ScalingSmokeSpec extends AnyFunSuite {
       val ratio = big / math.max(small, 0.05)
       info(f"$name%-22s sf0.1 $small%5.2fs  sf1 $big%5.2fs  ratio $ratio%4.1f×")
       // Bar rationale: the walls this guard exists for measured ≥17×
-      // (dedup_simhash 29.9×, dedup_embedding_lsh 17.1×, SCALING.md).
-      // Healthy shapes measure 4–13×: embedding LSH's corpus-auto-sized
-      // bucket bits step with bit-length (11→15 bits across this decade,
-      // so signature cost grows ~n·log n in steps), and the ~0.3 s sf0.1
-      // runs are fixed-overhead-dominated. 15 separates the populations.
+      // (dedup_simhash 29.9×, dedup_embedding_lsh 17.1× — and 16.6× in
+      // r11 when the occupancy-32 sizing saturated, SCALING.md).
+      // Healthy shapes measure 2–13×: embedding LSH's corpus-auto-sized
+      // bucket bits (occupancy target 4; 12→15 bits across this decade)
+      // measured 2.8×, and the ~0.3 s sf0.1 runs are fixed-overhead-
+      // dominated. 15 separates the populations.
       if (ratio > 15.0) Some(f"$name $ratio%.1f× at 10× data") else None
     }
     assert(offenders.isEmpty,
       "bucket-space saturation (quadratic wall): " + offenders.mkString(", "))
+  }
+
+  test("embedding LSH keeps near-identical recall at the sf1 bucket sizing") {
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
+      "sf1 not generated (tools/gen_sf1.py)")
+    // The occupancy-4 auto-sizing widens the bucket space (15 bits at
+    // the 100 k decade vs 12 under the old occupancy-32 target); each
+    // extra bit raises a true pair's expected hamming, so this pins the
+    // recall half of the tradeoff the r11 resize bought its 6× speedup
+    // with. Planted pairs are deterministic ±0.15/√dim perturbations
+    // (cosine ≈ 0.989 — the near-identical regime this operator exists
+    // for; the fixture's own ≥0.4-cosine pairs are moderate-angle and
+    // invisible to hamming-1 probing at ANY sizing, see Dedup scaladoc).
+    // Measured: 0.905 recall at 12 bits, 0.881 at 15, 0.833 at 18,
+    // zero false positives. Floor 0.75 = the gentle-degradation claim.
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf1, "embeddings")
+    val offset = 10000000L
+    val base = emb.filter(pmod(col("vec_id"), lit(101)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val pert = base.select((col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") + lit(0.15d) / lit(8.0d) * norm *
+          when(pmod(xxhash64(col("vec_id"), i), lit(2)) === 0, -1.0d)
+            .otherwise(1.0d)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(pert)
+    val pairs = graft.operators.Dedup
+      .embeddingNearDupPairsLsh(corpus, "vec_id", "embedding",
+        threshold = 0.9, dim = 64, bits = 15) // sf1's auto-sized width
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + offset)).toSet
+    val recall = (pairs & planted).size.toDouble / planted.size
+    info(f"planted=${planted.size} recall=$recall%.3f false-pos=${(pairs -- planted).size}")
+    assert(planted.size >= 100, s"subset too small: ${planted.size}")
+    assert(recall >= 0.75, f"near-identical recall degraded: $recall%.3f")
   }
 
   test("funnel window tolerates a planted hot user holding 20% of sf10 events") {

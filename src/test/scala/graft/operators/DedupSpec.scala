@@ -130,6 +130,44 @@ class DedupSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty) // fixture plants cross-side near-dups
   }
 
+  test("rotateIndex: appended index is row-identical to a from-scratch rebuild") {
+    // The ingest-loop close: after probing batch t, its signatures are
+    // appended (parquet file-add) so batch t+1 probes a complete index.
+    // Rotation must be indistinguishable from rebuilding over the union.
+    val existing = corpus.filter(col("doc_id") % 2 === 0)
+    val incoming = corpus.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_spec")
+      .resolve("rot").toString
+    Dedup.minhashIndex(existing, "doc_id", "text")
+      .write.mode("overwrite").parquet(idx)
+    Dedup.rotateIndex(incoming, "doc_id", "text", idx)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rotated = sigs(spark.read.parquet(idx))
+    val rebuilt = sigs(Dedup.minhashIndex(corpus, "doc_id", "text"))
+    assert(rotated == rebuilt)
+    assert(rotated.size == corpus.count())
+  }
+
+  test("minhashPairsViaIndex fails fast on an index with mismatched LSH geometry") {
+    // A stored signature shorter than bands*rowsPerBand would slice
+    // short/empty band keys and silently MISS pairs; the in-plan guard
+    // must turn that into a job failure instead.
+    val existing = corpus.filter(col("doc_id") % 2 === 0)
+    val incoming = corpus.filter(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_spec")
+      .resolve("badgeom").toString
+    Dedup.minhashIndex(existing, "doc_id", "text", numHashes = 32) // probe expects 64
+      .write.mode("overwrite").parquet(idx)
+    val e = intercept[Exception] {
+      Dedup.minhashPairsViaIndex(spark.read.parquet(idx), existing, incoming,
+        "doc_id", "text", threshold = 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("geometry mismatch")), e.toString)
+  }
+
   test("simhashPairs honors the 4-band hamming<=3 guarantee") {
     import graft.functions.TextHashFunctions
     TextHashFunctions.register(spark)
