@@ -533,6 +533,25 @@ object Dedup {
     minhashIndex(incoming, idCol, textCol, shingleSize, numHashes)
       .write.mode("append").parquet(path)
 
+  /** Index COMPACTION — the OPTIMIZE step of the ingest loop. Each
+    * [[rotateIndex]] call appends one file set, so after K batches the
+    * index directory holds O(K) files: every probe then pays K footer
+    * opens, and rows for nearby ids are scattered across all of them.
+    * Compaction rewrites the index into `numFiles` id-RANGE-clustered
+    * files (repartitionByRange: one sort-shuffle of (id, sig) rows —
+    * index-sized, never corpus-sized), restoring per-file min/max id
+    * statistics so id-bounded probes prune files, and amortizing to
+    * O(1) of index scans per compaction cycle. Content is untouched:
+    * `dedup_index_compact` proves the compacted index row-identical to
+    * a from-scratch rebuild, and DedupSpec pins the file-count drop.
+    */
+  def compactIndex(
+      index: DataFrame,
+      dest: String,
+      numFiles: Int = 8): Unit =
+    index.repartitionByRange(numFiles, col("id"))
+      .write.mode("overwrite").parquet(dest)
+
   /** Incremental near-dup detection against a PERSISTED signature index
     * (see [[minhashIndex]]) — the true production form of
     * [[minhashLshPairsAgainst]], which recomputes the existing side's

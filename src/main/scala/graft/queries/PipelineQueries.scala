@@ -256,6 +256,35 @@ object PipelineQueries extends QueryModule {
       },
       Some("SELECT doc_id AS id, true AS sig_equal FROM documents ORDER BY doc_id")),
 
+    // ── index COMPACTION: after two rotation batches the index dir holds
+    //    three file sets; compact rewrites it into id-range-clustered
+    //    files (one index-sized sort-shuffle — the OPTIMIZE analog that
+    //    restores per-file min/max pruning for probes). Proof obligation
+    //    identical to rotate: compacted content ≡ from-scratch rebuild
+    //    over the whole corpus, every doc sig_equal=true. File-count
+    //    hygiene is pinned in DedupSpec (not SQL-expressible). ──────────
+    QueryDef("dedup_index_compact",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val idx = sigIndexDir("compact", dir) // shared scratch, see scratchRoot
+        Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
+            "doc_id", "text")
+          .write.mode("overwrite").parquet(idx)
+        Dedup.rotateIndex(docs.filter(pmod(col("doc_id"), lit(10)).between(6, 7)),
+          "doc_id", "text", idx)
+        Dedup.rotateIndex(docs.filter(pmod(col("doc_id"), lit(10)) >= 8),
+          "doc_id", "text", idx)
+        val compacted = idx + "_c"
+        Dedup.compactIndex(s.read.parquet(idx), compacted)
+        val rebuilt = Dedup.minhashIndex(docs, "doc_id", "text")
+        s.read.parquet(compacted).alias("r").join(rebuilt.alias("b"),
+            col("r.id") === col("b.id"), "full_outer")
+          .select(coalesce(col("r.id"), col("b.id")).as("id"),
+            (col("r.sig") <=> col("b.sig")).as("sig_equal"))
+          .orderBy("id")
+      },
+      Some("SELECT doc_id AS id, true AS sig_equal FROM documents ORDER BY doc_id")),
+
     // ── near-dup clustering: connected components over the exact pair
     //    relation (min-label propagation); oracle = DuckDB recursive
     //    reachability over the same pairs ──────────────────────────────

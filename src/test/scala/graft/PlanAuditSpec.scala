@@ -362,7 +362,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_null_safe_eq", "text_vocab_topk", "agg_unpivot_melt",
     "q11_important_part_value", "streaming_sliding_counts",
     "pipeline_pack_chunks", "pipeline_leakage_check", "dedup_incremental",
-    "dedup_canonical_quality", "join_bloom_pruned")
+    "dedup_canonical_quality", "join_bloom_pruned",
+    "dedup_signature_index", "dedup_index_rotate", "dedup_index_compact")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -149,6 +149,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rotated.size == corpus.count())
   }
 
+  test("compactIndex collapses rotation file sets and preserves content") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_spec")
+      .resolve("cmp").toString
+    Dedup.minhashIndex(corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      .write.mode("overwrite").parquet(idx)
+    Dedup.rotateIndex(corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text", idx)
+    Dedup.rotateIndex(corpus.filter(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(idx)
+    val dest = idx + "_c"
+    Dedup.compactIndex(spark.read.parquet(idx), dest, numFiles = 1)
+    assert(before >= 3, s"expected >=3 rotation file sets, got $before")
+    assert(parquetFiles(dest) == 1)
+    def sigs(p: String) = spark.read.parquet(p).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(dest) == sigs(idx))
+  }
+
   test("minhashPairsViaIndex fails fast on an index with mismatched LSH geometry") {
     // A stored signature shorter than bands*rowsPerBand would slice
     // short/empty band keys and silently MISS pairs; the in-plan guard
