@@ -163,19 +163,62 @@ object Similarity {
       k: Int,
       numCentroids: Int = 8,
       nProbe: Int = 3): DataFrame = {
+    val (centroids, assignments) = ivfIndex(candidates, numCentroids)
+    ivfTopKViaIndex(centroids, assignments, queries, candidates, k, nProbe)
+  }
+
+  /** The IVF INDEX as a persistable artifact: (centroids, assignments)
+    * where centroids = (cell_id, centroid vector) — |C| rows — and
+    * assignments = (cid, cell) — one row per candidate. These two tables
+    * are everything serving-time probing needs besides the vectors
+    * themselves: built ONCE at ingest (the |corpus|×|C| routing pass),
+    * written to parquet, and probed per query batch by
+    * [[ivfTopKViaIndex]] without ever re-assigning the corpus. At 100 TB
+    * the assignment table is ~16 bytes/vector (two longs) — the same
+    * ~0.05%-of-corpus index economics as the minhash signature index
+    * ([[graft.operators.Dedup.minhashIndex]]). Centroid pick and argmax
+    * assignment are the same pure functions as in [[ivfTopKSeeded]]
+    * (seeded lowest-id centroids; cosine argmax, ties to lower cell), so
+    * index-then-probe is output-identical to the recompute form —
+    * `sim_index_probe` shares `sim_topk_ivf`'s DuckDB oracle to prove it.
+    */
+  def ivfIndex(
+      candidates: DataFrame, // (cid, cvec)
+      numCentroids: Int): (DataFrame, DataFrame) = {
     VectorFunctions.register(candidates.sparkSession)
     val centroids = candidates.orderBy(col("cid"))
       .limit(numCentroids)
       .select(col("cid").as("cell_id"), col("cvec").as("centroid"))
     // candidate → owning cell: argmax cosine over the broadcast centroid
     // set via the k=1 bounded heap (ties: lower cell id, the heap's order)
-    val cAssigned = rankTopK(
+    val assignments = rankTopK(
         candidates.crossJoin(broadcast(centroids))
           .select(col("cid").as("qid"), col("cell_id").as("cid"),
             VectorFunctions.cosineSim(col("cvec"), col("centroid")).as("sim")),
         1)
       .select(col("query_id").as("cid"), col("neighbor_id").as("cell"))
-      .join(candidates, "cid")
+    (centroids, assignments)
+  }
+
+  /** Serving-time probe of a persisted IVF index (see [[ivfIndex]]):
+    * queries pick their nProbe cells from the STORED centroid table
+    * (broadcast — |C| rows), and scoring joins the STORED assignments to
+    * the candidate vectors so only probed cells' members are scored.
+    * Per batch the routing work is |Q|×|C|, never |corpus|×|C| — the
+    * corpus-sized pass happened once at index build. (The cid join back
+    * to `candidates` fetches vectors for scoring; at scale that scan is
+    * cell-prunable if vectors are stored partitioned by the same cell
+    * key the index carries.)
+    */
+  def ivfTopKViaIndex(
+      centroids: DataFrame, // (cell_id, centroid) from ivfIndex
+      assignments: DataFrame, // (cid, cell) from ivfIndex
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec), vectors for scoring only
+      k: Int,
+      nProbe: Int): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    val cAssigned = assignments.join(candidates, "cid")
     val qProbes = rankTopK(
         queries.crossJoin(broadcast(centroids))
           .select(col("qid"),

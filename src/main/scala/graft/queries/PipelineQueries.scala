@@ -44,9 +44,42 @@ object PipelineQueries extends QueryModule {
     p
   }
 
-  private def sigIndexDir(tag: String, dataDir: String): String =
+  private def scratchDir(tag: String, dataDir: String): String =
     scratchRoot.resolve(
       tag + "_" + Integer.toHexString(dataDir.hashCode)).toString
+
+  /** Oracle for the seeded-IVF top-k search: replays centroid pick
+    * (lowest-64 ids), cosine-argmax assignment (ties → lower cell),
+    * 24-probe choice, and in-cell ranking. Shared verbatim by
+    * `sim_topk_ivf` (recompute form) and `sim_index_probe` (persisted-
+    * index form) — the two queries are output-identical by construction,
+    * and sharing the oracle makes the driver prove it every round.
+    */
+  private val sqlIvfTopk =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
+        scored AS (SELECT p.qid, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
 
   /** DuckDB fragment: distinct word-3-gram shingles of lower-cased text —
     * the exact twin of [[graft.functions.TextFunctions.shingles]].
@@ -218,7 +251,7 @@ object PipelineQueries extends QueryModule {
         val docs = Tables.load(s, dir, "documents")
         val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
         val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        val idx = sigIndexDir("probe", dir) // shared scratch, see scratchRoot
+        val idx = scratchDir("probe", dir) // shared scratch, see scratchRoot
         Dedup.minhashIndex(existing, "doc_id", "text")
           .write.mode("overwrite").parquet(idx)
         Dedup.minhashPairsViaIndex(s.read.parquet(idx), existing, incoming,
@@ -242,7 +275,7 @@ object PipelineQueries extends QueryModule {
         val docs = Tables.load(s, dir, "documents")
         val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
         val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-        val idx = sigIndexDir("rotate", dir) // shared scratch, see scratchRoot
+        val idx = scratchDir("rotate", dir) // shared scratch, see scratchRoot
         Dedup.minhashIndex(existing, "doc_id", "text")
           .write.mode("overwrite").parquet(idx)
         Dedup.rotateIndex(incoming, "doc_id", "text", idx)
@@ -266,7 +299,7 @@ object PipelineQueries extends QueryModule {
     QueryDef("dedup_index_compact",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val idx = sigIndexDir("compact", dir) // shared scratch, see scratchRoot
+        val idx = scratchDir("compact", dir) // shared scratch, see scratchRoot
         Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 6),
             "doc_id", "text")
           .write.mode("overwrite").parquet(idx)
@@ -636,30 +669,35 @@ object PipelineQueries extends QueryModule {
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
-        assign AS (SELECT vec_id, cell FROM (
-            SELECT c.vec_id, t.cell,
-              row_number() OVER (PARTITION BY c.vec_id
-                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
-            FROM v c CROSS JOIN cent t) WHERE rn = 1),
-        probes AS (SELECT qid, cell FROM (
-            SELECT q.vec_id AS qid, t.cell,
-              row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
-            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
-        scored AS (SELECT p.qid, a.vec_id AS cid,
-            list_cosine_similarity(q.e, c.e) AS sim
-          FROM probes p
-          JOIN assign a ON a.cell = p.cell
-          JOIN v q ON q.vec_id = p.qid
-          JOIN v c ON c.vec_id = a.vec_id
-          WHERE p.qid <> a.vec_id),
-        r AS (SELECT qid, cid, sim,
-            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
-          FROM scored)
-        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
-        FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
+      Some(sqlIvfTopk)),
+
+    // ── ANN serving shape: probe a PERSISTED IVF index. The (cell_id,
+    //    centroid) + (cid, cell) tables round-trip through parquet — the
+    //    artifact a vector-serving tier loads — and the query batch is
+    //    routed against STORED centroids and scored only in probed
+    //    cells via STORED assignments: per batch |Q|×|C| routing, never
+    //    a corpus re-assignment. Same seeded quantizer and params as
+    //    sim_topk_ivf ⇒ same oracle — proving index-probe ≡ recompute,
+    //    the ANN twin of dedup_signature_index. ─────────────────────────
+    QueryDef("sim_index_probe",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val root = scratchDir("ivf", dir)
+        val (centroids, assignments) = Similarity.ivfIndex(candidates, numCentroids = 64)
+        centroids.write.mode("overwrite").parquet(root + "/centroids")
+        assignments.write.mode("overwrite").parquet(root + "/assignments")
+        Similarity.ivfTopKViaIndex(
+            s.read.parquet(root + "/centroids"),
+            s.read.parquet(root + "/assignments"),
+            queries, candidates, k = 5, nProbe = 24)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlIvfTopk)),
 
     // ── k-NN JOIN (corpus×corpus, every vector gets top-k neighbors):
     //    the search queries above broadcast a small query set; here both

@@ -137,6 +137,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKViaIndex through a parquet round-trip equals the recompute form") {
+    // The persisted-index serving path must be output-identical to
+    // ivfTopKSeeded: same stored centroids, same stored assignments, no
+    // corpus re-assignment at probe time — the argument sim_index_probe's
+    // shared oracle rests on.
+    val (nc, np, k) = (8, 3, 5)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val (centroids, assignments) = Similarity.ivfIndex(asC(emb), nc)
+    centroids.write.mode("overwrite").parquet(root + "/centroids")
+    assignments.write.mode("overwrite").parquet(root + "/assignments")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaIndex = key(Similarity.ivfTopKViaIndex(
+      spark.read.parquet(root + "/centroids"),
+      spark.read.parquet(root + "/assignments"),
+      asQ(emb.filter($"vec_id" < 10)), asC(emb), k, np)
+      .withColumn("rank", $"rank".cast("int")))
+    val recompute = key(Similarity.ivfTopKSeeded(
+      asQ(emb.filter($"vec_id" < 10)), asC(emb), k, nc, np)
+      .withColumn("rank", $"rank".cast("int")))
+    assert(viaIndex == recompute)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("ivfKnnJoinSeeded equals a driver-side replay over the whole corpus") {
     val (nc, np, k) = (8, 3, 3)
     val got = Similarity.ivfKnnJoinSeeded(
