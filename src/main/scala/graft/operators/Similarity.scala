@@ -185,20 +185,47 @@ object Similarity {
   def ivfIndex(
       candidates: DataFrame, // (cid, cvec)
       numCentroids: Int): (DataFrame, DataFrame) = {
-    VectorFunctions.register(candidates.sparkSession)
     val centroids = candidates.orderBy(col("cid"))
       .limit(numCentroids)
       .select(col("cid").as("cell_id"), col("cvec").as("centroid"))
-    // candidate → owning cell: argmax cosine over the broadcast centroid
-    // set via the k=1 bounded heap (ties: lower cell id, the heap's order)
-    val assignments = rankTopK(
-        candidates.crossJoin(broadcast(centroids))
+    (centroids, assignCells(centroids, candidates))
+  }
+
+  /** vector → owning cell: argmax cosine over the broadcast centroid set
+    * via the k=1 bounded heap (ties: lower cell id, the heap's order).
+    * The one routing pass both index BUILD (whole corpus, once) and
+    * index ROTATION (per incoming batch) run — sharing it is what makes
+    * rotate-then-probe provably equal to rebuild-then-probe.
+    */
+  private def assignCells(centroids: DataFrame, vectors: DataFrame): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    rankTopK(
+        vectors.crossJoin(broadcast(centroids))
           .select(col("cid").as("qid"), col("cell_id").as("cid"),
             VectorFunctions.cosineSim(col("cvec"), col("centroid")).as("sim")),
         1)
       .select(col("query_id").as("cid"), col("neighbor_id").as("cell"))
-    (centroids, assignments)
   }
+
+  /** Rotation for the persisted IVF index: route the incoming batch
+    * against the STORED centroid table (|batch|×|C| — the only per-batch
+    * cost; the quantizer is frozen, exactly as a serving tier versions
+    * it) and append the new (cid, cell) rows to the assignment parquet —
+    * an O(batch) file-add, mirroring
+    * [[graft.operators.Dedup.rotateIndex]]. `sim_index_rotate` proves
+    * the rotated assignment table row-identical to a from-scratch
+    * [[ivfIndex]] rebuild over the union — which holds exactly when the
+    * frozen centroid set equals the union's seed pick (true whenever
+    * incoming ids sit above the seed-id range; a production system
+    * re-trains and re-versions the quantizer on drift instead, and this
+    * proof pins the assignment half of that contract).
+    */
+  def ivfIndexRotate(
+      centroids: DataFrame, // (cell_id, centroid), the stored quantizer
+      incoming: DataFrame, // (cid, cvec)
+      assignmentsPath: String): Unit =
+    assignCells(centroids, incoming)
+      .write.mode("append").parquet(assignmentsPath)
 
   /** Serving-time probe of a persisted IVF index (see [[ivfIndex]]):
     * queries pick their nProbe cells from the STORED centroid table

@@ -699,6 +699,39 @@ object PipelineQueries extends QueryModule {
       },
       Some(sqlIvfTopk)),
 
+    // ── IVF index lifecycle close (the ANN twin of dedup_index_rotate):
+    //    build the index for the first 80% of vectors (count() at build
+    //    time — documented eager input, a number an ingest pipeline
+    //    already tracks), persist, then ROTATE the remaining 20% in:
+    //    route them against the STORED (frozen) centroids and append to
+    //    the assignment parquet. Proof: rotated assignments ≡ a
+    //    from-scratch rebuild over all vectors — valid here because
+    //    incoming ids sit above the seed-id range so the frozen centroid
+    //    set equals the union's seed pick (see ivfIndexRotate scaladoc);
+    //    every vector must report cell_equal=true. ─────────────────────
+    QueryDef("sim_index_rotate",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val all = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val nExist = (all.count() * 4L) / 5L
+        val existing = all.filter(col("cid") < nExist)
+        val incoming = all.filter(col("cid") >= nExist)
+        val root = scratchDir("ivfrot", dir)
+        val (centroids, assignments) = Similarity.ivfIndex(existing, numCentroids = 64)
+        centroids.write.mode("overwrite").parquet(root + "/centroids")
+        assignments.write.mode("overwrite").parquet(root + "/assignments")
+        Similarity.ivfIndexRotate(
+          s.read.parquet(root + "/centroids"), incoming, root + "/assignments")
+        val rotated = s.read.parquet(root + "/assignments")
+        val rebuilt = Similarity.ivfIndex(all, numCentroids = 64)._2
+        rotated.alias("r").join(rebuilt.alias("b"),
+            col("r.cid") === col("b.cid"), "full_outer")
+          .select(coalesce(col("r.cid"), col("b.cid")).as("id"),
+            (col("r.cell") <=> col("b.cell")).as("cell_equal"))
+          .orderBy("id")
+      },
+      Some("SELECT vec_id AS id, true AS cell_equal FROM embeddings ORDER BY vec_id")),
+
     // ── k-NN JOIN (corpus×corpus, every vector gets top-k neighbors):
     //    the search queries above broadcast a small query set; here both
     //    sides are the corpus, so probe and assignment meet in a SHUFFLE

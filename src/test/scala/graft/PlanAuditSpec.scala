@@ -236,9 +236,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_incremental_distinct_exact", "agg_sketch_error_bounds",
     "agg_approx_topk_bounds", "agg_hll_mergeable_bounds", "agg_countmin_bounds",
     "dedup_embedding_cosine", "sim_topk_brute", "sim_topk_filtered", "sim_topk_ivf",
-    // index_probe: same query×centroid routing cross join as topk_ivf,
-    // against the STORED |centroids|-row broadcast table
-    "sim_index_probe",
+    // index_probe/rotate: same vector×centroid routing cross join as
+    // topk_ivf, against the STORED |centroids|-row broadcast table
+    "sim_index_probe", "sim_index_rotate",
     // domain_mix / median / pack_chunks: 1-row broadcast scalar recombine
     // (pack_chunks rebases its data-derived shard bucket on broadcast
     // min/max ids — see the scaladoc at its QueryDef)

@@ -161,6 +161,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("ivfIndexRotate: appended assignments equal a from-scratch rebuild") {
+    // Frozen-quantizer rotation: incoming ids sit above the seed range,
+    // so the stored centroid set equals the union's seed pick and
+    // rotation must be indistinguishable from rebuilding.
+    val nc = 8
+    val ids = emb.select($"vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 4 / 5)
+    val existing = asC(emb.filter($"vec_id" < cut))
+    val incoming = asC(emb.filter($"vec_id" >= cut))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val (centroids, assignments) = Similarity.ivfIndex(existing, nc)
+    centroids.write.mode("overwrite").parquet(root + "/centroids")
+    assignments.write.mode("overwrite").parquet(root + "/assignments")
+    Similarity.ivfIndexRotate(
+      spark.read.parquet(root + "/centroids"), incoming, root + "/assignments")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rotated = cells(spark.read.parquet(root + "/assignments"))
+    val rebuilt = cells(Similarity.ivfIndex(asC(emb), nc)._2)
+    assert(rotated == rebuilt)
+    assert(rotated.size == ids.length)
+  }
+
   test("ivfKnnJoinSeeded equals a driver-side replay over the whole corpus") {
     val (nc, np, k) = (8, 3, 3)
     val got = Similarity.ivfKnnJoinSeeded(
