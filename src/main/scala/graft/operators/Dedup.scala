@@ -533,6 +533,39 @@ object Dedup {
     minhashIndex(incoming, idCol, textCol, shingleSize, numHashes)
       .write.mode("append").parquet(path)
 
+  /** One step of the INGEST LOOP: everything a pipeline runs when batch
+    * t arrives. Detects every pair batch t introduces — batch-vs-corpus
+    * via an index PROBE ([[minhashPairsViaIndex]]: stored signatures,
+    * candidate-bounded text) plus batch-vs-batch via [[minhashLshPairs]]
+    * over the (small) batch alone — then ROTATES the batch's signatures
+    * into the index so batch t+1 probes a complete corpus. Per batch the
+    * cost is O(batch + candidates), never O(corpus). Over a whole
+    * sequential run the step outputs PARTITION the corpus's pair set:
+    * a pair lands in exactly one step (both docs same batch → that
+    * step's within-pairs; else → the later doc's cross-pairs), which is
+    * what lets `dedup_ingest_loop` oracle-check a 3-batch replay against
+    * the full-corpus exact pair relation.
+    *
+    * The returned plan reads the index files listed at CALL time (the
+    * pre-rotation snapshot — Spark's file index lists eagerly), so the
+    * probe never sees the batch's own just-appended signatures; the
+    * rotation write itself is eager, like the index builders.
+    */
+  def ingestStep(
+      indexPath: String,
+      existing: DataFrame, // all docs of earlier batches (verify-side text)
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val index = spark.read.parquet(indexPath) // pre-rotation snapshot
+    val cross = minhashPairsViaIndex(index, existing, batch, idCol, textCol, threshold)
+    val within = minhashLshPairs(batch, idCol, textCol, threshold)
+    rotateIndex(batch, idCol, textCol, indexPath)
+    cross.unionByName(within)
+  }
+
   /** Index COMPACTION — the OPTIMIZE step of the ingest loop. Each
     * [[rotateIndex]] call appends one file set, so after K batches the
     * index directory holds O(K) files: every probe then pays K footer

@@ -318,6 +318,41 @@ object PipelineQueries extends QueryModule {
       },
       Some("SELECT doc_id AS id, true AS sig_equal FROM documents ORDER BY doc_id")),
 
+    // ── the INGEST LOOP end-to-end: 3 sequential id-range batches, each
+    //    running the full per-batch recipe (within-batch LSH dedup +
+    //    index PROBE for batch-vs-corpus pairs + signature ROTATION so
+    //    the next batch probes a complete index), starting from an EMPTY
+    //    persisted index. The step outputs partition the corpus's pair
+    //    set — a pair lands in exactly the step where its later doc
+    //    arrives — so the 3-step union must equal the full-corpus exact
+    //    pair relation: the same oracle as dedup_minhash_lsh. A probe
+    //    that saw its own batch's just-rotated signatures would
+    //    double-report within-batch pairs and fail the multiset compare,
+    //    so this also pins the pre-rotation snapshot semantics.
+    //    (max-id agg + 4 index writes execute at plan-build time —
+    //    the documented eager-input pattern.) ──────────────────────────
+    QueryDef("dedup_ingest_loop",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val idx = scratchDir("ingest", dir) + "/idx"
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val (b1, b2) = (maxId / 3, 2L * maxId / 3)
+        val batches = Seq(
+          docs.filter(col("doc_id") <= b1),
+          docs.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+          docs.filter(col("doc_id") > b2))
+        val earlier = Seq(
+          docs.limit(0), batches(0), docs.filter(col("doc_id") <= b2))
+        Dedup.minhashIndex(docs.limit(0), "doc_id", "text")
+          .write.mode("overwrite").parquet(idx) // empty schema-only seed
+        batches.zip(earlier)
+          .map { case (b, ex) =>
+            Dedup.ingestStep(idx, ex, b, "doc_id", "text", threshold = 0.8) }
+          .reduce(_ unionByName _)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(sqlExactJaccardPairs)),
+
     // ── near-dup clustering: connected components over the exact pair
     //    relation (min-label propagation); oracle = DuckDB recursive
     //    reachability over the same pairs ──────────────────────────────

@@ -168,6 +168,50 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(dest) == sigs(idx))
   }
 
+  test("ingest loop under Structured Streaming equals the batch pair set") {
+    // The production deployment shape: docs arrive as micro-batches, and
+    // foreachBatch runs the same ingestStep recipe (within-batch LSH +
+    // index probe + rotation) the batch query dedup_ingest_loop runs.
+    // Streaming and batch must find the IDENTICAL pair set — including
+    // no duplicates, which pins that each probe saw only the
+    // pre-rotation index snapshot under the streaming engine too.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_spec")
+    val idx = root.resolve("idx").toString
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val maxId = rows.last._1
+    val (b1, b2) = (maxId / 3, 2L * maxId / 3)
+    Dedup.minhashIndex(corpus.limit(0), "doc_id", "text")
+      .write.mode("overwrite").parquet(idx)
+    val seen = scala.collection.mutable.Map[Long, org.apache.spark.sql.DataFrame]()
+    val found = scala.collection.mutable.Set[(Long, Long, Double)]()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val b = batch.persist() // re-read across the probe's two passes
+        val existing = seen.values.reduceOption(_ unionByName _)
+          .getOrElse(corpus.limit(0).select(col("doc_id"), col("text")))
+        found ++= Dedup.ingestStep(idx, existing, b, "doc_id", "text", threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        seen(id) = spark.createDataFrame(
+          spark.sparkContext.parallelize(b.collect().toSeq), b.schema)
+        b.unpersist(); ()
+      }
+      .start()
+    try {
+      mem.addData(rows.filter(_._1 <= b1).toSeq); q.processAllAvailable()
+      mem.addData(rows.filter(r => r._1 > b1 && r._1 <= b2).toSeq); q.processAllAvailable()
+      mem.addData(rows.filter(_._1 > b2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val batchPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found.toSet == batchPairs)
+    assert(found.nonEmpty)
+  }
+
   test("minhashPairsViaIndex fails fast on an index with mismatched LSH geometry") {
     // A stored signature shorter than bands*rowsPerBand would slice
     // short/empty band keys and silently MISS pairs; the in-plan guard
