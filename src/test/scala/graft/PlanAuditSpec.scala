@@ -366,7 +366,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_important_part_value", "streaming_sliding_counts",
     "pipeline_pack_chunks", "pipeline_leakage_check", "dedup_incremental",
     "dedup_canonical_quality", "join_bloom_pruned",
-    "dedup_signature_index", "dedup_index_rotate", "dedup_index_compact")
+    "dedup_signature_index", "dedup_index_rotate", "dedup_index_compact",
+    "dedup_ingest_loop", "sim_index_probe", "sim_index_rotate")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
