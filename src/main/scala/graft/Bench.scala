@@ -26,8 +26,11 @@ import org.apache.spark.sql.SparkSession
   * change should move) BEFORE and AFTER the suite and emits
   * `"canary":{"pre":s,"post":s,"floor":s,"contended":bool}`. The floor
   * is the idle-machine cost measured at r10 (~0.08 s with margin);
-  * either probe exceeding 3× floor flags `"contended":true`, telling
-  * the judge the totals are load-poisoned, not regressed.
+  * BOTH probes exceeding 3× floor (min(pre,post), see the inline
+  * rationale) flags `"contended":true`, telling the judge the totals
+  * are load-poisoned, not regressed; a transient spike shows as
+  * pre/post asymmetry in the emitted fields. A canary probe that
+  * itself fails records -1, never aborts the artifact.
   *
   * The printed line must fit the driver's 2000-char stdout-tail capture:
   * BENCH_r01–r03 all show `parsed: null` because the full per-query map
@@ -73,7 +76,7 @@ object Bench {
     // ── contamination canary: fixed-cost probe timed before/after the
     //    suite; engine changes can't move it, so movement == machine load
     val canaryFloor = 0.08 // idle-machine cost (measured r10/r11)
-    def canaryOnce(): Double = {
+    def canaryOnce(): Double = try {
       val t0 = System.nanoTime()
       if (SparkEntry.queries.contains("proj_alias_literal"))
         SparkEntry.queries("proj_alias_literal")(spark, sfDir)
@@ -81,6 +84,11 @@ object Bench {
       spark.range(600000L).selectExpr("sum(id) AS s", "count(*) AS n")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      // a failed probe must degrade to a sentinel, never abort the
+      // artifact — the suite's own timings are still worth emitting
+      System.err.println(s"[bench] canary failed: ${e.getMessage}")
+      -1.0
     }
     def canary(): Double = math.min(canaryOnce(), canaryOnce())
 

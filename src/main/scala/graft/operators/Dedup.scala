@@ -529,27 +529,46 @@ object Dedup {
       textCol: String,
       path: String,
       shingleSize: Int = 3,
-      numHashes: Int = 64): Unit =
+      numHashes: Int = 64): Unit = {
+    // Geometry precheck BEFORE appending: a mismatched append would
+    // succeed and leave a mixed-geometry index on disk — every later
+    // probe of ANY batch then fails via the in-plan guard, and recovery
+    // is a full rebuild. Failing the O(batch) rotation here keeps the
+    // O(corpus) artifact clean. One row-limit job against the stored
+    // index (empty seed indexes skip the check).
+    val spark = incoming.sparkSession
+    val stored = spark.read.parquet(path)
+      .select(size(col("sig")).as("n")).limit(1).collect()
+    require(stored.isEmpty || stored(0).getInt(0) == numHashes,
+      s"rotateIndex: index at $path stores ${stored(0).getInt(0)}-hash " +
+        s"signatures, batch would append $numHashes — match the stored " +
+        "geometry or rebuild the index")
     minhashIndex(incoming, idCol, textCol, shingleSize, numHashes)
       .write.mode("append").parquet(path)
+  }
 
   /** One step of the INGEST LOOP: everything a pipeline runs when batch
-    * t arrives. Detects every pair batch t introduces — batch-vs-corpus
-    * via an index PROBE ([[minhashPairsViaIndex]]: stored signatures,
-    * candidate-bounded text) plus batch-vs-batch via [[minhashLshPairs]]
-    * over the (small) batch alone — then ROTATES the batch's signatures
-    * into the index so batch t+1 probes a complete corpus. Per batch the
-    * cost is O(batch + candidates), never O(corpus). Over a whole
-    * sequential run the step outputs PARTITION the corpus's pair set:
-    * a pair lands in exactly one step (both docs same batch → that
-    * step's within-pairs; else → the later doc's cross-pairs), which is
-    * what lets `dedup_ingest_loop` oracle-check a 3-batch replay against
-    * the full-corpus exact pair relation.
+    * t arrives. The batch's text is shingled and signed exactly ONCE —
+    * by the ROTATION, which appends the signatures to the index first;
+    * both pair detections then run off STORED signatures: batch-vs-
+    * corpus probes the pre-rotation index snapshot against the batch's
+    * just-stored band keys, and batch-vs-batch is a band self-join of
+    * those same stored keys. Exact-Jaccard verify re-shingles only
+    * candidate-named docs on either side, so per batch the text-side
+    * cost is one signing pass + O(candidates), never O(corpus) and
+    * never a second full-batch pass. Over a whole sequential run the
+    * step outputs PARTITION the corpus's pair set: a pair lands in
+    * exactly one step (both docs same batch → that step's within-pairs;
+    * else → the later doc's cross-pairs), which is what lets
+    * `dedup_ingest_loop` oracle-check a 3-batch replay against the
+    * full-corpus exact pair relation.
     *
-    * The returned plan reads the index files listed at CALL time (the
-    * pre-rotation snapshot — Spark's file index lists eagerly), so the
-    * probe never sees the batch's own just-appended signatures; the
-    * rotation write itself is eager, like the index builders.
+    * Snapshot discipline: the pre-rotation index DataFrame lists its
+    * files BEFORE the append (Spark's file index lists eagerly at
+    * read time), so the cross probe never sees the batch's own
+    * signatures; the post-rotation read lists fresh and the batch's
+    * stored rows are recovered by an id semi join (the disjoint-id
+    * contract of [[minhashPairsViaIndex]] applies).
     */
   def ingestStep(
       indexPath: String,
@@ -557,12 +576,22 @@ object Dedup {
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
     val spark = batch.sparkSession
-    val index = spark.read.parquet(indexPath) // pre-rotation snapshot
-    val cross = minhashPairsViaIndex(index, existing, batch, idCol, textCol, threshold)
-    val within = minhashLshPairs(batch, idCol, textCol, threshold)
-    rotateIndex(batch, idCol, textCol, indexPath)
+    val preIndex = snapshotParquet(spark, indexPath) // pre-rotation snapshot
+    rotateIndex(batch, idCol, textCol, indexPath, shingleSize, bands * rowsPerBand)
+    val batchSig = snapshotParquet(spark, indexPath) // post-rotation listing
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val bandB = guardedBandKeys(batchSig, bands, rowsPerBand)
+    val cross = verifiedPairsFromBands(
+      guardedBandKeys(preIndex, bands, rowsPerBand), bandB,
+      existing, batch, idCol, textCol, threshold, shingleSize, selfJoin = false)
+    val within = verifiedPairsFromBands(
+      bandB, bandB, batch, batch, idCol, textCol, threshold, shingleSize,
+      selfJoin = true)
     cross.unionByName(within)
   }
 
@@ -612,44 +641,99 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    graft.functions.SketchFunctions.register(existing.sparkSession)
-    // geometry guard: the index pinned its LSH geometry at write time
-    // (numHashes = bands × rowsPerBand). A mismatched probe would slice
-    // short/empty band keys from the stored signature and SILENTLY miss
-    // pairs — so a wrong-length stored sig fails the job in-plan instead
-    // (same raise_error pattern as the Profiler domain guard).
+    val bandI = shingleHashed(incoming, idCol, textCol, shingleSize)
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
+    verifiedPairsFromBands(
+      guardedBandKeys(index, bands, rowsPerBand), bandI,
+      existing, incoming, idCol, textCol, threshold, shingleSize,
+      selfJoin = false)
+  }
+
+  /** Snapshot read of a parquet directory pinned to its EXPLICIT file
+    * list. `spark.read.parquet(dir)` freezes the listing per DataFrame,
+    * but two such scans of the same dir at different snapshots
+    * CANONICALIZE equal (HadoopFsRelation compares the root path, not
+    * the files), so inside one query plan Spark's exchange reuse can
+    * substitute one snapshot's scan for the other — a sequential ingest
+    * loop unioned into a single plan then probes the wrong index epoch
+    * (observed: batch 2's cross probe served batch 1's pre-rotation
+    * listing, silently losing pairs). Reading by explicit file paths
+    * makes each snapshot's rootPaths distinct, so only genuinely
+    * identical snapshots ever reuse. Local-FS listing is fine for the
+    * scratch indexes these queries build; at scale the same role is
+    * played by a manifest/table-format snapshot id.
+    */
+  private def snapshotParquet(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    if (files.isEmpty) spark.read.parquet(dir) // schema-only seed dir
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Band keys sliced from STORED signatures, with the geometry guard:
+    * the index pinned its LSH geometry at write time (numHashes = bands
+    * × rowsPerBand). A mismatched probe would slice short/empty band
+    * keys from the stored signature and SILENTLY miss pairs — so a
+    * wrong-length stored sig fails the job in-plan instead (same
+    * raise_error pattern as the Profiler domain guard).
+    */
+  private def guardedBandKeys(index: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val expectedLen = bands * rowsPerBand
     val guardedSig = when(size(col("sig")) === expectedLen, col("sig"))
       .otherwise(raise_error(concat(
         lit(s"minhash index geometry mismatch: probe expects $expectedLen hashes " +
           s"($bands bands x $rowsPerBand rows), stored signature has "),
         size(col("sig")).cast("string"))))
-    val bandE = index.select(col("id"),
+    index.select(col("id"),
       bandKeys(guardedSig, bands, rowsPerBand).as(Seq("band", "bkey")))
-    val shI = shingleHashed(incoming, idCol, textCol, shingleSize)
-    val bandI = shI
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-      .select(col("id"), bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
-    // NOTE: `candidates` feeds both the candIds semi-join reduction and
-    // the final pair joins, so the band-key equi join evaluates twice per
-    // run. Deliberate: band keys are deterministic (both evaluations see
-    // identical sets), the band join is the CHEAP stage (index-sized equi
-    // join, no text), and caching it would pin candidate partitions in
-    // executor storage for the life of the query — at 100 TB the second
-    // evaluation is cheaper than the cache residency it would displace.
-    val candidates = bandE.alias("l").join(bandI.alias("r"),
+  }
+
+  /** Band-key candidate join + candidate-bounded exact verify, shared by
+    * every stored-signature probe shape (index probe, ingest-step cross
+    * AND within pairs). `selfJoin = true` orders the pair (doc_a < doc_b,
+    * the one-sided self-join convention); `false` keeps the
+    * side-labeled (existing, incoming) orientation with the self-pair
+    * guard. Verify is candidate-bounded on BOTH sides: only docs named
+    * in the candidate set are re-shingled — O(candidates) text work,
+    * never O(side).
+    *
+    * NOTE: `candidates` feeds the two semi-join reductions and the final
+    * pair joins, so the band-key equi join evaluates three times per
+    * run. Deliberate: band keys are deterministic (every evaluation sees
+    * the identical set), the band join is the CHEAP stage (index-sized
+    * equi join, no text), and caching it would pin candidate partitions
+    * in executor storage for the life of the query — at 100 TB the
+    * re-evaluation is cheaper than the cache residency it would
+    * displace.
+    */
+  private def verifiedPairsFromBands(
+      bandA: DataFrame, // (id, band, bkey)
+      bandB: DataFrame,
+      docsA: DataFrame,
+      docsB: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int,
+      selfJoin: Boolean): DataFrame = {
+    graft.functions.SketchFunctions.register(docsA.sparkSession)
+    val candidates = bandA.alias("l").join(bandB.alias("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b")) // self-pair guard
+      .filter(if (selfJoin) col("doc_a") < col("doc_b")
+              else col("doc_a") =!= col("doc_b")) // self-pair guard
       .dropDuplicates("doc_a", "doc_b")
-    // candidate-bounded verify: only existing docs that banded into the
-    // candidate set are re-shingled — O(candidates) text, not O(corpus)
-    val candIds = candidates.select(col("doc_a").as(idCol)).distinct()
-    val shECand = shingleHashed(
-      existing.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, shingleSize)
+    def candShingles(docs: DataFrame, side: String): DataFrame =
+      shingleHashed(
+        docs.join(candidates.select(col(side).as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, shingleSize)
     candidates
-      .join(shECand.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shI.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(candShingles(docsA, "doc_a")
+        .select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(candShingles(docsB, "doc_b")
+        .select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -44,9 +44,20 @@ object PipelineQueries extends QueryModule {
     p
   }
 
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Unique per INVOCATION (the _N suffix): two builds of the same query
+    * must not share an index directory, or the second build's overwrite
+    * would delete files a still-unexecuted first plan has already listed
+    * (FileNotFoundException at execute time). Invocation dirs accumulate
+    * under the one scratch root for the JVM's life and are removed at
+    * exit — bounded by invocation count, never by rerun count of any one
+    * plan.
+    */
   private def scratchDir(tag: String, dataDir: String): String =
     scratchRoot.resolve(
-      tag + "_" + Integer.toHexString(dataDir.hashCode)).toString
+      tag + "_" + Integer.toHexString(dataDir.hashCode) +
+        "_" + scratchSeq.incrementAndGet()).toString
 
   /** Oracle for the seeded-IVF top-k search: replays centroid pick
     * (lowest-64 ids), cosine-argmax assignment (ties → lower cell),
