@@ -212,6 +212,39 @@ class DedupSpec extends AnyFunSuite {
     assert(found.nonEmpty)
   }
 
+  test("ingest loop unioned into ONE plan equals the batch pair set (snapshot regression)") {
+    // Regression for the same-path snapshot conflation the r11 review
+    // caught: with dir-based reads, two index scans at different epochs
+    // canonicalize equal and exchange reuse serves the wrong epoch —
+    // but ONLY when the steps execute inside one unioned plan (separate
+    // collects, as the streaming test does, mask it). This pins the
+    // exact QueryDef shape: build all three steps eagerly, union, ONE
+    // execution.
+    val idx = java.nio.file.Files.createTempDirectory("graft_ingest_spec")
+      .resolve("uidx").toString
+    val maxId = corpus.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head.getLong(0)
+    val (b1, b2) = (maxId / 3, 2L * maxId / 3)
+    val batches = Seq(
+      corpus.filter(col("doc_id") <= b1),
+      corpus.filter(col("doc_id") > b1 && col("doc_id") <= b2),
+      corpus.filter(col("doc_id") > b2))
+    val earlier = Seq(
+      corpus.limit(0), batches(0), corpus.filter(col("doc_id") <= b2))
+    Dedup.minhashIndex(corpus.limit(0), "doc_id", "text")
+      .write.mode("overwrite").parquet(idx)
+    val unioned = batches.zip(earlier)
+      .map { case (b, ex) =>
+        Dedup.ingestStep(idx, ex, b, "doc_id", "text", threshold = 0.5) }
+      .reduce(_ unionByName _)
+    val got = unioned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("minhashPairsViaIndex fails fast on an index with mismatched LSH geometry") {
     // A stored signature shorter than bands*rowsPerBand would slice
     // short/empty band keys and silently MISS pairs; the in-plan guard
