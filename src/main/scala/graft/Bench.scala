@@ -138,7 +138,8 @@ object Bench {
       "pipeline_decontaminate", "text_fingerprint_rolling", "sim_topk_lsh",
       "join_asof_nearest", "window_funnel_stages", "text_quality_gopher",
       "agg_bitmap_distinct", "agg_hll_mergeable_bounds", "streaming_late_drop",
-      "maintenance_zorder", "streaming_interval_join_outer")
+      "maintenance_zorder", "streaming_interval_join_outer",
+      "dedup_ingest_loop", "sim_index_probe")
     val byName = results.toMap
     val head = headline.filter(byName.contains).map(n => n -> byName(n))
 
