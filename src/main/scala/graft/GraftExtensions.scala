@@ -76,6 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("ivf_route", "ivf_route(vec, centroids, nProbe) - top-nProbe IVF cell positions for a vector") {
       es => IvfRoute(es(0), es(1), litInt(es(2)))
     }
+    inject("pq_encode", "pq_encode(vec, seeds, m) - m product-quantization subspace codes") {
+      es => PqEncode(es(0), es(1), litInt(es(2)))
+    }
+    inject("pq_dtable", "pq_dtable(vec, seeds, m) - flat m*ksub ADC distance table for a query vector") {
+      es => PqDtable(es(0), es(1), litInt(es(2)))
+    }
+    inject("pq_adc", "pq_adc(codes, dtable) - asymmetric PQ distance from codes + query table") {
+      es => PqAdc(es(0), es(1))
+    }
     inject("vec_fixedpoint_sum", "vec_fixedpoint_sum(vec, scaleBits) - exact element-wise sum of floor(x*2^scaleBits)") {
       es => FixedPointVecSum(es(0), litInt(es(1)))
     }

@@ -175,6 +175,177 @@ case class IvfRoute(vec: Expression, cents: Expression, nProbe: Int)
   override def prettyName: String = "ivf_route"
 }
 
+/** Product-quantization coder over a (small, driver-known) seed matrix:
+  * the vector space is split into `m` contiguous subspaces of dim/m
+  * components each, and subspace `mm`'s codebook entry `k` is the
+  * `mm`-th slice of seed vector `k` — the same seeded "lowest-id rows
+  * are the trained model" determinism trick as [[IvfRouter]], which is
+  * what lets an external ANSI-SQL engine replay encoding bit-for-bit.
+  *
+  * Numeric contract (oracle hash-compare): each subspace distance is
+  * Σ_d (v[d]−c[d])·(v[d]−c[d]) accumulated sequentially in index order
+  * with float→double widening — matching DuckDB's
+  * `list_reduce(list_transform(...), (a,b) -> a+b)` fold exactly
+  * (squares are ≥ +0.0, so the 0.0 init is bitwise-neutral). Ties in
+  * [[encode]] keep the LOWEST code (strict `<` scan), matching
+  * `ORDER BY d, code`.
+  */
+class PqCoder(seeds: Array[Array[Float]], m: Int) extends Serializable {
+  private val ksub = seeds.length
+  private val dsub = seeds(0).length / m
+  require(dsub * m == seeds(0).length,
+    s"pq: dim ${seeds(0).length} not divisible by m=$m")
+
+  private def subDist(v: ArrayData, k: Int, mm: Int): Double = {
+    val base = mm * dsub
+    val s = seeds(k)
+    var acc = 0.0
+    var d = 0
+    while (d < dsub) {
+      val diff = v.getFloat(base + d).toDouble - s(base + d).toDouble
+      acc += diff * diff
+      d += 1
+    }
+    acc
+  }
+
+  /** vector → m argmin-L2 codes (one per subspace), ties to lower code. */
+  def encode(v: ArrayData): ArrayData = {
+    val out = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bd = subDist(v, 0, mm)
+      var k = 1
+      while (k < ksub) {
+        val d = subDist(v, k, mm)
+        if (d < bd) { bd = d; best = k }
+        k += 1
+      }
+      out(mm) = best
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** query vector → flat m·ksub ADC distance table, layout mm·ksub+k.
+    * Computed ONCE per query row; every candidate's approximate distance
+    * is then m array lookups ([[PqKernels.adc]]) — the whole point of
+    * ADC: scoring never touches the original vectors again.
+    */
+  def dtable(v: ArrayData): ArrayData = {
+    val out = new Array[Double](m * ksub)
+    var mm = 0
+    while (mm < m) {
+      var k = 0
+      while (k < ksub) { out(mm * ksub + k) = subDist(v, k, mm); k += 1 }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+object PqKernels {
+  /** Asymmetric distance: Σ_mm dtable[mm·ksub + codes[mm]] in mm order
+    * (sequential — the oracle's `sum(d ORDER BY m)`). ksub is implied by
+    * the two lengths.
+    */
+  def adc(codes: ArrayData, dt: ArrayData): Double = {
+    val m = codes.numElements()
+    val ksub = dt.numElements() / m
+    var acc = 0.0
+    var mm = 0
+    while (mm < m) { acc += dt.getDouble(mm * ksub + codes.getInt(mm)); mm += 1 }
+    acc
+  }
+}
+
+/** Shared shape for the two PQ preprocessing kernels: (array<float> vec,
+  * foldable array<array<float>> seed matrix) → array, with the coder
+  * built once per executor from the literal.
+  */
+abstract class PqSeededExpression extends BinaryExpression {
+  def vec: Expression
+  def seeds: Expression
+  def m: Int
+  override def left: Expression = vec
+  override def right: Expression = seeds
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, seeds.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) if seeds.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, foldable array<array<float>>), got " +
+        s"(${vec.dataType.simpleString}, ${seeds.dataType.simpleString})")
+  }
+
+  @transient protected lazy val coder: PqCoder = {
+    val ad = seeds.eval(null).asInstanceOf[ArrayData]
+    new PqCoder(Array.tabulate(ad.numElements())(i => ad.getArray(i).toFloatArray()), m)
+  }
+  protected def call: String // method on PqCoder
+
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    call match {
+      case "encode" => coder.encode(v.asInstanceOf[ArrayData])
+      case _ => coder.dtable(v.asInstanceOf[ArrayData])
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCoder", coder, classOf[PqCoder].getName)
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.$call($v);")
+  }
+}
+
+/** `pq_encode(vec, seeds, m)` — the vector's m subspace codes (the PQ
+  * INDEX payload: m small ints replace dim floats — at ksub=256 that is
+  * m bytes/vector, the 100 TB memory-bound ANN economics).
+  */
+case class PqEncode(vec: Expression, seeds: Expression, m: Int)
+    extends PqSeededExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def call = "encode"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(vec = l, seeds = r)
+  override def prettyName: String = "pq_encode"
+}
+
+/** `pq_dtable(vec, seeds, m)` — the query-side flat ADC distance table. */
+case class PqDtable(vec: Expression, seeds: Expression, m: Int)
+    extends PqSeededExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def call = "dtable"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(vec = l, seeds = r)
+  override def prettyName: String = "pq_dtable"
+}
+
+/** `pq_adc(codes, dtable)` — approximate squared-L2 distance from codes
+  * alone (m lookups, no vector access).
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc expects (array<int>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(c: Any, d: Any): Any =
+    PqKernels.adc(c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) =>
+      s"${ev.value} = graft.functions.PqKernels.adc($c, $d);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc"
+}
+
 /** Session registration + typed Column API. */
 object VectorFunctions {
   private def litInt(e: Expression): Int = e.eval(null) match {
@@ -187,10 +358,18 @@ object VectorFunctions {
     Registration.ifAbsent(spark, "cosine_sim")(es => CosineSimilarity(es(0), es(1)))
     Registration.ifAbsent(spark, "inner_product")(es => InnerProduct(es(0), es(1)))
     Registration.ifAbsent(spark, "ivf_route")(es => IvfRoute(es(0), es(1), litInt(es(2))))
+    Registration.ifAbsent(spark, "pq_encode")(es => PqEncode(es(0), es(1), litInt(es(2))))
+    Registration.ifAbsent(spark, "pq_dtable")(es => PqDtable(es(0), es(1), litInt(es(2))))
+    Registration.ifAbsent(spark, "pq_adc")(es => PqAdc(es(0), es(1)))
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def innerProduct(a: Column, b: Column): Column = call_function("inner_product", a, b)
   def ivfRoute(vec: Column, cents: Column, nProbe: Int): Column =
     call_function("ivf_route", vec, cents, org.apache.spark.sql.functions.lit(nProbe))
+  def pqEncode(vec: Column, seeds: Column, m: Int): Column =
+    call_function("pq_encode", vec, seeds, org.apache.spark.sql.functions.lit(m))
+  def pqDtable(vec: Column, seeds: Column, m: Int): Column =
+    call_function("pq_dtable", vec, seeds, org.apache.spark.sql.functions.lit(m))
+  def pqAdc(codes: Column, dtable: Column): Column = call_function("pq_adc", codes, dtable)
 }

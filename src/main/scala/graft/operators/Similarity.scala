@@ -261,6 +261,91 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization ANN (the memory-bound 100 TB index shape):
+    * vectors are ENCODED once into m small subspace codes (the index is
+    * m ints/vector — at the classic ksub=256 that is m bytes, a
+    * 64×float → 4-byte, ~64× storage cut), and query-time scoring is
+    * asymmetric distance computation: one m·ksub distance table per
+    * query, then m array lookups per candidate — candidates' original
+    * vectors are NEVER read at query time. Everything stays in one
+    * whole-stage-codegen map over the codes table; the only shuffle is
+    * the |Q|·k bounded-heap finish shared with every other ANN path.
+    *
+    * Determinism for the oracle: the codebook is seeded — subspace mm's
+    * entry k is the mm-th slice of the k-th LOWEST-ID corpus vector
+    * (the [[ivfIndex]] trick applied per subspace), encoding argmin
+    * ties to the lower code, ADC sums subspaces in order, ranking ties
+    * to the lower cid — so DuckDB can replay codebook, codes, distance
+    * tables, and ranking exactly (`sim_topk_pq`'s oracle does).
+    *
+    * Build-time actions: one ksub-row collect for the seed matrix (the
+    * trained-quantizer state, same caveat as [[ivfKnnJoinSeeded]]).
+    */
+  def pqTopKSeeded(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 16): DataFrame = {
+    val (seeds, codes) = pqIndex(candidates, m, ksub)
+    pqTopKViaCodes(seeds, codes, queries, k, m)
+  }
+
+  /** The PQ INDEX as persistable artifacts: `seeds` = (code, vec) — the
+    * ksub seed vectors whose slices are the per-subspace codebooks (the
+    * quantizer model a serving tier versions and stores) — and `codes` =
+    * (cid, codes array<int>) — m codes per corpus vector, the entire
+    * per-vector state query-time ADC needs. Encoding is the one
+    * corpus-sized pass (a narrow codegen map inside the scan, no
+    * shuffle); `sim_index_pq` round-trips both through parquet and
+    * proves probe-from-index ≡ recompute by sharing `sim_topk_pq`'s
+    * oracle.
+    */
+  def pqIndex(
+      candidates: DataFrame, // (cid, cvec)
+      m: Int,
+      ksub: Int): (DataFrame, DataFrame) = {
+    VectorFunctions.register(candidates.sparkSession)
+    val seeds = candidates.orderBy(col("cid")).limit(ksub)
+      .select(col("cid").as("code"), col("cvec").as("vec"))
+    val mat = seedMatrix(seeds)
+    val codes = candidates.select(col("cid"),
+      VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes"))
+    (seeds, codes)
+  }
+
+  /** Serving-time ADC over a stored codes table: per query batch, one
+    * m·ksub distance table per query (|Q|·ksub·dim flops, corpus-free),
+    * broadcast against the codes scan, scored by [[graft.functions.PqAdc]]
+    * lookups, ranked by the bounded heap (distance asc ⇒ heap on −dist;
+    * ties to lower cid). The `seeds` table is the stored quantizer —
+    * ksub rows, collected here exactly as a serving tier loads its
+    * model checkpoint.
+    */
+  def pqTopKViaCodes(
+      seeds: DataFrame, // (code, vec) from pqIndex, possibly parquet-read
+      codes: DataFrame, // (cid, codes) from pqIndex, possibly parquet-read
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      m: Int): DataFrame = {
+    VectorFunctions.register(codes.sparkSession)
+    val mat = seedMatrix(seeds)
+    val dts = queries.select(col("qid"),
+      VectorFunctions.pqDtable(col("qvec"), mat, m).as("dt"))
+    val scored = codes.join(broadcast(dts), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (-VectorFunctions.pqAdc(col("codes"), col("dt"))).as("sim"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("sim")).as("dist"), col("rank"))
+  }
+
+  /** (code, vec) rows → foldable array<array<float>> ordered by code. */
+  private def seedMatrix(seeds: DataFrame): Column = {
+    val rows = seeds.orderBy(col("code")).collect()
+    typedlit(rows.map(_.getSeq[Float](1).toSeq).toSeq)
+  }
+
   /** Corpus×corpus k-NN JOIN via the same seeded IVF quantizer as
     * [[ivfTopKSeeded]]: every vector gets its top-k neighbors from the
     * whole corpus. The search variants broadcast the (small) query set;

@@ -92,6 +92,42 @@ object PipelineQueries extends QueryModule {
         SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
 
+  /** Oracle for the PQ-ADC top-k: replays the seeded codebook (slices of
+    * the 16 lowest-id vectors), per-subspace argmin-L2 encoding (ties →
+    * lower code), the query-side distance tables, the ordered subspace
+    * sum, and (dist asc, cid asc) ranking. Numeric twin of
+    * [[graft.functions.PqCoder]]: subspace distances fold
+    * (v[d]−c[d])·(v[d]−c[d]) left-to-right via `list_reduce` (bitwise ≡
+    * the kernel's sequential loop), and the ADC total is `sum(d ORDER BY
+    * m)` ≡ the kernel's mm-order accumulation. Shared verbatim by
+    * `sim_topk_pq` (recompute) and `sim_index_pq` (persisted codes) —
+    * the driver proves probe ≡ recompute every round.
+    */
+  private val sqlPqTopk =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cb AS (SELECT vec_id AS code, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+        ms AS (SELECT unnest(range(4)) AS m),
+        sub AS (SELECT x.vec_id, ms.m, cb.code,
+            list_reduce(list_transform(range(1, 17), i ->
+                (x.e[ms.m * 16 + i] - cb.ce[ms.m * 16 + i])
+                  * (x.e[ms.m * 16 + i] - cb.ce[ms.m * 16 + i])),
+              (acc, t) -> acc + t) AS d
+          FROM v x CROSS JOIN cb CROSS JOIN ms),
+        enc AS (SELECT vec_id AS cid, m, code FROM (
+            SELECT vec_id, m, code,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        qdt AS (SELECT vec_id AS qid, m, code, d FROM sub WHERE vec_id < 10),
+        scored AS (SELECT q.qid, c.cid, sum(q.d ORDER BY q.m) AS dist
+          FROM enc c JOIN qdt q ON c.m = q.m AND c.code = q.code
+          WHERE q.qid <> c.cid
+          GROUP BY q.qid, c.cid),
+        r AS (SELECT qid, cid, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+          FROM scored)
+        SELECT qid AS query_id, cid AS neighbor_id, dist, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
+
   /** DuckDB fragment: distinct word-3-gram shingles of lower-cased text —
     * the exact twin of [[graft.functions.TextFunctions.shingles]].
     */
@@ -777,6 +813,55 @@ object PipelineQueries extends QueryModule {
           .orderBy("id")
       },
       Some("SELECT vec_id AS id, true AS cell_equal FROM embeddings ORDER BY vec_id")),
+
+    // ── PQ-ADC ANN (recompute form): the MEMORY-BOUND index shape —
+    //    vectors encode once into m=4 subspace codes (argmin-L2 against
+    //    a seeded per-subspace codebook = slices of the 16 lowest-id
+    //    vectors), and query scoring is m table lookups per candidate
+    //    off a per-query distance table; candidate VECTORS are never
+    //    read at query time. Fully deterministic (seeded codebook,
+    //    ties → lower code / lower cid, ordered subspace sums), so the
+    //    oracle replays codebook, encoding, distance tables, and
+    //    ranking bit-for-bit. ──────────────────────────────────────────
+    QueryDef("sim_topk_pq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.pqTopKSeeded(queries, candidates, k = 5, m = 4, ksub = 16)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlPqTopk)),
+
+    // ── PQ index round-trip: seeds (the stored quantizer model, ksub
+    //    rows) + codes (m ints/vector — the ~m-bytes-per-vector index
+    //    economics at ksub=256) persist to parquet and serve the probe
+    //    with NO access to the original vectors. Same params and pure
+    //    functions as sim_topk_pq ⇒ shares its oracle verbatim, so the
+    //    driver proves probe-from-stored-index ≡ recompute every round
+    //    (the PQ twin of sim_index_probe). ─────────────────────────────
+    QueryDef("sim_index_pq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val root = scratchDir("pq", dir)
+        val (seeds, codes) = Similarity.pqIndex(candidates, m = 4, ksub = 16)
+        seeds.write.mode("overwrite").parquet(root + "/seeds")
+        codes.write.mode("overwrite").parquet(root + "/codes")
+        Similarity.pqTopKViaCodes(
+            s.read.parquet(root + "/seeds"),
+            s.read.parquet(root + "/codes"),
+            queries, k = 5, m = 4)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlPqTopk)),
 
     // ── k-NN JOIN (corpus×corpus, every vector gets top-k neighbors):
     //    the search queries above broadcast a small query set; here both
@@ -1693,6 +1778,76 @@ object PipelineQueries extends QueryModule {
           FROM tf t JOIN dfreq d ON t.term = d.term)
         SELECT doc_id, rnk, term, tf, df FROM ranked WHERE rnk <= 3
         ORDER BY doc_id, rnk""")),
+
+    // ── BM25 retrieval scoring against a literal query-term set (the
+    //    decontamination / targeted-curation search shape): per-doc term
+    //    frequencies and length come from ONE in-scan pass over the token
+    //    array (size(filter(...)) per literal term — no explode, no
+    //    per-token shuffle), corpus stats (N, Σdl, per-term df) are one
+    //    broadcast 1-row aggregate, and the score is a closed-form
+    //    projection + TakeOrdered(10) — two linear scans total, nothing
+    //    corpus-sized shuffles, no window. Term contributions add in
+    //    FIXED literal order (absent term ⇒ exactly +0.0) and every
+    //    arithmetic step is parenthesized identically in the oracle.
+    //    The lucene-style idf keeps its canonical ln((N−df+0.5)/
+    //    (df+0.5)+1) — but DuckDB's ln is NOT correctly rounded
+    //    (measured 1 ulp off Java's Math.log), so the emitted/ranked
+    //    value is floor(score·1e9) AS BIGINT: both engines rank and
+    //    output the same integer unless the 1–2 ulp ln drift crosses a
+    //    1e-9 boundary (~1e-7 odds per value). k1=1.2, b=0.75. ──────────────────────────────────────
+    QueryDef("text_bm25_search",
+      (s, dir) => {
+        val qterms = Seq("spark", "stream", "vector")
+        val docs = Tables.load(s, dir, "documents")
+        val perDoc = docs.select(col("doc_id") +: size(tokens(col("text"))).as("dl") +:
+          qterms.map(t =>
+            size(filter(tokens(col("text")), x => x === lit(t))).as(s"tf_$t")): _*)
+        val stats = perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl") +:
+            qterms.map(t =>
+              sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        def w(t: String): org.apache.spark.sql.Column = {
+          val tf = col(s"tf_$t"); val dfq = col(s"df_$t")
+          val idf = log((col("n_docs") - dfq + lit(0.5)) / (dfq + lit(0.5)) + lit(1.0))
+          val norm = lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+          idf * ((tf * lit(2.2)) / (tf + norm))
+        }
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            qterms.map(t => (col(s"tf_$t") > 0).cast("int")).reduce(_ + _).as("n_terms"),
+            floor(qterms.map(w).reduce(_ + _) * lit(1.0e9)).as("score_e9"))
+          .filter(col("n_terms") > 0)
+          .orderBy(col("score_e9").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS tf_spark,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'stream')) AS tf_stream,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'vector')) AS tf_vector
+          FROM documents),
+        st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+            CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+            CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream,
+            CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+          FROM d),
+        sc AS (SELECT doc_id,
+            CAST(tf_spark > 0 AS INTEGER) + CAST(tf_stream > 0 AS INTEGER)
+              + CAST(tf_vector > 0 AS INTEGER) AS n_terms,
+            (ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                * ((tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))
+              + (ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+                * ((tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))
+              + (ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+                * ((tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))
+              AS score
+          FROM d CROSS JOIN st)
+        SELECT doc_id, n_terms,
+          CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
+        FROM sc WHERE n_terms > 0
+        ORDER BY score_e9 DESC, doc_id LIMIT 10""")),
 
     // ── end-to-end corpus curation: quality filter → exact dedup
     //    (canonical kept) → deterministic train/test split — the whole

@@ -161,6 +161,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  /** PQ is a pure function of the data (seeded codebook = slices of the
+    * lowest-ksub-id vectors, argmin-L2 encoding with ties to the lower
+    * code, ordered ADC sums, dist-asc/cid-asc ranking) — replay it
+    * driver-side and demand equality, the argument `sim_topk_pq`'s
+    * DuckDB oracle rests on.
+    */
+  test("pqTopKSeeded equals a driver-side replay of the deterministic algorithm") {
+    val (m, ksub, k) = (4, 16, 5)
+    val got = Similarity.pqTopKSeeded(asQ(emb.filter($"vec_id" < 10)), asC(emb), k, m, ksub)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val dsub = vecs.head._2.length / m
+    val seeds = vecs.take(ksub).map(_._2)
+    def subDist(v: Array[Float], s: Array[Float], mm: Int): Double = {
+      var acc = 0.0
+      for (d <- 0 until dsub) {
+        val diff = v(mm * dsub + d).toDouble - s(mm * dsub + d).toDouble
+        acc += diff * diff
+      }
+      acc
+    }
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(m) { mm =>
+      var best = 0; var bd = subDist(v, seeds(0), mm)
+      for (kk <- 1 until ksub) {
+        val d = subDist(v, seeds(kk), mm)
+        if (d < bd) { bd = d; best = kk }
+      }
+      best
+    }
+    val codes = vecs.map { case (id, v) => id -> encode(v) }.toMap
+    for ((q, qv) <- vecs if q < 10) {
+      val expect = vecs.filter(_._1 != q).map { case (c, _) =>
+        val cd = codes(c)
+        var dist = 0.0
+        for (mm <- 0 until m) dist += subDist(qv, seeds(cd(mm)), mm)
+        (c, dist)
+      }.sortBy { case (c, d) => (d, c) }.take(k).toSeq
+      assert(got(q) == expect, s"query $q")
+    }
+  }
+
+  test("pqTopKViaCodes through a parquet round-trip equals the recompute form") {
+    // The persisted-codes serving path (stored quantizer + stored codes,
+    // no vector access at probe time) must be output-identical to
+    // pqTopKSeeded — the argument sim_index_pq's shared oracle rests on.
+    val (m, ksub, k) = (4, 16, 5)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_spec").toString
+    val (seeds, codes) = Similarity.pqIndex(asC(emb), m, ksub)
+    seeds.write.mode("overwrite").parquet(root + "/seeds")
+    codes.write.mode("overwrite").parquet(root + "/codes")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaIndex = key(Similarity.pqTopKViaCodes(
+      spark.read.parquet(root + "/seeds"),
+      spark.read.parquet(root + "/codes"),
+      asQ(emb.filter($"vec_id" < 10)), k, m)
+      .withColumn("rank", $"rank".cast("int")))
+    val recompute = key(Similarity.pqTopKSeeded(
+      asQ(emb.filter($"vec_id" < 10)), asC(emb), k, m, ksub)
+      .withColumn("rank", $"rank".cast("int")))
+    assert(viaIndex == recompute)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("ivfIndexRotate: appended assignments equal a from-scratch rebuild") {
     // Frozen-quantizer rotation: incoming ids sit above the seed range,
     // so the stored centroid set equals the union's seed pick and
