@@ -340,6 +340,70 @@ object Similarity {
         (-col("sim")).as("dist"), col("rank"))
   }
 
+  /** IVF-PQ — the two indexes composed, i.e. the standard shape a
+    * billion-vector serving tier actually runs: the coarse (IVF)
+    * quantizer prunes the corpus to nProbe cells per query, and PQ-ADC
+    * scores the survivors from codes alone. Per query batch:
+    * |Q|×|C| routing + one m·ksub distance table per query + m lookups
+    * per probed candidate — neither the corpus vectors nor the
+    * unprobed cells are touched. All four index artifacts (centroids,
+    * assignments, seeds, codes) are the persistable tables of
+    * [[ivfIndex]]/[[pqIndex]]; probe routing keeps the cosine coarse
+    * metric (shared with every IVF path here) while ADC is L2 — the
+    * conventional IVFPQ split. Deterministic end to end, so
+    * `sim_topk_ivfpq`'s oracle replays both quantizers and the fused
+    * scoring exactly.
+    */
+  def ivfPqTopKSeeded(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      numCentroids: Int,
+      nProbe: Int,
+      m: Int,
+      ksub: Int): DataFrame = {
+    val (centroids, assignments) = ivfIndex(candidates, numCentroids)
+    val (seeds, codes) = pqIndex(candidates, m, ksub)
+    ivfPqViaIndex(centroids, assignments, seeds, codes, queries, k, nProbe, m)
+  }
+
+  /** Serving-time fused probe: stored IVF tables route, stored PQ codes
+    * score. The assignments⋈codes join is the index-build-time
+    * co-location (at scale the two columns live in ONE index table
+    * keyed by cid, written together at ingest); the query side stays a
+    * broadcast of |Q|·nProbe probe rows carrying each query's distance
+    * table.
+    */
+  def ivfPqViaIndex(
+      centroids: DataFrame, // (cell_id, centroid) from ivfIndex
+      assignments: DataFrame, // (cid, cell) from ivfIndex
+      seeds: DataFrame, // (code, vec) from pqIndex
+      codes: DataFrame, // (cid, codes) from pqIndex
+      queries: DataFrame, // (qid, qvec)
+      k: Int,
+      nProbe: Int,
+      m: Int): DataFrame = {
+    VectorFunctions.register(codes.sparkSession)
+    val mat = seedMatrix(seeds)
+    val dts = queries.select(col("qid"),
+      VectorFunctions.pqDtable(col("qvec"), mat, m).as("dt"))
+    val qProbes = rankTopK(
+        queries.crossJoin(broadcast(centroids))
+          .select(col("qid"), col("cell_id").as("cid"),
+            VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("sim")),
+        nProbe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
+      .join(dts, "qid")
+    val cIndexed = assignments.join(codes, "cid")
+    val scored = cIndexed.join(broadcast(qProbes),
+        cIndexed("cell") === qProbes("cell") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (-VectorFunctions.pqAdc(col("codes"), col("dt"))).as("sim"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("sim")).as("dist"), col("rank"))
+  }
+
   /** (code, vec) rows → foldable array<array<float>> ordered by code. */
   private def seedMatrix(seeds: DataFrame): Column = {
     val rows = seeds.orderBy(col("code")).collect()

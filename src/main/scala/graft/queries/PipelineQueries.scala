@@ -863,6 +863,62 @@ object PipelineQueries extends QueryModule {
       },
       Some(sqlPqTopk)),
 
+    // ── IVF-PQ fused (the billion-vector serving standard): coarse
+    //    quantizer prunes to 24 of 64 cells per query, PQ-ADC scores
+    //    the probed cells' members from codes alone — unprobed cells
+    //    and ALL original candidate vectors untouched at query time.
+    //    Same seeded quantizers as sim_topk_ivf + sim_topk_pq; the
+    //    oracle replays both and the fused scoring. ────────────────────
+    QueryDef("sim_topk_ivfpq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.ivfPqTopKSeeded(queries, candidates, k = 5,
+            numCentroids = 64, nProbe = 24, m = 4, ksub = 16)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
+        cb AS (SELECT vec_id AS code, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+        ms AS (SELECT unnest(range(4)) AS m),
+        sub AS (SELECT x.vec_id, ms.m, cb.code,
+            list_reduce(list_transform(range(1, 17), i ->
+                (x.e[ms.m * 16 + i] - cb.ce[ms.m * 16 + i])
+                  * (x.e[ms.m * 16 + i] - cb.ce[ms.m * 16 + i])),
+              (acc, t) -> acc + t) AS d
+          FROM v x CROSS JOIN cb CROSS JOIN ms),
+        enc AS (SELECT vec_id AS cid, m, code FROM (
+            SELECT vec_id, m, code,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        qdt AS (SELECT vec_id AS qid, m, code, d FROM sub WHERE vec_id < 10),
+        scored AS (SELECT p.qid, a.vec_id AS cid, sum(q.d ORDER BY q.m) AS dist
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN enc c ON c.cid = a.vec_id
+          JOIN qdt q ON q.qid = p.qid AND q.m = c.m AND q.code = c.code
+          WHERE p.qid <> a.vec_id
+          GROUP BY p.qid, a.vec_id),
+        r AS (SELECT qid, cid, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+          FROM scored)
+        SELECT qid AS query_id, cid AS neighbor_id, dist, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
+
     // ── k-NN JOIN (corpus×corpus, every vector gets top-k neighbors):
     //    the search queries above broadcast a small query set; here both
     //    sides are the corpus, so probe and assignment meet in a SHUFFLE
@@ -1848,6 +1904,85 @@ object PipelineQueries extends QueryModule {
           CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
         FROM sc WHERE n_terms > 0
         ORDER BY score_e9 DESC, doc_id LIMIT 10""")),
+
+    // ── bigram LM fluency scoring with stupid backoff (the CCNet-style
+    //    perplexity-filter shape, transcendental-free): a reference LM
+    //    (unigram + bigram counts, the two LM-training shuffles) trains
+    //    on 3/4 of the corpus (doc_id % 4 ≠ 0 — scale-invariant split)
+    //    and scores the held-out quarter: per bigram S(w2|w1) =
+    //    c(w1w2)/c(w1) if the bigram was seen, else 0.4·(c(w2)/N); doc
+    //    score = mean S. All arithmetic is ratios of exact integer
+    //    counts — no ln — and the per-doc sum folds in POSITION order
+    //    (sort_array(collect_list) + sequential aggregate ≡ DuckDB's
+    //    list(sv ORDER BY pos) + list_reduce), so doubles match
+    //    bitwise. Count tables join the held-out bigrams by key —
+    //    hash-shuffle joins, vocabulary-sized sides, nothing
+    //    corpus-quadratic. ─────────────────────────────────────────────
+    QueryDef("text_lm_score",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val train = docs.filter(col("doc_id") % 4 =!= 0)
+        val held = docs.filter(col("doc_id") % 4 === 0)
+          .filter(size(col("toks")) >= 2)
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(i.as("pos"),
+              element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.pos").as("pos"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val trainToks = train.select(explode(col("toks")).as("w"))
+        val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c_w"))
+        val nTot = trainToks.agg(count(lit(1)).as("n_tokens"))
+        val bi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+        val sval = bigrams(held)
+          .join(bi, Seq("w1", "w2"), "left")
+          .join(uni.select(col("w").as("w1"), col("c_w").as("c_w1")), Seq("w1"), "left")
+          .join(uni.select(col("w").as("w2"), col("c_w").as("c_w2")), Seq("w2"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("doc_id"), col("pos"),
+            when(col("c_bg").isNotNull, col("c_bg") / col("c_w1"))
+              .otherwise(lit(0.4) * (coalesce(col("c_w2"), lit(0L)) / col("n_tokens")))
+              .as("sv"))
+        sval.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            aggregate(sort_array(collect_list(struct(col("pos"), col("sv")))),
+              lit(0.0), (acc, x) => acc + x.getField("sv")).as("ssum"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("ssum") / col("n_bigrams")).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        tr AS (SELECT * FROM tt WHERE doc_id % 4 <> 0),
+        sc AS (SELECT * FROM tt WHERE doc_id % 4 = 0 AND len(toks) >= 2),
+        uni AS (SELECT unnest(toks) AS w FROM tr),
+        uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+        nt AS (SELECT count(*) AS n_tokens FROM uni),
+        trb0 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM tr WHERE len(toks) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS c_bg FROM (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM trb0) GROUP BY w1, w2),
+        scb0 AS (SELECT doc_id, toks,
+            unnest(generate_series(1, len(toks) - 1)) AS i FROM sc),
+        scb AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+          FROM scb0),
+        sval AS (SELECT s.doc_id, s.pos,
+            CASE WHEN b.c_bg IS NOT NULL THEN b.c_bg / u1.c_w
+              ELSE 0.4 * (coalesce(u2.c_w, 0) / nt.n_tokens) END AS sv
+          FROM scb s
+          LEFT JOIN bc b ON s.w1 = b.w1 AND s.w2 = b.w2
+          LEFT JOIN uc u1 ON s.w1 = u1.w
+          LEFT JOIN uc u2 ON s.w2 = u2.w
+          CROSS JOIN nt),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            list_reduce(list(sv ORDER BY pos), (a, b) -> a + b) AS ssum
+          FROM sval GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, ssum / n_bigrams AS lm_score
+        FROM agg ORDER BY doc_id""")),
 
     // ── end-to-end corpus curation: quality filter → exact dedup
     //    (canonical kept) → deterministic train/test split — the whole

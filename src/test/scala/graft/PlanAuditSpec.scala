@@ -242,7 +242,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // domain_mix / median / pack_chunks: 1-row broadcast scalar recombine
     // (pack_chunks rebases its data-derived shard bucket on broadcast
     // min/max ids — see the scaladoc at its QueryDef)
-    "pipeline_domain_mix", "agg_median_distributed", "pipeline_pack_chunks")
+    "pipeline_domain_mix", "agg_median_distributed", "pipeline_pack_chunks",
+    // PQ family: |Q|-row broadcast of query distance tables with the
+    // non-equi qid≠cid guard (codes side streams map-only), plus the
+    // same query×centroid routing as topk_ivf in the fused form
+    "sim_topk_pq", "sim_index_pq", "sim_topk_ivfpq",
+    // bm25 / lm_score: 1-row broadcast corpus-stats recombine
+    "text_bm25_search", "text_lm_score")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
