@@ -139,7 +139,8 @@ object Bench {
       "join_asof_nearest", "window_funnel_stages", "text_quality_gopher",
       "agg_bitmap_distinct", "agg_hll_mergeable_bounds", "streaming_late_drop",
       "maintenance_zorder", "streaming_interval_join_outer",
-      "dedup_ingest_loop", "sim_index_probe")
+      "dedup_ingest_loop", "sim_index_probe",
+      "sim_topk_ivfpq", "text_bm25_search", "text_lm_score")
     val byName = results.toMap
     val head = headline.filter(byName.contains).map(n => n -> byName(n))
 

@@ -404,6 +404,31 @@ object Similarity {
         (-col("sim")).as("dist"), col("rank"))
   }
 
+  /** Rotation for the persisted PQ index: encode the incoming batch
+    * against the STORED seed table (the frozen quantizer — ksub rows,
+    * exactly as a serving tier versions its codebook) and append the
+    * new (cid, codes) rows to the codes parquet — an O(batch) narrow
+    * map + file-add, mirroring [[ivfIndexRotate]] and
+    * [[graft.operators.Dedup.rotateIndex]]. `sim_index_pq_rotate`
+    * proves the rotated codes table row-identical to a from-scratch
+    * [[pqIndex]] rebuild over the union — which holds exactly when the
+    * frozen seed set equals the union's seed pick (incoming ids above
+    * the seed-id range; on real drift a production system re-trains and
+    * re-versions the codebook, then re-encodes — the same contract as
+    * the IVF quantizer).
+    */
+  def pqIndexRotate(
+      seeds: DataFrame, // (code, vec), the stored quantizer
+      incoming: DataFrame, // (cid, cvec)
+      codesPath: String,
+      m: Int): Unit = {
+    VectorFunctions.register(incoming.sparkSession)
+    val mat = seedMatrix(seeds)
+    incoming.select(col("cid"),
+        VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes"))
+      .write.mode("append").parquet(codesPath)
+  }
+
   /** (code, vec) rows → foldable array<array<float>> ordered by code. */
   private def seedMatrix(seeds: DataFrame): Column = {
     val rows = seeds.orderBy(col("code")).collect()

@@ -863,6 +863,36 @@ object PipelineQueries extends QueryModule {
       },
       Some(sqlPqTopk)),
 
+    // ── PQ index lifecycle close (the PQ twin of sim_index_rotate):
+    //    index the first 80% of vectors, persist seeds+codes, then
+    //    ROTATE the rest in — encode against the STORED (frozen)
+    //    codebook, append to the codes parquet — and prove rotated
+    //    codes ≡ a from-scratch rebuild over all vectors (valid while
+    //    the frozen seed set equals the union's seed pick; every
+    //    vector must report codes_equal=true). ─────────────────────────
+    QueryDef("sim_index_pq_rotate",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val all = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val nExist = (all.count() * 4L) / 5L
+        val existing = all.filter(col("cid") < nExist)
+        val incoming = all.filter(col("cid") >= nExist)
+        val root = scratchDir("pqrot", dir)
+        val (seeds, codes) = Similarity.pqIndex(existing, m = 4, ksub = 16)
+        seeds.write.mode("overwrite").parquet(root + "/seeds")
+        codes.write.mode("overwrite").parquet(root + "/codes")
+        Similarity.pqIndexRotate(
+          s.read.parquet(root + "/seeds"), incoming, root + "/codes", m = 4)
+        val rotated = s.read.parquet(root + "/codes")
+        val rebuilt = Similarity.pqIndex(all, m = 4, ksub = 16)._2
+        rotated.alias("r").join(rebuilt.alias("b"),
+            col("r.cid") === col("b.cid"), "full_outer")
+          .select(coalesce(col("r.cid"), col("b.cid")).as("id"),
+            (col("r.codes") <=> col("b.codes")).as("codes_equal"))
+          .orderBy("id")
+      },
+      Some("SELECT vec_id AS id, true AS codes_equal FROM embeddings ORDER BY vec_id")),
+
     // ── IVF-PQ fused (the billion-vector serving standard): coarse
     //    quantizer prunes to 24 of 64 cells per query, PQ-ADC scores
     //    the probed cells' members from codes alone — unprobed cells

@@ -373,7 +373,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_pack_chunks", "pipeline_leakage_check", "dedup_incremental",
     "dedup_canonical_quality", "join_bloom_pruned",
     "dedup_signature_index", "dedup_index_rotate", "dedup_index_compact",
-    "dedup_ingest_loop", "sim_index_probe", "sim_index_rotate")
+    "dedup_ingest_loop", "sim_index_probe", "sim_index_rotate",
+    "sim_topk_pq", "sim_index_pq", "sim_topk_ivfpq", "sim_index_pq_rotate",
+    "text_bm25_search", "text_lm_score")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
