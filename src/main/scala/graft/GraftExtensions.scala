@@ -85,6 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("pq_adc", "pq_adc(codes, dtable) - asymmetric PQ distance from codes + query table") {
       es => PqAdc(es(0), es(1))
     }
+    inject("l2_sq", "l2_sq(a, b) - squared euclidean distance of two float vectors") {
+      es => L2Squared(es(0), es(1))
+    }
     inject("vec_fixedpoint_sum", "vec_fixedpoint_sum(vec, scaleBits) - exact element-wise sum of floor(x*2^scaleBits)") {
       es => FixedPointVecSum(es(0), litInt(es(1)))
     }

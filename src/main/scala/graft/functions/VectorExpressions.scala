@@ -45,6 +45,24 @@ object VectorKernels {
     val denom = math.sqrt(nx) * math.sqrt(ny)
     if (denom == 0.0) 0.0 else dot / denom
   }
+
+  /** squared L2 distance, Σ (x_i−y_i)·(x_i−y_i) accumulated sequentially
+    * in index order — the DuckDB twin is a `list_reduce(list_transform(
+    * ...), (a,b) -> a+b)` fold (NOT `list_distance`, whose accumulation
+    * order is not contractual), matching [[graft.functions.PqCoder]]'s
+    * subspace arithmetic bit-for-bit.
+    */
+  def l2sq(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 abstract class VectorBinaryExpression extends BinaryExpression {
@@ -88,6 +106,16 @@ case class InnerProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "inner_product"
+}
+
+case class L2Squared(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel = "graft.functions.VectorKernels.l2sq"
+  override protected def evalKernel(x: ArrayData, y: ArrayData): Double =
+    VectorKernels.l2sq(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_sq"
 }
 
 /** The IVF routing step as a per-row kernel: cosine against every
@@ -361,10 +389,12 @@ object VectorFunctions {
     Registration.ifAbsent(spark, "pq_encode")(es => PqEncode(es(0), es(1), litInt(es(2))))
     Registration.ifAbsent(spark, "pq_dtable")(es => PqDtable(es(0), es(1), litInt(es(2))))
     Registration.ifAbsent(spark, "pq_adc")(es => PqAdc(es(0), es(1)))
+    Registration.ifAbsent(spark, "l2_sq")(es => L2Squared(es(0), es(1)))
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def innerProduct(a: Column, b: Column): Column = call_function("inner_product", a, b)
+  def l2Sq(a: Column, b: Column): Column = call_function("l2_sq", a, b)
   def ivfRoute(vec: Column, cents: Column, nProbe: Int): Column =
     call_function("ivf_route", vec, cents, org.apache.spark.sql.functions.lit(nProbe))
   def pqEncode(vec: Column, seeds: Column, m: Int): Column =

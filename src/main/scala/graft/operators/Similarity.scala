@@ -291,6 +291,33 @@ object Similarity {
     pqTopKViaCodes(seeds, codes, queries, k, m)
   }
 
+  /** Deterministic seed-vector pick for the PQ codebook, collected to the
+    * driver (ksub rows — the trained-quantizer state). Two orders:
+    *  - `spread = true` (the search queries): ksub smallest by
+    *    (md5(cid), cid) — a pseudo-random but replayable spread over the
+    *    corpus, so when ids correlate with clusters the codebook still
+    *    covers them (lowest-id seeding measured 0.505 recall@5 on
+    *    20-cluster data because 16 lowest ids hit 2 clusters; md5 spread
+    *    recovers the coverage). TakeOrdered — no global sort.
+    *  - `spread = false` (the rotate proof): ksub lowest ids — PREFIX-
+    *    STABLE, i.e. the pick over the first 80% equals the pick over
+    *    the union whenever incoming ids sit above the seed range, which
+    *    is exactly what makes `sim_index_pq_rotate`'s from-scratch-
+    *    rebuild comparison valid (an md5 pick has no such stability: any
+    *    incoming vector can hash into the top-ksub).
+    * The returned `code` is the 0-based POSITION in the chosen order —
+    * stored explicitly so a parquet round-trip preserves matrix order.
+    */
+  private def pqSeedRows(candidates: DataFrame, ksub: Int, spread: Boolean)
+      : Array[(Int, Seq[Float])] = {
+    val ordered =
+      if (spread)
+        candidates.orderBy(md5(col("cid").cast("string")), col("cid"))
+      else candidates.orderBy(col("cid"))
+    ordered.limit(ksub).select(col("cvec")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0)) }
+  }
+
   /** The PQ INDEX as persistable artifacts: `seeds` = (code, vec) — the
     * ksub seed vectors whose slices are the per-subspace codebooks (the
     * quantizer model a serving tier versions and stores) — and `codes` =
@@ -304,11 +331,14 @@ object Similarity {
   def pqIndex(
       candidates: DataFrame, // (cid, cvec)
       m: Int,
-      ksub: Int): (DataFrame, DataFrame) = {
-    VectorFunctions.register(candidates.sparkSession)
-    val seeds = candidates.orderBy(col("cid")).limit(ksub)
-      .select(col("cid").as("code"), col("cvec").as("vec"))
-    val mat = seedMatrix(seeds)
+      ksub: Int,
+      spread: Boolean = true): (DataFrame, DataFrame) = {
+    val s = candidates.sparkSession
+    VectorFunctions.register(s)
+    val picked = pqSeedRows(candidates, ksub, spread)
+    import s.implicits._
+    val seeds = picked.toSeq.toDF("code", "vec")
+    val mat = typedlit(picked.map(_._2).toSeq)
     val codes = candidates.select(col("cid"),
       VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes"))
     (seeds, codes)
@@ -402,6 +432,134 @@ object Similarity {
     rankTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("sim")).as("dist"), col("rank"))
+  }
+
+  /** PQ shortlist + exact re-rank — the standard two-stage that fixes
+    * ADC's inherent resolution limit: quantization collapses near-ties
+    * (same-cluster siblings land on the same codewords, measured
+    * 0.585–0.73 direct-ADC recall@5 on clustered data regardless of
+    * codebook size/training), but a `rerank`-deep ADC shortlist almost
+    * always CONTAINS the true top-k, and re-scoring just those
+    * candidates with exact L2 restores it. Cost shape: the corpus pays
+    * codes-only ADC (the memory-bound scan); exact distances touch only
+    * |Q|·rerank fetched vectors — the two-stage every production PQ
+    * deployment runs.
+    *
+    * Deterministic end to end (seeded codebook, ADC ties → lower cid at
+    * the shortlist cut, exact-L2 ties → lower cid at the final cut), so
+    * `sim_topk_pq_rerank`'s oracle replays shortlist and re-rank
+    * exactly.
+    */
+  def pqTopKRerank(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      rerank: Int = 50,
+      m: Int = 4,
+      ksub: Int = 16): DataFrame = {
+    val (seeds, codes) = pqIndex(candidates, m, ksub)
+    val shortlist = pqTopKViaCodes(seeds, codes, queries, rerank, m)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+    val exact = shortlist
+      .join(queries, "qid")
+      .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
+        (-VectorFunctions.l2Sq(col("qvec"), col("cvec"))).as("sim"))
+    rankTopK(exact, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("sim")).as("dist"), col("rank"))
+  }
+
+  /** TRAINED product-quantization codebooks — the production-quality
+    * path, mirroring how [[ivfTopK]] (KMeans-trained) relates to
+    * [[ivfTopKSeeded]]: the seeded form buys oracle-exactness, this
+    * form buys recall (measured on clustered data in SimilaritySpec:
+    * seeded 0.585 recall@5 → trained substantially higher — the
+    * codebook actually fits the data instead of sampling it).
+    *
+    * Training is the standard sample-based Lloyd: a deterministic
+    * md5-spread sample of `sampleN` vectors (TakeOrdered — no global
+    * sort; FAISS trains PQ the same way, on an in-memory sample) is
+    * collected to the driver and each subspace's ksub-entry codebook is
+    * refined for `iters` iterations (argmin-L2 assignment, ties to the
+    * lower code; empty cells keep their centroid; means in double,
+    * stored as float). Deterministic end to end — same sample, same
+    * arithmetic order — just not replayed by an external-SQL oracle;
+    * SimilaritySpec pins its recall and its determinism instead.
+    *
+    * The returned seeds table has the [[pqIndex]] artifact shape:
+    * seed vector k = concat over subspaces of codeword k, so
+    * [[pqTopKViaCodes]], [[pqIndexRotate]] and the persisted-index
+    * round-trip all work unchanged on a trained codebook.
+    */
+  def pqIndexTrained(
+      candidates: DataFrame, // (cid, cvec)
+      m: Int,
+      ksub: Int,
+      sampleN: Int = 1024,
+      iters: Int = 8): (DataFrame, DataFrame) = {
+    val s = candidates.sparkSession
+    VectorFunctions.register(s)
+    val sample = candidates
+      .orderBy(md5(col("cid").cast("string")), col("cid")).limit(sampleN)
+      .select(col("cvec")).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqIndexTrained: empty training sample")
+    val dim = sample.head.length
+    val dsub = dim / m
+    require(dsub * m == dim, s"pq: dim $dim not divisible by m=$m")
+    // per-subspace Lloyd on the driver sample
+    val books = Array.tabulate(m) { mm =>
+      val base = mm * dsub
+      val pts = sample.map(v => Array.tabulate(dsub)(d => v(base + d).toDouble))
+      var cents = Array.tabulate(math.min(ksub, pts.length))(k => pts(k).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue
+          var k = 0
+          while (k < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = p(i) - cents(k)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = k }
+            k += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(cents.length) { k =>
+          if (counts(k) == 0) cents(k)
+          else Array.tabulate(dsub)(i => sums(k)(i) / counts(k))
+        }
+        it += 1
+      }
+      cents
+    }
+    val nCodes = books.map(_.length).min
+    val picked: Array[(Int, Seq[Float])] = Array.tabulate(nCodes) { k =>
+      (k, (0 until m).flatMap(mm => books(mm)(k).map(_.toFloat)))
+    }
+    import s.implicits._
+    val seeds = picked.toSeq.toDF("code", "vec")
+    val mat = typedlit(picked.map(_._2).toSeq)
+    val codes = candidates.select(col("cid"),
+      VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes"))
+    (seeds, codes)
+  }
+
+  /** ADC top-k over a trained codebook (see [[pqIndexTrained]]). */
+  def pqTopKTrained(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      sampleN: Int = 1024,
+      iters: Int = 8): DataFrame = {
+    val (seeds, codes) = pqIndexTrained(candidates, m, ksub, sampleN, iters)
+    pqTopKViaCodes(seeds, codes, queries, k, m)
   }
 
   /** Rotation for the persisted PQ index: encode the incoming batch

@@ -105,7 +105,10 @@ object PipelineQueries extends QueryModule {
     */
   private val sqlPqTopk =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        cb AS (SELECT vec_id AS code, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+        cb AS (SELECT code, ce FROM (
+            SELECT row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+              e AS ce FROM v) WHERE code < 16),
         ms AS (SELECT unnest(range(4)) AS m),
         sub AS (SELECT x.vec_id, ms.m, cb.code,
             list_reduce(list_transform(range(1, 17), i ->
@@ -863,6 +866,62 @@ object PipelineQueries extends QueryModule {
       },
       Some(sqlPqTopk)),
 
+    // ── PQ shortlist + exact re-rank (the production two-stage): the
+    //    codes-only ADC scan shortlists 50 candidates per query, exact
+    //    L2 re-scores just those 50 — fixing ADC's near-tie resolution
+    //    limit while the corpus still pays only the memory-bound codes
+    //    scan. Shortlist cut and final cut both tie to lower cid; the
+    //    oracle replays both stages. ───────────────────────────────────
+    QueryDef("sim_topk_pq_rerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.pqTopKRerank(queries, candidates, k = 5, rerank = 50,
+            m = 4, ksub = 16)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cb AS (SELECT code, ce FROM (
+            SELECT row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+              e AS ce FROM v) WHERE code < 16),
+        ms AS (SELECT unnest(range(4)) AS m),
+        sub AS (SELECT x.vec_id, ms.m, cb.code,
+            list_reduce(list_transform(range(1, 17), i ->
+                (x.e[ms.m * 16 + i] - cb.ce[ms.m * 16 + i])
+                  * (x.e[ms.m * 16 + i] - cb.ce[ms.m * 16 + i])),
+              (acc, t) -> acc + t) AS d
+          FROM v x CROSS JOIN cb CROSS JOIN ms),
+        enc AS (SELECT vec_id AS cid, m, code FROM (
+            SELECT vec_id, m, code,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+            FROM sub) WHERE rn = 1),
+        qdt AS (SELECT vec_id AS qid, m, code, d FROM sub WHERE vec_id < 10),
+        adc AS (SELECT q.qid, c.cid, sum(q.d ORDER BY q.m) AS adc_dist
+          FROM enc c JOIN qdt q ON c.m = q.m AND c.code = q.code
+          WHERE q.qid <> c.cid
+          GROUP BY q.qid, c.cid),
+        short AS (SELECT qid, cid FROM (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rn
+            FROM adc) WHERE rn <= 50),
+        exact AS (SELECT s.qid, s.cid,
+            list_reduce(list_transform(range(1, 65), i ->
+                (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])),
+              (acc, t) -> acc + t) AS dist
+          FROM short s
+          JOIN v q ON q.vec_id = s.qid
+          JOIN v c ON c.vec_id = s.cid),
+        r AS (SELECT qid, cid, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+          FROM exact)
+        SELECT qid AS query_id, cid AS neighbor_id, dist, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
+
     // ── PQ index lifecycle close (the PQ twin of sim_index_rotate):
     //    index the first 80% of vectors, persist seeds+codes, then
     //    ROTATE the rest in — encode against the STORED (frozen)
@@ -878,13 +937,19 @@ object PipelineQueries extends QueryModule {
         val existing = all.filter(col("cid") < nExist)
         val incoming = all.filter(col("cid") >= nExist)
         val root = scratchDir("pqrot", dir)
-        val (seeds, codes) = Similarity.pqIndex(existing, m = 4, ksub = 16)
+        // spread=false: the lowest-id seed pick is PREFIX-STABLE, which
+        // is what makes the from-scratch-rebuild comparison valid (see
+        // Similarity.pqSeedRows) — the md5-spread pick of the search
+        // queries has no such stability.
+        val (seeds, codes) = Similarity.pqIndex(existing, m = 4, ksub = 16,
+          spread = false)
         seeds.write.mode("overwrite").parquet(root + "/seeds")
         codes.write.mode("overwrite").parquet(root + "/codes")
         Similarity.pqIndexRotate(
           s.read.parquet(root + "/seeds"), incoming, root + "/codes", m = 4)
         val rotated = s.read.parquet(root + "/codes")
-        val rebuilt = Similarity.pqIndex(all, m = 4, ksub = 16)._2
+        val rebuilt = Similarity.pqIndex(all, m = 4, ksub = 16,
+          spread = false)._2
         rotated.alias("r").join(rebuilt.alias("b"),
             col("r.cid") === col("b.cid"), "full_outer")
           .select(coalesce(col("r.cid"), col("b.cid")).as("id"),
@@ -923,7 +988,10 @@ object PipelineQueries extends QueryModule {
               row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
             FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
-        cb AS (SELECT vec_id AS code, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+        cb AS (SELECT code, ce FROM (
+            SELECT row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+              e AS ce FROM v) WHERE code < 16),
         ms AS (SELECT unnest(range(4)) AS m),
         sub AS (SELECT x.vec_id, ms.m, cb.code,
             list_reduce(list_transform(range(1, 17), i ->

@@ -162,4 +162,58 @@ class ScalingSmokeSpec extends AnyFunSuite {
     assert(rLsh >= 0.9, f"sim_topk_lsh recall degraded at sf1: $rLsh%.3f")
     assert(rIvf >= 0.9, f"sim_topk_ivf recall degraded at sf1: $rIvf%.3f")
   }
+
+  test("PQ-ADC recall vs exact-L2 truth holds at sf1 (10× corpus)") {
+    // PQ approximates SQUARED-L2, so its truth metric is exact L2 top-k
+    // (cosine truth would conflate metric mismatch with quantization
+    // loss on unnormalized vectors). Exact truth is computed driver-side
+    // (|Q|·|corpus| distances — 50·20k at sf1, a test-only cost); the
+    // measured quantization loss of the registered m=4/ksub=16 operating
+    // point pins the floor, and IVFPQ adds the 24/64 routing loss on top.
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
+      "sf1 not generated (tools/gen_sf1.py)")
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf1, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val k = 5
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) {
+        val d = x(i).toDouble - y(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val truth = (for ((q, qv) <- vecs if q < 50) yield {
+      vecs.filter(_._1 != q).map { case (c, cv) => (c, l2(qv, cv)) }
+        .sortBy { case (c, d) => (d, c) }.take(k).map { case (c, _) => (q, c) }
+    }).flatten.toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pairs(Similarity.pqTopKSeeded(queries, cands, k, m = 4, ksub = 16))
+    val ivfpq = pairs(Similarity.ivfPqTopKSeeded(queries, cands, k,
+      numCentroids = 64, nProbe = 24, m = 4, ksub = 16))
+    val rr = pairs(Similarity.pqTopKRerank(queries, cands, k, rerank = 50,
+      m = 4, ksub = 16))
+    val rPq = (truth & pq).size.toDouble / truth.size
+    val rIvfPq = (truth & ivfpq).size.toDouble / truth.size
+    val rRr = (truth & rr).size.toDouble / truth.size
+    info(f"sf1 L2-recall@$k: pq $rPq%.3f  ivfpq $rIvfPq%.3f  rerank $rRr%.3f")
+    // These are STRUCTURAL floors, not quality claims: the synthetic
+    // fixture is structureless noise, the one regime where quantized
+    // distances carry almost no signal (every production embedding space
+    // is structured — SimilaritySpec pins the clustered regime at
+    // 0.5/0.95). Chance recall@5 here is k/(n-1) ≈ 0.00025; measured
+    // r11: pq 0.008 (32× chance), ivfpq 0.012, rerank@50 0.052 (208×
+    // chance). The floors catch a broken encode/ADC (which collapses to
+    // chance), while staying far below honest noise-run variance.
+    assert(rPq >= 0.002, f"sim_topk_pq below the noise floor at sf1: $rPq%.3f")
+    assert(rIvfPq >= 0.002, f"sim_topk_ivfpq below the noise floor at sf1: $rIvfPq%.3f")
+    assert(rRr >= 0.015, f"sim_topk_pq_rerank below the noise floor at sf1: $rRr%.3f")
+  }
 }

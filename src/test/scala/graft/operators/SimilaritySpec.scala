@@ -161,6 +161,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  /** PQ quality is data-dependent in a way LSH/IVF are not: those prune
+    * candidates but re-rank with EXACT distances, while PQ replaces the
+    * distance itself with the quantized approximation — so on
+    * structureless noise its recall collapses to slightly-above-chance
+    * (measured in ScalingSmokeSpec on the synthetic fixture), but on
+    * clustered vectors (the realistic embedding workload: points near a
+    * low-dimensional manifold) the codebook captures the structure and
+    * recall@k against exact-L2 truth is high. This pins the clustered
+    * regime; the scale spec pins the noise floor.
+    */
+  test("pqTopKSeeded recall vs exact-L2 truth on clustered vectors") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val crnd = new scala.util.Random(3000 + i / 10) // 20 clusters of 10
+      val center = Array.fill(dim)(crnd.nextGaussian())
+      (i.toLong, center.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 5
+    def l2(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0
+      for (i <- x.indices) { val d = x(i).toDouble - y(i).toDouble; acc += d * d }
+      acc
+    }
+    val truth = (for ((q, qv) <- rows if q < 40) yield {
+      rows.filter(_._1 != q).map { case (c, cv) => (c, l2(qv, cv)) }
+        .sortBy { case (c, d) => (d, c) }.take(k).map { case (c, _) => (q, c) }
+    }).flatten.toSet
+    val pq = Similarity.pqTopKSeeded(asQ(df.filter($"vec_id" < 40)), asC(df),
+        k, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    info(f"clustered PQ recall@$k: $recall%.3f")
+    // Direct ADC resolves the CLUSTER but not near-tie siblings inside
+    // it (quantization maps them to the same codewords): measured 0.585
+    // with the md5-spread codebook (0.505 with lowest-id seeding; 0.69-
+    // 0.73 with ksub 32-64 or trained codebooks — the ceiling is the
+    // sibling-resolution limit, not codebook quality). Floor 0.45.
+    assert(recall >= 0.45, f"PQ recall $recall below floor")
+    // The production two-stage fixes exactly that: a 20-deep ADC
+    // shortlist contains the true top-5, exact L2 re-ranks. Measured
+    // 1.000 at rerank=20 and 50; floor 0.95.
+    val rr = Similarity.pqTopKRerank(asQ(df.filter($"vec_id" < 40)), asC(df),
+        k, rerank = 20, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRecall = (truth & rr).size.toDouble / truth.size
+    info(f"clustered PQ rerank recall@$k: $rRecall%.3f")
+    assert(rRecall >= 0.95, f"PQ rerank recall $rRecall below floor")
+    // Trained codebooks (pqIndexTrained) must not be WORSE than the
+    // seeded pick on clustered data — the guard that training converges
+    // rather than diverges. Measured 0.615 vs 0.585 seeded.
+    val tr = Similarity.pqTopKTrained(asQ(df.filter($"vec_id" < 40)), asC(df),
+        k, m = 4, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tRecall = (truth & tr).size.toDouble / truth.size
+    info(f"clustered PQ trained recall@$k: $tRecall%.3f")
+    assert(tRecall >= recall - 0.05, f"trained PQ ($tRecall) fell below seeded ($recall)")
+  }
+
   /** PQ is a pure function of the data (seeded codebook = slices of the
     * lowest-ksub-id vectors, argmin-L2 encoding with ties to the lower
     * code, ordered ADC sums, dist-asc/cid-asc ranking) — replay it
@@ -175,7 +235,13 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
     val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
     val dsub = vecs.head._2.length / m
-    val seeds = vecs.take(ksub).map(_._2)
+    // md5-spread seed pick (see Similarity.pqSeedRows): ksub smallest
+    // by (md5(id-as-string) hex, id)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val seeds = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(ksub).map(_._2)
     def subDist(v: Array[Float], s: Array[Float], mm: Int): Double = {
       var acc = 0.0
       for (d <- 0 until dsub) {
