@@ -53,6 +53,70 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Range (radius) search — the other half of the ANN API surface
+    * (FAISS `range_search` to [[bruteForceTopK]]'s `search`): ALL
+    * neighbors with cosine ≥ `threshold` per query, not a fixed k.
+    * Exact form: one scan over candidates against the broadcast query
+    * set, the codegen'd cosine kernel, and a scan-level filter — no
+    * aggregate at all, so the result streams straight out of the map
+    * stage (output is data-bounded, not k-bounded; pick thresholds
+    * accordingly at scale).
+    *
+    * Scale path: [[rangeSearchLsh]] prunes the same scan through the
+    * multi-table hyperplane buckets first — identical output filter, so
+    * its recall (pinned in SimilaritySpec on clustered data) is the
+    * only difference.
+    */
+  def rangeSearch(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      threshold: Double): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    candidates.join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** LSH-pruned range search: candidates hash into `tables` independent
+    * hyperplane bucket spaces once; each query probes its bucket plus
+    * hamming-≤`probeHamming` neighbors per table, and only same-bucket
+    * pairs pay the exact cosine + threshold filter. Duplicate (q,c)
+    * matches across tables collapse via `dropDuplicates` on the pair key
+    * (an aggregate-free distinct over the pruned pair set — already
+    * candidate-sized, not corpus-sized).
+    */
+  def rangeSearchLsh(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L,
+      probeHamming: Int = 1): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    graft.functions.SketchFunctions.register(candidates.sparkSession)
+    def tableSeed(t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
+    val q = queries
+      .select(col("qid"), col("qvec"),
+        posexplode(array((0 until tables).map(t =>
+          probes(signature(col("qvec"), dim, bits, tableSeed(t)), bits, probeHamming)): _*))
+          .as(Seq("qtable", "ps")))
+      .select(col("qid"), col("qvec"), col("qtable"), explode(col("ps")).as("probe"))
+    val c = candidates.select(col("cid"), col("cvec"),
+      posexplode(array((0 until tables).map(t =>
+        signature(col("cvec"), dim, bits, tableSeed(t))): _*)).as(Seq("ctable", "bucket")))
+    c.join(broadcast(q),
+        col("ctable") === col("qtable") && col("bucket") === col("probe") &&
+          col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+      .dropDuplicates("qid", "cid")
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Random-hyperplane signature as an Int column: bit j =
     * [dot(v, plane_j) >= 0] with ±1 plane components derived in-kernel —
     * a native codegen'd expression ([[graft.functions.RhSignature]]); the

@@ -866,6 +866,31 @@ object PipelineQueries extends QueryModule {
       },
       Some(sqlPqTopk)),
 
+    // ── range (radius) search — the other half of the ANN API surface
+    //    (FAISS range_search): ALL neighbors with cosine ≥ 0.3 per
+    //    query, no fixed k. Exact scan-shaped form: broadcast query set,
+    //    codegen cosine kernel, scan-level filter — no aggregate, the
+    //    result streams out of the map stage. rangeSearchLsh is the
+    //    bucket-pruned scale path (recall pinned in SimilaritySpec). ───
+    QueryDef("sim_range_search",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.rangeSearch(queries, candidates, threshold = 0.3)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some("""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+          AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) >= 0.3
+        ORDER BY query_id, neighbor_id""")),
+
     // ── PQ shortlist + exact re-rank (the production two-stage): the
     //    codes-only ADC scan shortlists 50 candidates per query, exact
     //    L2 re-scores just those 50 — fixing ADC's near-tie resolution

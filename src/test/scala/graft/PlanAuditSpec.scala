@@ -247,6 +247,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // non-equi qid≠cid guard (codes side streams map-only), plus the
     // same query×centroid routing as topk_ivf in the fused form
     "sim_topk_pq", "sim_index_pq", "sim_topk_ivfpq", "sim_topk_pq_rerank",
+    // range search: brute-exact registered form, same non-equi broadcast
+    // shape as topk_brute
+    "sim_range_search",
     // bm25 / lm_score: 1-row broadcast corpus-stats recombine
     "text_bm25_search", "text_lm_score")
 
@@ -375,7 +378,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_signature_index", "dedup_index_rotate", "dedup_index_compact",
     "dedup_ingest_loop", "sim_index_probe", "sim_index_rotate",
     "sim_topk_pq", "sim_index_pq", "sim_topk_ivfpq", "sim_index_pq_rotate",
-    "sim_topk_pq_rerank", "text_bm25_search", "text_lm_score")
+    "sim_topk_pq_rerank", "sim_range_search", "text_bm25_search", "text_lm_score")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

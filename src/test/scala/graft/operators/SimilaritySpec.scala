@@ -161,6 +161,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("rangeSearchLsh recall vs exact rangeSearch on clustered vectors") {
+    // Range search returns all neighbors over a cosine threshold; the
+    // LSH-pruned path must recover nearly all of them on clustered data
+    // (same bucket-concentration argument as lshTopK), with zero false
+    // positives by construction (identical exact filter after pruning).
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val crnd = new scala.util.Random(4000 + i / 10) // 20 clusters of 10
+      val center = Array.fill(dim)(crnd.nextGaussian())
+      (i.toLong, center.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = asQ(df.filter($"vec_id" < 40))
+    val c = asC(df)
+    def pairs(d: DataFrame) = d.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.rangeSearch(q, c, threshold = 0.9))
+    val lsh = pairs(Similarity.rangeSearchLsh(q, c, threshold = 0.9,
+      dim = dim, bits = 8, tables = 4))
+    assert(exact.nonEmpty, "threshold yielded an empty truth set")
+    assert((lsh -- exact).isEmpty, "LSH range search produced false positives")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"range-search truth=${exact.size} recall=$recall%.3f")
+    assert(recall >= 0.9, f"range-search LSH recall $recall below 0.9")
+  }
+
   /** PQ quality is data-dependent in a way LSH/IVF are not: those prune
     * candidates but re-rank with EXACT distances, while PQ replaces the
     * distance itself with the quantized approximation — so on
@@ -314,6 +341,60 @@ class SimilaritySpec extends AnyFunSuite {
     val rebuilt = cells(Similarity.ivfIndex(asC(emb), nc)._2)
     assert(rotated == rebuilt)
     assert(rotated.size == ids.length)
+  }
+
+  test("ANN index rotation under Structured Streaming equals a batch rebuild") {
+    // The serving deployment shape: vectors arrive as micro-batches and
+    // foreachBatch routes each against the FROZEN quantizers (stored IVF
+    // centroids + stored PQ codebook), appending assignments and codes —
+    // the same recipe sim_index_rotate / sim_index_pq_rotate prove in
+    // batch form. After three streamed batches both persisted index
+    // tables must equal a from-scratch rebuild over the union (valid
+    // because streamed ids sit above the seed range, so the frozen
+    // quantizers equal the union's seed picks).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_annstream")
+    val (cents, assigns) = (root.resolve("c").toString, root.resolve("a").toString)
+    val (seeds, codes) = (root.resolve("s").toString, root.resolve("k").toString)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cut = rows(rows.length * 2 / 5)._1
+    val existing = asC(emb.filter($"vec_id" <= cut))
+    val (cDf, aDf) = Similarity.ivfIndex(existing, numCentroids = 8)
+    cDf.write.mode("overwrite").parquet(cents)
+    aDf.write.mode("overwrite").parquet(assigns)
+    val (sDf, kDf) = Similarity.pqIndex(existing, m = 4, ksub = 8, spread = false)
+    sDf.write.mode("overwrite").parquet(seeds)
+    kDf.write.mode("overwrite").parquet(codes)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("cid", "cvec").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        Similarity.ivfIndexRotate(spark.read.parquet(cents), b, assigns)
+        Similarity.pqIndexRotate(spark.read.parquet(seeds), b, codes, m = 4)
+        b.unpersist(); ()
+      }
+      .start()
+    val streamed = rows.filter(_._1 > cut)
+    val (b1, b2) = (streamed.length / 3, 2 * streamed.length / 3)
+    try {
+      mem.addData(streamed.take(b1).toSeq); q.processAllAvailable()
+      mem.addData(streamed.slice(b1, b2).toSeq); q.processAllAvailable()
+      mem.addData(streamed.drop(b2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val rotatedAssign = spark.read.parquet(assigns).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuiltAssign = Similarity.ivfIndex(asC(emb), 8)._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rotatedAssign == rebuiltAssign)
+    val rotatedCodes = spark.read.parquet(codes).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rebuiltCodes = Similarity.pqIndex(asC(emb), 4, 8, spread = false)._2
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rotatedCodes == rebuiltCodes)
+    assert(rotatedAssign.size == rows.length)
   }
 
   test("ivfKnnJoinSeeded equals a driver-side replay over the whole corpus") {
