@@ -219,10 +219,27 @@ case class IvfRoute(vec: Expression, cents: Expression, nProbe: Int)
   * `ORDER BY d, code`.
   */
 class PqCoder(seeds: Array[Array[Float]], m: Int) extends Serializable {
+  require(seeds.nonEmpty,
+    "pq: empty codebook — the seeds table read back zero rows (wrong path or failed index build?)")
   private val ksub = seeds.length
   private val dsub = seeds(0).length / m
   require(dsub * m == seeds(0).length,
     s"pq: dim ${seeds(0).length} not divisible by m=$m")
+
+  /** Null vector elements have no defined code/distance — fail loudly
+    * instead of letting UnsafeArrayData read the zeroed slot as 0.0f
+    * (a silently wrong distance). One flat pre-pass per row, outside
+    * the m·ksub inner loops.
+    */
+  private def requireNoNulls(v: ArrayData): Unit = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(s"pq: null vector element at index $i")
+      i += 1
+    }
+  }
 
   private def subDist(v: ArrayData, k: Int, mm: Int): Double = {
     val base = mm * dsub
@@ -239,6 +256,7 @@ class PqCoder(seeds: Array[Array[Float]], m: Int) extends Serializable {
 
   /** vector → m argmin-L2 codes (one per subspace), ties to lower code. */
   def encode(v: ArrayData): ArrayData = {
+    requireNoNulls(v)
     val out = new Array[Int](m)
     var mm = 0
     while (mm < m) {
@@ -262,6 +280,7 @@ class PqCoder(seeds: Array[Array[Float]], m: Int) extends Serializable {
     * ADC: scoring never touches the original vectors again.
     */
   def dtable(v: ArrayData): ArrayData = {
+    requireNoNulls(v)
     val out = new Array[Double](m * ksub)
     var mm = 0
     while (mm < m) {
@@ -283,7 +302,15 @@ object PqKernels {
     val ksub = dt.numElements() / m
     var acc = 0.0
     var mm = 0
-    while (mm < m) { acc += dt.getDouble(mm * ksub + codes.getInt(mm)); mm += 1 }
+    while (mm < m) {
+      // parquet-read arrays are element-nullable by schema; a null code
+      // slot would read as 0 under UnsafeArrayData (a silently wrong
+      // neighbor) — fail loudly instead
+      if (codes.isNullAt(mm))
+        throw new IllegalArgumentException(s"pq_adc: null code at subspace $mm")
+      acc += dt.getDouble(mm * ksub + codes.getInt(mm))
+      mm += 1
+    }
     acc
   }
 }

@@ -82,9 +82,9 @@ object Similarity {
     * hyperplane bucket spaces once; each query probes its bucket plus
     * hamming-≤`probeHamming` neighbors per table, and only same-bucket
     * pairs pay the exact cosine + threshold filter. Duplicate (q,c)
-    * matches across tables collapse via `dropDuplicates` on the pair key
-    * (an aggregate-free distinct over the pruned pair set — already
-    * candidate-sized, not corpus-sized).
+    * matches across tables collapse via `dropDuplicates` on the pair
+    * key — planned as a hash aggregate (group by (qid,cid), first(vec))
+    * shuffling the PRUNED candidate-sized pair set, never the corpus.
     */
   def rangeSearchLsh(
       queries: DataFrame, // (qid, qvec)
@@ -287,9 +287,31 @@ object Similarity {
   def ivfIndexRotate(
       centroids: DataFrame, // (cell_id, centroid), the stored quantizer
       incoming: DataFrame, // (cid, cvec)
-      assignmentsPath: String): Unit =
-    assignCells(centroids, incoming)
-      .write.mode("append").parquet(assignmentsPath)
+      assignmentsPath: String,
+      batchId: Option[Long] = None): Unit =
+    writeRotation(assignCells(centroids, incoming), assignmentsPath, batchId)
+
+  /** Rotation write with optional REPLAY IDEMPOTENCE: with `batchId`
+    * set (the foreachBatch id), the batch's rows land in an overwrite-
+    * mode `batch_<id>/` subdirectory, so a streaming-engine retry of
+    * the same batch overwrites rather than double-appends — the
+    * exactly-once contract a foreachBatch sink must provide itself.
+    * With None (single-shot batch pipelines), a plain append. Indexes
+    * holding rotation subdirs are read back via [[readIndexTable]]
+    * (recursive file lookup; no partition-column inference).
+    */
+  private def writeRotation(rows: DataFrame, path: String,
+      batchId: Option[Long]): Unit = batchId match {
+    case Some(id) => rows.write.mode("overwrite").parquet(s"$path/batch_$id")
+    case None => rows.write.mode("append").parquet(path)
+  }
+
+  /** Read an index table that may carry `batch_<id>` rotation subdirs
+    * (see [[writeRotation]]): recursive lookup unifies root files and
+    * per-batch subdirectories without inventing partition columns.
+    */
+  def readIndexTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
 
   /** Serving-time probe of a persisted IVF index (see [[ivfIndex]]):
     * queries pick their nProbe cells from the STORED centroid table
@@ -643,12 +665,14 @@ object Similarity {
       seeds: DataFrame, // (code, vec), the stored quantizer
       incoming: DataFrame, // (cid, cvec)
       codesPath: String,
-      m: Int): Unit = {
+      m: Int,
+      batchId: Option[Long] = None): Unit = {
     VectorFunctions.register(incoming.sparkSession)
     val mat = seedMatrix(seeds)
-    incoming.select(col("cid"),
-        VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes"))
-      .write.mode("append").parquet(codesPath)
+    writeRotation(
+      incoming.select(col("cid"),
+        VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes")),
+      codesPath, batchId)
   }
 
   /** (code, vec) rows → foldable array<array<float>> ordered by code. */

@@ -2047,7 +2047,6 @@ object PipelineQueries extends QueryModule {
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         val train = docs.filter(col("doc_id") % 4 =!= 0)
         val held = docs.filter(col("doc_id") % 4 === 0)
-          .filter(size(col("toks")) >= 2)
         def bigrams(df: org.apache.spark.sql.DataFrame) = df
           .filter(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(transform(

@@ -369,11 +369,18 @@ class SimilaritySpec extends AnyFunSuite {
     kDf.write.mode("overwrite").parquet(codes)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
+    var lastBatch = -1L
     val q = mem.toDF().toDF("cid", "cvec").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val b = batch.persist()
-        Similarity.ivfIndexRotate(spark.read.parquet(cents), b, assigns)
-        Similarity.pqIndexRotate(spark.read.parquet(seeds), b, codes, m = 4)
+        // batchId-keyed rotations: a replayed batch overwrites its own
+        // subdir instead of double-appending (foreachBatch's retry
+        // contract is at-least-once; the sink must be idempotent)
+        Similarity.ivfIndexRotate(spark.read.parquet(cents), b, assigns,
+          batchId = Some(id))
+        Similarity.pqIndexRotate(spark.read.parquet(seeds), b, codes, m = 4,
+          batchId = Some(id))
+        lastBatch = id
         b.unpersist(); ()
       }
       .start()
@@ -384,12 +391,22 @@ class SimilaritySpec extends AnyFunSuite {
       mem.addData(streamed.slice(b1, b2).toSeq); q.processAllAvailable()
       mem.addData(streamed.drop(b2).toSeq); q.processAllAvailable()
     } finally q.stop()
-    val rotatedAssign = spark.read.parquet(assigns).collect()
+    // simulate an engine RETRY of the final batch: re-running the same
+    // batchId must leave the index unchanged (overwrite, not append)
+    val replayDf = streamed.drop(b2).toSeq.toDF("cid", "cvec")
+    Similarity.ivfIndexRotate(spark.read.parquet(cents), replayDf, assigns,
+      batchId = Some(lastBatch))
+    Similarity.pqIndexRotate(spark.read.parquet(seeds), replayDf, codes, m = 4,
+      batchId = Some(lastBatch))
+    val rotatedAssign = Similarity.readIndexTable(spark, assigns).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rotatedAssignRows = Similarity.readIndexTable(spark, assigns).count()
     val rebuiltAssign = Similarity.ivfIndex(asC(emb), 8)._2.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rotatedAssign == rebuiltAssign)
-    val rotatedCodes = spark.read.parquet(codes).collect()
+    assert(rotatedAssignRows == rows.length.toLong,
+      s"replay double-appended: $rotatedAssignRows rows for ${rows.length} vectors")
+    val rotatedCodes = Similarity.readIndexTable(spark, codes).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val rebuiltCodes = Similarity.pqIndex(asC(emb), 4, 8, spread = false)._2
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
