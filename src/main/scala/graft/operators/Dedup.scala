@@ -707,6 +707,21 @@ object Dedup {
     * re-evaluation is cheaper than the cache residency it would
     * displace.
     */
+  /** Band-key candidate generation + exact-Jaccard verify shared by the
+    * self-join, cross-corpus, and persisted-index probes.
+    *
+    * The `candidates` subtree feeds THREE consumers (each side's
+    * left-semi shingle reduction and the final pair join), so in the
+    * unoptimized plan the band equi join is written 3×. This is
+    * deliberate (r10 advisory, "accept and document" option): band keys
+    * are deterministic, the repeated subtrees canonicalize EQUAL, so
+    * Spark's ReuseExchange/AQE stage reuse shares the shuffle exchanges
+    * at runtime rather than recomputing them; a persist() here would
+    * trade that for cache-manager lifecycle inside a pure plan builder
+    * (and an unpersist obligation no caller can meet), and an eager
+    * localCheckpoint would violate the plan-construction-runs-no-jobs
+    * audit.
+    */
   private def verifiedPairsFromBands(
       bandA: DataFrame, // (id, band, bkey)
       bandB: DataFrame,

@@ -79,4 +79,35 @@ object Sampling {
     }
     df.filter(nibble(keyCol) < threshold)
   }
+
+  /** Weighted priority sample (A-Res, Efraimidis–Spirakis): each row gets
+    * priority u^(1/w) with u a *deterministic* uniform derived from
+    * md5(key) (first 8 hex digits → 32-bit integer, +0.5, /2^32 — never
+    * exactly 0 or 1) and w its weight; the k rows with the LARGEST
+    * priority are a weighted sample without replacement — inclusion
+    * probability rises with weight, yet membership stays a pure function
+    * of (key, weight), reproducible on any engine / partitioning / day.
+    * A `rand()`-seeded reservoir is none of those (seed is
+    * per-partitioning), which is why importance-weighted corpus pulls
+    * need the hash-derived u.
+    *
+    * Scale shape: one narrow projection (md5 + pow fuse into the scan
+    * under codegen) + TakeOrdered(k) — per-partition top-k then a k-row
+    * driver merge; nothing corpus-sized shuffles. Weights < 1 are
+    * clamped to 1 (u^(1/w) explodes toward 0 as w→0⁺; clamping keeps the
+    * priority monotone and the nonpositive-weight case defined).
+    */
+  def weightedPrioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val priority = pow(u, lit(1.0d) / greatest(col(weightCol).cast("double"), lit(1.0d)))
+    df.withColumn("ares_priority", priority)
+      .orderBy(col("ares_priority").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -54,6 +54,18 @@ object OracleGen {
       s"(strpos('0123456789abcdef', $md5Col[${17 + p}])::HUGEINT - 1) * $mult::HUGEINT"
     }.mkString("(", "\n + ", ")")
 
+  /** Parse the FIRST `n` hex chars of an md5 hex string as one base-16
+    * integer — the SQL twin of Spark `conv(substring(md5(x),1,n),16,10)`
+    * (n ≤ 15 so the value stays inside BIGINT).
+    */
+  def md5PrefixExpr(md5Col: String, n: Int): String = {
+    require(n >= 1 && n <= 15, "md5 prefix nibbles in [1, 15]")
+    (0 until n).map { p =>
+      val mult = java.math.BigInteger.valueOf(16).pow(n - 1 - p)
+      s"(strpos('0123456789abcdef', $md5Col[${p + 1}]) - 1) * $mult"
+    }.mkString("(", "\n + ", ")")
+  }
+
   /** The per-table seed schedule of [[graft.operators.Similarity.lshTopK]]. */
   def lshTableSeed(seed: Long, t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
 }

@@ -1776,6 +1776,47 @@ object PipelineQueries extends QueryModule {
           max(n_ws) AS max_ws_tokens, min(n_ws) AS min_ws_tokens
         FROM t""")),
 
+    // ── BPE merge statistics: adjacent-symbol pair counts over the word-
+    //    frequency table — the inner loop of tokenizer training (each BPE
+    //    iteration merges the argmax pair; this query computes that
+    //    argmax candidate table for the first iteration, top-20). The
+    //    corpus collapses to DISTINCT word types first (the vocab-sized
+    //    shuffle — at 100 TB the type table is millions of rows where the
+    //    token stream is trillions), then pair generation is O(type
+    //    length) per type weighted by its frequency, and the pair rollup
+    //    shuffles only (pair, count). Restricted to ^[a-z]+$ types of
+    //    length ≥ 2: pure-ASCII sidesteps any engine-level grapheme-vs-
+    //    codepoint substring divergence, and ≥ 2 keeps Spark's
+    //    `sequence(1, len-1)` ascending (sequence REVERSES when start >
+    //    stop — an empty DuckDB series but a [1,0] Spark one). ──────────
+    QueryDef("text_bpe_pair_counts",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val types = docs.select(explode(tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        types
+          .select(col("c_w"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => struct(col("w").substr(i, lit(1)).as("a"),
+              col("w").substr(i + 1, lit(1)).as("b")))).as("p"))
+          .select(col("c_w"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b")
+          .agg(sum(col("c_w")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        types AS (SELECT w, count(*) AS c_w FROM toks
+          WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2 GROUP BY w),
+        pairs AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, c_w
+          FROM (SELECT w, c_w, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM types))
+        SELECT a, b, CAST(sum(c_w) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY a, b
+        ORDER BY pair_count DESC, a, b LIMIT 20""")),
+
     // ── deterministic sampling: membership is a pure function of the
     //    stable key (md5 nibble), so any engine / partitioning / rerun
     //    reproduces the same sample — proven by DuckDB recomputing it ──
@@ -1821,6 +1862,35 @@ object PipelineQueries extends QueryModule {
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents) t WHERE rk <= 5 ORDER BY lang, rank""")),
 
+    // ── weighted priority sample (A-Res): priority u^(1/w) with u a
+    //    DETERMINISTIC md5-derived uniform and w = n_chars, top-25 kept —
+    //    the importance-weighted corpus pull (longer docs more likely),
+    //    reproducible on any partitioning because u is a pure function of
+    //    the key. Plan: narrow md5+pow projection fused into the scan +
+    //    TakeOrdered(25) — nothing corpus-sized shuffles. Exactness: u is
+    //    an exact 32-bit ratio both engines compute identically; pow may
+    //    drift 1–2 ulp between libm and Java, but the 25-row selection
+    //    compares priorities spaced ~1e-5 apart (corpus-random), so a
+    //    1e-16 drift never reorders; the EMITTED value is floor(p·1e9)
+    //    (the bm25 convention) and the output re-sorts on that integer +
+    //    doc_id, so row order is drift-proof too. ───────────────────────
+    QueryDef("sample_weighted_ares",
+      (s, dir) => graft.operators.Sampling.weightedPrioritySample(
+          Tables.load(s, dir, "documents"), "doc_id", "n_chars", k = 25)
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("ares_priority") * lit(1.0e9)).as("priority_e9"))
+        .orderBy(col("priority_e9").desc, col("doc_id")),
+      Some(s"""WITH pri AS (SELECT doc_id, n_chars,
+            pow((${OracleGen.md5PrefixExpr("md5(CAST(doc_id AS VARCHAR))", 8)}
+                 + 0.5) / 4294967296.0,
+              1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS p
+          FROM documents),
+        top AS (SELECT doc_id, n_chars, p FROM pri
+          ORDER BY p DESC, doc_id LIMIT 25)
+        SELECT doc_id, n_chars,
+          CAST(floor(p * 1000000000.0) AS BIGINT) AS priority_e9
+        FROM top ORDER BY priority_e9 DESC, doc_id""")),
+
     // ── domain-mixture curation: cap every source at the smallest
     //    source's char budget (a uniform target mixture), applied with
     //    the deterministic md5-bucket rule so membership is a pure
@@ -1864,6 +1934,47 @@ object PipelineQueries extends QueryModule {
         WHERE CAST(b.bucket AS HUGEINT) * tot.total * 2
             < 65536 * CAST(cap.target AS HUGEINT)
         GROUP BY b.source ORDER BY b.source""")),
+
+    // ── temperature-scaled mixture weights (the mT5/XLM-R multinomial
+    //    resampling rule, α = 0.5): p_s ∝ n_s^α flattens the source
+    //    distribution — low-resource sources are upsampled relative to
+    //    their share, dominant ones damped — and the per-source expected
+    //    row count at a half-corpus budget falls out as p_s·N/2. α = 0.5
+    //    makes every weight a sqrt: correctly-rounded in BOTH engines
+    //    (unlike pow), so the only order-sensitive step is Σ√n_s, folded
+    //    in explicit source order on both sides (the lm_score
+    //    sort_array+aggregate ≡ list(... ORDER BY)+list_reduce pattern;
+    //    0.0+x ≡ x exactly, so the differing init conventions agree).
+    //    Plan: one |sources|-row aggregate + its 1-row fold, broadcast
+    //    back — the corpus is scanned once, counts only. ────────────────
+    QueryDef("pipeline_mixture_temperature",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bySrc = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val z = bySrc.agg(
+          aggregate(
+            sort_array(collect_list(struct(col("source"),
+              sqrt(col("n_docs").cast("double")).as("w")))),
+            lit(0.0d), (acc, x) => acc + x.getField("w")).as("z"),
+          sum(col("n_docs")).as("n_total"))
+        val p = sqrt(col("n_docs").cast("double")) / col("z")
+        bySrc.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), p.as("p_temp"),
+            (p * (col("n_total").cast("double") / lit(2.0d))).as("expected_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs
+          FROM documents GROUP BY source),
+        z AS (SELECT
+            list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+              (a, b) -> a + b) AS z,
+            CAST(sum(n_docs) AS BIGINT) AS n_total FROM s)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+          sqrt(CAST(n_docs AS DOUBLE)) / z.z AS p_temp,
+          (sqrt(CAST(n_docs AS DOUBLE)) / z.z)
+            * (CAST(n_total AS DOUBLE) / 2.0) AS expected_docs
+        FROM s CROSS JOIN z ORDER BY source""")),
 
     // ── train/test leakage check: near-duplicate pairs that CROSS the
     //    split are evaluation contamination (the test doc has a near-copy
@@ -2027,6 +2138,114 @@ object PipelineQueries extends QueryModule {
           CAST(floor(score * 1000000000.0) AS BIGINT) AS score_e9
         FROM sc WHERE n_terms > 0
         ORDER BY score_e9 DESC, doc_id LIMIT 10""")),
+
+    // ── hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
+    //    lexical ranking and an embedding-cosine semantic ranking — the
+    //    two-tower search shape every RAG / targeted-curation stack runs.
+    //    Each leg is scale-clean on its own: the lexical leg is the bm25
+    //    two-scan plan ranked by the bounded-heap TopKPairs aggregate
+    //    (k-sized state per partition, |k| rows cross the wire — NO
+    //    global window over the scored corpus), the semantic leg is
+    //    bruteForceTopK against the broadcast probe vector (same bounded
+    //    heap). Fusion then full-outer-joins two ≤50-row sets (broadcast)
+    //    and scores 1/(60+r) per leg in FIXED order (text + vec; absent
+    //    leg ⇒ exactly +0.0) — pure dyadic-rational-free but identical
+    //    double arithmetic both engines, so rrf is bit-comparable. The
+    //    integer bm25 rank order (score_e9 DESC, doc_id) is drift-proof
+    //    by the floor(·1e9) argument at text_bm25_search; cosine ranks
+    //    are exact by the list_cosine_similarity bit-identity. ──────────
+    QueryDef("text_hybrid_retrieval",
+      (s, dir) => {
+        graft.functions.TopKFunctions.register(s)
+        val qterms = Seq("spark", "stream", "vector")
+        val docs = Tables.load(s, dir, "documents")
+        val perDoc = docs.select(col("doc_id") +: size(tokens(col("text"))).as("dl") +:
+          qterms.map(t =>
+            size(filter(tokens(col("text")), x => x === lit(t))).as(s"tf_$t")): _*)
+        val stats = perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl") +:
+            qterms.map(t =>
+              sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+        val avgdl = col("sum_dl").cast("double") / col("n_docs")
+        def w(t: String): org.apache.spark.sql.Column = {
+          val tf = col(s"tf_$t"); val dfq = col(s"df_$t")
+          val idf = log((col("n_docs") - dfq + lit(0.5)) / (dfq + lit(0.5)) + lit(1.0))
+          val norm = lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+          idf * ((tf * lit(2.2)) / (tf + norm))
+        }
+        val scored = perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            qterms.map(t => (col(s"tf_$t") > 0).cast("int")).reduce(_ + _).as("n_terms"),
+            floor(qterms.map(w).reduce(_ + _) * lit(1.0e9)).as("score_e9"))
+          .filter(col("n_terms") > 0)
+        // lexical ranks: global top-50 via the bounded-heap aggregate —
+        // score_e9 < 2^53 so the double cast is exact; higher-score-
+        // wins/smaller-id-ties is exactly ORDER BY score_e9 DESC, doc_id
+        val textRank = scored
+          .select(lit(0L).as("qid"), struct(
+            col("score_e9").cast("double").as("score"),
+            col("doc_id").cast("long").as("id")).as("p"))
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopKFunctions.topKPairs(col("p"), 50).as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("e.id").as("doc_id"),
+            (col("pos") + 1).cast("int").as("text_rank"))
+        // semantic ranks: cosine top-50 against the vec_id-0 probe
+        // (bruteForceTopK excludes the probe itself, standard ANN)
+        val emb = Tables.load(s, dir, "embeddings")
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val vecRank = Similarity.bruteForceTopK(probe,
+            emb.select(col("vec_id").as("cid"), col("embedding").as("cvec")), k = 50)
+          .select(col("neighbor_id").as("doc_id"),
+            col("rank").cast("int").as("vec_rank"))
+        textRank.join(vecRank, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+            (coalesce(lit(1.0d) / (lit(60.0d) + col("text_rank")), lit(0.0d)) +
+              coalesce(lit(1.0d) / (lit(60.0d) + col("vec_rank")), lit(0.0d))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS tf_spark,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'stream')) AS tf_stream,
+            len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'vector')) AS tf_vector
+          FROM documents),
+        st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+            CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+            CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream,
+            CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+          FROM d),
+        sc AS (SELECT doc_id,
+            CAST(tf_spark > 0 AS INTEGER) + CAST(tf_stream > 0 AS INTEGER)
+              + CAST(tf_vector > 0 AS INTEGER) AS n_terms,
+            CAST(floor((
+              (ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                * ((tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))
+              + (ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+                * ((tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))
+              + (ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+                * ((tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))))
+            ) * 1000000000.0) AS BIGINT) AS score_e9
+          FROM d CROSS JOIN st),
+        tr AS (SELECT doc_id, CAST(rn AS INTEGER) AS text_rank FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score_e9 DESC, doc_id) AS rn
+            FROM sc WHERE n_terms > 0) t WHERE rn <= 50),
+        vr AS (SELECT doc_id, CAST(rn AS INTEGER) AS vec_rank FROM (
+            SELECT c.vec_id AS doc_id, row_number() OVER (ORDER BY
+                list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                  CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+            FROM embeddings c
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE c.vec_id <> 0) t WHERE rn <= 50)
+        SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+          t.text_rank AS text_rank, v.vec_rank AS vec_rank,
+          coalesce(1.0 / (60.0 + t.text_rank), 0.0)
+            + coalesce(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+        FROM tr t FULL OUTER JOIN vr v ON t.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
     // ── bigram LM fluency scoring with stupid backoff (the CCNet-style
     //    perplexity-filter shape, transcendental-free): a reference LM

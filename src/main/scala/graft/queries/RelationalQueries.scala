@@ -662,6 +662,35 @@ object RelationalQueries extends QueryModule {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         FROM events WHERE user_id < 5 ORDER BY user_id, event_id""")),
 
+    // Gap-fill via last-observation-carried-forward: the sensor/feature-
+    // engineering staple (`last(x, ignoreNulls)` running window ≡ DuckDB
+    // `last_value(x IGNORE NULLS)`). Gaps are planted deterministically
+    // (event_id % 5) so both engines fill the same holes; the filled
+    // value is a verbatim copy of an input double — no arithmetic, no
+    // drift. Window is PARTITIONED by user_id: per-user local fill after
+    // one hash shuffle, no global order at any scale; rows before a
+    // user's first observation stay null in both engines.
+    QueryDef("window_locf_gapfill",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def gapped = when($"event_id" % 5 === 0, lit(null)).otherwise($"value")
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .filter($"user_id" % 20 === 0)
+          .select($"user_id", $"event_id", gapped.as("v_gapped"),
+            last(gapped, ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v_gapped,
+          last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM events WHERE user_id % 20 = 0
+        ORDER BY user_id, event_id""")),
+
     // As-of join: each event gets the customer's most recent order at or
     // before the event's time. Spark has no ASOF JOIN; the operator is
     // the union+window plan (one shuffle, no range explosion) and the

@@ -115,6 +115,28 @@ object StreamingQueries extends QueryModule {
           max(event_id) AS max_recent
         FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""")),
 
+    // CDC upsert/delete apply — the change-feed → snapshot MERGE shape.
+    // The events table plays a change feed (op = D on event_id % 11,
+    // else U); the snapshot keeps each key's latest-by-event_id change
+    // and drops keys whose latest is a delete. Batch form is ONE
+    // argmax-by-struct hash aggregate (no window); the streaming form
+    // (transformWithState ValueState, larger-id-wins) converges to the
+    // same snapshot under any micro-batch split — StreamingSpec parity.
+    QueryDef("streaming_cdc_upsert",
+      (s, dir) => Streaming.cdcSnapshot(
+        Tables.load(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"),
+          col("value"))),
+      Some("""WITH c AS (SELECT user_id, event_id,
+            CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, value
+          FROM events),
+        l AS (SELECT user_id, max(event_id) AS last_event_id
+          FROM c GROUP BY user_id)
+        SELECT c.user_id, c.event_id AS last_event_id, c.value AS last_value
+        FROM c JOIN l ON c.user_id = l.user_id AND c.event_id = l.last_event_id
+        WHERE c.op <> 'D' ORDER BY c.user_id""")),
+
     // Watermark late-data admission (drop iff window end ≤ watermark at
     // arrival; StreamingSpec pins the rule against a live MemoryStream).
     // The in-order synthetic stream gets a deterministic arrival

@@ -356,6 +356,71 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  final case class CdcEvent(user_id: Long, event_id: Long, op: String, value: Double)
+  final case class CdcOut(
+      user_id: Long, last_event_id: Long, live: Boolean, last_value: Double)
+
+  /** CDC upsert/delete apply on `transformWithState` ValueState — the
+    * change-feed → snapshot materialization every lakehouse MERGE
+    * pipeline runs. Per key the state is the (event_id, op, value) of
+    * the LARGEST event_id seen; larger-id-wins makes the result
+    * independent of batch iterator order and of how the feed is split
+    * into micro-batches (out-of-order and cross-batch updates converge
+    * to the same snapshot). Emits the key's updated snapshot row each
+    * batch it appears in, `live=false` when the latest change is a
+    * delete — downstream sinks need the retraction row, not silence.
+    * StreamingSpec pins last-snapshot parity with [[cdcSnapshot]], the
+    * batch twin.
+    */
+  class CdcUpsertProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, CdcEvent, CdcOut] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[CdcEvent] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[CdcEvent]("last",
+        org.apache.spark.sql.Encoders.product[CdcEvent],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[CdcEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcOut] = {
+      var cur = if (last.exists()) Some(last.get()) else None
+      rows.foreach { e =>
+        if (cur.forall(_.event_id < e.event_id)) cur = Some(e)
+      }
+      cur.foreach(last.update)
+      cur.iterator.map(e => CdcOut(uid, e.event_id, live = e.op != "D", e.value))
+    }
+  }
+
+  /** [[CdcUpsertProcessor]] wiring: update-mode snapshots per batch. */
+  def cdcUpsertStream(cdc: DataFrame): Dataset[CdcOut] = {
+    val sp = cdc.sparkSession
+    import sp.implicits._
+    cdc.select(col("user_id"), col("event_id"), col("op"), col("value"))
+      .as[CdcEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcUpsertProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Batch twin of [[cdcUpsertStream]]'s final snapshot, LIVE keys only
+    * (the materialized table a reader sees after the MERGE): argmax by
+    * event_id inside ONE hash aggregate — max(struct) compares event_id
+    * first, which is unique per key, so op/value ride along exactly; no
+    * window, partial+final merge, the scale-canonical latest-per-key.
+    */
+  def cdcSnapshot(cdc: DataFrame): DataFrame =
+    cdc.groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("op"), col("value"))).as("m"))
+      .filter(col("m.op") =!= "D")
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+      .orderBy("user_id")
+
   /** Stream-static enrichment: join each (micro-batch of) events to a
     * static dimension — Spark re-plans the static side per batch, and a
     * small dim broadcasts, so the stream never shuffles. Identical code

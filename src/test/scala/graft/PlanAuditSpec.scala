@@ -251,7 +251,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // shape as topk_brute
     "sim_range_search",
     // bm25 / lm_score: 1-row broadcast corpus-stats recombine
-    "text_bm25_search", "text_lm_score")
+    "text_bm25_search", "text_lm_score",
+    // hybrid retrieval: bm25's 1-row stats recombine + topk_brute's
+    // non-equi qid≠cid probe broadcast (both bounded sides)
+    "text_hybrid_retrieval",
+    // mixture temperature: 1-row broadcast Σ√n/total recombine
+    "pipeline_mixture_temperature")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -43,6 +43,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(tiny, 5).map(_._3) == Set(1, 2))
   }
 
+  test("weightedPrioritySample: deterministic, partitioning-independent, weight-sensitive") {
+    import org.apache.spark.sql.functions._
+    // weights: ids 1..100 get weight 1000, ids 101..1000 weight 1
+    val df = ids.withColumn("w",
+      when($"id" <= 100, 1000L).otherwise(1L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedPrioritySample(d, "id", "w", 50)
+        .collect().map(_.getLong(0)).toSeq
+    val a = run(df)
+    assert(a.size == 50)
+    assert(run(df.repartition(13)) == a) // pure function of (key, weight)
+    // heavy rows are 10% of the population but should dominate the
+    // sample: P(inclusion) rises with weight under A-Res
+    val heavy = a.count(_ <= 100)
+    assert(heavy > 25, s"expected heavy-weight majority, got $heavy/50")
+    // priorities are valid (0,1) and the result is their top-k
+    val pri = Sampling.weightedPrioritySample(df, "id", "w", 50)
+      .collect().map(_.getDouble(2))
+    assert(pri.forall(p => p > 0.0 && p < 1.0))
+    val all = Sampling.weightedPrioritySample(df, "id", "w", 1000)
+      .collect().map(_.getDouble(2))
+    assert(pri.min >= all.sorted.reverse.take(50).min)
+  }
+
   test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {
     val df = ids.withColumn("cls",
       org.apache.spark.sql.functions.when($"id" % 3 === 0, "a")

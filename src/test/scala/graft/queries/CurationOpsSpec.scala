@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the round-11 curation/retrieval queries —
+  * the oracle proves value equality; these pin the SEMANTICS the oracle
+  * can't see (fusion arithmetic, fill rule, monotonicity) on sf0.001.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("text_hybrid_retrieval: rrf is exactly the two-leg fold and ordering holds") {
+    val rows = run("text_hybrid_retrieval")
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val tr = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vr = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val rrf = r.getDouble(3)
+      assert(tr.nonEmpty || vr.nonEmpty, "a fused row must appear in some leg")
+      val expect = tr.map(t => 1.0 / (60.0 + t)).getOrElse(0.0) +
+        vr.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+      assert(rrf == expect, s"rrf mismatch for doc ${r.getLong(0)}")
+      assert(rrf <= prev, "rrf must be non-increasing in output order")
+      prev = rrf
+    }
+    // each leg's ranks are distinct and within [1, 50]
+    val trs = rows.flatMap(r => if (r.isNullAt(1)) None else Some(r.getInt(1)))
+    val vrs = rows.flatMap(r => if (r.isNullAt(2)) None else Some(r.getInt(2)))
+    assert(trs.distinct.length == trs.length && trs.forall(t => t >= 1 && t <= 50))
+    assert(vrs.distinct.length == vrs.length && vrs.forall(v => v >= 1 && v <= 50))
+  }
+
+  test("text_bpe_pair_counts: single-char lowercase pairs, counts descending") {
+    val rows = run("text_bpe_pair_counts")
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a.length == 1 && b.length == 1, s"pair ($a,$b) not single chars")
+      assert(a.head.isLower && b.head.isLower)
+      assert(c >= 1 && c <= prev)
+      prev = c
+    }
+  }
+
+  test("pipeline_mixture_temperature: probabilities sum to 1 and flatten the mix") {
+    val rows = run("pipeline_mixture_temperature")
+    assert(rows.length >= 2)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val ps = rows.map(r => (r.getLong(1) / n, r.getDouble(2)))
+    assert(math.abs(ps.map(_._2).sum - 1.0) < 1e-12)
+    // temperature α=0.5 flattens: sources above uniform share shrink,
+    // sources below it grow
+    ps.foreach { case (raw, temp) =>
+      if (raw > 1.0 / rows.length) assert(temp < raw)
+      else if (raw < 1.0 / rows.length) assert(temp > raw)
+    }
+  }
+
+  test("window_locf_gapfill: filled value is the most recent non-gap value") {
+    val rows = run("window_locf_gapfill")
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        if (!r.isNullAt(2)) lastSeen = Some(r.getDouble(2))
+        val filled = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        assert(filled == lastSeen,
+          s"user ${r.getLong(0)} event ${r.getLong(1)}: LOCF violated")
+      }
+    }
+    // the planted gap rate means some rows were actually filled
+    assert(rows.exists(r => r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
+  test("sample_weighted_ares: 25 rows, priority order, long docs overrepresented") {
+    val rows = run("sample_weighted_ares")
+    assert(rows.length == 25)
+    val pri = rows.map(_.getLong(2))
+    assert(pri.sameElements(pri.sortBy(-_: Long)), "priority_e9 must be descending")
+    // A-Res with w=n_chars: the sampled mean length should exceed the
+    // corpus mean (weight-proportional pull)
+    val corpusMean = graft.Tables.load(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean $sampleMean%.0f not above corpus mean $corpusMean%.0f")
+  }
+}

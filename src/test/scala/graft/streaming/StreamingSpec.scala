@@ -190,6 +190,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState CDC upsert: last snapshot matches the batch MERGE twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, String, Double)] // (user_id, event_id, op, value)
+    val q = Streaming.cdcUpsertStream(
+        mem.toDF().toDF("user_id", "event_id", "op", "value"))
+      .writeStream.format("memory").queryName("cdc_snap")
+      .outputMode("update").start()
+    // the discriminating feed: user 2 deleted then re-inserted ACROSS
+    // batches; user 3 deleted last; user 1's batch-2 update arrives
+    // out of order (event 12 before 11 in the same addData)
+    val feed = Seq(
+      Seq((1L, 10L, "U", 1.0), (2L, 20L, "U", 2.0), (3L, 30L, "U", 3.0)),
+      Seq((1L, 12L, "U", 1.2), (1L, 11L, "U", 1.1), (2L, 21L, "D", 0.0)),
+      Seq((2L, 22L, "U", 2.2), (3L, 31L, "D", 0.0)))
+    try {
+      feed.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val snaps = spark.table("cdc_snap")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+      val last = snaps.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, xs) => xs.maxBy(_._2)._1 }
+      // deleted-latest keys surface as live=false retractions
+      assert(last.find(_._1 == 3L).exists(!_._3))
+      val live = last.filter(_._3).map(t => (t._1, t._2, t._4)).toSet
+      val twin = Streaming.cdcSnapshot(
+          feed.flatten.toDF("user_id", "event_id", "op", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(live == twin, s"live=$live twin=$twin")
+      assert(twin == Set((1L, 12L, 1.2), (2L, 22L, 2.2)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState: a late event extends the session and the timer closes the EXTENDED session") {
     // r7 verdict item 6: no test fired an event-time timer AFTER a late
     // element extended the session. The discriminating feed: user 1's
