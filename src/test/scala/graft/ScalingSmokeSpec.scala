@@ -37,7 +37,11 @@ class ScalingSmokeSpec extends AnyFunSuite {
     math.min(timeOnce(name, dir), timeOnce(name, dir))
 
   private val guarded =
-    Seq("dedup_simhash", "dedup_embedding_lsh", "dedup_minhash_lsh")
+    Seq("dedup_simhash", "dedup_embedding_lsh", "dedup_minhash_lsh",
+      // retrieval/sampling additions (r11): scan + bounded-heap /
+      // TakeOrdered shapes — should track n linearly; a regression to a
+      // global-sort or window plan would blow past the bar
+      "text_hybrid_retrieval", "sample_weighted_ares")
 
   test("approximate dedup operators stay sub-quadratic at 10× data") {
     assume(new java.io.File(s"$sf1/documents.parquet").exists(),
