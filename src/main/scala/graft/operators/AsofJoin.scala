@@ -106,6 +106,52 @@ object AsofJoin {
         payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 
+  /** As-of join, FORWARD direction (pandas `merge_asof
+    * (direction='forward')`, DuckDB `ASOF JOIN … ON l.ts <= r.ts`): for
+    * each left row, attach the EARLIEST right row with the same key and
+    * right.ts >= left.ts — the "next touch" attribution / next-scheduled-
+    * event lookup, the mirror of [[asof]].
+    *
+    * Same single-shuffle union-window plan, mirrored: here LEFT rows tag
+    * side 0 and RIGHT rows side 1, so at equal ts the right row sorts
+    * AFTER the left row and the `first(ignoreNulls)` over
+    * (currentRow, unboundedFollowing) sees it — the inclusive `>=`
+    * semantics (in [[asof]] the tags are reversed for the same reason in
+    * the other direction). ONE shuffle on the key, no range explosion.
+    * `right` must be unique per (key, ts) — see [[latestPerKeyTs]].
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    checkColumns(left, right, payload, emitted = Nil)
+    val pSchema = StructType(payload.map(p => right.schema(p)))
+    val lTagged = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        leftCols.map(col) :+ lit(null).cast(pSchema).as("__p"): _*)
+    val rTagged = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__side")) ++
+        leftCols.map(c => lit(null).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
+  }
+
   /** As-of join, `nearest` direction (pandas `merge_asof
     * (direction='nearest')`, kdb `aj` generalization): for each left row,
     * attach the right row with the same key whose timestamp is CLOSEST to

@@ -53,6 +53,83 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k by INNER PRODUCT (MIPS — maximum inner-product search,
+    * the recommender / learned-retrieval scoring where vectors are NOT
+    * normalized and magnitude carries signal; FAISS METRIC_INNER_PRODUCT
+    * to [[bruteForceTopK]]'s cosine). Same broadcast-queries + codegen
+    * kernel + bounded-heap plan; only the scoring expression differs.
+    * Note MIPS is not a metric (no triangle inequality), so the
+    * LSH/IVF pruning used for cosine does not transfer unchanged —
+    * the standard scale route is the norm-augmentation reduction to
+    * cosine over (x, √(M²−|x|²)) vectors; the exact form here is the
+    * correctness anchor for it.
+    */
+  def mipsTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    val scored = candidates.join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.innerProduct(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** MIPS at scale: the norm-augmentation reduction to angular LSH
+    * (Bachrach et al., RecSys'14 / Shrivastava & Li, NIPS'14 ALSH).
+    * Candidates x map to x' = [x, √(M²−|x|²)] (M = corpus max norm) and
+    * queries q to q' = [q, 0]; then cos(q',x') = ⟨q,x⟩/(|q|·M), monotone
+    * in the inner product per query — so the existing hyperplane
+    * bucketing applies verbatim to the AUGMENTED dim+1 vectors, and only
+    * same-bucket pairs pay the exact inner product on the ORIGINAL
+    * vectors. Every step is a pure function of the data (M is a 1-row
+    * max aggregate broadcast back in-plan, the appended residual rounds
+    * to float32 exactly once), so an ANSI-SQL engine can replay the
+    * whole algorithm as an exact oracle.
+    *
+    * Plan shape matches [[lshTopK]]: candidate rows stream through a
+    * broadcast hash join on (table, bucket), the bounded heap keeps
+    * |Q|·k rows, and the M aggregate adds one scan — at 100 TB you pin
+    * M at index-build time instead (any upper bound ≥ the true max is
+    * semantically safe: it only shrinks the residual's angular spread).
+    */
+  def mipsLshTopK(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      dim: Int,
+      bits: Int = 10,
+      tables: Int = 8,
+      seed: Long = 42L,
+      probeHamming: Int = 2): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    graft.functions.SketchFunctions.register(candidates.sparkSession)
+    def tableSeed(t: Int): Long = seed + 0x9E3779B97F4A7C15L * t
+    val m2 = candidates.agg(
+      max(VectorFunctions.innerProduct(col("cvec"), col("cvec"))).as("__m2"))
+    val caug = concat(col("cvec"), array(
+      sqrt(greatest(col("__m2") -
+        VectorFunctions.innerProduct(col("cvec"), col("cvec")), lit(0.0)))
+        .cast("float")))
+    val qaug = concat(col("qvec"), array(lit(0.0f)))
+    val q = queries
+      .select(col("qid"), col("qvec"),
+        posexplode(array((0 until tables).map(t =>
+          probes(signature(qaug, dim + 1, bits, tableSeed(t)), bits, probeHamming)): _*))
+          .as(Seq("qtable", "ps")))
+      .select(col("qid"), col("qvec"), col("qtable"), explode(col("ps")).as("probe"))
+    val c = candidates.crossJoin(broadcast(m2))
+      .select(col("cid"), col("cvec"),
+        posexplode(array((0 until tables).map(t =>
+          signature(caug, dim + 1, bits, tableSeed(t))): _*)).as(Seq("ctable", "bucket")))
+    val scored = c.join(broadcast(q),
+        col("ctable") === col("qtable") && col("bucket") === col("probe") &&
+          col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorFunctions.innerProduct(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Range (radius) search — the other half of the ANN API surface
     * (FAISS `range_search` to [[bruteForceTopK]]'s `search`): ALL
     * neighbors with cosine ≥ `threshold` per query, not a fixed k.

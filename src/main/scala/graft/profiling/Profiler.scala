@@ -279,6 +279,46 @@ object Profiler {
         min(when(col("cum") >= col("t90"), col("v"))).cast("double").as("p90_low"))
   }
 
+  /** WEIGHTED order statistics by the same no-global-sort histogram
+    * plan as [[exactOrderStats]]: weighted lower median (smallest v with
+    * 2·cumweight ≥ totalweight) and weighted lower p90 — the
+    * importance-weighted profile cut (e.g. "the quantity below which
+    * half the REVENUE sits", vs half the rows). Weights aggregate in
+    * exact DECIMAL (order-independent; the threshold comparisons are
+    * exact decimal arithmetic in both engines), the cumulative window
+    * runs over the REDUCED O(domain) distinct-value table only
+    * (maxDomain-guarded with the same prune-proof in-plan raise_error),
+    * and the final pick is one broadcast recombine.
+    */
+  def exactWeightedOrderStats(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String,
+      maxDomain: Long = 100000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(graft.queries.Exact.dec2(col(weightCol))).as("wc"),
+        count(lit(1)).as("c"))
+    val cum = vals.withColumn("cum", sum(col("wc")).over(
+      Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = vals.agg(sum(col("wc")).as("wt0"), sum(col("c")).as("n"),
+        count(lit(1)).as("d"))
+      .select(col("n"),
+        when(col("d") <= maxDomain, col("wt0"))
+          .otherwise(raise_error(concat(
+            lit(s"exactWeightedOrderStats($valueCol): distinct-value domain "),
+            col("d").cast("string"),
+            lit(s" exceeds maxDomain=$maxDomain — unbounded domain; " +
+              "use a bucket-then-refine selection")))).as("wtot"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("cum") * 2 >= col("wtot"), col("v")))
+          .cast("double").as("wp50_low"),
+        min(when(col("cum") * 10 >= col("wtot") * 9, col("v")))
+          .cast("double").as("wp90_low"))
+  }
+
   /** Run-over-run drift of the monitoring metrics — the comparison the
     * reference's APPEND monitoring table exists to enable
     * (profiling_example.py:24-28): join two profile frames on

@@ -657,6 +657,33 @@ object PipelineQueries extends QueryModule {
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND c.label = 1) t
         WHERE rn <= 5 ORDER BY query_id, rank""")),
 
+    // ── MIPS: exact top-k by INNER PRODUCT (recommender / learned-
+    //    retrieval scoring — magnitude carries signal, FAISS
+    //    METRIC_INNER_PRODUCT). Same broadcast-queries + codegen kernel +
+    //    bounded-heap plan as sim_topk_brute; DuckDB's list_dot_product
+    //    is the same sequential double fold as VectorKernels.dot, so
+    //    scores are bit-identical (verified like the cosine identity). ──
+    QueryDef("sim_topk_mips",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.mipsTopK(queries, candidates, k = 5)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+        WHERE rn <= 5 ORDER BY query_id, rank""")),
+
     // ── int8 embedding quantization: per-vector max-abs scale, floor
     //    codes (floor, not round — identical across engines), the 4×
     //    storage cut applied before embeddings land in parquet ──────────

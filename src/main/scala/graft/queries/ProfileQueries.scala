@@ -162,6 +162,24 @@ object ProfileQueries extends QueryModule {
         SELECT t.n AS n_rows,
           CAST(min(CASE WHEN cum.cum >= (t.n + 1) // 2 THEN cum.v END) AS DOUBLE) AS p50_low,
           CAST(min(CASE WHEN cum.cum >= (9 * t.n + 9) // 10 THEN cum.v END) AS DOUBLE) AS p90_low
+        FROM cum CROSS JOIN t GROUP BY t.n""")),
+
+    // WEIGHTED median/p90, same no-global-sort histogram plan: the
+    // quantity below which half the lineitem REVENUE sits (weights in
+    // exact DECIMAL — order-independent sums, exact threshold compares
+    // in both engines; the cumulative window runs over the ~50-row
+    // quantity domain only, maxDomain-guarded).
+    QueryDef("agg_weighted_median_distributed",
+      (s, dir) => graft.profiling.Profiler.exactWeightedOrderStats(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_extendedprice"),
+      Some("""WITH v AS (SELECT l_quantity AS v,
+            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS wc, count(*) AS c
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(wc) AS wtot, CAST(sum(c) AS BIGINT) AS n FROM v),
+        cum AS (SELECT v, sum(wc) OVER (ORDER BY v) AS cum FROM v)
+        SELECT t.n AS n_rows,
+          CAST(min(CASE WHEN cum.cum * 2 >= t.wtot THEN cum.v END) AS DOUBLE) AS wp50_low,
+          CAST(min(CASE WHEN cum.cum * 10 >= 9 * t.wtot THEN cum.v END) AS DOUBLE) AS wp90_low
         FROM cum CROSS JOIN t GROUP BY t.n"""))
   )
 }

@@ -768,6 +768,41 @@ object RelationalQueries extends QueryModule {
         ORDER BY e.event_id"""))
     ,
 
+    // As-of FORWARD (pandas merge_asof direction='forward'): each event
+    // gets the customer's NEXT order at or after the event's time — the
+    // "next touch" attribution lookup, mirroring join_asof_latest_order.
+    // Same single-shuffle union-window plan with the side tags reversed
+    // (AsofJoin.asofForward); oracle is DuckDB's native forward ASOF
+    // (`ON e.ts <= r.o_orderdate`).
+    QueryDef("join_asof_next_order",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts")
+        val orders = graft.operators.AsofJoin.latestPerKeyTs(
+          Tables.load(s, dir, "orders")
+            .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"),
+              $"o_orderkey", $"o_totalprice"),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        graft.operators.AsofJoin.asofForward(events, orders,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTs = "ts", rightTs = "o_orderdate",
+            payload = Seq("o_orderkey", "o_totalprice"))
+          .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+              ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t WHERE rn = 1),
+        e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        FROM e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+        ORDER BY event_id"""))
+    ,
+
     // Skew-salted equi join: 5 hot event_type keys spread over 8 salt
     // buckets; salting must be invisible in the results (oracle = the
     // plain join).

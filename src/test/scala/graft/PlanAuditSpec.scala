@@ -256,7 +256,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // non-equi qid≠cid probe broadcast (both bounded sides)
     "text_hybrid_retrieval",
     // mixture temperature: 1-row broadcast Σ√n/total recombine
-    "pipeline_mixture_temperature")
+    "pipeline_mixture_temperature",
+    // MIPS: topk_brute's non-equi qid≠cid probe broadcast
+    "sim_topk_mips",
+    // weighted median: same 1-row broadcast scalar recombine as
+    // agg_median_distributed
+    "agg_weighted_median_distributed")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -317,7 +322,10 @@ class PlanAuditSpec extends AnyFunSuite {
     //  - pipeline_full_curation: min-target over the |sources|-row
     //    per-source char-total aggregate (the domain-mix cap)
     val allowedGlobalWindows = Set("pipeline_pack_chunks", "sort_global_rank",
-      "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation")
+      "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
+      // weighted median: same O(domain) reduced-input cumulative window
+      // as agg_median_distributed (maxDomain-guarded in Profiler)
+      "agg_weighted_median_distributed")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -342,7 +350,8 @@ class PlanAuditSpec extends AnyFunSuite {
       if (gw.nonEmpty) Some(name) else None
     }
     val allowed = Set("pipeline_pack_chunks", "sort_global_rank",
-      "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation")
+      "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
+      "agg_weighted_median_distributed")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

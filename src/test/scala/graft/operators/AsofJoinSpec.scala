@@ -33,6 +33,35 @@ class AsofJoinSpec extends AnyFunSuite {
       1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0), 4L -> None, 5L -> None))
   }
 
+  test("asofForward attaches the earliest right row at-or-after each left ts") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:05:00"), 2.0),
+      ("B", ts("2024-01-01 10:03:00"), 9.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), // exact match: inclusive
+      (2L, "A", ts("2024-01-01 10:04:00")), // next quote -> 2.0
+      (3L, "A", ts("2024-01-01 11:00:00")), // after last -> null
+      (4L, "B", ts("2024-01-01 10:00:00")), // before B's quote -> 9.0
+      (5L, "C", ts("2024-01-01 10:00:00"))  // key never quoted -> null
+    ).toDF("id", "sym", "tts")
+    val got = AsofJoin.asofForward(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> None, 4L -> Some(9.0), 5L -> None))
+  }
+
+  test("asofForward plan has a single exchange (no range-join explosion)") {
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qts", "px")
+    val trades = Seq((1L, "A", ts("2024-01-01 10:00:00"))).toDF("id", "sym", "tts")
+    val p = AsofJoin.asofForward(trades, quotes, "sym", "sym", "tts", "qts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("latestPerKeyTs keeps the max-tie row per (key, ts)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L, "old"),

@@ -42,6 +42,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mipsTopK matches a literal inner-product sort-and-take per query") {
+    val k = 4
+    val got = Similarity.mipsTopK(asQ(emb.filter($"vec_id" < 5)), asC(emb), k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0
+      for (i <- x.indices) d += x(i).toDouble * y(i).toDouble
+      d
+    }
+    for ((q, qv) <- vecs if q < 5) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, dot(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(k).toSeq
+      assert(got(q) == expect, s"query $q")
+    }
+  }
+
   test("topk aggregate keeps ties deterministic (smaller id wins)") {
     val pairs = Seq(
       (1L, 10L, 0.5), (1L, 11L, 0.5), (1L, 12L, 0.5), (1L, 13L, 0.9)

@@ -96,6 +96,35 @@ class ProfilerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == sorted((9 * n + 9) / 10 - 1)) // lower p90
   }
 
+  test("exactWeightedOrderStats picks the exact weighted median and p90") {
+    import org.apache.spark.sql.functions._
+    // values 1..4 with weights 1,1,6,2 (total 10): weighted lower median
+    // = smallest v with 2·cum ≥ 10 → v=3 (cum 8); weighted p90 = smallest
+    // v with 10·cum ≥ 90 → v=4 (cum 8 at v=3 misses, 10 at v=4 hits)
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 6.0), (4.0, 2.0)).toDF("v", "w")
+    val r = Profiler.exactWeightedOrderStats(df, "v", "w").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 4.0)
+    // uniform weights degenerate to the unweighted medians
+    val uni = ((1 to 100) ++ (2 to 100 by 2)).map(v => (v.toDouble, 1.0)).toDF("v", "w")
+    val ru = Profiler.exactWeightedOrderStats(uni, "v", "w").head()
+    val sorted = ((1 to 100) ++ (2 to 100 by 2)).map(_.toDouble).sorted
+    val n = sorted.length
+    // lower weighted median with unit weights = element at ceil(n/2)
+    assert(ru.getDouble(1) == sorted((n + 1) / 2 - 1))
+  }
+
+  test("exactWeightedOrderStats fails fast when the value domain exceeds maxDomain") {
+    val df = (1 to 1000).map(v => (v.toDouble, 1.0)).toDF("v", "w")
+    val e = intercept[Exception] {
+      Profiler.exactWeightedOrderStats(df, "v", "w", maxDomain = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds maxDomain")), e.toString)
+  }
+
   test("exactOrderStats fails fast when the value domain exceeds maxDomain") {
     // The O(domain) single-task window must never silently serialize an
     // unbounded-domain column; the in-plan guard turns it into an error.
