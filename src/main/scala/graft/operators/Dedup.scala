@@ -840,6 +840,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Directed CONTAINMENT pairs: (a, b) with
+    * c(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥ `threshold` — the asymmetric
+    * near-superset detector (Broder'97's containment, the quote /
+    * extended-rewrite / doc-embedded-in-crawl case that symmetric
+    * Jaccard structurally misses: a short doc fully quoted inside a long
+    * one has Jaccard ≈ |a|/|b| but containment 1.0).
+    *
+    * Candidate generation is the A-side prefix filter: if c(a→b) ≥ t the
+    * overlap is ≥ ⌈t·|a|⌉, so a shares at least one of its first
+    * ⌊(1−t)·|a|⌋+1 shingles (ascending document frequency — Bayardo's
+    * canonical order, rare-first, no hot prefix keys) with b; b is
+    * indexed in FULL (asymmetry: nothing bounds where in b the shared
+    * shingles sit, so the containing side gets the inverted index, the
+    * contained side only its prefix). Join is prefix(a) ⋈ all(b) — the
+    * candidate volume is prefix-sized × df, not |a|×|b|. The one-sided
+    * length filter |sh(b)| ≥ t·|sh(a)| prunes size-impossible pairs
+    * (containment has no upper size bound, unlike Jaccard's two-sided
+    * band). Exact set intersection verifies every candidate — output is
+    * exact, asserted against brute force in DedupSpec.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3): DataFrame = {
+    val shingled = shingleHashed(docs, idCol, textCol, shingleSize)
+    val sized = shingled
+      .withColumn("sz", size(col("sh")))
+      .withColumn("plen",
+        (floor(size(col("sh")).cast(DoubleType) * lit(1.0 - threshold) + lit(1e-9)) + 1)
+          .cast("int"))
+    val exploded = sized.select(col("id"), col("sz"), col("plen"),
+      explode(col("sh")).as("h"))
+    val freq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("h").asc)
+    val prefixes = exploded.join(freq, "h")
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= col("plen"))
+      .select(col("id"), col("sz"), col("h").as("pkey"))
+    val full = exploded.select(col("id").as("bid"), col("sz").as("bsz"),
+      col("h").as("pkey"))
+    val candidates = prefixes.join(full,
+        prefixes("pkey") === full("pkey") && col("id") =!= col("bid") &&
+          col("bsz").cast(DoubleType) >= col("sz") * lit(threshold) - lit(1e-9))
+      .select(col("id").as("doc_a"), col("bid").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))) / size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   // ── SimHash ───────────────────────────────────────────────────────────
   /** Near-dup pairs by SimHash hamming distance <= maxDistance.
     *

@@ -92,14 +92,22 @@ object Similarity {
     * |Q|·k rows, and the M aggregate adds one scan — at 100 TB you pin
     * M at index-build time instead (any upper bound ≥ the true max is
     * semantically safe: it only shrinks the residual's angular spread).
+    *
+    * Default operating point is COARSER than cosine [[lshTopK]]'s
+    * (bits=8/L=12 vs 10/8): augmentation compresses angles toward the
+    * residual axis — a true MIPS neighbor's augmented cosine is
+    * ⟨q,x⟩/(|q|·M), far from 1 whenever |x| ≪ M — so recall needs wider
+    * buckets and more tables (measured in SimilaritySpec's
+    * varying-magnitude sweep: 10/8 ⇒ 0.71, 8/8 ⇒ 0.905, 8/12 ⇒ 0.94;
+    * the published sharper fix is norm-range sharding with per-shard M).
     */
   def mipsLshTopK(
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       k: Int,
       dim: Int,
-      bits: Int = 10,
-      tables: Int = 8,
+      bits: Int = 8,
+      tables: Int = 12,
       seed: Long = 42L,
       probeHamming: Int = 2): DataFrame = {
     VectorFunctions.register(candidates.sparkSession)

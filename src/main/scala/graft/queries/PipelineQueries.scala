@@ -259,6 +259,26 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 
+    // ── directed containment (|A∩B|/|A| ≥ 0.8): the asymmetric
+    //    near-superset detector — quotes / doc-embedded-in-crawl pairs
+    //    that symmetric Jaccard structurally misses. A-side prefix
+    //    filter ⋈ full B-side inverted index, one-sided length prune,
+    //    exact set-intersection verify (operators/Dedup.containmentPairs;
+    //    losslessness argument in its scaladoc, brute-force-asserted in
+    //    DedupSpec). Oracle: the exact directed pair set. ───────────────
+    QueryDef("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
+         |FROM s a, s b
+         |WHERE a.doc_id <> b.doc_id
+         |  AND len(list_intersect(a.sh, b.sh)) / len(a.sh) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ── MinHash+LSH near-dup: banded candidates, exact-Jaccard verify ───
     // Oracle is the same exact pair set: at (bands=16, r=4) the miss
     // probability at j≥0.8 is ≈ (1-0.8^4)^16 ≈ 2e-4 per pair, and the
@@ -683,6 +703,58 @@ object PipelineQueries extends QueryModule {
           FROM embeddings q, embeddings c
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
         WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ── MIPS at scale: norm-augmentation to angular LSH (Bachrach'14 /
+    //    Shrivastava-Li ALSH) — candidates become [x, √(M²−|x|²)],
+    //    queries [q, 0], and the existing hyperplane bucketing applies
+    //    to the dim+1 vectors; exact inner product on the ORIGINAL
+    //    vectors scores the survivors. Deterministic end to end (M is a
+    //    max aggregate, the residual rounds to float32 once), so the
+    //    oracle replays the identical algorithm: augmented signatures,
+    //    multi-probe hamming ≤2 over 8 tables, dot-product ranking. ────
+    QueryDef("sim_topk_mips_norm",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.mipsLshTopK(queries, candidates, k = 5, dim = 64,
+            bits = 8, tables = 12, probeHamming = 2)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val csigs = (0 until 12).map(t =>
+          s"${OracleGen.sigExpr(OracleGen.lshTableSeed(42L, t), 8, 65, "ec")} AS c$t")
+          .mkString(",\n            ")
+        val qsigs = (0 until 12).map(t =>
+          s"${OracleGen.sigExpr(OracleGen.lshTableSeed(42L, t), 8, 65, "eq")} AS s$t")
+          .mkString(",\n            ")
+        val anyTable = (0 until 12)
+          .map(t => s"bit_count(xor(q.s$t, c.c$t)) <= 2")
+          .mkString(" OR\n            ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        m AS (SELECT max(list_dot_product(e, e)) AS m2 FROM v),
+        a AS (SELECT vec_id, e,
+            list_concat(e, [CAST(CAST(sqrt(greatest(m.m2 - list_dot_product(e, e), 0.0)) AS FLOAT) AS DOUBLE)]) AS ec,
+            list_concat(e, [CAST(0.0 AS DOUBLE)]) AS eq
+          FROM v CROSS JOIN m),
+        sig AS (SELECT vec_id, e,
+            $csigs,
+            $qsigs
+          FROM a),
+        pairs AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_dot_product(q.e, c.e) AS sim
+          FROM sig q JOIN sig c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10 AND (
+            $anyTable)),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM pairs)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
+      }),
 
     // ── int8 embedding quantization: per-vector max-abs scale, floor
     //    codes (floor, not round — identical across engines), the 4×
@@ -1582,6 +1654,49 @@ object PipelineQueries extends QueryModule {
     //    composite), with per-bin doc/token mass — the inputs a
     //    quality-mixed pretraining sampler draws from. One kernel scan +
     //    one hash aggregate; at 100 TB the bin histogram is 6 rows. ─────
+    // ── curriculum schedule: the deterministic training ORDER a
+    //    curriculum-learning run consumes — docs bucketed easy→hard by
+    //    length (fixed thresholds at the corpus terciles; no global
+    //    quantile pass), deterministically shuffled WITHIN each bucket
+    //    (md5(doc_id) — partitioning-independent), and given a dense
+    //    global position = (earlier buckets' row count) + position in
+    //    bucket. The only windows are PARTITIONED by bucket; the bucket
+    //    offsets come from a |bins|-row count aggregate broadcast back —
+    //    nothing global touches corpus-sized data, so the same plan
+    //    emits a 100 TB epoch order. ─────────────────────────────────────
+    QueryDef("pipeline_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars",
+            when($"n_chars" < 220, 0).when($"n_chars" < 380, 1).otherwise(2)
+              .as("bin"),
+            md5($"doc_id".cast("string")).as("h"))
+        val counts = d.groupBy($"bin").agg(count(lit(1)).as("n"))
+        val offsets = counts.alias("a")
+          .join(broadcast(counts.alias("b")), col("b.bin") < col("a.bin"), "left")
+          .groupBy(col("a.bin").as("bin"))
+          .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+        val pos = d.withColumn("pos",
+          row_number().over(Window.partitionBy($"bin").orderBy($"h", $"doc_id")))
+        pos.join(broadcast(offsets), "bin")
+          .select($"doc_id", $"bin", ($"off" + $"pos").cast("long").as("train_pos"))
+          .orderBy($"train_pos")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS bin,
+            md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        o AS (SELECT a.bin, CAST(coalesce(sum(b.n), 0) AS BIGINT) AS off
+          FROM c a LEFT JOIN c b ON b.bin < a.bin GROUP BY a.bin),
+        p AS (SELECT doc_id, bin,
+            row_number() OVER (PARTITION BY bin ORDER BY h, doc_id) AS pos
+          FROM d)
+        SELECT p.doc_id, p.bin, CAST(o.off + p.pos AS BIGINT) AS train_pos
+        FROM p JOIN o ON p.bin = o.bin ORDER BY train_pos""")),
+
     QueryDef("pipeline_quality_bins",
       (s, dir) => {
         import s.implicits._

