@@ -518,6 +518,97 @@ object RelationalQueries extends QueryModule {
         SELECT r1.node, CAST(r1.r AS BIGINT) AS rank_i1, CAST(r2.r AS BIGINT) AS rank_i2
         FROM r1 JOIN r2 ON r1.node = r2.node ORDER BY r1.node""")),
 
+    // ── per-node triangle participation over the undirected nation trade
+    //    graph — the clustering-coefficient numerator and the canonical
+    //    distributed graph-join benchmark. Edges orient low→high id
+    //    (a<b), so each triangle a<b<c is enumerated exactly once by the
+    //    two-hop self-join e(a,b) ⋈ e(b,c) ⋈ closure e(a,c) — the
+    //    standard MR triangle algorithm (at web scale you orient by
+    //    DEGREE instead of id, which bounds the join fan-out to O(m^1.5)
+    //    regardless of hot vertices — noted, same plan shape). Every
+    //    count is an integer; the corner-role union + groupBy is exact
+    //    in any engine. ──────────────────────────────────────────────────
+    QueryDef("graph_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .select(least($"c_nationkey", $"s_nationkey").as("a"),
+            greatest($"c_nationkey", $"s_nationkey").as("b"))
+          .distinct()
+        val tri = edges.alias("e1")
+          .join(edges.alias("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.alias("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val perNode = tri.select(explode(array($"x", $"y", $"z")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+        perNode.orderBy($"node")
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+            greatest(c.c_nationkey, s.s_nationkey) AS b
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        corners AS (
+          SELECT x AS node FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL
+          SELECT z FROM tri)
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node ORDER BY node""")),
+
+    // ── DQ anomaly detection on monitoring series: daily event-count
+    //    z-score outliers per event_type, flagged ENTIRELY in integer
+    //    arithmetic — |c−μ| ≥ 2σ rewritten as
+    //    (n−1)·(c·n−S)² ≥ 4·n·(n·Q−S²) with S=Σc, Q=Σc² (both BIGINT) —
+    //    so the flag is exact and engine-independent, where a float
+    //    stddev compare could flip on summation order at the boundary.
+    //    One narrow aggregate to daily counts, one |types|-row stats
+    //    aggregate broadcast back. ─────────────────────────────────────
+    QueryDef("dq_anomaly_zscore",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.load(s, dir, "events")
+          .select($"event_type", to_date($"ts").as("d"))
+          .groupBy($"event_type", $"d").agg(count(lit(1)).as("c"))
+        val stats = daily.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+            sum($"c" * $"c").as("q"))
+        daily.join(broadcast(stats), "event_type")
+          .filter($"n" >= 2 &&
+            ($"n" - 1) * ($"c" * $"n" - $"s") * ($"c" * $"n" - $"s") >=
+              lit(4L) * $"n" * ($"n" * $"q" - $"s" * $"s"))
+          .select($"event_type", date_format($"d", "yyyy-MM-dd").as("day"), $"c".as("n_events"))
+          .orderBy($"event_type", $"day")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+          FROM daily GROUP BY 1)
+        SELECT daily.event_type, strftime(daily.d, '%Y-%m-%d') AS day,
+          daily.c AS n_events
+        FROM daily JOIN st ON daily.event_type = st.event_type
+        WHERE st.n >= 2
+          AND (st.n - 1) * (daily.c * st.n - st.s) * (daily.c * st.n - st.s)
+            >= 4 * st.n * (st.n * st.q - st.s * st.s)
+        ORDER BY daily.event_type, day""")),
+
     // ── runtime bloom-filter join pruning (the 100 TB star-join shape
     //    where the filtered dimension is too big to broadcast): Catalyst's
     //    InjectRuntimeFilter builds a bloom filter over the dimension's
@@ -875,6 +966,49 @@ object RelationalQueries extends QueryModule {
         FROM e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
           ON e.event_id = b.event_id
         ORDER BY e.event_id"""))
+    ,
+
+    // As-of with TOLERANCE (pandas merge_asof(tolerance=...)): the
+    // backward as-of match is DISCARDED when the matched right row is
+    // older than 30 days — the staleness cutoff every feature-store
+    // lookup needs (a year-old price is not a feature). Composition,
+    // not a new operator: asof() carries the matched right timestamp in
+    // its payload struct, one when() nulls out-of-tolerance matches —
+    // same single shuffle. Oracle: DuckDB ASOF + the same CASE.
+    QueryDef("join_asof_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val events = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"ts")
+        val orders = graft.operators.AsofJoin.latestPerKeyTs(
+          Tables.load(s, dir, "orders")
+            .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_orderdate"),
+              $"o_orderkey", $"o_totalprice"),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        val joined = graft.operators.AsofJoin.asof(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+        val tolUs = 30L * 24 * 3600 * 1000000L
+        val inTol = $"o_orderdate".isNotNull &&
+          (unix_micros($"ts") - unix_micros($"o_orderdate")) <= tolUs
+        joined.select($"event_id", $"user_id",
+            when(inTol, $"o_orderkey").as("o_orderkey"),
+            when(inTol, $"o_totalprice").as("o_totalprice"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH r AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+              ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t WHERE rn = 1),
+        e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT e.event_id, e.user_id,
+          CASE WHEN e.ts - r.o_orderdate <= INTERVAL 30 DAY THEN r.o_orderkey END AS o_orderkey,
+          CASE WHEN e.ts - r.o_orderdate <= INTERVAL 30 DAY THEN r.o_totalprice END AS o_totalprice
+        FROM e ASOF LEFT JOIN r
+          ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        ORDER BY event_id"""))
     ,
 
     // As-of FORWARD (pandas merge_asof direction='forward'): each event
@@ -1274,6 +1408,42 @@ object RelationalQueries extends QueryModule {
         UNION ALL
         SELECT 'approx_topk_top5_counts_match', true
         FROM (SELECT 1 FROM lineitem WHERE l_orderkey < 15000 LIMIT 1)
+        ORDER BY metric""")),
+
+    // ── approx_percentile (KLL/GK-family sketch) rank-error bound check:
+    //    the sketch's contract is |rank(estimate) − p·n| ≤ n/accuracy —
+    //    verified IN-PLAN by ranking the estimate against the exact data
+    //    (one extra scan against a 1-row broadcast) and comparing in
+    //    pure integer arithmetic (|2·rank − 2p·n| vs 2·n DIV acc + slack
+    //    for boundary ties). Sketch values can never hash-match an
+    //    external engine; the BOUND booleans can — same pattern as the
+    //    topk/HLL/count-min bound checks. ───────────────────────────────
+    QueryDef("agg_approx_quantile_bounds",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_extendedprice")
+        val apx = li.agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"),
+          count(lit(1)).as("n"))
+        val ranked = li.crossJoin(broadcast(apx))
+          .agg(sum(when($"l_extendedprice" <= $"a50", 1L).otherwise(0L)).as("r50"),
+            sum(when($"l_extendedprice" <= $"a90", 1L).otherwise(0L)).as("r90"),
+            max($"n").as("n"))
+        val slack = ranked.withColumn("eps", expr("2 * (n DIV 1000) + 4"))
+        slack.select(explode(map(
+            lit("approx_p50_rank_within_eps"),
+            abs(lit(2L) * $"r50" - $"n") <= $"eps",
+            lit("approx_p90_rank_within_eps"),
+            abs(lit(10L) * $"r90" - lit(9L) * $"n") <= lit(5L) * $"eps"))
+            .as(Seq("metric", "ok")))
+          .orderBy("metric")
+      },
+      Some("""SELECT 'approx_p50_rank_within_eps' AS metric, true AS ok
+        FROM (SELECT 1 FROM lineitem LIMIT 1)
+        UNION ALL
+        SELECT 'approx_p90_rank_within_eps', true
+        FROM (SELECT 1 FROM lineitem LIMIT 1)
         ORDER BY metric""")),
 
     // Exact distinct counting via segment bitmaps (bitmap_bucket_number /

@@ -271,7 +271,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_pagerank_fixed",
     // curriculum: |bins|-row (≤3) bucket-count self-join on bin<bin for
     // the cumulative offsets — both sides broadcast-tiny
-    "pipeline_curriculum_order")
+    "pipeline_curriculum_order",
+    // approx-quantile bound check: exact-rank scan against the 1-row
+    // broadcast sketch estimates (the *_bounds scalar-recombine shape)
+    "agg_approx_quantile_bounds")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
