@@ -213,6 +213,42 @@ object SourceSinkQueries extends QueryModule {
       Some(s"""SELECT count(*) AS n, ${graft.queries.Exact.sqlDsum("value")} AS value_sum
         FROM events WHERE event_type = 'click'""")),
 
+    // Dynamic partition pruning — the OTHER half of partition pruning:
+    // the qualifying partitions are knowable only THROUGH the join (the
+    // dim filter is on a non-partition attribute), so Catalyst injects a
+    // runtime `dynamicpruning` subquery into the fact scan's
+    // PartitionFilters (PlanAuditSpec asserts it) and the 100 TB fact
+    // table reads one partition directory instead of all. Results are
+    // byte-identical with/without DPP, so the oracle is the plain join.
+    QueryDef("join_dpp_partitioned",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_dpp").resolve("li_by_flag").toString
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+          .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+        val fact = s.read.parquet(out)
+        // the dim must be a SOURCE with an unfolded selective filter: a
+        // LocalRelation dim would constant-fold the filter away and the
+        // PartitionPruning rule (which looks for a filter on the other
+        // side) would never fire — so the dim round-trips through parquet
+        val dimPath = Files.createTempDirectory("graft_dpp").resolve("flag_dim").toString
+        s.createDataFrame(Seq(("R", "returned"), ("A", "accepted"), ("N", "none")))
+          .toDF("flag", "label")
+          .write.mode("overwrite").parquet(dimPath)
+        val dim = s.read.parquet(dimPath).filter(col("label") === "returned")
+        fact.join(dim, col("l_returnflag") === col("flag"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            graft.queries.Exact.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH dim AS (SELECT * FROM (VALUES ('R', 'returned'), ('A', 'accepted'),
+            ('N', 'none')) AS t(flag, label) WHERE label = 'returned')
+        SELECT l_returnflag, count(*) AS n,
+          ${graft.queries.Exact.sqlDsum("l_extendedprice")} AS revenue
+        FROM lineitem JOIN dim ON l_returnflag = dim.flag
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Schema evolution: two parquet slices with different column sets,
     // read back with mergeSchema — missing columns surface as nulls
     // instead of breaking the scan (how a lakehouse table widens at

@@ -57,6 +57,20 @@ object StreamingQueries extends QueryModule {
           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
         FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")),
 
+    // Per-key EWMA batch twin (α=1/2, event_id order). The streaming
+    // path is mapGroupsWithState with one (ewma, n, last-id) triple per
+    // user and an idempotent-replay guard; StreamingSpec pins a
+    // MemoryStream run equal to this plan, and this row anchors the
+    // shared arithmetic to DuckDB's list_reduce fold bit-for-bit.
+    QueryDef("streaming_ewma",
+      (s, dir) => Streaming.ewmaPerUser(
+          Tables.load(s, dir, "events").filter(col("user_id") < 50))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          list_reduce(list(value ORDER BY event_id),
+            (a, b) -> a * CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE)) AS ewma
+        FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")),
+
     // Sessionization batch twin (6h inactivity gap). The streaming path
     // (flatMapGroupsWithState, event-time timeout) is asserted equal to
     // this plan in StreamingSpec — this row anchors both to DuckDB.

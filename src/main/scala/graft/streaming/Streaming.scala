@@ -89,6 +89,64 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(20,2)")).cast("double").as("total_value"))
 
+  // ── per-key EWMA: sequential recurrence as streaming state ───────────
+
+  final case class EwmaEvent(user_id: Long, event_id: Long, value: Double)
+  /** EWMA state: the running smoothed value, event count, and the highest
+    * event id folded so far (replay/ordering guard).
+    */
+  final case class EwmaState(ewma: Double, n: Long, lastEventId: Long)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Batch EWMA twin (α = 1/2): y_1 = x_1, y_t = x_t/2 + y_{t-1}/2 over
+    * each user's event_id-ordered values — ONE ordered fold per key
+    * (sort_array(collect_list) + `aggregate`) after one hash shuffle.
+    * Identical arithmetic to the registered `agg_ewma_per_key` plan;
+    * [[ewmaPerUserStream]] carries the same recurrence as streaming
+    * state and StreamingSpec pins the two equal.
+    */
+  def ewmaPerUser(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("event_id"), col("value")))).as("seq"))
+      .withColumn("vals", col("seq").getField("value"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          element_at(col("vals"), 1),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)).as("ewma"))
+
+  /** Streaming EWMA (`mapGroupsWithState`, update mode): state is one
+    * (ewma, n, last id) triple per user — O(keys) however long the
+    * stream runs. Each micro-batch's group iterator sorts by event_id
+    * (bounded by per-user-per-batch volume) and folds in order with the
+    * SAME op sequence as the batch twin (y·0.5 + x·0.5 — the recurrence
+    * is order-defined, so this is the semantics, not an optimization).
+    * Events at or below the state's last folded id are skipped: replay
+    * of an already-folded micro-batch is a no-op (at-least-once sink
+    * safety); correctness across batches requires id-monotone arrival,
+    * which event_id gives by construction.
+    */
+  def ewmaPerUserStream(events: DataFrame): Dataset[EwmaOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as[EwmaEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L, Long.MinValue))
+          it.toArray.sortBy(_.event_id).foreach { e =>
+            if (e.event_id > st.lastEventId) {
+              val y = if (st.n == 0L) e.value else st.ewma * 0.5 + e.value * 0.5
+              st = EwmaState(y, st.n + 1, e.event_id)
+            }
+          }
+          state.update(st)
+          EwmaOut(uid, st.n, st.ewma)
+      }
+  }
+
   // ── sessionization: custom state via flatMapGroupsWithState ──────────
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

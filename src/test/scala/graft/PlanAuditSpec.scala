@@ -224,6 +224,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"), p)
   }
 
+  test("dynamic partition pruning injects a runtime filter into the fact scan") {
+    // the dim filter is on a non-partition attribute, so the partition
+    // set is only knowable through the join — the scan must carry a
+    // dynamicpruning expression, not just a static PartitionFilter
+    val p = plan("join_dpp_partitioned")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+  }
+
   // Every BroadcastNestedLoopJoin in the suite must be one of these
   // documented bounded shapes; anything new is a scale regression.
   //  - histogram / profile_stats / incremental_distinct_exact /

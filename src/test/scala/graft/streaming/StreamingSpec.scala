@@ -108,6 +108,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState EWMA: ordered batches match the batch twin; replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, event_id, value)
+    val q = Streaming.ewmaPerUserStream(
+        mem.toDF().toDF("user_id", "event_id", "value"))
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1 unordered WITHIN the batch (the group iterator must sort);
+      // batch 2 continues each user's id sequence; batch 3 replays an
+      // already-folded event (must not re-fold)
+      mem.addData((1L, 2L, 4.0), (1L, 1L, 8.0), (2L, 1L, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 10.0), (2L, 2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 10.0))
+      q.processAllAvailable()
+      val latest = spark.table("ewma_stream")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.ewma"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch twin over the deduped full sequence
+      val twin = Streaming.ewmaPerUser(Seq(
+          (1L, 1L, 8.0), (1L, 2L, 4.0), (1L, 3L, 10.0),
+          (2L, 1L, 3.0), (2L, 2L, 5.0))
+          .toDF("user_id", "event_id", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == twin, s"stream=$latest twin=$twin")
+      // hand value: user 1 → ((8*0.5+4*0.5)*0.5 + 10*0.5) = 8.0
+      assert(twin.contains((1L, 3L, 8.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, timeout closes, parity with batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Timestamp)] // (user_id, event_id, ts)
