@@ -1188,6 +1188,80 @@ object PipelineQueries extends QueryModule {
         SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")),
 
+    // ── dominant principal direction by 3 power-method iterations in
+    //    FIXED-POINT integer arithmetic — the PCA step embedding
+    //    pipelines use for whitening / "all-but-the-top" common-direction
+    //    removal. Everything after the one-time quantization
+    //    q = floor(x·2^20) is BIGINT: per-iteration v ← X^T(Xv) as two
+    //    integer matvec aggregates with power-of-two truncating rescales
+    //    (s DIV 2^26, w DIV 2^26) to bound magnitudes, then an integer
+    //    renormalize to ‖v‖≈2^20 via floor(sqrt(Σw²)) (exact — Σw² < 2^53
+    //    so the double sqrt is correctly rounded on an exactly-
+    //    representable input; DuckDB's `//` and Spark's DIV both
+    //    truncate toward zero, verified). Order-independent sums ⇒
+    //    partitioning-proof and engine-exact, where double-precision
+    //    power iteration could never hash-match. Plan: one corpus
+    //    explode reused per iteration, a broadcast 64-row v join + two
+    //    shuffles per iteration; nothing corpus-sized on the driver.
+    //    Overflow envelope holds to ~1e5 vectors at these scales
+    //    (raise_error guard in-plan; larger corpora re-tier the rescales
+    //    or block-aggregate — the algorithm shape is unchanged). ─────────
+    QueryDef("embed_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val guarded = emb.crossJoin(broadcast(
+            emb.agg(count(lit(1)).as("nvec"))
+              .select(when($"nvec" <= 100000L, $"nvec")
+                .otherwise(raise_error(concat(lit("embed_pca_power: corpus "),
+                  $"nvec".cast("string"),
+                  lit(" exceeds the 1e5 fixed-point overflow envelope — " +
+                    "re-tier the rescale shifts")))).as("nvec"))))
+        val q = guarded
+          .select($"vec_id", posexplode($"embedding").as(Seq("p", "x")))
+          .select($"vec_id", ($"p" + 1).as("d"),
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("q"))
+        def iterate(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val t = q.join(broadcast(v), "d")
+            .groupBy($"vec_id").agg(sum($"q" * $"v").as("s"))
+            .selectExpr("vec_id", "s DIV 67108864 AS t")
+          val w = q.join(t, "vec_id")
+            .groupBy($"d").agg(sum($"q" * $"t").as("w"))
+            .selectExpr("d", "w DIV 67108864 AS w2")
+          val n2 = w.agg(sum($"w2" * $"w2").as("n2"))
+          w.crossJoin(broadcast(n2))
+            .selectExpr("d",
+              "(w2 * 1048576) DIV greatest(CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT), 1) AS v")
+        }
+        val v0 = s.range(1, 65)
+          .select($"id".cast("int").as("d"),
+            when($"id" === 1, 1048576L).otherwise(0L).as("v"))
+        iterate(iterate(iterate(v0)))
+          .select($"d".cast("int").as("d"), $"v".cast("long").as("v"))
+          .orderBy($"d")
+      },
+      Some {
+        def iter(i: Int, prev: String): String =
+          s"""s$i AS (SELECT q.vec_id, CAST(sum(q.q * $prev.v) AS BIGINT) // 67108864 AS t
+             |  FROM q JOIN $prev ON q.d = $prev.d GROUP BY q.vec_id),
+             |w$i AS (SELECT q.d, CAST(sum(q.q * s$i.t) AS BIGINT) // 67108864 AS w2
+             |  FROM q JOIN s$i ON q.vec_id = s$i.vec_id GROUP BY q.d),
+             |n$i AS (SELECT CAST(sum(w2 * w2) AS BIGINT) AS n2 FROM w$i),
+             |v$i AS (SELECT w$i.d,
+             |    (w$i.w2 * 1048576) // greatest(CAST(floor(sqrt(CAST(n$i.n2 AS DOUBLE))) AS BIGINT), 1) AS v
+             |  FROM w$i CROSS JOIN n$i)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
+           |q AS (SELECT vec_id, CAST(r.range AS INTEGER) AS d,
+           |    CAST(floor(em[CAST(r.range AS INTEGER)] * 1048576.0) AS BIGINT) AS q
+           |  FROM e, range(1, 65) r),
+           |v0 AS (SELECT CAST(r.range AS INTEGER) AS d,
+           |    CASE WHEN r.range = 1 THEN 1048576 ELSE 0 END AS v FROM range(1, 65) r),
+           |${iter(1, "v0")},
+           |${iter(2, "v1")},
+           |${iter(3, "v2")}
+           |SELECT CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS v FROM v3 ORDER BY d""".stripMargin
+      }),
+
     // ── one exact distributed Lloyd (k-means) iteration: assignment via
     //    the codegen'd ivf_route kernel, update via the FixedPointVecSum
     //    aggregate — per-component integer sums of floor(x·2^20), so the

@@ -282,7 +282,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_curriculum_order",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
-    "agg_approx_quantile_bounds")
+    "agg_approx_quantile_bounds",
+    // pca power iteration: 1-row broadcast recombines (overflow-envelope
+    // guard + per-iteration norm); the matvec joins are equi joins
+    "embed_pca_power")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
