@@ -138,6 +138,32 @@ object PipelineQueries extends QueryModule {
     """list_distinct([array_to_string(toks[i:i+2], ' ')
       |  FOR i IN generate_series(1, greatest(len(toks)-2, 1))])""".stripMargin
 
+  /** Shared CTE pyramid for the fixed-point PCA queries: quantized
+    * corpus `q`, start vector `v0`, and three integer power iterations
+    * ending at `v3` — the SQL twin of
+    * [[graft.operators.LinearAlgebra.pcaPowerDirection]].
+    */
+  private val sqlPcaCtes: String = {
+    def iter(i: Int, prev: String): String =
+      s"""s$i AS (SELECT q.vec_id, CAST(sum(q.q * $prev.v) AS BIGINT) // 67108864 AS t
+         |  FROM q JOIN $prev ON q.d = $prev.d GROUP BY q.vec_id),
+         |w$i AS (SELECT q.d, CAST(sum(q.q * s$i.t) AS BIGINT) // 67108864 AS w2
+         |  FROM q JOIN s$i ON q.vec_id = s$i.vec_id GROUP BY q.d),
+         |n$i AS (SELECT CAST(sum(w2 * w2) AS BIGINT) AS n2 FROM w$i),
+         |v$i AS (SELECT w$i.d,
+         |    (w$i.w2 * 1048576) // greatest(CAST(floor(sqrt(CAST(n$i.n2 AS DOUBLE))) AS BIGINT), 1) AS v
+         |  FROM w$i CROSS JOIN n$i)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
+       |q AS (SELECT vec_id, CAST(r.range AS INTEGER) AS d,
+       |    CAST(floor(em[CAST(r.range AS INTEGER)] * 1048576.0) AS BIGINT) AS q
+       |  FROM e, range(1, 65) r),
+       |v0 AS (SELECT CAST(r.range AS INTEGER) AS d,
+       |    CASE WHEN r.range = 1 THEN 1048576 ELSE 0 END AS v FROM range(1, 65) r),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}""".stripMargin
+  }
+
   private val sqlExactJaccardPairs =
     s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
@@ -1209,58 +1235,40 @@ object PipelineQueries extends QueryModule {
     QueryDef("embed_pca_power",
       (s, dir) => {
         import s.implicits._
-        val emb = Tables.load(s, dir, "embeddings")
-        val guarded = emb.crossJoin(broadcast(
-            emb.agg(count(lit(1)).as("nvec"))
-              .select(when($"nvec" <= 100000L, $"nvec")
-                .otherwise(raise_error(concat(lit("embed_pca_power: corpus "),
-                  $"nvec".cast("string"),
-                  lit(" exceeds the 1e5 fixed-point overflow envelope — " +
-                    "re-tier the rescale shifts")))).as("nvec"))))
-        val q = guarded
-          .select($"vec_id", posexplode($"embedding").as(Seq("p", "x")))
-          .select($"vec_id", ($"p" + 1).as("d"),
-            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("q"))
-        def iterate(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val t = q.join(broadcast(v), "d")
-            .groupBy($"vec_id").agg(sum($"q" * $"v").as("s"))
-            .selectExpr("vec_id", "s DIV 67108864 AS t")
-          val w = q.join(t, "vec_id")
-            .groupBy($"d").agg(sum($"q" * $"t").as("w"))
-            .selectExpr("d", "w DIV 67108864 AS w2")
-          val n2 = w.agg(sum($"w2" * $"w2").as("n2"))
-          w.crossJoin(broadcast(n2))
-            .selectExpr("d",
-              "(w2 * 1048576) DIV greatest(CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT), 1) AS v")
-        }
-        val v0 = s.range(1, 65)
-          .select($"id".cast("int").as("d"),
-            when($"id" === 1, 1048576L).otherwise(0L).as("v"))
-        iterate(iterate(iterate(v0)))
+        graft.operators.LinearAlgebra
+          .pcaPowerDirection(Tables.load(s, dir, "embeddings"))
           .select($"d".cast("int").as("d"), $"v".cast("long").as("v"))
           .orderBy($"d")
       },
-      Some {
-        def iter(i: Int, prev: String): String =
-          s"""s$i AS (SELECT q.vec_id, CAST(sum(q.q * $prev.v) AS BIGINT) // 67108864 AS t
-             |  FROM q JOIN $prev ON q.d = $prev.d GROUP BY q.vec_id),
-             |w$i AS (SELECT q.d, CAST(sum(q.q * s$i.t) AS BIGINT) // 67108864 AS w2
-             |  FROM q JOIN s$i ON q.vec_id = s$i.vec_id GROUP BY q.d),
-             |n$i AS (SELECT CAST(sum(w2 * w2) AS BIGINT) AS n2 FROM w$i),
-             |v$i AS (SELECT w$i.d,
-             |    (w$i.w2 * 1048576) // greatest(CAST(floor(sqrt(CAST(n$i.n2 AS DOUBLE))) AS BIGINT), 1) AS v
-             |  FROM w$i CROSS JOIN n$i)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS em FROM embeddings),
-           |q AS (SELECT vec_id, CAST(r.range AS INTEGER) AS d,
-           |    CAST(floor(em[CAST(r.range AS INTEGER)] * 1048576.0) AS BIGINT) AS q
-           |  FROM e, range(1, 65) r),
-           |v0 AS (SELECT CAST(r.range AS INTEGER) AS d,
-           |    CASE WHEN r.range = 1 THEN 1048576 ELSE 0 END AS v FROM range(1, 65) r),
-           |${iter(1, "v0")},
-           |${iter(2, "v1")},
-           |${iter(3, "v2")}
-           |SELECT CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS v FROM v3 ORDER BY d""".stripMargin
-      }),
+      Some(s"""$sqlPcaCtes
+           |SELECT CAST(d AS INTEGER) AS d, CAST(v AS BIGINT) AS v FROM v3 ORDER BY d""".stripMargin)),
+
+    // ── "all-but-the-top" residuals (Mu & Viswanath'18): project out the
+    //    dominant direction and report per-label L1 residual mass — with
+    //    ZERO division: scaled residual r_d = U2·q_d − s·u_d is pure
+    //    BIGINT (u = v DIV 2^10, U2 = Σu², s = Σq·u), one truncating
+    //    rescale at the end. The anisotropy diagnostic embedding
+    //    pipelines run before/after common-direction removal; chains on
+    //    the SAME integer pca direction as embed_pca_power (the oracle
+    //    extends the identical CTE pyramid). ─────────────────────────────
+    QueryDef("embed_abtt_residual",
+      (s, dir) => graft.operators.LinearAlgebra
+        .abttResidualStats(Tables.load(s, dir, "embeddings"))
+        .orderBy("label"),
+      Some(s"""$sqlPcaCtes,
+           |u AS (SELECT d, v // 1024 AS u FROM v3),
+           |u2 AS (SELECT CAST(sum(u * u) AS BIGINT) AS u2 FROM u),
+           |sv AS (SELECT q.vec_id, CAST(sum(q.q * u.u) AS BIGINT) AS s
+           |  FROM q JOIN u ON q.d = u.d GROUP BY q.vec_id),
+           |pv AS (SELECT q.vec_id,
+           |    CAST(sum(abs(u2.u2 * q.q - sv.s * u.u)) AS BIGINT) // 67108864 AS res_l1
+           |  FROM q JOIN sv ON q.vec_id = sv.vec_id JOIN u ON q.d = u.d
+           |  CROSS JOIN u2 GROUP BY q.vec_id)
+           |SELECT emb.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(sum(pv.res_l1) AS BIGINT) AS sum_res,
+           |  min(pv.res_l1) AS min_res, max(pv.res_l1) AS max_res
+           |FROM embeddings emb JOIN pv ON emb.vec_id = pv.vec_id
+           |GROUP BY emb.label ORDER BY emb.label""".stripMargin)),
 
     // ── one exact distributed Lloyd (k-means) iteration: assignment via
     //    the codegen'd ivf_route kernel, update via the FixedPointVecSum
@@ -2032,6 +2040,75 @@ object PipelineQueries extends QueryModule {
         SELECT a, b, CAST(sum(c_w) AS BIGINT) AS pair_count
         FROM pairs GROUP BY a, b
         ORDER BY pair_count DESC, a, b LIMIT 20""")),
+
+    // ── BPE APPLY: encode the top word types with a 20-merge list — the
+    //    tokenizer-serving inner step (the merges file is given; apply is
+    //    the faithful part. The list here is the top-20 initial pair
+    //    counts — real training recounts between merges; the apply
+    //    semantics below are exactly what a merges file gets). Encoding:
+    //    space-delimited symbols with a trailing sentinel space, each
+    //    merge a literal replace of 'a b ' → 'ab ' — replace-all is
+    //    left-to-right non-overlapping in BOTH engines, which IS the BPE
+    //    greedy pass ('l l l l' → 'll ll'), and the delimiter makes
+    //    merged symbols unmatchable by later single-char merges. No
+    //    window anywhere: the merge list ranks inside a sorted-array
+    //    slice over the ≤26² pair aggregate (1-row broadcast), words
+    //    rank via TakeOrdered. Per-row work is 20 chained codegen'd
+    //    string replaces — the plan a 100 TB encode pass wants. ─────────
+    QueryDef("text_bpe_apply",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val types = docs.select(explode(tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        val mrow = types
+          .select(col("c_w"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => struct(col("w").substr(i, lit(1)).as("a"),
+              col("w").substr(i + 1, lit(1)).as("b")))).as("p"))
+          .select(col("c_w"), col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(sum(col("c_w")).as("pc"))
+          .agg(slice(sort_array(collect_list(
+            struct((-col("pc")).as("nc"), col("a"), col("b")))), 1, 20).as("ms"))
+        val top = types.orderBy(col("c_w").desc, col("w")).limit(100)
+        val enc0 = concat(regexp_replace(col("w"), "(.)", "$1 "), lit(""))
+        val encoded = (1 to 20).foldLeft(enc0) { (acc, i) =>
+          val m = element_at(col("ms"), i)
+          val pat = coalesce(concat(m.getField("a"), lit(" "), m.getField("b"), lit(" ")),
+            lit(" "))
+          val rep = coalesce(concat(m.getField("a"), m.getField("b"), lit(" ")), lit(" "))
+          call_function("replace", acc, pat, rep)
+        }
+        top.crossJoin(broadcast(mrow))
+          .select(col("w"), col("c_w"), rtrim(encoded).as("encoded"))
+          .withColumn("n_pieces", size(split(col("encoded"), " ")))
+          .orderBy(col("w"))
+      },
+      Some {
+        val steps = (1 to 20).map { i =>
+          s"""e$i AS (SELECT w, c_w, replace(enc,
+             |    (SELECT a || ' ' || b || ' ' FROM m WHERE r = $i),
+             |    (SELECT a || b || ' ' FROM m WHERE r = $i)) AS enc FROM e${i - 1})"""
+            .stripMargin
+        }.mkString(",\n        ")
+        s"""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents),
+        types AS (SELECT w, count(*) AS c_w FROM toks
+          WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2 GROUP BY w),
+        pairs AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, c_w
+          FROM (SELECT w, c_w, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM types)),
+        pc AS (SELECT a, b, CAST(sum(c_w) AS BIGINT) AS pc FROM pairs GROUP BY a, b),
+        m AS (SELECT a, b, row_number() OVER (ORDER BY pc DESC, a, b) AS r FROM pc),
+        top AS (SELECT w, CAST(c_w AS BIGINT) AS c_w FROM types
+          ORDER BY c_w DESC, w LIMIT 100),
+        e0 AS (SELECT w, c_w, regexp_replace(w, '(.)', '\\1 ', 'g') AS enc FROM top),
+        $steps
+        SELECT w, c_w, rtrim(enc) AS encoded,
+          CAST(len(string_split(rtrim(enc), ' ')) AS INTEGER) AS n_pieces
+        FROM e20 ORDER BY w"""
+      }),
 
     // ── deterministic sampling: membership is a pure function of the
     //    stable key (md5 nibble), so any engine / partitioning / rerun

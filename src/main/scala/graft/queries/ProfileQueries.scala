@@ -144,6 +144,31 @@ object ProfileQueries extends QueryModule {
         FROM orders
         ORDER BY column_name""")),
 
+    // GROUPED exact interpolated percentiles — per-segment latency/value
+    // cuts, the analytics staple: Spark `percentile` and DuckDB
+    // `quantile_cont` share the PERCENTILE_CONT interpolation (verified
+    // bit-identical — the same parity agg_profile_quantiles_exact leans
+    // on), so exact doubles survive the hash compare. One hash aggregate
+    // per group; per-group state is the sorted value multiset (Spark's
+    // exact percentile is a sort-based ImperativeAggregate) — bounded by
+    // group cardinality, the documented trade for exactness (the
+    // sketch-bounded alternative is agg_approx_quantile_bounds).
+    QueryDef("agg_percentile_grouped",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(expr("percentile(value, array(0.5D, 0.95D))").as("ps"),
+            count(lit(1)).as("n"))
+          .select($"event_type", $"ps".getItem(0).as("p50"),
+            $"ps".getItem(1).as("p95"), $"n")
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+          quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Exact order statistics WITHOUT a global sort — see
     // [[graft.profiling.Profiler.exactOrderStats]] for the shape
     // (hash-agg by value → cumulative count over the REDUCED

@@ -285,7 +285,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_approx_quantile_bounds",
     // pca power iteration: 1-row broadcast recombines (overflow-envelope
     // guard + per-iteration norm); the matvec joins are equi joins
-    "embed_pca_power")
+    "embed_pca_power",
+    // bpe apply: the 1-row broadcast merge-list array recombined onto
+    // the TakeOrdered word-type side
+    "text_bpe_apply",
+    // abtt: pca's 1-row recombines plus the 1-row U2 norm broadcast
+    "embed_abtt_residual")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
