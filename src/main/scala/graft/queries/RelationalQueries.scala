@@ -570,6 +570,113 @@ object RelationalQueries extends QueryModule {
         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         FROM corners GROUP BY node ORDER BY node""")),
 
+    // ── deterministic label propagation (2 synchronous rounds): the
+    //    community-detection baseline on the nation trade graph. Every
+    //    node starts labeled with its own id; each round it adopts its
+    //    neighbors' WEIGHTED modal label, ties to the SMALLEST label —
+    //    the argmax is `max(struct(weight_sum, −label))`, a
+    //    partial-mergeable aggregate, so a round is ONE join + ONE
+    //    hash aggregate over the undirected edge list (no window, no
+    //    iteration state on the driver). Synchronous rounds + total
+    //    tie order ⇒ the fixpoint trajectory is a pure function of the
+    //    graph — engine-exact. ─────────────────────────────────────────
+    QueryDef("graph_label_propagation",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val dir0 = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .groupBy($"c_nationkey".as("a"), $"s_nationkey".as("b"))
+          .agg(count(lit(1)).as("w"))
+        // undirected: each directed pair contributes its weight both ways
+        val edges = dir0.select($"a".as("src"), $"b".as("dst"), $"w")
+          .unionByName(dir0.select($"b".as("src"), $"a".as("dst"), $"w"))
+          .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+        val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
+        def round(lbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val adopted = edges
+            .join(broadcast(lbl.withColumnRenamed("node", "dst")), "dst")
+            .groupBy($"src", $"lbl").agg(sum($"w").as("wsum"))
+            .groupBy($"src")
+            .agg(max(struct($"wsum", (-$"lbl").as("nl"))).as("m"))
+            .select($"src".as("node"), (-$"m.nl").as("lbl"))
+          // isolated nodes keep their label
+          nodes.join(broadcast(adopted), Seq("node"), "left")
+            .select($"node", coalesce($"lbl", $"node".cast("long")).as("lbl"))
+        }
+        val l0 = nodes.select($"node", $"node".cast("long").as("lbl"))
+        round(round(l0))
+          .select($"node", $"lbl".cast("long").as("community"))
+          .orderBy($"node")
+      },
+      Some("""WITH d0 AS (
+          SELECT c.c_nationkey AS a, s.s_nationkey AS b, CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey
+          GROUP BY 1, 2),
+        e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst, w FROM d0
+            UNION ALL SELECT b, a, w FROM d0) u GROUP BY 1, 2),
+        n AS (SELECT n_nationkey AS node FROM nation),
+        l0 AS (SELECT node, CAST(node AS BIGINT) AS lbl FROM n),
+        a1 AS (SELECT e.src, l0.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+          FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+        p1 AS (SELECT src AS node, lbl FROM (SELECT src, lbl,
+            row_number() OVER (PARTITION BY src ORDER BY wsum DESC, lbl ASC) AS rn
+          FROM a1) t WHERE rn = 1),
+        l1 AS (SELECT n.node, coalesce(p1.lbl, CAST(n.node AS BIGINT)) AS lbl
+          FROM n LEFT JOIN p1 ON n.node = p1.node),
+        a2 AS (SELECT e.src, l1.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+          FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+        p2 AS (SELECT src AS node, lbl FROM (SELECT src, lbl,
+            row_number() OVER (PARTITION BY src ORDER BY wsum DESC, lbl ASC) AS rn
+          FROM a2) t WHERE rn = 1),
+        l2 AS (SELECT n.node, coalesce(p2.lbl, CAST(n.node AS BIGINT)) AS lbl
+          FROM n LEFT JOIN p2 ON n.node = p2.node)
+        SELECT node, CAST(lbl AS BIGINT) AS community FROM l2 ORDER BY node""")),
+
+    // ── cohort retention matrix — THE product-analytics query: users
+    //    cohorted by first-activity week, counted distinct in each
+    //    subsequent week offset. Two hash aggregates (first-touch per
+    //    user, then distinct users per (cohort, offset)) — the
+    //    first-touch is min(ts) per user, no window; integer week
+    //    arithmetic on epoch days ⇒ engine-exact. ───────────────────────
+    QueryDef("window_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("ed"))
+        val first = ev.groupBy($"user_id").agg(min($"ed").as("fd"))
+        ev.join(first, "user_id")
+          .select($"user_id", ($"fd" - ($"fd" % 7)).as("cohort_day"), $"ed")
+          .selectExpr("user_id", "cohort_day",
+            "CAST((ed - cohort_day) DIV 7 AS INT) AS week_offset")
+          .groupBy($"cohort_day", $"week_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .select(date_format(date_add(lit("1970-01-01").cast("date"), $"cohort_day"), "yyyy-MM-dd").as("cohort_week"),
+            $"week_offset", $"n_users")
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed
+          FROM events),
+        f AS (SELECT user_id, min(ed) AS fd FROM e GROUP BY user_id),
+        x AS (SELECT e.user_id, f.fd - (f.fd % 7) AS cohort_day,
+            CAST((e.ed - (f.fd - (f.fd % 7))) // 7 AS INTEGER) AS week_offset
+          FROM e JOIN f ON e.user_id = f.user_id)
+        SELECT strftime(DATE '1970-01-01' + CAST(cohort_day AS INTEGER), '%Y-%m-%d') AS cohort_week,
+          week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM x GROUP BY cohort_day, week_offset
+        ORDER BY cohort_week, week_offset""")),
+
     // ── DQ anomaly detection on monitoring series: daily event-count
     //    z-score outliers per event_type, flagged ENTIRELY in integer
     //    arithmetic — |c−μ| ≥ 2σ rewritten as
