@@ -2041,6 +2041,35 @@ object PipelineQueries extends QueryModule {
         FROM pairs GROUP BY a, b
         ORDER BY pair_count DESC, a, b LIMIT 20""")),
 
+    // ── sentence segmentation stats: split on terminal punctuation
+    //    followed by whitespace ([.!?]+\s+ — the same simple-class regex
+    //    semantics in Java and RE2), count only non-empty segments
+    //    (engines differ on trailing-empty retention, so the filter is
+    //    part of the contract), report per-doc sentence count / char
+    //    extremes — the chunking pre-pass before sentence-level packing
+    //    or per-sentence scoring. One scan, per-row array ops. ──────────
+    QueryDef("text_sentence_stats",
+      (s, dir) => {
+        import s.implicits._
+        val sentences = filter(split(trim($"text"), "[.!?]+\\s+"),
+          x => length(x) > 0)
+        Tables.load(s, dir, "documents")
+          .filter($"doc_id" < 200)
+          .select($"doc_id", sentences.as("sents"))
+          .select($"doc_id", size($"sents").as("n_sentences"),
+            array_max(transform($"sents", x => length(x))).as("max_sent_chars"),
+            array_min(transform($"sents", x => length(x))).as("min_sent_chars"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '[.!?]+\s+'),
+              x -> length(x) > 0) AS sents
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sentences,
+          CAST(list_max(list_transform(sents, x -> length(x))) AS INTEGER) AS max_sent_chars,
+          CAST(list_min(list_transform(sents, x -> length(x))) AS INTEGER) AS min_sent_chars
+        FROM s ORDER BY doc_id""")),
+
     // ── BPE APPLY: encode the top word types with a 20-merge list — the
     //    tokenizer-serving inner step (the merges file is given; apply is
     //    the faithful part. The list here is the top-20 initial pair

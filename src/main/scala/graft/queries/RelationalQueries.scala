@@ -570,6 +570,29 @@ object RelationalQueries extends QueryModule {
         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         FROM corners GROUP BY node ORDER BY node""")),
 
+    // ── key-skew pre-flight report: per-key row share in integer basis
+    //    points (n·10000 DIV total against the 1-row broadcast total) —
+    //    the diagnostic you run BEFORE choosing a partitioning/salting
+    //    strategy (join_salted_skew / agg_salted_hotkey are the cures;
+    //    this is the detector). One hash aggregate + scalar recombine,
+    //    all-integer shares so the report hash-matches anywhere. ────────
+    QueryDef("agg_skew_report",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.load(s, dir, "events")
+          .groupBy($"event_type").agg(count(lit(1)).as("n_rows"))
+        val total = counts.agg(sum($"n_rows").as("total"))
+        counts.crossJoin(broadcast(total))
+          .selectExpr("event_type", "n_rows",
+            "(n_rows * 10000) DIV total AS share_bp")
+          .orderBy($"n_rows".desc, $"event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+        SELECT event_type, n_rows, (n_rows * 10000) // total AS share_bp
+        FROM c CROSS JOIN t ORDER BY n_rows DESC, event_type""")),
+
     // ── deterministic label propagation (2 synchronous rounds): the
     //    community-detection baseline on the nation trade graph. Every
     //    node starts labeled with its own id; each round it adopts its
@@ -964,6 +987,47 @@ object RelationalQueries extends QueryModule {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         FROM events WHERE user_id % 20 = 0
         ORDER BY user_id, event_id""")),
+
+    // Time-weighted average (TWAP) per user — the irregular-series
+    // average where each observation holds until the next one (finance /
+    // sensor / feature-store staple, where a plain avg over-weights
+    // bursts): weight = seconds to the next event (lead over the
+    // user-partitioned order), value integer-ized to cents
+    // (round(v·100) — exact for the 2-dp data), all sums BIGINT ⇒
+    // order-independent; the final twap divides two exactly-double-
+    // representable integers (one correctly-rounded IEEE division —
+    // engine-identical). Last event per user carries no interval.
+    QueryDef("window_twap_per_key",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"value")
+          .withColumn("dt_us",
+            unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+          .filter($"dt_us".isNotNull)
+          .selectExpr("user_id", "dt_us DIV 1000000 AS dt_s",
+            "CAST(round(value * 100) AS BIGINT) AS v_cents")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_intervals"), sum($"dt_s").as("total_s"),
+            sum($"v_cents" * $"dt_s").as("wsum_cents"))
+          .withColumn("twap",
+            $"wsum_cents".cast("double") / ($"total_s" * lit(100)).cast("double"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events),
+        d AS (SELECT user_id,
+            (epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              - epoch_us(ts)) // 1000000 AS dt_s,
+            CAST(round(value * 100) AS BIGINT) AS v_cents
+          FROM e)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+          CAST(sum(dt_s) AS BIGINT) AS total_s,
+          CAST(sum(v_cents * dt_s) AS BIGINT) AS wsum_cents,
+          CAST(sum(v_cents * dt_s) AS BIGINT) / CAST(CAST(sum(dt_s) AS BIGINT) * 100 AS DOUBLE) AS twap
+        FROM d WHERE dt_s IS NOT NULL GROUP BY user_id ORDER BY user_id""")),
 
     // Per-key EWMA (α = 1/2) — the exponential smoothing every feature
     // store ships: y_1 = x_1, y_t = x_t/2 + y_{t-1}/2 over each user's

@@ -290,7 +290,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // the TakeOrdered word-type side
     "text_bpe_apply",
     // abtt: pca's 1-row recombines plus the 1-row U2 norm broadcast
-    "embed_abtt_residual")
+    "embed_abtt_residual",
+    // skew report: the 1-row broadcast total recombine
+    "agg_skew_report")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
