@@ -423,7 +423,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_signature_index", "dedup_index_rotate", "dedup_index_compact",
     "dedup_ingest_loop", "sim_index_probe", "sim_index_rotate",
     "sim_topk_pq", "sim_index_pq", "sim_topk_ivfpq", "sim_index_pq_rotate",
-    "sim_topk_pq_rerank", "sim_range_search", "text_bm25_search", "text_lm_score")
+    "sim_topk_pq_rerank", "sim_range_search", "text_bm25_search", "text_lm_score",
+    // r11 additions: graph edge builds (fact joins), fixed-point linear
+    // algebra, containment prefix-filter join, ALSH probe join, the
+    // as-of family variants, fold/window sequence ops
+    "dedup_containment", "sim_topk_mips", "sim_topk_mips_norm",
+    "graph_pagerank_fixed", "graph_triangle_count", "graph_label_propagation",
+    "embed_pca_power", "embed_abtt_residual", "text_bpe_apply",
+    "window_twap_per_key", "join_asof_next_order", "join_asof_tolerance",
+    "agg_ewma_per_key", "window_retention_cohorts", "pipeline_curriculum_order",
+    "agg_weighted_median_distributed", "dq_anomaly_zscore", "agg_skew_report")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

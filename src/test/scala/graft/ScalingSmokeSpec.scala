@@ -41,7 +41,15 @@ class ScalingSmokeSpec extends AnyFunSuite {
       // retrieval/sampling additions (r11): scan + bounded-heap /
       // TakeOrdered shapes — should track n linearly; a regression to a
       // global-sort or window plan would blow past the bar
-      "text_hybrid_retrieval", "sample_weighted_ares")
+      "text_hybrid_retrieval", "sample_weighted_ares",
+      // r11 heavy additions. containment: A-prefix ⋈ full inverted index
+      // — candidate volume is the quadratic risk the df-order/length
+      // prune must hold down. mips_norm: fixed 8-bit buckets × 12 tables
+      // — candidate side linear in n for a constant query set. pca:
+      // two integer matvec aggregates per iteration, linear. pagerank:
+      // the fact-join edge build dominates, linear.
+      "dedup_containment", "sim_topk_mips_norm", "embed_pca_power",
+      "graph_pagerank_fixed")
 
   test("approximate dedup operators stay sub-quadratic at 10× data") {
     assume(new java.io.File(s"$sf1/documents.parquet").exists(),
