@@ -1779,6 +1779,45 @@ object PipelineQueries extends QueryModule {
         SELECT p.doc_id, p.bin, CAST(o.off + p.pos AS BIGINT) AS train_pos
         FROM p JOIN o ON p.bin = o.bin ORDER BY train_pos""")),
 
+    // ── source-reputation scoring: per-source document counts, a
+    //    "good doc" predicate (length + language), and the WILSON LOWER
+    //    BOUND on the good-fraction — the statistically honest way to
+    //    rank sources with very different volumes (a 3/3 source must
+    //    not outrank a 9500/10000 one). One partial+final aggregate to
+    //    |sources| rows; the Wilson formula runs on exact integer
+    //    counts with IEEE-correctly-rounded ops only (+,·,/,sqrt), with
+    //    ONE textual parenthesization shared by both engines, so the
+    //    double result is bit-identical. The output feeds source
+    //    allow/deny lists in the curation pipeline. ────────────────────
+    QueryDef("pipeline_source_reputation",
+      (s, dir) => {
+        import s.implicits._
+        val a = Tables.load(s, dir, "documents")
+          .groupBy($"source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"n_chars" >= 200L && $"lang" === "en", 1L)
+              .otherwise(0L)).as("n_good"))
+        a.selectExpr("source", "n_docs", "n_good",
+            ("(CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) " +
+             "+ (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(2 AS DOUBLE) * CAST(n_docs AS DOUBLE)) " +
+             "- CAST(1.96 AS DOUBLE) * sqrt(" +
+             "(CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE) " +
+             "+ (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(4 AS DOUBLE) * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))) " +
+             "/ (CAST(1 AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_docs AS DOUBLE)) AS wilson_lb"))
+          .orderBy($"source")
+      },
+      Some("""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN n_chars >= 200 AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+          FROM documents GROUP BY 1)
+        SELECT source, n_docs, n_good,
+          (CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(2 AS DOUBLE) * CAST(n_docs AS DOUBLE))
+           - CAST(1.96 AS DOUBLE) * sqrt(
+             (CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE)) / CAST(n_docs AS DOUBLE)
+             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(4 AS DOUBLE) * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+          / (CAST(1 AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_docs AS DOUBLE)) AS wilson_lb
+        FROM a ORDER BY source""")),
+
     QueryDef("pipeline_quality_bins",
       (s, dir) => {
         import s.implicits._

@@ -593,6 +593,111 @@ object RelationalQueries extends QueryModule {
         SELECT event_type, n_rows, (n_rows * 10000) // total AS share_bp
         FROM c CROSS JOIN t ORDER BY n_rows DESC, event_type""")),
 
+    // ── per-key OLS trend (closed-form linear regression): slope and
+    //    intercept of event value (in cents) over epoch day, per
+    //    event_type — the metric-drift primitive behind "is this series
+    //    trending" monitors. ONE partial+final hash aggregate collects
+    //    the five sufficient statistics (n, Σx, Σy, Σx², Σxy) — exact
+    //    integer/decimal accumulation, so unlike the built-in
+    //    regr_slope (float sums, partial-order-dependent) the result is
+    //    a pure function of the data. The closed form divides two exact
+    //    DECIMAL(38,0) moments only at the very end, as one
+    //    double-by-double division — engine-exact. Scale: sufficient
+    //    statistics are map-side combinable; |keys|-row result. ────────
+    QueryDef("agg_linreg_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val d38 = DecimalType(38, 0)
+        val e = Tables.load(s, dir, "events").select(
+          $"event_type",
+          datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+            .cast("long").as("x"),
+          ($"value".cast(DecimalType(12, 2)) * 100).cast("long").as("yc"))
+        val a = e.groupBy($"event_type").agg(
+          count(lit(1)).cast(d38).as("n"),
+          sum($"x").cast(d38).as("sx"),
+          sum($"yc").cast(d38).as("sy"),
+          sum($"x" * $"x").cast(d38).as("sxx"),
+          sum(($"x".cast(d38) * $"yc")).cast(d38).as("sxy"))
+        val den = $"n" * $"sxx" - $"sx" * $"sx"
+        a.select(
+            $"event_type", $"n".cast("long").as("n_obs"),
+            when(den === 0, lit(null).cast(DoubleType))
+              .otherwise(($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType) /
+                den.cast(DoubleType)).as("slope_cents_per_day"),
+            when(den === 0, lit(null).cast(DoubleType))
+              .otherwise(($"sy" * $"sxx" - $"sx" * $"sxy").cast(DoubleType) /
+                den.cast(DoubleType)).as("intercept_cents"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+          FROM events),
+        a AS (SELECT event_type,
+            CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(x) AS HUGEINT) AS sx,
+            CAST(sum(yc) AS HUGEINT) AS sy,
+            CAST(sum(x * x) AS HUGEINT) AS sxx,
+            CAST(sum(CAST(x AS HUGEINT) * yc) AS HUGEINT) AS sxy
+          FROM e GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day,
+          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept_cents
+        FROM a ORDER BY event_type""")),
+
+    // ── Benford first-digit audit: the classic fabricated-numbers DQ
+    //    screen over a money column. First significant digit extracted
+    //    in INTEGER space (exact cents → leading digit of its decimal
+    //    string — identical in any engine; no log10, whose libm ULP
+    //    could flip a boundary value), observed share in integer ppm
+    //    against the hard-coded Benford expectation table (9 rows,
+    //    broadcast). All-integer output ⇒ hash-exact. Scale: one
+    //    narrow scan + 9-group aggregate + 1-row total recombine. ──────
+    QueryDef("dq_benford",
+      (s, dir) => {
+        import s.implicits._
+        val cents = Tables.load(s, dir, "lineitem")
+          .select(($"l_extendedprice".cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+          .filter($"cents" > 0)
+        val obs = cents
+          .select(substring($"cents".cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        val total = obs.agg(sum($"n_obs").as("total"))
+        val expect = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+          4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+          8 -> 51153L, 9 -> 45757L).toDF("digit", "exp_ppm")
+        expect.join(obs, Seq("digit"), "left")
+          .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"), $"exp_ppm")
+          .crossJoin(broadcast(total))
+          .selectExpr("digit", "n_obs",
+            "(n_obs * 1000000) DIV total AS obs_ppm", "exp_ppm",
+            "CASE WHEN abs((n_obs * 1000000) DIV total - exp_ppm) > 20000 " +
+              "THEN 'FLAG' ELSE 'OK' END AS status")
+          .orderBy($"digit")
+      },
+      Some("""WITH cents AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+          FROM lineitem WHERE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
+        obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+            CAST(count(*) AS BIGINT) AS n_obs
+          FROM cents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM obs),
+        exp AS (SELECT * FROM (VALUES (1, CAST(301030 AS BIGINT)), (2, 176091),
+            (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+            (8, 51153), (9, 45757)) v(digit, exp_ppm))
+        SELECT exp.digit, coalesce(obs.n_obs, 0) AS n_obs,
+          (coalesce(obs.n_obs, 0) * 1000000) // t.total AS obs_ppm, exp.exp_ppm,
+          CASE WHEN abs((coalesce(obs.n_obs, 0) * 1000000) // t.total - exp.exp_ppm) > 20000
+            THEN 'FLAG' ELSE 'OK' END AS status
+        FROM exp LEFT JOIN obs ON exp.digit = obs.digit CROSS JOIN t
+        ORDER BY exp.digit""")),
+
     // ── deterministic label propagation (2 synchronous rounds): the
     //    community-detection baseline on the nation trade graph. Every
     //    node starts labeled with its own id; each round it adopts its

@@ -292,7 +292,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // abtt: pca's 1-row recombines plus the 1-row U2 norm broadcast
     "embed_abtt_residual",
     // skew report: the 1-row broadcast total recombine
-    "agg_skew_report")
+    "agg_skew_report",
+    // benford: the 1-row broadcast digit-count total recombined onto the
+    // 9-row expectation table (both sides constant-bounded)
+    "dq_benford")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -432,7 +435,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_pca_power", "embed_abtt_residual", "text_bpe_apply",
     "window_twap_per_key", "join_asof_next_order", "join_asof_tolerance",
     "agg_ewma_per_key", "window_retention_cohorts", "pipeline_curriculum_order",
-    "agg_weighted_median_distributed", "dq_anomaly_zscore", "agg_skew_report")
+    "agg_weighted_median_distributed", "dq_anomaly_zscore", "agg_skew_report",
+    "agg_linreg_per_key", "dq_benford", "pipeline_source_reputation")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
