@@ -2821,6 +2821,58 @@ object PipelineQueries extends QueryModule {
     // ── vocabulary build: global token frequencies, top 100 by count —
     //    the tokenizer-training precursor. One partial+final aggregate
     //    over the exploded corpus, TakeOrderedAndProject tail. ──────────
+    // ── spell-correction candidates: every distinct corpus token
+    //    checked against a small canonical dictionary by edit distance
+    //    ≤ 2 (its own exact-match word excluded), keeping the best
+    //    (min-distance, then lexicographic) suggestion per token — the
+    //    vocabulary-normalization step of a curation pipeline. Scale
+    //    posture: the dictionary is a constant broadcast side, so the
+    //    non-equi distance join is a broadcast NLJ LINEAR in |vocab|
+    //    (itself sub-linear in the corpus after distinct), never
+    //    corpus×corpus; the per-token argmin is a window over the
+    //    candidate set only. Integer distances ⇒ hash-exact
+    //    (Spark and DuckDB share the classic Levenshtein). ──────────────
+    QueryDef("text_spell_candidates",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(tokens($"text")).as("tok"))
+          .filter(length($"tok") >= 3).distinct()
+        val dict = Seq("table", "query", "window", "stream", "batch",
+          "filter", "column", "value", "customer", "vector", "merge",
+          "group", "order", "spark", "scan", "sort", "hash", "join",
+          "line", "part", "data", "small", "slow", "fast", "big", "row",
+          "the", "key", "agg").toDF("word")
+        val cand = toks
+          .join(broadcast(dict),
+            levenshtein($"tok", $"word") <= 2 && $"tok" =!= $"word")
+          .select($"tok", $"word",
+            levenshtein($"tok", $"word").as("dist"))
+        val w = Window.partitionBy($"tok").orderBy($"dist", $"word")
+        cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"tok", $"word".as("suggestion"), $"dist")
+          .orderBy($"tok")
+      },
+      Some("""WITH toks AS (SELECT DISTINCT tok FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+          WHERE length(tok) >= 3),
+        dict AS (SELECT * FROM (VALUES ('table'), ('query'), ('window'),
+            ('stream'), ('batch'), ('filter'), ('column'), ('value'),
+            ('customer'), ('vector'), ('merge'), ('group'), ('order'),
+            ('spark'), ('scan'), ('sort'), ('hash'), ('join'), ('line'),
+            ('part'), ('data'), ('small'), ('slow'), ('fast'), ('big'),
+            ('row'), ('the'), ('key'), ('agg')) v(word)),
+        cand AS (SELECT tok, word, CAST(levenshtein(tok, word) AS INTEGER) AS dist
+          FROM toks CROSS JOIN dict
+          WHERE levenshtein(tok, word) <= 2 AND tok <> word),
+        r AS (SELECT tok, word, dist,
+            row_number() OVER (PARTITION BY tok ORDER BY dist, word) AS rn
+          FROM cand)
+        SELECT tok, word AS suggestion, dist FROM r WHERE rn = 1
+        ORDER BY tok""")),
+
     QueryDef("text_vocab_topk",
       (s, dir) => Tables.load(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("token"))

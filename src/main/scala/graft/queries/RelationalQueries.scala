@@ -2617,6 +2617,154 @@ object RelationalQueries extends QueryModule {
     // RANGE-frame window: per-user trailing 7-day event value total —
     // the frame is bounded by event TIME, not row count, so bursts and
     // gaps are handled correctly (the standard trailing-metric shape).
+    // ── Markov transition matrix (first-order): per-user event
+    //    sequences ordered by (ts, event_id), counting src→dst
+    //    event_type transitions and each edge's share of its source
+    //    state's outgoing mass in integer ppm — the empirical transition
+    //    estimate behind next-action prediction and journey analysis.
+    //    Scale: one lag window partitioned by user_id (the natural
+    //    shuffle key), then a hash aggregate down to ≤ |types|² rows;
+    //    the outgoing totals are a window over that tiny result, not the
+    //    data. All integer ⇒ hash-exact. ─────────────────────────────────
+    QueryDef("agg_markov_transitions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val t = Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("dst", lead($"event_type", 1).over(w))
+          .filter($"dst".isNotNull)
+          .groupBy($"event_type".as("src"), $"dst")
+          .agg(count(lit(1)).as("n_trans"))
+        t.withColumn("out_total",
+            sum($"n_trans").over(Window.partitionBy($"src")))
+          .selectExpr("src", "dst", "n_trans",
+            "n_trans * 1000000 DIV out_total AS share_ppm")
+          .orderBy($"src", $"dst")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events),
+        t AS (SELECT event_type AS src, dst, CAST(count(*) AS BIGINT) AS n_trans
+          FROM e WHERE dst IS NOT NULL GROUP BY 1, 2)
+        SELECT src, dst, n_trans,
+          CAST((n_trans * 1000000) // sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS share_ppm
+        FROM t ORDER BY src, dst""")),
+
+    // ── activity-gap report: per-user distinct active days, the longest
+    //    dormancy gap, and how many gaps exceeded 7 days — the churn-risk
+    //    screen over an event stream. Distinct (user, epoch-day) pairs
+    //    first (collapses the data to ≤ users×days rows), then one lag
+    //    window per user and a hash aggregate. Integer day arithmetic
+    //    end to end ⇒ hash-exact; a single-day user reports NULL max gap
+    //    in both engines. ────────────────────────────────────────────────
+    QueryDef("dq_activity_gap_report",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.load(s, dir, "events")
+          .select($"user_id",
+            datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long").as("d"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"d")
+        days.withColumn("gap", $"d" - lag($"d", 1).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_active_days"),
+            max($"gap").as("max_gap_days"),
+            sum(when($"gap" > 7, 1L).otherwise(0L)).as("n_gaps_over_7"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          FROM events),
+        g AS (SELECT user_id,
+            d - lag(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS gap
+          FROM d)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days,
+          max(gap) AS max_gap_days,
+          CAST(sum(CASE WHEN gap > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_7
+        FROM g GROUP BY 1 ORDER BY user_id""")),
+
+    // ── Gini impurity per group: label-mix purity of the event_type
+    //    distribution inside each user bucket — the split-quality /
+    //    segment-homogeneity measure, computed entirely in integer
+    //    space: gini_ppm = (n² − Σc²)·10⁶ ÷ n² from the per-(bucket,
+    //    label) counts. Two stacked hash aggregates (both partial+final,
+    //    map-side combinable); the 10⁶ scale keeps the product inside
+    //    int64 up to n ≈ 3·10⁶ rows per bucket (raise the bucket count
+    //    before the corpus, the standard envelope move). ────────────────
+    QueryDef("agg_gini_by_group",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.load(s, dir, "events")
+          .select(($"user_id" % 8).as("bucket"), $"event_type")
+          .groupBy($"bucket", $"event_type")
+          .agg(count(lit(1)).as("c"))
+        c.groupBy($"bucket")
+          .agg(sum($"c").as("n"), sum($"c" * $"c").as("ssq"),
+            count(lit(1)).as("n_labels"))
+          .selectExpr("bucket", "n", "n_labels",
+            "(n * n - ssq) * 1000000 DIV (n * n) AS gini_ppm")
+          .orderBy($"bucket")
+      },
+      Some("""WITH c AS (SELECT user_id % 8 AS bucket, event_type,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(c * c) AS BIGINT) AS ssq,
+            CAST(count(*) AS BIGINT) AS n_labels
+          FROM c GROUP BY 1)
+        SELECT bucket, n, n_labels,
+          ((n * n - ssq) * 1000000) // (n * n) AS gini_ppm
+        FROM g ORDER BY bucket""")),
+
+    // ── Cohen's kappa (inter-annotator agreement): two deterministic
+    //    document-quality "annotators" (A: n_chars ≥ 300; B: n_chars ≥
+    //    200 ∧ lang = en) reduced to one exact 2×2 confusion row, then
+    //    κ = (p_o − p_e)/(1 − p_e) evaluated as ONE shared textual
+    //    parenthesization of correctly-rounded IEEE ops on the integer
+    //    counts ⇒ bit-identical doubles. The labeling-pipeline QA
+    //    staple; one full-scan partial+final aggregate to a single row,
+    //    so the scan dominates at any scale. ────────────────────────────
+    QueryDef("agg_cohen_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select(
+          when($"n_chars" >= 300, 1L).otherwise(0L).as("a"),
+          when($"n_chars" >= 200 && $"lang" === "en", 1L).otherwise(0L).as("b"))
+        d.agg(
+            count(lit(1)).as("n"),
+            sum(when($"a" === 1 && $"b" === 1, 1L).otherwise(0L)).as("n11"),
+            sum(when($"a" === 1 && $"b" === 0, 1L).otherwise(0L)).as("n10"),
+            sum(when($"a" === 0 && $"b" === 1, 1L).otherwise(0L)).as("n01"),
+            sum(when($"a" === 0 && $"b" === 0, 1L).otherwise(0L)).as("n00"))
+          .selectExpr("n", "n11", "n10", "n01", "n00",
+            "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed",
+            "(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) " +
+              "- CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) " +
+              "/ (CAST(1 AS DOUBLE) " +
+              "- CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa")
+      },
+      Some("""WITH d AS (SELECT
+            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+            CASE WHEN n_chars >= 200 AND lang = 'en' THEN 1 ELSE 0 END AS b
+          FROM documents),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM d)
+        SELECT n, n11, n10, n01, n00,
+          CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+          (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+          / (CAST(1 AS DOUBLE)
+            - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+        FROM c""")),
+
     QueryDef("window_range_7day",
       (s, dir) => {
         import s.implicits._

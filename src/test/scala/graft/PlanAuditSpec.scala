@@ -295,7 +295,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_skew_report",
     // benford: the 1-row broadcast digit-count total recombined onto the
     // 9-row expectation table (both sides constant-bounded)
-    "dq_benford")
+    "dq_benford",
+    // spell candidates: constant broadcast dictionary × distinct vocab
+    // under a non-equi Levenshtein predicate (bounded side constant)
+    "text_spell_candidates")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -436,7 +439,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "window_twap_per_key", "join_asof_next_order", "join_asof_tolerance",
     "agg_ewma_per_key", "window_retention_cohorts", "pipeline_curriculum_order",
     "agg_weighted_median_distributed", "dq_anomaly_zscore", "agg_skew_report",
-    "agg_linreg_per_key", "dq_benford", "pipeline_source_reputation")
+    "agg_linreg_per_key", "dq_benford", "pipeline_source_reputation",
+    "agg_markov_transitions", "dq_activity_gap_report", "agg_gini_by_group",
+    "agg_cohen_kappa", "text_spell_candidates")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
