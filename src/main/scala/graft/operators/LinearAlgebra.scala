@@ -42,8 +42,25 @@ object LinearAlgebra {
     * floor(sqrt(Σw²)) — Σw² stays < 2^53 so the double sqrt is correctly
     * rounded on an exactly-representable input.
     */
-  def pcaPowerDirection(emb: DataFrame, iterations: Int = 3): DataFrame = {
-    val q = quantized(emb)
+  def pcaPowerDirection(emb: DataFrame, iterations: Int = 3): DataFrame =
+    powerFromQ(emb.sparkSession, quantized(emb).localCheckpoint(true),
+      iterations)
+
+  /** Power iteration over an already-materialized quantized frame. `q` is
+    * eagerly localCheckpoint-ed by the callers: the iteration DAG
+    * references it 2× per step and ABTT 2× more, so without truncation
+    * the corpus×64 explode would re-execute ~9 times per action
+    * (values are unchanged — checkpoint materializes exact computed
+    * rows). Memory: ≤ 1e5 vectors × 64 dims ≈ 6.4M narrow rows, inside
+    * the same envelope the overflow guard already pins. The returned
+    * 64-row direction is checkpointed too — downstream branches
+    * (broadcast probes, Σu²) reuse it instead of replaying the
+    * 3-iteration pyramid per reference.
+    */
+  private def powerFromQ(
+      spark: org.apache.spark.sql.SparkSession,
+      q: DataFrame,
+      iterations: Int): DataFrame = {
     def iterate(v: DataFrame): DataFrame = {
       val t = q.join(broadcast(v), "d")
         .groupBy(col("vec_id")).agg(sum(col("q") * col("v")).as("s"))
@@ -56,12 +73,12 @@ object LinearAlgebra {
         .selectExpr("d",
           "(w2 * 1048576) DIV greatest(CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS BIGINT), 1) AS v")
     }
-    val spark = emb.sparkSession
     import spark.implicits._
     val v0 = spark.range(1, 65)
       .select($"id".cast("int").as("d"),
         when($"id" === 1, 1048576L).otherwise(0L).as("v"))
     (1 to iterations).foldLeft(v0)((v, _) => iterate(v))
+      .localCheckpoint(true)
   }
 
   /** All-but-the-top residual statistics: project out the dominant
@@ -75,8 +92,9 @@ object LinearAlgebra {
     * |labels|-row rollup — nothing corpus-sized leaves the executors.
     */
   def abttResidualStats(emb: DataFrame, iterations: Int = 3): DataFrame = {
-    val q = quantized(emb)
-    val u = pcaPowerDirection(emb, iterations).selectExpr("d", "v DIV 1024 AS u")
+    val q = quantized(emb).localCheckpoint(true) // shared by power + residual
+    val u = powerFromQ(emb.sparkSession, q, iterations)
+      .selectExpr("d", "v DIV 1024 AS u")
     val u2 = u.agg(sum(col("u") * col("u")).as("u2"))
     val s = q.join(broadcast(u), "d")
       .groupBy(col("vec_id")).agg(sum(col("q") * col("u")).as("s"))
