@@ -2821,6 +2821,96 @@ object PipelineQueries extends QueryModule {
     // ── vocabulary build: global token frequencies, top 100 by count —
     //    the tokenizer-training precursor. One partial+final aggregate
     //    over the exploded corpus, TakeOrderedAndProject tail. ──────────
+    // ── classifier-calibration reliability bins: a deterministic
+    //    document quality score (length saturating at 2000 chars, in
+    //    integer permille) binned into deciles, each bin reporting its
+    //    doc count, mean predicted score, and OBSERVED good rate (the
+    //    length+language rule) in integer ppm — the reliability-diagram
+    //    table behind "is the quality classifier calibrated", the gate
+    //    on using model scores for corpus filtering. One partial+final
+    //    aggregate to ≤ 10 rows; all integer ⇒ hash-exact. ──────────────
+    QueryDef("pipeline_calibration_bins",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"n_chars",
+            when($"n_chars" >= 200L && $"lang" === "en", 1L).otherwise(0L)
+              .as("good"))
+          .selectExpr("least(n_chars, 2000L) * 1000 DIV 2000 AS score_pm", "good")
+          .selectExpr("least(score_pm DIV 100, 9) AS bin", "score_pm", "good")
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"), sum($"score_pm").as("sum_pm"),
+            sum($"good").as("n_good"))
+          .selectExpr("bin", "n_docs",
+            "sum_pm * 1000 DIV n_docs AS mean_score_ppm",
+            "n_good * 1000000 DIV n_docs AS observed_good_ppm")
+          .orderBy($"bin")
+      },
+      Some("""WITH d AS (SELECT
+            CAST(least(n_chars, 2000) * 1000 // 2000 AS BIGINT) AS score_pm,
+            CASE WHEN n_chars >= 200 AND lang = 'en' THEN 1 ELSE 0 END AS good
+          FROM documents),
+        b AS (SELECT least(score_pm // 100, 9) AS bin, score_pm, good FROM d),
+        g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(score_pm) AS BIGINT) AS sum_pm,
+            CAST(sum(good) AS BIGINT) AS n_good
+          FROM b GROUP BY 1)
+        SELECT bin, n_docs,
+          (sum_pm * 1000) // n_docs AS mean_score_ppm,
+          (n_good * 1000000) // n_docs AS observed_good_ppm
+        FROM g ORDER BY bin""")),
+
+    // ── per-document TF-IDF top terms (integer-surrogate idf): term
+    //    frequency per (doc, token) × idf_x1000 = N·1000 ÷ df — the
+    //    rational-arithmetic stand-in for log idf (log's libm ULPs
+    //    aren't engine-portable; the RANKING it induces here is the
+    //    same monotone-in-1/df order), keeping the top 3 terms per doc.
+    //    The keyword-extraction staple. Scale: tf is one doc×token
+    //    aggregate, df one \|vocab\|-row aggregate joined back on token
+    //    (hash join on the token shuffle key; salt if a stopword-heavy
+    //    corpus skews it), N a 1-row broadcast recombine; the per-doc
+    //    argmax window runs on the tf relation, not the corpus text. ────
+    QueryDef("text_tfidf_topk",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .filter(length($"tok") >= 3)
+        val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val n = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"tok".asc)
+        tf.join(df, "tok").crossJoin(broadcast(n))
+          .selectExpr("doc_id", "tok", "tf",
+            "tf * (n_docs * 1000 DIV df) AS score")
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank".cast("int").as("rank"), $"tok",
+            $"tf", $"score")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, tok FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+          WHERE length(tok) >= 3),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+            tf.tf * ((n.n_docs * 1000) // df.df) AS score
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        r AS (SELECT doc_id, tok, tf, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, tok ASC) AS rn
+          FROM sc)
+        SELECT doc_id, CAST(rn AS INTEGER) AS rank, tok, tf, score
+        FROM r WHERE rn <= 3 ORDER BY doc_id, rank""")),
+
     // ── spell-correction candidates: every distinct corpus token
     //    checked against a small canonical dictionary by edit distance
     //    ≤ 2 (its own exact-match word excluded), keeping the best

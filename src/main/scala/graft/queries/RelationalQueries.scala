@@ -2765,6 +2765,87 @@ object RelationalQueries extends QueryModule {
             - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
         FROM c""")),
 
+    // ── batch sessionization (30-min inactivity gap): the canonical
+    //    gaps-to-sessions rollup — flag each event that starts a new
+    //    session (first for the user, or > 30 min since the previous),
+    //    running-sum the flags into session ordinals, then aggregate to
+    //    one row per session with its event count and duration. Batch
+    //    twin of `streaming_sessionization`. Scale: both windows share
+    //    ONE user_id partitioning (a single sort-shuffle), the rollup is
+    //    a hash aggregate; all integer microsecond arithmetic. ──────────
+    QueryDef("window_sessionize_ids",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts")
+          .withColumn("prev_us", unix_micros(lag($"ts", 1).over(w)))
+          .withColumn("new_sess",
+            when($"prev_us".isNull ||
+              unix_micros($"ts") - $"prev_us" > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_idx", sum($"new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(unix_micros($"ts")).as("start_us"),
+            max(unix_micros($"ts")).as("end_us"))
+          .selectExpr("user_id", "session_idx", "n_events",
+            "(end_us - start_us) DIV 1000000 AS duration_s")
+          .orderBy($"user_id", $"session_idx")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        f AS (SELECT user_id, event_id, us,
+            CASE WHEN lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                 OR us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        g AS (SELECT user_id, us,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          FROM f)
+        SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+          (max(us) - min(us)) // 1000000 AS duration_s
+        FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""")),
+
+    // ── longest activity streak (gaps-and-islands): per user, the
+    //    longest run of CONSECUTIVE active days and the number of
+    //    distinct runs — island id = day − row_number over the user's
+    //    day order (constant within a consecutive run), then two hash
+    //    aggregates. The engagement-metric classic; distinct-day
+    //    collapse first keeps the window input ≤ users×days. ────────────
+    QueryDef("window_streak_longest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.load(s, dir, "events")
+          .select($"user_id",
+            datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long").as("d"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"d")
+        days.withColumn("island", $"d" - row_number().over(w))
+          .groupBy($"user_id", $"island")
+          .agg(count(lit(1)).as("len"))
+          .groupBy($"user_id")
+          .agg(max($"len").as("longest_streak_days"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          FROM events),
+        i AS (SELECT user_id,
+            d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+          FROM d),
+        r AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY 1, 2)
+        SELECT user_id, max(len) AS longest_streak_days,
+          CAST(count(*) AS BIGINT) AS n_streaks
+        FROM r GROUP BY 1 ORDER BY user_id""")),
+
     QueryDef("window_range_7day",
       (s, dir) => {
         import s.implicits._

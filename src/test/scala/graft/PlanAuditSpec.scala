@@ -298,7 +298,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_benford",
     // spell candidates: constant broadcast dictionary × distinct vocab
     // under a non-equi Levenshtein predicate (bounded side constant)
-    "text_spell_candidates")
+    "text_spell_candidates",
+    // tfidf: the 1-row broadcast corpus-count recombine onto the tf×df
+    // join (the bm25/lm_score stats-recombine shape)
+    "text_tfidf_topk")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -441,7 +444,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_weighted_median_distributed", "dq_anomaly_zscore", "agg_skew_report",
     "agg_linreg_per_key", "dq_benford", "pipeline_source_reputation",
     "agg_markov_transitions", "dq_activity_gap_report", "agg_gini_by_group",
-    "agg_cohen_kappa", "text_spell_candidates")
+    "agg_cohen_kappa", "text_spell_candidates", "window_sessionize_ids",
+    "window_streak_longest", "pipeline_calibration_bins", "text_tfidf_topk")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
