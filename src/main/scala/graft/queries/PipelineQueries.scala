@@ -2821,6 +2821,95 @@ object PipelineQueries extends QueryModule {
     // ── vocabulary build: global token frequencies, top 100 by count —
     //    the tokenizer-training precursor. One partial+final aggregate
     //    over the exploded corpus, TakeOrderedAndProject tail. ──────────
+    // ── the hashing trick (feature hashing): per-user 8-bucket hashed
+    //    count vector of event types — the fixed-width featurization
+    //    that needs NO vocabulary pass, the classic trade for streaming /
+    //    unbounded-cardinality categorical features. Bucket =
+    //    md5-prefix(type) mod 8, the engine-portable hash (Spark `conv`
+    //    ≡ the oracle's hex-digit chain); the pivot is conditional sums
+    //    inside ONE partial+final hash aggregate per user — no pivot
+    //    shuffle, no vocabulary table, all integer. ─────────────────────
+    QueryDef("pipeline_feature_hash",
+      (s, dir) => {
+        import s.implicits._
+        val b = conv(substring(md5($"event_type"), 1, 4), 16, 10)
+          .cast("long") % 8
+        val e = Tables.load(s, dir, "events")
+          .select($"user_id", b.as("bucket"))
+        val fs = (0 until 8).map(i =>
+          sum(when($"bucket" === i.toLong, 1L).otherwise(0L)).as(s"f$i"))
+        e.groupBy($"user_id")
+          .agg(fs.head, fs.tail: _*)
+          .orderBy($"user_id")
+      },
+      Some {
+        val bucket = s"(${OracleGen.md5PrefixExpr("md5(event_type)", 4)}) % 8"
+        val cols = (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i")
+          .mkString(",\n          ")
+        s"""WITH e AS (SELECT user_id, $bucket AS b FROM events)
+        SELECT user_id,
+          $cols
+        FROM e GROUP BY 1 ORDER BY user_id"""
+      }),
+
+    // ── PII risk scoreboard by source: deterministic synthetic PII
+    //    injection on a doc-id schedule (every 7th doc an email, every
+    //    11th a phone — the redact-pipeline test harness), then per
+    //    SOURCE hit counts and the share of affected docs in integer
+    //    ppm — the compliance dashboard that decides which sources need
+    //    scrubbing before corpus admission. One regex scan +
+    //    \|sources\|-row aggregate; all integer ⇒ hash-exact. ───────────
+    QueryDef("pipeline_pii_risk_by_source",
+      (s, dir) => {
+        import s.implicits._
+        val withPii = concat($"text",
+          when(pmod($"doc_id", lit(7)) === 0,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(11)) === 0,
+            concat(lit(" call 555-0"),
+              lpad(pmod($"doc_id", lit(100)).cast("string"), 3, "0")))
+            .otherwise(lit("")))
+        val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        Tables.load(s, dir, "documents")
+          .select($"source", withPii.as("raw"))
+          .select($"source",
+            size(regexp_extract_all($"raw", lit(emailRe), lit(0))).cast("long")
+              .as("ne"),
+            size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).cast("long")
+              .as("np"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"ne").as("n_emails"),
+            sum($"np").as("n_phones"),
+            sum(when($"ne" + $"np" > 0, 1L).otherwise(0L)).as("n_affected"))
+          .selectExpr("source", "n_docs", "n_emails", "n_phones", "n_affected",
+            "n_affected * 1000000 DIV n_docs AS affected_ppm")
+          .orderBy($"source")
+      },
+      Some("""WITH r AS (SELECT source,
+            text
+              || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                 ELSE '' END AS raw
+          FROM documents),
+        h AS (SELECT source,
+            CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS ne,
+            CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS np
+          FROM r),
+        g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(ne) AS BIGINT) AS n_emails,
+            CAST(sum(np) AS BIGINT) AS n_phones,
+            CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected
+          FROM h GROUP BY 1)
+        SELECT source, n_docs, n_emails, n_phones, n_affected,
+          (n_affected * 1000000) // n_docs AS affected_ppm
+        FROM g ORDER BY source""")),
+
     // ── classifier-calibration reliability bins: a deterministic
     //    document quality score (length saturating at 2000 chars, in
     //    integer permille) binned into deciles, each bin reporting its

@@ -2846,6 +2846,82 @@ object RelationalQueries extends QueryModule {
           CAST(count(*) AS BIGINT) AS n_streaks
         FROM r GROUP BY 1 ORDER BY user_id""")),
 
+    // ── robust outlier screen (median / MAD): per event_type, the
+    //    median, the median absolute deviation, and how many points sit
+    //    beyond 3×MAD — the outlier detector that (unlike z-scores)
+    //    isn't dragged by the outliers it hunts. Exactness: `percentile`
+    //    ≡ DuckDB `quantile_cont` bit-for-bit (shared PERCENTILE_CONT
+    //    interpolation, the agg_percentile_grouped identity), and every
+    //    derived step (subtract, abs, 3×, compare) is a single
+    //    correctly-rounded IEEE op on both engines. Plan: three passes
+    //    over the narrow (key, value) projection with \|keys\|-row
+    //    broadcast joins between them — nothing wide ever shuffles. ─────
+    QueryDef("agg_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+          .select($"event_type", $"value".cast("double").as("v"))
+        val med = e.groupBy($"event_type")
+          .agg(expr("percentile(v, 0.5D)").as("med"))
+        val dev = e.join(broadcast(med), "event_type")
+          .withColumn("dev", abs($"v" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), first($"med").as("median"),
+            expr("percentile(dev, 0.5D)").as("mad"))
+        dev.join(broadcast(mad.select($"event_type", $"mad")), "event_type")
+          .groupBy($"event_type")
+          .agg(sum(when($"dev" > $"mad" * 3.0d, 1L).otherwise(0L))
+            .as("n_outliers"))
+          .join(mad, "event_type")
+          .select($"event_type", $"n", $"median", $"mad", $"n_outliers")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        m AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+          FROM e GROUP BY 1),
+        d AS (SELECT e.event_type, e.v, abs(e.v - m.med) AS dev, m.med
+          FROM e JOIN m ON e.event_type = m.event_type),
+        a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            any_value(med) AS median, quantile_cont(dev, 0.5) AS mad
+          FROM d GROUP BY 1)
+        SELECT a.event_type, a.n, a.median, a.mad,
+          CAST(sum(CASE WHEN d.dev > a.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM d JOIN a ON d.event_type = a.event_type
+        GROUP BY a.event_type, a.n, a.median, a.mad
+        ORDER BY a.event_type""")),
+
+    // ── seasonality profile: per (event_type, day-of-week) counts,
+    //    exact value-cents totals, and within-type share in integer ppm.
+    //    Day-of-week by pure epoch-day arithmetic (d % 7, 0 = Thursday)
+    //    — no calendar function whose week-start convention differs
+    //    across engines. One hash aggregate to ≤ \|types\|×7 rows; the
+    //    share window runs over that tiny result. ───────────────────────
+    QueryDef("agg_seasonality_profile",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val a = Tables.load(s, dir, "events")
+          .select($"event_type",
+            (datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long") % 7).as("dow7"),
+            ($"value".cast(DecimalType(12, 2)) * 100).cast("long").as("vc"))
+          .groupBy($"event_type", $"dow7")
+          .agg(count(lit(1)).as("n_events"), sum($"vc").as("value_cents"))
+        a.withColumn("type_total",
+            sum($"n_events").over(Window.partitionBy($"event_type")))
+          .selectExpr("event_type", "dow7", "n_events", "value_cents",
+            "n_events * 1000000 DIV type_total AS share_ppm")
+          .orderBy($"event_type", $"dow7")
+      },
+      Some("""WITH a AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow7,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, dow7, n_events, value_cents,
+          CAST((n_events * 1000000) // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        FROM a ORDER BY event_type, dow7""")),
+
     QueryDef("window_range_7day",
       (s, dir) => {
         import s.implicits._

@@ -445,7 +445,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_linreg_per_key", "dq_benford", "pipeline_source_reputation",
     "agg_markov_transitions", "dq_activity_gap_report", "agg_gini_by_group",
     "agg_cohen_kappa", "text_spell_candidates", "window_sessionize_ids",
-    "window_streak_longest", "pipeline_calibration_bins", "text_tfidf_topk")
+    "window_streak_longest", "pipeline_calibration_bins", "text_tfidf_topk",
+    "agg_mad_outliers", "agg_seasonality_profile", "pipeline_feature_hash",
+    "pipeline_pii_risk_by_source")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
