@@ -2821,6 +2821,90 @@ object PipelineQueries extends QueryModule {
     // ── vocabulary build: global token frequencies, top 100 by count —
     //    the tokenizer-training precursor. One partial+final aggregate
     //    over the exploded corpus, TakeOrderedAndProject tail. ──────────
+    // ── RAG-style sliding-window chunker (64-token chunks, stride 48):
+    //    every doc exploded into overlapping chunks with token counts
+    //    and an md5 fingerprint of the rebuilt chunk text — the
+    //    retrieval-index ingestion step. Per-doc work is linear in
+    //    tokens×(64/48 overlap factor); the explode is the only row
+    //    growth and chunks never cross docs, so the stage is
+    //    embarrassingly parallel at any corpus size. Slice semantics
+    //    (1-based, end-clipped) and join-with-space agree between
+    //    engines ⇒ fingerprints hash-exact. ─────────────────────────────
+    QueryDef("pipeline_chunk_overlap",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", tokens($"text").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n"))
+          .select($"doc_id", $"toks", $"n",
+            explode(sequence(lit(0), greatest($"n" - 1, lit(0)), lit(48)))
+              .as("start"))
+          .select($"doc_id", ($"start" / 48).cast("long").as("chunk_idx"),
+            least(lit(64), $"n" - $"start").cast("long").as("n_tokens"),
+            md5(array_join(slice($"toks", $"start" + 1, lit(64)), " "))
+              .as("chunk_fp"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+            CAST(unnest(range(0, greatest(n, 1), 48)) AS BIGINT) AS start
+          FROM n)
+        SELECT doc_id, start // 48 AS chunk_idx,
+          CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+          md5(array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' ')) AS chunk_fp
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // ── collocation mining by integer lift: token-pair document
+    //    co-occurrence vs independence, lift_ppm = n_ab·N·10⁶ ÷
+    //    (n_a·n_b) — the rational PMI surrogate (log PMI's libm ULPs
+    //    aren't portable; the ranking is the same monotone order). The
+    //    within-doc pair explosion is bounded by (tokens per doc)², and
+    //    pair counts aggregate map-side; document frequencies join back
+    //    on the token key. Top 50 by (lift, pair) — deterministic. ──────
+    QueryDef("text_collocation_lift",
+      (s, dir) => {
+        import s.implicits._
+        val td = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(tokens($"text")).as("tok"))
+          .filter(length($"tok") >= 3).distinct()
+        val nab = td.select($"doc_id", $"tok".as("tok_a"))
+          .join(td.select($"doc_id", $"tok".as("tok_b")), Seq("doc_id"))
+          .filter($"tok_a" < $"tok_b")
+          .groupBy($"tok_a", $"tok_b")
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 5)
+        val dfreq = td.groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+        val n = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        nab
+          .join(dfreq.select($"tok".as("tok_a"), $"n_tok".as("n_a")), "tok_a")
+          .join(dfreq.select($"tok".as("tok_b"), $"n_tok".as("n_b")), "tok_b")
+          .crossJoin(broadcast(n))
+          .selectExpr("tok_a", "tok_b", "n_ab",
+            "n_ab * n_docs * 1000000 DIV (n_a * n_b) AS lift_ppm")
+          .orderBy($"lift_ppm".desc, $"tok_a", $"tok_b")
+          .limit(50)
+      },
+      Some("""WITH td AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) t
+          WHERE length(tok) >= 3),
+        nab AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+            CAST(count(*) AS BIGINT) AS n_ab
+          FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        f AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM td GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT nab.tok_a, nab.tok_b, nab.n_ab,
+          (nab.n_ab * n.n_docs * 1000000) // (fa.n_tok * fb.n_tok) AS lift_ppm
+        FROM nab JOIN f fa ON nab.tok_a = fa.tok
+          JOIN f fb ON nab.tok_b = fb.tok CROSS JOIN n
+        ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 50""")),
+
     // ── the hashing trick (feature hashing): per-user 8-bucket hashed
     //    count vector of event types — the fixed-width featurization
     //    that needs NO vocabulary pass, the classic trade for streaming /

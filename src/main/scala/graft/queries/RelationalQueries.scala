@@ -2922,6 +2922,73 @@ object RelationalQueries extends QueryModule {
           CAST((n_events * 1000000) // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
         FROM a ORDER BY event_type, dow7""")),
 
+    // ── RFM scoring (recency / frequency / monetary): per-user exact
+    //    aggregates, then 1–5 scores by QUANTILE-CUT against the exact
+    //    p20/p40/p60/p80 thresholds — deliberately NOT global ntile,
+    //    which would total-order every user through one task; the
+    //    threshold aggregate is one row broadcast back, so scoring is a
+    //    map-side comparison at any scale. Thresholds are `percentile`
+    //    ≡ `quantile_cont` bit-identical; recency anchored on the
+    //    dataset max day (1-row broadcast recombine). ───────────────────
+    QueryDef("agg_rfm_scores",
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.load(s, dir, "events")
+          .select($"user_id",
+            datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long").as("d"),
+            ($"value".cast(DecimalType(12, 2)) * 100).cast("long").as("vc"))
+          .groupBy($"user_id")
+          .agg(max($"d").as("last_d"), count(lit(1)).as("f"),
+            sum($"vc").as("m"))
+        val anchor = u.agg(max($"last_d").as("maxd"))
+        val r = u.crossJoin(broadcast(anchor))
+          .select($"user_id", ($"maxd" - $"last_d").as("rec"), $"f", $"m")
+        val th = r.agg(
+          expr("percentile(rec, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tr"),
+          expr("percentile(f,   array(0.2D, 0.4D, 0.6D, 0.8D))").as("tf"),
+          expr("percentile(m,   array(0.2D, 0.4D, 0.6D, 0.8D))").as("tm"))
+        def score(v: Column, t: Column, asc: Boolean): Column = {
+          val b = when(v.cast("double") <= t.getItem(0), 1)
+            .when(v.cast("double") <= t.getItem(1), 2)
+            .when(v.cast("double") <= t.getItem(2), 3)
+            .when(v.cast("double") <= t.getItem(3), 4).otherwise(5)
+          if (asc) b else lit(6) - b
+        }
+        r.crossJoin(broadcast(th))
+          .select($"user_id", $"rec", $"f", $"m",
+            score($"rec", $"tr", asc = false).as("r_score"),
+            score($"f", $"tf", asc = true).as("f_score"),
+            score($"m", $"tm", asc = true).as("m_score"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS last_d,
+            CAST(count(*) AS BIGINT) AS f,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+          FROM events GROUP BY 1),
+        a AS (SELECT max(last_d) AS maxd FROM u),
+        r AS (SELECT user_id, a.maxd - last_d AS rec, f, m FROM u CROSS JOIN a),
+        t AS (SELECT
+            quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS tr,
+            quantile_cont(f,   [0.2, 0.4, 0.6, 0.8]) AS tf,
+            quantile_cont(m,   [0.2, 0.4, 0.6, 0.8]) AS tm
+          FROM r)
+        SELECT user_id, rec, f, m,
+          6 - (CASE WHEN CAST(rec AS DOUBLE) <= tr[1] THEN 1
+            WHEN CAST(rec AS DOUBLE) <= tr[2] THEN 2
+            WHEN CAST(rec AS DOUBLE) <= tr[3] THEN 3
+            WHEN CAST(rec AS DOUBLE) <= tr[4] THEN 4 ELSE 5 END) AS r_score,
+          CASE WHEN CAST(f AS DOUBLE) <= tf[1] THEN 1
+            WHEN CAST(f AS DOUBLE) <= tf[2] THEN 2
+            WHEN CAST(f AS DOUBLE) <= tf[3] THEN 3
+            WHEN CAST(f AS DOUBLE) <= tf[4] THEN 4 ELSE 5 END AS f_score,
+          CASE WHEN CAST(m AS DOUBLE) <= tm[1] THEN 1
+            WHEN CAST(m AS DOUBLE) <= tm[2] THEN 2
+            WHEN CAST(m AS DOUBLE) <= tm[3] THEN 3
+            WHEN CAST(m AS DOUBLE) <= tm[4] THEN 4 ELSE 5 END AS m_score
+        FROM r CROSS JOIN t ORDER BY user_id""")),
+
     QueryDef("window_range_7day",
       (s, dir) => {
         import s.implicits._

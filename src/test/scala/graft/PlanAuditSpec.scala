@@ -301,7 +301,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_spell_candidates",
     // tfidf: the 1-row broadcast corpus-count recombine onto the tf×df
     // join (the bm25/lm_score stats-recombine shape)
-    "text_tfidf_topk")
+    "text_tfidf_topk",
+    // rfm: two 1-row broadcast recombines (dataset max-day anchor +
+    // quantile-threshold row) onto the |users|-row aggregate
+    "agg_rfm_scores",
+    // collocation lift: the 1-row broadcast corpus-count recombine
+    "text_collocation_lift")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -447,7 +452,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_cohen_kappa", "text_spell_candidates", "window_sessionize_ids",
     "window_streak_longest", "pipeline_calibration_bins", "text_tfidf_topk",
     "agg_mad_outliers", "agg_seasonality_profile", "pipeline_feature_hash",
-    "pipeline_pii_risk_by_source")
+    "pipeline_pii_risk_by_source", "agg_rfm_scores", "pipeline_chunk_overlap",
+    "text_collocation_lift")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
