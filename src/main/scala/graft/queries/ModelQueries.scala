@@ -74,6 +74,36 @@ object ModelQueries extends QueryModule {
         FROM h
         ORDER BY o_custkey, valid_from, o_orderstatus, valid_to NULLS LAST""")),
 
+    // SCD-2 POINT-IN-TIME read — the query the history exists FOR: the
+    // dimension version valid at a literal as-of instant (valid_from ≤
+    // asof < valid_to, open intervals current). One filter over the
+    // history relation; at scale the valid_from/valid_to columns are
+    // exactly what min/max row-group pruning wants.
+    QueryDef("snapshot_scd2_asof",
+      (s, dir) => {
+        val asof = lit("1997-06-01").cast("timestamp")
+        Snapshot.scd2History(Tables.load(s, dir, "orders"),
+            Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+          .filter(col("valid_from") <= asof &&
+            (col("valid_to").isNull || col("valid_to") > asof))
+          .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
+      },
+      Some("""WITH s AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+        c AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM s
+          WHERE prev IS NULL OR prev <> o_orderstatus),
+        h AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+            lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM c)
+        SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+          valid_to IS NULL AS is_current
+        FROM h
+        WHERE valid_from <= TIMESTAMP '1997-06-01'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '1997-06-01')
+        ORDER BY o_custkey, valid_from, o_orderstatus""")),
+
     // dbt snapshots slot, check strategy: initial snapshot of the
     // point-in-time state at T1, then merge the state at T2 — changed
     // keys are closed out and reopened, unchanged keys stay open.

@@ -2989,6 +2989,105 @@ object RelationalQueries extends QueryModule {
             WHEN CAST(m AS DOUBLE) <= tm[4] THEN 4 ELSE 5 END AS m_score
         FROM r CROSS JOIN t ORDER BY user_id""")),
 
+    // ── freshness SLA check: per event_type, the last-seen instant vs
+    //    the dataset watermark (max ts — the deterministic stand-in for
+    //    wall clock), staleness in whole hours, and a 24h SLA flag —
+    //    the table-freshness monitor every warehouse runs before
+    //    trusting a downstream read. One hash aggregate + a 1-row
+    //    broadcast watermark recombine; integer µs arithmetic. ──────────
+    QueryDef("dq_freshness_sla",
+      (s, dir) => {
+        import s.implicits._
+        val a = Tables.load(s, dir, "events")
+          .select($"event_type", unix_micros($"ts").as("us"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"), max($"us").as("last_us"))
+        val wm = a.agg(max($"last_us").as("wm_us"))
+        a.crossJoin(broadcast(wm))
+          .selectExpr("event_type", "n_events",
+            "(wm_us - last_us) DIV 3600000000 AS staleness_h",
+            "CASE WHEN (wm_us - last_us) DIV 3600000000 > 24 " +
+              "THEN 'STALE' ELSE 'FRESH' END AS sla_status")
+          .orderBy($"event_type")
+      },
+      Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+            max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+          FROM events GROUP BY 1),
+        w AS (SELECT max(last_us) AS wm_us FROM a)
+        SELECT event_type, n_events,
+          (wm_us - last_us) // 3600000000 AS staleness_h,
+          CASE WHEN (wm_us - last_us) // 3600000000 > 24
+            THEN 'STALE' ELSE 'FRESH' END AS sla_status
+        FROM a CROSS JOIN w ORDER BY event_type""")),
+
+    // ── new vs returning daily actives: per day, distinct active users
+    //    split by whether it's their FIRST day — the growth-accounting
+    //    primitive. First-touch is a per-user min aggregate joined back
+    //    on user_id (the same shuffle key the distinct collapse already
+    //    uses); integer day arithmetic. ─────────────────────────────────
+    QueryDef("agg_new_vs_returning",
+      (s, dir) => {
+        import s.implicits._
+        val days = Tables.load(s, dir, "events")
+          .select($"user_id",
+            datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long").as("d"))
+          .distinct()
+        val firstDay = days.groupBy($"user_id").agg(min($"d").as("d0"))
+        days.join(firstDay, "user_id")
+          .groupBy($"d")
+          .agg(count(lit(1)).as("dau"),
+            sum(when($"d" === $"d0", 1L).otherwise(0L)).as("new_users"))
+          .selectExpr("d AS day", "dau", "new_users",
+            "dau - new_users AS returning_users")
+          .orderBy($"day")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          FROM events),
+        f AS (SELECT user_id, min(d) AS d0 FROM days GROUP BY 1)
+        SELECT days.d AS day, CAST(count(*) AS BIGINT) AS dau,
+          CAST(sum(CASE WHEN days.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+          CAST(count(*) AS BIGINT)
+            - CAST(sum(CASE WHEN days.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        FROM days JOIN f ON days.user_id = f.user_id
+        GROUP BY days.d ORDER BY day""")),
+
+    // ── time-to-convert distribution: per user, seconds from first
+    //    'view' to the first LATER 'purchase', then the conversion
+    //    count and exact p50/p95 of the delay — the funnel-latency
+    //    metric behind "how long does conversion take". Two narrow
+    //    min-aggregates on one user_id shuffle; `percentile` ≡
+    //    `quantile_cont` bit-identity on the integer seconds. ───────────
+    QueryDef("agg_time_to_convert",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val v = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("v_us"))
+        val p = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"us").as("p_us"))
+        v.join(p, "user_id")
+          .filter($"p_us" > $"v_us")
+          .selectExpr("user_id", "(p_us - v_us) DIV 1000000 AS delay_s")
+          .agg(count(lit(1)).as("n_converted"),
+            expr("percentile(delay_s, 0.5D)").as("p50_s"),
+            expr("percentile(delay_s, 0.95D)").as("p95_s"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+        p AS (SELECT user_id, min(us) AS p_us FROM e
+          WHERE event_type = 'purchase' GROUP BY 1),
+        d AS (SELECT v.user_id, (p.p_us - v.v_us) // 1000000 AS delay_s
+          FROM v JOIN p ON v.user_id = p.user_id WHERE p.p_us > v.v_us)
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+          quantile_cont(delay_s, 0.5) AS p50_s,
+          quantile_cont(delay_s, 0.95) AS p95_s
+        FROM d""")),
+
     QueryDef("window_range_7day",
       (s, dir) => {
         import s.implicits._

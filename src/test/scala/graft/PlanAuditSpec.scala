@@ -305,6 +305,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // rfm: two 1-row broadcast recombines (dataset max-day anchor +
     // quantile-threshold row) onto the |users|-row aggregate
     "agg_rfm_scores",
+    // freshness: the 1-row broadcast watermark recombine onto the
+    // |types|-row aggregate
+    "dq_freshness_sla",
     // collocation lift: the 1-row broadcast corpus-count recombine
     "text_collocation_lift")
 
@@ -453,7 +456,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "window_streak_longest", "pipeline_calibration_bins", "text_tfidf_topk",
     "agg_mad_outliers", "agg_seasonality_profile", "pipeline_feature_hash",
     "pipeline_pii_risk_by_source", "agg_rfm_scores", "pipeline_chunk_overlap",
-    "text_collocation_lift")
+    "text_collocation_lift", "snapshot_scd2_asof", "dq_freshness_sla",
+    "agg_new_vs_returning", "agg_time_to_convert")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
