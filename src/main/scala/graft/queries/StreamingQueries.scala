@@ -274,6 +274,31 @@ object StreamingQueries extends QueryModule {
           CAST(sum(CAST(r.value AS DECIMAL(20,2))) AS DOUBLE) AS total_purchase_value
         FROM l LEFT JOIN r
           ON r.user_id = l.user_id
-          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE"""))
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""")),
+
+    // Per-user funnel stage — batch twin of the mapGroupsWithState
+    // funnel automaton (Streaming.funnelStageStream; StreamingSpec pins
+    // snapshot parity for time-monotone arrival). Same stage machine as
+    // window_funnel_stages, per-user rows instead of the histogram.
+    QueryDef("streaming_funnel_stage",
+      (s, dir) => graft.operators.Funnel.userStages(
+          Tables.load(s, dir, "events"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN t END) OVER
+            (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS last_view
+          FROM e),
+        w2 AS (SELECT *, CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+            AND t - last_view <= 3600000000 THEN t END AS qc FROM w1),
+        w3 AS (SELECT *, max(qc) OVER
+            (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS last_qc
+          FROM w2),
+        w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND last_qc IS NOT NULL
+            AND t - last_qc <= 86400000000 THEN 1 ELSE 0 END AS qp FROM w3)
+        SELECT user_id, CAST(max(CASE WHEN qp = 1 THEN 3
+            WHEN qc IS NOT NULL THEN 2
+            WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INTEGER) AS stage
+        FROM w4 GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -603,4 +603,69 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
   }
+
+  // ── funnel automaton: per-user stage tracking as streaming state ─────
+
+  final case class FunnelEvent(
+      user_id: Long, event_id: Long, event_type: String, t: Long)
+  /** Automaton state: latest view time, latest QUALIFIED click time
+    * (both Long.MinValue = none yet), furthest stage reached, last
+    * folded (t, event_id) for replay idempotence.
+    */
+  final case class FunnelState(
+      lastView: Long, lastQc: Long, stage: Int, lastT: Long, lastId: Long)
+  final case class FunnelStageOut(user_id: Long, stage: Int)
+
+  /** Streaming funnel-stage automaton (`mapGroupsWithState`, update
+    * mode): the per-user view → click(≤60 min) → purchase(≤24 h) stage
+    * machine of [[graft.operators.Funnel.userStages]] carried as O(keys)
+    * state instead of windowed running maxes. Each micro-batch's group
+    * iterator sorts by (t, event_id) — the same order the batch window
+    * establishes — and folds each event against the state the batch
+    * formulation would have at that row, so for per-user time-monotone
+    * arrival ACROSS batches (the watermark discipline; within a batch
+    * any order is fine) the final snapshot equals the batch twin —
+    * StreamingSpec pins this. Events at or below the state's last
+    * folded (t, id) are skipped: replaying a micro-batch is a no-op.
+    * A view arriving LATE (after a click it would have qualified) can't
+    * retro-qualify that click here — the batch window can; that is the
+    * inherent streaming/batch trade documented at the sessionize
+    * operators, not a bug in either.
+    */
+  def funnelStageStream(events: DataFrame): Dataset[FunnelStageOut] = {
+    val wClick = 60L * 60 * 1000000
+    val wBuy = 24L * 3600 * 1000000
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStageOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MinValue, Long.MinValue, 0, Long.MinValue, Long.MinValue))
+          it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            if (e.t > st.lastT || (e.t == st.lastT && e.event_id > st.lastId)) {
+              e.event_type match {
+                case "view" =>
+                  st = st.copy(lastView = math.max(st.lastView, e.t),
+                    stage = math.max(st.stage, 1))
+                case "click"
+                    if st.lastView != Long.MinValue &&
+                      e.t - st.lastView <= wClick =>
+                  st = st.copy(lastQc = math.max(st.lastQc, e.t),
+                    stage = math.max(st.stage, 2))
+                case "purchase"
+                    if st.lastQc != Long.MinValue && e.t - st.lastQc <= wBuy =>
+                  st = st.copy(stage = 3)
+                case _ => ()
+              }
+              st = st.copy(lastT = e.t, lastId = e.event_id)
+            }
+          }
+          state.update(st)
+          FunnelStageOut(uid, st.stage)
+      }
+  }
 }

@@ -457,7 +457,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_mad_outliers", "agg_seasonality_profile", "pipeline_feature_hash",
     "pipeline_pii_risk_by_source", "agg_rfm_scores", "pipeline_chunk_overlap",
     "text_collocation_lift", "snapshot_scd2_asof", "dq_freshness_sla",
-    "agg_new_vs_returning", "agg_time_to_convert")
+    "agg_new_vs_returning", "agg_time_to_convert", "streaming_funnel_stage")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

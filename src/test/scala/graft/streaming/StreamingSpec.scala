@@ -610,4 +610,47 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
     assert(streamed == batch, s"\nbatch: $batch\nstreamed: $streamed")
   }
+
+  test("mapGroupsWithState funnel automaton: snapshot parity with the batch stage machine") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user_id, event_id, event_type, ts) — covers: full traversal (u1),
+    // click outside the 60-min view window (u2), click with no prior
+    // view then purchase with no qualified click (u3), purchase beyond
+    // the 24-h click window (u4)
+    val all = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 10:30:00")),
+      (1L, 3L, "purchase", ts("2024-01-01 11:00:00")),
+      (2L, 4L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 5L, "click", ts("2024-01-01 12:00:00")),
+      (3L, 6L, "click", ts("2024-01-01 10:00:00")),
+      (3L, 7L, "purchase", ts("2024-01-01 10:30:00")),
+      (4L, 8L, "view", ts("2024-01-01 10:00:00")),
+      (4L, 9L, "click", ts("2024-01-01 10:20:00")),
+      (4L, 10L, "purchase", ts("2024-01-03 11:00:00")))
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = Streaming.funnelStageStream(
+        mem.toDF().toDF("user_id", "event_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("funnel_stage")
+      .outputMode("update").start()
+    try {
+      // batch 1 delivered unordered WITHIN the batch (iterator must
+      // sort); batch 2 advances each user; batch 3 replays batch 2
+      // (must be a no-op via the lastT/lastId guard)
+      mem.addData(all.take(6).reverse: _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(6): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(6): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_stage")
+        .groupBy("user_id").agg(max(col("stage")).as("stage"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batch = graft.operators.Funnel.userStages(
+          all.toDF("user_id", "event_id", "event_type", "ts"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed == batch, s"\nbatch: $batch\nstreamed: $streamed")
+      assert(batch == Set((1L, 3), (2L, 1), (3L, 0), (4L, 2)))
+    } finally q.stop()
+  }
 }
