@@ -3256,7 +3256,62 @@ object PipelineQueries extends QueryModule {
           CAST(sum(length(regexp_replace(regexp_replace(raw,
             '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT) AS sum_redacted_len
-        FROM r"""))
+        FROM r""")),
+
+    // ── Flesch-style readability scoring per document (curation-filter
+    //    staple next to `text_quality_gopher`): words = \S+ runs,
+    //    sentences = [.!?]+ runs with a nominal 12-words-per-sentence
+    //    fallback (the synthetic corpus carries no terminal punctuation;
+    //    real corpora use the punctuation count), syllables ≈
+    //    vowel-group runs — three one-pass codegen'd regexp counts, no
+    //    shuffle at all until the final sort. The score 206.835 −
+    //    1.015·w/s − 84.6·syl/w is evaluated as ONE division of exact
+    //    BIGINT cross-multiplied terms — num = 206835·w·s − 1015·w² −
+    //    84600·syl·s over den = 1000·w·s — because a 3-term float
+    //    expression would be engine-reassociation-sensitive; the
+    //    difficulty band compares num against 70·den / 50·den in pure
+    //    integers. ──────────────────────────────────────────────────────
+    QueryDef("text_readability",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            greatest(regexp_count($"text", lit("\\S+")), lit(1))
+              .cast("long").as("w"),
+            regexp_count($"text", lit("[.!?]+")).cast("long").as("punct"),
+            regexp_count($"text", lit("[aeiouyAEIOUY]+"))
+              .cast("long").as("syl"))
+          .withColumn("sen", expr("greatest(punct, 1L + (w - 1L) DIV 12L)"))
+          .withColumn("num",
+            lit(206835L) * $"w" * $"sen" - lit(1015L) * $"w" * $"w" -
+              lit(84600L) * $"syl" * $"sen")
+          .withColumn("den", lit(1000L) * $"w" * $"sen")
+          .select($"doc_id", $"w".as("n_words"), $"sen".as("n_sentences"),
+            $"syl".as("n_syllables"),
+            ($"num".cast("double") / $"den".cast("double")).as("flesch"),
+            when($"num" >= lit(70L) * $"den", "easy")
+              .when($"num" >= lit(50L) * $"den", "standard")
+              .otherwise("difficult").as("band"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c0 AS (SELECT doc_id,
+            greatest(len(regexp_extract_all(text, '\S+')), 1)::BIGINT AS w,
+            len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS punct,
+            len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS syl
+          FROM documents),
+        c AS (SELECT doc_id, w, syl,
+            greatest(punct, 1 + (w - 1) // 12) AS sen
+          FROM c0),
+        n AS (SELECT doc_id, w, sen, syl,
+            206835 * w * sen - 1015 * w * w - 84600 * syl * sen AS num,
+            1000 * w * sen AS den
+          FROM c)
+        SELECT doc_id, w AS n_words, sen AS n_sentences, syl AS n_syllables,
+          CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS flesch,
+          CASE WHEN num >= 70 * den THEN 'easy'
+            WHEN num >= 50 * den THEN 'standard'
+            ELSE 'difficult' END AS band
+        FROM n ORDER BY doc_id"""))
   )
 }
 

@@ -3107,6 +3107,413 @@ object RelationalQueries extends QueryModule {
             PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
         FROM events WHERE user_id < 10
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // ── One-sided CUSUM drift detector per user (SPC / telemetry-drift
+    //    staple): S_t = max(0, S_{t-1} + (x_t − T)) over each user's
+    //    time-ordered value stream, alarm when the peak exceeds a
+    //    threshold. The recurrence is NOT computed as a sequential fold —
+    //    the closed form S_t = C_t − min(0, min_{j≤t} C_j) (C = running
+    //    sum of deviations) turns it into two stock window frames over
+    //    ONE user_id-partitioned sort, so the plan is a single hash
+    //    shuffle + per-partition sort at any scale. The target T is the
+    //    global mean in cents via BIGINT floor-div (exact, positive ⇒
+    //    DIV ≡ //) broadcast as a 1-row cross join (the q11 scalar
+    //    pattern). All arithmetic BIGINT ⇒ bit-exact vs the oracle; the
+    //    follow-up groupBy(user_id) reuses the window's hash
+    //    partitioning — no second shuffle. ─────────────────────────────
+    QueryDef("window_cusum_drift",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("user_id", "event_id", "ts",
+            "CAST(round(value * 100) AS BIGINT) AS v_cents")
+        val target = e.agg(
+          expr("sum(v_cents) DIV count(*)").cast("long").as("t_cents"))
+        val wc = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.crossJoin(broadcast(target))
+          .withColumn("cum", sum($"v_cents" - $"t_cents").over(wc))
+          .withColumn("s_hi", $"cum" - least(lit(0L), min($"cum").over(wc)))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max($"s_hi").as("peak_cusum_cents"),
+            max(when($"s_hi" > $"t_cents" * 100, 1L).otherwise(0L))
+              .as("alarm"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+        t AS (SELECT CAST(sum(v_cents) // count(*) AS BIGINT) AS t_cents FROM e),
+        c AS (SELECT user_id, t_cents, ts, event_id,
+            CAST(sum(v_cents - t_cents) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM e, t),
+        m AS (SELECT user_id, t_cents, cum,
+            min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+          FROM c)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(max(cum - least(CAST(0 AS BIGINT), runmin)) AS BIGINT)
+            AS peak_cusum_cents,
+          CAST(max(CASE WHEN cum - least(CAST(0 AS BIGINT), runmin) > t_cents * 100
+            THEN 1 ELSE 0 END) AS BIGINT) AS alarm
+        FROM m GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Maximum drawdown per user (risk analytics on the per-user net
+    //    "equity curve"): signed flows (+purchase/signup, −other) in
+    //    BIGINT cents, running balance C_t, drawdown = max_{j≤t} C_j −
+    //    C_t, report the worst. Same one-shuffle shape as the CUSUM
+    //    above — running sum + running max over one user-partitioned
+    //    sort, integer-exact end to end. ───────────────────────────────
+    QueryDef("window_drawdown_max",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .selectExpr("user_id", "event_id", "ts",
+            """CASE WHEN event_type IN ('purchase', 'signup')
+                 THEN CAST(round(value * 100) AS BIGINT)
+                 ELSE -CAST(round(value * 100) AS BIGINT) END AS flow_cents""")
+          .withColumn("cum", sum($"flow_cents").over(wc))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("dd", max($"cum").over(wc) - $"cum")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max($"dd").as("max_drawdown_cents"),
+            max($"cum").as("peak_cents"),
+            expr("max_by(cum, rn)").as("final_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            CASE WHEN event_type IN ('purchase', 'signup')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS flow_cents
+          FROM events),
+        c AS (SELECT user_id, event_id, ts,
+            CAST(sum(flow_cents) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM f),
+        m AS (SELECT user_id, event_id, ts, cum,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+          FROM c)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(max(runmax - cum) AS BIGINT) AS max_drawdown_cents,
+          CAST(max(cum) AS BIGINT) AS peak_cents,
+          max_by(cum, rn) AS final_cents
+        FROM m GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Bollinger-band breakout counter per user: band = mean ± 2σ of
+    //    the 5 PRECEDING events (exclusive — a point inside its own
+    //    5-sample can never exceed 1.79σ, so an inclusive frame is a
+    //    vacuous detector), flag |x − μ| > 2σ. The σ-compare is done
+    //    entirely in integer cross-multiplied form — (n·x − Σ)² >
+    //    4·(n·Σx² − Σ²) — so no sqrt/float enters the flag (bit-exact;
+    //    magnitudes ≤ ~6e10 fit BIGINT with 8 digits to spare). One
+    //    user_id shuffle, fixed 5-row frames, the aggregate reuses the
+    //    window partitioning. ───────────────────────────────────────────
+    QueryDef("window_bollinger_breakout",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w5 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-5, -1)
+        Tables.load(s, dir, "events")
+          .selectExpr("user_id", "event_id", "ts",
+            "CAST(round(value * 100) AS BIGINT) AS x")
+          .withColumn("n", count(lit(1)).over(w5))
+          .withColumn("sm", sum($"x").over(w5))
+          .withColumn("sq", sum($"x" * $"x").over(w5))
+          .withColumn("brk",
+            when($"n" === 5 &&
+              ($"n" * $"x" - $"sm") * ($"n" * $"x" - $"sm") >
+                lit(4L) * ($"n" * $"sq" - $"sm" * $"sm"), 1L).otherwise(0L))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"), sum($"brk").as("n_breakouts"),
+            max(when($"n" === 5, $"n" * $"sq" - $"sm" * $"sm"))
+              .as("max_disp_x25"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        b AS (SELECT user_id,
+            count(*) OVER w AS n, sum(x) OVER w AS sm, sum(x * x) OVER w AS sq, x
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CASE WHEN n = 5 AND (n*x - sm)*(n*x - sm) > 4*(n*sq - sm*sm)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_breakouts,
+          CAST(max(CASE WHEN n = 5 THEN n*sq - sm*sm END) AS BIGINT) AS max_disp_x25
+        FROM b GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Market-basket pair lift over lineitem (the co-purchase miner
+    //    behind "frequently bought together"): distinct (order, part)
+    //    pairs self-joined on l_orderkey with p1 < p2, support-pruned
+    //    BEFORE the join (only parts in ≥ 8 orders enter — at 100 TB the
+    //    prune is the step that keeps the pair space bounded by frequent
+    //    items, the standard Apriori cut), then lift = c_ab·N/(c_a·c_b)
+    //    as ONE IEEE division of exact BIGINT products. The self-join is
+    //    a single co-partitioned shuffle on l_orderkey; per-part counts
+    //    and the N scalar are dimension-sized broadcasts; pair fan-out
+    //    is bounded by basket size squared per order, never by corpus. ──
+    QueryDef("agg_basket_lift",
+      (s, dir) => {
+        import s.implicits._
+        val items = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        val counts = items.groupBy($"pk").agg(count(lit(1)).as("n_ord"))
+        val freq = counts.filter($"n_ord" >= 8)
+        // plain equi-join, not a forced broadcast: the frequent-part set
+        // scales with the part dimension, so AQE should pick broadcast
+        // only when the pruned set is actually small
+        val fitems = items.join(freq, "pk")
+        val nOrders = items.select($"ok").distinct()
+          .agg(count(lit(1)).as("n_total"))
+        val pairs = fitems.select($"ok", $"pk".as("p1"), $"n_ord".as("c_a"))
+          .join(fitems.select($"ok", $"pk".as("p2"), $"n_ord".as("c_b")), "ok")
+          .filter($"p1" < $"p2")
+          .groupBy($"p1", $"c_a", $"p2", $"c_b")
+          .agg(count(lit(1)).as("c_ab"))
+          .filter($"c_ab" >= 3)
+        pairs.crossJoin(broadcast(nOrders))
+          .select($"p1", $"p2", $"c_a", $"c_b", $"c_ab",
+            (($"c_ab" * $"n_total").cast("double") /
+              ($"c_a" * $"c_b").cast("double")).as("lift"))
+          .orderBy($"p1", $"p2")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+        counts AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_ord
+          FROM items GROUP BY pk),
+        fitems AS (SELECT i.ok, i.pk, c.n_ord FROM items i
+          JOIN counts c ON i.pk = c.pk WHERE c.n_ord >= 8),
+        n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_total FROM items),
+        pairs AS (SELECT a.pk AS p1, a.n_ord AS c_a, b.pk AS p2, b.n_ord AS c_b,
+            CAST(count(*) AS BIGINT) AS c_ab
+          FROM fitems a JOIN fitems b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+        SELECT p1, p2, c_a, c_b, c_ab,
+          CAST(c_ab * n_total AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+        FROM pairs, n ORDER BY p1, p2""")),
+
+    // ── Kaplan–Meier time-to-conversion survival per acquisition cohort
+    //    (the censoring-aware funnel curve — a naive "% converted by day
+    //    t" is biased when follow-up is truncated): per user, dur = days
+    //    from first event to first purchase, right-censored at a 7-day
+    //    follow-up window (no purchase within 7 days ⇒ dur = 7, evt = 0,
+    //    still in every risk set through t = 7); cohort = event type of
+    //    the user's earliest event_id. Risk sets via one cumulative
+    //    window over the per-(cohort, day) death/at-risk table
+    //    (O(cohorts × days) rows — reduced input, NOT the event table),
+    //    then Ŝ(H) = Π_{t≤H, d_t>0} (1 − d_t/n_t) as an ordered fold
+    //    over the sorted per-cohort list: each factor is one
+    //    exact-integer division, the fold multiplies in ascending-t
+    //    order in both engines ⇒ bit-identical at H = 1/3/7. ───────────
+    QueryDef("agg_survival_km",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+        val users = e.groupBy($"user_id")
+          .agg(expr("min_by(event_type, event_id)").as("cohort"),
+            min($"ts").as("first_ts"))
+        val firstBuy = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        val lifet = users.join(firstBuy, Seq("user_id"), "left")
+          .select($"cohort",
+            datediff(to_date($"p_ts"), to_date($"first_ts")).cast("long")
+              .as("d_raw"))
+          .select($"cohort",
+            when($"d_raw".isNotNull && $"d_raw" <= 7, $"d_raw").otherwise(7L)
+              .as("dur"),
+            when($"d_raw".isNotNull && $"d_raw" <= 7, 1L).otherwise(0L)
+              .as("evt"))
+        val byDay = lifet.groupBy($"cohort", $"dur")
+          .agg(sum($"evt").as("d"), count(lit(1)).as("a"))
+        val wcum = Window.partitionBy($"cohort").orderBy($"dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy($"cohort")
+        val risk = byDay
+          .withColumn("n", sum($"a").over(wall) - sum($"a").over(wcum) + $"a")
+        def km(h: Int) = aggregate(
+          filter($"steps", x => x.getField("dur") <= h && x.getField("d") > 0),
+          lit(1.0),
+          (acc, x) => acc * (lit(1.0) - x.getField("d").cast("double") /
+            x.getField("n").cast("double")))
+        risk.groupBy($"cohort")
+          .agg(sum($"a").as("n_users"), sum($"d").as("n_converted"),
+            sort_array(collect_list(struct($"dur", $"d", $"n"))).as("steps"))
+          .select($"cohort", $"n_users", $"n_converted",
+            km(1).as("km1"), km(3).as("km3"), km(7).as("km7"))
+          .orderBy($"cohort")
+      },
+      Some("""WITH u AS (SELECT user_id, min_by(event_type, event_id) AS cohort,
+            min(CAST(ts AS TIMESTAMP)) AS first_ts
+          FROM events GROUP BY user_id),
+        p AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS p_ts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        l AS (SELECT cohort,
+            CASE WHEN d_raw IS NOT NULL AND d_raw <= 7 THEN d_raw
+              ELSE 7 END AS dur,
+            CASE WHEN d_raw IS NOT NULL AND d_raw <= 7 THEN 1 ELSE 0 END AS evt
+          FROM (SELECT u.cohort,
+              CAST(CAST(p.p_ts AS DATE) - CAST(u.first_ts AS DATE) AS BIGINT)
+                AS d_raw
+            FROM u LEFT JOIN p ON u.user_id = p.user_id) q),
+        byday AS (SELECT cohort, dur, CAST(sum(evt) AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS a
+          FROM l GROUP BY cohort, dur),
+        risk AS (SELECT cohort, dur, d, a,
+            CAST(sum(a) OVER (PARTITION BY cohort) AS BIGINT)
+              - CAST(sum(a) OVER (PARTITION BY cohort ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              + a AS n
+          FROM byday),
+        g AS (SELECT cohort, CAST(sum(a) AS BIGINT) AS n_users,
+            CAST(sum(d) AS BIGINT) AS n_converted,
+            list(struct_pack(dur := dur, d := d, n := n) ORDER BY dur) AS steps
+          FROM risk GROUP BY cohort)
+        SELECT cohort, n_users, n_converted,
+          list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(list_filter(steps, x -> x.dur <= 1 AND x.d > 0),
+              x -> CAST(1.0 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+            (p, q) -> p * q) AS km1,
+          list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(list_filter(steps, x -> x.dur <= 3 AND x.d > 0),
+              x -> CAST(1.0 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+            (p, q) -> p * q) AS km3,
+          list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(list_filter(steps, x -> x.dur <= 7 AND x.d > 0),
+              x -> CAST(1.0 AS DOUBLE) - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+            (p, q) -> p * q) AS km7
+        FROM g ORDER BY cohort""")),
+
+    // ── Cohort-LTV triangle matrix (the growth team's cumulative
+    //    revenue-by-age view): cohort = user's first-touch day, age =
+    //    purchase day − cohort day, cell = purchase cents summed per
+    //    (cohort, age), then cumulative LTV along each cohort row via a
+    //    window over the REDUCED (days × days)/2 triangle — the event
+    //    table is touched twice (first-touch min + purchase scan), both
+    //    on the same user_id shuffle key; the cumsum runs on O(31²)
+    //    rows. All-BIGINT cents ⇒ bit-exact. ────────────────────────────
+    QueryDef("agg_ltv_cohort_matrix",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_type",
+            datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long").as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val first = e.groupBy($"user_id").agg(min($"d").as("d0"))
+        val cells = e.filter($"event_type" === "purchase")
+          .join(first, "user_id")
+          .groupBy($"d0".as("cohort_day"), ($"d" - $"d0").as("age_days"))
+          .agg(sum($"cents").as("rev_cents"),
+            count(lit(1)).as("n_purchases"))
+        val wrow = Window.partitionBy($"cohort_day").orderBy($"age_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum_rev_cents", sum($"rev_cents").over(wrow))
+          .orderBy($"cohort_day", $"age_days")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY 1),
+        cells AS (SELECT f.d0 AS cohort_day, e.d - f.d0 AS age_days,
+            CAST(sum(e.cents) AS BIGINT) AS rev_cents,
+            CAST(count(*) AS BIGINT) AS n_purchases
+          FROM e JOIN f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+        SELECT cohort_day, age_days, rev_cents, n_purchases,
+          CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_rev_cents
+        FROM cells ORDER BY cohort_day, age_days""")),
+
+    // ── Last-touch attribution: each purchase's revenue is credited to
+    //    the channel (event_type) of the most recent STRICTLY-PRIOR
+    //    non-purchase event of the same user — `last_value(... IGNORE
+    //    NULLS)` over an exclusive unbounded-to-1-preceding frame on the
+    //    user-partitioned time order (one shuffle, no self-join);
+    //    purchases with no prior touch credit 'direct'. BIGINT cents. ───
+    QueryDef("agg_attribution_last_touch",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wPrev = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("touch",
+            last(when($"event_type" =!= "purchase", $"event_type"),
+              ignoreNulls = true).over(wPrev))
+          .filter($"event_type" === "purchase")
+          .groupBy(coalesce($"touch", lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum($"cents").as("rev_cents"))
+          .orderBy($"channel")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        t AS (SELECT user_id, event_type, cents,
+            last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+              IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM e)
+        SELECT coalesce(touch, 'direct') AS channel,
+          CAST(count(*) AS BIGINT) AS n_purchases,
+          CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel""")),
+
+    // ── Week-over-week revenue deltas per event type: weekly BIGINT
+    //    cent sums on the (type, week) grid (one hash aggregate), then
+    //    lag along each type's week order on the REDUCED O(types ×
+    //    weeks) table; the pct change is the single IEEE division of
+    //    two exact integers (integer DIV would floor/trunc-diverge
+    //    across engines on negative deltas). ────────────────────────────
+    QueryDef("window_wow_change",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wk = Window.partitionBy($"event_type").orderBy($"week")
+        Tables.load(s, dir, "events")
+          .select($"event_type",
+            (datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+              .cast("long") / 7L).cast("long").as("week"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy($"event_type", $"week")
+          .agg(sum($"cents").as("rev_cents"))
+          .withColumn("prev_cents", lag($"rev_cents", 1).over(wk))
+          .withColumn("delta_cents", $"rev_cents" - $"prev_cents")
+          .withColumn("pct_change",
+            $"delta_cents".cast("double") / $"prev_cents".cast("double"))
+          .orderBy($"event_type", $"week")
+      },
+      Some("""WITH w AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS week,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        g AS (SELECT event_type, week, CAST(sum(cents) AS BIGINT) AS rev_cents
+          FROM w GROUP BY 1, 2),
+        l AS (SELECT event_type, week, rev_cents,
+            lag(rev_cents, 1) OVER (PARTITION BY event_type ORDER BY week)
+              AS prev_cents
+          FROM g)
+        SELECT event_type, week, rev_cents, prev_cents,
+          rev_cents - prev_cents AS delta_cents,
+          CAST(rev_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+            AS pct_change
+        FROM l ORDER BY event_type, week"""))
   )
 }

@@ -71,6 +71,37 @@ object StreamingQueries extends QueryModule {
             (a, b) -> a * CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE)) AS ewma
         FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")),
 
+    // CUSUM drift batch twin (fixed target 10 000 cents, alarm at
+    // 200 000): the deployable streaming form of `window_cusum_drift` —
+    // a live monitor takes its reference level as a parameter, not from
+    // a global mean it can't see. The streaming path is
+    // mapGroupsWithState with one (S, peak, n, last-id) BIGINT tuple per
+    // user and the idempotent-replay guard; StreamingSpec pins a
+    // MemoryStream run equal to this plan, and this row anchors the
+    // shared integer recurrence to DuckDB exactly.
+    QueryDef("streaming_cusum",
+      (s, dir) => Streaming.cusumPerUser(
+          Tables.load(s, dir, "events"), targetCents = 10000L,
+          alarmCents = 200000L)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+        c AS (SELECT user_id, event_id,
+            CAST(sum(v_cents - 10000) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM e),
+        m AS (SELECT user_id, cum,
+            min(cum) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+          FROM c)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(max(cum - least(CAST(0 AS BIGINT), runmin)) AS BIGINT)
+            AS peak_cusum_cents,
+          CAST(max(CASE WHEN cum - least(CAST(0 AS BIGINT), runmin) > 200000
+            THEN 1 ELSE 0 END) AS BIGINT) AS alarm
+        FROM m GROUP BY user_id ORDER BY user_id""")),
+
     // Sessionization batch twin (6h inactivity gap). The streaming path
     // (flatMapGroupsWithState, event-time timeout) is asserted equal to
     // this plan in StreamingSpec — this row anchors both to DuckDB.

@@ -147,6 +147,70 @@ object Streaming {
       }
   }
 
+  // ── CUSUM drift monitor: integer SPC state per key ───────────────────
+
+  final case class CusumEvent(user_id: Long, event_id: Long, v_cents: Long)
+  /** (S_t, peak, folded count, last folded id) — all BIGINT, O(keys). */
+  final case class CusumState(s: Long, peak: Long, n: Long, lastEventId: Long)
+  final case class CusumOut(
+      user_id: Long, n_events: Long, peak_cusum_cents: Long, alarm: Long)
+
+  /** Batch CUSUM twin against a FIXED target (the deployable streaming
+    * form of `window_cusum_drift` — a live monitor can't know the global
+    * mean, so the reference level is a parameter): S_t = max(0,
+    * S_{t-1} + (x_t − T)) via the same closed form C_t − min(0, runmin
+    * C_t), two stock frames over one user-partitioned event_id sort.
+    * All-BIGINT ⇒ bit-exact; [[cusumPerUserStream]] carries the literal
+    * recurrence as streaming state and StreamingSpec pins them equal.
+    */
+  def cusumPerUser(events: DataFrame, targetCents: Long,
+      alarmCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      .withColumn("cum", sum(col("v_cents") - lit(targetCents)).over(wc))
+      .withColumn("s_hi",
+        col("cum") - least(lit(0L), min(col("cum")).over(wc)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s_hi")).as("peak_cusum_cents"),
+        max(when(col("s_hi") > alarmCents, 1L).otherwise(0L)).as("alarm"))
+  }
+
+  /** Streaming CUSUM (`mapGroupsWithState`, update mode): one (S, peak,
+    * last id) triple per user — O(keys) state. Each micro-batch sorts
+    * its group's rows by event_id and folds max(0, S + (x − T)); rows at
+    * or below the last folded id are skipped, so replaying a micro-batch
+    * is a no-op (at-least-once sink safety). Integer state ⇒ the fold is
+    * associative-free and the parity with [[cusumPerUser]] is exact.
+    */
+  def cusumPerUserStream(events: DataFrame, targetCents: Long,
+      alarmCents: Long): Dataset[CusumOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      .as[CusumEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, CusumOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption
+            .getOrElse(CusumState(0L, 0L, 0L, Long.MinValue))
+          it.toArray.sortBy(_.event_id).foreach { e =>
+            if (e.event_id > st.lastEventId) {
+              val s = math.max(0L, st.s + (e.v_cents - targetCents))
+              st = CusumState(s, math.max(st.peak, s), st.n + 1, e.event_id)
+            }
+          }
+          state.update(st)
+          CusumOut(uid, st.n, st.peak,
+            if (st.peak > alarmCents) 1L else 0L)
+      }
+  }
+
   // ── sessionization: custom state via flatMapGroupsWithState ──────────
 
   final case class SessionEvent(user_id: Long, ts: Timestamp)

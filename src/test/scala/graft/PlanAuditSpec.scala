@@ -309,7 +309,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // |types|-row aggregate
     "dq_freshness_sla",
     // collocation lift: the 1-row broadcast corpus-count recombine
-    "text_collocation_lift")
+    "text_collocation_lift",
+    // cusum: the 1-row broadcast global-target recombine onto the
+    // event stream (the scalar-recombine shape)
+    "window_cusum_drift",
+    // basket lift: the 1-row broadcast order-total recombine onto the
+    // frequent-pair aggregate (the pair join itself is an equi join)
+    "agg_basket_lift")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the SPC/finance/survival/basket/readability
+  * analytics queries — the DuckDB oracle proves value equality against
+  * an independent engine; these pin the SEMANTICS on sf0.001 by
+  * replaying each definition as the naive sequential algorithm on the
+  * driver (the distributed closed forms must equal the textbook loop).
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  /** (user_id -> time-ordered cents), plus every event's cents. */
+  private lazy val eventSeries: Map[Long, Vector[(Long, String)]] = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2.getTime / 1000 * 1000000000L + t._2.getNanos, t._3))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(t => (t._4, t._5)).toVector }
+  }
+
+  test("window_cusum_drift equals the sequential max(0, S+(x-T)) recurrence") {
+    val all = eventSeries.values.flatten.map(_._1)
+    val target = all.sum / all.size // both positive => floor == trunc
+    val expected = eventSeries.map { case (u, xs) =>
+      var s = 0L; var peak = 0L
+      xs.foreach { case (x, _) =>
+        s = math.max(0L, s + (x - target)); peak = math.max(peak, s)
+      }
+      u -> peak
+    }
+    val rows = run("window_cusum_drift")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (u, peak, alarm) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(peak == expected(u), s"user $u cusum peak")
+      assert(alarm == (if (peak > target * 100) 1L else 0L))
+    }
+  }
+
+  test("window_drawdown_max equals the sequential equity-curve walk") {
+    val rows = run("window_drawdown_max")
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      var cum = 0L; var runmax = Long.MinValue; var dd = 0L
+      var peak = Long.MinValue
+      eventSeries(u).foreach { case (cents, typ) =>
+        cum += (if (typ == "purchase" || typ == "signup") cents else -cents)
+        peak = math.max(peak, cum)
+        runmax = math.max(runmax, cum) // frame starts at the FIRST row
+        dd = math.max(dd, runmax - cum)
+      }
+      assert(r.getLong(2) == dd, s"user $u max drawdown")
+      assert(r.getLong(3) == peak, s"user $u peak")
+      assert(r.getLong(4) == cum, s"user $u final")
+    }
+  }
+
+  test("window_bollinger_breakout equals the lagged-5-window sigma test") {
+    val rows = run("window_bollinger_breakout")
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val xs = eventSeries(u).map(_._1)
+      var brk = 0L
+      for (i <- xs.indices if i >= 5) {
+        val w = xs.slice(i - 5, i)
+        val (n, sm, sq) = (5L, w.sum, w.map(x => x * x).sum)
+        val lhs = (n * xs(i) - sm) * (n * xs(i) - sm)
+        if (lhs > 4L * (n * sq - sm * sm)) brk += 1
+      }
+      assert(r.getLong(2) == brk, s"user $u breakouts")
+    }
+  }
+
+  test("agg_basket_lift: formula ties out and pairs obey support bounds") {
+    val rows = run("agg_basket_lift")
+    assert(rows.nonEmpty, "no frequent pairs at sf0.001 — threshold too high")
+    rows.foreach { r =>
+      val (p1, p2, ca, cb, cab, lift) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(p1 < p2)
+      assert(ca >= 8 && cb >= 8 && cab >= 3)
+      assert(cab <= math.min(ca, cb), "pair support exceeds item support")
+      // recover N from the emitted fields: lift = cab*N/(ca*cb)
+      val n = lift * ca * cb / cab
+      assert(math.abs(n - math.round(n)) < 1e-6, "lift not of the exact form")
+    }
+    // every pair must share ONE n_total
+    val ns = rows.map(r => math.round(
+      r.getDouble(5) * r.getLong(2) * r.getLong(3) / r.getLong(4))).distinct
+    assert(ns.length == 1, s"inconsistent implied order totals: $ns")
+  }
+
+  test("agg_survival_km: monotone in horizon and equal to the textbook product") {
+    val rows = run("agg_survival_km")
+    assert(rows.nonEmpty)
+    // textbook KM at H=7 from raw per-user durations
+    val perUser = {
+      import org.apache.spark.sql.functions._
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), to_date(col("ts")).as("day"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDate(4)))
+        .groupBy(_._1)
+        .map { case (u, rows) =>
+          val byId = rows.sortBy(_._3)
+          val cohort = byId.head._4
+          val firstDay = rows.minBy(t => (t._2.getTime / 1000 * 1000000000L + t._2.getNanos, t._3))._5.toLocalDate
+          val buys = rows.filter(_._4 == "purchase")
+          val dRaw =
+            if (buys.isEmpty) None
+            else {
+              val pDay = buys.minBy(t => (t._2.getTime / 1000 * 1000000000L + t._2.getNanos, t._3))._5.toLocalDate
+              Some(java.time.temporal.ChronoUnit.DAYS.between(firstDay, pDay))
+            }
+          val (dur, evt) = dRaw match {
+            case Some(d) if d <= 7 => (d, 1)
+            case _                 => (7L, 0)
+          }
+          (u, cohort, dur, evt)
+        }.toVector
+    }
+    val byCohort = perUser.groupBy(_._2)
+    rows.foreach { r =>
+      val (cohort, nU, nC) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (km1, km3, km7) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(km1 >= km3 && km3 >= km7, "KM must be non-increasing in horizon")
+      assert(km7 >= 0.0 && km1 <= 1.0)
+      val us = byCohort(cohort)
+      assert(nU == us.length && nC == us.count(_._4 == 1))
+      // textbook product over ascending event days
+      var surv = 1.0
+      val durs = us.map(_._3)
+      us.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (t, g) =>
+        val d = g.count(_._4 == 1)
+        if (t <= 7 && d > 0) {
+          val n = durs.count(_ >= t)
+          surv = surv * (1.0 - d.toDouble / n.toDouble)
+        }
+      }
+      assert(km7 == surv, s"cohort $cohort KM(7): got $km7 want $surv")
+    }
+  }
+
+  test("text_readability: counts match Java regex replay and band matches score") {
+    val rows = run("text_readability")
+    val texts = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val (id, w, sen, syl) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      val t = texts(id)
+      val ww = math.max("""\S+""".r.findAllIn(t).length, 1).toLong
+      val punct = """[.!?]+""".r.findAllIn(t).length.toLong
+      val sy = """[aeiouyAEIOUY]+""".r.findAllIn(t).length.toLong
+      assert(w == ww && syl == sy, s"doc $id counts")
+      assert(sen == math.max(punct, 1 + (ww - 1) / 12), s"doc $id sentences")
+      val num = 206835L * w * sen - 1015L * w * w - 84600L * syl * sen
+      val den = 1000L * w * sen
+      assert(r.getDouble(4) == num.toDouble / den.toDouble, s"doc $id flesch")
+      val want = if (num >= 70 * den) "easy"
+        else if (num >= 50 * den) "standard" else "difficult"
+      assert(r.getString(5) == want, s"doc $id band")
+    }
+  }
+}

@@ -142,6 +142,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState CUSUM: ordered batches match the batch twin; replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)] // (user_id, event_id, value)
+    val q = Streaming.cusumPerUserStream(
+        mem.toDF().toDF("user_id", "event_id", "value"),
+        targetCents = 500L, alarmCents = 900L)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    try {
+      // unordered within batch 1; batch 3 replays an already-folded row
+      mem.addData((1L, 2L, 20.0), (1L, 1L, 3.0), (2L, 1L, 9.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 1.0), (2L, 2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("cusum_stream")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("peak_cusum_cents"),
+          col("alarm"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.peak_cusum_cents"),
+          col("s.alarm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val twin = Streaming.cusumPerUser(Seq(
+          (1L, 1L, 3.0), (1L, 2L, 20.0), (1L, 3L, 1.0),
+          (2L, 1L, 9.0), (2L, 2L, 2.0))
+          .toDF("user_id", "event_id", "value"),
+          targetCents = 500L, alarmCents = 900L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(latest == twin, s"stream=$latest twin=$twin")
+      // hand walk user 1: S = max(0, 0+(300-500)) = 0, then 0+1500 = 1500
+      // (peak, alarm: 1500 > 900), then max(0, 1500-400) = 1100
+      assert(twin.contains((1L, 3L, 1500L, 1L)))
+      // user 2: 400 then max(0, 400-300) = 100 — peak 400, no alarm
+      assert(twin.contains((2L, 2L, 400L, 0L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, timeout closes, parity with batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Timestamp)] // (user_id, event_id, ts)
