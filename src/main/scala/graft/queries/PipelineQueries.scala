@@ -3311,7 +3311,129 @@ object PipelineQueries extends QueryModule {
           CASE WHEN num >= 70 * den THEN 'easy'
             WHEN num >= 50 * den THEN 'standard'
             ELSE 'difficult' END AS band
-        FROM n ORDER BY doc_id"""))
+        FROM n ORDER BY doc_id""")),
+
+    // ── Poisson(1) bootstrap without data copies (the scale-correct way
+    //    to put confidence intervals on pipeline metrics: resampling by
+    //    per-row REPLICATE WEIGHTS, never materializing B resampled
+    //    datasets): each (event, replicate) draws w ~ Poisson(1) by
+    //    inverse-CDF on the md5(id:rep) uniform — the CDF thresholds are
+    //    hard-coded 8-hex-char strings, so the draw is a pure STRING
+    //    compare (fixed-width hex ≡ numeric order; no float, no engine
+    //    RNG) and the whole thing is deterministic and partitioning-
+    //    independent. 8 replicates explode map-side into one hash
+    //    aggregate; per replicate: effective n and the BIGINT-cent
+    //    revenue estimate. ─────────────────────────────────────────────
+    QueryDef("sample_poisson_bootstrap",
+      (s, dir) => {
+        import s.implicits._
+        // P(X<=k), X~Poisson(1), as floor(F·2^32) in hex: k = 0..4, cap 5
+        val t = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
+        Tables.load(s, dir, "events")
+          .select($"event_id",
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .select($"event_id", $"cents",
+            explode(sequence(lit(0), lit(7))).as("rep"))
+          .withColumn("u8",
+            substring(md5(concat($"event_id", lit(":"), $"rep")), 1, 8))
+          .withColumn("w",
+            when($"u8" < t(0), 0L).when($"u8" < t(1), 1L)
+              .when($"u8" < t(2), 2L).when($"u8" < t(3), 3L)
+              .when($"u8" < t(4), 4L).otherwise(5L))
+          .groupBy($"rep")
+          .agg(sum($"w").as("n_eff"),
+            sum($"w" * $"cents").as("rev_cents"))
+          .orderBy($"rep")
+      },
+      Some("""WITH e AS (SELECT event_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            unnest(range(0, 8)) AS rep FROM events),
+        d AS (SELECT rep,
+            substr(md5(concat(CAST(event_id AS VARCHAR), ':',
+              CAST(rep AS VARCHAR))), 1, 8) AS u8, cents
+          FROM e)
+        SELECT CAST(rep AS INTEGER) AS rep,
+          CAST(sum(CASE WHEN u8 < '5e2d58d8' THEN 0 WHEN u8 < 'bc5ab1b1' THEN 1
+            WHEN u8 < 'eb715e1d' THEN 2 WHEN u8 < 'fb239797' THEN 3
+            WHEN u8 < 'ff1025f5' THEN 4 ELSE 5 END) AS BIGINT) AS n_eff,
+          CAST(sum(CASE WHEN u8 < '5e2d58d8' THEN 0 WHEN u8 < 'bc5ab1b1' THEN 1
+            WHEN u8 < 'eb715e1d' THEN 2 WHEN u8 < 'fb239797' THEN 3
+            WHEN u8 < 'ff1025f5' THEN 4 ELSE 5 END * cents) AS BIGINT)
+            AS rev_cents
+        FROM d GROUP BY rep ORDER BY rep""")),
+
+    // ── Perceptual-hash near-dup over binary media (the image-dedup
+    //    shape: decode → 64-bit pHash → Hamming-banded candidate join →
+    //    exact Hamming verify; the DECODE step is the stubbed fake codec
+    //    per the multimodal contract — the hash here derives from the
+    //    same id-determined payload the codec emits, md5-mixed so bits
+    //    are uniform). The 64-bit hash lives as two 32-bit halves
+    //    (portable bit ops, no signed-shift traps); near-dup ⇔ Hamming ≤
+    //    3, found via 4×16-bit band buckets: 3 flipped bits can touch at
+    //    most 3 bands, so one band always survives — lossless pigeonhole
+    //    blocking, candidates ∝ per-bucket occupancy, never corpus². A
+    //    planted structure (groups of 4 sharing a base hash, each member
+    //    flipping ≤1 distinct bit) gives the detector real positives. ───
+    QueryDef("multimodal_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables.load(s, dir, "events")
+          .filter($"event_id" < 4000)
+          .select($"event_id".as("media_id"),
+            conv(substring(md5(concat(lit("ph:"), ($"event_id" / 4L)
+              .cast("long"))), 1, 8), 16, 10).cast("long").as("hi0"),
+            conv(substring(md5(concat(lit("ph:"), ($"event_id" / 4L)
+              .cast("long"))), 9, 8), 16, 10).cast("long").as("lo0"),
+            pmod($"event_id" * 7L, lit(64L)).as("flip"))
+          .selectExpr("media_id",
+            """CASE WHEN flip < 32 THEN hi0 ^ shiftleft(1L, CAST(flip AS INT))
+               ELSE hi0 END AS hi""",
+            """CASE WHEN flip >= 32
+               THEN lo0 ^ shiftleft(1L, CAST(flip - 32 AS INT))
+               ELSE lo0 END AS lo""")
+        val bands = recs.select($"media_id", $"hi", $"lo",
+            explode(array(
+              struct(lit(0).as("b"), ($"hi" / 65536L).cast("long").as("k")),
+              struct(lit(1).as("b"), pmod($"hi", lit(65536L)).as("k")),
+              struct(lit(2).as("b"), ($"lo" / 65536L).cast("long").as("k")),
+              struct(lit(3).as("b"), pmod($"lo", lit(65536L)).as("k"))))
+              .as("band"))
+          .select($"media_id", $"hi", $"lo",
+            $"band.b".as("b"), $"band.k".as("k"))
+        val a = bands.select($"b", $"k", $"media_id".as("id_a"),
+          $"hi".as("hi_a"), $"lo".as("lo_a"))
+        val bb = bands.select($"b", $"k", $"media_id".as("id_b"),
+          $"hi".as("hi_b"), $"lo".as("lo_b"))
+        a.join(bb, Seq("b", "k")).filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            (bit_count($"hi_a".bitwiseXOR($"hi_b")) +
+              bit_count($"lo_a".bitwiseXOR($"lo_b"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH h AS (SELECT event_id AS media_id,
+            ('0x' || substr(md5('ph:' || CAST(event_id // 4 AS VARCHAR)), 1, 8))::BIGINT AS hi0,
+            ('0x' || substr(md5('ph:' || CAST(event_id // 4 AS VARCHAR)), 9, 8))::BIGINT AS lo0,
+            (event_id * 7) % 64 AS flip
+          FROM events WHERE event_id < 4000),
+        p AS (SELECT media_id,
+            CASE WHEN flip < 32 THEN xor(hi0, CAST(1 AS BIGINT) << CAST(flip AS INTEGER)) ELSE hi0 END AS hi,
+            CASE WHEN flip >= 32 THEN xor(lo0, CAST(1 AS BIGINT) << CAST(flip - 32 AS INTEGER)) ELSE lo0 END AS lo
+          FROM h),
+        bands AS (
+          SELECT media_id, hi, lo, 0 AS b, hi // 65536 AS k FROM p
+          UNION ALL SELECT media_id, hi, lo, 1, hi % 65536 FROM p
+          UNION ALL SELECT media_id, hi, lo, 2, lo // 65536 FROM p
+          UNION ALL SELECT media_id, hi, lo, 3, lo % 65536 FROM p),
+        pairs AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+            CAST(bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo))
+              AS BIGINT) AS hamming
+          FROM bands a JOIN bands b2 ON a.b = b2.b AND a.k = b2.k
+            AND a.media_id < b2.media_id)
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        ORDER BY id_a, id_b"""))
   )
 }
 

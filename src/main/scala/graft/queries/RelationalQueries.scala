@@ -3514,6 +3514,61 @@ object RelationalQueries extends QueryModule {
           rev_cents - prev_cents AS delta_cents,
           CAST(rev_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
             AS pct_change
-        FROM l ORDER BY event_type, week"""))
+        FROM l ORDER BY event_type, week""")),
+
+    // ── Cross-table reconciliation (the classic finance DQ audit): does
+    //    orders.o_totalprice equal the recomputed
+    //    Σ extendedprice·(1−disc)·(1+tax) over the order's lineitems?
+    //    All DECIMAL-exact → BIGINT micro-dollar diffs (×10⁶ captures
+    //    every fractional digit the 2-dp×2-dp×2-dp product can carry,
+    //    so the cast truncates nothing and no engine-specific rounding
+    //    enters); per-status report of exact / within-a-dollar / worse
+    //    buckets plus max and total absolute drift. One co-partitioned orderkey shuffle join of two
+    //    hash aggregates; the report is O(|statuses|). Left join +
+    //    coalesce(0) so a lineitem-less order surfaces as its full
+    //    totalprice drifting, not as a silently dropped row. ────────────
+    QueryDef("dq_reconcile_order_totals",
+      (s, dir) => {
+        import s.implicits._
+        val calc = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum(dec2($"l_extendedprice") * (one - rate($"l_discount")) *
+            (one + rate($"l_tax"))).as("calc"))
+        Tables.load(s, dir, "orders")
+          .join(calc, $"o_orderkey" === $"l_orderkey", "left")
+          .select($"o_orderstatus",
+            ((dec2($"o_totalprice") -
+              coalesce($"calc", lit(0).cast("decimal(12,2)"))) * 1000000)
+              .cast("long").as("diff_micros"))
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when($"diff_micros" === 0, 1L).otherwise(0L)).as("n_exact"),
+            sum(when($"diff_micros" =!= 0 && abs($"diff_micros") <= 100000000, 1L)
+              .otherwise(0L)).as("n_within_dollar"),
+            sum(when(abs($"diff_micros") > 100000000, 1L).otherwise(0L))
+              .as("n_drifted"),
+            max(abs($"diff_micros")).as("max_abs_diff_micros"),
+            sum(abs($"diff_micros")).as("sum_abs_diff_micros"))
+          .orderBy($"o_orderstatus")
+      },
+      Some(s"""WITH calc AS (SELECT l_orderkey,
+            sum(${sqlDec2("l_extendedprice")} * ($sqlOne - ${sqlRate("l_discount")})
+              * ($sqlOne + ${sqlRate("l_tax")})) AS calc
+          FROM lineitem GROUP BY l_orderkey),
+        d AS (SELECT o_orderstatus,
+            CAST((${sqlDec2("o_totalprice")}
+              - coalesce(calc, CAST(0 AS DECIMAL(12,2)))) * 1000000 AS BIGINT)
+              AS diff_micros
+          FROM orders LEFT JOIN calc ON o_orderkey = l_orderkey)
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(CASE WHEN diff_micros = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact,
+          CAST(sum(CASE WHEN diff_micros <> 0 AND abs(diff_micros) <= 100000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dollar,
+          CAST(sum(CASE WHEN abs(diff_micros) > 100000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drifted,
+          CAST(max(abs(diff_micros)) AS BIGINT) AS max_abs_diff_micros,
+          CAST(sum(abs(diff_micros)) AS BIGINT) AS sum_abs_diff_micros
+        FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

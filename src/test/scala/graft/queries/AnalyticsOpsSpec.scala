@@ -157,6 +157,57 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_reconcile_order_totals: buckets partition the orders; drift bounds hold") {
+    val rows = run("dq_reconcile_order_totals")
+    assert(rows.nonEmpty)
+    val totalOrders = Tables.load(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == totalOrders,
+      "per-status counts must cover every order exactly once")
+    rows.foreach { r =>
+      val (n, exact, within, drifted) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(exact + within + drifted == n, "buckets must partition n_orders")
+      val (maxAbs, sumAbs) = (r.getLong(5), r.getLong(6))
+      assert(maxAbs <= sumAbs && sumAbs >= 0)
+      assert((drifted > 0) == (maxAbs > 100000000L) ||
+        (drifted == 0 && maxAbs <= 100000000L))
+    }
+  }
+
+  test("sample_poisson_bootstrap: 8 replicates, each resampling ~n rows") {
+    val rows = run("sample_poisson_bootstrap")
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 8))
+    val n = Tables.load(spark, dir, "events").count()
+    rows.foreach { r =>
+      val (nEff, rev) = (r.getLong(1), r.getLong(2))
+      // Poisson(1) weights: E[n_eff] = n, sd = sqrt(n); 6 sigma bounds
+      assert(math.abs(nEff - n) <= 6 * math.sqrt(n.toDouble) + 1,
+        s"replicate ${r.getInt(0)} n_eff=$nEff vs n=$n")
+      assert(rev > 0)
+    }
+  }
+
+  test("multimodal_phash_dedup: exactly the planted flip-bit pairs, all verified") {
+    val rows = run("multimodal_phash_dedup")
+    assert(rows.nonEmpty)
+    val ids = Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_id") < 4000)
+      .select("event_id").collect().map(_.getLong(0))
+    // planted truth: ids sharing event_id/4 pair at hamming 0 (same flip
+    // bit) or 2 (distinct flip bits)
+    val expected = ids.groupBy(_ / 4).values.flatMap { g =>
+      for (a <- g.toSeq; b <- g.toSeq if a < b) yield (a, b)
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"pairs != planted structure (got ${got.size}, want ${expected.size})")
+    rows.foreach { r =>
+      val h = r.getLong(2)
+      assert(h == 0L || h == 2L,
+        s"within-group hamming must be 0 (same flip) or 2, got $h")
+    }
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
