@@ -3433,7 +3433,218 @@ object PipelineQueries extends QueryModule {
           FROM bands a JOIN bands b2 ON a.b = b2.b AND a.k = b2.k
             AND a.media_id < b2.media_id)
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ── N-gram novelty per document (the curriculum/dedup-adjacent
+    //    "how much of this doc is new to the corpus" score): a shingle's
+    //    first sighting is the min doc_id carrying it; a doc's novelty =
+    //    fraction of its distinct 3-gram shingles it saw first. The
+    //    inverted-index shape: shingle explode → (hash aggregate for
+    //    first-seen) → co-partitioned join back on the shingle key —
+    //    the same two shuffles at any scale. Spark folds shingles
+    //    through the native shingle_hashes kernel (one pass, codegen);
+    //    the oracle rebuilds string shingles — identical sets absent
+    //    64-bit collisions (the dedup family's established equivalence).
+    //    Ratio = single IEEE division of exact integers. ────────────────
+    QueryDef("text_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val e = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            graft.functions.TextHashFunctions
+              .shingleHashes($"text", 3).as("sh"))
+          .select($"doc_id", explode($"sh").as("h"))
+        val first = e.groupBy($"h").agg(min($"doc_id").as("first_id"))
+        e.join(first, "h")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"first_id" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            $"n_novel".cast("double") / $"n_shingles".cast("double"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        sh AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        e AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+        f AS (SELECT h, min(doc_id) AS first_id FROM e GROUP BY h)
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS novelty
+        FROM e JOIN f ON e.h = f.h
+        GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // ── kNN label confusion (embedding-quality eval without labels at
+    //    training time): each vector's 1-NN under the SAME deterministic
+    //    IVF engine as `sim_knn_join` (seeded quantizer, nProbe=8), then
+    //    the label×label agreement matrix — high diagonal mass ⇔ the
+    //    embedding clusters labels. Adds only a broadcast label join +
+    //    one tiny aggregate on top of the audited kNN plan. ─────────────
+    QueryDef("sim_knn_label_confusion",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val nn = graft.operators.Similarity.ivfKnnJoinSeeded(
+          emb.select($"vec_id".as("vid"), $"embedding".as("vec")),
+          k = 1, nProbe = 8)
+        val labels = emb.select($"vec_id", $"label")
+        nn.join(labels.select($"vec_id".as("query_id"),
+            $"label".as("label_q")), "query_id")
+          .join(labels.select($"vec_id".as("neighbor_id"),
+            $"label".as("label_n")), "neighbor_id")
+          .groupBy($"label_q", $"label_n")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"label_q", $"label_n")
+      },
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        w AS (SELECT (1::BIGINT << ((length(format('{:b}', 8 * count(*) - 1)) + 1) // 2)) AS nc
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          CROSS JOIN w WHERE rn <= nc),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t) WHERE rn <= 8),
+        scored AS (SELECT p.qid, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        r AS (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+        SELECT ql.label AS label_q, nl.label AS label_n,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM r JOIN v ql ON ql.vec_id = r.qid
+          JOIN v nl ON nl.vec_id = r.cid
+        WHERE r.rn = 1
+        GROUP BY 1, 2 ORDER BY label_q, label_n""")),
+
+    // ── Embedding centroid drift per label (the embedding-space data-
+    //    drift monitor): split the corpus into two halves by vec_id
+    //    parity, per-label fixed-point centroid sums (q = floor(x·2^20),
+    //    BIGINT — order-independent), then the squared centroid distance
+    //    in EXACT cross-multiplied integer form: Σ_d (s_a·n_b − s_b·n_a)²
+    //    over den = (n_a·n_b)² — DECIMAL(38,0) holds the ~1e24 terms on
+    //    the Spark side, HUGEINT on DuckDB's, both exact, NO float sum
+    //    order anywhere. Plan: one posexplode, two hash aggregates on
+    //    (label, dim) and (label), a |labels|-row join. ─────────────────
+    QueryDef("embed_centroid_drift",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label", posexplode($"embedding"))
+          .select($"label", pmod($"vec_id", lit(2L)).as("half"), $"pos",
+            floor($"col".cast("double") * lit(1048576.0)).cast("long")
+              .as("q"))
+        val dims = e.groupBy($"label", $"pos")
+          .agg(sum(when($"half" === 0, $"q").otherwise(0L)).as("s_a"),
+            sum(when($"half" === 1, $"q").otherwise(0L)).as("s_b"))
+        val counts = Tables.load(s, dir, "embeddings")
+          .groupBy($"label")
+          .agg(sum(when(pmod($"vec_id", lit(2L)) === 0, 1L).otherwise(0L))
+            .as("n_a"),
+            sum(when(pmod($"vec_id", lit(2L)) === 1, 1L).otherwise(0L))
+              .as("n_b"))
+        dims.join(counts, "label")
+          .select($"label", $"n_a", $"n_b",
+            (($"s_a".cast("decimal(38,0)") * $"n_b" -
+              $"s_b".cast("decimal(38,0)") * $"n_a") *
+              ($"s_a".cast("decimal(38,0)") * $"n_b" -
+                $"s_b".cast("decimal(38,0)") * $"n_a")).as("term"))
+          .groupBy($"label", $"n_a", $"n_b")
+          .agg(sum($"term").cast("decimal(38,0)").as("drift_num"))
+          .withColumn("drift_den",
+            ($"n_a" * $"n_b") * ($"n_a" * $"n_b"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
+            unnest(CAST(embedding AS DOUBLE[])) AS x,
+            unnest(range(0, len(embedding))) AS pos
+          FROM embeddings),
+        q AS (SELECT label, half, pos,
+            CAST(floor(x * 1048576.0) AS BIGINT) AS q FROM e),
+        dims AS (SELECT label, pos,
+            CAST(sum(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS s_a,
+            CAST(sum(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS s_b
+          FROM q GROUP BY 1, 2),
+        counts AS (SELECT label,
+            CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b
+          FROM embeddings GROUP BY label)
+        SELECT d.label, c.n_a, c.n_b,
+          CAST(sum((CAST(d.s_a AS HUGEINT) * c.n_b - CAST(d.s_b AS HUGEINT) * c.n_a)
+            * (CAST(d.s_a AS HUGEINT) * c.n_b - CAST(d.s_b AS HUGEINT) * c.n_a))
+            AS DECIMAL(38,0)) AS drift_num,
+          (c.n_a * c.n_b) * (c.n_a * c.n_b) AS drift_den
+        FROM dims d JOIN counts c ON d.label = c.label
+        GROUP BY 1, 2, 3 ORDER BY d.label""")),
+
+    // ── Epoch-aware deterministic shuffle + sharding (the training-data
+    //    loader contract: every epoch is a DIFFERENT but REPRODUCIBLE
+    //    permutation, sharded evenly across workers): order key =
+    //    md5(epoch:doc_id), shard = first-hex-byte mod 4, position =
+    //    row_number within (epoch, shard) — all engine-portable string/
+    //    integer ops, no RNG. The emitted per-shard checksum
+    //    Σ doc_id·position pins the exact permutation (any swap changes
+    //    it), so the oracle proves epoch 0 ≠ epoch 1 ordering while row
+    //    counts stay balanced. Scale: the sort is per-(epoch, shard)
+    //    partition — the standard distributed shuffle-shard shape. ──────
+    QueryDef("pipeline_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val keyed = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(sequence(lit(0), lit(1))).as("epoch"))
+          .withColumn("okey",
+            md5(concat($"epoch", lit(":"), $"doc_id")))
+          .withColumn("shard",
+            pmod(conv(substring($"okey", 1, 2), 16, 10).cast("long"), lit(4L)))
+        val w = Window.partitionBy($"epoch", $"shard")
+          .orderBy($"okey", $"doc_id")
+        keyed
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .groupBy($"epoch", $"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"doc_id" * $"pos").as("perm_checksum"),
+            min($"okey").as("first_key"))
+          .orderBy($"epoch", $"shard")
+      },
+      Some("""WITH k AS (SELECT doc_id, unnest(range(0, 2)) AS epoch
+            FROM documents),
+        o AS (SELECT doc_id, epoch,
+            md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+              AS okey
+          FROM k),
+        sh AS (SELECT doc_id, epoch, okey,
+            ('0x' || substr(okey, 1, 2))::BIGINT % 4 AS shard FROM o),
+        p AS (SELECT epoch, shard, doc_id, okey,
+            CAST(row_number() OVER (PARTITION BY epoch, shard
+              ORDER BY okey, doc_id) AS BIGINT) AS pos
+          FROM sh)
+        SELECT CAST(epoch AS INTEGER) AS epoch, shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(doc_id * pos) AS BIGINT) AS perm_checksum,
+          min(okey) AS first_key
+        FROM p GROUP BY 1, 2 ORDER BY epoch, shard"""))
   )
 }
 

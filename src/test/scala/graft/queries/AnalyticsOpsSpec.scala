@@ -208,6 +208,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_ngram_novelty: first doc fully novel; every shingle first-seen once") {
+    import org.apache.spark.sql.functions._
+    val rows = run("text_ngram_novelty")
+    assert(rows.nonEmpty)
+    val firstDoc = rows.map(_.getLong(0)).min
+    rows.foreach { r =>
+      val (id, n, novel, ratio) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel >= 0 && novel <= n)
+      assert(ratio == novel.toDouble / n.toDouble)
+      if (id == firstDoc) assert(novel == n, "earliest doc must be all-novel")
+    }
+    // Σ n_novel over docs == distinct shingles in the corpus (each
+    // shingle is first-seen by exactly one doc)
+    graft.functions.TextHashFunctions.register(spark)
+    val distinctShingles = Tables.load(spark, dir, "documents")
+      .select(explode(graft.functions.TextHashFunctions
+        .shingleHashes(col("text"), 3)).as("h"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctShingles)
+  }
+
+  test("sim_knn_label_confusion: one 1-NN per vector, labels in domain") {
+    val rows = run("sim_knn_label_confusion")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nVec = emb.count()
+    val labels = emb.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(rows.map(_.getLong(2)).sum == nVec,
+      "confusion cells must cover every vector exactly once")
+    rows.foreach { r =>
+      assert(labels.contains(r.getInt(0)) && labels.contains(r.getInt(1)))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("embed_centroid_drift: halves partition each label; exact denominator") {
+    import org.apache.spark.sql.functions._
+    val rows = run("embed_centroid_drift")
+    val perLabel = Tables.load(spark, dir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == perLabel.size)
+    rows.foreach { r =>
+      val (label, na, nb) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(na + nb == perLabel(label))
+      assert(r.getDecimal(3).signum() >= 0, "squared drift must be >= 0")
+      assert(r.getLong(4) == (na * nb) * (na * nb))
+    }
+  }
+
+  test("pipeline_epoch_shuffle: epochs permute differently, shards balance") {
+    val rows = run("pipeline_epoch_shuffle")
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == Set(0L, 1L, 2L, 3L))
+      assert(rs.map(_.getLong(2)).sum == nDocs,
+        "shards must partition the corpus")
+    }
+    // different epoch ⇒ different permutation: the per-shard checksum
+    // multiset must differ (md5 keys re-randomize the order)
+    val sums = byEpoch.view.mapValues(_.map(_.getLong(3)).toSet).toMap
+    assert(sums(0) != sums(1), "epoch 0 and 1 produced identical orders")
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
