@@ -3569,6 +3569,163 @@ object RelationalQueries extends QueryModule {
             AS BIGINT) AS n_drifted,
           CAST(max(abs(diff_micros)) AS BIGINT) AS max_abs_diff_micros,
           CAST(sum(abs(diff_micros)) AS BIGINT) AS sum_abs_diff_micros
-        FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── Temporal fact × SCD2 dimension join (the warehouse staple
+    //    snapshot_scd2_asof can't do — each FACT row needs the dim
+    //    version valid at ITS OWN timestamp, not one global instant):
+    //    lineitems pick up the customer-status version in effect on
+    //    their ship date. Plan: lineitem ⋈ orders co-partitioned on
+    //    orderkey for the custkey+shipdate fact grain, then an equi hash
+    //    join on custkey with the validity range as a post-join filter —
+    //    scalable because versions-per-key is small (the SCD2 invariant),
+    //    so the fan-out is bounded; no range explosion, no BNLJ.
+    //    Facts before a customer's first version surface as 'none'. ─────
+    QueryDef("join_fact_scd2_temporal",
+      (s, dir) => {
+        import s.implicits._
+        val hist = graft.models.Snapshot.scd2History(
+            Tables.load(s, dir, "orders"),
+            Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+          .select($"o_custkey".as("h_custkey"), $"o_orderstatus".as("status"),
+            $"valid_from", $"valid_to")
+        val facts = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_shipdate",
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+          .join(Tables.load(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey"),
+            $"l_orderkey" === $"o_orderkey")
+        facts.join(hist,
+            $"o_custkey" === $"h_custkey" &&
+              $"valid_from" <= $"l_shipdate" &&
+              ($"valid_to".isNull || $"valid_to" > $"l_shipdate"),
+            "left")
+          .groupBy(coalesce($"status", lit("none")).as("status_at_ship"))
+          .agg(count(lit(1)).as("n_lineitems"),
+            sum($"cents").as("rev_cents"))
+          .orderBy($"status_at_ship")
+      },
+      Some("""WITH s AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+        c AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM s
+          WHERE prev IS NULL OR prev <> o_orderstatus),
+        h AS (SELECT o_custkey, o_orderstatus AS status,
+            o_orderdate AS valid_from,
+            lead(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM c),
+        f AS (SELECT o.o_custkey, l.l_shipdate,
+            CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT coalesce(h.status, 'none') AS status_at_ship,
+          CAST(count(*) AS BIGINT) AS n_lineitems,
+          CAST(sum(f.cents) AS BIGINT) AS rev_cents
+        FROM f LEFT JOIN h ON f.o_custkey = h.o_custkey
+          AND h.valid_from <= f.l_shipdate
+          AND (h.valid_to IS NULL OR h.valid_to > f.l_shipdate)
+        GROUP BY 1 ORDER BY status_at_ship""")),
+
+    // ── Exact two-sample Kolmogorov–Smirnov drift test on event values
+    //    (the distribution-shift monitor `agg_profile_drift`'s moment
+    //    checks can miss): split by user parity, D = max_v |F_a(v) −
+    //    F_b(v)| computed ENTIRELY in integers — per distinct cent value
+    //    the cumulative counts c_a, c_b, and |c_a·n_b − c_b·n_a| maxed,
+    //    one final IEEE division by n_a·n_b. The cumulative window is
+    //    GLOBAL but runs on the REDUCED distinct-value table (≤ ~50k
+    //    rows at any corpus size — the value domain, not the corpus;
+    //    same reduced-input class as agg_median_distributed, allowlisted
+    //    in PlanAuditSpec's two window audits). ─────────────────────────
+    QueryDef("dq_distribution_ks",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+        val byV = e.groupBy($"v")
+          .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("a"),
+            sum(when($"half" === 1, 1L).otherwise(0L)).as("b"))
+        val totals = byV.agg(sum($"a").as("n_a"), sum($"b").as("n_b"))
+        val wcum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byV
+          .withColumn("ca", sum($"a").over(wcum))
+          .withColumn("cb", sum($"b").over(wcum))
+          .crossJoin(broadcast(totals))
+          .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+            max(abs($"ca" * $"n_b" - $"cb" * $"n_a")).as("ks_num"))
+          .withColumn("ks",
+            $"ks_num".cast("double") / ($"n_a" * $"n_b").cast("double"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            user_id % 2 AS half FROM events),
+        byv AS (SELECT v,
+            CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM e GROUP BY v),
+        t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+            CAST(sum(b) AS BIGINT) AS n_b FROM byv),
+        c AS (SELECT
+            CAST(sum(a) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS ca,
+            CAST(sum(b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cb
+          FROM byv)
+        SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+          CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS ks_num,
+          CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT)
+            / CAST(max(t.n_a) * max(t.n_b) AS DOUBLE) AS ks
+        FROM c, t""")),
+
+    // ── Per-user watermark-lateness histogram (the batch profile behind
+    //    streaming watermark tuning: how late does a key's event arrive
+    //    relative to the furthest EVENT TIME already seen on that key?):
+    //    the fixture's event_id order is perfectly time-ordered (zero
+    //    lateness — a vacuous detector), so arrival is simulated with a
+    //    deterministic md5 jitter of 0..2h added to each event's time;
+    //    lateness = running-max(event time) over the jittered arrival
+    //    order minus own event time, clamped at 0, bucketed by 10-min
+    //    units — all integer μs, one user-partitioned window + one tiny
+    //    histogram aggregate. The jitter is the simulation; the operator
+    //    (watermark-lag profile per key) is the production shape. ───────
+    QueryDef("streaming_lateness_histogram",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val jitter = pmod(
+          conv(substring(md5(concat(lit("arr:"), $"event_id")), 1, 4), 16, 10)
+            .cast("long"), lit(7200L)) * lit(1000000L)
+        val warr = Window.partitionBy($"user_id")
+          .orderBy($"arr_us", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+          .withColumn("arr_us", $"us" + jitter)
+          .withColumn("wm_us", max($"us").over(warr))
+          .withColumn("late_s",
+            greatest(expr("(wm_us - us) DIV 1000000"), lit(0L)))
+          .filter($"wm_us".isNotNull)
+          .groupBy(expr("late_s DIV 600").as("late_10min"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy($"late_10min")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        a AS (SELECT user_id, event_id, us,
+            us + (('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+              % 7200) * 1000000 AS arr_us
+          FROM e),
+        w AS (SELECT user_id, us,
+            max(us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+          FROM a)
+        SELECT greatest((wm_us - us) // 1000000, 0) // 600 AS late_10min,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM w WHERE wm_us IS NOT NULL
+        GROUP BY 1 ORDER BY late_10min"""))
   )
 }

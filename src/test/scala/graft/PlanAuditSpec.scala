@@ -315,7 +315,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "window_cusum_drift",
     // basket lift: the 1-row broadcast order-total recombine onto the
     // frequent-pair aggregate (the pair join itself is an equi join)
-    "agg_basket_lift")
+    "agg_basket_lift",
+    // KS: the 1-row broadcast sample-size recombine onto the O(domain)
+    // ECDF table (the scalar-recombine shape)
+    "dq_distribution_ks")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -379,7 +382,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
       // weighted median: same O(domain) reduced-input cumulative window
       // as agg_median_distributed (maxDomain-guarded in Profiler)
-      "agg_weighted_median_distributed")
+      "agg_weighted_median_distributed",
+      // KS drift test: cumulative ECDF counts over the reduced
+      // distinct-cent-value table (O(domain), same class as the medians)
+      "dq_distribution_ks")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -405,7 +411,7 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     val allowed = Set("pipeline_pack_chunks", "sort_global_rank",
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
-      "agg_weighted_median_distributed")
+      "agg_weighted_median_distributed", "dq_distribution_ks")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

@@ -275,6 +275,51 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(sums(0) != sums(1), "epoch 0 and 1 produced identical orders")
   }
 
+  test("join_fact_scd2_temporal: every lineitem attributed exactly once") {
+    val rows = run("join_fact_scd2_temporal")
+    val nLi = Tables.load(spark, dir, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == nLi,
+      "temporal join must neither drop nor duplicate facts")
+    val statuses = rows.map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("O", "F", "P", "none")))
+  }
+
+  test("dq_distribution_ks: D in [0,1], equals the driver ECDF replay") {
+    val rows = run("dq_distribution_ks")
+    assert(rows.length == 1)
+    val r = rows.head
+    val (na, nb, num, ks) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(ks >= 0.0 && ks <= 1.0 && ks == num.toDouble / (na * nb).toDouble)
+    // driver replay
+    import org.apache.spark.sql.functions._
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+        "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = vs.filter(_._2 == 0).map(_._1).sorted
+    val b = vs.filter(_._2 == 1).map(_._1).sorted
+    assert(na == a.length && nb == b.length)
+    var best = 0L
+    (a ++ b).distinct.sorted.foreach { v =>
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      best = math.max(best, math.abs(ca * nb - cb * na))
+    }
+    assert(num == best, s"KS numerator: got $num want $best")
+  }
+
+  test("streaming_lateness_histogram: buckets cover all but first-arrivals") {
+    val rows = run("streaming_lateness_histogram")
+    assert(rows.nonEmpty)
+    val nEvents = Tables.load(spark, dir, "events").count()
+    val nUsers = Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    // every event except each user's first ARRIVAL lands in some bucket
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
+    // jitter spans 2h => lateness can't exceed 12 ten-minute buckets
+    rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 12))
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
