@@ -3726,6 +3726,149 @@ object RelationalQueries extends QueryModule {
         SELECT greatest((wm_us - us) // 1000000, 0) // 600 AS late_10min,
           CAST(count(*) AS BIGINT) AS n_events
         FROM w WHERE wm_us IS NOT NULL
-        GROUP BY 1 ORDER BY late_10min"""))
+        GROUP BY 1 ORDER BY late_10min""")),
+
+    // ── Rolling exact median (7-event window) per user — the robust
+    //    telemetry smoother where a rolling MEAN chases outliers: the
+    //    frame's cents collect into a ≤7-element array per row
+    //    (bounded state — this is what makes small-frame exact order
+    //    statistics scale; a corpus-wide percentile would be the
+    //    agg_median_distributed shape instead), sort, take the true
+    //    middle of the odd-sized full frames. Integer cents end to end;
+    //    partial frames (first 6 rows per user) report NULL so both
+    //    engines agree on the warm-up. ──────────────────────────────────
+    QueryDef("window_rolling_median",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w7 = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-6, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .filter($"user_id" < 40)
+          .selectExpr("user_id", "event_id", "ts",
+            "CAST(round(value * 100) AS BIGINT) AS x")
+          .withColumn("frame", collect_list($"x").over(w7))
+          .withColumn("med7",
+            when(size($"frame") === 7,
+              element_at(sort_array($"frame"), 4)))
+          .select($"user_id", $"event_id", $"x", $"med7")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS x FROM events
+          WHERE user_id < 40),
+        f AS (SELECT user_id, event_id, x,
+            list(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+          FROM e)
+        SELECT user_id, event_id, x,
+          CASE WHEN len(frame) = 7 THEN list_sort(frame)[4] END AS med7
+        FROM f ORDER BY user_id, event_id""")),
+
+    // ── Lag-1 autocorrelation per user (the "is this series bursty or
+    //    mean-reverting" probe): r² and its sign in EXACT integer form —
+    //    with x = cents, y = next cents over the user's time order, emit
+    //    num = n·Σxy − Σx·Σy, d1 = n·Σx² − (Σx)², d2 = n·Σy² − (Σy)² and
+    //    r² = num²/(d1·d2); the ~1e26 squares ride DECIMAL(38,0) (Spark)
+    //    / HUGEINT→DECIMAL (DuckDB), so no float enters until nothing is
+    //    left to round. One lead window + one hash aggregate on the
+    //    user_id shuffle. ───────────────────────────────────────────────
+    QueryDef("agg_autocorr_lag1",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.load(s, dir, "events")
+          .selectExpr("user_id", "ts", "event_id",
+            "CAST(round(value * 100) AS BIGINT) AS x")
+          .withColumn("y", lead($"x", 1).over(w))
+          .filter($"y".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+            sum($"x" * $"y").as("sxy"))
+          .select($"user_id", $"n",
+            ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+            ($"n" * $"sxx" - $"sx" * $"sx").as("d1"),
+            ($"n" * $"syy" - $"sy" * $"sy").as("d2"))
+          .select($"user_id", $"n", signum($"num").cast("long").as("sign"),
+            ($"num".cast("decimal(38,0)") * $"num")
+              .cast("decimal(38,0)").as("r2_num"),
+            ($"d1".cast("decimal(38,0)") * $"d2")
+              .cast("decimal(38,0)").as("r2_den"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        p AS (SELECT user_id, x,
+            lead(x, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+          FROM e),
+        g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM p WHERE y IS NOT NULL GROUP BY user_id),
+        c AS (SELECT user_id, n,
+            n * sxy - sx * sy AS num,
+            n * sxx - sx * sx AS d1,
+            n * syy - sy * sy AS d2
+          FROM g)
+        SELECT user_id, n, CAST(sign(num) AS BIGINT) AS sign,
+          CAST(CAST(num AS HUGEINT) * num AS DECIMAL(38,0)) AS r2_num,
+          CAST(CAST(d1 AS HUGEINT) * d2 AS DECIMAL(38,0)) AS r2_den
+        FROM c ORDER BY user_id""")),
+
+    // ── Session abandonment rate per day (product analytics' checkout
+    //    funnel health): sessionize (30-min gap, the
+    //    streaming_sessionization machinery with event_type carried),
+    //    flag sessions with no purchase, rate per session-start day —
+    //    two windows + two aggregates all on the one user_id shuffle,
+    //    then an O(days) rollup. Rate = single IEEE division. ───────────
+    QueryDef("agg_session_abandonment",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sess = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+          .withColumn("gap_s",
+            unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_s",
+            when($"gap_s".isNull || $"gap_s" > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sidx", sum($"new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sidx")
+          .agg(min(to_date($"ts")).as("day"),
+            max(when($"event_type" === "purchase", 1L).otherwise(0L))
+              .as("converted"))
+        sess.groupBy($"day")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(lit(1L) - $"converted").as("n_abandoned"))
+          .withColumn("abandonment_rate",
+            $"n_abandoned".cast("double") / $"n_sessions".cast("double"))
+          .orderBy($"day")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+            event_type FROM events),
+        f AS (SELECT user_id, event_id, ts, event_type,
+            CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, ts, event_type,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sidx
+          FROM f),
+        sess AS (SELECT user_id, sidx, min(CAST(ts AS DATE)) AS day,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS converted
+          FROM g GROUP BY user_id, sidx)
+        SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(1 - converted) AS BIGINT) AS n_abandoned,
+          CAST(sum(1 - converted) AS BIGINT)
+            / CAST(count(*) AS DOUBLE) AS abandonment_rate
+        FROM sess GROUP BY day ORDER BY day"""))
   )
 }

@@ -320,6 +320,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) >= 0 && r.getLong(0) <= 12))
   }
 
+  test("window_rolling_median: equals the sliding sort on the driver") {
+    val rows = run("window_rolling_median")
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val xs = rs.map(_.getLong(2)) // emitted in (ts, event_id) order
+      rs.zipWithIndex.foreach { case (r, i) =>
+        if (i >= 6) {
+          val want = xs.slice(i - 6, i + 1).sorted.apply(3)
+          assert(r.getLong(3) == want, s"user $u row $i median")
+        } else assert(r.isNullAt(3), s"user $u row $i warm-up must be NULL")
+      }
+    }
+  }
+
+  test("agg_autocorr_lag1: r^2 in [0,1] and Cauchy-Schwarz holds") {
+    val rows = run("agg_autocorr_lag1")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sign) = (r.getLong(1), r.getLong(2))
+      val (num2, den) =
+        (BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))
+      assert(n >= 1 && (sign == -1 || sign == 0 || sign == 1))
+      assert(num2 >= 0 && den >= 0)
+      assert(num2 <= den, "r^2 must be <= 1 (Cauchy-Schwarz)")
+    }
+  }
+
+  test("agg_session_abandonment: sessions partition events' days; rate consistent") {
+    val rows = run("agg_session_abandonment")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ab, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ab >= 0 && ab <= n)
+      assert(rate == ab.toDouble / n.toDouble)
+    }
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
