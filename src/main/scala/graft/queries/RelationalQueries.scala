@@ -3869,6 +3869,215 @@ object RelationalQueries extends QueryModule {
           CAST(sum(1 - converted) AS BIGINT) AS n_abandoned,
           CAST(sum(1 - converted) AS BIGINT)
             / CAST(count(*) AS DOUBLE) AS abandonment_rate
-        FROM sess GROUP BY day ORDER BY day"""))
+        FROM sess GROUP BY day ORDER BY day""")),
+
+    // ── Revenue concentration ("do 10% of users drive the revenue?"):
+    //    per-user BIGINT cent totals (one shuffle), the p90 spend
+    //    threshold via exact `percentile` (≡ quantile_cont bitwise) as a
+    //    1-row broadcast, then whale/rest splits — user count, revenue,
+    //    and the share as one IEEE division of exact integers. Scales
+    //    because nothing orders the full user set globally: the
+    //    threshold is an aggregate, the split a map-side compare. ───────
+    QueryDef("agg_revenue_concentration",
+      (s, dir) => {
+        import s.implicits._
+        val perUser = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("rev"))
+        val thr = perUser.agg(
+          expr("percentile(rev, 0.9D)").as("p90"))
+        val total = perUser.agg(sum($"rev").as("total_cents"))
+        perUser.crossJoin(broadcast(thr))
+          .select($"rev", ($"rev".cast("double") >= $"p90").as("whale"))
+          .groupBy($"whale")
+          .agg(count(lit(1)).as("n_users"), sum($"rev").as("rev_cents"))
+          .crossJoin(broadcast(total))
+          .select($"whale", $"n_users", $"rev_cents", $"total_cents",
+            ($"rev_cents".cast("double") / $"total_cents".cast("double"))
+              .as("rev_share"))
+          .orderBy($"whale")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        t AS (SELECT quantile_cont(rev, 0.9) AS p90 FROM pu),
+        tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total_cents FROM pu),
+        s AS (SELECT CAST(rev AS DOUBLE) >= p90 AS whale, rev FROM pu, t),
+        g AS (SELECT whale, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(rev) AS BIGINT) AS rev_cents
+          FROM s GROUP BY whale)
+        SELECT whale, n_users, rev_cents, tot.total_cents,
+          CAST(rev_cents AS DOUBLE) / CAST(tot.total_cents AS DOUBLE)
+            AS rev_share
+        FROM g, tot ORDER BY whale""")),
+
+    // ── Peak session concurrency per day (capacity planning's "how many
+    //    sessions were open at once"): sessionize (30-min gap), emit
+    //    +1/−1 deltas at session start/end, running sum over each DAY's
+    //    time-ordered deltas, report the day's peak. The sweep is
+    //    partitioned by day — no global order at any scale; sessions are
+    //    clipped at midnight (documented: per-day concurrency counts a
+    //    midnight-spanning session in both days). ───────────────────────
+    QueryDef("window_peak_concurrency",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sess = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"ts")
+          .withColumn("gap_us",
+            unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_s",
+            when($"gap_us".isNull || $"gap_us" > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sidx", sum($"new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sidx")
+          .agg(min(unix_micros($"ts")).as("s_us"),
+            max(unix_micros($"ts")).as("e_us"))
+        // deltas: +1 at start, -1 just after end (end inclusive)
+        val deltas = sess.select($"s_us".as("us"), lit(1L).as("d"))
+          .unionByName(sess.select(($"e_us" + 1L).as("us"), lit(-1L).as("d")))
+          .withColumn("day", expr("us DIV 86400000000"))
+        val wday = Window.partitionBy($"day").orderBy($"us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .groupBy($"day", $"us").agg(sum($"d").as("d"))
+          .withColumn("open", sum($"d").over(wday))
+          .groupBy($"day")
+          .agg(max($"open").as("peak_concurrent"),
+            sum(when($"d" > 0, $"d").otherwise(0L)).as("n_starts"))
+          .orderBy($"day")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events),
+        f AS (SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sidx
+          FROM f),
+        sess AS (SELECT user_id, sidx,
+            min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+          FROM g GROUP BY user_id, sidx),
+        d0 AS (SELECT s_us AS us, CAST(1 AS BIGINT) AS d FROM sess
+          UNION ALL SELECT e_us + 1, CAST(-1 AS BIGINT) FROM sess),
+        d1 AS (SELECT us // 86400000000 AS day, us, CAST(sum(d) AS BIGINT) AS d
+          FROM d0 GROUP BY 1, 2),
+        r AS (SELECT day, d,
+            CAST(sum(d) OVER (PARTITION BY day ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS open
+          FROM d1)
+        SELECT day, CAST(max(open) AS BIGINT) AS peak_concurrent,
+          CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS n_starts
+        FROM r GROUP BY day ORDER BY day""")),
+
+    // ── Referential-integrity orphan audit over the schema's FK DAG
+    //    (the data-contract check `dbt_schema_tests`' relationship tests
+    //    run one edge at a time; production audits want the whole-graph
+    //    scoreboard): one row per FK edge with child row count and
+    //    orphan count via LEFT ANTI joins — dims broadcast, the two
+    //    fact-side edges co-partitioned; each edge is one pass. ─────────
+    QueryDef("dq_pk_fk_orphan_report",
+      (s, dir) => {
+        import s.implicits._
+        def edge(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String) = {
+          val orphans = child.select(col(ck)).join(
+            parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans")
+        }
+        val li = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val sup = Tables.load(s, dir, "supplier")
+        val p = Tables.load(s, dir, "part")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+          .unionByName(edge("lineitem.partkey->part", li, "l_partkey", p,
+            "p_partkey"))
+          .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+            sup, "s_suppkey"))
+          .unionByName(edge("orders.custkey->customer", o, "o_custkey", c,
+            "c_custkey"))
+          .unionByName(edge("customer.nationkey->nation", c, "c_nationkey",
+            n, "n_nationkey"))
+          .unionByName(edge("supplier.nationkey->nation", sup, "s_nationkey",
+            n, "n_nationkey"))
+          .unionByName(edge("nation.regionkey->region", n, "n_regionkey", r,
+            "r_regionkey"))
+          .orderBy($"fk_edge")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'lineitem.orderkey->orders' AS fk_edge,
+            (SELECT count(*) FROM lineitem) AS n_child,
+            (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders)) AS n_orphans
+          UNION ALL SELECT 'lineitem.partkey->part',
+            (SELECT count(*) FROM lineitem),
+            (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+              (SELECT p_partkey FROM part))
+          UNION ALL SELECT 'lineitem.suppkey->supplier',
+            (SELECT count(*) FROM lineitem),
+            (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier))
+          UNION ALL SELECT 'orders.custkey->customer',
+            (SELECT count(*) FROM orders),
+            (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer))
+          UNION ALL SELECT 'customer.nationkey->nation',
+            (SELECT count(*) FROM customer),
+            (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+              (SELECT n_nationkey FROM nation))
+          UNION ALL SELECT 'supplier.nationkey->nation',
+            (SELECT count(*) FROM supplier),
+            (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+              (SELECT n_nationkey FROM nation))
+          UNION ALL SELECT 'nation.regionkey->region',
+            (SELECT count(*) FROM nation),
+            (SELECT count(*) FROM nation WHERE n_regionkey NOT IN
+              (SELECT r_regionkey FROM region))
+        ) ORDER BY fk_edge""")),
+
+    // ── Embedding-norm profile per label (the embedding QC that catches
+    //    collapsed or exploding vectors before training): fixed-point
+    //    norm² = Σ floor(x·2^20)² per vector (BIGINT, order-independent),
+    //    then per-label min/max/sum/count — one posexplode, a per-vector
+    //    aggregate, an O(labels) rollup; all integer ⇒ bit-exact. ───────
+    QueryDef("embed_norm_profile",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label", explode($"embedding").as("x"))
+          .select($"vec_id", $"label",
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("q"))
+          .groupBy($"vec_id", $"label")
+          .agg(sum($"q" * $"q").as("norm2"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            min($"norm2").as("min_norm2"), max($"norm2").as("max_norm2"),
+            sum($"norm2").cast("decimal(38,0)").as("sum_norm2"))
+          .orderBy($"label")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+            CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1048576.0)
+              AS BIGINT) AS q
+          FROM embeddings),
+        v AS (SELECT vec_id, label, CAST(sum(q * q) AS BIGINT) AS norm2
+          FROM q GROUP BY vec_id, label)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(min(norm2) AS BIGINT) AS min_norm2,
+          CAST(max(norm2) AS BIGINT) AS max_norm2,
+          CAST(sum(norm2) AS DECIMAL(38,0)) AS sum_norm2
+        FROM v GROUP BY label ORDER BY label"""))
   )
 }

@@ -318,7 +318,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_basket_lift",
     // KS: the 1-row broadcast sample-size recombine onto the O(domain)
     // ECDF table (the scalar-recombine shape)
-    "dq_distribution_ks")
+    "dq_distribution_ks",
+    // revenue concentration: two 1-row broadcast recombines (p90
+    // threshold + revenue total) onto the per-user aggregate
+    "agg_revenue_concentration",
+    // FK orphan scoreboard: seven 1-row x 1-row count recombines (one
+    // per audited edge; the orphan detection itself is anti joins)
+    "dq_pk_fk_orphan_report")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -357,6 +357,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_revenue_concentration: shares sum to 1, whales hold at least their headcount share") {
+    val rows = run("agg_revenue_concentration")
+    assert(rows.length == 2)
+    val byWhale = rows.map(r => r.getBoolean(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (nW, revW, total, shareW) = byWhale(true)
+    val (nR, revR, total2, shareR) = byWhale(false)
+    assert(total == total2 && revW + revR == total)
+    assert(shareW == revW.toDouble / total.toDouble)
+    assert(shareW + shareR > 0.999 && shareW + shareR < 1.001)
+    // whales are the top spenders: their average must beat the rest's
+    assert(revW.toDouble / nW > revR.toDouble / nR)
+  }
+
+  test("window_peak_concurrency: peaks positive and bounded by session starts") {
+    val rows = run("window_peak_concurrency")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, starts) = (r.getLong(1), r.getLong(2))
+      assert(peak >= 1 || starts == 0)
+      assert(peak <= starts + 1,
+        "a day's peak cannot exceed its session starts (+1 midnight carry)")
+    }
+  }
+
+  test("dq_pk_fk_orphan_report: all 7 edges audited, counts consistent") {
+    val rows = run("dq_pk_fk_orphan_report")
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+    // generated TPC-H-ish fixtures are referentially intact
+    assert(rows.map(_.getLong(2)).sum == 0,
+      "fixtures should have zero orphans — a nonzero count means the audit or data broke")
+  }
+
+  test("embed_norm_profile: bounds ordered, totals cover the corpus") {
+    val rows = run("embed_norm_profile")
+    val nVecs = Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      val (n, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val sum = BigDecimal(r.getDecimal(4))
+      assert(mn >= 0 && mn <= mx)
+      assert(sum >= BigDecimal(mn) * n && sum <= BigDecimal(mx) * n)
+    }
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
