@@ -4078,6 +4078,157 @@ object RelationalQueries extends QueryModule {
           CAST(min(norm2) AS BIGINT) AS min_norm2,
           CAST(max(norm2) AS BIGINT) AS max_norm2,
           CAST(sum(norm2) AS DECIMAL(38,0)) AS sum_norm2
-        FROM v GROUP BY label ORDER BY label"""))
+        FROM v GROUP BY label ORDER BY label""")),
+
+    // ── Mann–Whitney U drift test (rank-based companion to
+    //    `dq_distribution_ks` — U is sensitive to location shift where
+    //    KS is sensitive to any shape change): doubled tie-averaged
+    //    ranks keep EVERYTHING integer — per distinct cent value v with
+    //    t_v pooled occurrences starting after cumulative c_prev, the
+    //    doubled average rank is 2·c_prev + t_v + 1, so U₂ = Σ_v a_v·
+    //    (2·c_prev + t_v + 1) − n_a·(n_a+1) is BIGINT-exact; the
+    //    normalized effect size U/(n_a·n_b) is the one final IEEE
+    //    division. Same reduced O(domain) ECDF table and allowlisted
+    //    global cumulative window as the KS test. ───────────────────────
+    QueryDef("agg_mann_whitney_u",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+        val byV = e.groupBy($"v")
+          .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("a"),
+            sum(when($"half" === 1, 1L).otherwise(0L)).as("b"))
+        val totals = byV.agg(sum($"a").as("n_a"), sum($"b").as("n_b"))
+        val wcum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byV
+          .withColumn("c_prev",
+            coalesce(sum($"a" + $"b").over(wcum), lit(0L)))
+          .crossJoin(broadcast(totals))
+          .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+            (sum($"a" * (lit(2L) * $"c_prev" + $"a" + $"b" + 1L)) -
+              max($"n_a" * ($"n_a" + 1L))).as("u2_a"))
+          .withColumn("effect",
+            ($"u2_a".cast("double") / lit(2.0)) /
+              ($"n_a" * $"n_b").cast("double"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            user_id % 2 AS half FROM events),
+        byv AS (SELECT v,
+            CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM e GROUP BY v),
+        t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+            CAST(sum(b) AS BIGINT) AS n_b FROM byv),
+        c AS (SELECT a, b,
+            coalesce(CAST(sum(a + b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              CAST(0 AS BIGINT)) AS c_prev
+          FROM byv)
+        SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+          CAST(sum(c.a * (2 * c.c_prev + c.a + c.b + 1))
+            - max(t.n_a * (t.n_a + 1)) AS BIGINT) AS u2_a,
+          (CAST(sum(c.a * (2 * c.c_prev + c.a + c.b + 1))
+              - max(t.n_a * (t.n_a + 1)) AS BIGINT) / CAST(2.0 AS DOUBLE))
+            / CAST(max(t.n_a) * max(t.n_b) AS DOUBLE) AS effect
+        FROM c, t""")),
+
+    // ── Lagged cross-correlation between two event types' daily series
+    //    ("does click volume lead purchase volume?"): daily BIGINT cent
+    //    sums per type (one hash aggregate onto the O(days) grid), then
+    //    for each lag in −2..2 the moment sums n, Σxy, d1, d2 in exact
+    //    integers via a self-join on day+lag — everything after the
+    //    first aggregate is constant-sized. Like `agg_autocorr_lag1`,
+    //    r² and sign ship as exact DECIMAL/BIGINT components. ───────────
+    QueryDef("agg_cross_corr_lagk",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .groupBy($"event_type",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+        val x = daily.filter($"event_type" === "click")
+          .select($"d".as("dx"), $"cents".as("x"))
+        val y = daily.filter($"event_type" === "purchase")
+          .select($"d".as("dy"), $"cents".as("y"))
+        x.select($"dx", $"x", explode(sequence(lit(-2), lit(2))).as("lag"))
+          .join(y, $"dy" === $"dx" + $"lag")
+          .groupBy($"lag")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+            sum($"x" * $"y").as("sxy"))
+          .select($"lag", $"n",
+            signum($"n" * $"sxy" - $"sx" * $"sy").cast("long").as("sign"),
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("decimal(38,0)") *
+              ($"n" * $"sxy" - $"sx" * $"sy")).cast("decimal(38,0)")
+              .as("r2_num"),
+            ((($"n" * $"sxx" - $"sx" * $"sx")).cast("decimal(38,0)") *
+              ($"n" * $"syy" - $"sy" * $"sy")).cast("decimal(38,0)")
+              .as("r2_den"))
+          .orderBy($"lag")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2),
+        x AS (SELECT d AS dx, cents AS x FROM daily
+          WHERE event_type = 'click'),
+        y AS (SELECT d AS dy, cents AS y FROM daily
+          WHERE event_type = 'purchase'),
+        l AS (SELECT unnest(range(-2, 3)) AS lag),
+        j AS (SELECT l.lag, x.x, y.y FROM x CROSS JOIN l
+          JOIN y ON y.dy = x.dx + l.lag),
+        g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM j GROUP BY lag)
+        SELECT CAST(lag AS INTEGER) AS lag, n,
+          CAST(sign(n * sxy - sx * sy) AS BIGINT) AS sign,
+          CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+            * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS r2_num,
+          CAST(CAST(n * sxx - sx * sx AS HUGEINT)
+            * (n * syy - sy * sy) AS DECIMAL(38,0)) AS r2_den
+        FROM g ORDER BY lag""")),
+
+    // ── Partition-stats report over the events table's day partitions
+    //    (the table-maintenance view behind compaction/skew decisions):
+    //    per day — row count, payload-byte estimate (Σ octet_length of
+    //    the props JSON), distinct users, and the rows-vs-median skew
+    //    ratio (exact percentile over the O(days) aggregate as a 1-row
+    //    broadcast; ratio = one IEEE division). ─────────────────────────
+    QueryDef("maintenance_partition_stats",
+      (s, dir) => {
+        import s.implicits._
+        val perDay = Tables.load(s, dir, "events")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("day"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(octet_length($"props").cast("long")).as("props_bytes"),
+            expr("CAST(count(DISTINCT user_id) AS BIGINT)").as("n_users"))
+        val med = perDay.agg(expr("percentile(n_rows, 0.5D)").as("med_rows"))
+        perDay.crossJoin(broadcast(med))
+          .select($"day", $"n_rows", $"props_bytes", $"n_users",
+            ($"n_rows".cast("double") / $"med_rows").as("skew_ratio"))
+          .orderBy($"day")
+      },
+      Some("""WITH p AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT)
+              AS props_bytes,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1),
+        m AS (SELECT quantile_cont(n_rows, 0.5) AS med_rows FROM p)
+        SELECT day, n_rows, props_bytes, n_users,
+          CAST(n_rows AS DOUBLE) / med_rows AS skew_ratio
+        FROM p, m ORDER BY day"""))
   )
 }

@@ -324,7 +324,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_revenue_concentration",
     // FK orphan scoreboard: seven 1-row x 1-row count recombines (one
     // per audited edge; the orphan detection itself is anti joins)
-    "dq_pk_fk_orphan_report")
+    "dq_pk_fk_orphan_report",
+    // Mann-Whitney: the KS-style 1-row sample-size recombine
+    "agg_mann_whitney_u",
+    // partition stats: the 1-row broadcast median-rows recombine
+    "maintenance_partition_stats")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -391,7 +395,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_weighted_median_distributed",
       // KS drift test: cumulative ECDF counts over the reduced
       // distinct-cent-value table (O(domain), same class as the medians)
-      "dq_distribution_ks")
+      "dq_distribution_ks",
+      // Mann-Whitney U: same O(domain) reduced ECDF cumulative window
+      "agg_mann_whitney_u")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -417,7 +423,8 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     val allowed = Set("pipeline_pack_chunks", "sort_global_rank",
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
-      "agg_weighted_median_distributed", "dq_distribution_ks")
+      "agg_weighted_median_distributed", "dq_distribution_ks",
+      "agg_mann_whitney_u")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -475,7 +482,18 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_mad_outliers", "agg_seasonality_profile", "pipeline_feature_hash",
     "pipeline_pii_risk_by_source", "agg_rfm_scores", "pipeline_chunk_overlap",
     "text_collocation_lift", "snapshot_scd2_asof", "dq_freshness_sla",
-    "agg_new_vs_returning", "agg_time_to_convert", "streaming_funnel_stage")
+    "agg_new_vs_returning", "agg_time_to_convert", "streaming_funnel_stage",
+    // this session's additions with non-trivial join/window shapes: the
+    // basket self-join, temporal SCD2 join, phash band join, shingle
+    // inverted index, CUSUM scalar recombine, sessionized sweeps
+    "agg_basket_lift", "join_fact_scd2_temporal", "multimodal_phash_dedup",
+    "text_ngram_novelty", "window_cusum_drift", "agg_survival_km",
+    "window_peak_concurrency", "agg_session_abandonment",
+    "sim_knn_label_confusion", "embed_centroid_drift", "dq_distribution_ks",
+    "agg_ltv_cohort_matrix", "agg_attribution_last_touch",
+    "dq_reconcile_order_totals", "sample_poisson_bootstrap",
+    "pipeline_epoch_shuffle", "agg_mann_whitney_u", "agg_cross_corr_lagk",
+    "window_rolling_median", "dq_pk_fk_orphan_report")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -405,6 +405,50 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_mann_whitney_u: U2 matches the driver rank replay; effect in [0,1]") {
+    val rows = run("agg_mann_whitney_u")
+    assert(rows.length == 1)
+    val r = rows.head
+    val (na, nb, u2, eff) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(eff >= 0.0 && eff <= 1.0 && u2 >= 0 && u2 <= 2 * na * nb)
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+        "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pooled = vs.map(_._1).sorted
+    // doubled tie-averaged rank per value
+    val rank2 = pooled.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+      v -> (g.map(_._2.toLong + 1).sum * 2 / g.length)
+    }
+    val sumRank2A = vs.filter(_._2 == 0).map(t => rank2(t._1)).sum
+    assert(u2 == sumRank2A - na * (na + 1),
+      s"U2: got $u2 want ${sumRank2A - na * (na + 1)}")
+  }
+
+  test("agg_cross_corr_lagk: five lags, Cauchy-Schwarz bound holds") {
+    val rows = run("agg_cross_corr_lagk")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(-2, -1, 0, 1, 2))
+    rows.foreach { r =>
+      val num2 = BigDecimal(r.getDecimal(3))
+      val den = BigDecimal(r.getDecimal(4))
+      assert(num2 >= 0 && num2 <= den)
+    }
+  }
+
+  test("maintenance_partition_stats: covers all rows; median day has ratio ~1") {
+    val rows = run("maintenance_partition_stats")
+    val nEvents = Tables.load(spark, dir, "events").count()
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "distinct users <= rows")
+      assert(r.getDouble(4) > 0.0)
+    }
+    // at least one day at or below the median and one at or above
+    assert(rows.exists(_.getDouble(4) <= 1.0) &&
+      rows.exists(_.getDouble(4) >= 1.0))
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
