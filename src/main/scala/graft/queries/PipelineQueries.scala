@@ -3644,7 +3644,89 @@ object PipelineQueries extends QueryModule {
           CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(doc_id * pos) AS BIGINT) AS perm_checksum,
           min(okey) AS first_key
-        FROM p GROUP BY 1, 2 ORDER BY epoch, shard"""))
+        FROM p GROUP BY 1, 2 ORDER BY epoch, shard""")),
+
+    // ── Group-aware k-fold assignment (the eval-split rule
+    //    `split_train_test`'s row hash can't give: all docs of one
+    //    SOURCE land in one fold, so near-dup within-source leakage
+    //    can't cross the train/eval boundary): fold = md5(source) % 5 —
+    //    one map-side compute, one hash aggregate; the per-fold distinct-
+    //    source counts summing to the corpus total IS the no-leakage
+    //    proof (a source spanning folds would double-count). ────────────
+    QueryDef("sample_group_kfold",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .withColumn("fold",
+            pmod(conv(substring(md5($"source"), 1, 2), 16, 10).cast("long"),
+              lit(5L)))
+          .groupBy($"fold")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(count(DISTINCT source) AS BIGINT)").as("n_sources"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"fold")
+      },
+      Some("""SELECT ('0x' || substr(md5(source), 1, 2))::BIGINT % 5 AS fold,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY fold""")),
+
+    // ── RAKE keyphrase extraction (stopword-delimited candidate phrases
+    //    scored by word degree/frequency — the classic unsupervised
+    //    keyword miner): phrases split at {a, the} boundaries, word
+    //    freq = corpus occurrences, word degree = Σ phrase length over
+    //    phrases containing the word; phrase score = Σ_w deg(w)·10⁶ DIV
+    //    freq(w) — the per-word integer division makes the score a
+    //    BIGINT (classic RAKE's float rational sum would be summation-
+    //    order-sensitive), top 20 by (score, phrase). Two inverted-index
+    //    aggregates + a join-back: the same two-shuffle shape as tf-idf. ─
+    QueryDef("text_keyphrase_rake",
+      (s, dir) => {
+        import s.implicits._
+        val phrases = Tables.load(s, dir, "documents")
+          .select(explode(filter(transform(
+            split(regexp_replace(lower(trim($"text")),
+              "\\b(a|the)\\b", "|"), "\\|"),
+            p => trim(p)), p => p =!= "")).as("phrase"))
+        val phraseWords = phrases
+          .select($"phrase", explode(split($"phrase", "\\s+")).as("w"),
+            size(split($"phrase", "\\s+")).cast("long").as("plen"))
+        val wordStats = phraseWords.groupBy($"w")
+          .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+        val distinctPh = phrases.groupBy($"phrase")
+          .agg(count(lit(1)).as("n_occurrences"))
+        distinctPh
+          .select($"phrase", $"n_occurrences",
+            explode(split($"phrase", "\\s+")).as("w"))
+          .join(wordStats, "w")
+          .groupBy($"phrase", $"n_occurrences")
+          .agg(sum(expr("deg * 1000000 DIV freq")).as("score_x1e6"))
+          .orderBy($"score_x1e6".desc, $"phrase")
+          .limit(20)
+      },
+      Some("""WITH ph AS (SELECT unnest(list_filter(list_transform(
+            string_split(regexp_replace(lower(trim(text)),
+              '\b(a|the)\b', '|', 'g'), '|'), x -> trim(x)),
+            x -> x <> '')) AS phrase
+          FROM documents),
+        pw AS (SELECT phrase, unnest(string_split_regex(phrase, '\s+')) AS w,
+            CAST(len(string_split_regex(phrase, '\s+')) AS BIGINT) AS plen
+          FROM ph),
+        ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+            CAST(sum(plen) AS BIGINT) AS deg
+          FROM pw GROUP BY w),
+        dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM ph GROUP BY phrase),
+        dw AS (SELECT dp.phrase, dp.n_occurrences,
+            unnest(string_split_regex(dp.phrase, '\s+')) AS w
+          FROM dp),
+        sc AS (SELECT dw.phrase, dw.n_occurrences,
+            CAST(sum(ws.deg * 1000000 // ws.freq) AS BIGINT) AS score_x1e6
+          FROM dw JOIN ws ON dw.w = ws.w
+          GROUP BY dw.phrase, dw.n_occurrences)
+        SELECT phrase, n_occurrences, score_x1e6
+        FROM sc ORDER BY score_x1e6 DESC, phrase LIMIT 20"""))
   )
 }
 

@@ -373,6 +373,40 @@ object SourceSinkQueries extends QueryModule {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS printed_rows,
           CAST(2 AS BIGINT) AS printed_cols, CAST(3 AS BIGINT) AS border_lines
-        FROM region"""))
+        FROM region""")),
+
+    // ── Dynamic partition overwrite (the lakehouse backfill primitive:
+    //    rewrite ONE day of a partitioned table without touching the
+    //    rest): write events day-partitioned, then overwrite day 19730's
+    //    partition with a revised slice (even event_ids only) using the
+    //    writer-level `partitionOverwriteMode=dynamic` option — a STATIC
+    //    overwrite would truncate the whole table, the exact bug this
+    //    mode exists to prevent; no session conf is mutated. Read-back
+    //    day counts prove only the target partition changed. ────────────
+    QueryDef("sink_dynamic_partition_overwrite",
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_dynpart")
+          .resolve("events_by_day").toString
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("event_id", "value",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day")
+        e.write.partitionBy("day").mode("overwrite").parquet(out)
+        e.filter(col("day") === 19730L && col("event_id") % 2 === 0)
+          .write.partitionBy("day").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(out)
+        // partition-dir read-back infers day as INT; pin the contract
+        s.read.parquet(out)
+          .groupBy(col("day").cast("long").as("day"))
+          .agg(count(lit(1)).as("n_rows"))
+          .filter(col("day").isin(19723L, 19730L, 19745L))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+          FROM events)
+        SELECT day, CAST(count(*) AS BIGINT) AS n_rows FROM e
+        WHERE (day = 19730 AND event_id % 2 = 0)
+           OR day IN (19723, 19745)
+        GROUP BY day ORDER BY day"""))
   )
 }

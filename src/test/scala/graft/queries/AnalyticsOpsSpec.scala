@@ -449,6 +449,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       rows.exists(_.getDouble(4) >= 1.0))
   }
 
+  test("sample_group_kfold: folds partition docs AND sources (no leakage)") {
+    val rows = run("sample_group_kfold")
+    val docs = Tables.load(spark, dir, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // no source spans folds: per-fold distinct-source counts must sum to
+    // the GLOBAL distinct-source count
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nSources,
+      "a source appearing in two folds would double-count here")
+  }
+
+  test("text_keyphrase_rake: contains no stopwords, scores ordered") {
+    val rows = run("text_keyphrase_rake")
+    assert(rows.length == 20)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (phrase, n, score) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val words = phrase.split("\\s+")
+      assert(!words.contains("a") && !words.contains("the"),
+        s"stopword inside phrase '$phrase'")
+      assert(n >= 1 && score >= 0 && score <= prev)
+      prev = score
+    }
+  }
+
+  test("sink_dynamic_partition_overwrite: only the target day changed") {
+    import org.apache.spark.sql.functions._
+    val rows = run("sink_dynamic_partition_overwrite")
+    val expect = Tables.load(spark, dir, "events")
+      .selectExpr("event_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day")
+      .filter(col("day").isin(19723L, 19730L, 19745L))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("nEven"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (day, n) = (r.getLong(0), r.getLong(1))
+      if (day == 19730L) assert(n == expect(day)._2, "overwritten day = even ids only")
+      else assert(n == expect(day)._1, s"day $day must be untouched")
+    }
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
