@@ -3726,7 +3726,37 @@ object PipelineQueries extends QueryModule {
           FROM dw JOIN ws ON dw.w = ws.w
           GROUP BY dw.phrase, dw.n_occurrences)
         SELECT phrase, n_occurrences, score_x1e6
-        FROM sc ORDER BY score_x1e6 DESC, phrase LIMIT 20"""))
+        FROM sc ORDER BY score_x1e6 DESC, phrase LIMIT 20""")),
+
+    // ── Inverse-frequency importance weights (loss reweighting for
+    //    class-imbalanced corpora: each doc weighted so every language
+    //    contributes equally in expectation): w = N·10⁶ DIV (k·n_lang)
+    //    as BIGINT micro-weights — deterministic integer arithmetic, no
+    //    float normalization drift. Per-language report proves the
+    //    balance property: weighted mass per language is equal up to
+    //    integer-division truncation (≤ k·n_lang micro-units). ──────────
+    QueryDef("pipeline_importance_weights",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val perLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val tot = docs.agg(count(lit(1)).as("n_total"),
+          expr("CAST(count(DISTINCT lang) AS BIGINT)").as("k"))
+        perLang.crossJoin(broadcast(tot))
+          .select($"lang", $"n_lang",
+            expr("n_total * 1000000 DIV (k * n_lang)").as("w_x1e6"))
+          .withColumn("lang_mass_x1e6", $"w_x1e6" * $"n_lang")
+          .orderBy($"lang")
+      },
+      Some("""WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+            FROM documents GROUP BY lang),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+            CAST(count(DISTINCT lang) AS BIGINT) AS k FROM documents)
+        SELECT lang, n_lang,
+          CAST(n_total * 1000000 // (k * n_lang) AS BIGINT) AS w_x1e6,
+          CAST(n_total * 1000000 // (k * n_lang) AS BIGINT) * n_lang
+            AS lang_mass_x1e6
+        FROM pl, t ORDER BY lang"""))
   )
 }
 

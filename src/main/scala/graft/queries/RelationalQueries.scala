@@ -4229,6 +4229,91 @@ object RelationalQueries extends QueryModule {
         m AS (SELECT quantile_cont(n_rows, 0.5) AS med_rows FROM p)
         SELECT day, n_rows, props_bytes, n_users,
           CAST(n_rows AS DOUBLE) / med_rows AS skew_ratio
-        FROM p, m ORDER BY day"""))
+        FROM p, m ORDER BY day""")),
+
+    // ── Recency-weighted engagement score per user (the feature-store
+    //    decay everybody implements with exp() and then can't reproduce):
+    //    half-life 7 days in WEEKLY STEPS — weight = 2^(−age_days DIV 7)
+    //    — makes every term a dyadic rational; scaling by 2^4 (the max
+    //    halvings at a 30-day window) turns the whole sum into BIGINT:
+    //    score_x16 = Σ v_cents · 2^(4 − age DIV 7), exact and order-
+    //    independent where a float exp-decay sum is neither. The anchor
+    //    "now" is the dataset max day (1-row broadcast). ────────────────
+    QueryDef("agg_time_decay_score",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+            "CAST(round(value * 100) AS BIGINT) AS cents")
+        val anchor = e.agg(max($"d").as("now_d"))
+        e.crossJoin(broadcast(anchor))
+          .withColumn("k", least(expr("(now_d - d) DIV 7"), lit(4L)))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"cents" * expr("shiftleft(1L, CAST(4 - k AS INT))"))
+              .as("score_x16"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        a AS (SELECT max(d) AS now_d FROM e),
+        k AS (SELECT user_id, cents,
+            least((now_d - d) // 7, 4) AS k FROM e, a)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(4 - k AS INTEGER)))
+            AS BIGINT) AS score_x16
+        FROM k GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Purchase-overdue ratio (churn-risk's "is this user late for
+    //    their usual purchase?"): per user — median inter-purchase gap
+    //    in days (exact `percentile` per group over integer gaps), days
+    //    since last purchase at the dataset horizon, overdue = the one
+    //    IEEE division of the two. Users with a single purchase carry a
+    //    NULL median and NULL ratio in both engines. Two narrow window/
+    //    aggregate passes on the user_id shuffle + a 1-row horizon
+    //    broadcast. ─────────────────────────────────────────────────────
+    QueryDef("agg_purchase_overdue",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"d", $"event_id")
+        val p = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .selectExpr("user_id", "event_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d")
+        val horizon = p.agg(max($"d").as("h_d"))
+        p.withColumn("gap", $"d" - lag($"d", 1).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            expr("percentile(gap, 0.5D)").as("median_gap_days"),
+            max($"d").as("last_d"))
+          .crossJoin(broadcast(horizon))
+          .select($"user_id", $"n_purchases", $"median_gap_days",
+            ($"h_d" - $"last_d").as("days_since_last"),
+            when($"median_gap_days" > 0,
+              ($"h_d" - $"last_d").cast("double") / $"median_gap_days")
+              .as("overdue_ratio"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          FROM events WHERE event_type = 'purchase'),
+        h AS (SELECT max(d) AS h_d FROM p),
+        g AS (SELECT user_id, d,
+            d - lag(d, 1) OVER (PARTITION BY user_id ORDER BY d, event_id)
+              AS gap
+          FROM p),
+        u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+            quantile_cont(gap, 0.5) AS median_gap_days,
+            CAST(max(d) AS BIGINT) AS last_d
+          FROM g GROUP BY user_id)
+        SELECT user_id, n_purchases, median_gap_days,
+          h.h_d - last_d AS days_since_last,
+          CASE WHEN median_gap_days > 0
+            THEN CAST(h.h_d - last_d AS DOUBLE) / median_gap_days END
+            AS overdue_ratio
+        FROM u, h ORDER BY user_id"""))
   )
 }

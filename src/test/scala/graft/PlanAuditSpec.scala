@@ -328,7 +328,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // Mann-Whitney: the KS-style 1-row sample-size recombine
     "agg_mann_whitney_u",
     // partition stats: the 1-row broadcast median-rows recombine
-    "maintenance_partition_stats")
+    "maintenance_partition_stats",
+    // time decay / purchase overdue / importance weights: the 1-row
+    // broadcast anchor/horizon/total recombines
+    "agg_time_decay_score", "agg_purchase_overdue",
+    "pipeline_importance_weights")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

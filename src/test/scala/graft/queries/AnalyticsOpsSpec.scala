@@ -492,6 +492,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_time_decay_score: bounded by undecayed and fully-decayed sums") {
+    import org.apache.spark.sql.functions._
+    val rows = run("agg_time_decay_score")
+    val totals = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.length == totals.size)
+    rows.foreach { r =>
+      val (u, n, s16) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (t, nn) = totals(u)
+      assert(n == nn)
+      // weights in [1, 16]: score_x16 between 1x and 16x the cent total
+      assert(s16 >= t && s16 <= 16 * t, s"user $u decay out of bounds")
+    }
+  }
+
+  test("agg_purchase_overdue: ratio ties to its own emitted components") {
+    val rows = run("agg_purchase_overdue")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      if (n == 1) assert(r.isNullAt(2) && r.isNullAt(4),
+        "single-purchase users carry NULL median and ratio")
+      else if (!r.isNullAt(4)) {
+        val (med, since, ratio) =
+          (r.getDouble(2), r.getLong(3), r.getDouble(4))
+        assert(ratio == since.toDouble / med)
+        assert(since >= 0)
+      }
+    }
+  }
+
+  test("pipeline_importance_weights: per-language mass balanced within truncation") {
+    val rows = run("pipeline_importance_weights")
+    val n = Tables.load(spark, dir, "documents").count()
+    val k = rows.length.toLong
+    assert(rows.map(_.getLong(1)).sum == n)
+    val target = n * 1000000L / k
+    rows.foreach { r =>
+      val mass = r.getLong(3)
+      // w truncation loses at most n_lang micro-units of mass
+      assert(mass <= target && target - mass < r.getLong(1) * k,
+        s"lang ${r.getString(0)} mass $mass vs target $target")
+    }
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
