@@ -4314,6 +4314,100 @@ object RelationalQueries extends QueryModule {
           CASE WHEN median_gap_days > 0
             THEN CAST(h.h_d - last_d AS DOUBLE) / median_gap_days END
             AS overdue_ratio
-        FROM u, h ORDER BY user_id"""))
+        FROM u, h ORDER BY user_id""")),
+
+    // ── DAU/WAU stickiness per day (the growth north-star "what share
+    //    of weekly actives came back today"): user-days collapse first
+    //    (the grain every active-user metric shares), WAU(d) = distinct
+    //    users over [d−6, d] computed EXACTLY by fanning each user-day
+    //    to the 7 trailing days it supports — a bounded ×7 map-side
+    //    explode + two hash aggregates, no sliding distinct window, no
+    //    HLL approximation; stickiness = one IEEE division. Days without
+    //    a full 7-day lookback still report (their WAU window clips at
+    //    the dataset start). ───────────────────────────────────────────
+    QueryDef("agg_stickiness_dau_wau",
+      (s, dir) => {
+        import s.implicits._
+        val userDays = Tables.load(s, dir, "events")
+          .selectExpr("user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d")
+          .distinct()
+        val dau = userDays.groupBy($"d").agg(count(lit(1)).as("dau"))
+        val span = userDays.agg(min($"d").as("d_min"), max($"d").as("d_max"))
+        val wau = userDays
+          .select($"user_id", explode(sequence($"d", $"d" + 6L)).as("wd"))
+          .distinct()
+          .groupBy($"wd").agg(count(lit(1)).as("wau"))
+        dau.join(wau, $"d" === $"wd")
+          .crossJoin(broadcast(span))
+          .filter($"d" <= $"d_max")
+          .select($"d".as("day"), $"dau", $"wau",
+            ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+          .orderBy($"day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+          FROM events),
+        dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+        sp AS (SELECT max(d) AS d_max FROM ud),
+        f AS (SELECT DISTINCT user_id, d + x AS wd
+          FROM ud, (SELECT unnest(range(0, 7)) AS x)),
+        wau AS (SELECT wd, CAST(count(*) AS BIGINT) AS wau FROM f GROUP BY wd)
+        SELECT dau.d AS day, dau.dau, wau.wau,
+          CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.wd, sp
+        WHERE dau.d <= sp.d_max
+        ORDER BY day""")),
+
+    // ── Event→order attribution within a 7-day window (cross-table
+    //    marketing attribution: which event types precede orders?): each
+    //    purchase-intent event claims the same customer's orders placed
+    //    in (event day, event day + 7]. The fixtures' clocks differ
+    //    (TPC-H orders live in 1992–98, events in 2024), so order days
+    //    map onto the event month via 19723 + o_d mod 30 — a pure
+    //    simulation alignment, identical arithmetic in both engines.
+    //    The temporal join runs BANDED —
+    //    both sides key on (custkey, day DIV 8) and each event probes
+    //    its own and the NEXT band, so the range predicate only filters
+    //    within ≤2 co-partitioned buckets per event: the standard way a
+    //    100 TB time-range join avoids a range-explosion or BNLJ. ───────
+    QueryDef("join_event_order_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "view", "signup"))
+          .selectExpr("user_id AS custkey", "event_type",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS e_d")
+        val ord = Tables.load(s, dir, "orders")
+          .selectExpr("o_custkey AS custkey", "o_orderkey",
+            """19723L + pmod(CAST(CAST(o_orderdate AS DATE)
+               - DATE '1970-01-01' AS BIGINT), 30) AS o_d""",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        val evb = ev.select($"custkey", $"event_type", $"e_d",
+          explode(array(expr("e_d DIV 8"), expr("e_d DIV 8 + 1"))).as("band"))
+        val ordb = ord.withColumn("band", expr("o_d DIV 8"))
+        evb.join(ordb, Seq("custkey", "band"))
+          .filter($"o_d" > $"e_d" && $"o_d" <= $"e_d" + 7)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_attributed"),
+            expr("CAST(count(DISTINCT o_orderkey) AS BIGINT)")
+              .as("n_distinct_orders"),
+            sum($"cents").as("attributed_cents"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id AS custkey, event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS e_d
+          FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        ord AS (SELECT o_custkey AS custkey, o_orderkey,
+            19723 + (CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+              AS BIGINT) % 30) AS o_d,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+        SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n_attributed,
+          CAST(count(DISTINCT ord.o_orderkey) AS BIGINT) AS n_distinct_orders,
+          CAST(sum(ord.cents) AS BIGINT) AS attributed_cents
+        FROM ev JOIN ord ON ev.custkey = ord.custkey
+          AND ord.o_d > ev.e_d AND ord.o_d <= ev.e_d + 7
+        GROUP BY ev.event_type ORDER BY event_type"""))
   )
 }

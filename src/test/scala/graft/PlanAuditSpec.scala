@@ -332,7 +332,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // time decay / purchase overdue / importance weights: the 1-row
     // broadcast anchor/horizon/total recombines
     "agg_time_decay_score", "agg_purchase_overdue",
-    "pipeline_importance_weights")
+    "pipeline_importance_weights",
+    // stickiness: the 1-row broadcast horizon recombine
+    "agg_stickiness_dau_wau")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -540,6 +540,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_stickiness_dau_wau: DAU <= WAU and stickiness in (0, 1]") {
+    val rows = run("agg_stickiness_dau_wau")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau >= 1 && dau <= wau, "daily actives are a subset of weekly")
+      assert(st == dau.toDouble / wau.toDouble && st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("join_event_order_attribution: banded join equals the plain range join") {
+    import org.apache.spark.sql.functions._
+    val rows = run("join_event_order_attribution")
+    assert(rows.nonEmpty && rows.map(_.getLong(1)).sum > 0,
+      "attribution must find orders in the mapped window")
+    // replay WITHOUT banding: the band optimization must be lossless
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .selectExpr("user_id AS custkey", "event_type",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS e_d")
+    val ord = Tables.load(spark, dir, "orders")
+      .selectExpr("o_custkey AS custkey", "o_orderkey",
+        """19723L + pmod(CAST(CAST(o_orderdate AS DATE)
+           - DATE '1970-01-01' AS BIGINT), 30) AS o_d""")
+    val plain = ev.join(ord, Seq("custkey"))
+      .filter(col("o_d") > col("e_d") && col("o_d") <= col("e_d") + 7)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == plain(r.getString(0)),
+        s"banding dropped/duplicated pairs for ${r.getString(0)}")
+    }
+  }
+
   test("text_readability: counts match Java regex replay and band matches score") {
     val rows = run("text_readability")
     val texts = Tables.load(spark, dir, "documents")
