@@ -4408,6 +4408,131 @@ object RelationalQueries extends QueryModule {
           CAST(sum(ord.cents) AS BIGINT) AS attributed_cents
         FROM ev JOIN ord ON ev.custkey = ord.custkey
           AND ord.o_d > ev.e_d AND ord.o_d <= ev.e_d + 7
-        GROUP BY ev.event_type ORDER BY event_type"""))
+        GROUP BY ev.event_type ORDER BY event_type""")),
+
+    // ── χ² test of independence + Cramér's V over segment × nation (the
+    //    feature-selection screen "does this categorical carry signal"),
+    //    TRANSCENDENTAL-FREE: the per-cell statistic is rewritten from
+    //    (O−E)²/E with E=r·c/N into (O·N − r·c)²/(N·r·c) — a ratio of
+    //    exact BIGINT products (d=O·N−r·c stays exact through 2^53 ≈
+    //    N·O of 9e15, far past any per-executor contingency), each term
+    //    one IEEE multiply+divide (bit-identical in any engine), and the
+    //    cell terms fold in (segment, nation) order via
+    //    sort_array(collect_list) ≡ DuckDB list(ORDER BY)+list_reduce so
+    //    the double SUM is order-pinned. Cramér's V = sqrt(χ²/(N·min(r,c)
+    //    −N)) — sqrt is IEEE-754 correctly rounded everywhere, unlike
+    //    ln/exp whose libm ULPs would break the hash. Scale shape: two
+    //    hash aggregates down to a |segments|×|nations| ≤ 125-cell
+    //    contingency; margins broadcast back onto cells; the ordered
+    //    fold runs on ≤125 rows. ──────────────────────────────────────
+    QueryDef("agg_chi_square_cramers",
+      (s, dir) => {
+        import s.implicits._
+        val cells = Tables.load(s, dir, "customer")
+          .join(broadcast(Tables.load(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_mktsegment".as("seg"), $"n_name".as("nm"))
+          .agg(count(lit(1)).as("o"))
+        val rowTot = cells.groupBy($"seg").agg(sum($"o").as("r_tot"))
+        val colTot = cells.groupBy($"nm").agg(sum($"o").as("c_tot"))
+        val grand = cells.agg(sum($"o").as("n"),
+          expr("CAST(count(DISTINCT seg) AS BIGINT)").as("r_levels"),
+          expr("CAST(count(DISTINCT nm) AS BIGINT)").as("c_levels"))
+        cells
+          .join(broadcast(rowTot), Seq("seg"))
+          .join(broadcast(colTot), Seq("nm"))
+          .crossJoin(broadcast(grand))
+          .select($"seg", $"nm", $"n", $"r_levels", $"c_levels",
+            (($"o" * $"n" - $"r_tot" * $"c_tot").cast("double")
+              * ($"o" * $"n" - $"r_tot" * $"c_tot").cast("double")
+              / ($"n" * $"r_tot" * $"c_tot").cast("double")).as("term"))
+          .groupBy($"n", $"r_levels", $"c_levels")
+          .agg(aggregate(
+            sort_array(collect_list(struct($"seg", $"nm", $"term"))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"))
+          .select($"n", $"r_levels", $"c_levels",
+            (($"r_levels" - 1) * ($"c_levels" - 1)).as("dof"),
+            $"chi2",
+            sqrt($"chi2" / ($"n" * (least($"r_levels", $"c_levels") - 1))
+              .cast("double")).as("cramers_v"))
+      },
+      Some("""WITH cells AS (SELECT c_mktsegment AS seg, n_name AS nm,
+            CAST(count(*) AS BIGINT) AS o
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY seg),
+        ct AS (SELECT nm, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY nm),
+        g AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+            CAST(count(DISTINCT seg) AS BIGINT) AS r_levels,
+            CAST(count(DISTINCT nm) AS BIGINT) AS c_levels FROM cells),
+        terms AS (SELECT cells.seg, cells.nm, g.n, g.r_levels, g.c_levels,
+            CAST(cells.o * g.n - rt.r_tot * ct.c_tot AS DOUBLE)
+              * CAST(cells.o * g.n - rt.r_tot * ct.c_tot AS DOUBLE)
+              / CAST(g.n * rt.r_tot * ct.c_tot AS DOUBLE) AS term
+          FROM cells JOIN rt USING (seg) JOIN ct USING (nm) CROSS JOIN g),
+        agg AS (SELECT n, r_levels, c_levels,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(term ORDER BY seg, nm)), (a, b) -> a + b) AS chi2
+          FROM terms GROUP BY n, r_levels, c_levels)
+        SELECT n, r_levels, c_levels,
+          (r_levels - 1) * (c_levels - 1) AS dof, chi2,
+          sqrt(chi2 / CAST(n * (least(r_levels, c_levels) - 1) AS DOUBLE))
+            AS cramers_v
+        FROM agg""")),
+
+    // ── 2-D Pareto skyline over part (minimize price, maximize size):
+    //    the "non-dominated frontier" every multi-objective ranking
+    //    needs, computed WITHOUT the textbook global sort. Decompose by
+    //    value-range bucket on price (width from a broadcast 1-row
+    //    min/max — deterministic, no sampling): a point's dominators at
+    //    strictly lower price split into (a) prior buckets — covered by
+    //    the prefix max of per-bucket size maxima, a ≤33-row self-join,
+    //    broadcast back — and (b) its own bucket — a PARTITIONED window
+    //    (rangeBetween −∞..−1 on price) so no executor ever sees more
+    //    than one bucket. Equal-price dominators need strictly greater
+    //    size: a second partitioned max window over (bucket, price).
+    //    survivor ⟺ max(prior, in-bucket) < size ∧ equal-price max ==
+    //    size. Everything is exact integer compares — the oracle is the
+    //    textbook NOT EXISTS dominance scan. At 100 TB: one shuffle on
+    //    bucket, windows stay within buckets, frontier ordered by its
+    //    unique price key. ─────────────────────────────────────────────
+    QueryDef("sort_pareto_skyline",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.load(s, dir, "part")
+          .selectExpr("p_partkey",
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS cents",
+            "p_size")
+        val span = p.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+        val b = p.crossJoin(broadcast(span))
+          .withColumn("w", greatest(lit(1L), ($"hi" - $"lo") / 32 + 1))
+          .withColumn("bucket", ($"cents" - $"lo") / $"w")
+          .drop("lo", "hi", "w")
+        val bmax = b.groupBy($"bucket").agg(max($"p_size").as("bmax"))
+        val pref = bmax.as("b1")
+          .join(bmax.as("b2"), $"b2.bucket" < $"b1.bucket", "left")
+          .groupBy($"b1.bucket".as("bucket"))
+          .agg(max($"b2.bmax").as("prior_max"))
+        val wLt = Window.partitionBy($"bucket").orderBy($"cents")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy($"bucket", $"cents")
+        b.join(broadcast(pref), Seq("bucket"))
+          .withColumn("in_max", max($"p_size").over(wLt))
+          .withColumn("eq_max", max($"p_size").over(wEq))
+          .filter(coalesce(greatest($"in_max", $"prior_max"),
+              $"in_max", $"prior_max", lit(Int.MinValue)) < $"p_size"
+            && $"eq_max" === $"p_size")
+          .select($"p_partkey", $"cents", $"p_size")
+          .orderBy($"cents", $"p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+            CAST(round(p_retailprice * 100) AS BIGINT) AS cents, p_size
+          FROM part)
+        SELECT p_partkey, cents, p_size FROM p pp
+        WHERE NOT EXISTS (SELECT 1 FROM p q
+          WHERE q.cents <= pp.cents AND q.p_size >= pp.p_size
+            AND (q.cents < pp.cents OR q.p_size > pp.p_size))
+        ORDER BY cents, p_partkey"""))
   )
 }

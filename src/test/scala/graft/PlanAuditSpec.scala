@@ -334,7 +334,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_time_decay_score", "agg_purchase_overdue",
     "pipeline_importance_weights",
     // stickiness: the 1-row broadcast horizon recombine
-    "agg_stickiness_dau_wau")
+    "agg_stickiness_dau_wau",
+    // chi-square: the 1-row broadcast N/levels recombine onto the
+    // ≤|segments|×|nations| contingency cells
+    "agg_chi_square_cramers",
+    // pareto skyline: ≤33-row bucket-maxima self-join on bucket<bucket
+    // for the prefix max (both sides broadcast-tiny), plus the 1-row
+    // min/max span recombine
+    "sort_pareto_skyline")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -597,4 +597,55 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(r.getString(5) == want, s"doc $id band")
     }
   }
+
+  test("agg_chi_square_cramers equals the textbook (O-E)^2/E sum") {
+    import org.apache.spark.sql.functions.col
+    val rows = run("agg_chi_square_cramers")
+    assert(rows.length == 1)
+    val obs = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment", "n_name").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val n = obs.values.sum
+    val rTot = obs.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cTot = obs.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    // naive textbook form in full double precision — the distributed
+    // integer-rewritten terms must agree to float tolerance (exact
+    // bitwise equality is the ORACLE's job; this pins the algebra)
+    val chi2Naive = obs.map { case ((s0, nm), o) =>
+      val e = rTot(s0).toDouble * cTot(nm).toDouble / n
+      (o - e) * (o - e) / e
+    }.sum
+    val r = rows.head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == rTot.size && r.getLong(2) == cTot.size)
+    assert(r.getLong(3) == (rTot.size - 1).toLong * (cTot.size - 1))
+    assert(math.abs(r.getDouble(4) - chi2Naive) < 1e-9 * (1 + chi2Naive),
+      s"chi2 ${r.getDouble(4)} vs naive $chi2Naive")
+    val v = math.sqrt(r.getDouble(4) / (n * (math.min(rTot.size, cTot.size) - 1)))
+    assert(r.getDouble(5) == v)
+  }
+
+  test("sort_pareto_skyline equals the quadratic dominance scan") {
+    val pts = Tables.load(spark, dir, "part")
+      .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
+        "p_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = pts.filter { case (_, c, sz) =>
+      !pts.exists { case (_, qc, qs) =>
+        qc <= c && qs >= sz && (qc < c || qs > sz)
+      }
+    }.map(t => (t._2, t._1)).sorted.map(t => (t._2, t._1))
+    val rows = run("sort_pareto_skyline")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == expected.toSeq.map(t => (t._1, t._2)))
+    // frontier sanity: strictly increasing size along increasing price
+    val sky = run("sort_pareto_skyline").map(r => (r.getLong(1), r.getInt(2)))
+    sky.sliding(2).foreach {
+      case Array((c1, s1), (c2, s2)) => assert(c1 < c2 && s1 < s2)
+      case _ =>
+    }
+  }
 }
