@@ -3756,7 +3756,214 @@ object PipelineQueries extends QueryModule {
           CAST(n_total * 1000000 // (k * n_lang) AS BIGINT) AS w_x1e6,
           CAST(n_total * 1000000 // (k * n_lang) AS BIGINT) * n_lang
             AS lang_mass_x1e6
-        FROM pl, t ORDER BY lang"""))
+        FROM pl, t ORDER BY lang""")),
+
+    // ── Out-of-fold m-estimate target encoding (the leak-free way to
+    //    turn a categorical into a numeric feature: each fold's rows are
+    //    encoded from statistics that EXCLUDE the fold, so the feature
+    //    never sees its own label): fold = ascii(md5 nibble) mod 5 — a
+    //    pure function of the key, identical in any engine; enc(c,f) =
+    //    (S_c − S_cf + m·prior_f) / (N_c − N_cf + m) with prior_f the
+    //    out-of-fold GLOBAL mean and m=20. All inputs are exact BIGINT
+    //    cent sums; the handful of IEEE ops per output cell run in the
+    //    same literal order in both engines. Scale shape: one (cat,fold)
+    //    hash aggregate (|cats|×5 cells), margins equi-joined back,
+    //    1-row global broadcast — nothing row-scaled ever recombines. ──
+    QueryDef("pipeline_target_encode_oof",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.load(s, dir, "orders")
+          .select($"o_orderpriority".as("cat"),
+            expr("CAST(ascii(substring(md5(CAST(o_orderkey AS STRING)), 1, 1)) % 5 AS BIGINT)")
+              .as("fold"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val cf = t.groupBy($"cat", $"fold")
+          .agg(count(lit(1)).as("n_cf"), sum($"cents").as("s_cf"))
+        val c = t.groupBy($"cat")
+          .agg(count(lit(1)).as("n_c"), sum($"cents").as("s_c"))
+        val f = t.groupBy($"fold")
+          .agg(count(lit(1)).as("n_f"), sum($"cents").as("s_f"))
+        val g = t.agg(count(lit(1)).as("n_tot"), sum($"cents").as("s_tot"))
+        cf.join(c, Seq("cat")).join(f, Seq("fold"))
+          .crossJoin(broadcast(g))
+          .select($"cat", $"fold", $"n_cf".as("n_in"),
+            ($"n_c" - $"n_cf").as("n_out"),
+            when($"n_c" - $"n_cf" > 0,
+              ($"s_c" - $"s_cf").cast("double")
+                / ($"n_c" - $"n_cf").cast("double")).as("mean_out"),
+            ((($"s_c" - $"s_cf").cast("double")
+                + lit(20.0) * (($"s_tot" - $"s_f").cast("double")
+                  / ($"n_tot" - $"n_f").cast("double")))
+              / ($"n_c" - $"n_cf" + 20L).cast("double")).as("enc"))
+          .orderBy($"cat", $"fold")
+      },
+      Some("""WITH t AS (SELECT o_orderpriority AS cat,
+            CAST(ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 5 AS BIGINT) AS fold,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        cf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_cf,
+            CAST(sum(cents) AS BIGINT) AS s_cf FROM t GROUP BY cat, fold),
+        c AS (SELECT cat, CAST(count(*) AS BIGINT) AS n_c,
+            CAST(sum(cents) AS BIGINT) AS s_c FROM t GROUP BY cat),
+        f AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_f,
+            CAST(sum(cents) AS BIGINT) AS s_f FROM t GROUP BY fold),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+            CAST(sum(cents) AS BIGINT) AS s_tot FROM t)
+        SELECT cf.cat, cf.fold, cf.n_cf AS n_in, c.n_c - cf.n_cf AS n_out,
+          CASE WHEN c.n_c - cf.n_cf > 0 THEN
+            CAST(c.s_c - cf.s_cf AS DOUBLE) / CAST(c.n_c - cf.n_cf AS DOUBLE)
+          END AS mean_out,
+          (CAST(c.s_c - cf.s_cf AS DOUBLE)
+              + 20.0 * (CAST(g.s_tot - f.s_f AS DOUBLE)
+                / CAST(g.n_tot - f.n_f AS DOUBLE)))
+            / CAST(c.n_c - cf.n_cf + 20 AS DOUBLE) AS enc
+        FROM cf JOIN c USING (cat) JOIN f USING (fold) CROSS JOIN g
+        ORDER BY cat, fold""")),
+
+    // ── Per-group robust feature scaling (the winsorize + median/IQR
+    //    normalization every numeric feature gets before training —
+    //    immune to the outliers that wreck mean/stddev z-scores): per
+    //    language, exact p05/p25/p50/p75/p95 of n_chars in ONE percentile
+    //    aggregate (Spark `percentile` ≡ DuckDB `quantile_cont`, shared
+    //    PERCENTILE_CONT interpolation — bit-identical doubles), clip to
+    //    [p05, p95], robust z = (clip − median)/IQR, null when IQR = 0.
+    //    Scale shape: one hash aggregate to |langs| rows broadcast back
+    //    onto the scan — no window, no sort, no second pass over rows. ──
+    QueryDef("pipeline_robust_scale",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        val st = d.groupBy($"lang")
+          .agg(expr("percentile(n_chars, array(0.05D, 0.25D, 0.5D, 0.75D, 0.95D))")
+            .as("qs"))
+          .select($"lang", $"qs"(0).as("p05"), $"qs"(1).as("p25"),
+            $"qs"(2).as("p50"), $"qs"(3).as("p75"), $"qs"(4).as("p95"))
+        d.join(broadcast(st), Seq("lang"))
+          .select($"doc_id", $"lang", $"n_chars",
+            least(greatest($"n_chars".cast("double"), $"p05"), $"p95")
+              .as("clipped"),
+            when($"p75" - $"p25" > 0,
+              (least(greatest($"n_chars".cast("double"), $"p05"), $"p95")
+                - $"p50") / ($"p75" - $"p25")).as("robust_z"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH st AS (SELECT lang,
+            quantile_cont(n_chars, [0.05, 0.25, 0.5, 0.75, 0.95]) AS qs
+          FROM documents GROUP BY lang),
+        q AS (SELECT lang, qs[1] AS p05, qs[2] AS p25, qs[3] AS p50,
+            qs[4] AS p75, qs[5] AS p95 FROM st)
+        SELECT d.doc_id, d.lang, d.n_chars,
+          least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95) AS clipped,
+          CASE WHEN q.p75 - q.p25 > 0 THEN
+            (least(greatest(CAST(d.n_chars AS DOUBLE), q.p05), q.p95) - q.p50)
+              / (q.p75 - q.p25)
+          END AS robust_z
+        FROM documents d JOIN q USING (lang) ORDER BY d.doc_id""")),
+
+    // ── LSH tuning eval: EMPIRICAL precision/recall of a banded-minhash
+    //    candidate stage against exact-Jaccard ground truth on a bounded
+    //    deterministic sample — the harness that answers "are my
+    //    bands×rows right for this corpus" before a 100 TB run. Unlike
+    //    the production minhash path (xxhash permutations, not SQL-
+    //    replayable), this eval's 16 permutations are md5(i ++ shingle)
+    //    mins — bit-identical in any engine, so the ORACLE replays the
+    //    whole algorithm: candidates = pairs sharing any of 4 bands of
+    //    4 concatenated mins; truth = exact Jaccard ≥ 0.8 (the
+    //    ngramJaccardPairs machinery on the Spark side, brute SQL in
+    //    DuckDB). Sample stride = max(1, n DIV 256) keeps the sample
+    //    ≤ ~512 docs at ANY corpus size, so the quadratic truth stage is
+    //    a bounded eval cost, never a scale wall (same posture as the
+    //    capped dedup_embedding_cosine baseline). Metrics are integer
+    //    counts + two IEEE divisions. ───────────────────────────────────
+    QueryDef("dedup_lsh_eval",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val cnt = docs.agg(count(lit(1)).as("n_docs"))
+        val sample = docs.crossJoin(broadcast(cnt))
+          .filter(pmod($"doc_id", expr("greatest(1L, n_docs DIV 256)")) === 0)
+          .select($"doc_id", $"text")
+        val shs = sample.select($"doc_id",
+          expr("""explode(transform(
+              sequence(1, greatest(size(split(lower(trim(text)), '\\s+')) - 2, 1)),
+              i -> array_join(slice(split(lower(trim(text)), '\\s+'), i, 3), ' ')))""")
+            .as("sh0"))
+        val minh = shs.groupBy($"doc_id")
+          .agg(min(md5(concat(lit("1|"), $"sh0"))).as("m1"),
+            (2 to 16).map(i =>
+              min(md5(concat(lit(s"$i|"), $"sh0"))).as(s"m$i")): _*)
+        val banded = minh.select($"doc_id", explode(array(
+            (0 until 4).map(b => struct(lit(b).as("band"),
+              concat((1 to 4).map(r => col(s"m${4 * b + r}")): _*).as("key"))): _*))
+            .as("bk"))
+          .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+        val cand = banded.as("a")
+          .join(banded.as("b"), col("a.band") === col("b.band")
+            && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val truth = Dedup.ngramJaccardPairs(sample, "doc_id", "text",
+            threshold = 0.8)
+          .select($"doc_a", $"doc_b")
+        val tp = cand.join(truth, Seq("doc_a", "doc_b"))
+        sample.agg(count(lit(1)).as("n_sample"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+          .select($"n_sample", $"n_truth", $"n_cand", $"n_tp",
+            when($"n_cand" > 0,
+              $"n_tp".cast("double") / $"n_cand".cast("double"))
+              .as("precision"),
+            when($"n_truth" > 0,
+              $"n_tp".cast("double") / $"n_truth".cast("double"))
+              .as("recall"))
+      },
+      Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        smp AS (SELECT doc_id, text FROM documents, nd
+          WHERE doc_id % greatest(1, n_docs // 256) = 0),
+        t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS toks FROM smp),
+        shs AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+            FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS sh0
+          FROM t),
+        mh AS (SELECT doc_id,
+            min(md5('1|' || sh0)) AS m1, min(md5('2|' || sh0)) AS m2,
+            min(md5('3|' || sh0)) AS m3, min(md5('4|' || sh0)) AS m4,
+            min(md5('5|' || sh0)) AS m5, min(md5('6|' || sh0)) AS m6,
+            min(md5('7|' || sh0)) AS m7, min(md5('8|' || sh0)) AS m8,
+            min(md5('9|' || sh0)) AS m9, min(md5('10|' || sh0)) AS m10,
+            min(md5('11|' || sh0)) AS m11, min(md5('12|' || sh0)) AS m12,
+            min(md5('13|' || sh0)) AS m13, min(md5('14|' || sh0)) AS m14,
+            min(md5('15|' || sh0)) AS m15, min(md5('16|' || sh0)) AS m16
+          FROM shs GROUP BY doc_id),
+        bk AS (SELECT doc_id, 0 AS band, m1 || m2 || m3 || m4 AS key FROM mh
+          UNION ALL SELECT doc_id, 1, m5 || m6 || m7 || m8 FROM mh
+          UNION ALL SELECT doc_id, 2, m9 || m10 || m11 || m12 FROM mh
+          UNION ALL SELECT doc_id, 3, m13 || m14 || m15 || m16 FROM mh),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+            AND a.doc_id < b.doc_id),
+        sset AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+            FOR i IN generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+          FROM t),
+        truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sset a, sset b WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        tp AS (SELECT * FROM cand c WHERE EXISTS (SELECT 1 FROM truth t2
+          WHERE t2.doc_a = c.doc_a AND t2.doc_b = c.doc_b))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_sample,
+          (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+          (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+          (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_tp,
+          CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+            CAST((SELECT count(*) FROM tp) AS DOUBLE)
+              / CAST((SELECT count(*) FROM cand) AS DOUBLE) END AS precision,
+          CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+            CAST((SELECT count(*) FROM tp) AS DOUBLE)
+              / CAST((SELECT count(*) FROM truth) AS DOUBLE) END AS recall"""))
   )
 }
 

@@ -341,7 +341,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // pareto skyline: ≤33-row bucket-maxima self-join on bucket<bucket
     // for the prefix max (both sides broadcast-tiny), plus the 1-row
     // min/max span recombine
-    "sort_pareto_skyline")
+    "sort_pareto_skyline",
+    // target encoding: the 1-row broadcast global-sum recombine onto the
+    // |cats|×5 cell table
+    "pipeline_target_encode_oof",
+    // lsh eval: the 1-row corpus-count stride broadcast + three 1-row
+    // metric-count recombines (sample/candidate work is equi-joined)
+    "dedup_lsh_eval")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

