@@ -411,6 +411,81 @@ object DqQueries extends QueryModule {
         failed AS failed_records, total AS total_records,
         CASE WHEN total = 0 THEN 0.0 ELSE CAST(failed AS DOUBLE) / total END AS failure_rate,
         sql_condition
-      FROM r ORDER BY test_name"""))
+      FROM r ORDER BY test_name""")),
+
+    // ── Bloom-filter false-positive-rate audit (the empirical check
+    //    behind every bloom-pruned join / semi-join pushdown: is the
+    //    m-bits/k-hashes budget actually delivering its promised FPR on
+    //    THIS key distribution?): build a RELATIONAL bloom — the set of
+    //    distinct bit positions md5(j‖key) % 4096, j ∈ 1..3, over the
+    //    member set (custkeys that ordered) — then probe every true
+    //    negative (customers with no orders); a probe false-positives
+    //    iff all 3 of its rows find their position in the set (count
+    //    after the equi join vs the ≤4096-row broadcast position table —
+    //    duplicate positions within a probe count per-row, so the
+    //    all-present test stays a plain count). Reports empirical FPR
+    //    next to the fill-ratio theory value p³ — three IEEE ops.
+    //    Everything is md5-deterministic, so the oracle replays filter
+    //    construction and probing bit-for-bit. ──────────────────────────
+    QueryDef("dq_bloom_fpr_eval",
+      (s, dir) => {
+        import s.implicits._
+        val m = 4096L
+        def positions(key: org.apache.spark.sql.Column) =
+          array((1 to 3).map(j =>
+            pmod(conv(substring(md5(concat(lit(s"$j:"),
+              key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(m))): _*)
+        val members = Tables.load(s, dir, "orders")
+          .select($"o_custkey".as("key")).distinct()
+        val bits = members.select(explode(positions($"key")).as("pos"))
+          .distinct()
+        val negatives = Tables.load(s, dir, "customer")
+          .select($"c_custkey".as("key"))
+          .join(members, Seq("key"), "left_anti")
+        val fp = negatives
+          .select($"key", explode(positions($"key")).as("pos"))
+          .join(broadcast(bits), Seq("pos"))
+          .groupBy($"key").agg(count(lit(1)).as("nhit"))
+          .filter($"nhit" === 3)
+        members.agg(count(lit(1)).as("n_members"))
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+          .crossJoin(broadcast(negatives.agg(count(lit(1)).as("n_neg"))))
+          .crossJoin(broadcast(fp.agg(count(lit(1)).as("n_fp"))))
+          .select($"n_members", $"n_bits_set", $"n_neg", $"n_fp",
+            when($"n_neg" > 0,
+              $"n_fp".cast("double") / $"n_neg".cast("double"))
+              .as("fpr_empirical"),
+            ($"n_bits_set".cast("double") / lit(m.toDouble)).as("fill_ratio"),
+            (($"n_bits_set".cast("double") / lit(m.toDouble))
+              * ($"n_bits_set".cast("double") / lit(m.toDouble))
+              * ($"n_bits_set".cast("double") / lit(m.toDouble)))
+              .as("fpr_theory"))
+      },
+      Some(s"""WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        mh AS (SELECT key, md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS h
+          FROM mem, (SELECT unnest([1, 2, 3]) AS j)),
+        bits AS (SELECT DISTINCT ${OracleGen.md5PrefixExpr("h", 8)} % 4096 AS pos
+          FROM mh),
+        neg AS (SELECT c_custkey AS key FROM customer
+          WHERE c_custkey NOT IN (SELECT key FROM mem)),
+        nh AS (SELECT key, md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS h
+          FROM neg, (SELECT unnest([1, 2, 3]) AS j)),
+        np AS (SELECT key, ${OracleGen.md5PrefixExpr("h", 8)} % 4096 AS pos
+          FROM nh),
+        fp AS (SELECT key FROM np WHERE pos IN (SELECT pos FROM bits)
+          GROUP BY key HAVING count(*) = 3),
+        m AS (SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM mem) AS n_members,
+          (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+          (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_neg,
+          (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_fp)
+        SELECT n_members, n_bits_set, n_neg, n_fp,
+          CASE WHEN n_neg > 0 THEN CAST(n_fp AS DOUBLE) / CAST(n_neg AS DOUBLE)
+            END AS fpr_empirical,
+          CAST(n_bits_set AS DOUBLE) / 4096.0 AS fill_ratio,
+          (CAST(n_bits_set AS DOUBLE) / 4096.0)
+            * (CAST(n_bits_set AS DOUBLE) / 4096.0)
+            * (CAST(n_bits_set AS DOUBLE) / 4096.0) AS fpr_theory
+        FROM m"""))
   )
 }

@@ -4533,6 +4533,119 @@ object RelationalQueries extends QueryModule {
         WHERE NOT EXISTS (SELECT 1 FROM p q
           WHERE q.cents <= pp.cents AND q.p_size >= pp.p_size
             AND (q.cents < pp.cents OR q.p_size > pp.p_size))
-        ORDER BY cents, p_partkey"""))
+        ORDER BY cents, p_partkey""")),
+
+    // ── k-core peeling on the customer–supplier trade graph (the
+    //    community-trimming primitive: iteratively drop nodes with
+    //    degree < k until the dense core remains — spam/bot subgraph
+    //    mining, graph-based dedup seeding). FIXED 3 peel rounds, the
+    //    same bounded-iteration contract as graph_pagerank_fixed /
+    //    embed_kmeans: every round is one hash-agg degree count + two
+    //    shuffle SEMI joins against the ≥k survivor set — no driver
+    //    state, no convergence flag read back, deterministic at any
+    //    partitioning. Node ids disjoint by parity (cust·2 / supp·2+1);
+    //    undirected degrees via the doubled edge list. Output: surviving
+    //    nodes and their residual degree after round 3. ────────────────
+    QueryDef("graph_kcore_peel",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey")
+          .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+          .distinct()
+        var edges = e0.select($"a".as("src"), $"b".as("dst"))
+          .union(e0.select($"b".as("src"), $"a".as("dst")))
+        for (_ <- 1 to 3) {
+          val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+            .filter($"deg" >= 3).select($"src".as("node"))
+          edges = edges
+            .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
+            .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst")
+        }
+        edges.groupBy($"src").agg(count(lit(1)).as("degree"))
+          .select(
+            when($"src" % 2 === 0, lit("cust")).otherwise(lit("supp"))
+              .as("kind"),
+            expr("src DIV 2").as("key"), $"degree")
+          .orderBy($"kind", $"key")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a,
+            l_suppkey * 2 + 1 AS b
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        ed0 AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0),
+        a1 AS (SELECT src FROM ed0 GROUP BY src HAVING count(*) >= 3),
+        ed1 AS (SELECT src, dst FROM ed0 WHERE src IN (SELECT src FROM a1)
+          AND dst IN (SELECT src FROM a1)),
+        a2 AS (SELECT src FROM ed1 GROUP BY src HAVING count(*) >= 3),
+        ed2 AS (SELECT src, dst FROM ed1 WHERE src IN (SELECT src FROM a2)
+          AND dst IN (SELECT src FROM a2)),
+        a3 AS (SELECT src FROM ed2 GROUP BY src HAVING count(*) >= 3),
+        ed3 AS (SELECT src, dst FROM ed2 WHERE src IN (SELECT src FROM a3)
+          AND dst IN (SELECT src FROM a3)),
+        d AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+          FROM ed3 GROUP BY src)
+        SELECT CASE WHEN src % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+          src // 2 AS key, degree
+        FROM d ORDER BY kind, key""")),
+
+    // ── Theil–Sen robust trend per user (the outlier-immune slope the
+    //    OLS trend in agg_linreg_per_key is not): median of pairwise
+    //    slopes over each user's first 32 events — the cap turns the
+    //    textbook per-key quadratic into a bounded ≤496-pair cost per
+    //    user at ANY scale (the production estimator subsamples pairs;
+    //    a deterministic prefix cap is the reproducible form). Pair
+    //    generation is a self-equi-join on user_id (hash shuffle, rn <
+    //    rn and day-strictly-greater filtered in place — no BNLJ); the
+    //    median is the exact PERCENTILE_CONT interpolation shared by
+    //    both engines. Slopes are IEEE divisions of exact BIGINT
+    //    cent/day deltas. ──────────────────────────────────────────────
+    QueryDef("agg_theil_sen",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pts = Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 32)
+          .select($"user_id", $"d", $"y", $"rn")
+        val n = pts.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_points"))
+        val pairs = pts.as("p").join(pts.as("q"),
+            col("p.user_id") === col("q.user_id")
+              && col("p.rn") < col("q.rn") && col("q.d") > col("p.d"))
+          .select(col("p.user_id").as("user_id"),
+            ((col("q.y") - col("p.y")).cast("double")
+              / (col("q.d") - col("p.d")).cast("double")).as("slope"))
+        val sen = pairs.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("percentile(slope, 0.5D)").as("sen_slope"))
+        n.join(sen, Seq("user_id"))
+          .select($"user_id", $"n_points", $"n_pairs", $"sen_slope")
+          .orderBy($"user_id")
+      },
+      Some("""WITH p AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS y,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS rn
+          FROM events),
+        c AS (SELECT * FROM p WHERE rn <= 32),
+        n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points
+          FROM c GROUP BY user_id),
+        pr AS (SELECT a.user_id,
+            CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+          FROM c a JOIN c b ON a.user_id = b.user_id AND a.rn < b.rn
+            AND b.d > a.d),
+        sen AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+            quantile_cont(slope, 0.5) AS sen_slope FROM pr GROUP BY user_id)
+        SELECT n.user_id, n.n_points, sen.n_pairs, sen.sen_slope
+        FROM n JOIN sen USING (user_id) ORDER BY user_id"""))
   )
 }

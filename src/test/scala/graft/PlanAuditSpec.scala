@@ -347,7 +347,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_target_encode_oof",
     // lsh eval: the 1-row corpus-count stride broadcast + three 1-row
     // metric-count recombines (sample/candidate work is equi-joined)
-    "dedup_lsh_eval")
+    "dedup_lsh_eval",
+    // bloom fpr: three 1-row metric-count recombines (filter build and
+    // probe are equi joins against the ≤4096-row position table)
+    "dq_bloom_fpr_eval")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

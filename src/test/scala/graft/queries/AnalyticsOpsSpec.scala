@@ -628,6 +628,79 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == v)
   }
 
+  test("graph_kcore_peel equals the sequential 3-round peel") {
+    import org.apache.spark.sql.functions.col
+    val e0 = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("o_custkey * 2 AS a", "l_suppkey * 2 + 1 AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges: Set[(Long, Long)] =
+      (e0 ++ e0.map(t => (t._2, t._1))).toSet
+    for (_ <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size }
+      val alive = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+    }
+    val expected = edges.groupBy(_._1)
+      .map { case (k, es) => k -> es.size.toLong }
+    val rows = run("graph_kcore_peel")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val node = r.getLong(1) * 2 + (if (r.getString(0) == "supp") 1 else 0)
+      assert(r.getLong(2) == expected(node),
+        s"degree mismatch for ${r.getString(0)} ${r.getLong(1)}")
+    }
+  }
+
+  test("agg_theil_sen equals the naive pairwise-median replay") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS tsm", "event_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS y")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.take(32).map(t => (t._4, t._5)) }
+    val rows = run("agg_theil_sen")
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val ps = pts(u)
+      assert(r.getLong(1) == ps.length)
+      val slopes = (for {
+        i <- ps.indices; j <- (i + 1) until ps.length
+        if ps(j)._1 > ps(i)._1
+      } yield (ps(j)._2 - ps(i)._2).toDouble / (ps(j)._1 - ps(i)._1))
+        .sorted
+      assert(r.getLong(2) == slopes.length, s"user $u pair count")
+      // exact PERCENTILE_CONT median on the sorted slope list
+      val n = slopes.length
+      val med = if (n % 2 == 1) slopes(n / 2)
+        else slopes(n / 2 - 1) + (slopes(n / 2) - slopes(n / 2 - 1)) * 0.5
+      assert(r.getDouble(3) == med, s"user $u sen slope")
+    }
+  }
+
+  test("dq_bloom_fpr_eval: metric identities and theory formula") {
+    val rows = run("dq_bloom_fpr_eval")
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nm, bits, neg, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nm > 0 && bits > 0 && bits <= math.min(4096L, 3 * nm))
+    assert(fp <= neg)
+    if (neg > 0) assert(r.getDouble(4) == fp.toDouble / neg)
+    val p = bits.toDouble / 4096.0
+    assert(r.getDouble(5) == p && r.getDouble(6) == p * p * p)
+    // with a half-full filter the empirical rate should be within an
+    // order of magnitude of theory (loose sanity, not a statistics test)
+    if (neg >= 100 && p > 0.2)
+      assert(r.getDouble(4) <= math.min(1.0, 10 * p * p * p))
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
