@@ -3963,7 +3963,83 @@ object PipelineQueries extends QueryModule {
               / CAST((SELECT count(*) FROM cand) AS DOUBLE) END AS precision,
           CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
             CAST((SELECT count(*) FROM tp) AS DOUBLE)
-              / CAST((SELECT count(*) FROM truth) AS DOUBLE) END AS recall"""))
+              / CAST((SELECT count(*) FROM truth) AS DOUBLE) END AS recall""")),
+
+    // ── Simplified (centroid-based) silhouette per cluster — the
+    //    clustering-quality eval that tells you whether the k-means
+    //    cells embed_kmeans_* trains are actually separated: for each
+    //    vector, a = cosine distance to its OWN (argmax) centroid, b =
+    //    distance to the RUNNER-UP centroid — both read off one
+    //    |corpus|×32 routing pass as the rn=1/rn=2 sims, the same
+    //    broadcast-centroid scan every assignment already makes; s =
+    //    (b−a)/max(a,b). Per-cluster MEAN without float-order drift:
+    //    each s quantizes to ⌊s·10⁶⌋ BIGINT (per-row IEEE is bit-
+    //    identical in both engines; integer sums are associative), so
+    //    the aggregate is partitioning-proof — the collect_list-ordered
+    //    fold a double mean would need is unnecessary. Seeded lowest-id
+    //    centroids (the ivfIndex/kmeans quantizer convention) keep the
+    //    whole algorithm a pure function of the data → full SQL replay. ─
+    QueryDef("embed_silhouette",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val cent = v.orderBy($"vec_id").limit(32)
+          .select($"vec_id".as("cell"), $"embedding".as("ce"))
+        val w = Window.partitionBy($"vec_id")
+          .orderBy($"sim".desc, $"cell")
+        val sims = v.crossJoin(broadcast(cent))
+          .select($"vec_id", $"cell",
+            graft.functions.VectorFunctions
+              .cosineSim($"embedding", $"ce").as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+        val p = sims.groupBy($"vec_id")
+          .agg(max(when($"rn" === 1, $"cell")).as("own_cell"),
+            max(when($"rn" === 1, $"sim")).as("s1"),
+            max(when($"rn" === 2, $"sim")).as("s2"))
+        p.select($"own_cell".as("cell"),
+            when(greatest(lit(1.0) - $"s1", lit(1.0) - $"s2") > 0,
+              floor((((lit(1.0) - $"s2") - (lit(1.0) - $"s1"))
+                / greatest(lit(1.0) - $"s1", lit(1.0) - $"s2"))
+                * lit(1000000.0)).cast("long"))
+              .otherwise(lit(0L)).as("q"))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_members"),
+            sum($"q").as("sum_s_x1e6"))
+          .select($"cell", $"n_members", $"sum_s_x1e6",
+            ($"sum_s_x1e6".cast("double") / $"n_members".cast("double"))
+              .as("mean_s_x1e6"))
+          .orderBy($"cell")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM v) WHERE rn <= 32),
+        sims AS (SELECT q.vec_id, t.cell,
+            list_cosine_similarity(q.e, t.ce) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+          FROM v q CROSS JOIN cent t),
+        p AS (SELECT vec_id,
+            max(CASE WHEN rn = 1 THEN cell END) AS own_cell,
+            max(CASE WHEN rn = 1 THEN sim END) AS s1,
+            max(CASE WHEN rn = 2 THEN sim END) AS s2
+          FROM sims WHERE rn <= 2 GROUP BY vec_id),
+        sv AS (SELECT own_cell AS cell,
+            CASE WHEN greatest(1.0 - s1, 1.0 - s2) > 0
+              THEN CAST(floor((((1.0 - s2) - (1.0 - s1))
+                / greatest(1.0 - s1, 1.0 - s2)) * 1000000.0) AS BIGINT)
+              ELSE 0 END AS q
+          FROM p)
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(sum(q) AS BIGINT) AS sum_s_x1e6,
+          CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS mean_s_x1e6
+        FROM sv GROUP BY cell ORDER BY cell"""))
   )
 }
 

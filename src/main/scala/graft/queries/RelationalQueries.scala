@@ -4646,6 +4646,112 @@ object RelationalQueries extends QueryModule {
         sen AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
             quantile_cont(slope, 0.5) AS sen_slope FROM pr GROUP BY user_id)
         SELECT n.user_id, n.n_points, sen.n_pairs, sen.sen_slope
-        FROM n JOIN sen USING (user_id) ORDER BY user_id"""))
+        FROM n JOIN sen USING (user_id) ORDER BY user_id""")),
+
+    // ── OHLC bars per (user, day) — the canonical time-series
+    //    downsample — with ZERO windows: open/close are min_by/max_by
+    //    (DuckDB arg_min/arg_max) over a zero-padded (micros, event_id)
+    //    string key, i.e. order-INDEPENDENT aggregates that fold
+    //    map-side like any min/max, where the textbook row_number()
+    //    formulation would shuffle every row into per-key sorts. The
+    //    unique event_id suffix makes the key total, so first/last are
+    //    deterministic under any partitioning; high/low/volume are plain
+    //    extrema/sums of exact cents. ─────────────────────────────────
+    QueryDef("window_ohlc_bars",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"user_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            expr("""concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),
+                lpad(CAST(event_id AS STRING), 10, '0'))""").as("k"))
+          .groupBy($"user_id", $"d")
+          .agg(expr("min_by(c, k)").as("open_cents"),
+            max($"c").as("high_cents"), min($"c").as("low_cents"),
+            expr("max_by(c, k)").as("close_cents"),
+            count(lit(1)).as("n_events"), sum($"c").as("volume_cents"))
+          .orderBy($"user_id", $"d")
+      },
+      Some("""WITH t AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+              || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+          FROM events)
+        SELECT user_id, d, arg_min(c, k) AS open_cents,
+          max(c) AS high_cents, min(c) AS low_cents,
+          arg_max(c, k) AS close_cents,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(c) AS BIGINT) AS volume_cents
+        FROM t GROUP BY user_id, d ORDER BY user_id, d""")),
+
+    // ── SPC process-capability indices Cp/Cpk per event type (the
+    //    manufacturing-stats screen "is this metric inside spec and
+    //    centered"): variance by the CENTERED two-pass formula — anchor
+    //    m₀ = ⌊S/n⌋ from pass one, Σd and Σd² over d = c−m₀ in pass two
+    //    — so every integer stays inside BIGINT up to ~10⁹ rows per
+    //    group at 10⁵-cent spread (an in-plan raise_error envelope
+    //    guards beyond, the embed_pca_power pattern) instead of the
+    //    n·Σx²−S² form whose 10²⁵ intermediates outgrow any engine's
+    //    exact int. var = (Σd² − Σd²/n)/(n−1) in literal-order IEEE from
+    //    exact ints; σ = correctly-rounded sqrt; Cp=(USL−LSL)/6σ,
+    //    Cpk=min(USL−μ, μ−LSL)/3σ against fixed [0, 50000]-cent spec
+    //    limits. Two hash aggregates + a |types|-row broadcast join. ──
+    QueryDef("agg_cpk_capability",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val p1 = t.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"c").as("s0"))
+          .select($"event_type", $"n", $"s0",
+            when($"n" <= 800000000L, expr("s0 DIV n"))
+              .otherwise(expr("raise_error('cpk variance envelope: n > 8e8 per group')"))
+              .as("m0"))
+        t.join(broadcast(p1), Seq("event_type"))
+          .groupBy($"event_type", $"n", $"m0")
+          .agg(sum($"c" - $"m0").as("sd"),
+            sum(($"c" - $"m0") * ($"c" - $"m0")).as("q2"))
+          .select($"event_type", $"n",
+            (($"m0" * $"n" + $"sd").cast("double") / $"n".cast("double"))
+              .as("mean_cents"),
+            sqrt((($"q2".cast("double")
+                - $"sd".cast("double") * $"sd".cast("double")
+                  / $"n".cast("double"))
+              / ($"n" - 1).cast("double"))).as("sigma_cents"))
+          .select($"event_type", $"n", $"mean_cents", $"sigma_cents",
+            when($"sigma_cents" > 0,
+              lit(50000.0) / (lit(6.0) * $"sigma_cents")).as("cp"),
+            when($"sigma_cents" > 0,
+              least(lit(50000.0) - $"mean_cents", $"mean_cents" - lit(0.0))
+                / (lit(3.0) * $"sigma_cents")).as("cpk"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        p1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) AS s0 FROM t GROUP BY event_type),
+        p1m AS (SELECT event_type, n, s0, s0 // n AS m0 FROM p1),
+        p2 AS (SELECT t.event_type, p1m.n, p1m.m0,
+            CAST(sum(t.c - p1m.m0) AS BIGINT) AS sd,
+            CAST(sum((t.c - p1m.m0) * (t.c - p1m.m0)) AS BIGINT) AS q2
+          FROM t JOIN p1m USING (event_type)
+          GROUP BY t.event_type, p1m.n, p1m.m0),
+        st AS (SELECT event_type, n,
+            CAST(m0 * n + sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+            sqrt((CAST(q2 AS DOUBLE)
+                - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) AS sigma_cents
+          FROM p2)
+        SELECT event_type, n, mean_cents, sigma_cents,
+          CASE WHEN sigma_cents > 0
+            THEN 50000.0 / (6.0 * sigma_cents) END AS cp,
+          CASE WHEN sigma_cents > 0
+            THEN least(50000.0 - mean_cents, mean_cents - 0.0)
+              / (3.0 * sigma_cents) END AS cpk
+        FROM st ORDER BY event_type"""))
   )
 }

@@ -350,7 +350,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_lsh_eval",
     // bloom fpr: three 1-row metric-count recombines (filter build and
     // probe are equi joins against the ≤4096-row position table)
-    "dq_bloom_fpr_eval")
+    "dq_bloom_fpr_eval",
+    // silhouette: the corpus×32-centroid routing cross join (the
+    // topk_ivf/assignment shape against the broadcast centroid table)
+    "embed_silhouette")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

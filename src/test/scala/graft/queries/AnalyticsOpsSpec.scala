@@ -701,6 +701,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(r.getDouble(4) <= math.min(1.0, 10 * p * p * p))
   }
 
+  test("window_ohlc_bars equals the sequential first/last walk") {
+    val rows = run("window_ohlc_bars")
+    // eventSeries is (user -> cents in (ts, event_id) order) but loses
+    // the day split, so replay days independently
+    import org.apache.spark.sql.functions._
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS tsm", "event_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byBar = evs.groupBy(e => (e._1, e._4))
+    assert(rows.length == byBar.size)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val es = byBar(key).sortBy(e => (e._2, e._3))
+      assert(r.getLong(2) == es.head._5, s"$key open")
+      assert(r.getLong(3) == es.map(_._5).max, s"$key high")
+      assert(r.getLong(4) == es.map(_._5).min, s"$key low")
+      assert(r.getLong(5) == es.last._5, s"$key close")
+      assert(r.getLong(6) == es.length && r.getLong(7) == es.map(_._5).sum)
+    }
+  }
+
+  test("agg_cpk_capability equals the naive mean/stddev replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("agg_cpk_capability")
+    val by = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val cs = by(r.getString(0)).map(_._2)
+      val n = cs.length
+      assert(r.getLong(1) == n)
+      val mu = cs.sum.toDouble / n
+      // naive double variance vs the distributed centered-int form:
+      // equal to float tolerance (exactness is the oracle's job)
+      val v = cs.map(c => (c - mu) * (c - mu)).sum / (n - 1)
+      assert(math.abs(r.getDouble(2) - mu) < 1e-9 * (1 + math.abs(mu)))
+      assert(math.abs(r.getDouble(3) - math.sqrt(v)) < 1e-6 * (1 + math.sqrt(v)))
+      if (!r.isNullAt(4)) {
+        assert(r.getDouble(4) == 50000.0 / (6.0 * r.getDouble(3)))
+        assert(r.getDouble(5) ==
+          math.min(50000.0 - r.getDouble(2), r.getDouble(2) - 0.0)
+            / (3.0 * r.getDouble(3)))
+      }
+    }
+  }
+
+  test("embed_silhouette: memberships sum to corpus, scores in [-1e6, 1e6]") {
+    val rows = run("embed_silhouette")
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables.load(spark, dir, "embeddings").count()
+    assert(total == corpus, "every vector must land in exactly one cell")
+    rows.foreach { r =>
+      val (n, sum) = (r.getLong(1), r.getLong(2))
+      // s ∈ [-1, 1] ⇒ each quantized term in [-1e6, 1e6]
+      assert(sum >= -1000000L * n && sum <= 1000000L * n)
+      assert(r.getDouble(3) == sum.toDouble / n)
+      // a centroid's own vector has a = 0 ⇒ its cell (which contains at
+      // least that vector) can reach mean 1e6 but never exceed it
+      assert(r.getDouble(3) <= 1000000.0)
+    }
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
