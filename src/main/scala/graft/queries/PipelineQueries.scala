@@ -4039,7 +4039,59 @@ object PipelineQueries extends QueryModule {
           CAST(sum(q) AS BIGINT) AS sum_s_x1e6,
           CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
             AS mean_s_x1e6
-        FROM sv GROUP BY cell ORDER BY cell"""))
+        FROM sv GROUP BY cell ORDER BY cell""")),
+
+    // ── Embedding-space decontamination audit (the semantic sibling of
+    //    the n-gram pipeline_decontaminate: held-out eval items whose
+    //    near-vectors leaked into training): a deterministic stride
+    //    sample of ≤ ~65 vectors stands in for the eval set (1-row
+    //    count broadcast, the dedup_lsh_eval bound pattern); every
+    //    train vector scores against the broadcast eval set — a
+    //    |train|×|eval| map-side pass, nothing corpus-sized shuffles —
+    //    and each EVAL item reports how many train vectors sit at
+    //    cosine ≥ 0.9 plus the max sim observed (max over IEEE doubles,
+    //    order-independent). At real scale the eval set is the small
+    //    side by nature, so the broadcast shape is the production
+    //    shape, not a test shortcut. ────────────────────────────────────
+    QueryDef("pipeline_decontaminate_embed",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val cnt = v.agg(count(lit(1)).as("n_vecs"))
+        val strided = v.crossJoin(broadcast(cnt))
+          .withColumn("stride", expr("greatest(1L, n_vecs DIV 64)"))
+        val eval0 = strided.filter(pmod($"vec_id", $"stride") === 0)
+          .select($"vec_id".as("eval_id"), $"embedding".as("evec"))
+        val train = strided.filter(pmod($"vec_id", $"stride") =!= 0)
+          .select($"vec_id", $"embedding")
+        train.crossJoin(broadcast(eval0))
+          .select($"eval_id",
+            graft.functions.VectorFunctions
+              .cosineSim($"embedding", $"evec").as("sim"))
+          .groupBy($"eval_id")
+          .agg(count(lit(1)).as("n_train_scored"),
+            sum(when($"sim" >= 0.9, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            max($"sim").as("max_sim"))
+          .orderBy($"eval_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM v),
+        ev AS (SELECT vec_id AS eval_id, e AS evec FROM v, nd
+          WHERE vec_id % greatest(1, n_vecs // 64) = 0),
+        tr AS (SELECT vec_id, e FROM v, nd
+          WHERE vec_id % greatest(1, n_vecs // 64) <> 0),
+        sc AS (SELECT ev.eval_id,
+            list_cosine_similarity(tr.e, ev.evec) AS sim
+          FROM tr CROSS JOIN ev)
+        SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_scored,
+          CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+          max(sim) AS max_sim
+        FROM sc GROUP BY eval_id ORDER BY eval_id"""))
   )
 }
 

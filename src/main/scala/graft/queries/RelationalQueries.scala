@@ -4752,6 +4752,101 @@ object RelationalQueries extends QueryModule {
           CASE WHEN sigma_cents > 0
             THEN least(50000.0 - mean_cents, mean_cents - 0.0)
               / (3.0 * sigma_cents) END AS cpk
-        FROM st ORDER BY event_type"""))
+        FROM st ORDER BY event_type""")),
+
+    // ── Log₂-bucketed histogram per event type (the HdrHistogram shape
+    //    every latency/size dashboard uses: exponentially wider buckets,
+    //    constant relative error, FIXED ≤64 buckets at any data scale —
+    //    where an equi-width histogram needs a data-dependent domain
+    //    pass first, cf. agg_profile_histogram's broadcast min/max).
+    //    The bucket is length(bin(c)) = ⌊log₂ c⌋+1 — INTEGER bit-length,
+    //    not float log₂, whose libm ULP at exact powers of two would
+    //    flip boundary values between buckets differently per engine.
+    //    One hash aggregate, map-side combinable; bounds re-derived from
+    //    the bucket id by integer shifts. ───────────────────────────────
+    QueryDef("agg_log2_histogram",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .withColumn("bucket", length(bin($"c")).cast("int"))
+          .groupBy($"event_type", $"bucket")
+          .agg(count(lit(1)).as("n"), min($"c").as("lo_seen"),
+            max($"c").as("hi_seen"), sum($"c").as("sum_cents"))
+          .select($"event_type", $"bucket",
+            expr("CAST(CASE WHEN bucket = 1 THEN 0 ELSE shiftleft(1L, bucket - 1) END AS BIGINT)")
+              .as("bucket_lo"),
+            expr("CAST(shiftleft(1L, bucket) - 1 AS BIGINT)").as("bucket_hi"),
+            $"n", $"lo_seen", $"hi_seen", $"sum_cents")
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH t AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        b AS (SELECT event_type, CAST(length(bin(c)) AS INTEGER) AS bucket,
+            c FROM t)
+        SELECT event_type, bucket,
+          CAST(CASE WHEN bucket = 1 THEN 0 ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT)
+            AS bucket_lo,
+          CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS bucket_hi,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(min(c) AS BIGINT) AS lo_seen, CAST(max(c) AS BIGINT) AS hi_seen,
+          CAST(sum(c) AS BIGINT) AS sum_cents
+        FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket""")),
+
+    // ── Neighbor-set Jaccard between suppliers (the item–item
+    //    co-occurrence / link-prediction primitive: "suppliers serving
+    //    near-identical customer bases"): pair generation is the
+    //    inverted-index self-join on the shared customer — each customer
+    //    contributes deg² pairs, so customers with > 64 suppliers are
+    //    CAPPED OUT of the pair pass (the standard frequent-item cut in
+    //    co-occurrence mining; at 100 TB the hot customer is otherwise a
+    //    single-key quadratic) — degrees are computed on the SAME capped
+    //    edge set so the Jaccard stays internally consistent. shared /
+    //    (d₁+d₂−shared) is an exact integer ratio. ─────────────────────
+    QueryDef("graph_neighbor_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey")
+          .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
+          .distinct()
+        val keep = e0.groupBy($"cust").agg(count(lit(1)).as("dc"))
+          .filter($"dc" <= 64).select($"cust")
+        val e = e0.join(keep, Seq("cust"), "left_semi")
+        val deg = e.groupBy($"supp").agg(count(lit(1)).as("d"))
+        val shared = e.as("a").join(e.as("b"),
+            col("a.cust") === col("b.cust")
+              && col("a.supp") < col("b.supp"))
+          .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(deg.select($"supp".as("s1"), $"d".as("d1")), Seq("s1"))
+          .join(deg.select($"supp".as("s2"), $"d".as("d2")), Seq("s2"))
+          .withColumn("jaccard", $"shared".cast("double")
+            / ($"d1" + $"d2" - $"shared").cast("double"))
+          .filter($"jaccard" >= 0.25)
+          .select($"s1", $"s2", $"shared", $"d1", $"d2", $"jaccard")
+          .orderBy($"s1", $"s2")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey AS cust,
+            l_suppkey AS supp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        keep AS (SELECT cust FROM e0 GROUP BY cust HAVING count(*) <= 64),
+        e AS (SELECT * FROM e0 WHERE cust IN (SELECT cust FROM keep)),
+        deg AS (SELECT supp, CAST(count(*) AS BIGINT) AS d
+          FROM e GROUP BY supp),
+        sh AS (SELECT a.supp AS s1, b.supp AS s2,
+            CAST(count(*) AS BIGINT) AS shared
+          FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+          GROUP BY a.supp, b.supp),
+        j AS (SELECT sh.s1, sh.s2, sh.shared, d1.d AS d1, d2.d AS d2,
+            CAST(sh.shared AS DOUBLE)
+              / CAST(d1.d + d2.d - sh.shared AS DOUBLE) AS jaccard
+          FROM sh JOIN deg d1 ON sh.s1 = d1.supp
+            JOIN deg d2 ON sh.s2 = d2.supp)
+        SELECT s1, s2, shared, d1, d2, jaccard FROM j
+        WHERE jaccard >= 0.25 ORDER BY s1, s2"""))
   )
 }

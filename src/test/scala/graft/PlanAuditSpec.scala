@@ -353,7 +353,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_bloom_fpr_eval",
     // silhouette: the corpus×32-centroid routing cross join (the
     // topk_ivf/assignment shape against the broadcast centroid table)
-    "embed_silhouette")
+    "embed_silhouette",
+    // embed decontamination: the 1-row count stride broadcast + the
+    // |train|×≤65-eval-vector broadcast scoring pass
+    "pipeline_decontaminate_embed")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

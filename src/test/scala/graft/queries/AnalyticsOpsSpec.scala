@@ -768,6 +768,64 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_log2_histogram: bucket law, coverage, and bound consistency") {
+    val rows = run("agg_log2_histogram")
+    val total = rows.map(_.getLong(4)).sum
+    val corpus = Tables.load(spark, dir, "events").count()
+    assert(total == corpus, "buckets must partition the rows")
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      val (loSeen, hiSeen) = (r.getLong(5), r.getLong(6))
+      assert(lo == (if (b == 1) 0L else 1L << (b - 1)) && hi == (1L << b) - 1)
+      assert(loSeen >= lo && hiSeen <= hi && loSeen <= hiSeen,
+        s"bucket $b observed [$loSeen,$hiSeen] outside [$lo,$hi]")
+      // bit-length law on the observed extremes
+      assert(java.lang.Long.toBinaryString(hiSeen).length == b)
+    }
+  }
+
+  test("graph_neighbor_jaccard equals the naive co-occurrence replay") {
+    import org.apache.spark.sql.functions.col
+    val e0 = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = e0.groupBy(_._1).filter(_._2.length <= 64)
+    val adj = byCust.values.flatten.toSeq.groupBy(_._2)
+      .map { case (s0, es) => s0 -> es.map(_._1).toSet }
+    val expected = (for {
+      s1 <- adj.keys; s2 <- adj.keys if s1 < s2
+      shared = (adj(s1) & adj(s2)).size
+      if shared > 0
+      j = shared.toDouble / (adj(s1).size + adj(s2).size - shared)
+      if j >= 0.25
+    } yield (s1, s2) -> (shared, adj(s1).size, adj(s2).size, j)).toMap
+    val rows = run("graph_neighbor_jaccard")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val e = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == e._1 && r.getLong(3) == e._2
+        && r.getLong(4) == e._3)
+      assert(r.getDouble(5) == e._4)
+    }
+  }
+
+  test("pipeline_decontaminate_embed: counts partition and max_sim bounds") {
+    val rows = run("pipeline_decontaminate_embed")
+    val corpus = Tables.load(spark, dir, "embeddings").count()
+    val nEval = rows.length
+    assert(nEval >= 1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == corpus - nEval,
+        "every eval item scores the full train side")
+      assert(r.getLong(2) <= r.getLong(1))
+      val ms = r.getDouble(3)
+      assert(ms >= -1.0000001 && ms <= 1.0000001)
+      if (r.getLong(2) > 0) assert(ms >= 0.9)
+    }
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
