@@ -4091,7 +4091,59 @@ object PipelineQueries extends QueryModule {
           CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_contaminated,
           max(sim) AS max_sim
-        FROM sc GROUP BY eval_id ORDER BY eval_id"""))
+        FROM sc GROUP BY eval_id ORDER BY eval_id""")),
+
+    // ── ColBERT-style MaxSim late-interaction retrieval: documents and
+    //    the query are SETS of vectors (multi-vector representations —
+    //    groups of 4 consecutive vec_ids here; group 0 is the query),
+    //    score(q, d) = Σ_{qv∈q} max_{dv∈d} cos(qv, dv) — the late-
+    //    interaction operator single-vector sim_topk_* cannot express.
+    //    Shape: candidates stream once through the broadcast 4-row query
+    //    set (the same |corpus|×|Q| pass as sim_topk_brute), the inner
+    //    max folds order-INDEPENDENTLY in the (doc, qvec) hash
+    //    aggregate, and only the Σ over ≤4 qvec maxima — a bounded
+    //    per-doc list — runs as the position-ordered fold both engines
+    //    replay identically (sort_array ≡ list ORDER BY). Top-10 by
+    //    (score DESC, doc) through TakeOrdered. ─────────────────────────
+    QueryDef("sim_maxsim_colbert",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding",
+            expr("vec_id DIV 4").as("grp"),
+            pmod($"vec_id", lit(4L)).as("slot"))
+        val qv = v.filter($"grp" === 0)
+          .select($"slot".as("q_slot"), $"embedding".as("qvec"))
+        val inner = v.filter($"grp" > 0)
+          .crossJoin(broadcast(qv))
+          .groupBy($"grp".as("doc_group"), $"q_slot")
+          .agg(expr("CAST(count(DISTINCT vec_id) AS BIGINT)").as("nd"),
+            max(graft.functions.VectorFunctions
+              .cosineSim($"embedding", $"qvec")).as("maxsim"))
+        inner.groupBy($"doc_group")
+          .agg(max($"nd").as("n_dvecs"),
+            aggregate(
+              sort_array(collect_list(struct($"q_slot", $"maxsim"))),
+              lit(0.0), (acc, x) => acc + x.getField("maxsim")).as("score"))
+          .orderBy($"score".desc, $"doc_group")
+          .limit(10)
+          .select($"doc_group", $"n_dvecs", $"score")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            vec_id // 4 AS grp, vec_id % 4 AS slot FROM embeddings),
+        qv AS (SELECT slot AS q_slot, e AS qe FROM v WHERE grp = 0),
+        inner_max AS (SELECT d.grp AS doc_group, q.q_slot,
+            CAST(count(DISTINCT d.vec_id) AS BIGINT) AS nd,
+            max(list_cosine_similarity(d.e, q.qe)) AS maxsim
+          FROM v d CROSS JOIN qv q WHERE d.grp > 0
+          GROUP BY d.grp, q.q_slot),
+        sc AS (SELECT doc_group, max(nd) AS n_dvecs,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(maxsim ORDER BY q_slot)), (a, b) -> a + b) AS score
+          FROM inner_max GROUP BY doc_group)
+        SELECT doc_group, n_dvecs, score FROM sc
+        ORDER BY score DESC, doc_group LIMIT 10"""))
   )
 }
 

@@ -4847,6 +4847,46 @@ object RelationalQueries extends QueryModule {
           FROM sh JOIN deg d1 ON sh.s1 = d1.supp
             JOIN deg d2 ON sh.s2 = d2.supp)
         SELECT s1, s2, shared, d1, d2, jaccard FROM j
-        WHERE jaccard >= 0.25 ORDER BY s1, s2"""))
+        WHERE jaccard >= 0.25 ORDER BY s1, s2""")),
+
+    // ── Latency-SLO report per event type (the p50/p90/p99 + breach-rate
+    //    tile on every service dashboard): EXACT tail quantiles in one
+    //    percentile aggregate (Spark `percentile` ≡ DuckDB
+    //    `quantile_cont` interpolation — no t-digest error bars to
+    //    explain to an SLO auditor), breach counting fused into the same
+    //    hash aggregate, tail ratio p99/p50 one IEEE division. One scan,
+    //    one shuffle of |types| rows. The sketch-based siblings
+    //    (agg_approx_quantile_bounds) remain the 100 TB fast path; this
+    //    is the exact reference the sketches are audited against. ──────
+    QueryDef("agg_latency_slo_report",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(c, array(0.5D, 0.9D, 0.99D))").as("qs"),
+            sum(when($"c" > 20000L, 1L).otherwise(0L)).as("n_breach"))
+          .select($"event_type", $"n", $"qs"(0).as("p50"),
+            $"qs"(1).as("p90"), $"qs"(2).as("p99"),
+            $"n_breach",
+            ($"n_breach".cast("double") / $"n".cast("double"))
+              .as("breach_rate"),
+            when($"qs"(0) > 0, $"qs"(2) / $"qs"(0)).as("tail_ratio"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            quantile_cont(c, [0.5, 0.9, 0.99]) AS qs,
+            CAST(sum(CASE WHEN c > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_breach
+          FROM t GROUP BY event_type)
+        SELECT event_type, n, qs[1] AS p50, qs[2] AS p90, qs[3] AS p99,
+          n_breach,
+          CAST(n_breach AS DOUBLE) / CAST(n AS DOUBLE) AS breach_rate,
+          CASE WHEN qs[1] > 0 THEN qs[3] / qs[1] END AS tail_ratio
+        FROM g ORDER BY event_type"""))
   )
 }

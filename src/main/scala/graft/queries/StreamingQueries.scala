@@ -330,6 +330,32 @@ object StreamingQueries extends QueryModule {
         SELECT user_id, CAST(max(CASE WHEN qp = 1 THEN 3
             WHEN qc IS NOT NULL THEN 2
             WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INTEGER) AS stage
-        FROM w4 GROUP BY user_id ORDER BY user_id"""))
+        FROM w4 GROUP BY user_id ORDER BY user_id""")),
+
+    // OHLC candles — batch twin of the mapGroupsWithState candle state
+    // (Streaming.ohlcPerKeyStream; StreamingSpec pins snapshot parity
+    // including out-of-order cross-batch arrival, which the candle's
+    // order-independent min_by/max_by merge tolerates where the
+    // EWMA/CUSUM recurrences can't). Same aggregation as
+    // window_ohlc_bars, shaped through the shared Streaming.ohlcPerKey.
+    QueryDef("streaming_ohlc",
+      (s, dir) => Streaming.ohlcPerKey(
+          Tables.load(s, dir, "events").selectExpr("user_id",
+            "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+            "event_id", "unix_micros(ts) AS tsm",
+            "CAST(round(value * 100) AS BIGINT) AS c"))
+        .orderBy("user_id", "d"),
+      Some("""WITH t AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+              || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+          FROM events)
+        SELECT user_id, d, arg_min(c, k) AS open_cents,
+          max(c) AS high_cents, min(c) AS low_cents,
+          arg_max(c, k) AS close_cents,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(c) AS BIGINT) AS volume_cents
+        FROM t GROUP BY user_id, d ORDER BY user_id, d"""))
   )
 }

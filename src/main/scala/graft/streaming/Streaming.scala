@@ -732,4 +732,83 @@ object Streaming {
           FunnelStageOut(uid, st.stage)
       }
   }
+
+  // ── OHLC bars: order-independent per-(user, day) candle state ────────
+
+  final case class OhlcEvent(
+      user_id: Long, d: Long, event_id: Long, tsm: Long, c: Long)
+  /** One candle per (user, day): open/close carry their (tsm, event_id)
+    * anchor keys so min_by/max_by semantics survive any arrival order;
+    * all BIGINT, O(keys). */
+  final case class OhlcState(
+      openTsm: Long, openId: Long, openC: Long,
+      closeTsm: Long, closeId: Long, closeC: Long,
+      high: Long, low: Long, n: Long, vol: Long, lastEventId: Long)
+  final case class OhlcOut(
+      user_id: Long, d: Long, open_cents: Long, high_cents: Long,
+      low_cents: Long, close_cents: Long, n_events: Long,
+      volume_cents: Long)
+
+  /** Batch OHLC twin — the same zero-window min_by/max_by aggregation as
+    * the `window_ohlc_bars` registered query, factored so the streaming
+    * parity test and the batch twin share one definition. Input columns:
+    * (user_id, d, event_id, tsm, c).
+    */
+  def ohlcPerKey(events: DataFrame): DataFrame = {
+    events
+      .withColumn("k", concat(
+        lpad(col("tsm").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0")))
+      .groupBy(col("user_id"), col("d"))
+      .agg(expr("min_by(c, k)").as("open_cents"),
+        max(col("c")).as("high_cents"), min(col("c")).as("low_cents"),
+        expr("max_by(c, k)").as("close_cents"),
+        count(lit(1)).as("n_events"), sum(col("c")).as("volume_cents"))
+  }
+
+  /** Streaming OHLC (`mapGroupsWithState`, update mode): unlike the
+    * EWMA/CUSUM recurrences, a candle is ORDER-INDEPENDENT once open and
+    * close carry their (tsm, event_id) anchor keys — the state merge is
+    * a commutative min_by/max_by fold, so cross-batch arrival order
+    * never changes the final snapshot (no monotone-arrival assumption
+    * for correctness of the candle itself). The one stateful guard is
+    * replay: events at or below the state's last folded event_id are
+    * skipped (at-least-once sink safety), which — as in the EWMA op —
+    * assumes per-key id-monotone arrival for exactness under replay.
+    */
+  def ohlcPerKeyStream(events: DataFrame): Dataset[OhlcOut] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events.select(col("user_id"), col("d"), col("event_id"),
+        col("tsm"), col("c"))
+      .as[OhlcEvent]
+      .groupByKey(e => (e.user_id, e.d))
+      .mapGroupsWithState[OhlcState, OhlcOut](GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[OhlcEvent], state: GroupState[OhlcState]) =>
+          var st = state.getOption.getOrElse(OhlcState(
+            Long.MaxValue, Long.MaxValue, 0L,
+            Long.MinValue, Long.MinValue, 0L,
+            Long.MinValue, Long.MaxValue, 0L, 0L, Long.MinValue))
+          it.toArray.sortBy(_.event_id).foreach { e =>
+            if (e.event_id > st.lastEventId) {
+              val opens = e.tsm < st.openTsm ||
+                (e.tsm == st.openTsm && e.event_id < st.openId)
+              val closes = e.tsm > st.closeTsm ||
+                (e.tsm == st.closeTsm && e.event_id > st.closeId)
+              st = OhlcState(
+                if (opens) e.tsm else st.openTsm,
+                if (opens) e.event_id else st.openId,
+                if (opens) e.c else st.openC,
+                if (closes) e.tsm else st.closeTsm,
+                if (closes) e.event_id else st.closeId,
+                if (closes) e.c else st.closeC,
+                math.max(st.high, e.c), math.min(st.low, e.c),
+                st.n + 1, st.vol + e.c, e.event_id)
+            }
+          }
+          state.update(st)
+          OhlcOut(key._1, key._2, st.openC, st.high, st.low, st.closeC,
+            st.n, st.vol)
+      }
+  }
 }

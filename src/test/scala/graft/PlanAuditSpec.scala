@@ -356,7 +356,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_silhouette",
     // embed decontamination: the 1-row count stride broadcast + the
     // |train|×≤65-eval-vector broadcast scoring pass
-    "pipeline_decontaminate_embed")
+    "pipeline_decontaminate_embed",
+    // maxsim: the corpus×4-row broadcast query-vector pass (the
+    // sim_topk_brute scoring shape)
+    "sim_maxsim_colbert")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

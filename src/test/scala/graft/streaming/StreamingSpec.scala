@@ -696,4 +696,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == Set((1L, 3), (2L, 1), (3L, 0), (4L, 2)))
     } finally q.stop()
   }
+
+  test("mapGroupsWithState OHLC: out-of-order batches converge to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Long)]
+    // (user_id, d, event_id, tsm, c)
+    val q = Streaming.ohlcPerKeyStream(
+        mem.toDF().toDF("user_id", "d", "event_id", "tsm", "c"))
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 day 10 gets its LAST (by time) event first —
+      // the candle merge is order-independent, so close must still be
+      // the max-key event once the earlier ones arrive in batch 2
+      mem.addData((1L, 10L, 3L, 3000L, 70L), (2L, 10L, 4L, 1500L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 10L, 5L, 1000L, 40L), (1L, 10L, 6L, 2000L, 90L))
+      q.processAllAvailable()
+      mem.addData((1L, 10L, 6L, 2000L, 90L)) // replayed micro-batch: no-op
+      q.processAllAvailable()
+      val latest = spark.table("ohlc_stream")
+        .groupBy("user_id", "d")
+        .agg(max(struct(col("n_events"), col("open_cents"),
+          col("high_cents"), col("low_cents"), col("close_cents"),
+          col("volume_cents"))).as("s"))
+        .select(col("user_id"), col("d"), col("s.open_cents"),
+          col("s.high_cents"), col("s.low_cents"), col("s.close_cents"),
+          col("s.n_events"), col("s.volume_cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      val twin = Streaming.ohlcPerKey(Seq(
+          (1L, 10L, 3L, 3000L, 70L), (2L, 10L, 4L, 1500L, 20L),
+          (1L, 10L, 5L, 1000L, 40L), (1L, 10L, 6L, 2000L, 90L))
+          .toDF("user_id", "d", "event_id", "tsm", "c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      assert(latest == twin, s"\nbatch: $twin\nstreamed: $latest")
+      // hand candle for user 1/day 10: open = tsm 1000 (40), close =
+      // tsm 3000 (70), high 90, low 40, n 3, vol 200
+      assert(twin.contains((1L, 10L, 40L, 90L, 40L, 70L, 3L, 200L)))
+    } finally q.stop()
+  }
 }
