@@ -4143,7 +4143,67 @@ object PipelineQueries extends QueryModule {
               list(maxsim ORDER BY q_slot)), (a, b) -> a + b) AS score
           FROM inner_max GROUP BY doc_group)
         SELECT doc_group, n_dvecs, score FROM sc
-        ORDER BY score DESC, doc_group LIMIT 10"""))
+        ORDER BY score DESC, doc_group LIMIT 10""")),
+
+    // ── Lang-id confusion matrix with per-cell precision/recall shares
+    //    (the classifier-eval twin of text_lang_quality, which only
+    //    reports per-predicted rollups): full (actual, predicted) cell
+    //    counts plus each cell's share of its actual-row and predicted-
+    //    column margins — the standard confusion/recall/precision
+    //    decomposition, margins equi-joined back (no 1-row broadcast
+    //    needed). The predictor is the same stopword/CJK heuristic
+    //    kernel, replayed verbatim by the oracle. Shape: one kernel
+    //    scan → ≤|langs|² cell hash aggregate. ─────────────────────────
+    QueryDef("text_langid_confusion",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val cells = Tables.load(s, dir, "documents")
+          .select($"lang",
+            graft.functions.TextHashFunctions.textLangId($"text")
+              .as("lang_pred"))
+          .groupBy($"lang", $"lang_pred")
+          .agg(count(lit(1)).as("n"))
+        val rowTot = cells.groupBy($"lang").agg(sum($"n").as("actual_total"))
+        val colTot = cells.groupBy($"lang_pred")
+          .agg(sum($"n").as("pred_total"))
+        cells.join(rowTot, Seq("lang")).join(colTot, Seq("lang_pred"))
+          .select($"lang", $"lang_pred", $"n",
+            ($"n".cast("double") / $"actual_total".cast("double"))
+              .as("recall_share"),
+            ($"n".cast("double") / $"pred_total".cast("double"))
+              .as("precision_share"))
+          .orderBy($"lang", $"lang_pred")
+      },
+      Some(s"""WITH t AS (
+          SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks, text FROM documents),
+        m AS (SELECT lang, toks, text,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','los','las','una','por','con'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','les','des','une','est','dans'))) AS fr
+          FROM t),
+        p AS (SELECT lang,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+               WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+               WHEN es >= de AND es >= fr THEN 'es'
+               WHEN de >= fr THEN 'de'
+               ELSE 'fr' END AS lang_pred
+          FROM m),
+        cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY lang, lang_pred),
+        rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS actual_total
+          FROM cells GROUP BY lang),
+        ct AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS pred_total
+          FROM cells GROUP BY lang_pred)
+        SELECT cells.lang, cells.lang_pred, cells.n,
+          CAST(cells.n AS DOUBLE) / CAST(rt.actual_total AS DOUBLE)
+            AS recall_share,
+          CAST(cells.n AS DOUBLE) / CAST(ct.pred_total AS DOUBLE)
+            AS precision_share
+        FROM cells JOIN rt USING (lang) JOIN ct USING (lang_pred)
+        ORDER BY lang, lang_pred"""))
   )
 }
 

@@ -4554,8 +4554,14 @@ object RelationalQueries extends QueryModule {
             $"o_orderkey" === $"l_orderkey")
           .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
           .distinct()
+        // localCheckpoint per round (the dedup_clusters iteration
+        // pattern): each round references `edges` three times (degree
+        // count + two semi-join branches), so without a materialization
+        // barrier round 3's plan re-evaluates the base orders⋈lineitem
+        // join 3³ times — measured 6.7 s at sf0.1 vs ~1 s checkpointed.
         var edges = e0.select($"a".as("src"), $"b".as("dst"))
           .union(e0.select($"b".as("src"), $"a".as("dst")))
+          .localCheckpoint()
         for (_ <- 1 to 3) {
           val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
             .filter($"deg" >= 3).select($"src".as("node"))
@@ -4563,6 +4569,7 @@ object RelationalQueries extends QueryModule {
             .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
             .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
             .select($"src", $"dst")
+            .localCheckpoint()
         }
         edges.groupBy($"src").agg(count(lit(1)).as("degree"))
           .select(
@@ -4887,6 +4894,137 @@ object RelationalQueries extends QueryModule {
           n_breach,
           CAST(n_breach AS DOUBLE) / CAST(n AS DOUBLE) AS breach_rate,
           CASE WHEN qs[1] > 0 THEN qs[3] / qs[1] END AS tail_ratio
-        FROM g ORDER BY event_type"""))
+        FROM g ORDER BY event_type""")),
+
+    // ── Snapshot diff between two table versions (the data-diff every
+    //    CDC/replication audit runs: what changed between yesterday's
+    //    and today's snapshot): v2 is a DETERMINISTIC simulated next
+    //    version — md5-nibble 'f' keys deleted, '0'/'1' keys repriced
+    //    +10% (integer cents·110 DIV 100), 'e' keys cloned to new ids —
+    //    then ONE shuffle full-outer join on the key classifies every
+    //    row added / removed / changed / unchanged via whole-row struct
+    //    equality. The classification is pure column compares; the
+    //    report is a 4-row aggregate with min/max key anchors for
+    //    spot-checking. At 100 TB this is the canonical two-sided
+    //    hash-join diff — no ordering, no window, no driver state. ─────
+    QueryDef("snapshot_table_diff",
+      (s, dir) => {
+        import s.implicits._
+        val v1 = Tables.load(s, dir, "orders")
+          .select($"o_orderkey".as("key"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            $"o_orderstatus".as("ostatus"), $"o_orderpriority".as("prio"))
+        val base = v1.withColumn("nib",
+          substring(md5($"key".cast("string")), 1, 1))
+        val v2 = base.filter($"nib" =!= "f")
+          .select($"key",
+            when($"nib".isin("0", "1"), expr("cents * 110 DIV 100"))
+              .otherwise($"cents").as("cents"), $"ostatus", $"prio")
+          .union(base.filter($"nib" === "e")
+            .select(($"key" + 100000000L).as("key"), $"cents",
+              $"ostatus", $"prio"))
+        v1.select($"key", struct($"cents", $"ostatus", $"prio").as("r1"))
+          .join(v2.select($"key",
+            struct($"cents", $"ostatus", $"prio").as("r2")),
+            Seq("key"), "full_outer")
+          .select($"key",
+            when($"r1".isNull, lit("added"))
+              .when($"r2".isNull, lit("removed"))
+              .when($"r1" === $"r2", lit("unchanged"))
+              .otherwise(lit("changed")).as("change_type"))
+          .groupBy($"change_type")
+          .agg(count(lit(1)).as("n"), min($"key").as("min_key"),
+            max($"key").as("max_key"))
+          .orderBy($"change_type")
+      },
+      Some("""WITH v1 AS (SELECT o_orderkey AS key,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+            o_orderstatus AS ostatus, o_orderpriority AS prio
+          FROM orders),
+        b AS (SELECT *, substring(md5(CAST(key AS VARCHAR)), 1, 1) AS nib
+          FROM v1),
+        v2 AS (SELECT key,
+            CASE WHEN nib IN ('0', '1') THEN cents * 110 // 100
+              ELSE cents END AS cents, ostatus, prio
+          FROM b WHERE nib <> 'f'
+          UNION ALL
+          SELECT key + 100000000, cents, ostatus, prio
+          FROM b WHERE nib = 'e'),
+        d AS (SELECT coalesce(v1.key, v2.key) AS key,
+            CASE WHEN v1.key IS NULL THEN 'added'
+              WHEN v2.key IS NULL THEN 'removed'
+              WHEN v1.cents = v2.cents AND v1.ostatus = v2.ostatus
+                AND v1.prio = v2.prio THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+          FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+        SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(min(key) AS BIGINT) AS min_key,
+          CAST(max(key) AS BIGINT) AS max_key
+        FROM d GROUP BY change_type ORDER BY change_type""")),
+
+    // ── A/B-test power analysis per event type (the experimentation-
+    //    platform screen "how big an effect could we even detect"):
+    //    σ from the agg_cpk_capability centered two-pass (same BIGINT
+    //    envelope), then with FIXED z-quantile literals (z₀.₉₇₅+z₀.₈ =
+    //    2.801585218112969 — constants, not a libm call) MDE =
+    //    z·σ·√(2/n) and the required n for a 5%-of-mean effect =
+    //    ⌈2·(z·σ/Δ)²⌉ — a handful of literal-order IEEE ops plus
+    //    correctly-rounded sqrt, so both engines land the same doubles.
+    //    Two hash aggregates + a |types|-row broadcast join. ────────────
+    QueryDef("agg_ab_power_mde",
+      (s, dir) => {
+        import s.implicits._
+        val zsum = 2.801585218112969
+        val t = Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val p1 = t.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"c").as("s0"))
+          .select($"event_type", $"n", expr("s0 DIV n").as("m0"))
+        t.join(broadcast(p1), Seq("event_type"))
+          .groupBy($"event_type", $"n", $"m0")
+          .agg(sum($"c" - $"m0").as("sd"),
+            sum(($"c" - $"m0") * ($"c" - $"m0")).as("q2"))
+          .select($"event_type", $"n",
+            (($"m0" * $"n" + $"sd").cast("double") / $"n".cast("double"))
+              .as("mean_cents"),
+            sqrt((($"q2".cast("double")
+                - $"sd".cast("double") * $"sd".cast("double")
+                  / $"n".cast("double"))
+              / ($"n" - 1).cast("double"))).as("sigma_cents"))
+          .select($"event_type", $"n", $"mean_cents", $"sigma_cents",
+            (lit(zsum) * $"sigma_cents"
+              * sqrt(lit(2.0) / $"n".cast("double"))).as("mde_cents"),
+            when($"mean_cents" > 0,
+              ceil(lit(2.0)
+                * (lit(zsum) * $"sigma_cents" / (lit(0.05) * $"mean_cents"))
+                * (lit(zsum) * $"sigma_cents" / (lit(0.05) * $"mean_cents")))
+                .cast("long")).as("n_required_5pct"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        p1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS m0
+          FROM t GROUP BY event_type),
+        p2 AS (SELECT t.event_type, p1.n, p1.m0,
+            CAST(sum(t.c - p1.m0) AS BIGINT) AS sd,
+            CAST(sum((t.c - p1.m0) * (t.c - p1.m0)) AS BIGINT) AS q2
+          FROM t JOIN p1 USING (event_type)
+          GROUP BY t.event_type, p1.n, p1.m0),
+        st AS (SELECT event_type, n,
+            CAST(m0 * n + sd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+            sqrt((CAST(q2 AS DOUBLE)
+                - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n - 1 AS DOUBLE)) AS sigma_cents
+          FROM p2)
+        SELECT event_type, n, mean_cents, sigma_cents,
+          2.801585218112969 * sigma_cents * sqrt(2.0 / CAST(n AS DOUBLE))
+            AS mde_cents,
+          CASE WHEN mean_cents > 0 THEN CAST(ceil(2.0
+            * (2.801585218112969 * sigma_cents / (0.05 * mean_cents))
+            * (2.801585218112969 * sigma_cents / (0.05 * mean_cents)))
+            AS BIGINT) END AS n_required_5pct
+        FROM st ORDER BY event_type"""))
   )
 }

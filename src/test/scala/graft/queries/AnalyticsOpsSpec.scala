@@ -826,6 +826,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot_table_diff: classification partitions both versions") {
+    val rows = run("snapshot_table_diff")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val v1 = Tables.load(spark, dir, "orders").count()
+    import org.apache.spark.sql.functions._
+    val nibs = Tables.load(spark, dir, "orders")
+      .select(substring(md5(col("o_orderkey").cast("string")), 1, 1).as("n"))
+      .collect().map(_.getString(0))
+    val nF = nibs.count(_ == "f").toLong
+    val nE = nibs.count(_ == "e").toLong
+    val n01 = nibs.count(n => n == "0" || n == "1").toLong
+    assert(rows("removed")._1 == nF)
+    assert(rows("added")._1 == nE)
+    // changed = repriced keys whose cents actually moved (cents*110/100
+    // == cents only when cents == 0, which fixtures don't produce)
+    assert(rows("changed")._1 == n01)
+    assert(rows("unchanged")._1 == v1 - nF - n01)
+    assert(rows.values.map(_._1).sum == v1 + nE)
+    assert(rows("added")._2 > 100000000L, "inserted keys live in the new id range")
+  }
+
+  test("agg_ab_power_mde: formula identities against reported mean/sigma") {
+    val rows = run("agg_ab_power_mde")
+    rows.foreach { r =>
+      val (n, mu, sg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val z = 2.801585218112969
+      assert(r.getDouble(4) == z * sg * math.sqrt(2.0 / n))
+      if (!r.isNullAt(5)) {
+        val d = 0.05 * mu
+        assert(r.getLong(5) ==
+          math.ceil(2.0 * (z * sg / d) * (z * sg / d)).toLong)
+        // detecting a smaller effect than the current MDE needs more
+        // samples than we have
+        if (r.getDouble(4) > d) assert(r.getLong(5) > n)
+      }
+    }
+  }
+
+  test("text_langid_confusion: margins are probability decompositions") {
+    val rows = run("text_langid_confusion")
+    val total = rows.map(_.getLong(2)).sum
+    val corpus = Tables.load(spark, dir, "documents").count()
+    assert(total == corpus)
+    // recall shares sum to 1 within each actual language
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"recall shares of $lang sum to $s")
+    }
+    rows.groupBy(_.getString(1)).foreach { case (pred, rs) =>
+      val s = rs.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"precision shares of $pred sum to $s")
+    }
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
