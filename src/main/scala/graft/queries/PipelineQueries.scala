@@ -4203,7 +4203,79 @@ object PipelineQueries extends QueryModule {
           CAST(cells.n AS DOUBLE) / CAST(ct.pred_total AS DOUBLE)
             AS precision_share
         FROM cells JOIN rt USING (lang) JOIN ct USING (lang_pred)
-        ORDER BY lang, lang_pred"""))
+        ORDER BY lang, lang_pred""")),
+
+    // ── Triplet-margin audit over the labeled embedding space (the
+    //    metric-learning eval: does same-class sit closer than
+    //    next-class?): for each anchor in the ≤ ~65 stride sample, the
+    //    POSITIVE is the next same-label vector by cyclic vec_id order
+    //    and the NEGATIVE the next vector of class (label+1) mod 10 —
+    //    both DETERMINISTIC picks computable as min-over-case aggregates
+    //    after an EQUI join on the class (no similarity search inside
+    //    the eval, so the audit measures the space, not the picker).
+    //    margin = cos(a,p) − cos(a,n), two kernel sims + one IEEE
+    //    subtract per anchor. Per-anchor rows, violation = margin < 0.1.
+    //    Scale: anchors are broadcast-tiny; each equi-joins only its
+    //    own/next class partition — linear in corpus. ──────────────────
+    QueryDef("embed_triplet_margin",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label".cast("long").as("lab"), $"embedding")
+        val cnt = v.agg(count(lit(1)).as("n_vecs"))
+        val anchors = v.crossJoin(broadcast(cnt))
+          .filter(pmod($"vec_id", expr("greatest(1L, n_vecs DIV 64)")) === 0)
+          .select($"vec_id".as("a_id"), $"lab".as("a_lab"),
+            $"embedding".as("a_vec"))
+        def nextPick(labOfAnchor: org.apache.spark.sql.Column, tag: String) =
+          broadcast(anchors.as("a")).join(v.as("c"),
+              labOfAnchor === col("c.lab")
+                && col("c.vec_id") =!= col("a.a_id"))
+            .groupBy(col("a.a_id").as("a_id"))
+            .agg(coalesce(min(when(col("c.vec_id") > col("a.a_id"),
+                col("c.vec_id"))), min(col("c.vec_id"))).as(s"${tag}_id"))
+        val pos = nextPick(col("a.a_lab"), "pos")
+        val neg = nextPick(pmod(col("a.a_lab") + 1L, lit(10L)), "neg")
+        anchors.join(pos, Seq("a_id")).join(neg, Seq("a_id"))
+          .join(v.select($"vec_id".as("pos_id"), $"embedding".as("p_vec")),
+            Seq("pos_id"))
+          .join(v.select($"vec_id".as("neg_id"), $"embedding".as("n_vec")),
+            Seq("neg_id"))
+          .select($"a_id", $"a_lab", $"pos_id", $"neg_id",
+            (graft.functions.VectorFunctions.cosineSim($"a_vec", $"p_vec")
+              - graft.functions.VectorFunctions.cosineSim($"a_vec", $"n_vec"))
+              .as("margin"))
+          .withColumn("violation",
+            when($"margin" < 0.1, 1L).otherwise(0L))
+          .orderBy($"a_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM v),
+        a AS (SELECT vec_id AS a_id, lab AS a_lab, e AS a_vec FROM v, nd
+          WHERE vec_id % greatest(1, n_vecs // 64) = 0),
+        pos AS (SELECT a.a_id,
+            coalesce(min(CASE WHEN c.vec_id > a.a_id THEN c.vec_id END),
+              min(c.vec_id)) AS pos_id
+          FROM a JOIN v c ON a.a_lab = c.lab AND c.vec_id <> a.a_id
+          GROUP BY a.a_id),
+        neg AS (SELECT a.a_id,
+            coalesce(min(CASE WHEN c.vec_id > a.a_id THEN c.vec_id END),
+              min(c.vec_id)) AS neg_id
+          FROM a JOIN v c ON (a.a_lab + 1) % 10 = c.lab
+            AND c.vec_id <> a.a_id
+          GROUP BY a.a_id),
+        t AS (SELECT a.a_id, a.a_lab, pos.pos_id, neg.neg_id,
+            list_cosine_similarity(a.a_vec, p.e)
+              - list_cosine_similarity(a.a_vec, n.e) AS margin
+          FROM a JOIN pos USING (a_id) JOIN neg USING (a_id)
+            JOIN v p ON pos.pos_id = p.vec_id
+            JOIN v n ON neg.neg_id = n.vec_id)
+        SELECT a_id, a_lab, pos_id, neg_id, margin,
+          CAST(CASE WHEN margin < 0.1 THEN 1 ELSE 0 END AS BIGINT)
+            AS violation
+        FROM t ORDER BY a_id"""))
   )
 }
 

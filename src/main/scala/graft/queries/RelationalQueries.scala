@@ -5025,6 +5025,58 @@ object RelationalQueries extends QueryModule {
             * (2.801585218112969 * sigma_cents / (0.05 * mean_cents))
             * (2.801585218112969 * sigma_cents / (0.05 * mean_cents)))
             AS BIGINT) END AS n_required_5pct
-        FROM st ORDER BY event_type"""))
+        FROM st ORDER BY event_type""")),
+
+    // ── Total-variation distance between two categorical distributions
+    //    (the drift statistic for DISCRETE columns, completing the drift
+    //    family: dq_distribution_ks covers continuous, agg_chi_square
+    //    significance — TV is the interpretable effect size "what
+    //    fraction of mass moved"): event-type mix on even vs odd epoch
+    //    days; TV = ½·Σ|p_i − q_i| over the ≤|types| cells, each term a
+    //    ratio of exact BIGINTs, the Σ an ordered fold by type
+    //    (sort_array ≡ list ORDER BY — bitwise-stable doubles).
+    //    Transcendental-free where KL/JS cannot be. One scan, one
+    //    |types|×2 hash aggregate, 1-row totals broadcast. ──────────────
+    QueryDef("agg_tv_distance",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("pmod(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT), 2)")
+              .as("side"))
+        val cells = t.groupBy($"event_type")
+          .agg(sum(when($"side" === 0, 1L).otherwise(0L)).as("n_even"),
+            sum(when($"side" === 1, 1L).otherwise(0L)).as("n_odd"))
+        val tot = cells.agg(sum($"n_even").as("t_even"),
+          sum($"n_odd").as("t_odd"))
+        cells.crossJoin(broadcast(tot))
+          .select($"event_type",
+            abs($"n_even".cast("double") / $"t_even".cast("double")
+              - $"n_odd".cast("double") / $"t_odd".cast("double"))
+              .as("absdiff"))
+          .agg(count(lit(1)).as("n_categories"),
+            (aggregate(
+              sort_array(collect_list(struct($"event_type", $"absdiff"))),
+              lit(0.0), (acc, x) => acc + x.getField("absdiff")) * 0.5)
+              .as("tv_distance"))
+      },
+      Some("""WITH t AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 AS side
+          FROM events),
+        cells AS (SELECT event_type,
+            CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+            CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+          FROM t GROUP BY event_type),
+        tot AS (SELECT CAST(sum(n_even) AS BIGINT) AS t_even,
+            CAST(sum(n_odd) AS BIGINT) AS t_odd FROM cells),
+        d AS (SELECT event_type,
+            abs(CAST(n_even AS DOUBLE) / CAST(t_even AS DOUBLE)
+              - CAST(n_odd AS DOUBLE) / CAST(t_odd AS DOUBLE)) AS absdiff
+          FROM cells, tot)
+        SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(absdiff ORDER BY event_type)), (a, b) -> a + b) * 0.5
+            AS tv_distance
+        FROM d"""))
   )
 }

@@ -359,7 +359,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_decontaminate_embed",
     // maxsim: the corpus×4-row broadcast query-vector pass (the
     // sim_topk_brute scoring shape)
-    "sim_maxsim_colbert")
+    "sim_maxsim_colbert",
+    // tv distance: the 1-row totals broadcast onto the ≤|types| cells
+    "agg_tv_distance",
+    // triplet margin: the 1-row count stride broadcast (picks/sims are
+    // equi joins on the class)
+    "embed_triplet_margin")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -153,6 +153,47 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_triplet_margin: picks follow the cyclic rule, margins bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = run("embed_triplet_margin")
+    assert(rows.nonEmpty)
+    val byLab = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS lab")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).map { case (l, vs) => l -> vs.map(_._1).sorted }
+    rows.foreach { r =>
+      val (aId, aLab, posId, negId) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val same = byLab(aLab).filter(_ != aId)
+      val nextC = byLab((aLab + 1) % 10).filter(_ != aId)
+      assert(posId == same.find(_ > aId).getOrElse(same.head), s"anchor $aId pos")
+      assert(negId == nextC.find(_ > aId).getOrElse(nextC.head), s"anchor $aId neg")
+      val m = r.getDouble(4)
+      assert(m >= -2.0000001 && m <= 2.0000001)
+      assert(r.getLong(5) == (if (m < 0.1) 1L else 0L))
+    }
+  }
+
+  test("agg_tv_distance: bounds and the hand-computed cell fold") {
+    import org.apache.spark.sql.functions._
+    val rows = run("agg_tv_distance")
+    assert(rows.length == 1)
+    val cells = graft.Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "pmod(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT), 2) AS s")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val even = cells.filter(_._2 == 0).groupBy(_._1).map { case (k, v) => k -> v.size }
+    val odd = cells.filter(_._2 == 1).groupBy(_._1).map { case (k, v) => k -> v.size }
+    val (tE, tO) = (even.values.sum.toDouble, odd.values.sum.toDouble)
+    val types = (even.keySet ++ odd.keySet).toSeq.sorted
+    val tv = 0.5 * types.map(t =>
+      math.abs(even.getOrElse(t, 0) / tE - odd.getOrElse(t, 0) / tO)).sum
+    val r = rows.head
+    assert(r.getLong(0) == types.size)
+    assert(math.abs(r.getDouble(1) - tv) < 1e-12)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("dedup_lsh_eval: metric identities and candidate superset at j=1") {
     val rows = run("dedup_lsh_eval")
     assert(rows.length == 1)
