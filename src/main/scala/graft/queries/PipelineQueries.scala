@@ -4275,7 +4275,96 @@ object PipelineQueries extends QueryModule {
         SELECT a_id, a_lab, pos_id, neg_id, margin,
           CAST(CASE WHEN margin < 0.1 THEN 1 ELSE 0 END AS BIGINT)
             AS violation
-        FROM t ORDER BY a_id"""))
+        FROM t ORDER BY a_id""")),
+
+    // ── Scene-cut detection over simulated video frame hashes (the
+    //    shot-boundary pass every video-curation pipeline runs before
+    //    frame dedup/sampling): reuses multimodal_phash_dedup's
+    //    deterministic 128-bit perceptual-hash model — frames in the
+    //    same 4-frame shot share an md5 base hash with one flipped bit
+    //    (hamming ≈ 2 between neighbors), different shots draw
+    //    independent md5s (hamming ≈ 64) — so a video of 16 frames has
+    //    exactly 3 shot boundaries for the detector to find. Hamming =
+    //    bit_count(hi⊕hi′) + bit_count(lo⊕lo′) over a lag window
+    //    PARTITIONED by video (bounded 16-frame partitions); cut ⟺
+    //    hamming > 16. Per video: frames, cuts, max/mean-quantized
+    //    hamming — integer end to end. ──────────────────────────────────
+    QueryDef("multimodal_scene_cuts",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val frames = Tables.load(s, dir, "events")
+          .filter($"event_id" < 4000)
+          .select($"event_id",
+            expr("event_id DIV 16").as("video_id"),
+            conv(substring(md5(concat(lit("ph:"), ($"event_id" / 4L)
+              .cast("long"))), 1, 8), 16, 10).cast("long").as("hi0"),
+            conv(substring(md5(concat(lit("ph:"), ($"event_id" / 4L)
+              .cast("long"))), 9, 8), 16, 10).cast("long").as("lo0"),
+            pmod($"event_id" * 7L, lit(64L)).as("flip"))
+          .selectExpr("event_id", "video_id",
+            """CASE WHEN flip < 32 THEN hi0 ^ shiftleft(1L, CAST(flip AS INT))
+               ELSE hi0 END AS hi""",
+            """CASE WHEN flip >= 32
+               THEN lo0 ^ shiftleft(1L, CAST(flip - 32 AS INT))
+               ELSE lo0 END AS lo""")
+        val w = Window.partitionBy($"video_id").orderBy($"event_id")
+        frames
+          .withColumn("ph", lag($"hi", 1).over(w))
+          .withColumn("pl", lag($"lo", 1).over(w))
+          .withColumn("hamming", when($"ph".isNotNull,
+            bit_count($"hi".bitwiseXOR($"ph")).cast("long")
+              + bit_count($"lo".bitwiseXOR($"pl")).cast("long")))
+          .groupBy($"video_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when($"hamming" > 16, 1L).otherwise(0L)).as("n_cuts"),
+            max($"hamming").as("max_hamming"),
+            sum(coalesce($"hamming", lit(0L))).as("sum_hamming"))
+          .orderBy($"video_id")
+      },
+      Some("""WITH f0 AS (SELECT event_id, event_id // 16 AS video_id,
+            md5('ph:' || CAST(event_id // 4 AS VARCHAR)) AS h,
+            (event_id * 7) % 64 AS flip
+          FROM events WHERE event_id < 4000),
+        f1 AS (SELECT event_id, video_id,
+            (strpos('0123456789abcdef', h[1]) - 1) * 268435456
+              + (strpos('0123456789abcdef', h[2]) - 1) * 16777216
+              + (strpos('0123456789abcdef', h[3]) - 1) * 1048576
+              + (strpos('0123456789abcdef', h[4]) - 1) * 65536
+              + (strpos('0123456789abcdef', h[5]) - 1) * 4096
+              + (strpos('0123456789abcdef', h[6]) - 1) * 256
+              + (strpos('0123456789abcdef', h[7]) - 1) * 16
+              + (strpos('0123456789abcdef', h[8]) - 1) AS hi0,
+            (strpos('0123456789abcdef', h[9]) - 1) * 268435456
+              + (strpos('0123456789abcdef', h[10]) - 1) * 16777216
+              + (strpos('0123456789abcdef', h[11]) - 1) * 1048576
+              + (strpos('0123456789abcdef', h[12]) - 1) * 65536
+              + (strpos('0123456789abcdef', h[13]) - 1) * 4096
+              + (strpos('0123456789abcdef', h[14]) - 1) * 256
+              + (strpos('0123456789abcdef', h[15]) - 1) * 16
+              + (strpos('0123456789abcdef', h[16]) - 1) AS lo0,
+            flip FROM f0),
+        f AS (SELECT event_id, video_id,
+            CASE WHEN flip < 32 THEN xor(hi0, CAST(1 AS BIGINT) << CAST(flip AS INTEGER))
+              ELSE hi0 END AS hi,
+            CASE WHEN flip >= 32 THEN xor(lo0, CAST(1 AS BIGINT) << CAST(flip - 32 AS INTEGER))
+              ELSE lo0 END AS lo
+          FROM f1),
+        l AS (SELECT video_id, hi, lo,
+            lag(hi, 1) OVER (PARTITION BY video_id ORDER BY event_id) AS ph,
+            lag(lo, 1) OVER (PARTITION BY video_id ORDER BY event_id) AS pl
+          FROM f),
+        hd AS (SELECT video_id,
+            CASE WHEN ph IS NOT NULL THEN
+              CAST(bit_count(xor(hi, ph)) AS BIGINT)
+                + CAST(bit_count(xor(lo, pl)) AS BIGINT) END AS hamming
+          FROM l)
+        SELECT video_id, CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(CASE WHEN hamming > 16 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          max(hamming) AS max_hamming,
+          CAST(sum(coalesce(hamming, 0)) AS BIGINT) AS sum_hamming
+        FROM hd GROUP BY video_id ORDER BY video_id"""))
   )
 }
 

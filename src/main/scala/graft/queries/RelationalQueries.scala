@@ -5077,6 +5077,69 @@ object RelationalQueries extends QueryModule {
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list(absdiff ORDER BY event_type)), (a, b) -> a + b) * 0.5
             AS tv_distance
-        FROM d"""))
+        FROM d""")),
+
+    // ── Two-proportion z-test on conversion (the A/B readout for BINARY
+    //    outcomes, completing the experiment family: agg_mann_whitney_u
+    //    ranks, agg_ab_power_mde sizes, this one decides): even/odd
+    //    user_id as the two arms, converted = user has ≥1 purchase
+    //    event; z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂ —
+    //    counts are exact BIGINTs off one per-user collapse + one 1-row
+    //    aggregate (no join at all), the z a fixed chain of IEEE ops +
+    //    one correctly-rounded sqrt; significance against the fixed
+    //    z₀.₉₇₅ literal. ────────────────────────────────────────────────
+    QueryDef("agg_two_proportion_z",
+      (s, dir) => {
+        import s.implicits._
+        val users = Tables.load(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+          .select(pmod($"user_id", lit(2L)).as("arm"), $"conv")
+        users.agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("x1"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("x2"))
+          .select($"n1", $"x1", $"n2", $"x2",
+            ($"x1".cast("double") / $"n1".cast("double")).as("p1"),
+            ($"x2".cast("double") / $"n2".cast("double")).as("p2"),
+            (($"x1" + $"x2").cast("double") / ($"n1" + $"n2").cast("double"))
+              .as("p_pool"))
+          .select($"n1", $"x1", $"n2", $"x2", $"p1", $"p2",
+            when($"p_pool" > 0 && $"p_pool" < 1,
+              ($"p1" - $"p2") / sqrt($"p_pool" * (lit(1.0) - $"p_pool")
+                * (lit(1.0) / $"n1".cast("double")
+                  + lit(1.0) / $"n2".cast("double")))).as("z_score"))
+          .select($"n1", $"x1", $"n2", $"x2", $"p1", $"p2", $"z_score",
+            when(abs($"z_score") > 1.9599639845400545, 1L).otherwise(0L)
+              .as("significant"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+          FROM events GROUP BY user_id),
+        a AS (SELECT user_id % 2 AS arm, conv FROM u),
+        g AS (SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+          FROM a),
+        p AS (SELECT n1, x1, n2, x2,
+            CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+            CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+            CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p_pool
+          FROM g),
+        z AS (SELECT n1, x1, n2, x2, p1, p2,
+            CASE WHEN p_pool > 0 AND p_pool < 1 THEN
+              (p1 - p2) / sqrt(p_pool * (1.0 - p_pool)
+                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+            END AS z_score
+          FROM p)
+        SELECT n1, x1, n2, x2, p1, p2, z_score,
+          CAST(CASE WHEN abs(z_score) > 1.9599639845400545 THEN 1 ELSE 0 END
+            AS BIGINT) AS significant
+        FROM z"""))
   )
 }

@@ -881,6 +881,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_scene_cuts: shot model yields the expected boundary count") {
+    val rows = run("multimodal_scene_cuts")
+    rows.foreach { r =>
+      val (n, cuts, maxH) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // full 16-frame videos have exactly 3 shot boundaries; ragged tail
+      // videos have ceil(n/4)-1
+      val shots = (n + 3) / 4
+      assert(cuts == shots - 1, s"video ${r.getLong(0)}: $cuts cuts for $n frames")
+      // within-shot hamming is tiny (≤4: two flipped bits can differ),
+      // cross-shot large — max must clear the threshold iff a cut exists
+      if (cuts > 0) assert(maxH > 16) else if (n > 1) assert(maxH <= 4)
+    }
+  }
+
+  test("agg_two_proportion_z equals the textbook pooled-z replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("agg_two_proportion_z")
+    assert(rows.length == 1)
+    val conv = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a0 = conv.filter(_._1 % 2 == 0)
+    val a1 = conv.filter(_._1 % 2 == 1)
+    val r = rows.head
+    assert(r.getLong(0) == a0.length && r.getLong(1) == a0.map(_._2).sum)
+    assert(r.getLong(2) == a1.length && r.getLong(3) == a1.map(_._2).sum)
+    val p1 = a0.map(_._2).sum.toDouble / a0.length
+    val p2 = a1.map(_._2).sum.toDouble / a1.length
+    val pp = (a0.map(_._2).sum + a1.map(_._2).sum).toDouble / conv.length
+    assert(r.getDouble(4) == p1 && r.getDouble(5) == p2)
+    if (pp > 0 && pp < 1) {
+      val z = (p1 - p2) / math.sqrt(pp * (1.0 - pp)
+        * (1.0 / a0.length + 1.0 / a1.length))
+      assert(math.abs(r.getDouble(6) - z) < 1e-12)
+      assert(r.getLong(7) ==
+        (if (math.abs(r.getDouble(6)) > 1.9599639845400545) 1L else 0L))
+    } else {
+      // degenerate arms (all or none converted): z undefined, verdict 0
+      assert(r.isNullAt(6) && r.getLong(7) == 0L)
+    }
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
