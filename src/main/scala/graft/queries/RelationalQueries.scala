@@ -5140,6 +5140,132 @@ object RelationalQueries extends QueryModule {
         SELECT n1, x1, n2, x2, p1, p2, z_score,
           CAST(CASE WHEN abs(z_score) > 1.9599639845400545 THEN 1 ELSE 0 END
             AS BIGINT) AS significant
-        FROM z"""))
+        FROM z""")),
+
+    // ── Eventually-follows relation between event types (process
+    //    mining's EF-graph, the complement of agg_markov_transitions'
+    //    DIRECTLY-follows): A →ᴱ B for a user ⟺ some A precedes some B
+    //    ⟺ min_ts(A) < max_ts(B) — so the whole relation needs only the
+    //    per-(user, type) min/max COLLAPSE (≤ users×|types| rows), a
+    //    within-user type-pair join (≤|types|² per user, |types| a small
+    //    constant), and one hash aggregate. confidence = followers /
+    //    users-with-A via an equi-joined margin. No windows, no event-
+    //    level pair explosion — the collapse is what keeps 100 TB of
+    //    events at users×5 rows. ───────────────────────────────────────
+    QueryDef("agg_eventually_follows",
+      (s, dir) => {
+        import s.implicits._
+        val spans = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_type",
+            expr("unix_micros(ts)").as("us"))
+          .groupBy($"user_id", $"event_type")
+          .agg(min($"us").as("mn"), max($"us").as("mx"))
+        val withA = spans.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_users_a"))
+          .select($"event_type".as("type_a"), $"n_users_a")
+        val pairs = spans.as("a").join(spans.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") =!= col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_users_both"),
+            sum(when(col("a.mn") < col("b.mx"), 1L).otherwise(0L))
+              .as("n_follows"))
+        pairs.join(broadcast(withA), Seq("type_a"))
+          .select($"type_a", $"type_b", $"n_users_both", $"n_follows",
+            ($"n_follows".cast("double") / $"n_users_a".cast("double"))
+              .as("confidence"))
+          .orderBy($"type_a", $"type_b")
+      },
+      Some("""WITH spans AS (SELECT user_id, event_type,
+            min(epoch_us(CAST(ts AS TIMESTAMP))) AS mn,
+            max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx
+          FROM events GROUP BY user_id, event_type),
+        wa AS (SELECT event_type AS type_a,
+            CAST(count(*) AS BIGINT) AS n_users_a
+          FROM spans GROUP BY event_type),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+            CAST(count(*) AS BIGINT) AS n_users_both,
+            CAST(sum(CASE WHEN a.mn < b.mx THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_follows
+          FROM spans a JOIN spans b ON a.user_id = b.user_id
+            AND a.event_type <> b.event_type
+          GROUP BY a.event_type, b.event_type)
+        SELECT p.type_a, p.type_b, p.n_users_both, p.n_follows,
+          CAST(p.n_follows AS DOUBLE) / CAST(wa.n_users_a AS DOUBLE)
+            AS confidence
+        FROM p JOIN wa USING (type_a) ORDER BY type_a, type_b""")),
+
+    // ── Id-sequence completeness audit (the "did ingestion drop rows"
+    //    DQ check on a monotone key) WITHOUT a global sort: total
+    //    missing ids fall out of the identity span − count (one 1-row
+    //    aggregate — catches even entirely-missing regions); per-gap
+    //    detail (count / mass / largest) comes from lag windows
+    //    PARTITIONED by id DIV 8192 bucket, so no executor ever sorts
+    //    more than 8192 ids; the ≤ span/8192 bucket-boundary seams are
+    //    audited by a bucket-level self-join on bucket−1 (present-
+    //    adjacent seams; seams at wholly-missing buckets are already in
+    //    the identity total). Integer arithmetic end to end. ───────────
+    QueryDef("dq_sequence_gaps",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.load(s, dir, "events")
+          .select($"event_id".as("id")).distinct()
+          .withColumn("bucket", expr("id DIV 8192"))
+        val w = Window.partitionBy($"bucket").orderBy($"id")
+        val within = ids.withColumn("gap", $"id" - lag($"id", 1).over(w) - 1)
+          .filter($"gap" > 0)
+          .agg(count(lit(1)).as("n_within_gaps"),
+            sum($"gap").as("within_missing"),
+            max($"gap").as("max_within_gap"))
+        val buckets = ids.groupBy($"bucket")
+          .agg(min($"id").as("bmin"), max($"id").as("bmax"))
+        val seams = buckets.as("c").join(buckets.as("p"),
+            col("p.bucket") === col("c.bucket") - 1)
+          .select((col("c.bmin") - col("p.bmax") - 1).as("gap"))
+          .filter($"gap" > 0)
+          .agg(count(lit(1)).as("n_seam_gaps"),
+            sum($"gap").as("seam_missing"), max($"gap").as("max_seam_gap"))
+        val tot = ids.agg(count(lit(1)).as("n_ids"), min($"id").as("min_id"),
+          max($"id").as("max_id"))
+        tot.crossJoin(broadcast(within)).crossJoin(broadcast(seams))
+          .select($"n_ids", $"min_id", $"max_id",
+            ($"max_id" - $"min_id" + 1 - $"n_ids").as("total_missing"),
+            coalesce($"n_within_gaps", lit(0L)).as("n_within_gaps"),
+            coalesce($"within_missing", lit(0L)).as("within_missing"),
+            coalesce($"n_seam_gaps", lit(0L)).as("n_seam_gaps"),
+            coalesce($"seam_missing", lit(0L)).as("seam_missing"),
+            greatest(coalesce($"max_within_gap", lit(0L)),
+              coalesce($"max_seam_gap", lit(0L))).as("largest_gap"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT event_id AS id,
+            event_id // 8192 AS bucket FROM events),
+        wg AS (SELECT id - lag(id, 1) OVER
+              (PARTITION BY bucket ORDER BY id) - 1 AS gap FROM ids),
+        w AS (SELECT CAST(count(*) AS BIGINT) AS n_within_gaps,
+            CAST(sum(gap) AS BIGINT) AS within_missing,
+            CAST(max(gap) AS BIGINT) AS max_within_gap
+          FROM wg WHERE gap > 0),
+        b AS (SELECT bucket, min(id) AS bmin, max(id) AS bmax
+          FROM ids GROUP BY bucket),
+        sg AS (SELECT c.bmin - p.bmax - 1 AS gap
+          FROM b c JOIN b p ON p.bucket = c.bucket - 1),
+        sm AS (SELECT CAST(count(*) AS BIGINT) AS n_seam_gaps,
+            CAST(sum(gap) AS BIGINT) AS seam_missing,
+            CAST(max(gap) AS BIGINT) AS max_seam_gap
+          FROM sg WHERE gap > 0),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_ids,
+            CAST(min(id) AS BIGINT) AS min_id,
+            CAST(max(id) AS BIGINT) AS max_id FROM ids)
+        SELECT n_ids, min_id, max_id,
+          max_id - min_id + 1 - n_ids AS total_missing,
+          coalesce(n_within_gaps, 0) AS n_within_gaps,
+          coalesce(within_missing, 0) AS within_missing,
+          coalesce(n_seam_gaps, 0) AS n_seam_gaps,
+          coalesce(seam_missing, 0) AS seam_missing,
+          greatest(coalesce(max_within_gap, 0), coalesce(max_seam_gap, 0))
+            AS largest_gap
+        FROM t, w, sm"""))
   )
 }

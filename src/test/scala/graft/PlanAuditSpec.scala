@@ -362,6 +362,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_maxsim_colbert",
     // tv distance: the 1-row totals broadcast onto the ≤|types| cells
     "agg_tv_distance",
+    // sequence gaps: two 1-row gap-summary recombines onto the 1-row
+    // span identity (detail passes are partitioned windows + the
+    // bucket-1 equi self-join)
+    "dq_sequence_gaps",
     // triplet margin: the 1-row count stride broadcast (picks/sims are
     // equi joins on the class)
     "embed_triplet_margin")

@@ -924,6 +924,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_eventually_follows equals the naive min/max replay") {
+    import org.apache.spark.sql.functions._
+    val spans = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> (vs.map(_._2).min, vs.map(_._2).max) }
+    val usersWithType = spans.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    val rows = run("agg_eventually_follows")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val both = spans.keys.filter(_._2 == a).map(_._1)
+        .filter(u => spans.contains((u, b)))
+      assert(r.getLong(2) == both.size, s"($a,$b) both")
+      val follows = both.count(u => spans((u, a))._1 < spans((u, b))._2)
+      assert(r.getLong(3) == follows, s"($a,$b) follows")
+      assert(r.getDouble(4) == follows.toDouble / usersWithType(a))
+    }
+  }
+
+  test("dq_sequence_gaps: identity and detail accounting agree") {
+    val rows = run("dq_sequence_gaps")
+    assert(rows.length == 1)
+    val r = rows.head
+    val ids = Tables.load(spark, dir, "events")
+      .select("event_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(r.getLong(0) == ids.length)
+    assert(r.getLong(1) == ids.head && r.getLong(2) == ids.last)
+    val totalMissing = ids.last - ids.head + 1 - ids.length
+    assert(r.getLong(3) == totalMissing)
+    // within + seam details must account for exactly the identity total
+    // (no wholly-missing 8192-buckets in the fixtures; if one appears
+    // the identity still holds and this decomposition check is skipped)
+    val naiveGaps = ids.sliding(2).collect {
+      case Array(x, y) if y - x > 1 => y - x - 1
+    }.toSeq
+    if (r.getLong(4) + r.getLong(6) == naiveGaps.length) {
+      assert(r.getLong(5) + r.getLong(7) == naiveGaps.sum)
+      assert(r.getLong(8) == (if (naiveGaps.isEmpty) 0L else naiveGaps.max))
+    }
+    assert(r.getLong(5) + r.getLong(7) <= totalMissing)
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
