@@ -5266,6 +5266,124 @@ object RelationalQueries extends QueryModule {
           coalesce(seam_missing, 0) AS seam_missing,
           greatest(coalesce(max_within_gap, 0), coalesce(max_seam_gap, 0))
             AS largest_gap
-        FROM t, w, sm"""))
+        FROM t, w, sm""")),
+
+    // ── Gini coefficient of per-purchaser revenue (THE inequality
+    //    metric on every marketplace dashboard) WITHOUT ranking any
+    //    row: ties collapse to the distinct-revenue histogram, and the
+    //    rank-sum Σᵢ i·xᵢ becomes Σⱼ vⱼ·(T(Cⱼ)−T(Cⱼ₋₁)) with T(C) =
+    //    C(C+1)/2 over the cumulative counts — the same O(domain)
+    //    reduced-input global window as agg_median_distributed, exact
+    //    BIGINT throughout. An in-plan raise_error envelope pins the
+    //    integer headroom (n ≤ 3·10⁵ purchasers at 10⁵-cent revenues
+    //    keeps every term < 2⁶³; beyond that the documented route is
+    //    dollar-quantized revenue). Gini = 2Σix/(nΣx) − (n+1)/n, a
+    //    fixed chain of IEEE ops off exact integers. ───────────────────
+    QueryDef("agg_gini_coefficient",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select($"user_id",
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy($"user_id").agg(sum($"c").as("rev"))
+        val byV = rev.groupBy($"rev").agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy($"rev")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byV.withColumn("cum", sum($"cnt").over(wcum))
+          .withColumn("prev", $"cum" - $"cnt")
+          .withColumn("term",
+            $"rev" * (expr("cum * (cum + 1) DIV 2")
+              - expr("prev * (prev + 1) DIV 2")))
+          .agg(sum($"cnt").as("n"), sum($"rev" * $"cnt").as("sx"),
+            sum($"term").as("srank"))
+          .select($"n", $"sx",
+            when($"n" <= 300000L,
+              lit(2.0) * $"srank".cast("double")
+                / ($"n" * $"sx").cast("double")
+                - ($"n" + 1).cast("double") / $"n".cast("double"))
+              .otherwise(raise_error(lit(
+                "gini integer envelope: > 3e5 purchasers — use the " +
+                  "dollar-quantized variant"))).as("gini"))
+      },
+      Some("""WITH rev AS (SELECT user_id,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        byv AS (SELECT rev, CAST(count(*) AS BIGINT) AS cnt
+          FROM rev GROUP BY rev),
+        c AS (SELECT rev, cnt,
+            CAST(sum(cnt) OVER (ORDER BY rev
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM byv),
+        t AS (SELECT rev, cnt, cum, cum - cnt AS prev FROM c),
+        g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(sum(rev * cnt) AS BIGINT) AS sx,
+            CAST(sum(rev * (cum * (cum + 1) // 2
+              - prev * (prev + 1) // 2)) AS BIGINT) AS srank
+          FROM t)
+        SELECT n, sx,
+          2.0 * CAST(srank AS DOUBLE) / CAST(n * sx AS DOUBLE)
+            - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+        FROM g""")),
+
+    // ── Distribution-free median confidence interval by ORDER
+    //    STATISTICS (the binomial-rank CI every robust-metrics report
+    //    should carry instead of a bootstrap): rank bounds L/U =
+    //    (n ∓ 1.96√n)/2 (floored/ceiled, clamped — fixed z literal, one
+    //    sqrt), then the values AT those ranks read off the same
+    //    O(domain) cumulative-count table as agg_median_distributed —
+    //    value@rank k = min v with cum ≥ k, three conditional mins in
+    //    ONE aggregate over the reduced domain. No bootstrap replicas,
+    //    no resampling nondeterminism. ─────────────────────────────────
+    QueryDef("agg_median_ci_rank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val byV = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v")
+          .groupBy($"v").agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = byV.withColumn("cum", sum($"cnt").over(wcum))
+        val n1 = cum.agg(sum($"cnt").as("n"))
+          .select($"n",
+            greatest(lit(1L), floor(($"n".cast("double")
+              - lit(1.9599639845400545) * sqrt($"n".cast("double"))) / 2.0)
+              .cast("long")).as("lo_rank"),
+            least($"n", ceil((lit(1.0) + $"n".cast("double")
+              + lit(1.9599639845400545) * sqrt($"n".cast("double"))) / 2.0)
+              .cast("long")).as("hi_rank"),
+            expr("CAST((n + 1) DIV 2 AS BIGINT)").as("med_rank"))
+        cum.crossJoin(broadcast(n1))
+          .agg(max($"n").as("n"), max($"lo_rank").as("lo_rank"),
+            max($"hi_rank").as("hi_rank"),
+            min(when($"cum" >= $"med_rank", $"v")).as("median_v"),
+            min(when($"cum" >= $"lo_rank", $"v")).as("ci_lo_v"),
+            min(when($"cum" >= $"hi_rank", $"v")).as("ci_hi_v"))
+      },
+      Some("""WITH byv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY v),
+        c AS (SELECT v, cnt,
+            CAST(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM byv),
+        n1 AS (SELECT n,
+            greatest(1, CAST(floor((CAST(n AS DOUBLE)
+              - 1.9599639845400545 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+              AS BIGINT)) AS lo_rank,
+            least(n, CAST(ceil((1.0 + CAST(n AS DOUBLE)
+              + 1.9599639845400545 * sqrt(CAST(n AS DOUBLE))) / 2.0)
+              AS BIGINT)) AS hi_rank,
+            (n + 1) // 2 AS med_rank
+          FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM byv))
+        SELECT max(n1.n) AS n, max(n1.lo_rank) AS lo_rank,
+          max(n1.hi_rank) AS hi_rank,
+          min(CASE WHEN c.cum >= n1.med_rank THEN c.v END) AS median_v,
+          min(CASE WHEN c.cum >= n1.lo_rank THEN c.v END) AS ci_lo_v,
+          min(CASE WHEN c.cum >= n1.hi_rank THEN c.v END) AS ci_hi_v
+        FROM c, n1"""))
   )
 }

@@ -366,6 +366,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // span identity (detail passes are partitioned windows + the
     // bucket-1 equi self-join)
     "dq_sequence_gaps",
+    // median CI: the 1-row rank-bound broadcast onto the O(domain)
+    // cumulative table (the agg_median_distributed recombine shape)
+    "agg_median_ci_rank",
     // triplet margin: the 1-row count stride broadcast (picks/sims are
     // equi joins on the class)
     "embed_triplet_margin")
@@ -437,7 +440,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // distinct-cent-value table (O(domain), same class as the medians)
       "dq_distribution_ks",
       // Mann-Whitney U: same O(domain) reduced ECDF cumulative window
-      "agg_mann_whitney_u")
+      "agg_mann_whitney_u",
+      // gini / median CI: the same O(domain) cumulative-count window
+      // over the distinct-value histogram as agg_median_distributed
+      "agg_gini_coefficient", "agg_median_ci_rank")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -464,7 +470,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val allowed = Set("pipeline_pack_chunks", "sort_global_rank",
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
       "agg_weighted_median_distributed", "dq_distribution_ks",
-      "agg_mann_whitney_u")
+      "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

@@ -967,6 +967,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) + r.getLong(7) <= totalMissing)
   }
 
+  test("agg_gini_coefficient equals the textbook sorted rank-sum") {
+    import org.apache.spark.sql.functions._
+    val rows = run("agg_gini_coefficient")
+    assert(rows.length == 1)
+    val revs = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map(_._2.map(_._2).sum).toArray.sorted
+    val n = revs.length
+    val sx = revs.sum
+    val srank = revs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val r = rows.head
+    assert(r.getLong(0) == n && r.getLong(1) == sx)
+    val gini = 2.0 * srank / (n.toDouble * sx) - (n + 1.0) / n
+    assert(math.abs(r.getDouble(2) - gini) < 1e-12)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("agg_median_ci_rank: ranks bracket the median and values are order stats") {
+    val rows = run("agg_median_ci_rank")
+    assert(rows.length == 1)
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length
+    val r = rows.head
+    assert(r.getLong(0) == n)
+    val (lo, hi, med) = (r.getLong(1), r.getLong(2), (n + 1) / 2)
+    assert(lo >= 1 && lo <= med && med <= hi && hi <= n)
+    assert(r.getLong(3) == vs(med - 1), "median is the value at med rank")
+    assert(r.getLong(4) == vs(lo.toInt - 1) && r.getLong(5) == vs(hi.toInt - 1))
+    assert(r.getLong(4) <= r.getLong(3) && r.getLong(3) <= r.getLong(5))
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
