@@ -4364,7 +4364,48 @@ object PipelineQueries extends QueryModule {
             AS n_cuts,
           max(hamming) AS max_hamming,
           CAST(sum(coalesce(hamming, 0)) AS BIGINT) AS sum_hamming
-        FROM hd GROUP BY video_id ORDER BY video_id"""))
+        FROM hd GROUP BY video_id ORDER BY video_id""")),
+
+    // ── Tokenizer fertility per language (tokens-per-word, the metric
+    //    that decides whether a tokenizer punishes a language's
+    //    training share — high fertility = more tokens per word = that
+    //    corpus slice costs more context): whitespace words vs BPE-ish
+    //    regex tokens from the existing one-pass kernels, aggregated per
+    //    lang; fertility and tokens-per-char are IEEE divisions of
+    //    exact BIGINT sums. One scan, one |langs|-row hash aggregate. ──
+    QueryDef("text_fertility_by_lang",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"lang",
+            size(tokens($"text")).cast(LongType).as("n_ws"),
+            size(bpeishTokens($"text")).cast(LongType).as("n_bpe"),
+            length($"text").cast(LongType).as("n_chars"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_ws").as("sum_words"),
+            sum($"n_bpe").as("sum_tokens"), sum($"n_chars").as("sum_chars"))
+          .select($"lang", $"n_docs", $"sum_words", $"sum_tokens",
+            ($"sum_tokens".cast("double") / $"sum_words".cast("double"))
+              .as("fertility"),
+            ($"sum_tokens".cast("double") / $"sum_chars".cast("double"))
+              .as("tokens_per_char"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH t AS (SELECT lang,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n_ws,
+          len(regexp_extract_all(lower(text), '${TextFunctionsSql.bpeish}')) AS n_bpe,
+          length(text) AS n_chars
+        FROM documents),
+        g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_ws) AS BIGINT) AS sum_words,
+            CAST(sum(n_bpe) AS BIGINT) AS sum_tokens,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM t GROUP BY lang)
+        SELECT lang, n_docs, sum_words, sum_tokens,
+          CAST(sum_tokens AS DOUBLE) / CAST(sum_words AS DOUBLE) AS fertility,
+          CAST(sum_tokens AS DOUBLE) / CAST(sum_chars AS DOUBLE)
+            AS tokens_per_char
+        FROM g ORDER BY lang"""))
   )
 }
 

@@ -5384,6 +5384,44 @@ object RelationalQueries extends QueryModule {
           min(CASE WHEN c.cum >= n1.med_rank THEN c.v END) AS median_v,
           min(CASE WHEN c.cum >= n1.lo_rank THEN c.v END) AS ci_lo_v,
           min(CASE WHEN c.cum >= n1.hi_rank THEN c.v END) AS ci_hi_v
-        FROM c, n1"""))
+        FROM c, n1""")),
+
+    // ── Order-to-ship fulfillment lag percentiles per order priority
+    //    (the logistics SLA dashboard over the o_orderdate → l_shipdate
+    //    lifecycle): lag days as exact integer date deltas off the
+    //    orders⋈lineitem key join, p50/p90/p99 in one exact percentile
+    //    aggregate, late share (> 90-day lag) fused into the same hash
+    //    aggregate. One shuffle join + |priorities| rows out. ──────────
+    QueryDef("agg_shipping_lag_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_orderpriority",
+            expr("""CAST(CAST(l_shipdate AS DATE)
+              - CAST(o_orderdate AS DATE) AS BIGINT)""").as("lag_days"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(lag_days, array(0.5D, 0.9D, 0.99D))").as("qs"),
+            sum(when($"lag_days" > 90L, 1L).otherwise(0L)).as("n_late"))
+          .select($"o_orderpriority", $"n", $"qs"(0).as("p50_days"),
+            $"qs"(1).as("p90_days"), $"qs"(2).as("p99_days"), $"n_late",
+            ($"n_late".cast("double") / $"n".cast("double")).as("late_rate"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""WITH t AS (SELECT o_orderpriority,
+            CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+              AS BIGINT) AS lag_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+            quantile_cont(lag_days, [0.5, 0.9, 0.99]) AS qs,
+            CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_late
+          FROM t GROUP BY o_orderpriority)
+        SELECT o_orderpriority, n, qs[1] AS p50_days, qs[2] AS p90_days,
+          qs[3] AS p99_days, n_late,
+          CAST(n_late AS DOUBLE) / CAST(n AS DOUBLE) AS late_rate
+        FROM g ORDER BY o_orderpriority"""))
   )
 }

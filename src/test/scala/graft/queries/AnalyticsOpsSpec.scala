@@ -1002,6 +1002,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) <= r.getLong(3) && r.getLong(3) <= r.getLong(5))
   }
 
+  test("agg_shipping_lag_percentiles: order stats bracket and late-rate law") {
+    import org.apache.spark.sql.functions.col
+    val rows = run("agg_shipping_lag_percentiles")
+    val lags = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority",
+        "CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    assert(rows.length == lags.size)
+    rows.foreach { r =>
+      val ls = lags(r.getString(0))
+      assert(r.getLong(1) == ls.length)
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+      assert(r.getDouble(2) >= ls.head && r.getDouble(4) <= ls.last)
+      assert(r.getLong(5) == ls.count(_ > 90))
+      assert(r.getDouble(6) == ls.count(_ > 90).toDouble / ls.length)
+    }
+  }
+
+  test("text_fertility_by_lang: fertility >= 1 and sums partition the corpus") {
+    val rows = run("text_fertility_by_lang")
+    val corpus = Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == corpus)
+    rows.foreach { r =>
+      // BPE-ish pieces subdivide whitespace words, so fertility >= 1
+      // for any text with at least one word
+      if (r.getLong(2) > 0) assert(r.getDouble(4) >= 1.0,
+        s"${r.getString(0)} fertility ${r.getDouble(4)}")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("sort_pareto_skyline equals the quadratic dominance scan") {
     val pts = Tables.load(spark, dir, "part")
       .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS BIGINT)",
