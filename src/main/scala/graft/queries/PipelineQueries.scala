@@ -4405,7 +4405,115 @@ object PipelineQueries extends QueryModule {
           CAST(sum_tokens AS DOUBLE) / CAST(sum_words AS DOUBLE) AS fertility,
           CAST(sum_tokens AS DOUBLE) / CAST(sum_chars AS DOUBLE)
             AS tokens_per_char
-        FROM g ORDER BY lang"""))
+        FROM g ORDER BY lang""")),
+
+    // ── IVF probe-budget sweep: recall@10 vs nProbe ∈ {1, 4, 12, 24}
+    //    against brute-force truth — the TUNING CURVE behind
+    //    sim_topk_ivf's fixed 24/64 operating point (ScalingSmokeSpec
+    //    pins one point at sf1; this registers the whole curve as a
+    //    driver-checked result). ONE routing pass computes the 24-deep
+    //    probe ranking; each budget re-ranks the SAME scored set
+    //    (filter prank ≤ np + a (np, qid)-partitioned window), so the
+    //    sweep costs one corpus scan + 4 bounded rankings, not 4
+    //    routings. Recall denominators are fixed k·|Q| integers; the
+    //    seeded quantizer keeps every step SQL-replayable. ─────────────
+    QueryDef("sim_ivf_probe_sweep",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val (centroids, assign) = Similarity.ivfIndex(candidates, 64)
+        val wProbe = Window.partitionBy($"qid")
+          .orderBy($"psim".desc, $"cell_id")
+        val probes = queries.crossJoin(broadcast(centroids))
+          .select($"qid", $"qvec", $"cell_id",
+            graft.functions.VectorFunctions.cosineSim($"qvec", $"centroid")
+              .as("psim"))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter($"prank" <= 24)
+          .select($"qid", $"qvec", $"cell_id".as("cell"), $"prank")
+        val scored = probes.join(assign, Seq("cell"))
+          .join(candidates, Seq("cid"))
+          .filter($"cid" =!= $"qid")
+          .select($"qid", $"prank", $"cid",
+            graft.functions.VectorFunctions.cosineSim($"qvec", $"cvec")
+              .as("sim"))
+        val budgets = Seq(1, 4, 12, 24).toDF("np")
+        val wR = Window.partitionBy($"np", $"qid")
+          .orderBy($"sim".desc, $"cid")
+        val ivf10 = broadcast(budgets).join(scored, $"prank" <= $"np")
+          .withColumn("rn", row_number().over(wR))
+          .filter($"rn" <= 10)
+          .select($"np", $"qid", $"cid")
+        val wB = Window.partitionBy($"qid").orderBy($"bsim".desc, $"cid")
+        val brute = queries.crossJoin(candidates)
+          .filter($"cid" =!= $"qid")
+          .select($"qid", $"cid",
+            graft.functions.VectorFunctions.cosineSim($"qvec", $"cvec")
+              .as("bsim"))
+          .withColumn("rn", row_number().over(wB))
+          .filter($"rn" <= 10)
+          .select($"qid", $"cid")
+        val hits = ivf10.join(brute, Seq("qid", "cid"))
+          .groupBy($"np").agg(count(lit(1)).as("n_hits"))
+        val qn = queries.agg(count(lit(1)).as("nq"))
+        broadcast(budgets).join(hits, Seq("np"), "left")
+          .crossJoin(broadcast(qn))
+          .select($"np".as("n_probe"), $"nq".as("n_queries"),
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)).cast("double")
+              / ($"nq" * 10).cast("double")).as("recall_at_10"))
+          .orderBy($"n_probe")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell, prank FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell)
+                AS prank
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10)
+          WHERE prank <= 24),
+        scored AS (SELECT p.qid, p.prank, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        budgets AS (SELECT unnest([1, 4, 12, 24]) AS np),
+        ranked AS (SELECT b.np, s.qid, s.cid,
+            row_number() OVER (PARTITION BY b.np, s.qid
+              ORDER BY s.sim DESC, s.cid) AS rn
+          FROM budgets b JOIN scored s ON s.prank <= b.np),
+        ivf10 AS (SELECT np, qid, cid FROM ranked WHERE rn <= 10),
+        brute AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id)
+                AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10) WHERE rn <= 10),
+        hits AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+          FROM ivf10 JOIN brute USING (qid, cid) GROUP BY np),
+        qn AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM v
+          WHERE vec_id < 10)
+        SELECT b.np AS n_probe, qn.nq AS n_queries,
+          coalesce(h.n_hits, 0) AS n_hits,
+          CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+            / CAST(qn.nq * 10 AS DOUBLE) AS recall_at_10
+        FROM budgets b LEFT JOIN hits h ON b.np = h.np CROSS JOIN qn
+        ORDER BY n_probe"""))
   )
 }
 

@@ -371,7 +371,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_median_ci_rank",
     // triplet margin: the 1-row count stride broadcast (picks/sims are
     // equi joins on the class)
-    "embed_triplet_margin")
+    "embed_triplet_margin",
+    // probe sweep: the topk_ivf routing/brute cross joins + the 4-row
+    // budget broadcast on prank<=np + the 1-row query-count recombine
+    "sim_ivf_probe_sweep")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

