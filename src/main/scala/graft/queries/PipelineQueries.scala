@@ -2252,6 +2252,59 @@ object PipelineQueries extends QueryModule {
           CAST(floor(p * 1000000000.0) AS BIGINT) AS priority_e9
         FROM top ORDER BY priority_e9 DESC, doc_id""")),
 
+    // ── Deterministic negative sampling (contrastive/recommender
+    //    training pairs): for each order, 4 candidate part keys drawn by
+    //    md5(orderkey:slot) over the part-key domain, validated against
+    //    the part table (equi join) and purged of true positives (anti
+    //    join on the order's own lineitems) — so a surviving row is a
+    //    genuine (order, never-bought-part) negative, reproducible on
+    //    any partitioning/cluster size because the draw is a pure
+    //    function of the keys. The part-key domain (min, count) is a
+    //    1-row broadcast recombine; candidates stay O(orders·k).
+    //    Contiguity of the key domain is NOT assumed — the part join
+    //    drops holes (documented semantic: up to k negatives/order). ────
+    QueryDef("sample_negative_candidates",
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.load(s, dir, "orders").select($"o_orderkey")
+        val dom = Tables.load(s, dir, "part")
+          .agg(min($"p_partkey").as("min_pk"),
+            count(lit(1)).as("n_parts"))
+        val cand = orders
+          .select($"o_orderkey", explode(sequence(lit(1), lit(4))).as("slot"))
+          .crossJoin(broadcast(dom))
+          .select($"o_orderkey", $"slot",
+            ($"min_pk" + pmod(
+              conv(substring(md5(concat($"o_orderkey".cast("string"),
+                lit(":"), $"slot".cast("string"))), 1, 8), 16, 10)
+                .cast("long"),
+              $"n_parts")).as("cand_partkey"))
+        val valid = cand.join(
+          Tables.load(s, dir, "part").select($"p_partkey"),
+          $"cand_partkey" === $"p_partkey").drop("p_partkey")
+        val positives = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey")
+        valid.join(positives,
+            $"o_orderkey" === $"l_orderkey" &&
+              $"cand_partkey" === $"l_partkey", "left_anti")
+          .orderBy($"o_orderkey", $"slot")
+      },
+      Some(s"""WITH dom AS (SELECT min(p_partkey) AS min_pk,
+            CAST(count(*) AS BIGINT) AS n_parts FROM part),
+        cand AS (SELECT o_orderkey, CAST(slot AS INTEGER) AS slot,
+            min_pk + ${OracleGen.md5PrefixExpr(
+              "md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(slot AS VARCHAR))", 8)}
+              % n_parts AS cand_partkey
+          FROM orders CROSS JOIN (SELECT unnest(range(1, 5)) AS slot) s
+          CROSS JOIN dom),
+        valid AS (SELECT c.* FROM cand c
+          JOIN part p ON c.cand_partkey = p.p_partkey)
+        SELECT v.o_orderkey, v.slot, v.cand_partkey FROM valid v
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = v.o_orderkey
+            AND l.l_partkey = v.cand_partkey)
+        ORDER BY v.o_orderkey, v.slot""")),
+
     // ── domain-mixture curation: cap every source at the smallest
     //    source's char budget (a uniform target mixture), applied with
     //    the deterministic md5-bucket rule so membership is a pure

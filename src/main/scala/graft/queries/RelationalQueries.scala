@@ -5422,6 +5422,373 @@ object RelationalQueries extends QueryModule {
         SELECT o_orderpriority, n, qs[1] AS p50_days, qs[2] AS p90_days,
           qs[3] AS p99_days, n_late,
           CAST(n_late AS DOUBLE) / CAST(n AS DOUBLE) AS late_rate
-        FROM g ORDER BY o_orderpriority"""))
+        FROM g ORDER BY o_orderpriority""")),
+
+    // ── Welch's two-sample t-test (unequal-variance location test — the
+    //    experiment-analysis companion to `agg_mann_whitney_u`, which is
+    //    rank-based; Welch is the parametric default when variances
+    //    differ): click vs purchase event values. One hash aggregate
+    //    with conditional BIGINT cent moments (n, Σv, Σv²) per arm —
+    //    map-side partial, O(1) result row — then t and the
+    //    Welch–Satterthwaite df in ONE fixed-order IEEE expression tree
+    //    (each op correctly rounded, identical operand order in both
+    //    engines ⇒ bit-identical; the integer moments ship alongside as
+    //    the exact audit trail). 100 TB: a single scan + 1-row
+    //    aggregate, no shuffle beyond the final reduce. ─────────────────
+    QueryDef("agg_welch_ttest",
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase") &&
+            $"value".isNotNull)
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_a"),
+            sum(when($"event_type" === "click", $"v").otherwise(0L)).as("s_a"),
+            sum(when($"event_type" === "click", $"v" * $"v").otherwise(0L))
+              .as("ss_a"),
+            sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_b"),
+            sum(when($"event_type" === "purchase", $"v").otherwise(0L)).as("s_b"),
+            sum(when($"event_type" === "purchase", $"v" * $"v").otherwise(0L))
+              .as("ss_b"))
+        val na = $"n_a".cast("double"); val nb = $"n_b".cast("double")
+        val meanA = $"s_a".cast("double") / na
+        val meanB = $"s_b".cast("double") / nb
+        val varA = ($"ss_a".cast("double") -
+          $"s_a".cast("double") * $"s_a".cast("double") / na) /
+          ($"n_a" - 1L).cast("double")
+        val varB = ($"ss_b".cast("double") -
+          $"s_b".cast("double") * $"s_b".cast("double") / nb) /
+          ($"n_b" - 1L).cast("double")
+        val seA = varA / na
+        val seB = varB / nb
+        m.select($"n_a", $"n_b", $"s_a", $"s_b", $"ss_a", $"ss_b",
+          meanA.as("mean_a"), meanB.as("mean_b"),
+          ((meanA - meanB) / sqrt(seA + seB)).as("t_stat"),
+          (((seA + seB) * (seA + seB)) /
+            (seA * seA / ($"n_a" - 1L).cast("double") +
+              seB * seB / ($"n_b" - 1L).cast("double"))).as("df"))
+      },
+      Some("""WITH m AS (SELECT
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s_a,
+            CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ss_a,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s_b,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ss_b
+          FROM events
+          WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL)
+        SELECT n_a, n_b, s_a, s_b, ss_a, ss_b,
+          CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+          CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+          ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+            - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+          / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+            + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+            AS t_stat,
+          ((((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+            + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+           * (((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+            + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))))
+          / ((((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+             * ((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / CAST(n_a - 1 AS DOUBLE))
+            + (((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             * ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / CAST(n_b - 1 AS DOUBLE))) AS df
+        FROM m""")),
+
+    // ── Capture–recapture corpus-size estimate (Lincoln–Petersen): how
+    //    many DISTINCT texts does the corpus hold, estimated from two
+    //    cheap independent hash samples instead of a full distinct — the
+    //    sampling trick a 100 TB dedup pre-flight uses to size the real
+    //    job. Sample A = docs whose md5(doc_id) 1st hex nibble < '8',
+    //    sample B = 2nd nibble < '8' (independent bits of the same
+    //    digest); an entity (distinct md5(text) fingerprint) is
+    //    "captured" by a sample if ANY of its docs falls in it. N̂ =
+    //    n_a·n_b/overlap ships as exact BIGINT components + one final
+    //    IEEE division, with the true distinct count alongside to audit
+    //    the estimator. One fingerprint-grouped aggregate (map-side
+    //    partial over the scan) then a 1-row reduce — no joins. ─────────
+    QueryDef("agg_capture_recapture",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(md5($"text").as("fp"),
+            (substring(md5($"doc_id".cast("string")), 1, 1) < "8")
+              .as("in_a"),
+            (substring(md5($"doc_id".cast("string")), 2, 1) < "8")
+              .as("in_b"))
+          .groupBy($"fp")
+          .agg(max($"in_a").as("a"), max($"in_b").as("b"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when($"a", 1L).otherwise(0L)).as("n_a"),
+            sum(when($"b", 1L).otherwise(0L)).as("n_b"),
+            sum(when($"a" && $"b", 1L).otherwise(0L)).as("n_both"))
+          .select($"n_true", $"n_a", $"n_b", $"n_both",
+            (($"n_a" * $"n_b").cast("double") / $"n_both".cast("double"))
+              .as("n_hat"))
+      },
+      Some("""WITH f AS (SELECT md5(text) AS fp,
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_a,
+            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8' AS in_b
+          FROM documents),
+        g AS (SELECT fp, max(in_a) AS a, max(in_b) AS b
+          FROM f GROUP BY fp),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+            CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_both
+          FROM g)
+        SELECT n_true, n_a, n_b, n_both,
+          CAST(n_a * n_b AS DOUBLE) / CAST(n_both AS DOUBLE) AS n_hat
+        FROM m""")),
+
+    // ── Interval coalescing (gaps-and-islands over time RANGES, the
+    //    union-of-intervals primitive behind availability/SLA math,
+    //    machine-utilization rollups, and validity-interval compaction —
+    //    `window_sessionize_ids` merges POINTS by gap, this merges
+    //    overlapping [start, end) spans): each event spans `value`
+    //    seconds; per user, an interval starts a new island iff its
+    //    start exceeds the running max end of everything before it
+    //    (classic cumulative-max sweep, all BIGINT micros). Output per
+    //    user: intervals, islands after merging, exact covered micros
+    //    (Σ over islands of span — overlap never double-counted).
+    //    100 TB: both windows partition by user_id — one shuffle on the
+    //    natural key, per-user task-local sorts, no global order. ───────
+    QueryDef("window_interval_coalesce",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val iv = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"user_id", $"event_id",
+            unix_micros($"ts").as("start_us"),
+            (unix_micros($"ts") +
+              greatest(expr("CAST(round(value) AS BIGINT)"), lit(1L)) *
+                lit(1000000L)).as("end_us"))
+        val order = Window.partitionBy($"user_id")
+          .orderBy($"start_us", $"end_us", $"event_id")
+        val prevMax = order.rowsBetween(Window.unboundedPreceding, -1)
+        val run = order.rowsBetween(Window.unboundedPreceding, 0)
+        iv
+          .withColumn("new_island",
+            when($"start_us" > coalesce(max($"end_us").over(prevMax),
+              lit(Long.MinValue)), 1L).otherwise(0L))
+          .withColumn("island", sum($"new_island").over(run))
+          .groupBy($"user_id", $"island")
+          .agg(count(lit(1)).as("n_iv"), min($"start_us").as("is_start"),
+            max($"end_us").as("is_end"))
+          .groupBy($"user_id")
+          .agg(sum($"n_iv").as("n_intervals"),
+            count(lit(1)).as("n_islands"),
+            sum($"is_end" - $"is_start").as("covered_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id,
+            epoch_us(ts) AS start_us,
+            epoch_us(ts) + greatest(CAST(round(value) AS BIGINT), 1)
+              * 1000000 AS end_us
+          FROM events WHERE value IS NOT NULL),
+        mk AS (SELECT user_id, start_us, end_us,
+            CASE WHEN start_us > coalesce(max(end_us) OVER
+                (PARTITION BY user_id ORDER BY start_us, end_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island,
+            event_id
+          FROM iv),
+        isl AS (SELECT user_id, start_us, end_us,
+            CAST(sum(new_island) OVER
+              (PARTITION BY user_id ORDER BY start_us, end_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+          FROM mk),
+        g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_iv,
+            min(start_us) AS is_start, max(end_us) AS is_end
+          FROM isl GROUP BY user_id, island)
+        SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+          CAST(count(*) AS BIGINT) AS n_islands,
+          CAST(sum(is_end - is_start) AS BIGINT) AS covered_us
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    // ── One-way ANOVA across event types — does mean value differ by
+    //    type? (k-group generalization of `agg_welch_ttest`.) The
+    //    textbook SSB/SSW are sums of per-group RATIONALS (s_g²/n_g),
+    //    whose float summation order Spark's partial aggregation doesn't
+    //    fix — so the statistic is restated on 1e-6-quantized group
+    //    means: m̂_g = (10⁶·s_g) div n_g (BIGINT floor-div, exact), then
+    //    SSB = Σ n_g(m̂_g−m̂)² and SSW = Σ_g Σ_v (10⁶v−m̂_g)² =
+    //    Σ_g (10¹²·ss_g − 2·10⁶·m̂_g·s_g + n_g·m̂_g²) are pure
+    //    DECIMAL(38,0) integer sums — order-independent, bit-exact; the
+    //    F ratio ships as exact f_num/f_den plus one final IEEE
+    //    division. Shape: one |types|-row aggregate + 1-row grand
+    //    recombine (broadcast) + 1-row reduce — nothing data-sized
+    //    after the first scan. ──────────────────────────────────────────
+    QueryDef("agg_anova_oneway",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_g"), sum($"v").as("s_g"),
+            sum($"v" * $"v").as("ss_g"))
+          .withColumn("m_g", expr("(s_g * 1000000L) DIV n_g"))
+        val grand = g.agg(sum($"n_g").as("n"), sum($"s_g").as("s"))
+          .withColumn("m", expr("(s * 1000000L) DIV n"))
+        val dec = "decimal(38,0)"
+        g.crossJoin(broadcast(grand))
+          .select($"n_g", $"s_g", $"ss_g", $"m_g", $"n", $"m",
+            ($"n_g".cast(dec) * ($"m_g" - $"m").cast(dec) *
+              ($"m_g" - $"m").cast(dec)).as("ssb_t"),
+            ($"ss_g".cast(dec) * lit(1000000000000L).cast(dec) -
+              lit(2000000L).cast(dec) * $"m_g".cast(dec) * $"s_g".cast(dec) +
+              $"n_g".cast(dec) * $"m_g".cast(dec) * $"m_g".cast(dec))
+              .as("ssw_t"))
+          .agg(count(lit(1)).as("k"), max($"n").as("n"),
+            sum($"ssb_t").cast(dec).as("ssb"),
+            sum($"ssw_t").cast(dec).as("ssw"))
+          .select($"k", $"n", $"ssb", $"ssw",
+            ($"ssb" * ($"n" - $"k").cast(dec)).cast(dec).as("f_num"),
+            ($"ssw" * ($"k" - 1L).cast(dec)).cast(dec).as("f_den"))
+          .withColumn("f_stat",
+            $"f_num".cast("double") / $"f_den".cast("double"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+            CAST(sum(v) AS BIGINT) AS s_g,
+            CAST(sum(v * v) AS BIGINT) AS ss_g
+          FROM e GROUP BY event_type),
+        g2 AS (SELECT *, (s_g * 1000000) // n_g AS m_g FROM g),
+        t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+            CAST(sum(s_g) AS BIGINT) AS s FROM g2),
+        t2 AS (SELECT n, (s * 1000000) // n AS m FROM t),
+        c AS (SELECT g2.*, t2.n, t2.m,
+            CAST(n_g AS HUGEINT) * (m_g - m) * (m_g - m) AS ssb_t,
+            CAST(ss_g AS HUGEINT) * 1000000000000
+              - CAST(2000000 AS HUGEINT) * m_g * s_g
+              + CAST(n_g AS HUGEINT) * m_g * m_g AS ssw_t
+          FROM g2 CROSS JOIN t2),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n,
+            CAST(sum(ssb_t) AS DECIMAL(38,0)) AS ssb,
+            CAST(sum(ssw_t) AS DECIMAL(38,0)) AS ssw
+          FROM c)
+        SELECT k, n, ssb, ssw,
+          CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0)) AS f_num,
+          CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0)) AS f_den,
+          CAST(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0))
+              AS DOUBLE)
+            / CAST(CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0))
+              AS DOUBLE) AS f_stat
+        FROM a""")),
+
+    // ── Rolling 7-day cross-correlation between the click and purchase
+    //    daily revenue series (the lead-lag monitor behind
+    //    `agg_cross_corr_lagk`, tracked THROUGH time instead of one
+    //    global lag sweep): daily BIGINT cent sums per type collapse the
+    //    stream to the O(days) grid; the rolling moments n, Σx, Σy, Σx²,
+    //    Σy², Σxy over a 7-row frame are integer window sums — exact at
+    //    any evaluation order — and r² ships as the exact
+    //    num²/den DECIMAL pair with sign, one final nothing. Global
+    //    window, but over the REDUCED day grid (the
+    //    agg_median_distributed class — allowlisted with proof in
+    //    PlanAuditSpec). ─────────────────────────────────────────────────
+    QueryDef("window_rolling_corr",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .groupBy($"event_type",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+        val x = daily.filter($"event_type" === "click")
+          .select($"d", $"cents".as("x"))
+        val y = daily.filter($"event_type" === "purchase")
+          .select($"d".as("dy"), $"cents".as("y"))
+        val w = Window.orderBy($"d").rowsBetween(-6, 0)
+        x.join(y, $"d" === $"dy").drop("dy")
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum($"x").over(w))
+          .withColumn("sy", sum($"y").over(w))
+          .withColumn("sxx", sum($"x" * $"x").over(w))
+          .withColumn("syy", sum($"y" * $"y").over(w))
+          .withColumn("sxy", sum($"x" * $"y").over(w))
+          .filter($"n" === 7L)
+          .select($"d", $"n",
+            signum($"n" * $"sxy" - $"sx" * $"sy").cast("long").as("sign"),
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("decimal(38,0)") *
+              ($"n" * $"sxy" - $"sx" * $"sy")).cast("decimal(38,0)")
+              .as("r2_num"),
+            ((($"n" * $"sxx" - $"sx" * $"sx")).cast("decimal(38,0)") *
+              ($"n" * $"syy" - $"sy" * $"sy")).cast("decimal(38,0)")
+              .as("r2_den"))
+          .orderBy($"d")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY 1, 2),
+        x AS (SELECT d, cents AS x FROM daily WHERE event_type = 'click'),
+        y AS (SELECT d AS dy, cents AS y FROM daily
+          WHERE event_type = 'purchase'),
+        j AS (SELECT x.d, x.x, y.y FROM x JOIN y ON y.dy = x.d),
+        r AS (SELECT d,
+            CAST(count(*) OVER w AS BIGINT) AS n,
+            CAST(sum(x) OVER w AS BIGINT) AS sx,
+            CAST(sum(y) OVER w AS BIGINT) AS sy,
+            CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+            CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+            CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+          FROM j WINDOW w AS (ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT d, n,
+          CAST(sign(n * sxy - sx * sy) AS BIGINT) AS sign,
+          CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+            * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS r2_num,
+          CAST(CAST(n * sxx - sx * sx AS HUGEINT)
+            * (n * syy - sy * sy) AS DECIMAL(38,0)) AS r2_den
+        FROM r WHERE n = 7 ORDER BY d"""))
   )
 }

@@ -280,6 +280,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // curriculum: |bins|-row (≤3) bucket-count self-join on bin<bin for
     // the cumulative offsets — both sides broadcast-tiny
     "pipeline_curriculum_order",
+    // anova: the |types|-row group frame × 1-row grand-moment broadcast
+    // recombine (the scalar-recombine shape)
+    "agg_anova_oneway",
+    // negative sampling: the orders×slots frame × 1-row part-key-domain
+    // broadcast recombine; candidate validation and the positive
+    // exclusion are equi joins
+    "sample_negative_candidates",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",
@@ -446,7 +453,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_mann_whitney_u",
       // gini / median CI: the same O(domain) cumulative-count window
       // over the distinct-value histogram as agg_median_distributed
-      "agg_gini_coefficient", "agg_median_ci_rank")
+      "agg_gini_coefficient", "agg_median_ci_rank",
+      // rolling corr: 7-row moment frames over the O(days) joined daily
+      // grid — both window inputs are day-grouped aggregates
+      "window_rolling_corr")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -473,7 +483,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val allowed = Set("pipeline_pack_chunks", "sort_global_rank",
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
       "agg_weighted_median_distributed", "dq_distribution_ks",
-      "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank")
+      "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
+      "window_rolling_corr")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

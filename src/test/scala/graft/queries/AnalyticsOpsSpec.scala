@@ -1056,4 +1056,182 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("agg_welch_ttest: moments match the driver replay; t/df reproduce IEEE tree") {
+    val rows = run("agg_welch_ttest")
+    assert(rows.length == 1)
+    val r = rows.head
+    val cents = Tables.load(spark, dir, "events")
+      .filter("event_type IN ('click','purchase') AND value IS NOT NULL")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val a = cents.filter(_._1 == "click").map(_._2)
+    val b = cents.filter(_._1 == "purchase").map(_._2)
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    assert(r.getLong(2) == a.sum && r.getLong(3) == b.sum)
+    assert(r.getLong(4) == a.map(v => v * v).sum)
+    assert(r.getLong(5) == b.map(v => v * v).sum)
+    // replay the exact IEEE tree the query declares
+    def mom(xs: Array[Long]): (Double, Double) = {
+      val n = xs.length.toDouble
+      val s = xs.sum.toDouble; val ss = xs.map(v => v * v).sum.toDouble
+      (s / n, (ss - s * s / n) / (xs.length - 1).toDouble)
+    }
+    val (ma, va) = mom(a); val (mb, vb) = mom(b)
+    val seA = va / a.length.toDouble; val seB = vb / b.length.toDouble
+    val t = (ma - mb) / math.sqrt(seA + seB)
+    val df = ((seA + seB) * (seA + seB)) /
+      (seA * seA / (a.length - 1).toDouble +
+        seB * seB / (b.length - 1).toDouble)
+    assert(r.getDouble(6) == ma && r.getDouble(7) == mb)
+    assert(r.getDouble(8) == t, s"t: got ${r.getDouble(8)} want $t")
+    assert(r.getDouble(9) == df, s"df: got ${r.getDouble(9)} want $df")
+    // Welch df is bounded by min-1 and pooled n-2
+    assert(df >= math.min(a.length, b.length) - 1.0 - 1e-9)
+    assert(df <= a.length + b.length - 2.0 + 1e-9)
+  }
+
+  test("agg_capture_recapture: Lincoln–Petersen components match an md5 replay") {
+    val rows = run("agg_capture_recapture")
+    assert(rows.length == 1)
+    val r = rows.head
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val byFp = docs.groupBy(d => md5hex(d._2))
+    val nTrue = byFp.size.toLong
+    val nA = byFp.values.count(_.exists(d => md5hex(d._1.toString)(0) < '8')).toLong
+    val nB = byFp.values.count(_.exists(d => md5hex(d._1.toString)(1) < '8')).toLong
+    val nBoth = byFp.values.count(g =>
+      g.exists(d => md5hex(d._1.toString)(0) < '8') &&
+        g.exists(d => md5hex(d._1.toString)(1) < '8')).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nTrue, nA, nB, nBoth)))
+    assert(r.getDouble(4) == nA.toDouble * nB.toDouble / nBoth.toDouble)
+    // the estimator should land within 2x of truth on ~50% samples
+    assert(r.getDouble(4) > nTrue * 0.5 && r.getDouble(4) < nTrue * 2.0)
+  }
+
+  test("agg_anova_oneway matches the quantized-mean replay; SSB/SSW nonneg") {
+    val rows = run("agg_anova_oneway")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = vs.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val k = groups.size.toLong
+    val n = vs.length.toLong
+    val s = vs.map(_._2).sum
+    val mHat = s * 1000000L / n
+    def mg(xs: Array[Long]): Long = xs.sum * 1000000L / xs.length
+    val ssb = groups.map { g =>
+      val d = BigInt(mg(g) - mHat); BigInt(g.length) * d * d
+    }.sum
+    val ssw = groups.map { g =>
+      val m = BigInt(mg(g))
+      BigInt(g.map(v => v * v).sum) * BigInt(1000000000000L) -
+        BigInt(2000000L) * m * BigInt(g.sum) + BigInt(g.length) * m * m
+    }.sum
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(BigInt(r.getDecimal(2).toBigInteger) == ssb)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == ssw)
+    assert(BigInt(r.getDecimal(4).toBigInteger) == ssb * BigInt(n - k))
+    assert(BigInt(r.getDecimal(5).toBigInteger) == ssw * BigInt(k - 1))
+    assert(ssb >= 0 && ssw >= 0)
+  }
+
+  test("window_rolling_corr: moments match a sequential 7-day frame replay") {
+    val rows = run("window_rolling_corr")
+    val daily = Tables.load(spark, dir, "events")
+      .filter("event_type IN ('click','purchase')")
+      .selectExpr("event_type",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val cl = daily.filter(_._1 == "click").groupBy(_._2)
+      .map { case (d, g) => d -> g.map(_._3).sum }
+    val pu = daily.filter(_._1 == "purchase").groupBy(_._2)
+      .map { case (d, g) => d -> g.map(_._3).sum }
+    val days = (cl.keySet & pu.keySet).toSeq.sorted
+    val expected = days.zipWithIndex.collect {
+      case (d, i) if i >= 6 =>
+        val frame = days.slice(i - 6, i + 1)
+        val xs = frame.map(cl); val ys = frame.map(pu)
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = frame.map(dd => cl(dd) * pu(dd)).sum
+        val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+        val num = BigInt(7L * sxy - sx * sy)
+        d -> ((num.signum.toLong, num * num,
+          BigInt(7L * sxx - sx * sx) * BigInt(7L * syy - sy * sy)))
+    }.toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val got = (r.getLong(2), BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger))
+      assert(got == expected(d), s"day $d")
+      // Cauchy–Schwarz: r² ≤ 1
+      assert(got._2 <= got._3 || got._3 == 0)
+    }
+  }
+
+  test("sample_negative_candidates: pure-function draws, no positives leak") {
+    val rows = run("sample_negative_candidates")
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val parts = Tables.load(spark, dir, "part")
+      .selectExpr("p_partkey").collect().map(_.getLong(0)).toSet
+    val minPk = parts.min; val nParts = parts.size.toLong
+    val positives = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val orderKeys = Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderkey").collect().map(_.getLong(0))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = (for {
+      ok <- orderKeys; slot <- 1 to 4
+      u = java.lang.Long.parseLong(md5hex(s"$ok:$slot").take(8), 16)
+      cand = minPk + u % nParts
+      if parts(cand) && !positives((ok, cand))
+    } yield (ok, slot, cand)).sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == expected.toSeq)
+    rows.foreach { case (ok, _, cand) =>
+      assert(!positives((ok, cand)) && parts(cand))
+    }
+  }
+
+  test("window_interval_coalesce equals a sequential per-user interval merge") {
+    val rows = run("window_interval_coalesce")
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val iv = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS s",
+        "unix_micros(ts) + greatest(CAST(round(value) AS BIGINT), 1)" +
+          " * 1000000 AS e")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val expected = iv.groupBy(_._1).map { case (u, xs) =>
+      val sorted = xs.sortBy(t => (t._3, t._4, t._2))
+      var islands = List.empty[(Long, Long)] // (start, end) merged, reversed
+      sorted.foreach { case (_, _, s0, e0) =>
+        islands match {
+          case (s1, e1) :: rest if s0 <= e1 =>
+            islands = (s1, math.max(e1, e0)) :: rest
+          case _ => islands = (s0, e0) :: islands
+        }
+      }
+      u -> ((xs.length.toLong, islands.size.toLong,
+        islands.map(t => t._2 - t._1).sum))
+    }
+    assert(rows.size == expected.size)
+    expected.foreach { case (u, want) =>
+      assert(rows(u) == want, s"user $u: got ${rows(u)} want $want")
+    }
+  }
 }
