@@ -2252,6 +2252,144 @@ object PipelineQueries extends QueryModule {
           CAST(floor(p * 1000000000.0) AS BIGINT) AS priority_e9
         FROM top ORDER BY priority_e9 DESC, doc_id""")),
 
+    // ── T5-style span-corruption masking plan (the denoising-objective
+    //    preprocessor): every token position draws a deterministic
+    //    md5(doc:pos) start flag (first nibble < '3' ≈ 18.75%), each
+    //    start masks a 3-token span, overlapping spans merge — all
+    //    resolved with doc-partitioned windows (a 3-row rolling max for
+    //    membership, a lag for span starts), so the mask is a pure
+    //    function of (doc_id, position) and reproducible on any
+    //    partitioning. Per doc: tokens, masked tokens, merged spans,
+    //    mask rate (one IEEE division). 100 TB: one scan, windows
+    //    shuffle on doc_id only. ────────────────────────────────────────
+    QueryDef("pipeline_span_corruption",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            posexplode(split(lower(trim($"text")), "\\s+")))
+          .select($"doc_id", ($"pos" + 1).as("ti"))
+          .withColumn("start_flag",
+            when(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+              $"ti".cast("string"))), 1, 1) < "3", 1L).otherwise(0L))
+        val w = Window.partitionBy($"doc_id").orderBy($"ti")
+        toks
+          .withColumn("masked",
+            max($"start_flag").over(w.rowsBetween(-2, 0)))
+          .withColumn("seg_start",
+            when($"masked" === 1L &&
+              coalesce(lag($"masked", 1).over(w), lit(0L)) === 0L, 1L)
+              .otherwise(0L))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum($"masked").as("n_masked"),
+            sum($"seg_start").as("n_spans"))
+          .withColumn("mask_rate",
+            $"n_masked".cast("double") / $"n_tokens".cast("double"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            generate_subscripts(
+              string_split_regex(lower(trim(text)), '\s+'), 1) AS ti
+          FROM documents),
+        f AS (SELECT doc_id, ti,
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                || CAST(ti AS VARCHAR)), 1, 1) < '3'
+              THEN 1 ELSE 0 END AS start_flag
+          FROM t),
+        m AS (SELECT doc_id, ti,
+            max(start_flag) OVER (PARTITION BY doc_id ORDER BY ti
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS masked
+          FROM f),
+        sg AS (SELECT doc_id, masked,
+            CASE WHEN masked = 1 AND coalesce(lag(masked, 1) OVER
+                (PARTITION BY doc_id ORDER BY ti), 0) = 0
+              THEN 1 ELSE 0 END AS seg_start
+          FROM m)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(masked) AS BIGINT) AS n_masked,
+          CAST(sum(seg_start) AS BIGINT) AS n_spans,
+          CAST(sum(masked) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS mask_rate
+        FROM sg GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── Energy-based voice-activity detection over (stub-decoded) audio
+    //    frames — the speech-segment extractor of an audio curation
+    //    pipeline: 48 frames per clip carry a deterministic 16-bit
+    //    md5 energy (the FakeCodec convention — swap for a real decoder
+    //    and nothing downstream changes); active = energy > 40000,
+    //    segments are islands of consecutive active frames (lag start
+    //    flags + a running segment id), longest segment via the
+    //    per-segment collapse. All integer; windows partition by clip.──
+    QueryDef("multimodal_audio_vad",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val frames = Tables.load(s, dir, "events")
+          .filter($"event_id" < 6000)
+          .select(expr("event_id DIV 48").as("audio_id"),
+            pmod($"event_id", lit(48L)).as("frame"),
+            conv(substring(md5(concat(lit("vad:"),
+              $"event_id".cast("string"))), 1, 4), 16, 10).cast("long")
+              .as("energy"))
+          .withColumn("active",
+            when($"energy" > 40000L, 1L).otherwise(0L))
+        val w = Window.partitionBy($"audio_id").orderBy($"frame")
+        val seg = frames
+          .withColumn("seg_start",
+            when($"active" === 1L &&
+              coalesce(lag($"active", 1).over(w), lit(0L)) === 0L, 1L)
+              .otherwise(0L))
+          .withColumn("seg_id",
+            sum($"seg_start").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val perSeg = seg.filter($"active" === 1L)
+          .groupBy($"audio_id", $"seg_id")
+          .agg(count(lit(1)).as("seg_len"))
+          .groupBy($"audio_id")
+          .agg(count(lit(1)).as("n_segments"),
+            max($"seg_len").as("max_seg_len"))
+        frames.groupBy($"audio_id")
+          .agg(count(lit(1)).as("n_frames"), sum($"active").as("n_active"),
+            sum($"energy").as("sum_energy"))
+          .join(perSeg, Seq("audio_id"), "left")
+          .select($"audio_id", $"n_frames", $"n_active", $"sum_energy",
+            coalesce($"n_segments", lit(0L)).as("n_segments"),
+            coalesce($"max_seg_len", lit(0L)).as("max_seg_len"))
+          .orderBy($"audio_id")
+      },
+      Some(s"""WITH f AS (SELECT event_id // 48 AS audio_id,
+            event_id % 48 AS frame,
+            ${OracleGen.md5PrefixExpr("md5('vad:' || CAST(event_id AS VARCHAR))", 4)}
+              AS energy
+          FROM events WHERE event_id < 6000),
+        a AS (SELECT audio_id, frame, energy,
+            CASE WHEN energy > 40000 THEN 1 ELSE 0 END AS active
+          FROM f),
+        sg AS (SELECT audio_id, frame, active,
+            CASE WHEN active = 1 AND coalesce(lag(active, 1) OVER
+                (PARTITION BY audio_id ORDER BY frame), 0) = 0
+              THEN 1 ELSE 0 END AS seg_start
+          FROM a),
+        sid AS (SELECT audio_id, frame, active,
+            sum(seg_start) OVER (PARTITION BY audio_id ORDER BY frame
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+          FROM sg),
+        ps AS (SELECT audio_id, seg_id, count(*) AS seg_len
+          FROM sid WHERE active = 1 GROUP BY audio_id, seg_id),
+        pa AS (SELECT audio_id, CAST(count(*) AS BIGINT) AS n_segments,
+            CAST(max(seg_len) AS BIGINT) AS max_seg_len
+          FROM ps GROUP BY audio_id),
+        tot AS (SELECT audio_id, CAST(count(*) AS BIGINT) AS n_frames,
+            CAST(sum(active) AS BIGINT) AS n_active,
+            CAST(sum(energy) AS BIGINT) AS sum_energy
+          FROM a GROUP BY audio_id)
+        SELECT tot.audio_id, n_frames, n_active, sum_energy,
+          coalesce(pa.n_segments, 0) AS n_segments,
+          coalesce(pa.max_seg_len, 0) AS max_seg_len
+        FROM tot LEFT JOIN pa ON tot.audio_id = pa.audio_id
+        ORDER BY tot.audio_id""")),
+
     // ── Deterministic negative sampling (contrastive/recommender
     //    training pairs): for each order, 4 candidate part keys drawn by
     //    md5(orderkey:slot) over the part-key domain, validated against

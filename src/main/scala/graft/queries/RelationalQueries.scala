@@ -5789,6 +5789,69 @@ object RelationalQueries extends QueryModule {
             * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS r2_num,
           CAST(CAST(n * sxx - sx * sx AS HUGEINT)
             * (n * syy - sy * sy) AS DECIMAL(38,0)) AS r2_den
-        FROM r WHERE n = 7 ORDER BY d"""))
+        FROM r WHERE n = 7 ORDER BY d""")),
+
+    // ── Winsorized and trimmed means per event type (the robust-mean
+    //    pair every metrics pipeline needs once heavy tails appear —
+    //    complements `agg_mad_outliers`, which flags outliers, by
+    //    reporting the outlier-resistant center): p5/p95 cut points from
+    //    the exact percentile aggregate (bit-identical to DuckDB's
+    //    quantile_cont — shared PERCENTILE_CONT interpolation), ROUNDED
+    //    to integer cents so the clamped/filtered sums stay BIGINT-exact
+    //    at any aggregation order; one IEEE division each at the end.
+    //    Shape: per-type cut-point aggregate (|types| rows, broadcast)
+    //    equi-joined back onto the stream — two scans, no window, no
+    //    global state. ─────────────────────────────────────────────────
+    QueryDef("agg_winsorized_trimmed",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val cuts = e.groupBy($"event_type".as("ct"))
+          .agg(expr("percentile(v, array(0.05D, 0.95D))").as("qs"))
+          .select($"ct",
+            expr("CAST(round(qs[0]) AS BIGINT)").as("lo"),
+            expr("CAST(round(qs[1]) AS BIGINT)").as("hi"))
+        e.join(broadcast(cuts), $"event_type" === $"ct").drop("ct")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), max($"lo").as("lo"),
+            max($"hi").as("hi"),
+            sum(least(greatest($"v", $"lo"), $"hi")).as("sum_wins"),
+            sum(when($"v".between($"lo", $"hi"), 1L).otherwise(0L))
+              .as("n_trim"),
+            sum(when($"v".between($"lo", $"hi"), $"v").otherwise(0L))
+              .as("sum_trim"))
+          .select($"event_type", $"n", $"lo", $"hi", $"sum_wins",
+            $"n_trim", $"sum_trim",
+            ($"sum_wins".cast("double") / $"n".cast("double"))
+              .as("win_mean"),
+            ($"sum_trim".cast("double") / $"n_trim".cast("double"))
+              .as("trim_mean"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        cuts AS (SELECT event_type AS ct,
+            CAST(round(quantile_cont(v, 0.05)) AS BIGINT) AS lo,
+            CAST(round(quantile_cont(v, 0.95)) AS BIGINT) AS hi
+          FROM e GROUP BY event_type)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          max(lo) AS lo, max(hi) AS hi,
+          CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS sum_wins,
+          CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trim,
+          CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN v ELSE 0 END)
+            AS BIGINT) AS sum_trim,
+          CAST(sum(least(greatest(v, lo), hi)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS win_mean,
+          CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN v ELSE 0 END)
+              AS DOUBLE)
+            / CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END)
+              AS DOUBLE) AS trim_mean
+        FROM e JOIN cuts ON e.event_type = cuts.ct
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

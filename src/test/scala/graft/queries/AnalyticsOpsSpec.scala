@@ -1206,6 +1206,84 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_span_corruption equals a sequential mask replay; spans merge") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = run("pipeline_span_corruption")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val n = text.trim.toLowerCase.split("\\s+").length
+      val starts = (1 to n).map(i => md5hex(s"$id:$i")(0) < '3')
+      val masked = (1 to n).map(i =>
+        (math.max(1, i - 2) to i).exists(j => starts(j - 1)))
+      val nMasked = masked.count(identity).toLong
+      val nSpans = masked.zipWithIndex.count { case (m, i) =>
+        m && (i == 0 || !masked(i - 1))
+      }.toLong
+      assert(rows(id) == ((n.toLong, nMasked, nSpans)), s"doc $id")
+    }
+  }
+
+  test("multimodal_audio_vad: segment islands match a sequential frame walk") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = run("multimodal_audio_vad")
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val ids = Tables.load(spark, dir, "events")
+      .filter("event_id < 6000").selectExpr("event_id")
+      .collect().map(_.getLong(0))
+    ids.groupBy(_ / 48).foreach { case (aid, evs) =>
+      val frames = evs.sorted.map { e =>
+        val energy = java.lang.Long.parseLong(md5hex(s"vad:$e").take(4), 16)
+        (energy, energy > 40000)
+      }
+      val active = frames.map(_._2)
+      val segs = active.zipWithIndex.count { case (a, i) =>
+        a && (i == 0 || !active(i - 1))
+      }
+      val maxLen = if (!active.contains(true)) 0L
+        else active.foldLeft((0L, 0L)) { case ((cur, best), a) =>
+          if (a) (cur + 1, math.max(best, cur + 1)) else (0L, best)
+        }._2
+      val want = (frames.length.toLong, active.count(identity).toLong,
+        frames.map(_._1).sum, segs.toLong, maxLen)
+      assert(rows(aid) == want, s"audio $aid: got ${rows(aid)} want $want")
+    }
+  }
+
+  test("agg_winsorized_trimmed: clamped sums match replay; robust means bounded") {
+    val rows = run("agg_winsorized_trimmed")
+    val vs = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2) }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val xs = vs(t)
+      assert(n == xs.length)
+      val wins = xs.map(v => math.min(math.max(v, lo), hi)).sum
+      val trim = xs.filter(v => v >= lo && v <= hi)
+      assert(r.getLong(4) == wins)
+      assert(r.getLong(5) == trim.length && r.getLong(6) == trim.sum)
+      // cut points must bracket the middle 90%
+      assert(xs.count(_ < lo) <= (xs.length * 0.06).ceil.toInt + 1)
+      assert(xs.count(_ > hi) <= (xs.length * 0.06).ceil.toInt + 1)
+      // winsorized mean sits between trimmed min/max envelope
+      assert(r.getDouble(7) >= lo.toDouble && r.getDouble(7) <= hi.toDouble)
+      assert(r.getDouble(8) >= lo.toDouble && r.getDouble(8) <= hi.toDouble)
+    }
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
