@@ -205,6 +205,46 @@ object RelationalQueries extends QueryModule {
                             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')) custsale
     GROUP BY cntrycode ORDER BY cntrycode"""
 
+  /** Shared nation-trade graph + 2-round label-propagation communities
+    * (the `graph_label_propagation` construction, factored so
+    * `graph_community_modularity` scores the SAME partition it
+    * registers): returns (undirected weighted edge list with both
+    * directions stored, final (node, lbl) frame). Synchronous rounds,
+    * ties to the smallest label via `max(struct(wsum, −lbl))` — the
+    * fixpoint trajectory is a pure function of the graph.
+    */
+  private def nationTradeCommunities(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val dir0 = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .groupBy($"c_nationkey".as("a"), $"s_nationkey".as("b"))
+      .agg(count(lit(1)).as("w"))
+    // undirected: each directed pair contributes its weight both ways
+    val edges = dir0.select($"a".as("src"), $"b".as("dst"), $"w")
+      .unionByName(dir0.select($"b".as("src"), $"a".as("dst"), $"w"))
+      .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+    val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
+    def round(lbl: DataFrame): DataFrame = {
+      val adopted = edges
+        .join(broadcast(lbl.withColumnRenamed("node", "dst")), "dst")
+        .groupBy($"src", $"lbl").agg(sum($"w").as("wsum"))
+        .groupBy($"src")
+        .agg(max(struct($"wsum", (-$"lbl").as("nl"))).as("m"))
+        .select($"src".as("node"), (-$"m.nl").as("lbl"))
+      // isolated nodes keep their label
+      nodes.join(broadcast(adopted), Seq("node"), "left")
+        .select($"node", coalesce($"lbl", $"node".cast("long")).as("lbl"))
+    }
+    val l0 = nodes.select($"node", $"node".cast("long").as("lbl"))
+    (edges, round(round(l0)))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── flagship: scan + filter + multi-aggregate (TPC-H Q1 shape) ──────
@@ -711,34 +751,8 @@ object RelationalQueries extends QueryModule {
     QueryDef("graph_label_propagation",
       (s, dir) => {
         import s.implicits._
-        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
-        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
-        val dir0 = li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
-          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-          .filter($"c_nationkey" =!= $"s_nationkey")
-          .groupBy($"c_nationkey".as("a"), $"s_nationkey".as("b"))
-          .agg(count(lit(1)).as("w"))
-        // undirected: each directed pair contributes its weight both ways
-        val edges = dir0.select($"a".as("src"), $"b".as("dst"), $"w")
-          .unionByName(dir0.select($"b".as("src"), $"a".as("dst"), $"w"))
-          .groupBy($"src", $"dst").agg(sum($"w").as("w"))
-        val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
-        def round(lbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val adopted = edges
-            .join(broadcast(lbl.withColumnRenamed("node", "dst")), "dst")
-            .groupBy($"src", $"lbl").agg(sum($"w").as("wsum"))
-            .groupBy($"src")
-            .agg(max(struct($"wsum", (-$"lbl").as("nl"))).as("m"))
-            .select($"src".as("node"), (-$"m.nl").as("lbl"))
-          // isolated nodes keep their label
-          nodes.join(broadcast(adopted), Seq("node"), "left")
-            .select($"node", coalesce($"lbl", $"node".cast("long")).as("lbl"))
-        }
-        val l0 = nodes.select($"node", $"node".cast("long").as("lbl"))
-        round(round(l0))
+        val (_, labels) = nationTradeCommunities(s, dir)
+        labels
           .select($"node", $"lbl".cast("long").as("community"))
           .orderBy($"node")
       },
@@ -5852,6 +5866,202 @@ object RelationalQueries extends QueryModule {
             / CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN 1 ELSE 0 END)
               AS DOUBLE) AS trim_mean
         FROM e JOIN cuts ON e.event_type = cuts.ct
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── Weighted modularity scoreboard of the label-propagation
+    //    partition (closes the community-detection loop: `graph_label_
+    //    propagation` finds communities, this SCORES them — the quality
+    //    gate a production graph pipeline runs before trusting a
+    //    partition): with W = Σw (both directions), Q = Σ_c (in_c/W −
+    //    (d_c/W)²) is reported as the exact integer contribution
+    //    W·in_c − d_c² per community (Q = Σ contrib / W², no float
+    //    summation anywhere). Reuses the factored graph+labels build;
+    //    all joins against the ≤|nations|-row label/degree frames are
+    //    broadcast; the 1-row W recombine is the documented scalar
+    //    shape. ──────────────────────────────────────────────────────────
+    QueryDef("graph_community_modularity",
+      (s, dir) => {
+        import s.implicits._
+        val (edges, labels) = nationTradeCommunities(s, dir)
+        val wTotal = edges.agg(sum($"w").as("w_total"))
+        val deg = edges.groupBy($"src".as("node")).agg(sum($"w").as("deg"))
+        val internal = edges
+          .join(broadcast(labels.select($"node".as("src"), $"lbl".as("la"))), "src")
+          .join(broadcast(labels.select($"node".as("dst"), $"lbl".as("lb"))), "dst")
+          .filter($"la" === $"lb")
+          .groupBy($"la".as("community")).agg(sum($"w").as("internal_w"))
+        labels
+          .join(broadcast(deg), Seq("node"), "left")
+          .select($"lbl".as("community"), $"node",
+            coalesce($"deg", lit(0L)).as("deg"))
+          .groupBy($"community")
+          .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("deg_sum"))
+          .join(broadcast(internal), Seq("community"), "left")
+          .crossJoin(broadcast(wTotal))
+          .select($"community", $"n_nodes", $"deg_sum",
+            coalesce($"internal_w", lit(0L)).as("internal_w"), $"w_total",
+            ($"w_total" * coalesce($"internal_w", lit(0L)) -
+              $"deg_sum" * $"deg_sum").as("contrib_num"))
+          .orderBy($"community")
+      },
+      Some("""WITH d0 AS (
+          SELECT c.c_nationkey AS a, s.s_nationkey AS b, CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey
+          GROUP BY 1, 2),
+        e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst, w FROM d0
+            UNION ALL SELECT b, a, w FROM d0) u GROUP BY 1, 2),
+        n AS (SELECT n_nationkey AS node FROM nation),
+        l0 AS (SELECT node, CAST(node AS BIGINT) AS lbl FROM n),
+        a1 AS (SELECT e.src, l0.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+          FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+        p1 AS (SELECT src AS node, lbl FROM (SELECT src, lbl,
+            row_number() OVER (PARTITION BY src ORDER BY wsum DESC, lbl ASC) AS rn
+          FROM a1) t WHERE rn = 1),
+        l1 AS (SELECT n.node, coalesce(p1.lbl, CAST(n.node AS BIGINT)) AS lbl
+          FROM n LEFT JOIN p1 ON n.node = p1.node),
+        a2 AS (SELECT e.src, l1.lbl, CAST(sum(e.w) AS BIGINT) AS wsum
+          FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+        p2 AS (SELECT src AS node, lbl FROM (SELECT src, lbl,
+            row_number() OVER (PARTITION BY src ORDER BY wsum DESC, lbl ASC) AS rn
+          FROM a2) t WHERE rn = 1),
+        l2 AS (SELECT n.node, coalesce(p2.lbl, CAST(n.node AS BIGINT)) AS lbl
+          FROM n LEFT JOIN p2 ON n.node = p2.node),
+        wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM e),
+        dg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg
+          FROM e GROUP BY src),
+        intw AS (SELECT la.lbl AS community, CAST(sum(e.w) AS BIGINT)
+              AS internal_w
+          FROM e JOIN l2 la ON e.src = la.node
+            JOIN l2 lb ON e.dst = lb.node
+          WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+        cm AS (SELECT l2.lbl AS community,
+            CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(sum(coalesce(dg.deg, 0)) AS BIGINT) AS deg_sum
+          FROM l2 LEFT JOIN dg ON l2.node = dg.node
+          GROUP BY l2.lbl)
+        SELECT cm.community, cm.n_nodes, cm.deg_sum,
+          coalesce(intw.internal_w, 0) AS internal_w, wt.w_total,
+          CAST(wt.w_total * coalesce(intw.internal_w, 0)
+            - cm.deg_sum * cm.deg_sum AS BIGINT) AS contrib_num
+        FROM cm LEFT JOIN intw ON cm.community = intw.community
+        CROSS JOIN wt ORDER BY cm.community""")),
+
+    // ── Weighted degree assortativity of the nation trade graph (do
+    //    high-degree nations trade with high-degree nations? The mixing
+    //    diagnostic that tells you whether a hub-and-spoke or a
+    //    core-periphery rewiring is happening): Pearson correlation of
+    //    endpoint degrees across edges, weighted by edge weight —
+    //    reported as the exact integer moment components (S, Σwx, Σwy,
+    //    num = S·Σwxy − Σwx·Σwy, den1/den2 marginal variances) in
+    //    DECIMAL(38,0); shipping den1·den2 unfactored would overflow 38
+    //    digits at sf10, the split pair never does. One broadcast deg
+    //    join + ONE aggregate over the |nations|²-bounded edge list. ────
+    QueryDef("graph_assortativity",
+      (s, dir) => {
+        import s.implicits._
+        val (edges, _) = nationTradeCommunities(s, dir)
+        val deg = edges.groupBy($"src".as("node")).agg(sum($"w").as("deg"))
+        val dec = "decimal(38,0)"
+        edges
+          .join(broadcast(deg.select($"node".as("src"), $"deg".as("dx"))), "src")
+          .join(broadcast(deg.select($"node".as("dst"), $"deg".as("dy"))), "dst")
+          .agg(sum($"w").as("s_w"),
+            sum(($"w".cast(dec) * $"dx".cast(dec)).cast(dec)).cast(dec).as("sx"),
+            sum(($"w".cast(dec) * $"dy".cast(dec)).cast(dec)).cast(dec).as("sy"),
+            sum(($"w".cast(dec) * $"dx".cast(dec) * $"dx".cast(dec)).cast(dec))
+              .cast(dec).as("sxx"),
+            sum(($"w".cast(dec) * $"dy".cast(dec) * $"dy".cast(dec)).cast(dec))
+              .cast(dec).as("syy"),
+            sum(($"w".cast(dec) * $"dx".cast(dec) * $"dy".cast(dec)).cast(dec))
+              .cast(dec).as("sxy"))
+          .select($"s_w",
+            ($"s_w".cast(dec) * $"sxy" - $"sx" * $"sy").cast(dec).as("num"),
+            ($"s_w".cast(dec) * $"sxx" - $"sx" * $"sx").cast(dec).as("den1"),
+            ($"s_w".cast(dec) * $"syy" - $"sy" * $"sy").cast(dec).as("den2"),
+            signum(($"s_w".cast(dec) * $"sxy" - $"sx" * $"sy")
+              .cast("double")).cast("long").as("sign"))
+      },
+      Some("""WITH d0 AS (
+          SELECT c.c_nationkey AS a, s.s_nationkey AS b, CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey
+          GROUP BY 1, 2),
+        e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst, w FROM d0
+            UNION ALL SELECT b, a, w FROM d0) u GROUP BY 1, 2),
+        dg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS deg
+          FROM e GROUP BY src),
+        m AS (SELECT CAST(sum(e.w) AS BIGINT) AS s_w,
+            CAST(sum(CAST(e.w AS HUGEINT) * dx.deg) AS DECIMAL(38,0)) AS sx,
+            CAST(sum(CAST(e.w AS HUGEINT) * dy.deg) AS DECIMAL(38,0)) AS sy,
+            CAST(sum(CAST(e.w AS HUGEINT) * dx.deg * dx.deg)
+              AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(e.w AS HUGEINT) * dy.deg * dy.deg)
+              AS DECIMAL(38,0)) AS syy,
+            CAST(sum(CAST(e.w AS HUGEINT) * dx.deg * dy.deg)
+              AS DECIMAL(38,0)) AS sxy
+          FROM e JOIN dg dx ON e.src = dx.node JOIN dg dy ON e.dst = dy.node)
+        SELECT s_w,
+          CAST(CAST(s_w AS HUGEINT) * CAST(sxy AS HUGEINT)
+            - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+            AS DECIMAL(38,0)) AS num,
+          CAST(CAST(s_w AS HUGEINT) * CAST(sxx AS HUGEINT)
+            - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+            AS DECIMAL(38,0)) AS den1,
+          CAST(CAST(s_w AS HUGEINT) * CAST(syy AS HUGEINT)
+            - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+            AS DECIMAL(38,0)) AS den2,
+          CAST(sign(CAST(CAST(s_w AS HUGEINT) * CAST(sxy AS HUGEINT)
+            - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE))
+            AS BIGINT) AS sign
+        FROM m""")),
+
+    // ── Ingestion-order inversion audit (the sortedness DQ check a
+    //    time-series loader runs before trusting "append-ordered" data):
+    //    per user, the share of ADJACENT time-ordered event pairs whose
+    //    event_id went backwards — event_ids should be near-monotone in
+    //    time if ingestion kept arrival order; a high inversion rate
+    //    flags backfill mixing or clock skew. One lag over the
+    //    user-partitioned sort, integer counts, one IEEE division. ──────
+    QueryDef("dq_inversion_rate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id")
+          .withColumn("prev_id", lag($"event_id", 1).over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"prev_id".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+            sum(when($"prev_id" > $"event_id", 1L).otherwise(0L))
+              .as("n_inversions"))
+          .filter($"n_pairs" > 0L)
+          .select($"user_id", $"n_events", $"n_pairs", $"n_inversions",
+            ($"n_inversions".cast("double") / $"n_pairs".cast("double"))
+              .as("inv_rate"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id,
+            lag(event_id, 1) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_id
+          FROM events),
+        g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CASE WHEN prev_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pairs,
+            CAST(sum(CASE WHEN prev_id > event_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inversions
+          FROM l GROUP BY user_id)
+        SELECT user_id, n_events, n_pairs, n_inversions,
+          CAST(n_inversions AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS inv_rate
+        FROM g WHERE n_pairs > 0 ORDER BY user_id"""))
   )
 }

@@ -283,6 +283,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // anova: the |types|-row group frame × 1-row grand-moment broadcast
     // recombine (the scalar-recombine shape)
     "agg_anova_oneway",
+    // modularity: the |communities|-row frame × 1-row total-weight
+    // broadcast recombine (the scalar-recombine shape)
+    "graph_community_modularity",
     // negative sampling: the orders×slots frame × 1-row part-key-domain
     // broadcast recombine; candidate validation and the positive
     // exclusion are equi joins

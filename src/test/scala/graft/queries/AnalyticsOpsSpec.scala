@@ -1284,6 +1284,85 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_community_modularity: contributions satisfy the modularity identity") {
+    val rows = run("graph_community_modularity")
+    assert(rows.nonEmpty)
+    val labels = run("graph_label_propagation")
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    // communities in the scoreboard are exactly the label-prop partition
+    assert(rows.map(_.getLong(0)).toSet == labels.values.toSet)
+    val w = rows.head.getLong(4)
+    rows.foreach { r =>
+      val (c, nn, dsum, inw, contrib) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(r.getLong(4) == w) // W identical on every row
+      assert(contrib == w * inw - dsum * dsum)
+      assert(nn == labels.count(_._2 == c))
+      assert(inw >= 0 && inw <= dsum, s"community $c: internal exceeds degree")
+    }
+    // node count conservation + Q in [-1, 1]
+    assert(rows.map(_.getLong(1)).sum == labels.size)
+    assert(rows.map(_.getLong(2)).sum == w) // Σ degrees = total weight
+    val q = rows.map(_.getLong(5)).map(BigInt(_)).sum
+    assert(q.abs <= BigInt(w) * BigInt(w))
+  }
+
+  test("graph_assortativity: moments match a driver edge replay; CS bound holds") {
+    val rows = run("graph_assortativity")
+    assert(rows.length == 1)
+    val r = rows.head
+    val sW = r.getLong(0)
+    val num = BigInt(r.getDecimal(1).toBigInteger)
+    val den1 = BigInt(r.getDecimal(2).toBigInteger)
+    val den2 = BigInt(r.getDecimal(3).toBigInteger)
+    assert(den1 >= 0 && den2 >= 0)
+    assert(num * num <= den1 * den2, "Cauchy-Schwarz violated")
+    assert(r.getLong(4) == num.signum.toLong)
+    // replay: rebuild the undirected weighted edge list on the driver
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .selectExpr("c_nationkey AS a", "s_nationkey AS b")
+      .collect().map(x => (x.getInt(0), x.getInt(1)))
+    val dirW = e.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val und = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    dirW.foreach { case ((a, b), w) =>
+      und((a, b)) = und.getOrElse((a, b), 0L) + w
+      und((b, a)) = und.getOrElse((b, a), 0L) + w
+    }
+    val deg = und.toSeq.groupBy(_._1._1)
+      .map { case (n, g) => n -> g.map(_._2).sum }
+    assert(sW == und.values.sum)
+    val sxy = und.map { case ((a, b), w) =>
+      BigInt(w) * BigInt(deg(a)) * BigInt(deg(b)) }.sum
+    val sx = und.map { case ((a, _), w) => BigInt(w) * BigInt(deg(a)) }.sum
+    val sy = und.map { case ((_, b), w) => BigInt(w) * BigInt(deg(b)) }.sum
+    assert(num == BigInt(sW) * sxy - sx * sy)
+  }
+
+  test("dq_inversion_rate equals a sequential adjacent-pair walk") {
+    val rows = run("dq_inversion_rate")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    evs.groupBy(_._1).foreach { case (u, g) =>
+      if (g.length >= 2) {
+        val ordered = g.sortBy(t => (t._2, t._3)).map(_._3)
+        val inv = ordered.sliding(2).count { case Array(a, b) => a > b }
+        assert(rows(u) ==
+          ((g.length.toLong, (g.length - 1).toLong, inv.toLong)), s"user $u")
+      } else assert(!rows.contains(u))
+    }
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
