@@ -316,6 +316,42 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 
+    // ── Cross-source duplication matrix (which sources copy which —
+    //    the licensing/contamination triage view a corpus audit opens
+    //    with): the minhash near-dup pair set rolled up to unordered
+    //    source pairs via two equi joins onto the doc→source map, pair
+    //    key normalized with least/greatest. Pairs are already
+    //    candidate-bounded by the banded LSH; the rollup is a
+    //    |sources|²-bounded aggregate. ───────────────────────────────────
+    QueryDef("dedup_source_matrix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val srcs = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+          .join(srcs.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(srcs.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"))
+          .groupBy(col("source_lo"), col("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_lo"), col("source_hi"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+        sh AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a, sh b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+        SELECT least(da.source, db.source) AS source_lo,
+          greatest(da.source, db.source) AS source_hi,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p JOIN documents da ON p.doc_a = da.doc_id
+          JOIN documents db ON p.doc_b = db.doc_id
+        GROUP BY 1, 2 ORDER BY source_lo, source_hi""")),
+
     // ── incremental (asymmetric) dedup: which INCOMING docs (deterministic
     //    20% slice) near-duplicate the EXISTING corpus — the streaming
     //    ingest shape, where the existing side's banded signatures are a

@@ -6062,6 +6062,188 @@ object RelationalQueries extends QueryModule {
           FROM l GROUP BY user_id)
         SELECT user_id, n_events, n_pairs, n_inversions,
           CAST(n_inversions AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS inv_rate
-        FROM g WHERE n_pairs > 0 ORDER BY user_id"""))
+        FROM g WHERE n_pairs > 0 ORDER BY user_id""")),
+
+    // ── Ratio-metric CI by the delta method (THE production A/B readout
+    //    — revenue-per-event and its ilk are ratios of SUMS whose
+    //    variance naive per-row stats get wrong; the linearization
+    //    d_i = x_i − r·y_i over USER-level clusters is the standard
+    //    fix): per-user (revenue cents, events) collapse, then per arm
+    //    the six BIGINT cluster moments; r, se = √(n/(n−1)·Σd²)/Σy and
+    //    the ±1.96 CI in one fixed-order IEEE tree (Σd² = sxx − 2r·sxy
+    //    + r²·syy expands from the integer moments). Two hash
+    //    aggregates, nothing user-count-sized leaves the executors. ─────
+    QueryDef("agg_ratio_metric_ci",
+      (s, dir) => {
+        import s.implicits._
+        val perUser = Tables.load(s, dir, "events")
+          .select($"user_id", pmod($"user_id", lit(2L)).as("arm"),
+            when($"event_type" === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)
+              .as("rev"))
+          .groupBy($"arm", $"user_id")
+          .agg(sum($"rev").as("x"), count(lit(1)).as("y"))
+        val m = perUser.groupBy($"arm")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+            sum($"x" * $"y").as("sxy"))
+        val nd = $"n".cast("double")
+        val r = $"sx".cast("double") / $"sy".cast("double")
+        val sd2 = $"sxx".cast("double") - lit(2.0d) * r * $"sxy".cast("double") +
+          r * r * $"syy".cast("double")
+        val se = sqrt(nd / (nd - lit(1.0d)) * sd2) / $"sy".cast("double")
+        m.select($"arm", $"n", $"sx", $"sy", $"sxx", $"syy", $"sxy",
+            r.as("ratio"), se.as("se"),
+            (r - lit(1.96d) * se).as("ci_lo"),
+            (r + lit(1.96d) * se).as("ci_hi"))
+          .orderBy($"arm")
+      },
+      Some("""WITH u AS (SELECT user_id, user_id % 2 AS arm,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY user_id, user_id % 2),
+        m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM u GROUP BY arm)
+        SELECT arm, n, sx, sy, sxx, syy, sxy,
+          CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+          sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+              * (CAST(sxx AS DOUBLE)
+                - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * CAST(sxy AS DOUBLE)
+                + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * CAST(syy AS DOUBLE)))
+            / CAST(sy AS DOUBLE) AS se,
+          (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            - 1.96 * (sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+              * (CAST(sxx AS DOUBLE)
+                - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * CAST(sxy AS DOUBLE)
+                + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * CAST(syy AS DOUBLE)))
+            / CAST(sy AS DOUBLE)) AS ci_lo,
+          (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+            + 1.96 * (sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)
+              * (CAST(sxx AS DOUBLE)
+                - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * CAST(sxy AS DOUBLE)
+                + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                  * CAST(syy AS DOUBLE)))
+            / CAST(sy AS DOUBLE)) AS ci_hi
+        FROM m ORDER BY arm""")),
+
+    // ── TOST equivalence test (the flip side of `agg_welch_ttest`: "are
+    //    these arms the SAME within ±δ?" — the readout for no-regression
+    //    launches and A/A checks, where failing to reject H₀ is NOT
+    //    evidence of equivalence): same conditional BIGINT cent moments,
+    //    δ = 50 cents, two one-sided statistics t_lo = (Δ+δ)/se and
+    //    t_hi = (δ−Δ)/se in the welch IEEE tree; verdict EQUIVALENT iff
+    //    min(t_lo, t_hi) > 1.645 (z₀.₉₅ literal, both engines compare
+    //    the same doubles). One scan, one 1-row aggregate. ──────────────
+    QueryDef("agg_tost_equivalence",
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "view") && $"value".isNotNull)
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .agg(
+            sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n_a"),
+            sum(when($"event_type" === "click", $"v").otherwise(0L)).as("s_a"),
+            sum(when($"event_type" === "click", $"v" * $"v").otherwise(0L))
+              .as("ss_a"),
+            sum(when($"event_type" === "view", 1L).otherwise(0L)).as("n_b"),
+            sum(when($"event_type" === "view", $"v").otherwise(0L)).as("s_b"),
+            sum(when($"event_type" === "view", $"v" * $"v").otherwise(0L))
+              .as("ss_b"))
+        val na = $"n_a".cast("double"); val nb = $"n_b".cast("double")
+        val varA = ($"ss_a".cast("double") -
+          $"s_a".cast("double") * $"s_a".cast("double") / na) /
+          ($"n_a" - 1L).cast("double")
+        val varB = ($"ss_b".cast("double") -
+          $"s_b".cast("double") * $"s_b".cast("double") / nb) /
+          ($"n_b" - 1L).cast("double")
+        val diff = $"s_a".cast("double") / na - $"s_b".cast("double") / nb
+        val se = sqrt(varA / na + varB / nb)
+        val tLo = (diff + lit(50.0d)) / se
+        val tHi = (lit(50.0d) - diff) / se
+        m.select($"n_a", $"n_b", diff.as("diff"), se.as("se"),
+          tLo.as("t_lo"), tHi.as("t_hi"),
+          when(least(tLo, tHi) > lit(1.645d), "EQUIVALENT")
+            .otherwise("NOT_EQUIVALENT").as("verdict"))
+      },
+      Some("""WITH m AS (SELECT
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s_a,
+            CAST(sum(CASE WHEN event_type = 'click'
+              THEN CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ss_a,
+            CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS s_b,
+            CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(round(value * 100) AS BIGINT)
+                * CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ss_b
+          FROM events
+          WHERE event_type IN ('click', 'view') AND value IS NOT NULL)
+        SELECT n_a, n_b,
+          CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+          sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+            + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se,
+          ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) + 50.0)
+          / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+            + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS t_lo,
+          (50.0 - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+          / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+              / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+            + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS t_hi,
+          CASE WHEN least(
+              ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) + 50.0)
+              / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                    * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                  / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+                + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                    * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))),
+              (50.0 - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+              / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+                    * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                  / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE))
+                + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+                    * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))))
+            > 1.645 THEN 'EQUIVALENT' ELSE 'NOT_EQUIVALENT' END AS verdict
+        FROM m"""))
   )
 }

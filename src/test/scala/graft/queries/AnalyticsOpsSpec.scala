@@ -1363,6 +1363,64 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_ratio_metric_ci: cluster moments match replay; CI brackets ratio") {
+    val rows = run("agg_ratio_metric_ci")
+    assert(rows.length == 2)
+    val perUser = Tables.load(spark, dir, "events")
+      .selectExpr("user_id",
+        "CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, g) => (u % 2, g.map(_._2).sum, g.length.toLong) }
+    rows.foreach { r =>
+      val arm = r.getLong(0)
+      val us = perUser.filter(_._1 == arm).toSeq
+      assert(r.getLong(1) == us.length)
+      assert(r.getLong(2) == us.map(_._2).sum)
+      assert(r.getLong(3) == us.map(_._3).sum)
+      assert(r.getLong(4) == us.map(t => t._2 * t._2).sum)
+      assert(r.getLong(5) == us.map(t => t._3 * t._3).sum)
+      assert(r.getLong(6) == us.map(t => t._2 * t._3).sum)
+      val (ratio, se, lo, hi) =
+        (r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getDouble(10))
+      assert(se >= 0 && lo <= ratio && ratio <= hi)
+      assert(math.abs((hi - ratio) - 1.96 * se) <= 1e-12 * math.abs(ratio))
+      assert(math.abs((ratio - lo) - 1.96 * se) <= 1e-12 * math.abs(ratio))
+    }
+  }
+
+  test("agg_tost_equivalence: verdict consistent with its own statistics") {
+    val rows = run("agg_tost_equivalence")
+    assert(rows.length == 1)
+    val r = rows.head
+    val (tLo, tHi) = (r.getDouble(4), r.getDouble(5))
+    val verdict = r.getString(6)
+    assert(verdict ==
+      (if (math.min(tLo, tHi) > 1.645) "EQUIVALENT" else "NOT_EQUIVALENT"))
+    // t_lo + t_hi = 2δ/se exactly in exact arithmetic; allow float slack
+    val se = r.getDouble(3)
+    assert(math.abs((tLo + tHi) - 100.0 / se) < 1e-6 * (100.0 / se))
+  }
+
+  test("dedup_source_matrix: pair counts conserve the minhash pair set") {
+    import org.apache.spark.sql.functions.col
+    val matrix = run("dedup_source_matrix")
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(matrix.map(_.getLong(2)).sum == pairs.length)
+    val srcOf = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, g) => k -> g.length.toLong }
+    matrix.foreach { r =>
+      assert(expected((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
