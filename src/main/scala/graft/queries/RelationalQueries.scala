@@ -6244,6 +6244,132 @@ object RelationalQueries extends QueryModule {
                     * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                   / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE))))
             > 1.645 THEN 'EQUIVALENT' ELSE 'NOT_EQUIVALENT' END AS verdict
-        FROM m"""))
+        FROM m""")),
+
+    // ── Point-in-time trailing-feature join (the feature-store backfill
+    //    that prevents label leakage in ML training sets): for every
+    //    order, the customer's STRICTLY-BEFORE trailing-30-day activity
+    //    (event count, spend cents, last-activity timestamp) — probes
+    //    (orders) and updates (events) union into ONE per-user stream;
+    //    a RANGE frame [−30 d, −1 µs] on epoch micros gives exact
+    //    strict-past semantics even for same-instant events (the −1 µs
+    //    upper bound excludes ties, no ordering tricks needed); probe
+    //    rows ride with v = 0, so they never pollute the sums. One
+    //    shuffle on user_id, per-user task-local sort — the
+    //    `join_asof_latest_order` union+window plan, generalized from
+    //    latest-value to trailing-aggregate features. ───────────────────
+    QueryDef("join_pit_trailing_features",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val probes = Tables.load(s, dir, "orders")
+          .select($"o_custkey".as("uid"),
+            unix_micros($"o_orderdate".cast("timestamp")).as("t"),
+            lit(1L).as("is_probe"), $"o_orderkey".as("key"), lit(0L).as("v"))
+        val updates = Tables.load(s, dir, "events")
+          .select($"user_id".as("uid"), unix_micros($"ts").as("t"),
+            lit(0L).as("is_probe"), $"event_id".as("key"),
+            coalesce(expr("CAST(round(value * 100) AS BIGINT)"), lit(0L))
+              .as("v"))
+        val w = Window.partitionBy($"uid").orderBy($"t")
+          .rangeBetween(-30L * 86400L * 1000000L, -1L)
+        probes.unionByName(updates)
+          .withColumn("ev30", sum(lit(1L) - $"is_probe").over(w))
+          .withColumn("spend30", sum($"v").over(w))
+          .withColumn("last_t",
+            max(when($"is_probe" === 0L, $"t")).over(w))
+          .filter($"is_probe" === 1L)
+          .select($"key".as("o_orderkey"), $"uid".as("o_custkey"),
+            coalesce($"ev30", lit(0L)).as("events_30d"),
+            coalesce($"spend30", lit(0L)).as("spend_cents_30d"),
+            coalesce($"t" - $"last_t", lit(-1L)).as("recency_us"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH probes AS (SELECT o_custkey AS uid,
+            epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t,
+            CAST(1 AS BIGINT) AS is_probe, o_orderkey AS key,
+            CAST(0 AS BIGINT) AS v
+          FROM orders),
+        updates AS (SELECT user_id AS uid, epoch_us(ts) AS t,
+            CAST(0 AS BIGINT) AS is_probe, event_id AS key,
+            coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v
+          FROM events),
+        u AS (SELECT * FROM probes UNION ALL SELECT * FROM updates),
+        f AS (SELECT uid, t, is_probe, key,
+            CAST(sum(1 - is_probe) OVER w AS BIGINT) AS ev30,
+            CAST(sum(v) OVER w AS BIGINT) AS spend30,
+            max(CASE WHEN is_probe = 0 THEN t END) OVER w AS last_t
+          FROM u WINDOW w AS (PARTITION BY uid ORDER BY t
+            RANGE BETWEEN 2592000000000 PRECEDING AND 1 PRECEDING))
+        SELECT key AS o_orderkey, uid AS o_custkey,
+          coalesce(ev30, 0) AS events_30d,
+          coalesce(spend30, 0) AS spend_cents_30d,
+          coalesce(t - last_t, -1) AS recency_us
+        FROM f WHERE is_probe = 1 ORDER BY o_orderkey""")),
+
+    // ── Holt linear smoothing, final state per user (the trend-aware
+    //    big sibling of `agg_ewma_per_key`: EWMA tracks level only, Holt
+    //    carries a coupled (level, trend) recurrence — the 1-step
+    //    forecast l+t is the standard short-horizon ops forecast): the
+    //    recurrence folds left-to-right over each user's event_id-ordered
+    //    cent sequence with a STRUCT accumulator; Spark's `aggregate`
+    //    and DuckDB's `list_reduce` execute the identical IEEE op
+    //    sequence, so the floats match bitwise (the ewma/mixture
+    //    precedent, extended to a 2-field state). α = 0.5, β = 0.25
+    //    exact binary literals. Bounded by per-user sequence length —
+    //    the accepted collect-fold class. ───────────────────────────────
+    QueryDef("window_holt_linear",
+      (s, dir) => {
+        import s.implicits._
+        val seq0 = sort_array(collect_list(struct($"event_id", $"cents")))
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id",
+            expr("CAST(round(value * 100) AS BIGINT)").cast("double")
+              .as("cents"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"), seq0.as("seq"))
+          .filter(size($"seq") >= 2)
+          .withColumn("vals", col("seq").getField("cents"))
+          .select($"user_id", $"n_events",
+            aggregate(
+              slice(col("vals"), lit(2),
+                greatest(size(col("vals")) - 1, lit(0))),
+              array(element_at(col("vals"), 1),
+                element_at(col("vals"), 2) - element_at(col("vals"), 1)),
+              (acc, x) => {
+                // DuckDB 1.0 list_reduce mis-chains STRUCT accumulators
+                // (verified: 3-element fold ≠ two manual merges), so the
+                // (level, trend) state rides as a 2-element array in
+                // BOTH engines.
+                val lNew = x * lit(0.5) +
+                  (element_at(acc, 1) + element_at(acc, 2)) * lit(0.5)
+                array(lNew,
+                  (lNew - element_at(acc, 1)) * lit(0.25) +
+                    element_at(acc, 2) * lit(0.75))
+              }).as("st"))
+          .select($"user_id", $"n_events",
+            element_at($"st", 1).as("holt_level"),
+            element_at($"st", 2).as("holt_trend"),
+            (element_at($"st", 1) + element_at($"st", 2)).as("forecast_1"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH s AS (SELECT user_id,
+            CAST(count(*) AS BIGINT) AS n_events,
+            list(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+              ORDER BY event_id) AS vals
+          FROM events GROUP BY user_id),
+        h AS (SELECT user_id, n_events,
+            list_reduce(
+              list_concat(
+                [[vals[1], vals[2] - vals[1]]],
+                list_transform(vals[2:], x -> [x, CAST(0 AS DOUBLE)])),
+              (acc, xe) ->
+                [xe[1] * 0.5 + (acc[1] + acc[2]) * 0.5,
+                 (xe[1] * 0.5 + (acc[1] + acc[2]) * 0.5 - acc[1]) * 0.25
+                   + acc[2] * 0.75]) AS st
+          FROM s WHERE len(vals) >= 2)
+        SELECT user_id, n_events, st[1] AS holt_level, st[2] AS holt_trend,
+          st[1] + st[2] AS forecast_1
+        FROM h ORDER BY user_id"""))
   )
 }

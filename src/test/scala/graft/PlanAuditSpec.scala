@@ -556,7 +556,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_ltv_cohort_matrix", "agg_attribution_last_touch",
     "dq_reconcile_order_totals", "sample_poisson_bootstrap",
     "pipeline_epoch_shuffle", "agg_mann_whitney_u", "agg_cross_corr_lagk",
-    "window_rolling_median", "dq_pk_fk_orphan_report")
+    "window_rolling_median", "dq_pk_fk_orphan_report",
+    // this session's additions with non-trivial join/window shapes: the
+    // PIT union+range-window feature join, LSH pair rollup, hash
+    // negative-sampling join chain, interval/mask islands, the
+    // graph-helper rebuild under modularity, VAD islands, cluster-moment
+    // recombines
+    "join_pit_trailing_features", "dedup_source_matrix",
+    "sample_negative_candidates", "window_interval_coalesce",
+    "pipeline_span_corruption", "graph_community_modularity",
+    "agg_ratio_metric_ci", "window_rolling_corr", "multimodal_audio_vad")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1421,6 +1421,57 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_pit_trailing_features: strict-past window matches a driver replay") {
+    val rows = run("join_pit_trailing_features")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val orders = Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val events = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS t",
+        "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.size == orders.length)
+    val horizon = 30L * 86400L * 1000000L
+    orders.foreach { case (ok, ck, t) =>
+      val evs = events.getOrElse(ck, Array.empty)
+        .filter(e => e._2 >= t - horizon && e._2 <= t - 1)
+      val want = (ck, evs.length.toLong, evs.map(_._3).sum,
+        if (evs.isEmpty) -1L else t - evs.map(_._2).max)
+      assert(rows(ok) == want, s"order $ok: got ${rows(ok)} want $want")
+    }
+  }
+
+  test("window_holt_linear equals the sequential coupled recurrence") {
+    val rows = run("window_holt_linear")
+    // the query orders each user's sequence by event_id (not ts)
+    val series = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id",
+        "CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.sortBy(_._2).map(_._3).toVector }
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val xs = series(u)
+      assert(xs.length >= 2 && r.getLong(1) == xs.length)
+      var l = xs(0); var t = xs(1) - xs(0)
+      xs.drop(1).foreach { x =>
+        val lNew = x * 0.5 + (l + t) * 0.5
+        val tNew = (lNew - l) * 0.25 + t * 0.75
+        l = lNew; t = tNew
+      }
+      assert(r.getDouble(2) == l, s"user $u level")
+      assert(r.getDouble(3) == t, s"user $u trend")
+      assert(r.getDouble(4) == l + t)
+    }
+    // every ≥2-event user appears
+    assert(rows.length == series.count(_._2.length >= 2))
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
