@@ -2116,6 +2116,124 @@ object PipelineQueries extends QueryModule {
         FROM pairs GROUP BY a, b
         ORDER BY pair_count DESC, a, b LIMIT 20""")),
 
+    // ── BPE TRAINING, 3 data-driven merge rounds (completes the
+    //    tokenizer loop: `text_bpe_pair_counts` counts once and
+    //    `text_bpe_apply` encodes with a GIVEN merge list — this learns
+    //    the list, recounting between merges exactly like the reference
+    //    algorithm): each round counts adjacent symbol pairs over the
+    //    weighted word-type table, picks the argmax pair (ties to the
+    //    lexicographically smallest — TakeOrdered(1), total order), and
+    //    greedily merges it left-to-right inside every word via an
+    //    array-accumulator fold (the same engine-parity fold class as
+    //    window_holt_linear; string state, no floats at all). Emits the
+    //    learned merge per round plus the corpus token count after it —
+    //    the compression trajectory. 100 TB: the corpus collapses to
+    //    the vocabulary in the FIRST aggregate; every round after is
+    //    vocab-sized with 1-row broadcast merge decisions. ──────────────
+    QueryDef("text_bpe_train3",
+      (s, dir) => {
+        import s.implicits._
+        val types = Tables.load(s, dir, "documents")
+          .select(explode(tokens($"text")).as("w"))
+          .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
+          .groupBy($"w").agg(count(lit(1)).as("c_w"))
+        val syms0 = types.select($"c_w",
+          transform(sequence(lit(1), length($"w")),
+            i => $"w".substr(i, lit(1))).as("syms"))
+        def round(symsDf: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+          val pairs = symsDf
+            .filter(size($"syms") >= 2)
+            .select($"c_w", explode(transform(
+              sequence(lit(1), size($"syms") - 1),
+              i => struct(element_at($"syms", i).as("a"),
+                element_at($"syms", i + 1).as("b")))).as("p"))
+            .groupBy($"p.a".as("a"), $"p.b".as("b"))
+            .agg(sum($"c_w").as("pair_count"))
+          val best = pairs.orderBy($"pair_count".desc, $"a", $"b").limit(1)
+          val merged = symsDf
+            .crossJoin(broadcast(best.select($"a".as("ma"), $"b".as("mb"))))
+            .select($"c_w", aggregate(
+              slice($"syms", lit(2), greatest(size($"syms") - 1, lit(0))),
+              array(element_at($"syms", 1)),
+              (acc, x) => when(
+                element_at(acc, -1) === $"ma" && x === $"mb",
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat($"ma", $"mb"))))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+          (best, merged)
+        }
+        val (b1, s1) = round(syms0)
+        val (b2, s2) = round(s1)
+        val (b3, s3) = round(s2)
+        def emit(r: Int, best: org.apache.spark.sql.DataFrame, after: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          best.crossJoin(broadcast(
+            after.agg(sum($"c_w" * size($"syms")).as("corpus_tokens_after"))))
+            .select(lit(r).as("round"), $"a".as("merge_a"),
+              $"b".as("merge_b"), $"pair_count", $"corpus_tokens_after")
+        emit(1, b1, s1).unionByName(emit(2, b2, s2))
+          .unionByName(emit(3, b3, s3))
+          .orderBy($"round")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        types AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM toks
+          WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2 GROUP BY w),
+        syms0 AS (SELECT c_w,
+            list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+          FROM types),
+        p1 AS (SELECT syms[i] AS a, syms[i + 1] AS b, c_w FROM (
+            SELECT c_w, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM syms0 WHERE len(syms) >= 2)),
+        g1 AS (SELECT a, b, CAST(sum(c_w) AS BIGINT) AS pair_count
+          FROM p1 GROUP BY a, b),
+        b1 AS (SELECT a, b, pair_count FROM g1
+          ORDER BY pair_count DESC, a, b LIMIT 1),
+        s1 AS (SELECT c_w, list_reduce(
+            list_concat([[syms[1]]], list_transform(syms[2:], x -> [x])),
+            (acc, xe) -> CASE WHEN acc[-1] = b1.a AND xe[1] = b1.b
+              THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b1.a || b1.b])
+              ELSE list_concat(acc, [xe[1]]) END) AS syms
+          FROM syms0 CROSS JOIN b1),
+        a1 AS (SELECT CAST(sum(c_w * len(syms)) AS BIGINT)
+            AS corpus_tokens_after FROM s1),
+        p2 AS (SELECT syms[i] AS a, syms[i + 1] AS b, c_w FROM (
+            SELECT c_w, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM s1 WHERE len(syms) >= 2)),
+        g2 AS (SELECT a, b, CAST(sum(c_w) AS BIGINT) AS pair_count
+          FROM p2 GROUP BY a, b),
+        b2 AS (SELECT a, b, pair_count FROM g2
+          ORDER BY pair_count DESC, a, b LIMIT 1),
+        s2 AS (SELECT c_w, list_reduce(
+            list_concat([[syms[1]]], list_transform(syms[2:], x -> [x])),
+            (acc, xe) -> CASE WHEN acc[-1] = b2.a AND xe[1] = b2.b
+              THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b2.a || b2.b])
+              ELSE list_concat(acc, [xe[1]]) END) AS syms
+          FROM s1 CROSS JOIN b2),
+        a2 AS (SELECT CAST(sum(c_w * len(syms)) AS BIGINT)
+            AS corpus_tokens_after FROM s2),
+        p3 AS (SELECT syms[i] AS a, syms[i + 1] AS b, c_w FROM (
+            SELECT c_w, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM s2 WHERE len(syms) >= 2)),
+        g3 AS (SELECT a, b, CAST(sum(c_w) AS BIGINT) AS pair_count
+          FROM p3 GROUP BY a, b),
+        b3 AS (SELECT a, b, pair_count FROM g3
+          ORDER BY pair_count DESC, a, b LIMIT 1),
+        s3 AS (SELECT c_w, list_reduce(
+            list_concat([[syms[1]]], list_transform(syms[2:], x -> [x])),
+            (acc, xe) -> CASE WHEN acc[-1] = b3.a AND xe[1] = b3.b
+              THEN list_concat(list_slice(acc, 1, len(acc) - 1), [b3.a || b3.b])
+              ELSE list_concat(acc, [xe[1]]) END) AS syms
+          FROM s2 CROSS JOIN b3),
+        a3 AS (SELECT CAST(sum(c_w * len(syms)) AS BIGINT)
+            AS corpus_tokens_after FROM s3)
+        SELECT 1 AS round, b1.a AS merge_a, b1.b AS merge_b, b1.pair_count,
+          a1.corpus_tokens_after FROM b1 CROSS JOIN a1
+        UNION ALL SELECT 2, b2.a, b2.b, b2.pair_count,
+          a2.corpus_tokens_after FROM b2 CROSS JOIN a2
+        UNION ALL SELECT 3, b3.a, b3.b, b3.pair_count,
+          a3.corpus_tokens_after FROM b3 CROSS JOIN a3
+        ORDER BY round""")),
+
     // ── sentence segmentation stats: split on terminal punctuation
     //    followed by whitespace ([.!?]+\s+ — the same simple-class regex
     //    semantics in Java and RE2), count only non-empty segments

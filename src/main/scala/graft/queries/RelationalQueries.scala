@@ -6370,6 +6370,110 @@ object RelationalQueries extends QueryModule {
           FROM s WHERE len(vals) >= 2)
         SELECT user_id, n_events, st[1] AS holt_level, st[2] AS holt_trend,
           st[1] + st[2] AS forecast_1
-        FROM h ORDER BY user_id"""))
+        FROM h ORDER BY user_id""")),
+
+    // ── Difference-in-differences estimator (the quasi-experiment
+    //    readout when you couldn't randomize: did the treated arm's
+    //    CHANGE differ from the control arm's change?): arms by user
+    //    parity, periods split at the integer midpoint of the observed
+    //    day span (a 1-row broadcast recombine — deterministic, no
+    //    calendar literal to rot); the four (arm × period) cell moments
+    //    land in ONE conditional hash aggregate, then the DiD point
+    //    estimate and its pooled SE come out of a fixed-order IEEE tree
+    //    over the BIGINT moments. One scan + 1-row reduce. ──────────────
+    QueryDef("agg_diff_in_diff",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select(pmod($"user_id", lit(2L)).as("arm"),
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val span = e.agg(min($"d").as("d0"), max($"d").as("d1"))
+        val cells = e.crossJoin(broadcast(span))
+          .withColumn("post",
+            when($"d" * 2L >= $"d0" + $"d1", 1L).otherwise(0L))
+        def cell(a: Int, p: Int, c: Column): Column =
+          sum(when($"arm" === a.toLong && $"post" === p.toLong, c)
+            .otherwise(0L))
+        val m = cells.agg(
+          cell(1, 0, lit(1L)).as("n_t0"), cell(1, 0, $"v").as("s_t0"),
+          cell(1, 0, $"v" * $"v").as("ss_t0"),
+          cell(1, 1, lit(1L)).as("n_t1"), cell(1, 1, $"v").as("s_t1"),
+          cell(1, 1, $"v" * $"v").as("ss_t1"),
+          cell(0, 0, lit(1L)).as("n_c0"), cell(0, 0, $"v").as("s_c0"),
+          cell(0, 0, $"v" * $"v").as("ss_c0"),
+          cell(0, 1, lit(1L)).as("n_c1"), cell(0, 1, $"v").as("s_c1"),
+          cell(0, 1, $"v" * $"v").as("ss_c1"))
+        def mean(sc: String, nc: String): Column =
+          col(sc).cast("double") / col(nc).cast("double")
+        def sem2(sc: String, ssc: String, nc: String): Column =
+          (col(ssc).cast("double") -
+            col(sc).cast("double") * col(sc).cast("double") /
+              col(nc).cast("double")) /
+            (col(nc) - 1L).cast("double") / col(nc).cast("double")
+        val did = mean("s_t1", "n_t1") - mean("s_t0", "n_t0") -
+          (mean("s_c1", "n_c1") - mean("s_c0", "n_c0"))
+        val se = sqrt(sem2("s_t1", "ss_t1", "n_t1") +
+          sem2("s_t0", "ss_t0", "n_t0") +
+          sem2("s_c1", "ss_c1", "n_c1") + sem2("s_c0", "ss_c0", "n_c0"))
+        m.select($"n_t0", $"n_t1", $"n_c0", $"n_c1",
+          $"s_t0", $"s_t1", $"s_c0", $"s_c1",
+          did.as("did_cents"), se.as("se"),
+          (did - lit(1.96d) * se).as("ci_lo"),
+          (did + lit(1.96d) * se).as("ci_hi"))
+      },
+      Some("""WITH e AS (SELECT user_id % 2 AS arm,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        c AS (SELECT arm, v,
+            CASE WHEN d * 2 >= d0 + d1 THEN 1 ELSE 0 END AS post
+          FROM e CROSS JOIN span),
+        m AS (SELECT
+            CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+            CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_t0,
+            CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN v * v ELSE 0 END) AS BIGINT) AS ss_t0,
+            CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+            CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_t1,
+            CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN v * v ELSE 0 END) AS BIGINT) AS ss_t1,
+            CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+            CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN v ELSE 0 END) AS BIGINT) AS s_c0,
+            CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN v * v ELSE 0 END) AS BIGINT) AS ss_c0,
+            CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+            CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN v ELSE 0 END) AS BIGINT) AS s_c1,
+            CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN v * v ELSE 0 END) AS BIGINT) AS ss_c1
+          FROM c)
+        SELECT n_t0, n_t1, n_c0, n_c1, s_t0, s_t1, s_c0, s_c1,
+          (CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+            - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+          - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+            - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did_cents,
+          sqrt(
+            ((CAST(ss_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) / CAST(n_t1 - 1 AS DOUBLE) / CAST(n_t1 AS DOUBLE))
+            + ((CAST(ss_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / CAST(n_t0 - 1 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+            + ((CAST(ss_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / CAST(n_c1 - 1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
+            + ((CAST(ss_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / CAST(n_c0 - 1 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) AS se,
+          ((CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+            - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+          - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+            - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)))
+          - 1.96 * sqrt(
+            ((CAST(ss_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) / CAST(n_t1 - 1 AS DOUBLE) / CAST(n_t1 AS DOUBLE))
+            + ((CAST(ss_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / CAST(n_t0 - 1 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+            + ((CAST(ss_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / CAST(n_c1 - 1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
+            + ((CAST(ss_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / CAST(n_c0 - 1 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) AS ci_lo,
+          ((CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+            - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+          - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+            - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)))
+          + 1.96 * sqrt(
+            ((CAST(ss_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) / CAST(n_t1 - 1 AS DOUBLE) / CAST(n_t1 AS DOUBLE))
+            + ((CAST(ss_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / CAST(n_t0 - 1 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+            + ((CAST(ss_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / CAST(n_c1 - 1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
+            + ((CAST(ss_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / CAST(n_c0 - 1 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) AS ci_hi
+        FROM m"""))
   )
 }

@@ -286,6 +286,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // modularity: the |communities|-row frame × 1-row total-weight
     // broadcast recombine (the scalar-recombine shape)
     "graph_community_modularity",
+    // diff-in-diff: the 1-row day-span broadcast recombine
+    "agg_diff_in_diff",
+    // bpe training: per round a 1-row argmax-merge broadcast onto the
+    // vocab-sized symbol table, plus 1-row×1-row emit recombines
+    "text_bpe_train3",
     // negative sampling: the orders×slots frame × 1-row part-key-domain
     // broadcast recombine; candidate validation and the positive
     // exclusion are equi joins

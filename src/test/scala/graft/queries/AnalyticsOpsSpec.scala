@@ -1472,6 +1472,65 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.length == series.count(_._2.length >= 2))
   }
 
+  test("agg_diff_in_diff: cell moments match replay; CI brackets the estimate") {
+    val rows = run("agg_diff_in_diff")
+    assert(rows.length == 1)
+    val r = rows.head
+    val evs = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("user_id % 2 AS arm",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    def cell(a: Long, p: Long) = evs.filter(e =>
+      e._1 == a && (if (e._2 * 2 >= d0 + d1) 1L else 0L) == p)
+    assert(r.getLong(0) == cell(1, 0).length && r.getLong(1) == cell(1, 1).length)
+    assert(r.getLong(2) == cell(0, 0).length && r.getLong(3) == cell(0, 1).length)
+    assert(r.getLong(4) == cell(1, 0).map(_._3).sum)
+    assert(r.getLong(5) == cell(1, 1).map(_._3).sum)
+    assert(r.getLong(6) == cell(0, 0).map(_._3).sum)
+    assert(r.getLong(7) == cell(0, 1).map(_._3).sum)
+    val (did, se, lo, hi) =
+      (r.getDouble(8), r.getDouble(9), r.getDouble(10), r.getDouble(11))
+    assert(se >= 0 && lo <= did && did <= hi)
+    def m(xs: Array[(Long, Long, Long)]) =
+      xs.map(_._3).sum.toDouble / xs.length
+    val want = m(cell(1, 1)) - m(cell(1, 0)) - (m(cell(0, 1)) - m(cell(0, 0)))
+    assert(math.abs(did - want) < 1e-9 * math.max(1.0, math.abs(want)))
+  }
+
+  test("text_bpe_train3 equals a driver replay of 3 greedy merge rounds") {
+    val rows = run("text_bpe_train3")
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    var types: Map[Vector[String], Long] = Tables.load(spark, dir, "documents")
+      .selectExpr("text").collect().flatMap(_.getString(0).trim.toLowerCase
+        .split("\\s+"))
+      .filter(w => w.matches("^[a-z]+$") && w.length >= 2)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.length.toLong }
+    (1 to 3).foreach { round =>
+      val pairCounts = types.toSeq.flatMap { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      val best = pairCounts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+      val ((a, b), cnt) = best
+      types = types.toSeq.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer(syms.head)
+        syms.tail.foreach { x =>
+          if (out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        out.toVector -> c
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      val toksAfter = types.map { case (syms, c) => syms.length * c }.sum
+      assert(rows(round - 1) == ((round, a, b, cnt, toksAfter)),
+        s"round $round: got ${rows(round - 1)} want ${(round, a, b, cnt, toksAfter)}")
+    }
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
