@@ -328,6 +328,57 @@ object ModelQueries extends QueryModule {
             (SELECT count(DISTINCT o_orderstatus) FROM orders)
           UNION ALL SELECT 4, 'mart_by_status', 'fct_priced,dim_status',
             (SELECT count(*) FROM orders WHERE o_totalprice > 0))
-        ORDER BY build_order"""))
+        ORDER BY build_order""")),
+
+    // ── SCD-2 retention expiry (the version-GC every dimension store
+    //    eventually needs — history grows forever, queries only reach
+    //    back so far): versions whose validity CLOSED before the
+    //    retention watermark ('1996-01-01') are expirable; the version
+    //    active AT the watermark survives by construction (its valid_to
+    //    is NULL or ≥ watermark), so as-of reads at or after the
+    //    watermark are unaffected — the exact invariant the spec
+    //    asserts. Per key: versions, expirable, kept, earliest surviving
+    //    start. One filter+aggregate over the history relation; at scale
+    //    valid_to is what min/max row-group pruning keys on. ────────────
+    QueryDef("snapshot_expire_versions",
+      (s, dir) => {
+        val cutoff = lit("1996-01-01").cast("timestamp")
+        Snapshot.scd2History(Tables.load(s, dir, "orders"),
+            Seq("o_custkey"), "o_orderstatus", "o_orderdate", "o_orderkey")
+          .select(col("o_custkey"),
+            when(col("valid_to").isNotNull && col("valid_to") < cutoff, 1L)
+              .otherwise(0L).as("expirable"),
+            col("valid_from"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(col("expirable")).as("n_expired"),
+            (count(lit(1)) - sum(col("expirable"))).as("n_kept"),
+            min(when(col("expirable") === 0L, col("valid_from")))
+              .as("kept_from"))
+          .filter(col("n_expired") > 0)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH s AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+        c AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM s
+          WHERE prev IS NULL OR prev <> o_orderstatus),
+        h AS (SELECT o_custkey, o_orderdate AS valid_from,
+            lead(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM c),
+        e AS (SELECT o_custkey, valid_from,
+            CASE WHEN valid_to IS NOT NULL
+                AND valid_to < TIMESTAMP '1996-01-01'
+              THEN 1 ELSE 0 END AS expirable
+          FROM h),
+        g AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_versions,
+            CAST(sum(expirable) AS BIGINT) AS n_expired,
+            CAST(count(*) - sum(expirable) AS BIGINT) AS n_kept,
+            min(CASE WHEN expirable = 0 THEN valid_from END) AS kept_from
+          FROM e GROUP BY o_custkey)
+        SELECT * FROM g WHERE n_expired > 0 ORDER BY o_custkey"""))
   )
 }

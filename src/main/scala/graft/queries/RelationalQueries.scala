@@ -6474,6 +6474,131 @@ object RelationalQueries extends QueryModule {
             + ((CAST(ss_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) / CAST(n_t0 - 1 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
             + ((CAST(ss_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) / CAST(n_c1 - 1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
             + ((CAST(ss_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / CAST(n_c0 - 1 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) AS ci_hi
-        FROM m"""))
+        FROM m""")),
+
+    // ── Laspeyres / Paasche price indices, 1996 → 1997 (the inflation
+    //    readout of a pricing warehouse — how did prices move, holding
+    //    the basket fixed at base- vs current-period quantities?): unit
+    //    prices as micro-cent fixed-point p̂ = 10⁶·cents div qty (BIGINT
+    //    floor-div, exact — the agg_anova_oneway quantization trick),
+    //    index numerators/denominators Σp̂·q as DECIMAL(38,0) over the
+    //    parts present in BOTH years; one part-year aggregate + a
+    //    part-level self-join of two tiny slices + one reduce; each
+    //    index is ONE final IEEE division. ──────────────────────────────
+    QueryDef("agg_price_index",
+      (s, dir) => {
+        import s.implicits._
+        val py = Tables.load(s, dir, "lineitem")
+          .filter(year($"l_shipdate").isin(1996, 1997))
+          .groupBy($"l_partkey", year($"l_shipdate").as("yr"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("cents"),
+            sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+          .withColumn("p_hat", expr("(cents * 1000000L) DIV qty"))
+        val base = py.filter($"yr" === 1996)
+          .select($"l_partkey", $"p_hat".as("p0"), $"qty".as("q0"))
+        val cur = py.filter($"yr" === 1997)
+          .select($"l_partkey".as("pk1"), $"p_hat".as("p1"), $"qty".as("q1"))
+        val dec = "decimal(38,0)"
+        base.join(cur, $"l_partkey" === $"pk1")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(($"p1".cast(dec) * $"q0".cast(dec)).cast(dec)).cast(dec)
+              .as("l_num"),
+            sum(($"p0".cast(dec) * $"q0".cast(dec)).cast(dec)).cast(dec)
+              .as("l_den"),
+            sum(($"p1".cast(dec) * $"q1".cast(dec)).cast(dec)).cast(dec)
+              .as("p_num"),
+            sum(($"p0".cast(dec) * $"q1".cast(dec)).cast(dec)).cast(dec)
+              .as("p_den"))
+          .select($"n_parts", $"l_num", $"l_den", $"p_num", $"p_den",
+            ($"l_num".cast("double") / $"l_den".cast("double"))
+              .as("laspeyres"),
+            ($"p_num".cast("double") / $"p_den".cast("double"))
+              .as("paasche"))
+      },
+      Some("""WITH py AS (SELECT l_partkey,
+            CAST(year(l_shipdate) AS INTEGER) AS yr,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents,
+            CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+          GROUP BY 1, 2),
+        ph AS (SELECT l_partkey, yr, (cents * 1000000) // qty AS p_hat, qty
+          FROM py),
+        b AS (SELECT l_partkey, p_hat AS p0, qty AS q0 FROM ph
+          WHERE yr = 1996),
+        c AS (SELECT l_partkey AS pk1, p_hat AS p1, qty AS q1 FROM ph
+          WHERE yr = 1997),
+        j AS (SELECT * FROM b JOIN c ON b.l_partkey = c.pk1)
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+          CAST(sum(CAST(p1 AS HUGEINT) * q0) AS DECIMAL(38,0)) AS l_num,
+          CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DECIMAL(38,0)) AS l_den,
+          CAST(sum(CAST(p1 AS HUGEINT) * q1) AS DECIMAL(38,0)) AS p_num,
+          CAST(sum(CAST(p0 AS HUGEINT) * q1) AS DECIMAL(38,0)) AS p_den,
+          CAST(CAST(sum(CAST(p1 AS HUGEINT) * q0) AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DECIMAL(38,0))
+              AS DOUBLE) AS laspeyres,
+          CAST(CAST(sum(CAST(p1 AS HUGEINT) * q1) AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(sum(CAST(p0 AS HUGEINT) * q1) AS DECIMAL(38,0))
+              AS DOUBLE) AS paasche
+        FROM j""")),
+
+    // ── Mann–Kendall trend test on the daily purchase-revenue series
+    //    (the nonparametric "is this drifting?" answer — no linearity or
+    //    normality assumed, the companion `agg_theil_sen` slope already
+    //    ships): S = Σ_{i<j} sign(c_j − c_i) over the O(days) grid via
+    //    the bounded d_i < d_j self-join (both sides the same tiny
+    //    aggregate — the pareto-skyline BNLJ class); the tie-corrected
+    //    variance 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays
+    //    BIGINT, and the continuity-corrected z is one fixed-order IEEE
+    //    expression. ────────────────────────────────────────────────────
+    QueryDef("agg_mann_kendall",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.load(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("c"))
+        val a = daily.select($"d".as("di"), $"c".as("ci"))
+        val b = daily.select($"d".as("dj"), $"c".as("cj"))
+        val sStat = a.join(b, $"di" < $"dj")
+          .agg(sum(signum($"cj" - $"ci").cast("long")).as("s_stat"))
+        val ties = daily.groupBy($"c").agg(count(lit(1)).as("t"))
+          .agg(sum($"t").as("n"),
+            sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L)).as("tie_term"))
+        val nd = $"n".cast("double")
+        val var18 = $"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L) - $"tie_term"
+        sStat.crossJoin(broadcast(ties))
+          .select($"n", $"s_stat", var18.as("var18_num"),
+            when($"s_stat" > 0L,
+              ($"s_stat" - 1L).cast("double") /
+                sqrt(var18.cast("double") / lit(18.0d)))
+              .when($"s_stat" < 0L,
+                ($"s_stat" + 1L).cast("double") /
+                  sqrt(var18.cast("double") / lit(18.0d)))
+              .otherwise(lit(0.0d)).as("z"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        s AS (SELECT CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON a.d < b.d),
+        t AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+            CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT c, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY c))
+        SELECT n, s_stat,
+          CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18_num,
+          CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                / 18.0)
+            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                / 18.0)
+            ELSE CAST(0.0 AS DOUBLE) END AS z
+        FROM s CROSS JOIN t"""))
   )
 }

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.Tables
 import graft.profiling.Profiler
 import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Remaining §2.1 capability slots: dbt seed CSVs, the profiler's APPEND
@@ -274,6 +275,65 @@ object SourceSinkQueries extends QueryModule {
     // Small-file compaction: a fragmented write (64 files) compacts to
     // far fewer, rows and values intact — the silent scan tax
     // incremental writers accumulate at warehouse scale.
+    // ── Zone-map pruning effectiveness report (the data-skipping audit
+    //    behind `maintenance_zorder`: BEFORE re-clustering, measure how
+    //    much the current day-partitioned layout can already skip):
+    //    per-day min/max envelopes of value cents and user_id (exactly
+    //    the parquet footer stats a scan consults), then for three
+    //    representative predicate shapes the share of partitions whose
+    //    envelope proves them empty. O(days) stats table, three tiny
+    //    conditional aggregates unioned — no second scan of the data. ───
+    QueryDef("maintenance_zonemap_stats",
+      (s, dir) => {
+        import s.implicits._
+        val zm = Tables.load(s, dir, "events")
+          .select(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"), $"user_id")
+          .groupBy($"d")
+          .agg(min($"v").as("min_v"), max($"v").as("max_v"),
+            min($"user_id").as("min_u"), max($"user_id").as("max_u"))
+        def report(name: String, skippable: Column): DataFrame =
+          zm.agg(count(lit(1)).as("n_partitions"),
+            sum(when(skippable, 1L).otherwise(0L)).as("n_skippable"))
+            .select(lit(name).as("predicate"), $"n_partitions", $"n_skippable",
+              ($"n_skippable".cast("double") / $"n_partitions".cast("double"))
+                .as("skip_ratio"))
+        report("v_gt_90000", $"max_v" <= 90000L)
+          .unionByName(report("u_eq_42", $"min_u" > 42L || $"max_u" < 42L))
+          .unionByName(report("v_between_1_100", $"max_v" < 1L || $"min_v" > 100L))
+          .orderBy($"predicate")
+      },
+      Some("""WITH zm AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            min(CAST(round(value * 100) AS BIGINT)) AS min_v,
+            max(CAST(round(value * 100) AS BIGINT)) AS max_v,
+            min(user_id) AS min_u, max(user_id) AS max_u
+          FROM events GROUP BY 1)
+        SELECT * FROM (
+          SELECT 'v_gt_90000' AS predicate,
+            CAST(count(*) AS BIGINT) AS n_partitions,
+            CAST(sum(CASE WHEN max_v <= 90000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_skippable,
+            CAST(sum(CASE WHEN max_v <= 90000 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS skip_ratio
+          FROM zm
+          UNION ALL SELECT 'u_eq_42',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN min_u > 42 OR max_u < 42 THEN 1 ELSE 0 END)
+              AS BIGINT),
+            CAST(sum(CASE WHEN min_u > 42 OR max_u < 42 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          FROM zm
+          UNION ALL SELECT 'v_between_1_100',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN max_v < 1 OR min_v > 100 THEN 1 ELSE 0 END)
+              AS BIGINT),
+            CAST(sum(CASE WHEN max_v < 1 OR min_v > 100 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          FROM zm)
+        ORDER BY predicate""")),
+
     QueryDef("maintenance_compact",
       (s, dir) => {
         val out = Files.createTempDirectory("graft_compact").resolve("events_frag").toString

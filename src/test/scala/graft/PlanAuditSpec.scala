@@ -288,6 +288,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_community_modularity",
     // diff-in-diff: the 1-row day-span broadcast recombine
     "agg_diff_in_diff",
+    // mann-kendall: the O(days) d<d self-join (pareto-skyline class,
+    // both sides the same tiny aggregate) + the 1-row tie recombine
+    "agg_mann_kendall",
     // bpe training: per round a 1-row argmax-merge broadcast onto the
     // vocab-sized symbol table, plus 1-row×1-row emit recombines
     "text_bpe_train3",

@@ -1531,6 +1531,112 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot_expire_versions: expiry never touches the as-of-watermark version") {
+    val rows = run("snapshot_expire_versions")
+    assert(rows.nonEmpty)
+    val hist = run("snapshot_scd2_history").map { r =>
+      (r.getLong(0), Option(r.get(3)).map {
+        case t: java.sql.Timestamp => t.getTime
+        case l: java.time.LocalDateTime => java.sql.Timestamp.valueOf(l).getTime
+      })
+    }
+    val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
+    val perKey = hist.groupBy(_._1).map { case (k, g) =>
+      k -> ((g.length.toLong,
+        g.count(v => v._2.exists(_ < cutoff)).toLong))
+    }
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val (nv, ne) = perKey(k)
+      assert(r.getLong(1) == nv && r.getLong(2) == ne)
+      assert(r.getLong(3) == nv - ne && r.getLong(3) >= 1,
+        s"key $k would lose its as-of-watermark version")
+    }
+    // output is exactly the keys with something to expire
+    assert(rows.map(_.getLong(0)).toSet ==
+      perKey.filter(_._2._2 > 0).keySet)
+  }
+
+  test("maintenance_zonemap_stats: skipping is sound against the raw data") {
+    val rows = run("maintenance_zonemap_stats")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS v", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val n = evs.size.toLong
+    val preds: Map[String, ((Long, Long, Long)) => Boolean] = Map(
+      "v_gt_90000" -> (e => e._2 > 90000L),
+      "u_eq_42" -> (e => e._3 == 42L),
+      "v_between_1_100" -> (e => e._2 >= 1L && e._2 <= 100L))
+    preds.foreach { case (name, p) =>
+      val (np, ns) = rows(name)
+      assert(np == n)
+      // soundness: every partition with a matching row must NOT be skipped
+      val mustKeep = evs.count { case (_, g) => g.exists(p) }.toLong
+      assert(ns <= n - mustKeep, s"$name skipped a partition with matches")
+    }
+    // the envelope rule is also tight for the range predicate family:
+    // a day with no matching row and a disjoint envelope is counted
+    val disjoint = evs.count { case (_, g) =>
+      g.map(_._2).max < 1L || g.map(_._2).min > 100L }.toLong
+    assert(rows("v_between_1_100")._2 == disjoint)
+  }
+
+  test("agg_price_index: fixed-point unit prices match replay; L=l_num/l_den") {
+    val rows = run("agg_price_index")
+    assert(rows.length == 1)
+    val r = rows.head
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "year(l_shipdate) AS yr",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(round(l_quantity) AS BIGINT) AS qty")
+      .filter("yr IN (1996, 1997)")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    val py = li.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> ((g.map(_._3).sum * 1000000L / g.map(_._4).sum, g.map(_._4).sum))
+    }
+    val parts = py.keys.filter(_._2 == 1996).map(_._1).toSet &
+      py.keys.filter(_._2 == 1997).map(_._1).toSet
+    assert(r.getLong(0) == parts.size)
+    def idx(cur: Boolean, curQty: Boolean): BigInt = parts.map { pk =>
+      val (p, _) = py((pk, if (cur) 1997 else 1996))
+      val (_, q) = py((pk, if (curQty) 1997 else 1996))
+      BigInt(p) * BigInt(q)
+    }.sum
+    assert(BigInt(r.getDecimal(1).toBigInteger) == idx(cur = true, curQty = false))
+    assert(BigInt(r.getDecimal(2).toBigInteger) == idx(cur = false, curQty = false))
+    assert(BigInt(r.getDecimal(3).toBigInteger) == idx(cur = true, curQty = true))
+    assert(BigInt(r.getDecimal(4).toBigInteger) == idx(cur = false, curQty = true))
+    assert(r.getDouble(5) > 0 && r.getDouble(6) > 0)
+  }
+
+  test("agg_mann_kendall: S and tie-corrected variance match a pair replay") {
+    val rows = run("agg_mann_kendall")
+    assert(rows.length == 1)
+    val r = rows.head
+    val daily = Tables.load(spark, dir, "events")
+      .filter("event_type = 'purchase'")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).map { case (d, g) => d -> g.map(_._2).sum }
+      .toSeq.sortBy(_._1).map(_._2)
+    val n = daily.length.toLong
+    var sStat = 0L
+    for (i <- daily.indices; j <- i + 1 until daily.length)
+      sStat += java.lang.Long.signum(daily(j) - daily(i))
+    val tie = daily.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    assert(r.getLong(0) == n && r.getLong(1) == sStat)
+    assert(r.getLong(2) == n * (n - 1) * (2 * n + 5) - tie)
+    // continuity correction maps |S| ≤ 1 to z = 0; beyond that signs agree
+    if (math.abs(sStat) <= 1) assert(r.getDouble(3) == 0.0)
+    else assert(java.lang.Double.compare(math.signum(r.getDouble(3)),
+      java.lang.Long.signum(sStat).toDouble) == 0)
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
