@@ -2641,6 +2641,65 @@ object PipelineQueries extends QueryModule {
             < 65536 * CAST(cap.target AS HUGEINT)
         GROUP BY b.source ORDER BY b.source""")),
 
+    // ── KL divergence between the OBSERVED source distribution and its
+    //    temperature-scaled TARGET (α = 0.5, the mixture the resampler
+    //    aims at — quantifies in nats how far the raw corpus sits from
+    //    the mix `pipeline_mixture_temperature` prescribes, in both
+    //    directions since KL is asymmetric): p = n_s/N, q = √n_s/Z;
+    //    Σ√n and both Σ term folds run in explicit source order (the
+    //    sort_array+aggregate ≡ list(ORDER BY)+list_reduce parity
+    //    pattern; ln/sqrt engine-parity). One |sources|-row aggregate,
+    //    two 1-row recombines — counts only, corpus scanned once. ───────
+    QueryDef("pipeline_mixture_kl",
+      (s, dir) => {
+        val bySrc = Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val z = bySrc.agg(
+          aggregate(
+            sort_array(collect_list(struct(col("source"),
+              sqrt(col("n_docs").cast("double")).as("w")))),
+            lit(0.0d), (acc, x) => acc + x.getField("w")).as("z"),
+          sum(col("n_docs")).as("n_total"),
+          count(lit(1)).as("n_sources"))
+        val p = col("n_docs").cast("double") / col("n_total").cast("double")
+        val q = sqrt(col("n_docs").cast("double")) / col("z")
+        val terms = bySrc.crossJoin(broadcast(z))
+          .select(col("source"), col("n_sources"), col("n_total"),
+            (p * log(p / q)).as("t_pq"), (q * log(q / p)).as("t_qp"))
+        terms
+          .agg(max(col("n_sources")).as("n_sources"),
+            max(col("n_total")).as("n_total"),
+            sort_array(collect_list(struct(col("source"), col("t_pq"),
+              col("t_qp")))).as("ts"))
+          .select(col("n_sources"), col("n_total"),
+            aggregate(col("ts").getField("t_pq"), lit(0.0d),
+              (a, x) => a + x).as("kl_pq"),
+            aggregate(col("ts").getField("t_qp"), lit(0.0d),
+              (a, x) => a + x).as("kl_qp"))
+      },
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        z AS (SELECT
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+              (a, b) -> a + b) AS z,
+            CAST(sum(n_docs) AS BIGINT) AS n_total,
+            CAST(count(*) AS BIGINT) AS n_sources FROM s),
+        t AS (SELECT source, n_sources, n_total,
+            (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+              * ln((CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+                / (sqrt(CAST(n_docs AS DOUBLE)) / z)) AS t_pq,
+            (sqrt(CAST(n_docs AS DOUBLE)) / z)
+              * ln((sqrt(CAST(n_docs AS DOUBLE)) / z)
+                / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))) AS t_qp
+          FROM s CROSS JOIN z)
+        SELECT max(n_sources) AS n_sources, max(n_total) AS n_total,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(t_pq ORDER BY source)), (a, b) -> a + b) AS kl_pq,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(t_qp ORDER BY source)), (a, b) -> a + b) AS kl_qp
+        FROM t""")),
+
     // ── temperature-scaled mixture weights (the mT5/XLM-R multinomial
     //    resampling rule, α = 0.5): p_s ∝ n_s^α flattens the source
     //    distribution — low-resource sources are upsampled relative to

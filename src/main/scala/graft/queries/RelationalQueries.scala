@@ -6599,6 +6599,134 @@ object RelationalQueries extends QueryModule {
               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
                 / 18.0)
             ELSE CAST(0.0 AS DOUBLE) END AS z
-        FROM s CROSS JOIN t"""))
+        FROM s CROSS JOIN t""")),
+
+    // ── Per-node clustering coefficient (how clique-like is each
+    //    nation's trade neighborhood — the local-density companion to
+    //    `graph_triangle_count`'s raw corners): triangles per node over
+    //    the same unweighted distinct edge set, degree from the
+    //    both-direction edge list, coefficient = 2·tri / (deg·(deg−1))
+    //    shipped as exact BIGINT components + one IEEE division. The
+    //    triangle enumeration is the same a<b<c oriented 3-join; every
+    //    frame is |nations|-bounded. ────────────────────────────────────
+    QueryDef("graph_clustering_coeff",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .select(least($"c_nationkey", $"s_nationkey").as("a"),
+            greatest($"c_nationkey", $"s_nationkey").as("b"))
+          .distinct()
+        val tri = edges.alias("e1")
+          .join(edges.alias("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.alias("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val perNode = tri.select(explode(array($"x", $"y", $"z")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+        val deg = edges.select($"a".as("node"))
+          .unionByName(edges.select($"b".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("deg"))
+        deg.join(perNode, Seq("node"), "left")
+          .select($"node", $"deg",
+            coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+            (lit(2L) * coalesce($"n_triangles", lit(0L))).as("coeff_num"),
+            ($"deg" * ($"deg" - 1L)).as("coeff_den"))
+          .withColumn("coeff",
+            when($"coeff_den" > 0L,
+              $"coeff_num".cast("double") / $"coeff_den".cast("double"))
+              .otherwise(lit(0.0d)))
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+            greatest(c.c_nationkey, s.s_nationkey) AS b
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) c GROUP BY node),
+        dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+          GROUP BY node)
+        SELECT dg.node, dg.deg,
+          coalesce(pn.n_triangles, 0) AS n_triangles,
+          2 * coalesce(pn.n_triangles, 0) AS coeff_num,
+          dg.deg * (dg.deg - 1) AS coeff_den,
+          CASE WHEN dg.deg * (dg.deg - 1) > 0
+            THEN CAST(2 * coalesce(pn.n_triangles, 0) AS DOUBLE)
+              / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS coeff
+        FROM dg LEFT JOIN pn ON dg.node = pn.node ORDER BY dg.node""")),
+
+    // ── Per-user behavioral entropy (how predictable is each user's
+    //    event mix — the personalization/bot-detection feature): Shannon
+    //    H = −Σ (c/n)·ln(c/n) over the user's event-type histogram,
+    //    folded in type order (the mixture-temperature sort_array +
+    //    aggregate ≡ list(ORDER BY) + list_reduce parity pattern; ln is
+    //    engine-parity per the bm25 precedent), normalized by ln(k).
+    //    Two hash aggregates, a ≤|types|-element fold per user. ─────────
+    QueryDef("agg_user_entropy",
+      (s, dir) => {
+        import s.implicits._
+        val ut = Tables.load(s, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("c"))
+        ut.groupBy($"user_id")
+          .agg(sum($"c").as("n_events"),
+            count(lit(1)).as("n_types"),
+            sort_array(collect_list(struct($"event_type", $"c"))).as("hist"))
+          .select($"user_id", $"n_events", $"n_types",
+            aggregate(
+              transform($"hist".getField("c"), c => {
+                val p = c.cast("double") / $"n_events".cast("double")
+                -(p * log(p))
+              }),
+              lit(0.0d), (a, x) => a + x).as("entropy"))
+          // ln differs by 1 ulp between Java and DuckDB libm on some
+          // inputs (observed on ~6% of users) — ship the bm25-convention
+          // floor(x·1e9) fixed-point, which the sub-ulp drift can't move
+          .select($"user_id", $"n_events", $"n_types",
+            floor($"entropy" * lit(1.0e9)).cast("long").as("entropy_e9"),
+            when($"n_types" > 1L,
+              floor($"entropy" / log($"n_types".cast("double")) * lit(1.0e9))
+                .cast("long"))
+              .otherwise(0L).as("norm_entropy_e9"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id, event_type),
+        un AS (SELECT user_id, event_type, c,
+            CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+          FROM ut),
+        g AS (SELECT user_id, max(n) AS n_events,
+            CAST(count(*) AS BIGINT) AS n_types,
+            list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE),
+                list(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                  ORDER BY event_type)),
+              (a, b) -> a + b) AS entropy
+          FROM un GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+          CAST(floor(entropy * 1000000000.0) AS BIGINT) AS entropy_e9,
+          CASE WHEN n_types > 1
+            THEN CAST(floor(entropy / ln(CAST(n_types AS DOUBLE))
+              * 1000000000.0) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS norm_entropy_e9
+        FROM g ORDER BY user_id"""))
   )
 }

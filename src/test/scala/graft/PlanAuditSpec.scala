@@ -265,6 +265,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_hybrid_retrieval",
     // mixture temperature: 1-row broadcast Σ√n/total recombine
     "pipeline_mixture_temperature",
+    // mixture KL: the same 1-row Σ√n/total recombine feeding the
+    // per-source divergence terms
+    "pipeline_mixture_kl",
     // MIPS: topk_brute's non-equi qid≠cid probe broadcast
     "sim_topk_mips",
     // weighted median: same 1-row broadcast scalar recombine as

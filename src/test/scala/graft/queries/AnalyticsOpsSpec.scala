@@ -1637,6 +1637,75 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       java.lang.Long.signum(sStat).toDouble) == 0)
   }
 
+  test("graph_clustering_coeff: triangles consistent with triangle_count; coeff in [0,1]") {
+    val rows = run("graph_clustering_coeff")
+    assert(rows.nonEmpty)
+    val triOf = run("graph_triangle_count")
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (node, deg, tri) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(tri == triOf.getOrElse(node, 0L))
+      assert(r.getLong(3) == 2 * tri && r.getLong(4) == deg * (deg - 1))
+      val c = r.getDouble(5)
+      assert(c >= 0.0 && c <= 1.0, s"node $node coeff $c out of range")
+      // triangles can't exceed wedge count
+      assert(2 * tri <= deg * (deg - 1))
+    }
+  }
+
+  test("agg_user_entropy equals an ordered-fold replay; bounds hold") {
+    val rows = run("agg_user_entropy")
+    val hist = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (u, g) =>
+        u -> g.groupBy(_._2).map { case (t, x) => t -> x.length.toLong }
+      }
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val counts = hist(u)
+      val n = counts.values.sum
+      assert(r.getLong(1) == n && r.getLong(2) == counts.size)
+      var h = 0.0
+      counts.toSeq.sortBy(_._1).foreach { case (_, c) =>
+        val p = c.toDouble / n.toDouble
+        h += -(p * math.log(p))
+      }
+      assert(r.getLong(3) == math.floor(h * 1.0e9).toLong, s"user $u entropy")
+      val k = counts.size
+      val norm = if (k > 1) math.floor(h / math.log(k.toDouble) * 1.0e9).toLong
+        else 0L
+      assert(r.getLong(4) == norm)
+      // normalized entropy within [0, 1e9]
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000000L)
+    }
+  }
+
+  test("pipeline_mixture_kl: both divergences nonnegative, zero iff p=q") {
+    val rows = run("pipeline_mixture_kl")
+    assert(rows.length == 1)
+    val r = rows.head
+    val (klPq, klQp) = (r.getDouble(2), r.getDouble(3))
+    // Gibbs: KL ≥ 0 up to fold rounding
+    assert(klPq >= -1e-12 && klQp >= -1e-12)
+    // replay in source order
+    val ns = Tables.load(spark, dir, "documents")
+      .selectExpr("source").collect().map(_.getString(0))
+      .groupBy(identity).map { case (s0, g) => s0 -> g.length.toLong }
+      .toSeq.sortBy(_._1)
+    assert(r.getLong(0) == ns.length)
+    val nTot = ns.map(_._2).sum
+    var z = 0.0
+    ns.foreach { case (_, n) => z += math.sqrt(n.toDouble) }
+    var kp = 0.0; var kq = 0.0
+    ns.foreach { case (_, n) =>
+      val p = n.toDouble / nTot.toDouble
+      val q = math.sqrt(n.toDouble) / z
+      kp += p * math.log(p / q); kq += q * math.log(q / p)
+    }
+    assert(math.abs(klPq - kp) < 1e-12 && math.abs(klQp - kq) < 1e-12)
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
