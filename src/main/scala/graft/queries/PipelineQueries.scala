@@ -2377,6 +2377,49 @@ object PipelineQueries extends QueryModule {
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents) t WHERE rk <= 5 ORDER BY lang, rank""")),
 
+    // ── Hard-negative mining for contrastive training (the pair
+    //    quality step after `sample_negative_candidates`' random draws:
+    //    the most informative negative is the HIGHEST-similarity
+    //    candidate that is NOT a near-duplicate): per query vector, the
+    //    max-cosine candidate strictly below the 0.95 dup threshold —
+    //    candidates at or above it are presumed duplicates/leaks and
+    //    excluded, exactly the trap naive hard-negative mining falls
+    //    into. Same broadcast-queries scoring pass as sim_topk_brute
+    //    (|Q|=32 bounded), argmax as the partial-mergeable
+    //    max(struct(sim, −cid)) — no window, one aggregate. ─────────────
+    QueryDef("sample_hard_negatives",
+      (s, dir) => {
+        import graft.functions.VectorFunctions
+        VectorFunctions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cands = emb.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec"))
+        cands.crossJoin(broadcast(queries))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+          .filter(col("sim") < 0.95)
+          .groupBy(col("qid"))
+          .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("qid").as("query_id"), (-col("m.nc")).as("neg_id"),
+            col("m.sim").as("sim"))
+          .orderBy(col("query_id"))
+      },
+      Some("""SELECT qid AS query_id, cid AS neg_id, sim FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+            AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) < 0.95) t
+        WHERE rn = 1 ORDER BY query_id""")),
+
     // ── weighted priority sample (A-Res): priority u^(1/w) with u a
     //    DETERMINISTIC md5-derived uniform and w = n_chars, top-25 kept —
     //    the importance-weighted corpus pull (longer docs more likely),

@@ -6727,6 +6727,92 @@ object RelationalQueries extends QueryModule {
             THEN CAST(floor(entropy / ln(CAST(n_types AS DOUBLE))
               * 1000000000.0) AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS norm_entropy_e9
-        FROM g ORDER BY user_id"""))
+        FROM g ORDER BY user_id""")),
+
+    // ── CUPED pre-experiment adjustment (the variance-reduction
+    //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
+    //    a PRE-period covariate shrinks metric variance by ρ², often
+    //    30-50% smaller CIs for free): per-user (pre, post) spend cents
+    //    split at the day-span midpoint (the diff_in_diff recombine),
+    //    then the five cross moments as DECIMAL(38,0) — n·Sxy−SxSy and
+    //    the two marginal variance numerators ship exact and UNMULTIPLIED
+    //    (their product would overflow 38 digits at sf10, the
+    //    assortativity precedent); θ and ρ² are final IEEE divisions. ───
+    QueryDef("agg_cuped_adjustment",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"user_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        val span = e.agg(min($"d").as("d0"), max($"d").as("d1"))
+        val perUser = e.crossJoin(broadcast(span))
+          .groupBy($"user_id")
+          .agg(sum(when($"d" * 2L < $"d0" + $"d1", $"v").otherwise(0L))
+            .as("x"),
+            sum(when($"d" * 2L >= $"d0" + $"d1", $"v").otherwise(0L))
+              .as("y"))
+        val dec = "decimal(38,0)"
+        perUser
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum(($"x".cast(dec) * $"x".cast(dec)).cast(dec)).cast(dec)
+              .as("sxx"),
+            sum(($"y".cast(dec) * $"y".cast(dec)).cast(dec)).cast(dec)
+              .as("syy"),
+            sum(($"x".cast(dec) * $"y".cast(dec)).cast(dec)).cast(dec)
+              .as("sxy"))
+          .select($"n", $"sx", $"sy",
+            ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec))
+              .cast(dec).as("cov_num"),
+            ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec))
+              .cast(dec).as("varx_num"),
+            ($"n".cast(dec) * $"syy" - $"sy".cast(dec) * $"sy".cast(dec))
+              .cast(dec).as("vary_num"))
+          .select($"n", $"sx", $"sy", $"cov_num", $"varx_num", $"vary_num",
+            ($"cov_num".cast("double") / $"varx_num".cast("double"))
+              .as("theta"),
+            ($"cov_num".cast("double") * $"cov_num".cast("double") /
+              ($"varx_num".cast("double") * $"vary_num".cast("double")))
+              .as("rho2"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        span AS (SELECT min(d) AS d0, max(d) AS d1 FROM e),
+        u AS (SELECT user_id,
+            CAST(sum(CASE WHEN d * 2 < d0 + d1 THEN v ELSE 0 END)
+              AS BIGINT) AS x,
+            CAST(sum(CASE WHEN d * 2 >= d0 + d1 THEN v ELSE 0 END)
+              AS BIGINT) AS y
+          FROM e CROSS JOIN span GROUP BY user_id),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+          FROM u)
+        SELECT n, sx, sy,
+          CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+            - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS cov_num,
+          CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+            - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS varx_num,
+          CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+            - CAST(sy AS HUGEINT) * sy AS DECIMAL(38,0)) AS vary_num,
+          CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta,
+          (CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+          / (CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+            * CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+              - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rho2
+        FROM m"""))
   )
 }

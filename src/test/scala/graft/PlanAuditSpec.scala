@@ -294,6 +294,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // mann-kendall: the O(days) d<d self-join (pareto-skyline class,
     // both sides the same tiny aggregate) + the 1-row tie recombine
     "agg_mann_kendall",
+    // cuped: the 1-row day-span broadcast recombine (the did shape)
+    "agg_cuped_adjustment",
+    // hard negatives: sim_topk_brute's non-equi qid≠cid probe broadcast
+    "sample_hard_negatives",
     // bpe training: per round a 1-row argmax-merge broadcast onto the
     // vocab-sized symbol table, plus 1-row×1-row emit recombines
     "text_bpe_train3",

@@ -1706,6 +1706,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(klPq - kp) < 1e-12 && math.abs(klQp - kq) < 1e-12)
   }
 
+  test("agg_cuped_adjustment: moments match replay; rho2 in [0,1]") {
+    val rows = run("agg_cuped_adjustment")
+    assert(rows.length == 1)
+    val r = rows.head
+    val evs = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("user_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val (d0, d1) = (evs.map(_._2).min, evs.map(_._2).max)
+    val perUser = evs.groupBy(_._1).map { case (_, g) =>
+      (g.filter(e => e._2 * 2 < d0 + d1).map(_._3).sum,
+        g.filter(e => e._2 * 2 >= d0 + d1).map(_._3).sum)
+    }.toSeq
+    val n = perUser.length.toLong
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == perUser.map(_._1).sum)
+    assert(r.getLong(2) == perUser.map(_._2).sum)
+    val sx = BigInt(perUser.map(_._1).sum); val sy = BigInt(perUser.map(_._2).sum)
+    val sxx = perUser.map(t => BigInt(t._1) * BigInt(t._1)).sum
+    val syy = perUser.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val sxy = perUser.map(t => BigInt(t._1) * BigInt(t._2)).sum
+    assert(BigInt(r.getDecimal(3).toBigInteger) == BigInt(n) * sxy - sx * sy)
+    assert(BigInt(r.getDecimal(4).toBigInteger) == BigInt(n) * sxx - sx * sx)
+    assert(BigInt(r.getDecimal(5).toBigInteger) == BigInt(n) * syy - sy * sy)
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0 + 1e-12)
+  }
+
+  test("sample_hard_negatives: argmax below dup threshold, never a near-dup") {
+    val rows = run("sample_hard_negatives")
+    assert(rows.length == 32)
+    // independent replay with driver-side cosine
+    val emb = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.toMap
+    rows.foreach { r =>
+      val (q, neg, sim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(sim < 0.95, s"query $q returned a near-dup")
+      val simsBelow = emb.filter(e => e._1 != q)
+        .map(e => (cos(byId(q), e._2), e._1)).filter(_._1 < 0.95)
+      val best = simsBelow.maxBy(t => (t._1, -t._2))
+      // driver cosine accumulates in a different order — compare by rank
+      // membership with a tolerance window instead of bit equality
+      assert(math.abs(best._1 - sim) < 1e-9, s"query $q sim")
+      if (math.abs(best._1 - sim) < 1e-12) assert(best._2 == neg)
+    }
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
