@@ -2377,6 +2377,64 @@ object PipelineQueries extends QueryModule {
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents) t WHERE rk <= 5 ORDER BY lang, rank""")),
 
+    // ── Matryoshka truncation eval (can you serve 16 of 64 dims? —
+    //    MRL-style embeddings promise graceful truncation, this MEASURES
+    //    it on yours before you cut serving cost 4×): top-5 overlap per
+    //    query between full-dimension cosine ranking and the ranking on
+    //    the first-16-dim prefix. Two broadcast scoring passes over the
+    //    same candidate scan, (qid)-partitioned rank windows, an equi
+    //    join on (qid, cid) counts the agreement. ───────────────────────
+    QueryDef("embed_matryoshka_eval",
+      (s, dir) => {
+        import graft.functions.VectorFunctions
+        import org.apache.spark.sql.expressions.Window
+        VectorFunctions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val cands = emb.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec"))
+        val w = Window.partitionBy(col("qid"))
+        def top5(simCol: org.apache.spark.sql.Column) =
+          cands.crossJoin(broadcast(queries))
+            .filter(col("qid") =!= col("cid"))
+            .select(col("qid"), col("cid"), simCol.as("sim"))
+            .withColumn("rn", row_number().over(
+              w.orderBy(col("sim").desc, col("cid"))))
+            .filter(col("rn") <= 5)
+            .select(col("qid"), col("cid"))
+        val full = top5(VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+        val trunc = top5(VectorFunctions.cosineSim(
+          slice(col("qvec"), 1, 16), slice(col("cvec"), 1, 16)))
+          .withColumnRenamed("qid", "tqid").withColumnRenamed("cid", "tcid")
+        full.join(trunc,
+            col("qid") === col("tqid") && col("cid") === col("tcid"))
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(col("qid"), col("n_overlap"),
+            (col("n_overlap").cast("double") / lit(5.0d)).as("overlap_at_5"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH f AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id) t WHERE rn <= 5),
+        tr AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(
+                  CAST(q.embedding[1:16] AS DOUBLE[]),
+                  CAST(c.embedding[1:16] AS DOUBLE[])) DESC, c.vec_id) AS rn
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id) t WHERE rn <= 5)
+        SELECT f.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+          CAST(count(*) AS DOUBLE) / 5.0 AS overlap_at_5
+        FROM f JOIN tr ON f.qid = tr.qid AND f.cid = tr.cid
+        GROUP BY f.qid ORDER BY f.qid""")),
+
     // ── Hard-negative mining for contrastive training (the pair
     //    quality step after `sample_negative_candidates`' random draws:
     //    the most informative negative is the HIGHEST-similarity

@@ -6729,6 +6729,112 @@ object RelationalQueries extends QueryModule {
             ELSE CAST(0 AS BIGINT) END AS norm_entropy_e9
         FROM g ORDER BY user_id""")),
 
+    // ── Per-partition content checksums (the replication/reconciliation
+    //    primitive: after a cross-cluster copy or a backfill rewrite,
+    //    compare day-level fingerprints instead of rows — any mismatch
+    //    names the exact partition to re-sync): per day, row count, an
+    //    order-independent XOR of a 60-bit md5 prefix over the row's
+    //    identifying fields, and the exact cent sum as a second
+    //    invariant. One hash aggregate; XOR is commutative/associative,
+    //    so partial aggregation order never matters. ────────────────────
+    QueryDef("dq_partition_checksums",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"),
+            conv(substring(md5(concat($"event_id".cast("string"), lit(":"),
+              $"user_id".cast("string"), lit(":"), $"event_type")), 1, 15),
+              16, 10).cast("long").as("h"),
+            coalesce(expr("CAST(round(value * 100) AS BIGINT)"), lit(0L))
+              .as("cents"))
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_checksum"),
+            sum($"cents").as("sum_cents"))
+          .orderBy($"d")
+      },
+      Some(s"""WITH r AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            ${OracleGen.md5PrefixExpr(
+              "md5(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':' || event_type)",
+              15)} AS h,
+            coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents
+          FROM events)
+        SELECT d, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+          CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM r GROUP BY d ORDER BY d""")),
+
+    // ── Cramér–von Mises two-sample test (completes the drift family:
+    //    KS reads the max ECDF gap, MWU the rank shift — CvM integrates
+    //    the SQUARED gap over the whole distribution, catching spread
+    //    changes a max or a location statistic can miss): over the same
+    //    reduced O(domain) cent histogram and allowlisted cumulative
+    //    window as `dq_distribution_ks`, U = Σ_v t_v·(ca·n_b − cb·n_a)²
+    //    stays DECIMAL(38,0)-exact; T = U/((n+m)²·n·m) is the one final
+    //    IEEE division with a DECIMAL denominator (long overflows at
+    //    sf10). ─────────────────────────────────────────────────────────
+    QueryDef("agg_cvm_two_sample",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+        val byV = e.groupBy($"v")
+          .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("a"),
+            sum(when($"half" === 1, 1L).otherwise(0L)).as("b"))
+        val totals = byV.agg(sum($"a").as("n_a"), sum($"b").as("n_b"))
+        val wcum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dec = "decimal(38,0)"
+        byV
+          .withColumn("ca", sum($"a").over(wcum))
+          .withColumn("cb", sum($"b").over(wcum))
+          .crossJoin(broadcast(totals))
+          .select($"a", $"b", $"n_a", $"n_b",
+            (($"a" + $"b").cast(dec) *
+              (($"ca" * $"n_b" - $"cb" * $"n_a").cast(dec) *
+                ($"ca" * $"n_b" - $"cb" * $"n_a").cast(dec)).cast(dec))
+              .cast(dec).as("u_t"))
+          .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+            sum($"u_t").cast(dec).as("u"))
+          .select($"n_a", $"n_b", $"u",
+            ((($"n_a" + $"n_b") * ($"n_a" + $"n_b")).cast(dec) *
+              ($"n_a" * $"n_b").cast(dec)).cast(dec).as("t_den"))
+          .withColumn("t_stat",
+            $"u".cast("double") / $"t_den".cast("double"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            user_id % 2 AS half FROM events),
+        byv AS (SELECT v,
+            CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM e GROUP BY v),
+        t AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+            CAST(sum(b) AS BIGINT) AS n_b FROM byv),
+        c AS (SELECT a, b,
+            CAST(sum(a) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS ca,
+            CAST(sum(b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cb
+          FROM byv),
+        m AS (SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+            CAST(sum(CAST(c.a + c.b AS HUGEINT)
+              * (c.ca * t.n_b - c.cb * t.n_a)
+              * (c.ca * t.n_b - c.cb * t.n_a)) AS DECIMAL(38,0)) AS u
+          FROM c, t)
+        SELECT n_a, n_b, u,
+          CAST(CAST((n_a + n_b) AS HUGEINT) * (n_a + n_b)
+            * n_a * n_b AS DECIMAL(38,0)) AS t_den,
+          CAST(u AS DOUBLE)
+            / CAST(CAST((n_a + n_b) AS HUGEINT) * (n_a + n_b)
+              * n_a * n_b AS DOUBLE) AS t_stat
+        FROM m""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

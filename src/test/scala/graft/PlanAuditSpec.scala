@@ -296,6 +296,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_mann_kendall",
     // cuped: the 1-row day-span broadcast recombine (the did shape)
     "agg_cuped_adjustment",
+    // cvm: the KS-style 1-row sample-size recombine
+    "agg_cvm_two_sample",
+    // matryoshka eval: two sim_topk_brute-style non-equi probe
+    // broadcasts over the same candidate scan
+    "embed_matryoshka_eval",
     // hard negatives: sim_topk_brute's non-equi qid≠cid probe broadcast
     "sample_hard_negatives",
     // bpe training: per round a 1-row argmax-merge broadcast onto the
@@ -474,7 +479,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_gini_coefficient", "agg_median_ci_rank",
       // rolling corr: 7-row moment frames over the O(days) joined daily
       // grid — both window inputs are day-grouped aggregates
-      "window_rolling_corr")
+      "window_rolling_corr",
+      // CvM: the same O(domain) reduced ECDF cumulative window as the
+      // KS test
+      "agg_cvm_two_sample")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -502,7 +510,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
       "agg_weighted_median_distributed", "dq_distribution_ks",
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
-      "window_rolling_corr")
+      "window_rolling_corr", "agg_cvm_two_sample")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -580,7 +588,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_pit_trailing_features", "dedup_source_matrix",
     "sample_negative_candidates", "window_interval_coalesce",
     "pipeline_span_corruption", "graph_community_modularity",
-    "agg_ratio_metric_ci", "window_rolling_corr", "multimodal_audio_vad")
+    "agg_ratio_metric_ci", "window_rolling_corr", "multimodal_audio_vad",
+    "text_bpe_train3", "agg_mann_kendall", "sample_hard_negatives",
+    "agg_price_index", "agg_cuped_adjustment", "snapshot_expire_versions",
+    "window_holt_linear", "agg_user_entropy")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

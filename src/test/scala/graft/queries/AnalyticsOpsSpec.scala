@@ -1761,6 +1761,84 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_partition_checksums: xor fingerprints match replay; order-independent") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = run("dq_partition_checksums")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "event_id", "user_id", "event_type",
+        "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    evs.groupBy(_._1).foreach { case (d, g) =>
+      val xor = g.map { e =>
+        java.lang.Long.parseLong(md5hex(s"${e._2}:${e._3}:${e._4}").take(15), 16)
+      }.reduce(_ ^ _)
+      assert(rows(d) == ((g.length.toLong, xor, g.map(_._5).sum)), s"day $d")
+    }
+    assert(rows.size == evs.map(_._1).distinct.length)
+  }
+
+  test("agg_cvm_two_sample: U matches the ECDF replay; T consistent") {
+    val rows = run("agg_cvm_two_sample")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+        "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val na = vs.count(_._2 == 0).toLong; val nb = vs.count(_._2 == 1).toLong
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    val byV = vs.groupBy(_._1).toSeq.sortBy(_._1)
+    var ca = 0L; var cb = 0L; var u = BigInt(0)
+    byV.foreach { case (_, g) =>
+      val a = g.count(_._2 == 0).toLong; val b = g.count(_._2 == 1).toLong
+      ca += a; cb += b
+      val gap = BigInt(ca * nb - cb * na)
+      u += BigInt(a + b) * gap * gap
+    }
+    assert(BigInt(r.getDecimal(2).toBigInteger) == u)
+    val den = BigInt(na + nb) * BigInt(na + nb) * BigInt(na) * BigInt(nb)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == den)
+    assert(r.getDouble(4) >= 0.0)
+  }
+
+  test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
+    val rows = run("embed_matryoshka_eval")
+    assert(rows.nonEmpty && rows.length <= 32)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= 1 && n <= 5)
+      assert(r.getDouble(2) == n.toDouble / 5.0)
+    }
+    // replay with driver cosine: overlap of top-5 full vs 16-dim prefix
+    val emb = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.filter(_._1 < 32).foreach { case (q, qv) =>
+      def top5(d: Int): Set[Long] = emb.filter(_._1 != q)
+        .map(e => (cos(qv, e._2, d), e._1))
+        .sortBy(t => (-t._1, t._2)).take(5).map(_._2).toSet
+      val overlap = (top5(64) & top5(16)).size.toLong
+      // driver cosine accumulation order differs; near-ties can flip a
+      // rank — allow ±1 against the engine's exact count
+      val engine = got.getOrElse(q, 0L)
+      assert(math.abs(engine - overlap) <= 1, s"query $q: $engine vs $overlap")
+    }
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
