@@ -2377,6 +2377,46 @@ object PipelineQueries extends QueryModule {
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents) t WHERE rk <= 5 ORDER BY lang, rank""")),
 
+    // ── Balance-to-minority downsample (classifier-training prep: a
+    //    lang-skewed corpus trains a majority-biased model, so cap every
+    //    class at the MINORITY class's size): the target is data-derived
+    //    — min per-lang count as a 1-row broadcast — and each class
+    //    keeps its `target` smallest-md5 docs (deterministic,
+    //    partitioning-independent). Per-class audit row: kept count
+    //    (= target everywhere, the balance proof), bit_xor id checksum
+    //    (names the exact kept SET, not just its size), char volume.
+    //    Plan: one count aggregate + lang-partitioned rank window +
+    //    scalar broadcast — no global sort. ─────────────────────────────
+    QueryDef("sample_class_balance",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val target = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+          .agg(min($"n").as("target"))
+        val ranked = docs.select($"lang", $"doc_id", $"n_chars")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+              .orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+        ranked.crossJoin(broadcast(target))
+          .filter($"rk" <= $"target")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"),
+            expr("bit_xor(doc_id)").as("xor_ids"),
+            sum($"n_chars").as("sum_chars"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT min(n) AS target FROM (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        r AS (SELECT lang, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+          CAST(bit_xor(doc_id) AS BIGINT) AS xor_ids,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM r, t WHERE rk <= target
+        GROUP BY lang ORDER BY lang""")),
+
     // ── Matryoshka truncation eval (can you serve 16 of 64 dims? —
     //    MRL-style embeddings promise graceful truncation, this MEASURES
     //    it on yours before you cut serving cost 4×): top-5 overlap per

@@ -6835,6 +6835,198 @@ object RelationalQueries extends QueryModule {
               * n_a * n_b AS DOUBLE) AS t_stat
         FROM m""")),
 
+    // ── Kruskal–Wallis rank test (the k-group extension of the MWU
+    //    family — "did ANY event type's value distribution shift?"
+    //    without normality assumptions): doubled tie-averaged pooled
+    //    ranks keep the per-group rank sums BIGINT-exact over the same
+    //    reduced O(domain) cent histogram and allowlisted cumulative
+    //    window as KS/MWU/CvM; H = 3/(N(N+1))·Σ_i (2R_i)²/n_i − 3(N+1)
+    //    folds its k per-group terms in explicit event-type order (the
+    //    mixture_kl sort_array+aggregate ≡ list ORDER BY+list_reduce
+    //    pattern), with (2R_i)² carried as DECIMAL(38,0) — it passes
+    //    2^53 at sf10 and a double square would shed bits. The tie
+    //    correction Σ(t_v³−t_v) ships DECIMAL-exact too. ────────────────
+    QueryDef("agg_kruskal_wallis",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "event_type AS g")
+        val cells = e.groupBy($"v", $"g").agg(count(lit(1)).as("c"))
+        val byV = cells.groupBy($"v").agg(sum($"c").as("t"))
+          .withColumn("c_prev", coalesce(sum($"t").over(
+            Window.orderBy($"v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val perGroup = cells.join(byV, "v")
+          .groupBy($"g")
+          .agg(sum($"c").as("n_i"),
+            sum($"c" * (lit(2L) * $"c_prev" + $"t" + 1L)).as("sum2r"))
+        val ties = byV.agg(
+          sum(($"t".cast(dec) * $"t" * $"t" - $"t").cast(dec)).cast(dec)
+            .as("tie_sum"),
+          sum($"t").as("n_total"))
+        perGroup.crossJoin(broadcast(ties))
+          .select($"g", $"n_i", $"sum2r", $"tie_sum", $"n_total",
+            (($"sum2r".cast(dec) * $"sum2r").cast(dec).cast("double") /
+              ($"n_i" * lit(4L)).cast("double")).as("term"))
+          .agg(max($"n_total").as("n_total"),
+            count(lit(1)).as("n_groups"),
+            max($"tie_sum").as("tie_sum"),
+            sort_array(collect_list(struct($"g", $"term"))).as("ts"))
+          .select($"n_total", $"n_groups", $"tie_sum",
+            aggregate($"ts".getField("term"), lit(0.0d),
+              (a, x) => a + x).as("rank_sq_sum"))
+          .select($"n_total", $"n_groups", $"tie_sum",
+            (lit(12.0d) * $"rank_sq_sum" /
+              ($"n_total".cast("double") * ($"n_total" + 1L).cast("double"))
+              - lit(3.0d) * ($"n_total" + 1L).cast("double")).as("h_stat"))
+          .withColumn("h_tie_corrected",
+            $"h_stat" / (lit(1.0d) - $"tie_sum".cast("double") /
+              ($"n_total".cast(dec) * $"n_total" * $"n_total" - $"n_total")
+                .cast(dec).cast("double")))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            event_type AS g FROM events),
+        cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY v, g),
+        byv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t,
+            coalesce(CAST(sum(sum(c)) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              CAST(0 AS BIGINT)) AS c_prev
+          FROM cells GROUP BY v),
+        pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_i,
+            CAST(sum(c * (2 * c_prev + t + 1)) AS BIGINT) AS sum2r
+          FROM cells JOIN byv USING (v) GROUP BY g),
+        ties AS (SELECT
+            CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DECIMAL(38,0))
+              AS tie_sum,
+            CAST(sum(t) AS BIGINT) AS n_total FROM byv),
+        folded AS (SELECT max(n_total) AS n_total,
+            CAST(count(*) AS BIGINT) AS n_groups,
+            max(tie_sum) AS tie_sum,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(CAST(CAST(sum2r AS HUGEINT) * sum2r
+                  AS DECIMAL(38,0)) AS DOUBLE)
+                / CAST(n_i * 4 AS DOUBLE) ORDER BY g)),
+              (a, b) -> a + b) AS rank_sq_sum
+          FROM pg CROSS JOIN ties),
+        h AS (SELECT n_total, n_groups, tie_sum,
+            12.0 * rank_sq_sum / (CAST(n_total AS DOUBLE)
+              * CAST(n_total + 1 AS DOUBLE))
+              - 3.0 * CAST(n_total + 1 AS DOUBLE) AS h_stat
+          FROM folded)
+        SELECT n_total, n_groups, tie_sum, h_stat,
+          h_stat / (1.0 - CAST(tie_sum AS DOUBLE)
+            / CAST(CAST(CAST(n_total AS HUGEINT) * n_total * n_total
+                - n_total AS DECIMAL(38,0)) AS DOUBLE)) AS h_tie_corrected
+        FROM h""")),
+
+    // ── Spearman rank correlation per nation (monotone-association QC
+    //    between quantity and discount — Pearson on tie-averaged ranks,
+    //    robust to any monotone transform): both variables have tiny
+    //    domains (50 quantities × 11 discount cents), so ranks come from
+    //    the O(|nation|×domain) marginal tables — doubled-rank maps via
+    //    nation-partitioned cumulative windows — and the cross moments
+    //    fold over the contingency CELLS, never the 60 M rows: n, Σ2rx,
+    //    Σ2ry, Σ2rx·2ry, Σ(2rx)², Σ(2ry)² all DECIMAL(38,0)-exact. The
+    //    variance numerators d1/d2 ship UNMULTIPLIED (their product
+    //    overflows 38 digits at sf10 — the assortativity precedent);
+    //    ρ = num/(√d1·√d2) is the one IEEE step (sqrt correctly rounded
+    //    in both engines). ───────────────────────────────────────────────
+    QueryDef("agg_spearman_corr",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val li = Tables.load(s, dir, "lineitem")
+          .selectExpr("l_suppkey", "CAST(l_quantity AS BIGINT) AS q",
+            "CAST(round(l_discount * 100) AS BIGINT) AS d")
+        val sup = Tables.load(s, dir, "supplier")
+          .select($"s_suppkey", $"s_nationkey")
+        val nat = Tables.load(s, dir, "nation")
+          .select($"n_nationkey", $"n_name")
+        val cells = li
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name".as("g"), $"q", $"d")
+          .agg(count(lit(1)).as("c"))
+        def rankMap(key: String, out: String) = cells
+          .groupBy($"g", col(key)).agg(sum($"c").as("t"))
+          .withColumn("c_prev", coalesce(sum($"t").over(
+            Window.partitionBy($"g").orderBy(col(key))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"g".as(s"g_$out"), col(key).as(s"k_$out"),
+            (lit(2L) * $"c_prev" + $"t" + 1L).as(out))
+        cells
+          .join(rankMap("q", "rx"),
+            $"g" === $"g_rx" && $"q" === $"k_rx")
+          .join(rankMap("d", "ry"),
+            $"g" === $"g_ry" && $"d" === $"k_ry")
+          .groupBy($"g")
+          .agg(sum($"c").as("n"),
+            sum(($"c" * $"rx").cast(dec)).cast(dec).as("sx"),
+            sum(($"c" * $"ry").cast(dec)).cast(dec).as("sy"),
+            sum(($"c".cast(dec) * $"rx" * $"ry").cast(dec)).cast(dec)
+              .as("sxy"),
+            sum(($"c".cast(dec) * $"rx" * $"rx").cast(dec)).cast(dec)
+              .as("sxx"),
+            sum(($"c".cast(dec) * $"ry" * $"ry").cast(dec)).cast(dec)
+              .as("syy"))
+          .select($"g", $"n",
+            ($"n" * $"sxy" - $"sx" * $"sy").cast(dec).as("num"),
+            ($"n" * $"sxx" - $"sx" * $"sx").cast(dec).as("d1"),
+            ($"n" * $"syy" - $"sy" * $"sy").cast(dec).as("d2"))
+          .select($"g", $"n", signum($"num".cast("double")).cast("long")
+              .as("sign"), $"num", $"d1", $"d2",
+            when($"d1" > 0 && $"d2" > 0,
+              $"num".cast("double") /
+                (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))))
+              .as("rho"))
+          .orderBy($"g")
+      },
+      Some("""WITH li AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q,
+            CAST(round(l_discount * 100) AS BIGINT) AS d FROM lineitem),
+        cells AS (SELECT n.n_name AS g, li.q, li.d,
+            CAST(count(*) AS BIGINT) AS c
+          FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2, 3),
+        rx AS (SELECT g, q, CAST(2 * coalesce(sum(sum(c)) OVER (
+              PARTITION BY g ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + sum(c) + 1 AS BIGINT) AS rx
+          FROM cells GROUP BY g, q),
+        ry AS (SELECT g, d, CAST(2 * coalesce(sum(sum(c)) OVER (
+              PARTITION BY g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + sum(c) + 1 AS BIGINT) AS ry
+          FROM cells GROUP BY g, d),
+        m AS (SELECT cells.g, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(CAST(c AS HUGEINT) * rx.rx) AS DECIMAL(38,0)) AS sx,
+            CAST(sum(CAST(c AS HUGEINT) * ry.ry) AS DECIMAL(38,0)) AS sy,
+            CAST(sum(CAST(c AS HUGEINT) * rx.rx * ry.ry)
+              AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(CAST(c AS HUGEINT) * rx.rx * rx.rx)
+              AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(c AS HUGEINT) * ry.ry * ry.ry)
+              AS DECIMAL(38,0)) AS syy
+          FROM cells JOIN rx ON cells.g = rx.g AND cells.q = rx.q
+          JOIN ry ON cells.g = ry.g AND cells.d = ry.d
+          GROUP BY cells.g),
+        f AS (SELECT g, n,
+            CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+            CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS d1,
+            CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS d2
+          FROM m)
+        SELECT g, n, CAST(sign(CAST(num AS DOUBLE)) AS BIGINT) AS sign,
+          num, d1, d2,
+          CASE WHEN d1 > 0 AND d2 > 0 THEN CAST(num AS DOUBLE)
+            / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
+          END AS rho
+        FROM f ORDER BY g""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

@@ -298,6 +298,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_cuped_adjustment",
     // cvm: the KS-style 1-row sample-size recombine
     "agg_cvm_two_sample",
+    // kruskal-wallis: the |types|-row group frame × 1-row tie/total
+    // broadcast recombine (the anova shape)
+    "agg_kruskal_wallis",
+    // class balance: the 1-row min-class-count target broadcast onto
+    // the lang-ranked corpus
+    "sample_class_balance",
     // matryoshka eval: two sim_topk_brute-style non-equi probe
     // broadcasts over the same candidate scan
     "embed_matryoshka_eval",
@@ -482,7 +488,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "window_rolling_corr",
       // CvM: the same O(domain) reduced ECDF cumulative window as the
       // KS test
-      "agg_cvm_two_sample")
+      "agg_cvm_two_sample",
+      // Kruskal-Wallis: the same O(domain) reduced pooled-rank
+      // cumulative window as MWU/KS/CvM
+      "agg_kruskal_wallis")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -510,7 +519,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
       "agg_weighted_median_distributed", "dq_distribution_ks",
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
-      "window_rolling_corr", "agg_cvm_two_sample")
+      "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -591,7 +600,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_ratio_metric_ci", "window_rolling_corr", "multimodal_audio_vad",
     "text_bpe_train3", "agg_mann_kendall", "sample_hard_negatives",
     "agg_price_index", "agg_cuped_adjustment", "snapshot_expire_versions",
-    "window_holt_linear", "agg_user_entropy")
+    "window_holt_linear", "agg_user_entropy",
+    // r11 batch 12: rank-test recombines + the balance-target broadcast
+    "agg_kruskal_wallis", "agg_spearman_corr", "sample_class_balance")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1808,6 +1808,105 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getDouble(4) >= 0.0)
   }
 
+  test("agg_kruskal_wallis: H matches the textbook pooled-rank replay") {
+    val rows = run("agg_kruskal_wallis")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v", "event_type")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val n = vs.length.toLong
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == vs.map(_._2).distinct.length.toLong)
+    // pooled tie-averaged ranks (1-based), sequential
+    val sorted = vs.map(_._1).sorted
+    val firstRank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2).min + 1) }
+    val tieCnt = sorted.groupBy(identity).map { case (v, g) => v -> g.length }
+    def avgRank(v: Long): Double = firstRank(v) + (tieCnt(v) - 1) / 2.0
+    val tieSum = tieCnt.values.map(t => BigInt(t) * t * t - t).sum
+    assert(BigInt(r.getDecimal(2).toBigInteger) == tieSum)
+    val groups = vs.groupBy(_._2)
+    val sumR2OverN = groups.values.map { g =>
+      val rs = g.map(x => avgRank(x._1)).sum
+      rs * rs / g.length
+    }.sum
+    val h = 12.0 * sumR2OverN / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+    assert(math.abs(r.getDouble(3) - h) < 1e-6 * math.max(1.0, math.abs(h)),
+      s"H ${r.getDouble(3)} vs replay $h")
+    val c = 1.0 - tieSum.toDouble / (BigInt(n) * n * n - n).toDouble
+    assert(math.abs(r.getDouble(4) - h / c) <
+      1e-6 * math.max(1.0, math.abs(h / c)))
+  }
+
+  test("agg_spearman_corr: rho matches the per-nation rank replay") {
+    val rows = run("agg_spearman_corr")
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_suppkey", "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(round(l_discount * 100) AS BIGINT) AS d").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val supNation = {
+      val sup = Tables.load(spark, dir, "supplier")
+        .selectExpr("CAST(s_suppkey AS BIGINT)", "CAST(s_nationkey AS BIGINT)")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val nat = Tables.load(spark, dir, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      sup.map { case (s, nk) => s -> nat(nk) }
+    }
+    val byNation = li.groupBy(t => supNation(t._1))
+    assert(rows.length == byNation.size)
+    rows.foreach { r =>
+      val g = byNation(r.getString(0))
+      assert(r.getLong(1) == g.length.toLong)
+      // doubled tie-averaged ranks per variable within the nation
+      def ranks2(xs: Array[Long]): Map[Long, Long] = {
+        val sorted = xs.sorted
+        val first = sorted.zipWithIndex.groupBy(_._1)
+          .map { case (v, grp) => v -> (grp.map(_._2).min + 1).toLong }
+        val cnt = sorted.groupBy(identity).map { case (v, grp) => v -> grp.length }
+        first.keys.map(v => v -> (2 * first(v) + cnt(v) - 1)).toMap
+      }
+      val rq = ranks2(g.map(_._2)); val rd = ranks2(g.map(_._3))
+      val n = BigInt(g.length)
+      val pairs = g.map(t => (BigInt(rq(t._2)), BigInt(rd(t._3))))
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      assert(BigInt(r.getDecimal(3).toBigInteger) == n * sxy - sx * sy)
+      assert(BigInt(r.getDecimal(4).toBigInteger) == n * sxx - sx * sx)
+      assert(BigInt(r.getDecimal(5).toBigInteger) == n * syy - sy * sy)
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      if (den > 0)
+        assert(math.abs(r.getDouble(6) - num / den) < 1e-12,
+          s"nation ${r.getString(0)}")
+    }
+  }
+
+  test("sample_class_balance: every class capped at the minority count; kept set reproducible") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    val target = byLang.values.map(_.length).min
+    val rows = run("sample_class_balance")
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) == target.toLong, s"class $lang not capped")
+      val kept = byLang(lang).sortBy(t => (md5hex(t._2.toString), t._2))
+        .take(target)
+      assert(r.getLong(2) == kept.map(_._2).reduce(_ ^ _), s"$lang xor")
+      assert(r.getLong(3) == kept.map(_._3).sum, s"$lang chars")
+    }
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
