@@ -2417,6 +2417,88 @@ object PipelineQueries extends QueryModule {
         FROM r, t WHERE rk <= target
         GROUP BY lang ORDER BY lang""")),
 
+    // ── Token-budget waterfilling across sources (the mixture
+    //    allocator's hard-constraint sibling: given a token budget B =
+    //    half the corpus, give every source a fair share CAPPED at its
+    //    own size, redistributing what small sources can't absorb):
+    //    sources sorted ascending by size, the largest j with
+    //    P_j + (k−j)·n_j ≤ B caps exactly the first j, waterline
+    //    L = ⌊(B−P_j)/(k−j)⌋, and the r = B−P_j−(k−j)·L leftover tokens
+    //    go one each to the first r uncapped sources in sort order —
+    //    Σ alloc = B EXACTLY, all integer. The windows ride the
+    //    |sources|-row frame (O(sources) reduced input, the
+    //    full_curation class); j*, P_j*, L recombine via 1-row
+    //    broadcasts. ─────────────────────────────────────────────────────
+    QueryDef("pipeline_token_budget",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val src = Tables.load(s, dir, "documents")
+          .groupBy($"source").agg(sum($"n_chars").as("n_tok"))
+        val tot = src.agg(count(lit(1)).as("k"), sum($"n_tok").as("total"))
+          .select($"k", $"total", expr("total DIV 2").as("b"))
+        val w = Window.orderBy($"n_tok", $"source")
+        val ranked = src
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("p_i", sum($"n_tok").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+        val jstar = ranked
+          .agg(coalesce(max(when(
+              $"p_i" + ($"k" - $"i") * $"n_tok" <= $"b", $"i")), lit(0L))
+            .as("j_star"))
+        val pj = ranked.crossJoin(broadcast(jstar))
+          .agg(max($"j_star").as("j_star"),
+            coalesce(max(when($"i" === $"j_star", $"p_i")), lit(0L))
+              .as("p_j"))
+        val lvl = tot.crossJoin(broadcast(pj))
+          .select($"j_star", $"p_j",
+            expr("(b - p_j) DIV (k - j_star)").as("waterline"),
+            expr("b - p_j - (k - j_star) * ((b - p_j) DIV (k - j_star))")
+              .as("leftover"))
+        ranked.crossJoin(broadcast(lvl))
+          .select($"source", $"n_tok", $"i".as("sort_rank"), $"waterline",
+            ($"i" <= $"j_star").cast("long").as("capped"),
+            ($"i" > $"j_star" && $"i" - $"j_star" <= $"leftover")
+              .cast("long").as("bonus"),
+            when($"i" <= $"j_star", $"n_tok")
+              .otherwise($"waterline" +
+                ($"i" - $"j_star" <= $"leftover").cast("long"))
+              .as("alloc"))
+          .orderBy($"source")
+      },
+      Some("""WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT)
+            AS n_tok FROM documents GROUP BY source),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(n_tok) AS BIGINT) AS total,
+            CAST(sum(n_tok) // 2 AS BIGINT) AS b FROM src),
+        ranked AS (SELECT source, n_tok,
+            CAST(row_number() OVER (ORDER BY n_tok, source) AS BIGINT) AS i,
+            CAST(sum(n_tok) OVER (ORDER BY n_tok, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS p_i, k, total, b
+          FROM src CROSS JOIN tot),
+        js AS (SELECT coalesce(max(CASE
+              WHEN p_i + (k - i) * n_tok <= b THEN i END),
+            CAST(0 AS BIGINT)) AS j_star FROM ranked),
+        pj AS (SELECT max(j_star) AS j_star,
+            coalesce(max(CASE WHEN i = j_star THEN p_i END),
+              CAST(0 AS BIGINT)) AS p_j
+          FROM ranked CROSS JOIN js),
+        lvl AS (SELECT j_star, p_j,
+            CAST((b - p_j) // (k - j_star) AS BIGINT) AS waterline,
+            CAST(b - p_j - (k - j_star) * ((b - p_j) // (k - j_star))
+              AS BIGINT) AS leftover
+          FROM tot CROSS JOIN pj)
+        SELECT source, n_tok, i AS sort_rank, waterline,
+          CAST(CASE WHEN i <= j_star THEN 1 ELSE 0 END AS BIGINT) AS capped,
+          CAST(CASE WHEN i > j_star AND i - j_star <= leftover
+            THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+          CAST(CASE WHEN i <= j_star THEN n_tok
+            ELSE waterline + CASE WHEN i - j_star <= leftover
+              THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+        FROM ranked CROSS JOIN lvl ORDER BY source""")),
+
     // ── Matryoshka truncation eval (can you serve 16 of 64 dims? —
     //    MRL-style embeddings promise graceful truncation, this MEASURES
     //    it on yours before you cut serving cost 4×): top-5 overlap per

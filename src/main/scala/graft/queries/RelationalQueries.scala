@@ -7027,6 +7027,156 @@ object RelationalQueries extends QueryModule {
           END AS rho
         FROM f ORDER BY g""")),
 
+    // ── Most-likely changepoint per event type (offline CUSUM
+    //    localization — "WHEN did the metric shift?", the follow-up
+    //    question after a drift test fires): on the per-type daily cent
+    //    grid, the deviation n·S_t − t·S_n (cusum against the uniform
+    //    trend, scaled by n to stay integer) peaks at the changepoint;
+    //    argmax |dev| with smallest-day tie-break via a rank-1 filter.
+    //    Everything BIGINT-exact; windows are event_type-partitioned
+    //    over the O(days) grid — no global window, no FP. ───────────────
+    QueryDef("window_changepoint_cusum",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy($"event_type".as("g"),
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+        val w = Window.partitionBy($"g").orderBy($"d")
+        val tot = daily.groupBy($"g")
+          .agg(count(lit(1)).as("n_days"), sum($"cents").as("s_total"))
+        daily
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("s_t", sum($"cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(tot, "g")
+          .withColumn("dev", $"n_days" * $"s_t" - $"t" * $"s_total")
+          .withColumn("rk", row_number().over(Window.partitionBy($"g")
+            .orderBy(abs($"dev").desc, $"d")))
+          .filter($"rk" === 1)
+          .select($"g", $"n_days", $"s_total", $"d".as("cp_day"),
+            abs($"dev").as("max_abs_dev"))
+          .orderBy($"g")
+      },
+      Some("""WITH daily AS (SELECT event_type AS g,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        cum AS (SELECT g, d, cents,
+            CAST(row_number() OVER (PARTITION BY g ORDER BY d) AS BIGINT)
+              AS t,
+            CAST(sum(cents) OVER (PARTITION BY g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS s_t,
+            CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_days,
+            CAST(sum(cents) OVER (PARTITION BY g) AS BIGINT) AS s_total
+          FROM daily),
+        ranked AS (SELECT g, n_days, s_total, d,
+            abs(n_days * s_t - t * s_total) AS adev,
+            row_number() OVER (PARTITION BY g
+              ORDER BY abs(n_days * s_t - t * s_total) DESC, d) AS rk
+          FROM cum)
+        SELECT g, n_days, s_total, d AS cp_day,
+          CAST(adev AS BIGINT) AS max_abs_dev
+        FROM ranked WHERE rk = 1 ORDER BY g""")),
+
+    // ── Benjamini–Hochberg FDR control over the per-type drift family
+    //    (run one location test per event type against the rest and you
+    //    have a MULTIPLE-testing problem — BH is the standard fix): each
+    //    type's MWU-vs-rest effect becomes an exact p-rational
+    //    p = (n₁n₂ − |U₂ − n₁n₂|)/(n₁n₂) (doubled-rank units, BIGINT),
+    //    BH ranks come from the |types|² p-comparison self-join with
+    //    cross-multiplied DECIMAL rationals (no division anywhere), and
+    //    the step-up rule p_(i) ≤ i·α/m is the integer inequality
+    //    20·m·num ≤ i·den at α = 0.05; k* recombines via the 1-row
+    //    broadcast max. Same reduced O(domain) pooled-rank window as
+    //    the MWU/KS/CvM/KW family. ──────────────────────────────────────
+    QueryDef("agg_fdr_bh",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "event_type AS g")
+        val cells = e.groupBy($"v", $"g").agg(count(lit(1)).as("c"))
+        val byV = cells.groupBy($"v").agg(sum($"c").as("t"))
+          .withColumn("c_prev", coalesce(sum($"t").over(
+            Window.orderBy($"v")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val n = byV.agg(sum($"t").as("n_total"))
+        val perG = cells.join(byV, "v")
+          .groupBy($"g")
+          .agg(sum($"c").as("n1"),
+            sum($"c" * (lit(2L) * $"c_prev" + $"t" + 1L)).as("sum2r"))
+          .crossJoin(broadcast(n))
+          .select($"g", $"n1", ($"n_total" - $"n1").as("n2"),
+            ($"sum2r" - $"n1" * ($"n1" + 1L)).as("u2"))
+          .select($"g", $"n1",
+            ($"n1" * $"n2" - abs($"u2" - $"n1" * $"n2")).as("p_num"),
+            ($"n1" * $"n2").as("p_den"))
+        val other = perG.select($"g".as("g2"), $"p_num".as("num2"),
+          $"p_den".as("den2"))
+        val ranked = perG.join(broadcast(other),
+            $"num2".cast(dec) * $"p_den" < $"p_num".cast(dec) * $"den2" ||
+              ($"num2".cast(dec) * $"p_den" === $"p_num".cast(dec) * $"den2"
+                && $"g2" <= $"g"))
+          .groupBy($"g", $"n1", $"p_num", $"p_den")
+          .agg(count(lit(1)).as("bh_rank"))
+        val m = ranked.agg(count(lit(1)).as("m"))
+        val withCond = ranked.crossJoin(broadcast(m))
+          .withColumn("cond",
+            lit(20L) * $"m" * $"p_num".cast(dec) <=
+              $"bh_rank".cast(dec) * $"p_den")
+        val kstar = withCond
+          .agg(coalesce(max(when($"cond", $"bh_rank")), lit(0L)).as("k_star"))
+        withCond.crossJoin(broadcast(kstar))
+          .select($"g", $"n1", $"p_num", $"p_den", $"bh_rank",
+            ($"bh_rank" <= $"k_star").cast("long").as("rejected"))
+          .orderBy($"g")
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            event_type AS g FROM events),
+        cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY v, g),
+        byv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t,
+            coalesce(CAST(sum(sum(c)) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              CAST(0 AS BIGINT)) AS c_prev
+          FROM cells GROUP BY v),
+        n AS (SELECT CAST(sum(t) AS BIGINT) AS n_total FROM byv),
+        pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n1,
+            CAST(sum(c * (2 * c_prev + t + 1)) AS BIGINT) AS sum2r
+          FROM cells JOIN byv USING (v) GROUP BY g),
+        pr AS (SELECT g, n1,
+            CAST(n1 * (n_total - n1)
+              - abs((sum2r - n1 * (n1 + 1)) - n1 * (n_total - n1))
+              AS BIGINT) AS p_num,
+            CAST(n1 * (n_total - n1) AS BIGINT) AS p_den
+          FROM pg CROSS JOIN n),
+        rk AS (SELECT a.g, a.n1, a.p_num, a.p_den,
+            CAST(count(*) AS BIGINT) AS bh_rank
+          FROM pr a JOIN pr b ON
+            CAST(b.p_num AS HUGEINT) * a.p_den
+              < CAST(a.p_num AS HUGEINT) * b.p_den
+            OR (CAST(b.p_num AS HUGEINT) * a.p_den
+              = CAST(a.p_num AS HUGEINT) * b.p_den AND b.g <= a.g)
+          GROUP BY a.g, a.n1, a.p_num, a.p_den),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM rk),
+        cond AS (SELECT rk.*,
+            CAST(20 * m.m AS HUGEINT) * p_num
+              <= CAST(bh_rank AS HUGEINT) * p_den AS cond
+          FROM rk CROSS JOIN m),
+        ks AS (SELECT coalesce(max(CASE WHEN cond THEN bh_rank END),
+            CAST(0 AS BIGINT)) AS k_star FROM cond)
+        SELECT g, n1, p_num, p_den, bh_rank,
+          CAST(CASE WHEN bh_rank <= k_star THEN 1 ELSE 0 END AS BIGINT)
+            AS rejected
+        FROM cond CROSS JOIN ks ORDER BY g""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

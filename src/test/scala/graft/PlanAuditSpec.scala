@@ -301,6 +301,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // kruskal-wallis: the |types|-row group frame × 1-row tie/total
     // broadcast recombine (the anova shape)
     "agg_kruskal_wallis",
+    // BH FDR: the |types|² cross-multiplied p-rational rank self-join
+    // (pareto-skyline class) + 1-row m/k* broadcast recombines
+    "agg_fdr_bh",
+    // token budget: 1-row j*/waterline broadcast recombines onto the
+    // |sources|-row frame
+    "pipeline_token_budget",
     // class balance: the 1-row min-class-count target broadcast onto
     // the lang-ranked corpus
     "sample_class_balance",
@@ -491,7 +497,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_cvm_two_sample",
       // Kruskal-Wallis: the same O(domain) reduced pooled-rank
       // cumulative window as MWU/KS/CvM
-      "agg_kruskal_wallis")
+      "agg_kruskal_wallis",
+      // BH FDR: the same O(domain) reduced pooled-rank cumulative window
+      "agg_fdr_bh",
+      // token budget: rank/prefix windows over the |sources|-row frame
+      // (the full_curation O(sources) class)
+      "pipeline_token_budget")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -519,7 +530,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_median_distributed", "streaming_late_drop", "pipeline_full_curation",
       "agg_weighted_median_distributed", "dq_distribution_ks",
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
-      "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis")
+      "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
+      "agg_fdr_bh", "pipeline_token_budget")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -602,7 +614,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_price_index", "agg_cuped_adjustment", "snapshot_expire_versions",
     "window_holt_linear", "agg_user_entropy",
     // r11 batch 12: rank-test recombines + the balance-target broadcast
-    "agg_kruskal_wallis", "agg_spearman_corr", "sample_class_balance")
+    "agg_kruskal_wallis", "agg_spearman_corr", "sample_class_balance",
+    // r11 batch 13: changepoint grid windows, BH rank self-join,
+    // waterfilling broadcasts
+    "window_changepoint_cusum", "agg_fdr_bh", "pipeline_token_budget")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1907,6 +1907,91 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_changepoint_cusum: argmax matches the sequential cusum scan") {
+    val daily = Tables.load(spark, dir, "events")
+      .selectExpr("event_type AS g",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((g, d), xs) =>
+        (g, d, xs.map(_._3).sum) }
+      .toSeq.groupBy(_._1)
+    val rows = run("window_changepoint_cusum")
+    assert(rows.length == daily.size)
+    rows.foreach { r =>
+      val series = daily(r.getString(0)).sortBy(_._2)
+      val n = series.length.toLong
+      val total = series.map(_._3).sum
+      assert(r.getLong(1) == n && r.getLong(2) == total)
+      var st = 0L; var best = -1L; var bestDay = Long.MaxValue
+      series.zipWithIndex.foreach { case ((_, d, c), idx) =>
+        st += c
+        val dev = math.abs(n * st - (idx + 1) * total)
+        if (dev > best) { best = dev; bestDay = d }
+      }
+      assert(r.getLong(3) == bestDay, s"${r.getString(0)} cp day")
+      assert(r.getLong(4) == best, s"${r.getString(0)} max dev")
+    }
+  }
+
+  test("agg_fdr_bh: step-up rule matches the sequential BH replay") {
+    val rows = run("agg_fdr_bh")
+    val m = rows.length
+    // exact rational p-values ascending with the engine's tie-break
+    val ps = rows.map(r => (r.getString(0), BigInt(r.getLong(2)),
+      BigInt(r.getLong(3)), r.getLong(4), r.getLong(5)))
+    val sorted = ps.sortWith { (a, b) =>
+      val c = a._2 * b._3 - b._2 * a._3
+      if (c != 0) c < 0 else a._1 < b._1
+    }
+    sorted.zipWithIndex.foreach { case (p, i) =>
+      assert(p._4 == i + 1L, s"${p._1} bh_rank") }
+    val kStar = sorted.zipWithIndex
+      .filter { case (p, i) => p._2 * 20 * m <= p._3 * (i + 1) }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    sorted.zipWithIndex.foreach { case (p, i) =>
+      assert(p._5 == (if (i + 1 <= kStar) 1L else 0L), s"${p._1} rejected")
+    }
+  }
+
+  test("pipeline_token_budget: waterfilling exhausts the budget exactly under caps") {
+    val rows = run("pipeline_token_budget")
+    val srcTok = Tables.load(spark, dir, "documents")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val total = srcTok.values.sum
+    val b = total / 2
+    assert(rows.length == srcTok.size)
+    // invariants: Σ alloc = B; capped ⇒ alloc = n_tok; uncapped ⇒
+    // waterline ≤ alloc ≤ waterline+1 and alloc ≤ n_tok
+    assert(rows.map(_.getLong(6)).sum == b, "budget not exhausted exactly")
+    rows.foreach { r =>
+      val (nTok, wl, capped, bonus, alloc) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))
+      assert(nTok == srcTok(r.getString(0)))
+      if (capped == 1L) assert(alloc == nTok && bonus == 0L)
+      else {
+        assert(alloc == wl + bonus && bonus <= 1L)
+        assert(alloc <= nTok, s"${r.getString(0)} alloc over cap")
+      }
+    }
+    // replay the sequential waterfill: sort ascending, find j*
+    val sorted = srcTok.toSeq.sortBy(t => (t._2, t._1))
+    val k = sorted.length
+    var pj = 0L; var jstar = 0
+    var prefix = 0L
+    sorted.zipWithIndex.foreach { case ((_, n), idx) =>
+      prefix += n
+      if (prefix + (k - idx - 1).toLong * n <= b) { jstar = idx + 1; pj = prefix }
+    }
+    val wl = (b - pj) / (k - jstar)
+    rows.filter(_.getLong(4) == 0L).foreach { r =>
+      assert(r.getLong(3) == wl, "waterline mismatch vs replay") }
+    assert(rows.count(_.getLong(4) == 1L) == jstar, "capped count")
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
