@@ -2557,6 +2557,79 @@ object PipelineQueries extends QueryModule {
         FROM f JOIN tr ON f.qid = tr.qid AND f.cid = tr.cid
         GROUP BY f.qid ORDER BY f.qid""")),
 
+    // ── Johnson–Lindenstrauss random-sign projection 64→16 with
+    //    distortion audit (the cheap dimensionality cut when matryoshka
+    //    prefixes aren't available — a ±1 sign matrix needs no training
+    //    and preserves pairwise distances in expectation): signs come
+    //    from md5(k:j) (deterministic, engine-portable), vectors
+    //    quantize to floor(x·2^20) BIGINT first (the embed_norm_profile
+    //    discipline) so projection sums and BOTH squared distances are
+    //    exact integers; per consecutive pair the audit emits
+    //    d²_proj/(16·d²_orig) ≈ 1 (E[yₖ²] = ‖x‖² for ±1 signs) as the
+    //    one IEEE division. Plan: 1024-row broadcast sign matrix joined
+    //    on dim, two hash aggregates, a shifted self-join on vec_id —
+    //    fully distributed, nothing corpus-sized on the driver. ─────────
+    QueryDef("embed_rp_project",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" < 400)
+          .select($"vec_id", posexplode($"embedding").as(Seq("j", "x")))
+          .select($"vec_id", $"j".cast("long").as("j"),
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("q"))
+        val signs = s.range(16).select($"id".as("k"),
+            explode(sequence(lit(0L), lit(63L))).as("j"))
+          .select($"k", $"j",
+            when(substring(md5(concat($"k".cast("string"), lit(":"),
+              $"j".cast("string"))), 1, 1) < "8", 1L).otherwise(-1L).as("sg"))
+        val proj = q.join(broadcast(signs), "j")
+          .groupBy($"vec_id", $"k")
+          .agg(sum($"sg" * $"q").as("y"))
+        val d2proj = proj.select($"vec_id".as("va"), $"k".as("ka"), $"y".as("ya"))
+          .join(proj.select($"vec_id".as("vb"), $"k".as("kb"), $"y".as("yb")),
+            $"vb" === $"va" + 1L && $"kb" === $"ka")
+          .filter($"va" % 2 === 0)
+          .groupBy($"va")
+          .agg(sum(($"ya" - $"yb") * ($"ya" - $"yb")).as("d2_proj"))
+        val d2orig = q.select($"vec_id".as("va"), $"j".as("ja"), $"q".as("qa"))
+          .join(q.select($"vec_id".as("vb"), $"j".as("jb"), $"q".as("qb")),
+            $"vb" === $"va" + 1L && $"jb" === $"ja")
+          .filter($"va" % 2 === 0)
+          .groupBy($"va")
+          .agg(sum(($"qa" - $"qb") * ($"qa" - $"qb")).as("d2_orig"))
+        d2orig.join(d2proj, "va")
+          .select($"va".as("vec_a"), $"d2_orig", $"d2_proj",
+            ($"d2_proj".cast("double") /
+              (lit(16L) * $"d2_orig").cast("double")).as("distortion"))
+          .orderBy($"vec_a")
+      },
+      Some("""WITH q AS (SELECT vec_id, j - 1 AS j,
+            CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT)
+              AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g
+          WHERE vec_id < 400),
+        signs AS (SELECT k.k, j.j,
+            CASE WHEN substring(md5(CAST(k.k AS VARCHAR) || ':'
+              || CAST(j.j AS VARCHAR)), 1, 1) < '8'
+            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sg
+          FROM (SELECT unnest(generate_series(0, 15)) AS k) k,
+            (SELECT unnest(generate_series(0, 63)) AS j) j),
+        proj AS (SELECT vec_id, k, CAST(sum(sg * q) AS BIGINT) AS y
+          FROM q JOIN signs USING (j) GROUP BY vec_id, k),
+        dp AS (SELECT a.vec_id AS va,
+            CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+          FROM proj a JOIN proj b
+            ON b.vec_id = a.vec_id + 1 AND b.k = a.k
+          WHERE a.vec_id % 2 = 0 GROUP BY a.vec_id),
+        dq AS (SELECT a.vec_id AS va,
+            CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2_orig
+          FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+          WHERE a.vec_id % 2 = 0 GROUP BY a.vec_id)
+        SELECT dq.va AS vec_a, dq.d2_orig, dp.d2_proj,
+          CAST(dp.d2_proj AS DOUBLE) / CAST(16 * dq.d2_orig AS DOUBLE)
+            AS distortion
+        FROM dq JOIN dp ON dq.va = dp.va ORDER BY vec_a""")),
+
     // ── Hard-negative mining for contrastive training (the pair
     //    quality step after `sample_negative_candidates`' random draws:
     //    the most informative negative is the HIGHEST-similarity
@@ -3774,6 +3847,69 @@ object PipelineQueries extends QueryModule {
         FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
               FROM documents) t
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
+
+    // ── Zipf rank-frequency fit (natural corpora obey freq ∝ rank^s
+    //    with s ≈ −1; a slope far off −1 flags synthetic, templated, or
+    //    mis-tokenized text — a corpus-level quality gate): OLS of
+    //    ln(freq) on ln(rank) over the top-100 vocabulary. The heavy
+    //    part is text_vocab_topk's aggregate + TakeOrdered; ranks ride
+    //    a 100-row global window (reduced input), the four moment sums
+    //    fold in explicit rank order (the mixture_kl idiom), and the
+    //    slope/intercept ship as floor(x·1e9) BIGINT — DuckDB's ln is
+    //    1 ulp off Java's (the bm25 finding), raw doubles would
+    //    hash-flicker. ──────────────────────────────────────────────────
+    QueryDef("text_zipf_fit",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val top = Tables.load(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100)
+        val ranked = top.withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+          .select($"rk", log($"rk".cast("double")).as("x"),
+            log($"n".cast("double")).as("y"), $"n")
+        def fold(f: String) = aggregate(col("ts").getField(f), lit(0.0d),
+          (a, x) => a + x)
+        ranked
+          .agg(count(lit(1)).as("k"), sum($"n").as("total_freq"),
+            sort_array(collect_list(struct($"rk", $"x", $"y",
+              ($"x" * $"y").as("xy"), ($"x" * $"x").as("xx")))).as("ts"))
+          .select($"k", $"total_freq", fold("x").as("sx"), fold("y").as("sy"),
+            fold("xy").as("sxy"), fold("xx").as("sxx"))
+          .select($"k", $"total_freq",
+            (($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx")).as("slope"))
+          .select($"k", $"total_freq",
+            floor($"slope" * lit(1e9)).cast("long").as("slope_e9"))
+      },
+      Some("""WITH top AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+            AS token FROM documents) t
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 100),
+        r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+              AS BIGINT) AS rk,
+            ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+              AS DOUBLE)) AS x,
+            ln(CAST(n AS DOUBLE)) AS y, n
+          FROM top),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(n) AS BIGINT) AS total_freq,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x ORDER BY rk)), (a, b) -> a + b) AS sx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(y ORDER BY rk)), (a, b) -> a + b) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x * y ORDER BY rk)), (a, b) -> a + b) AS sxy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x * x ORDER BY rk)), (a, b) -> a + b) AS sxx
+          FROM r)
+        SELECT k, total_freq,
+          CAST(floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1e9)
+            AS BIGINT) AS slope_e9
+        FROM f""")),
 
     // ── repetition quality signals (Gopher-family duplicate-fraction
     //    rules): distinct-token fraction, duplicate-bigram fraction,

@@ -558,6 +558,95 @@ object RelationalQueries extends QueryModule {
         SELECT r1.node, CAST(r1.r AS BIGINT) AS rank_i1, CAST(r2.r AS BIGINT) AS rank_i2
         FROM r1 JOIN r2 ON r1.node = r2.node ORDER BY r1.node""")),
 
+    // ── HITS hubs & authorities over the nation trade graph (the
+    //    directed companion to PageRank: a good HUB nation buys from
+    //    many good suppliers, a good AUTHORITY nation supplies many good
+    //    buyers — the two-score decomposition PageRank's single score
+    //    can't express): two mutual-reinforcement iterations in
+    //    fixed-point integers — a(v) = Σ h(u)·w, h(u) = Σ a(v)·w, each
+    //    rescaled to max = 1e9 via an integral DIV against the 1-row
+    //    broadcast max (the pagerank_fixed discipline: BIGINT sums,
+    //    order-independent, partitioning-proof). Iteration cost is
+    //    |edges|-sized; the fact table is touched once. ─────────────────
+    QueryDef("graph_hits_power",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
+        // the ×1e9 product passes 2^63 at sf10 — DECIMAL(38,0) DIV is
+        // exact integral division in Spark (bigint result), HUGEINT //
+        // its DuckDB twin
+        def rescale(x: DataFrame, col0: String): DataFrame = {
+          val mx = x.agg(max(col(col0)).as("mx"))
+          x.crossJoin(broadcast(mx))
+            .selectExpr("node",
+              s"(CAST($col0 AS DECIMAL(38,0)) * 1000000000) DIV mx AS $col0")
+        }
+        val h0 = nodes.selectExpr("node", "CAST(1000000000 AS BIGINT) AS h")
+        def authStep(h: DataFrame): DataFrame = rescale(
+          nodes.join(broadcast(edges
+              .join(broadcast(h.withColumnRenamed("node", "src")), "src")
+              .groupBy($"dst").agg(sum($"h" * $"w").as("a"))),
+            $"node" === $"dst", "left")
+            .selectExpr("node", "coalesce(a, 0) AS a"), "a")
+        def hubStep(a: DataFrame): DataFrame = rescale(
+          nodes.join(broadcast(edges
+              .join(broadcast(a.withColumnRenamed("node", "dst")), "dst")
+              .groupBy($"src").agg(sum($"a" * $"w").as("h"))),
+            $"node" === $"src", "left")
+            .selectExpr("node", "coalesce(h, 0) AS h"), "h")
+        val a1 = authStep(h0); val h1 = hubStep(a1)
+        val a2 = authStep(h1); val h2 = hubStep(a2)
+        a2.withColumnRenamed("a", "authority")
+          .join(h2.withColumnRenamed("h", "hub"), "node")
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+            CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        n AS (SELECT n_nationkey AS node FROM nation),
+        h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM n),
+        a1r AS (SELECT n.node,
+            coalesce((SELECT CAST(sum(h0.h * e.w) AS BIGINT) FROM e
+              JOIN h0 ON e.src = h0.node WHERE e.dst = n.node), 0) AS a
+          FROM n),
+        a1 AS (SELECT node, CAST(CAST(a AS HUGEINT) * 1000000000 // (SELECT max(a) FROM a1r) AS BIGINT)
+            AS a FROM a1r),
+        h1r AS (SELECT n.node,
+            coalesce((SELECT CAST(sum(a1.a * e.w) AS BIGINT) FROM e
+              JOIN a1 ON e.dst = a1.node WHERE e.src = n.node), 0) AS h
+          FROM n),
+        h1 AS (SELECT node, CAST(CAST(h AS HUGEINT) * 1000000000 // (SELECT max(h) FROM h1r) AS BIGINT)
+            AS h FROM h1r),
+        a2r AS (SELECT n.node,
+            coalesce((SELECT CAST(sum(h1.h * e.w) AS BIGINT) FROM e
+              JOIN h1 ON e.src = h1.node WHERE e.dst = n.node), 0) AS a
+          FROM n),
+        a2 AS (SELECT node, CAST(CAST(a AS HUGEINT) * 1000000000 // (SELECT max(a) FROM a2r) AS BIGINT)
+            AS a FROM a2r),
+        h2r AS (SELECT n.node,
+            coalesce((SELECT CAST(sum(a2.a * e.w) AS BIGINT) FROM e
+              JOIN a2 ON e.dst = a2.node WHERE e.src = n.node), 0) AS h
+          FROM n),
+        h2 AS (SELECT node, CAST(CAST(h AS HUGEINT) * 1000000000 // (SELECT max(h) FROM h2r) AS BIGINT)
+            AS h FROM h2r)
+        SELECT a2.node, CAST(a2.a AS BIGINT) AS authority,
+          CAST(h2.h AS BIGINT) AS hub
+        FROM a2 JOIN h2 ON a2.node = h2.node ORDER BY a2.node""")),
+
     // ── per-node triangle participation over the undirected nation trade
     //    graph — the clustering-coefficient numerator and the canonical
     //    distributed graph-join benchmark. Edges orient low→high id

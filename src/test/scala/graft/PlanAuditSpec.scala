@@ -307,6 +307,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // token budget: 1-row j*/waterline broadcast recombines onto the
     // |sources|-row frame
     "pipeline_token_budget",
+    // HITS: per-iteration 1-row max broadcast rescale onto the
+    // |nodes|-row frame (the pagerank teleport shape)
+    "graph_hits_power",
     // class balance: the 1-row min-class-count target broadcast onto
     // the lang-ranked corpus
     "sample_class_balance",
@@ -502,7 +505,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_fdr_bh",
       // token budget: rank/prefix windows over the |sources|-row frame
       // (the full_curation O(sources) class)
-      "pipeline_token_budget")
+      "pipeline_token_budget",
+      // zipf fit: rank window over the TakeOrdered 100-row top-vocab
+      // frame
+      "text_zipf_fit")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -531,7 +537,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_weighted_median_distributed", "dq_distribution_ks",
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
-      "agg_fdr_bh", "pipeline_token_budget")
+      "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -617,7 +623,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_kruskal_wallis", "agg_spearman_corr", "sample_class_balance",
     // r11 batch 13: changepoint grid windows, BH rank self-join,
     // waterfilling broadcasts
-    "window_changepoint_cusum", "agg_fdr_bh", "pipeline_token_budget")
+    "window_changepoint_cusum", "agg_fdr_bh", "pipeline_token_budget",
+    // r11 batch 14: HITS edge build + rescale broadcasts, JL shifted
+    // self-join, top-vocab rank frame
+    "graph_hits_power", "embed_rp_project", "text_zipf_fit")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -1992,6 +1992,99 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getLong(4) == 1L) == jstar, "capped count")
   }
 
+  test("graph_hits_power: fixed-point iterations match the sequential replay") {
+    val rows = run("graph_hits_power")
+    // rebuild the nation edge list on the driver
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cNat = Tables.load(spark, dir, "customer")
+      .selectExpr("CAST(c_custkey AS BIGINT)", "CAST(c_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sNat = Tables.load(spark, dir, "supplier")
+      .selectExpr("CAST(s_suppkey AS BIGINT)", "CAST(s_nationkey AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Tables.load(spark, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)").collect()
+      .map(_.getLong(0)).sorted
+    val edges = li.flatMap { case (ok, sk) =>
+      ord.get(ok).map(ck => ((cNat(ck), sNat(sk)), 1L)) }
+      .groupBy(_._1).map { case (e, xs) => (e._1, e._2, xs.length.toLong) }
+    def rescale(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * 1000000000L / mx }
+    }
+    var h: Map[Long, BigInt] = nodes.map(_ -> BigInt(1000000000L)).toMap
+    var a: Map[Long, BigInt] = Map.empty
+    (1 to 2).foreach { _ =>
+      a = rescale(nodes.map(v => v -> edges.filter(_._2 == v)
+        .map(e => h(e._1) * e._3).foldLeft(BigInt(0))(_ + _)).toMap)
+      h = rescale(nodes.map(u => u -> edges.filter(_._1 == u)
+        .map(e => a(e._2) * e._3).foldLeft(BigInt(0))(_ + _)).toMap)
+    }
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val node = r.getAs[Number](0).longValue
+      assert(BigInt(r.getLong(1)) == a(node), s"authority node $node")
+      assert(BigInt(r.getLong(2)) == h(node), s"hub node $node")
+    }
+  }
+
+  test("text_zipf_fit: slope matches the driver OLS on the top-100 curve") {
+    val rows = run("text_zipf_fit")
+    assert(rows.length == 1)
+    val freqs = Tables.load(spark, dir, "documents")
+      .selectExpr("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(100)
+    val k = freqs.length
+    assert(rows.head.getLong(0) == k.toLong)
+    assert(rows.head.getLong(1) == freqs.map(_._2).sum)
+    val pts = freqs.zipWithIndex.map { case ((_, n), i) =>
+      (math.log((i + 1).toDouble), math.log(n.toDouble)) }
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(rows.head.getLong(2) - math.floor(slope * 1e9)) <= 2,
+      s"slope_e9 ${rows.head.getLong(2)} vs replay ${math.floor(slope * 1e9)}")
+    assert(slope < 0, "zipf slope should be negative")
+  }
+
+  test("embed_rp_project: distortion concentrates near 1 and distances replay exactly") {
+    val rows = run("embed_rp_project")
+    assert(rows.nonEmpty)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter("vec_id < 400")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val signs = Array.tabulate(16, 64)((k, j) =>
+      if (md5hex(s"$k:$j").head < '8') 1L else -1L)
+    rows.foreach { r =>
+      val va = r.getLong(0)
+      val qa = emb(va).map(x => math.floor(x * 1048576.0).toLong)
+      val qb = emb(va + 1).map(x => math.floor(x * 1048576.0).toLong)
+      val d2o = qa.zip(qb).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(r.getLong(1) == d2o, s"pair $va d2_orig")
+      val ya = signs.map(row => row.zip(qa).map { case (s0, q) => s0 * q }.sum)
+      val yb = signs.map(row => row.zip(qb).map { case (s0, q) => s0 * q }.sum)
+      val d2p = ya.zip(yb).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(r.getLong(2) == d2p, s"pair $va d2_proj")
+      assert(r.getDouble(3) == d2p.toDouble / (16L * d2o).toDouble)
+    }
+    // JL concentration: median distortion within [0.4, 2.5] of unity
+    val ds = rows.map(_.getDouble(3)).sorted
+    val med = ds(ds.length / 2)
+    assert(med > 0.4 && med < 2.5, s"median distortion $med")
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
