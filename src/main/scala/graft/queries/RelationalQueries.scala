@@ -7266,6 +7266,182 @@ object RelationalQueries extends QueryModule {
             AS rejected
         FROM cond CROSS JOIN ks ORDER BY g""")),
 
+    // ── Brown–Forsythe variance-homogeneity test (ANOVA and the t-test
+    //    assume equal group variances — THIS is the test that checks
+    //    that assumption, on the robust median-centered deviations):
+    //    per-type doubled medians come from the (g)-partitioned
+    //    cumulative histogram (lo/hi rank pick, all integer), deviations
+    //    z = |2v − med2| fold over the O(domain) CELLS with counts, and
+    //    the F statistic reuses agg_anova_oneway's fixed-point
+    //    discipline (means as (S·1e6) DIV n, sums of squares DECIMAL) —
+    //    one final IEEE division. ────────────────────────────────────────
+    QueryDef("agg_levene_bf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val cells = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type".as("g"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+        val cum = cells
+          .withColumn("cum", sum($"c").over(Window.partitionBy($"g")
+            .orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n_g", sum($"c").over(Window.partitionBy($"g")))
+        val med = cum
+          .groupBy($"g")
+          .agg(max($"n_g").as("n_g"),
+            min(when(expr("cum >= (n_g + 1) DIV 2"), $"v")).as("v_lo"),
+            min(when(expr("cum >= n_g DIV 2 + 1"), $"v")).as("v_hi"))
+          .select($"g".as("gm"), ($"v_lo" + $"v_hi").as("med2"))
+        val z = cells.join(med, $"g" === $"gm")
+          .select($"g", abs(lit(2L) * $"v" - $"med2").as("z"), $"c")
+        val gAgg = z.groupBy($"g")
+          .agg(sum($"c").as("n_g"), sum($"z" * $"c").as("s_g"),
+            sum($"z" * $"z" * $"c").as("ss_g"))
+          .withColumn("m_g", expr("(s_g * 1000000L) DIV n_g"))
+        val grand = gAgg.agg(sum($"n_g").as("n"), sum($"s_g").as("s"))
+          .withColumn("m", expr("(s * 1000000L) DIV n"))
+        gAgg.crossJoin(broadcast(grand))
+          .select($"n_g", $"s_g", $"ss_g", $"m_g", $"n", $"m",
+            ($"n_g".cast(dec) * ($"m_g" - $"m").cast(dec) *
+              ($"m_g" - $"m").cast(dec)).as("ssb_t"),
+            ($"ss_g".cast(dec) * lit(1000000000000L).cast(dec) -
+              lit(2000000L).cast(dec) * $"m_g".cast(dec) * $"s_g".cast(dec) +
+              $"n_g".cast(dec) * $"m_g".cast(dec) * $"m_g".cast(dec))
+              .as("ssw_t"))
+          .agg(count(lit(1)).as("k"), max($"n").as("n"),
+            sum($"ssb_t").cast(dec).as("ssb"),
+            sum($"ssw_t").cast(dec).as("ssw"))
+          .select($"k", $"n", $"ssb", $"ssw",
+            ($"ssb" * ($"n" - $"k").cast(dec)).cast(dec).as("f_num"),
+            ($"ssw" * ($"k" - 1L).cast(dec)).cast(dec).as("f_den"))
+          .withColumn("f_stat",
+            $"f_num".cast("double") / $"f_den".cast("double"))
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+            CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY g, v),
+        cum AS (SELECT g, v, c,
+            CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+          FROM cells),
+        med AS (SELECT g AS gm,
+            CAST(min(CASE WHEN cum >= (n_g + 1) // 2 THEN v END)
+              + min(CASE WHEN cum >= n_g // 2 + 1 THEN v END) AS BIGINT)
+              AS med2
+          FROM cum GROUP BY g),
+        z AS (SELECT g, abs(2 * v - med2) AS z, c
+          FROM cells JOIN med ON g = gm),
+        ga AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+            CAST(sum(z * c) AS BIGINT) AS s_g,
+            CAST(sum(z * z * c) AS BIGINT) AS ss_g
+          FROM z GROUP BY g),
+        g2 AS (SELECT *, (s_g * 1000000) // n_g AS m_g FROM ga),
+        t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+            CAST(sum(s_g) AS BIGINT) AS s FROM g2),
+        t2 AS (SELECT n, (s * 1000000) // n AS m FROM t),
+        c2 AS (SELECT g2.*, t2.n, t2.m,
+            CAST(n_g AS HUGEINT) * (m_g - m) * (m_g - m) AS ssb_t,
+            CAST(ss_g AS HUGEINT) * 1000000000000
+              - CAST(2000000 AS HUGEINT) * m_g * s_g
+              + CAST(n_g AS HUGEINT) * m_g * m_g AS ssw_t
+          FROM g2 CROSS JOIN t2),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n,
+            CAST(sum(ssb_t) AS DECIMAL(38,0)) AS ssb,
+            CAST(sum(ssw_t) AS DECIMAL(38,0)) AS ssw
+          FROM c2)
+        SELECT k, n, ssb, ssw,
+          CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0)) AS f_num,
+          CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0)) AS f_den,
+          CAST(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0))
+              AS DOUBLE)
+            / CAST(CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0))
+              AS DOUBLE) AS f_stat
+        FROM a""")),
+
+    // ── Hill tail-index estimator (how heavy is the spend tail? α ≈ 1
+    //    means extreme whales dominate totals and mean-based metrics are
+    //    unstable — the quantitative answer behind "should I winsorize"):
+    //    over the top-101 positive cent values (TakeOrdered — no window,
+    //    no shuffle beyond the aggregate), α̂ = k / Σ ln(x_i/x_{k+1})
+    //    with the 100 log-ratio terms folded in ascending-value order
+    //    (equal values ⇒ identical terms, so ties cannot perturb the
+    //    fold); emitted floor(·1e9) per the bm25 ln-parity finding. ──────
+    QueryDef("agg_hill_tail",
+      (s, dir) => {
+        import s.implicits._
+        val top = Tables.load(s, dir, "events")
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .filter($"v" >= 1L)
+          .orderBy($"v".desc).limit(101)
+        val xk1 = top.agg(min($"v").as("x_k1"), count(lit(1)).as("n_top"))
+        top.crossJoin(broadcast(xk1))
+          .filter($"v" > $"x_k1")
+          .select($"v", $"x_k1", $"n_top",
+            log($"v".cast("double") / $"x_k1".cast("double")).as("t"))
+          .agg(max($"x_k1").as("x_k1"), count(lit(1)).as("k"),
+            sort_array(collect_list(struct($"v", $"t"))).as("ts"))
+          .select($"x_k1", $"k",
+            aggregate($"ts".getField("t"), lit(0.0d), (a, x) => a + x)
+              .as("lnsum"))
+          .select($"x_k1", $"k",
+            floor($"k".cast("double") / $"lnsum" * lit(1e9)).cast("long")
+              .as("alpha_e9"))
+      },
+      Some("""WITH top AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1
+          ORDER BY v DESC LIMIT 101),
+        xk AS (SELECT CAST(min(v) AS BIGINT) AS x_k1,
+            CAST(count(*) AS BIGINT) AS n_top FROM top),
+        terms AS (SELECT v, x_k1,
+            ln(CAST(v AS DOUBLE) / CAST(x_k1 AS DOUBLE)) AS t
+          FROM top CROSS JOIN xk WHERE v > x_k1),
+        f AS (SELECT max(x_k1) AS x_k1, CAST(count(*) AS BIGINT) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(t ORDER BY v)), (a, b) -> a + b) AS lnsum
+          FROM terms)
+        SELECT x_k1, k,
+          CAST(floor(CAST(k AS DOUBLE) / lnsum * 1e9) AS BIGINT)
+            AS alpha_e9
+        FROM f""")),
+
+    // ── Bipartite projection: the supplier co-supply graph (two
+    //    suppliers are linked by every part they both ship — the
+    //    substitution/market-overlap structure hidden in the fact
+    //    table): reduce lineitem to DISTINCT (part, supplier) FIRST —
+    //    the projection self-join then fans out only (suppliers-per-
+    //    part choose 2), bounded by the dimension model, never by fact
+    //    rows (at web scale you'd additionally cap hot parts; same plan
+    //    shape). Top-20 heaviest pairs by shared-part count via
+    //    TakeOrdered. All integer counts. ────────────────────────────────
+    QueryDef("graph_copurchase_projection",
+      (s, dir) => {
+        import s.implicits._
+        val ps = Tables.load(s, dir, "lineitem")
+          .select($"l_partkey".as("p"), $"l_suppkey".as("sk")).distinct()
+        ps.select($"p", $"sk".as("s1"))
+          .join(ps.select($"p".as("p2"), $"sk".as("s2")),
+            $"p" === $"p2" && $"s1" < $"s2")
+          .groupBy($"s1", $"s2")
+          .agg(count(lit(1)).as("shared_parts"))
+          .orderBy($"shared_parts".desc, $"s1", $"s2")
+          .limit(20)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+          FROM lineitem)
+        SELECT a.sk AS s1, b.sk AS s2,
+          CAST(count(*) AS BIGINT) AS shared_parts
+        FROM ps a JOIN ps b ON a.p = b.p AND a.sk < b.sk
+        GROUP BY a.sk, b.sk
+        ORDER BY shared_parts DESC, s1, s2 LIMIT 20""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

@@ -310,6 +310,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // HITS: per-iteration 1-row max broadcast rescale onto the
     // |nodes|-row frame (the pagerank teleport shape)
     "graph_hits_power",
+    // Brown-Forsythe: the |types|-row frame × 1-row grand-moment
+    // broadcast recombine (the anova shape)
+    "agg_levene_bf",
+    // Hill estimator: the 1-row x_{k+1} broadcast onto the 101-row
+    // TakeOrdered tail frame
+    "agg_hill_tail",
     // class balance: the 1-row min-class-count target broadcast onto
     // the lang-ranked corpus
     "sample_class_balance",
@@ -626,7 +632,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "window_changepoint_cusum", "agg_fdr_bh", "pipeline_token_budget",
     // r11 batch 14: HITS edge build + rescale broadcasts, JL shifted
     // self-join, top-vocab rank frame
-    "graph_hits_power", "embed_rp_project", "text_zipf_fit")
+    "graph_hits_power", "embed_rp_project", "text_zipf_fit",
+    // r11 batch 15: BF median histograms, Hill tail frame, bipartite
+    // projection self-join
+    "agg_levene_bf", "agg_hill_tail", "graph_copurchase_projection")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -2085,6 +2085,78 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(med > 0.4 && med < 2.5, s"median distortion $med")
   }
 
+  test("agg_levene_bf: F matches the fixed-point BF replay on median deviations") {
+    val rows = run("agg_levene_bf")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val groups = vs.groupBy(_._1)
+    assert(r.getLong(0) == groups.size.toLong)
+    assert(r.getLong(1) == vs.length.toLong)
+    // z = |2v - med2| per observation, BF = fixed-point ANOVA on z
+    val zByG = groups.map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val med2 = sorted((n - 1) / 2) + sorted(n / 2)
+      g -> xs.map(x => math.abs(2 * x._2 - med2))
+    }
+    val gm = zByG.map { case (g, zs) =>
+      val s = zs.sum
+      (g, zs.length.toLong, s, zs.map(z => z * z).sum,
+        s * 1000000L / zs.length)
+    }
+    val nTot = gm.map(_._2).sum; val sTot = gm.map(_._3).sum
+    val m = sTot * 1000000L / nTot
+    val ssb = gm.map(t => BigInt(t._2) * BigInt(t._5 - m) * BigInt(t._5 - m)).sum
+    val ssw = gm.map(t => BigInt(t._4) * BigInt(1000000000000L) -
+      BigInt(2000000L) * BigInt(t._5) * BigInt(t._3) +
+      BigInt(t._2) * BigInt(t._5) * BigInt(t._5)).sum
+    assert(BigInt(r.getDecimal(2).toBigInteger) == ssb)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == ssw)
+    val f = (ssb * (nTot - groups.size)).toDouble /
+      (ssw * (groups.size - 1)).toDouble
+    assert(math.abs(r.getDouble(6) - f) < 1e-9 * math.max(1.0, f))
+  }
+
+  test("agg_hill_tail: alpha matches the sequential top-k replay") {
+    val rows = run("agg_hill_tail")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(_.getLong(0)).filter(_ >= 1L)
+      .sorted(Ordering[Long].reverse).take(101)
+    val xk1 = vs.min
+    assert(r.getLong(0) == xk1)
+    val terms = vs.filter(_ > xk1).map(v => math.log(v.toDouble / xk1))
+    assert(r.getLong(1) == terms.length.toLong)
+    val alpha = terms.length / terms.sorted.sum
+    // fold-order drift tolerance: ±2 on the e9 grid
+    assert(math.abs(r.getLong(2) - math.floor(alpha * 1e9)) <= 2)
+    assert(r.getLong(2) > 0)
+  }
+
+  test("graph_copurchase_projection: pair counts equal the distinct shared-part replay") {
+    val rows = run("graph_copurchase_projection")
+    val ps = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "l_suppkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).distinct
+    val pairCounts = ps.groupBy(_._1).values.flatMap { sup =>
+      val sks = sup.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length)
+        yield (sks(i), sks(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expected = pairCounts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    assert(rows.length == math.min(20, pairCounts.size))
+    rows.zip(expected).foreach { case (row, ((s1, s2), n)) =>
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((s1, s2, n)))
+    }
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
