@@ -3848,6 +3848,124 @@ object PipelineQueries extends QueryModule {
               FROM documents) t
         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""")),
 
+    // ── Simpson lexical diversity per language (the collision-
+    //    probability counterpart to Shannon entropy: D = Σn_t(n_t−1)/
+    //    (N(N−1)) is the chance two random tokens coincide — spiked by
+    //    templated/boilerplate text, and EXACT as a rational where
+    //    entropy needs ln): one token aggregate per (lang, token), one
+    //    |vocab|-row rollup; numerator and denominator ship as exact
+    //    integers, 1−D is the lone IEEE division. ───────────────────────
+    QueryDef("text_simpson_diversity",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.load(s, dir, "documents")
+          .select($"lang", explode(tokens($"text")).as("token"))
+          .groupBy($"lang", $"token").agg(count(lit(1)).as("n_t"))
+        tok.groupBy($"lang")
+          .agg(sum($"n_t").as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            sum($"n_t" * ($"n_t" - 1L)).as("d_num"))
+          .select($"lang", $"n_tokens", $"vocab", $"d_num",
+            (lit(1.0d) - $"d_num".cast("double") /
+              ($"n_tokens".cast("decimal(38,0)") * ($"n_tokens" - 1L))
+                .cast("decimal(38,0)").cast("double")).as("diversity"))
+          .orderBy($"lang")
+      },
+      Some("""WITH tok AS (SELECT lang, token, CAST(count(*) AS BIGINT)
+            AS n_t
+          FROM (SELECT lang,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents) t
+          GROUP BY lang, token)
+        SELECT lang, CAST(sum(n_t) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS vocab,
+          CAST(sum(n_t * (n_t - 1)) AS BIGINT) AS d_num,
+          1.0 - CAST(sum(n_t * (n_t - 1)) AS DOUBLE)
+            / CAST(CAST(CAST(sum(n_t) AS HUGEINT) * (sum(n_t) - 1)
+              AS DECIMAL(38,0)) AS DOUBLE) AS diversity
+        FROM tok GROUP BY lang ORDER BY lang""")),
+
+    // ── Maximal-marginal-relevance rerank (the retrieval-time dedup:
+    //    plain top-k returns near-copies of the best hit; MMR's greedy
+    //    λ·rel − (1−λ)·max-sim-to-selected trades relevance against
+    //    novelty): three unrolled greedy rounds at λ = 0.7 over the
+    //    vec_id 1..200 candidates against query vec 0 — each round is a
+    //    broadcast score pass + 1-row argmax recombine (smallest-cid
+    //    tie-break), cosines via the engine-parity kernel. Scale: every
+    //    pass is one scan of the candidate block; the selected set is
+    //    O(k) broadcast. ─────────────────────────────────────────────────
+    QueryDef("sim_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.VectorFunctions
+        VectorFunctions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val qv = emb.filter($"vec_id" === 0L)
+          .select($"embedding".as("qe"))
+        val cand = emb.filter($"vec_id" >= 1L && $"vec_id" <= 200L)
+          .crossJoin(broadcast(qv))
+          .select($"vec_id".as("cid"), $"embedding".as("ce"),
+            VectorFunctions.cosineSim($"embedding", $"qe").as("rel"))
+        def argmax(df: org.apache.spark.sql.DataFrame, score: String)
+            : org.apache.spark.sql.DataFrame = df
+          .agg(max(struct(col(score), -$"cid", $"cid", $"ce", $"rel"))
+            .as("t"))
+          .select($"t".getField("cid").as("scid"),
+            $"t".getField("ce").as("se"),
+            $"t".getField("rel").as("srel"),
+            $"t".getField(score).as("sscore"))
+        val s1 = argmax(cand.withColumn("score", $"rel"), "score")
+        val r2 = cand.crossJoin(broadcast(s1))
+          .filter($"cid" =!= $"scid")
+          .select($"cid", $"ce", $"rel", $"scid".as("c1"), $"se".as("e1"),
+            (lit(0.7d) * $"rel" - lit(0.3d) *
+              VectorFunctions.cosineSim($"ce", $"se")).as("score"))
+        val s2 = argmax(r2.select($"cid", $"ce", $"rel", $"score"), "score")
+        val r3 = cand.crossJoin(broadcast(s1.select($"scid".as("c1"),
+            $"se".as("e1"))))
+          .crossJoin(broadcast(s2.select($"scid".as("c2"), $"se".as("e2"))))
+          .filter($"cid" =!= $"c1" && $"cid" =!= $"c2")
+          .select($"cid", $"ce", $"rel",
+            (lit(0.7d) * $"rel" - lit(0.3d) * greatest(
+              VectorFunctions.cosineSim($"ce", $"e1"),
+              VectorFunctions.cosineSim($"ce", $"e2"))).as("score"))
+        val s3 = argmax(r3, "score")
+        s1.select(lit(1L).as("rank"), $"scid".as("cid"),
+            $"sscore".as("mmr_score"))
+          .unionAll(s2.select(lit(2L).as("rank"), $"scid".as("cid"),
+            $"sscore".as("mmr_score")))
+          .unionAll(s3.select(lit(3L).as("rank"), $"scid".as("cid"),
+            $"sscore".as("mmr_score")))
+          .orderBy($"rank")
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = 0),
+        cand AS (SELECT vec_id AS cid, embedding AS ce,
+            list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              CAST((SELECT qe FROM q) AS DOUBLE[])) AS rel
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 200),
+        s1 AS (SELECT cid, ce, rel, rel AS score FROM cand
+          ORDER BY rel DESC, cid LIMIT 1),
+        r2 AS (SELECT c.cid, c.ce, c.rel,
+            0.7 * c.rel - 0.3 * list_cosine_similarity(
+              CAST(c.ce AS DOUBLE[]), CAST(s1.ce AS DOUBLE[])) AS score
+          FROM cand c, s1 WHERE c.cid <> s1.cid),
+        s2 AS (SELECT cid, ce, rel, score FROM r2
+          ORDER BY score DESC, cid LIMIT 1),
+        r3 AS (SELECT c.cid, c.rel,
+            0.7 * c.rel - 0.3 * greatest(
+              list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+                CAST(s1.ce AS DOUBLE[])),
+              list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+                CAST(s2.ce AS DOUBLE[]))) AS score
+          FROM cand c, s1, s2 WHERE c.cid <> s1.cid AND c.cid <> s2.cid),
+        s3 AS (SELECT cid, score FROM r3 ORDER BY score DESC, cid LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS rank, s1.cid, s1.score AS mmr_score
+          FROM s1
+        UNION ALL SELECT CAST(2 AS BIGINT), s2.cid, s2.score FROM s2
+        UNION ALL SELECT CAST(3 AS BIGINT), s3.cid, s3.score FROM s3
+        ORDER BY rank""")),
+
     // ── Zipf rank-frequency fit (natural corpora obey freq ∝ rank^s
     //    with s ≈ −1; a slope far off −1 flags synthetic, templated, or
     //    mis-tokenized text — a corpus-level quality gate): OLS of

@@ -7442,6 +7442,73 @@ object RelationalQueries extends QueryModule {
         GROUP BY a.sk, b.sk
         ORDER BY shared_parts DESC, s1, s2 LIMIT 20""")),
 
+    // ── Bernoulli SPRT sequential monitor (the always-valid sequential
+    //    test behind "can I stop this A/B early?": walk the days in
+    //    order accumulating the log-likelihood ratio of H₁: p=0.25 vs
+    //    H₀: p=0.2 for the purchase share, stop when it exits ±ln 19 —
+    //    the α=β=0.05 Wald bounds): daily (conversions, trials) reduce
+    //    the events once; the cumulative walk is a global window over
+    //    the O(days) grid; LLR_t = C_t·ln(p₁/p₀) + (N_t−C_t)·
+    //    ln((1−p₁)/(1−p₀)) multiplies exact BIGINT counts by ln
+    //    LITERALS (same expression shape both engines), and the final
+    //    LLR ships floor(·1e9). Crossing days are exact integers. ───────
+    QueryDef("agg_sprt_sequential",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(count(lit(1)).as("n_t"),
+            sum(($"event_type" === "purchase").cast("long")).as("c_t"))
+        val wcum = Window.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val walk = daily
+          .withColumn("cc", sum($"c_t").over(wcum))
+          .withColumn("nn", sum($"n_t").over(wcum))
+          .withColumn("llr",
+            $"cc".cast("double") * log(lit(0.25d) / lit(0.2d)) +
+              ($"nn" - $"cc").cast("double") *
+                log(lit(0.75d) / lit(0.8d)))
+        walk.agg(count(lit(1)).as("n_days"),
+            max($"nn").as("n_total"), max($"cc").as("conv_total"),
+            coalesce(min(when($"llr" >= log(lit(19.0d)), $"d")), lit(-1L))
+              .as("first_up_day"),
+            coalesce(min(when($"llr" <= -log(lit(19.0d)), $"d")), lit(-1L))
+              .as("first_down_day"),
+            max(struct($"d", $"llr")).as("last"))
+          .select($"n_days", $"n_total", $"conv_total", $"first_up_day",
+            $"first_down_day",
+            floor($"last".getField("llr") * lit(1e9)).cast("long")
+              .as("final_llr_e9"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS n_t,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_t
+          FROM events GROUP BY 1),
+        walk AS (SELECT d,
+            CAST(sum(c_t) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cc,
+            CAST(sum(n_t) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS nn
+          FROM daily),
+        w2 AS (SELECT d, cc, nn,
+            CAST(cc AS DOUBLE) * ln(0.25 / 0.2)
+              + CAST(nn - cc AS DOUBLE) * ln(0.75 / 0.8) AS llr
+          FROM walk)
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+          max(nn) AS n_total, max(cc) AS conv_total,
+          coalesce(min(CASE WHEN llr >= ln(19.0) THEN d END),
+            CAST(-1 AS BIGINT)) AS first_up_day,
+          coalesce(min(CASE WHEN llr <= -ln(19.0) THEN d END),
+            CAST(-1 AS BIGINT)) AS first_down_day,
+          CAST(floor(max_by(llr, d) * 1e9) AS BIGINT) AS final_llr_e9
+        FROM w2""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

@@ -316,6 +316,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // Hill estimator: the 1-row x_{k+1} broadcast onto the 101-row
     // TakeOrdered tail frame
     "agg_hill_tail",
+    // MMR rerank: per greedy round a 1-row selected-vector broadcast
+    // onto the candidate block (the sim_topk_brute probe shape)
+    "sim_mmr_rerank",
     // class balance: the 1-row min-class-count target broadcast onto
     // the lang-ranked corpus
     "sample_class_balance",
@@ -514,7 +517,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "pipeline_token_budget",
       // zipf fit: rank window over the TakeOrdered 100-row top-vocab
       // frame
-      "text_zipf_fit")
+      "text_zipf_fit",
+      // SPRT: the cumulative LLR walk over the O(days) daily grid
+      "agg_sprt_sequential")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -543,7 +548,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_weighted_median_distributed", "dq_distribution_ks",
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
-      "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit")
+      "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
+      "agg_sprt_sequential")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -635,7 +641,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_hits_power", "embed_rp_project", "text_zipf_fit",
     // r11 batch 15: BF median histograms, Hill tail frame, bipartite
     // projection self-join
-    "agg_levene_bf", "agg_hill_tail", "graph_copurchase_projection")
+    "agg_levene_bf", "agg_hill_tail", "graph_copurchase_projection",
+    // r11 batch 16: SPRT daily walk, Simpson rollup, MMR greedy rounds
+    "agg_sprt_sequential", "text_simpson_diversity", "sim_mmr_rerank")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -2157,6 +2157,89 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_sprt_sequential: LLR walk matches the sequential replay") {
+    val rows = run("agg_sprt_sequential")
+    assert(rows.length == 1)
+    val r = rows.head
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val daily = evs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, xs) =>
+        (d, xs.length.toLong, xs.count(_._2 == "purchase").toLong) }
+    assert(r.getLong(0) == daily.length.toLong)
+    assert(r.getLong(1) == daily.map(_._2).sum)
+    assert(r.getLong(2) == daily.map(_._3).sum)
+    val l1 = math.log(0.25 / 0.2); val l0 = math.log(0.75 / 0.8)
+    val bound = math.log(19.0)
+    var cc = 0L; var nn = 0L
+    var up = -1L; var down = -1L; var last = 0.0
+    daily.foreach { case (d, n, c) =>
+      cc += c; nn += n
+      last = cc.toDouble * l1 + (nn - cc).toDouble * l0
+      if (up == -1L && last >= bound) up = d
+      if (down == -1L && last <= -bound) down = d
+    }
+    assert(r.getLong(3) == up && r.getLong(4) == down)
+    assert(math.abs(r.getLong(5) - math.floor(last * 1e9)) <= 2)
+  }
+
+  test("text_simpson_diversity: collision probability matches exact token counts") {
+    val rows = run("text_simpson_diversity")
+    val toks = Tables.load(spark, dir, "documents")
+      .selectExpr("lang", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .map(t => (r.getString(0), t)))
+    val byLang = toks.groupBy(_._1)
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val counts = byLang(r.getString(0)).groupBy(_._2)
+        .map(_._2.length.toLong)
+      val n = counts.sum
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == counts.size.toLong)
+      val dnum = counts.map(c => c * (c - 1)).sum
+      assert(r.getLong(3) == dnum)
+      assert(math.abs(r.getDouble(4) -
+        (1.0 - dnum.toDouble / (BigInt(n) * BigInt(n - 1)).toDouble)) < 1e-12)
+    }
+  }
+
+  test("sim_mmr_rerank: greedy selection matches the sequential MMR replay") {
+    val rows = run("sim_mmr_rerank")
+    assert(rows.length == 3)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter("vec_id <= 200")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = emb(0L)
+    val cands = emb.keys.filter(c => c >= 1L && c <= 200L).toSeq.sorted
+    val rel = cands.map(c => c -> cos(emb(c), q)).toMap
+    var selected = Vector.empty[Long]
+    (1 to 3).foreach { _ =>
+      val pick = cands.filterNot(selected.contains).map { c =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(sv => cos(emb(c), emb(sv))).max
+        val score = if (selected.isEmpty) rel(c)
+          else 0.7 * rel(c) - 0.3 * pen
+        (c, score)
+      }.maxBy { case (c, sc) => (sc, -c) }
+      selected :+= pick._1
+    }
+    rows.zip(selected).zipWithIndex.foreach { case ((r, exp), i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getLong(1) == exp,
+        s"rank ${i + 1}: got ${r.getLong(1)}, replay $exp")
+    }
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
