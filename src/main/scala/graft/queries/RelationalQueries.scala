@@ -7509,6 +7509,226 @@ object RelationalQueries extends QueryModule {
           CAST(floor(max_by(llr, d) * 1e9) AS BIGINT) AS final_llr_e9
         FROM w2""")),
 
+    // ── Peaks-over-threshold GPD fit (the EVT answer to "how bad can a
+    //    spend spike get?" — model the EXCEEDANCES over a high
+    //    threshold, not the bulk): u = the exact 95th-percentile cent
+    //    value off the reduced domain histogram (same allowlisted
+    //    cumulative window as the median family), exceedance moments
+    //    n, Σy, Σy² stay BIGINT via the (v,count) cells, and the
+    //    method-of-moments shape/scale ξ = ½(1−m²/s²), β = ½m(m²/s²+1)
+    //    emit floor(·1e9) with m²/s² formed from one exact DECIMAL
+    //    ratio. ─────────────────────────────────────────────────────────
+    QueryDef("agg_peak_over_threshold",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val byV = Tables.load(s, dir, "events")
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("c"))
+        val cum = byV
+          .withColumn("cum", sum($"c").over(Window.orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"c").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        val u = cum.agg(
+          min(when(expr("cum >= (19 * n) DIV 20 + 1"), $"v")).as("u"))
+        byV.crossJoin(broadcast(u))
+          .filter($"v" > $"u")
+          .select($"u", ($"v" - $"u").as("y"), $"c")
+          .agg(max($"u").as("u"), sum($"c").as("n_exc"),
+            sum($"y" * $"c").as("s_y"),
+            sum($"y" * $"y" * $"c").as("ss_y"))
+          .select($"u", $"n_exc", $"s_y", $"ss_y",
+            ($"s_y".cast(dec) * $"s_y" * ($"n_exc" - 1L)).cast(dec)
+              .as("r_num"),
+            ($"n_exc".cast(dec) *
+              ($"n_exc".cast(dec) * $"ss_y" - $"s_y".cast(dec) * $"s_y")
+                .cast(dec)).cast(dec).as("r_den"))
+          .select($"u", $"n_exc", $"s_y", $"ss_y",
+            ($"r_num".cast("double") / $"r_den".cast("double")).as("r"))
+          .select($"u", $"n_exc", $"s_y", $"ss_y",
+            floor(lit(0.5d) * (lit(1.0d) - $"r") * lit(1e9)).cast("long")
+              .as("xi_e9"),
+            floor(lit(0.5d) * ($"s_y".cast("double") /
+              $"n_exc".cast("double")) * ($"r" + lit(1.0d)) * lit(1e9))
+              .cast("long").as("beta_e9"))
+      },
+      Some("""WITH byv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        cum AS (SELECT v, c,
+            CAST(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM byv),
+        u AS (SELECT CAST(min(CASE WHEN cum >= (19 * n) // 20 + 1 THEN v
+            END) AS BIGINT) AS u FROM cum),
+        exc AS (SELECT u.u, v - u.u AS y, c FROM byv CROSS JOIN u
+          WHERE v > u.u),
+        m AS (SELECT max(u) AS u, CAST(sum(c) AS BIGINT) AS n_exc,
+            CAST(sum(y * c) AS BIGINT) AS s_y,
+            CAST(sum(y * y * c) AS BIGINT) AS ss_y
+          FROM exc),
+        r AS (SELECT u, n_exc, s_y, ss_y,
+            CAST(CAST(CAST(s_y AS HUGEINT) * s_y * (n_exc - 1)
+                AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(CAST(CAST(n_exc AS HUGEINT)
+                * (CAST(n_exc AS HUGEINT) * ss_y
+                  - CAST(s_y AS HUGEINT) * s_y) AS DECIMAL(38,0))
+                AS DOUBLE) AS r
+          FROM m)
+        SELECT u, n_exc, s_y, ss_y,
+          CAST(floor(0.5 * (1.0 - r) * 1e9) AS BIGINT) AS xi_e9,
+          CAST(floor(0.5 * (CAST(s_y AS DOUBLE) / CAST(n_exc AS DOUBLE))
+            * (r + 1.0) * 1e9) AS BIGINT) AS beta_e9
+        FROM r""")),
+
+    // ── Block-maxima Gumbel fit (the other EVT route: weekly MAXIMA of
+    //    daily spend follow a Gumbel law if the tail is light — μ̂, β̂
+    //    by method of moments, β̂ = s√6/π, μ̂ = m − γβ̂): daily cent
+    //    sums reduce the scan once, weekly maxima are an O(weeks)
+    //    frame, moments exact BIGINT; √6, π and Euler γ enter as the
+    //    same double literals in both engines, outputs floor(·1e9). ─────
+    QueryDef("agg_block_maxima_gumbel",
+      (s, dir) => {
+        import s.implicits._
+        val dec = "decimal(38,0)"
+        val weekly = Tables.load(s, dir, "events")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+          .groupBy(expr("d DIV 7").as("wk"))
+          .agg(max($"cents").as("mx"))
+        weekly
+          .agg(count(lit(1)).as("n_blocks"), sum($"mx").as("s_m"),
+            sum($"mx" * $"mx").as("ss_m"))
+          .select($"n_blocks", $"s_m", $"ss_m",
+            (($"n_blocks".cast(dec) * $"ss_m" - $"s_m".cast(dec) * $"s_m")
+              .cast(dec)).as("var_num"),
+            ($"n_blocks".cast(dec) * ($"n_blocks" - 1L)).cast(dec)
+              .as("var_den"))
+          .select($"n_blocks", $"s_m", $"ss_m",
+            sqrt($"var_num".cast("double") / $"var_den".cast("double"))
+              .as("s_dev"))
+          .select($"n_blocks", $"s_m", $"ss_m",
+            floor($"s_dev" * sqrt(lit(6.0d)) / lit(3.141592653589793d) *
+              lit(1e9)).cast("long").as("beta_e9"),
+            floor(($"s_m".cast("double") / $"n_blocks".cast("double") -
+              lit(0.5772156649015329d) * ($"s_dev" * sqrt(lit(6.0d)) /
+                lit(3.141592653589793d))) * lit(1e9)).cast("long")
+              .as("mu_e9"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1),
+        weekly AS (SELECT d // 7 AS wk, CAST(max(cents) AS BIGINT) AS mx
+          FROM daily GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+            CAST(sum(mx) AS BIGINT) AS s_m,
+            CAST(sum(mx * mx) AS BIGINT) AS ss_m
+          FROM weekly),
+        sdev AS (SELECT n_blocks, s_m, ss_m,
+            sqrt(CAST(CAST(CAST(n_blocks AS HUGEINT) * ss_m
+                - CAST(s_m AS HUGEINT) * s_m AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(CAST(CAST(n_blocks AS HUGEINT) * (n_blocks - 1)
+                AS DECIMAL(38,0)) AS DOUBLE)) AS s_dev
+          FROM m)
+        SELECT n_blocks, s_m, ss_m,
+          CAST(floor(s_dev * sqrt(6.0) / 3.141592653589793 * 1e9)
+            AS BIGINT) AS beta_e9,
+          CAST(floor((CAST(s_m AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+              - 0.5772156649015329 * (s_dev * sqrt(6.0)
+                / 3.141592653589793)) * 1e9) AS BIGINT) AS mu_e9
+        FROM sdev""")),
+
+    // ── Pooled retention-decay fit (turn the retention MATRIX into one
+    //    comparable number: assume r(a) ≈ c·e^{−λa} and fit λ on the
+    //    pooled age-1..4-week rates — the decay constant is what you
+    //    track release over release): cohort = the user's first active
+    //    week, activity collapses to distinct (user, age) pairs, the
+    //    four pooled rates are exact rationals active_a/n_users, and the
+    //    ln-linear OLS folds its 4 points in age order (the zipf
+    //    idiom); λ ships floor(·1e9). Censoring note: rates pool ALL
+    //    users regardless of observation span (documented — the
+    //    right-censored tail biases λ up at the window edge). ───────────
+    QueryDef("agg_cohort_decay_fit",
+      (s, dir) => {
+        import s.implicits._
+        val act = Tables.load(s, dir, "events")
+          .select($"user_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) DIV 7")
+              .as("wk"))
+          .distinct()
+        val first = act.groupBy($"user_id").agg(min($"wk").as("w0"))
+        val ages = act.join(first, "user_id")
+          .select($"user_id", ($"wk" - $"w0").as("age"))
+          .filter($"age" >= 1L && $"age" <= 4L)
+          .distinct()
+        val nUsers = first.agg(count(lit(1)).as("n_users"))
+        val rates = ages.groupBy($"age")
+          .agg(count(lit(1)).as("active"))
+          .crossJoin(broadcast(nUsers))
+        rates
+          .agg(max($"n_users").as("n_users"), count(lit(1)).as("k"),
+            sort_array(collect_list(struct($"age",
+              $"age".cast("double").as("x"),
+              log($"active".cast("double") / $"n_users".cast("double"))
+                .as("y"),
+              ($"age".cast("double") *
+                log($"active".cast("double") / $"n_users".cast("double")))
+                .as("xy"),
+              ($"age".cast("double") * $"age".cast("double")).as("xx"))))
+              .as("ts"))
+          .select($"n_users", $"k",
+            aggregate($"ts".getField("x"), lit(0.0d), (a, x) => a + x)
+              .as("sx"),
+            aggregate($"ts".getField("y"), lit(0.0d), (a, x) => a + x)
+              .as("sy"),
+            aggregate($"ts".getField("xy"), lit(0.0d), (a, x) => a + x)
+              .as("sxy"),
+            aggregate($"ts".getField("xx"), lit(0.0d), (a, x) => a + x)
+              .as("sxx"))
+          .select($"n_users", $"k",
+            floor(-(($"k" * $"sxy" - $"sx" * $"sy") /
+              ($"k" * $"sxx" - $"sx" * $"sx")) * lit(1e9)).cast("long")
+              .as("lambda_e9"))
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk
+          FROM events),
+        f AS (SELECT user_id, min(wk) AS w0 FROM act GROUP BY user_id),
+        ages AS (SELECT DISTINCT act.user_id, act.wk - f.w0 AS age
+          FROM act JOIN f ON act.user_id = f.user_id
+          WHERE act.wk - f.w0 BETWEEN 1 AND 4),
+        nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+        rates AS (SELECT age, CAST(count(*) AS BIGINT) AS active, n_users
+          FROM ages CROSS JOIN nu GROUP BY age, n_users),
+        folds AS (SELECT max(n_users) AS n_users,
+            CAST(count(*) AS BIGINT) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(age AS DOUBLE) ORDER BY age)), (a, b) -> a + b)
+              AS sx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ln(CAST(active AS DOUBLE) / CAST(n_users AS DOUBLE))
+                ORDER BY age)), (a, b) -> a + b) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(age AS DOUBLE)
+                * ln(CAST(active AS DOUBLE) / CAST(n_users AS DOUBLE))
+                ORDER BY age)), (a, b) -> a + b) AS sxy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(age AS DOUBLE) * CAST(age AS DOUBLE)
+                ORDER BY age)), (a, b) -> a + b) AS sxx
+          FROM rates)
+        SELECT n_users, k,
+          CAST(floor(-((k * sxy - sx * sy) / (k * sxx - sx * sx)) * 1e9)
+            AS BIGINT) AS lambda_e9
+        FROM folds""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

@@ -319,6 +319,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // MMR rerank: per greedy round a 1-row selected-vector broadcast
     // onto the candidate block (the sim_topk_brute probe shape)
     "sim_mmr_rerank",
+    // POT: the 1-row threshold broadcast onto the domain histogram
+    "agg_peak_over_threshold",
+    // cohort decay: the 1-row user-count broadcast onto the 4-row
+    // pooled-rate frame
+    "agg_cohort_decay_fit",
     // class balance: the 1-row min-class-count target broadcast onto
     // the lang-ranked corpus
     "sample_class_balance",
@@ -519,7 +524,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // frame
       "text_zipf_fit",
       // SPRT: the cumulative LLR walk over the O(days) daily grid
-      "agg_sprt_sequential")
+      "agg_sprt_sequential",
+      // POT: the same O(domain) cumulative histogram as the median
+      // family (threshold pick)
+      "agg_peak_over_threshold")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -549,7 +557,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
-      "agg_sprt_sequential")
+      "agg_sprt_sequential", "agg_peak_over_threshold")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -643,7 +651,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // projection self-join
     "agg_levene_bf", "agg_hill_tail", "graph_copurchase_projection",
     // r11 batch 16: SPRT daily walk, Simpson rollup, MMR greedy rounds
-    "agg_sprt_sequential", "text_simpson_diversity", "sim_mmr_rerank")
+    "agg_sprt_sequential", "text_simpson_diversity", "sim_mmr_rerank",
+    // r11 batch 17: EVT threshold/broadcast frames, cohort decay fold
+    "agg_peak_over_threshold", "agg_block_maxima_gumbel",
+    "agg_cohort_decay_fit")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -2240,6 +2240,79 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_peak_over_threshold: GPD moments match the sequential replay") {
+    val rows = run("agg_peak_over_threshold")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v")
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length
+    val u = vs((19 * n / 20 + 1) - 1) // rank -> 0-based index
+    assert(r.getLong(0) == u, s"threshold ${r.getLong(0)} vs $u")
+    val exc = vs.filter(_ > u).map(_ - u)
+    assert(r.getLong(1) == exc.length.toLong)
+    assert(r.getLong(2) == exc.sum)
+    assert(r.getLong(3) == exc.map(y => y * y).sum)
+    val ne = exc.length.toLong
+    val sRep = exc.sum; val ssRep = exc.map(y => y * y).sum
+    val rr = (BigInt(sRep) * sRep * (ne - 1)).toDouble /
+      (BigInt(ne) * (BigInt(ne) * ssRep - BigInt(sRep) * sRep)).toDouble
+    assert(math.abs(r.getLong(4) - math.floor(0.5 * (1.0 - rr) * 1e9)) <= 1)
+    assert(math.abs(r.getLong(5) - math.floor(
+      0.5 * (sRep.toDouble / ne) * (rr + 1.0) * 1e9)) <= 1)
+  }
+
+  test("agg_block_maxima_gumbel: weekly maxima moments match the replay") {
+    val rows = run("agg_block_maxima_gumbel")
+    assert(rows.length == 1)
+    val r = rows.head
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS c").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val weekly = evs.groupBy(_._1).toSeq
+      .map { case (d, xs) => (d / 7, xs.map(_._2).sum) }
+      .groupBy(_._1).map { case (wk, xs) => wk -> xs.map(_._2).max }
+    val mx = weekly.values.toSeq
+    assert(r.getLong(0) == mx.length.toLong)
+    assert(r.getLong(1) == mx.sum)
+    assert(r.getLong(2) == mx.map(m => m * m).sum)
+    val nb = mx.length
+    val sdev = math.sqrt(
+      (BigInt(nb) * mx.map(m => BigInt(m) * m).sum -
+        BigInt(mx.sum) * mx.sum).toDouble /
+        (BigInt(nb) * (nb - 1)).toDouble)
+    val beta = sdev * math.sqrt(6.0) / math.Pi
+    val mu = mx.sum.toDouble / nb - 0.5772156649015329 * beta
+    assert(math.abs(r.getLong(3) - math.floor(beta * 1e9)) <= 1)
+    assert(math.abs(r.getLong(4) - math.floor(mu * 1e9)) <= 1)
+  }
+
+  test("agg_cohort_decay_fit: lambda matches the pooled-rate OLS replay") {
+    val rows = run("agg_cohort_decay_fit")
+    assert(rows.length == 1)
+    val r = rows.head
+    val act = Tables.load(spark, dir, "events")
+      .selectExpr("user_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) DIV 7 AS wk")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).distinct
+    val first = act.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    assert(r.getLong(0) == first.size.toLong)
+    val rates = (1L to 4L).map { a =>
+      a -> act.count { case (u, wk) => wk - first(u) == a }.toLong
+    }.filter(_._2 > 0)
+    assert(r.getLong(1) == rates.length.toLong)
+    val pts = rates.map { case (a, active) =>
+      (a.toDouble, math.log(active.toDouble / first.size)) }
+    val k = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val lambda = -((k * sxy - sx * sy) / (k * sxx - sx * sx))
+    assert(math.abs(r.getLong(2) - math.floor(lambda * 1e9)) <= 2)
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
