@@ -3966,6 +3966,138 @@ object PipelineQueries extends QueryModule {
         UNION ALL SELECT CAST(3 AS BIGINT), s3.cid, s3.score FROM s3
         ORDER BY rank""")),
 
+    // ── Term burstiness (Church–Gale: content words CLUMP — a term
+    //    whose occurrences concentrate in few docs is topical, one
+    //    spread evenly is functional; the variance-to-mean ratio of
+    //    per-doc tf separates them and flags boilerplate injection):
+    //    for the top-20 corpus terms, VMR = (N·Σtf² − T²)/((N−1)·T)
+    //    over ALL docs (zeros contribute nothing to Σtf² — no dense
+    //    join needed) is an EXACT rational; numerator/denominator ship
+    //    as DECIMAL/BIGINT beside the one IEEE division. ────────────────
+    QueryDef("text_burstiness",
+      (s, dir) => {
+        import s.implicits._
+        val dec = "decimal(38,0)"
+        val docs = Tables.load(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select($"doc_id", explode(tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val perTerm = tf.groupBy($"term")
+          .agg(count(lit(1)).as("df"), sum($"tf").as("total"),
+            sum($"tf" * $"tf").as("ss_tf"))
+        perTerm.crossJoin(broadcast(nDocs))
+          .orderBy($"total".desc, $"term").limit(20)
+          .select($"term", $"total", $"df",
+            ($"n_docs".cast(dec) * $"ss_tf" - $"total".cast(dec) * $"total")
+              .cast(dec).as("vmr_num"),
+            (($"n_docs" - 1L).cast(dec) * $"total").cast(dec).as("vmr_den"))
+          .withColumn("vmr",
+            $"vmr_num".cast("double") / $"vmr_den".cast("double"))
+          .orderBy($"total".desc, $"term")
+      },
+      Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents) t
+          GROUP BY doc_id, term),
+        pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+            CAST(sum(tf) AS BIGINT) AS total,
+            CAST(sum(tf * tf) AS BIGINT) AS ss_tf
+          FROM tf GROUP BY term),
+        top AS (SELECT * FROM pt CROSS JOIN nd
+          ORDER BY total DESC, term LIMIT 20)
+        SELECT term, total, df,
+          CAST(CAST(n_docs AS HUGEINT) * ss_tf
+            - CAST(total AS HUGEINT) * total AS DECIMAL(38,0)) AS vmr_num,
+          CAST(CAST(n_docs - 1 AS HUGEINT) * total AS DECIMAL(38,0))
+            AS vmr_den,
+          CAST(CAST(CAST(n_docs AS HUGEINT) * ss_tf
+              - CAST(total AS HUGEINT) * total AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(CAST(n_docs - 1 AS HUGEINT) * total
+              AS DECIMAL(38,0)) AS DOUBLE) AS vmr
+        FROM top ORDER BY total DESC, term""")),
+
+    // ── Energy distance between two embedding populations (the
+    //    distribution-level two-sample test for vector spaces — "did
+    //    the label-0 and label-1 clusters drift apart?" where centroid
+    //    tests only see the means): E = 2·E d(X,Y) − E d(X,X′) −
+    //    E d(Y,Y′). Distances quantize as floor(√(Σ(q_a−q_b)²)·1e6)
+    //    with q = floor(x·2^20) — the radicand is an exact integer, so
+    //    the correctly-rounded sqrt is bit-identical in both engines
+    //    and the three component sums are order-independent BIGINTs.
+    //    One dimension-join builds ALL pairs of the capped block (va <
+    //    vb), one aggregate splits them by pair type. ──────────────────
+    QueryDef("embed_energy_distance",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" < 300L && $"label".isin(0, 1))
+          .select($"vec_id", $"label".cast("long").as("lb"),
+            posexplode($"embedding").as(Seq("j", "x")))
+          .select($"vec_id", $"lb", $"j",
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("q"))
+        val pairs = q.select($"vec_id".as("va"), $"lb".as("la"),
+            $"j".as("ja"), $"q".as("qa"))
+          .join(q.select($"vec_id".as("vb"), $"lb".as("lbl"),
+            $"j".as("jb"), $"q".as("qb")), $"jb" === $"ja" && $"va" < $"vb")
+          .groupBy($"va", $"vb", $"la", $"lbl")
+          .agg(sum(($"qa" - $"qb") * ($"qa" - $"qb")).as("d2"))
+          .select($"la", $"lbl",
+            floor(sqrt($"d2".cast("double")) * lit(1e6)).cast("long")
+              .as("qd"))
+        val nx = q.filter($"lb" === 0L).select($"vec_id").distinct()
+          .agg(count(lit(1)).as("nx"))
+        val ny = q.filter($"lb" === 1L).select($"vec_id").distinct()
+          .agg(count(lit(1)).as("ny"))
+        pairs
+          .agg(sum(when($"la" === 0L && $"lbl" === 0L, $"qd")
+              .otherwise(0L)).as("s_xx"),
+            sum(when($"la" === 1L && $"lbl" === 1L, $"qd").otherwise(0L))
+              .as("s_yy"),
+            sum(when($"la" =!= $"lbl", $"qd").otherwise(0L)).as("s_xy"))
+          .crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+          .select($"nx", $"ny", $"s_xx", $"s_yy", $"s_xy",
+            (lit(2.0d) * $"s_xy".cast("double") /
+              ($"nx" * $"ny").cast("double") -
+              lit(2.0d) * $"s_xx".cast("double") /
+                ($"nx" * ($"nx" - 1L)).cast("double") -
+              lit(2.0d) * $"s_yy".cast("double") /
+                ($"ny" * ($"ny" - 1L)).cast("double")).as("e_stat_q6"))
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS lb,
+            j - 1 AS j,
+            CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT)
+              AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g
+          WHERE vec_id < 300 AND label IN (0, 1)),
+        pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+            a.lb AS la, b.lb AS lbl,
+            CAST(floor(sqrt(CAST(sum((a.q - b.q) * (a.q - b.q)) AS DOUBLE))
+              * 1e6) AS BIGINT) AS qd
+          FROM q a JOIN q b ON b.j = a.j AND a.vec_id < b.vec_id
+          GROUP BY 1, 2, 3, 4),
+        nx AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS nx
+          FROM q WHERE lb = 0),
+        ny AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS ny
+          FROM q WHERE lb = 1),
+        sums AS (SELECT
+            CAST(sum(CASE WHEN la = 0 AND lbl = 0 THEN qd ELSE 0 END)
+              AS BIGINT) AS s_xx,
+            CAST(sum(CASE WHEN la = 1 AND lbl = 1 THEN qd ELSE 0 END)
+              AS BIGINT) AS s_yy,
+            CAST(sum(CASE WHEN la <> lbl THEN qd ELSE 0 END) AS BIGINT)
+              AS s_xy
+          FROM pairs)
+        SELECT nx, ny, s_xx, s_yy, s_xy,
+          2.0 * CAST(s_xy AS DOUBLE) / CAST(nx * ny AS DOUBLE)
+            - 2.0 * CAST(s_xx AS DOUBLE) / CAST(nx * (nx - 1) AS DOUBLE)
+            - 2.0 * CAST(s_yy AS DOUBLE) / CAST(ny * (ny - 1) AS DOUBLE)
+            AS e_stat_q6
+        FROM sums CROSS JOIN nx CROSS JOIN ny""")),
+
     // ── Zipf rank-frequency fit (natural corpora obey freq ∝ rank^s
     //    with s ≈ −1; a slope far off −1 flags synthetic, templated, or
     //    mis-tokenized text — a corpus-level quality gate): OLS of

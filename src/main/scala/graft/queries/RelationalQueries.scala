@@ -7729,6 +7729,66 @@ object RelationalQueries extends QueryModule {
             AS BIGINT) AS lambda_e9
         FROM folds""")),
 
+    // ── Negative-binomial overdispersion fit (per-user weekly event
+    //    counts NEVER look Poisson — the NB method-of-moments r̂ =
+    //    m²/(s²−m), p̂ = m/s² quantifies by how much, and r̂ is the
+    //    capacity-planning parameter): per-(user, week) counts reduce
+    //    the scan once, count-of-counts moments stay BIGINT, the
+    //    dispersion ratio s²/m ships from exact DECIMAL components.
+    //    Guards: s² ≤ m (under-dispersed) ⇒ NULL r̂/p̂, same CASE in
+    //    both engines. ──────────────────────────────────────────────────
+    QueryDef("agg_negbin_fit",
+      (s, dir) => {
+        import s.implicits._
+        val dec = "decimal(38,0)"
+        val counts = Tables.load(s, dir, "events")
+          .groupBy($"user_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) DIV 7")
+              .as("wk"))
+          .agg(count(lit(1)).as("c"))
+        counts
+          .agg(count(lit(1)).as("n"), sum($"c").as("s_c"),
+            sum($"c" * $"c").as("ss_c"))
+          .select($"n", $"s_c", $"ss_c",
+            (($"n".cast(dec) * $"ss_c" - $"s_c".cast(dec) * $"s_c"))
+              .cast(dec).as("var_num"),
+            ($"n".cast(dec) * ($"n" - 1L)).cast(dec).as("var_den"))
+          .select($"n", $"s_c", $"ss_c",
+            ($"var_num".cast("double") / $"var_den".cast("double"))
+              .as("s2"),
+            ($"s_c".cast("double") / $"n".cast("double")).as("m"))
+          .select($"n", $"s_c", $"ss_c",
+            floor($"s2" / $"m" * lit(1e9)).cast("long").as("dispersion_e9"),
+            when($"s2" > $"m",
+              floor($"m" * $"m" / ($"s2" - $"m") * lit(1e9)).cast("long"))
+              .as("r_hat_e9"),
+            when($"s2" > $"m",
+              floor($"m" / $"s2" * lit(1e9)).cast("long")).as("p_hat_e9"))
+      },
+      Some("""WITH counts AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) AS s_c,
+            CAST(sum(c * c) AS BIGINT) AS ss_c
+          FROM counts),
+        v AS (SELECT n, s_c, ss_c,
+            CAST(CAST(CAST(n AS HUGEINT) * ss_c
+              - CAST(s_c AS HUGEINT) * s_c AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(CAST(CAST(n AS HUGEINT) * (n - 1) AS DECIMAL(38,0))
+                AS DOUBLE) AS s2,
+            CAST(s_c AS DOUBLE) / CAST(n AS DOUBLE) AS m
+          FROM m)
+        SELECT n, s_c, ss_c,
+          CAST(floor(s2 / m * 1e9) AS BIGINT) AS dispersion_e9,
+          CASE WHEN s2 > m
+            THEN CAST(floor(m * m / (s2 - m) * 1e9) AS BIGINT) END
+            AS r_hat_e9,
+          CASE WHEN s2 > m
+            THEN CAST(floor(m / s2 * 1e9) AS BIGINT) END AS p_hat_e9
+        FROM v""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

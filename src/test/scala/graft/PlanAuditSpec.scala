@@ -321,6 +321,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_mmr_rerank",
     // POT: the 1-row threshold broadcast onto the domain histogram
     "agg_peak_over_threshold",
+    // burstiness: the 1-row doc-count broadcast onto the term frame
+    "text_burstiness",
+    // energy distance: two 1-row population-count broadcasts onto the
+    // 1-row component sums
+    "embed_energy_distance",
     // cohort decay: the 1-row user-count broadcast onto the 4-row
     // pooled-rate frame
     "agg_cohort_decay_fit",
@@ -654,7 +659,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_sprt_sequential", "text_simpson_diversity", "sim_mmr_rerank",
     // r11 batch 17: EVT threshold/broadcast frames, cohort decay fold
     "agg_peak_over_threshold", "agg_block_maxima_gumbel",
-    "agg_cohort_decay_fit")
+    "agg_cohort_decay_fit",
+    // r11 batch 18: NB moments, burstiness term frame, energy-distance
+    // dimension join
+    "agg_negbin_fit", "text_burstiness", "embed_energy_distance")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

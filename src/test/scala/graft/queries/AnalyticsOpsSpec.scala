@@ -2313,6 +2313,83 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getLong(2) - math.floor(lambda * 1e9)) <= 2)
   }
 
+  test("agg_negbin_fit: moments and MoM parameters match the replay") {
+    val rows = run("agg_negbin_fit")
+    assert(rows.length == 1)
+    val r = rows.head
+    val counts = Tables.load(spark, dir, "events")
+      .selectExpr("user_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) DIV 7 AS wk")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val n = counts.length.toLong
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == counts.sum)
+    assert(r.getLong(2) == counts.map(c => c * c).sum)
+    val m = counts.sum.toDouble / n
+    val s2 = (BigInt(n) * counts.map(c => BigInt(c) * c).sum -
+      BigInt(counts.sum) * counts.sum).toDouble / (BigInt(n) * (n - 1)).toDouble
+    assert(math.abs(r.getLong(3) - math.floor(s2 / m * 1e9)) <= 1)
+    if (s2 > m) {
+      assert(math.abs(r.getLong(4) - math.floor(m * m / (s2 - m) * 1e9)) <= 1)
+      assert(math.abs(r.getLong(5) - math.floor(m / s2 * 1e9)) <= 1)
+    } else assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("text_burstiness: VMR rationals match the per-doc tf replay") {
+    val rows = run("text_burstiness")
+    assert(rows.length == 20)
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+"))
+    val nDocs = docs.length.toLong
+    val tf = docs.flatMap { case (d, toks) =>
+      toks.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) } }
+    val perTerm = tf.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.length.toLong, xs.map(_._2).sum, xs.map(x => x._2 * x._2).sum) }
+    rows.foreach { r =>
+      val (df, total, ss) = perTerm(r.getString(0))
+      assert(r.getLong(1) == total && r.getLong(2) == df)
+      val num = BigInt(nDocs) * ss - BigInt(total) * total
+      assert(BigInt(r.getDecimal(3).toBigInteger) == num)
+      assert(BigInt(r.getDecimal(4).toBigInteger) == BigInt(nDocs - 1) * total)
+      assert(r.getDouble(5) == num.toDouble / (BigInt(nDocs - 1) * total).toDouble)
+    }
+    // descending by corpus frequency
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
+  test("embed_energy_distance: component sums match the quantized-distance replay") {
+    val rows = run("embed_energy_distance")
+    assert(rows.length == 1)
+    val r = rows.head
+    val emb = Tables.load(spark, dir, "embeddings")
+      .filter("vec_id < 300 AND label IN (0, 1)")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)",
+        "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        x.getSeq[Double](2).toArray.map(v => math.floor(v * 1048576.0).toLong)))
+    val nx = emb.count(_._2 == 0L).toLong; val ny = emb.count(_._2 == 1L).toLong
+    assert(r.getLong(0) == nx && r.getLong(1) == ny)
+    var sxx = 0L; var syy = 0L; var sxy = 0L
+    for (i <- emb.indices; j <- emb.indices
+         if emb(i)._1 < emb(j)._1) {
+      val d2 = emb(i)._3.zip(emb(j)._3)
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      val qd = math.floor(math.sqrt(d2.toDouble) * 1e6).toLong
+      (emb(i)._2, emb(j)._2) match {
+        case (0L, 0L) => sxx += qd
+        case (1L, 1L) => syy += qd
+        case _ => sxy += qd
+      }
+    }
+    assert(r.getLong(2) == sxx && r.getLong(3) == syy && r.getLong(4) == sxy)
+    val e = 2.0 * sxy / (nx * ny).toDouble -
+      2.0 * sxx / (nx * (nx - 1)).toDouble -
+      2.0 * syy / (ny * (ny - 1)).toDouble
+    assert(math.abs(r.getDouble(5) - e) < 1e-9 * math.max(1.0, math.abs(e)))
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
