@@ -4098,6 +4098,39 @@ object PipelineQueries extends QueryModule {
             AS e_stat_q6
         FROM sums CROSS JOIN nx CROSS JOIN ny""")),
 
+    // ── Prefix-template clustering (machine-generated corpora repeat
+    //    OPENINGS — "Welcome to…", SEO boilerplate, error-page shells;
+    //    grouping by the first-8-token prefix hash surfaces template
+    //    families the span-level dedup won't, because their bodies
+    //    diverge): one token-slice projection per doc (no explode — the
+    //    prefix is array_join(slice(tokens, 1, 8))), a hash aggregate
+    //    per prefix, and the ≥2-doc clusters report size, doc span, and
+    //    char volume, TakeOrdered(25). ──────────────────────────────────
+    QueryDef("text_prefix_templates",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars",
+            md5(array_join(slice(tokens($"text"), 1, 8), " "))
+              .as("prefix_key"))
+          .groupBy($"prefix_key")
+          .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"),
+            max($"doc_id").as("max_doc"), sum($"n_chars").as("sum_chars"))
+          .filter($"n_docs" >= 2L)
+          .orderBy($"n_docs".desc, $"prefix_key").limit(25)
+      },
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+            md5(array_to_string(list_slice(
+              string_split_regex(lower(trim(text)), '\s+'), 1, 8), ' '))
+              AS prefix_key
+          FROM documents)
+        SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(min(doc_id) AS BIGINT) AS min_doc,
+          CAST(max(doc_id) AS BIGINT) AS max_doc,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM p GROUP BY prefix_key HAVING count(*) >= 2
+        ORDER BY n_docs DESC, prefix_key LIMIT 25""")),
+
     // ── Zipf rank-frequency fit (natural corpora obey freq ∝ rank^s
     //    with s ≈ −1; a slope far off −1 flags synthetic, templated, or
     //    mis-tokenized text — a corpus-level quality gate): OLS of

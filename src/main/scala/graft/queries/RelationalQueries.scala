@@ -7789,6 +7789,108 @@ object RelationalQueries extends QueryModule {
             THEN CAST(floor(m / s2 * 1e9) AS BIGINT) END AS p_hat_e9
         FROM v""")),
 
+    // ── Blocked fuzzy entity matching (the entity-resolution kernel:
+    //    NEVER Levenshtein all pairs — block on a cheap key first, run
+    //    the edit distance only within blocks): customers block on the
+    //    7-digit name prefix (≤100 per block by construction; real ER
+    //    uses phonetic/qgram keys, same plan shape), the within-block
+    //    self-join fans out O(block²) bounded by the blocking key, and
+    //    levenshtein ≤ 1 verifies (classic DP — identical integers in
+    //    both engines). Output: the matched pairs with distances,
+    //    TakeOrdered(50). ───────────────────────────────────────────────
+    QueryDef("join_entity_blocking",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.load(s, dir, "customer")
+          .select($"c_custkey".as("k"), $"c_name".as("nm"),
+            substring($"c_name", 10, 7).as("blk"))
+        c.select($"k".as("ka"), $"nm".as("na"), $"blk")
+          .join(c.select($"k".as("kb"), $"nm".as("nb"),
+            $"blk".as("blk2")), $"blk" === $"blk2" && $"ka" < $"kb")
+          .select($"ka", $"kb", $"na", $"nb",
+            levenshtein($"na", $"nb").cast("long").as("dist"))
+          .filter($"dist" <= 1L)
+          .orderBy($"ka", $"kb").limit(50)
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm,
+            substring(c_name, 10, 7) AS blk FROM customer)
+        SELECT a.k AS ka, b.k AS kb, a.nm AS na, b.nm AS nb,
+          CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+        WHERE levenshtein(a.nm, b.nm) <= 1
+        ORDER BY ka, kb LIMIT 50""")),
+
+    // ── Temporal holdout split with leakage audit (hash splits leak
+    //    FUTURE into train when the task is forecasting — the correct
+    //    split is BY TIME, and the audit quantifies what hash splitting
+    //    would have leaked): events cut at the 80%-quantile day (exact,
+    //    off the O(days) histogram); per split: rows, users, exact cent
+    //    volume; plus the cross-split user overlap — users present on
+    //    both sides whose future rows a per-user model would see in
+    //    train. One scan + one distinct-user semi join. ─────────────────
+    QueryDef("split_temporal_holdout",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .select($"user_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"),
+            expr("coalesce(CAST(round(value * 100) AS BIGINT), 0)")
+              .as("cents"))
+        val byD = e.groupBy($"d").agg(count(lit(1)).as("c"))
+        val cut = byD
+          .withColumn("cum", sum($"c").over(Window.orderBy($"d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"c").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .agg(min(when(expr("cum >= (4 * n) DIV 5 + 1"), $"d")).as("cut_d"))
+        val tagged = e.crossJoin(broadcast(cut))
+          .withColumn("split", when($"d" < $"cut_d", "train")
+            .otherwise("test"))
+        val overlap = tagged.filter($"split" === "train")
+          .select($"user_id").distinct()
+          .join(tagged.filter($"split" === "test")
+            .select($"user_id").distinct(), Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("overlap_users"))
+        tagged.groupBy($"split")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"user_id").as("n_users"),
+            sum($"cents").as("sum_cents"), min($"d").as("min_day"),
+            max($"d").as("max_day"))
+          .crossJoin(broadcast(overlap))
+          .orderBy($"split")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents
+          FROM events),
+        byd AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY d),
+        cum AS (SELECT d,
+            CAST(sum(c) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM byd),
+        cut AS (SELECT CAST(min(CASE WHEN cum >= (4 * n) // 5 + 1 THEN d
+            END) AS BIGINT) AS cut_d FROM cum),
+        tagged AS (SELECT e.*, CASE WHEN e.d < cut.cut_d THEN 'train'
+            ELSE 'test' END AS split
+          FROM e CROSS JOIN cut),
+        ov AS (SELECT CAST(count(*) AS BIGINT) AS overlap_users FROM (
+          SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+          INTERSECT SELECT DISTINCT user_id FROM tagged
+            WHERE split = 'test') t)
+        SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(sum(cents) AS BIGINT) AS sum_cents,
+          CAST(min(d) AS BIGINT) AS min_day,
+          CAST(max(d) AS BIGINT) AS max_day,
+          max(ov.overlap_users) AS overlap_users
+        FROM tagged CROSS JOIN ov
+        GROUP BY split ORDER BY split""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

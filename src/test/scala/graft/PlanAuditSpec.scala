@@ -326,6 +326,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // energy distance: two 1-row population-count broadcasts onto the
     // 1-row component sums
     "embed_energy_distance",
+    // temporal holdout: 1-row cut-day + overlap-count broadcasts
+    "split_temporal_holdout",
     // cohort decay: the 1-row user-count broadcast onto the 4-row
     // pooled-rate frame
     "agg_cohort_decay_fit",
@@ -532,7 +534,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_sprt_sequential",
       // POT: the same O(domain) cumulative histogram as the median
       // family (threshold pick)
-      "agg_peak_over_threshold")
+      "agg_peak_over_threshold",
+      // temporal holdout: the same O(days) cumulative histogram
+      // (cut-day pick)
+      "split_temporal_holdout")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -562,7 +567,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
-      "agg_sprt_sequential", "agg_peak_over_threshold")
+      "agg_sprt_sequential", "agg_peak_over_threshold",
+      "split_temporal_holdout")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -662,7 +668,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_cohort_decay_fit",
     // r11 batch 18: NB moments, burstiness term frame, energy-distance
     // dimension join
-    "agg_negbin_fit", "text_burstiness", "embed_energy_distance")
+    "agg_negbin_fit", "text_burstiness", "embed_energy_distance",
+    // r11 batch 19: ER blocking self-join, temporal-cut broadcasts,
+    // prefix-template rollup
+    "join_entity_blocking", "split_temporal_holdout",
+    "text_prefix_templates")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

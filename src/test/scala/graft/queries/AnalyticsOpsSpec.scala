@@ -2390,6 +2390,71 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - e) < 1e-9 * math.max(1.0, math.abs(e)))
   }
 
+  test("join_entity_blocking: matches equal the within-block edit-distance replay") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = run("join_entity_blocking")
+    val cust = Tables.load(spark, dir, "customer")
+      .selectExpr("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = cust.groupBy(_._2.substring(9, 16)).values.flatMap { blk =>
+      val sorted = blk.sortBy(_._1)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length
+           if lev(sorted(i)._2, sorted(j)._2) <= 1)
+        yield (sorted(i)._1, sorted(j)._1,
+          lev(sorted(i)._2, sorted(j)._2).toLong)
+    }.toSeq.sortBy(t => (t._1, t._2)).take(50)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (ka, kb, d)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(4)) == ((ka, kb, d)))
+    }
+  }
+
+  test("split_temporal_holdout: cut at the exact 80% day; leakage audit consistent") {
+    val rows = run("split_temporal_holdout")
+    assert(rows.length == 2)
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val days = evs.map(_._2).sorted
+    val cut = days((4 * days.length / 5 + 1) - 1)
+    val train = evs.filter(_._2 < cut); val test = evs.filter(_._2 >= cut)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("train").getLong(1) == train.length.toLong)
+    assert(byName("test").getLong(1) == test.length.toLong)
+    assert(byName("train").getLong(2) == train.map(_._1).distinct.length.toLong)
+    assert(byName("test").getLong(2) == test.map(_._1).distinct.length.toLong)
+    assert(byName("train").getLong(5) < cut && byName("test").getLong(4) == cut)
+    val overlap = (train.map(_._1).toSet & test.map(_._1).toSet).size.toLong
+    rows.foreach(r => assert(r.getLong(6) == overlap))
+  }
+
+  test("text_prefix_templates: clusters equal the 8-token prefix replay") {
+    val rows = run("text_prefix_templates")
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").take(8).mkString(" ")))
+    val clusters = docs.groupBy(_._3).values.filter(_.length >= 2).map { g =>
+      (g.length.toLong, g.map(_._1).min, g.map(_._1).max, g.map(_._2).sum)
+    }.toSeq
+    assert(rows.length == math.min(25, clusters.size))
+    val got = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSet
+    assert(got.subsetOf(clusters.toSet),
+      "engine clusters not found in replay")
+    // ordered by size descending
+    assert(rows.map(_.getLong(1)).toSeq ==
+      rows.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
