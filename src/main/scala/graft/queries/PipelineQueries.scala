@@ -4131,6 +4131,63 @@ object PipelineQueries extends QueryModule {
         FROM p GROUP BY prefix_key HAVING count(*) >= 2
         ORDER BY n_docs DESC, prefix_key LIMIT 25""")),
 
+    // ── Spherical concentration per label (directional statistics: the
+    //    mean resultant length R̄ = ‖Σ x/‖x‖‖/n is 1 when a label's
+    //    embeddings all point one way — representation collapse — and
+    //    →0 when they scatter; the anisotropy check norm profiles
+    //    can't see): unit vectors quantize as floor(x_j/‖x‖·1e6) —
+    //    ‖x‖ is the correctly-rounded sqrt of an exact integer norm²,
+    //    so every quantized coordinate is bit-identical across engines
+    //    and the per-label coordinate sums are order-independent
+    //    BIGINTs; R̄ = √(Σ_j S_j²)/(n·1e6) is the one IEEE tail. ────────
+    QueryDef("embed_spherical_concentration",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label".cast("long").as("lb"),
+            posexplode($"embedding").as(Seq("j", "x")))
+          .select($"vec_id", $"lb", $"j",
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("qi"))
+        val norms = q.groupBy($"vec_id")
+          .agg(sum($"qi" * $"qi").as("norm2"))
+          .select($"vec_id".as("vn"), sqrt($"norm2".cast("double"))
+            .as("norm"))
+        val unit = q.join(norms, $"vec_id" === $"vn")
+          .select($"lb", $"j",
+            floor($"qi".cast("double") / $"norm" * lit(1e6)).cast("long")
+              .as("u"))
+        unit.groupBy($"lb", $"j").agg(sum($"u").as("s_j"))
+          .groupBy($"lb").agg(sum($"s_j" * $"s_j").as("r2"))
+          .join(Tables.load(s, dir, "embeddings")
+            .groupBy($"label".cast("long").as("lb2"))
+            .agg(count(lit(1)).as("n_vecs")), $"lb" === $"lb2")
+          .select($"lb".as("label"), $"n_vecs", $"r2",
+            (sqrt($"r2".cast("double")) /
+              ($"n_vecs".cast("double") * lit(1e6))).as("r_bar"))
+          .orderBy($"label")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS lb,
+            j - 1 AS j,
+            CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT)
+              AS qi
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g),
+        norms AS (SELECT vec_id, sqrt(CAST(sum(qi * qi) AS DOUBLE))
+            AS norm FROM q GROUP BY vec_id),
+        unit AS (SELECT q.lb, q.j,
+            CAST(floor(CAST(q.qi AS DOUBLE) / n.norm * 1e6) AS BIGINT)
+              AS u
+          FROM q JOIN norms n ON q.vec_id = n.vec_id),
+        sj AS (SELECT lb, j, CAST(sum(u) AS BIGINT) AS s_j
+          FROM unit GROUP BY lb, j),
+        r AS (SELECT lb, CAST(sum(s_j * s_j) AS BIGINT) AS r2
+          FROM sj GROUP BY lb),
+        nv AS (SELECT CAST(label AS BIGINT) AS lb,
+            CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1)
+        SELECT r.lb AS label, nv.n_vecs, r.r2,
+          sqrt(CAST(r.r2 AS DOUBLE)) / (CAST(nv.n_vecs AS DOUBLE) * 1e6)
+            AS r_bar
+        FROM r JOIN nv ON r.lb = nv.lb ORDER BY label""")),
+
     // ── Zipf rank-frequency fit (natural corpora obey freq ∝ rank^s
     //    with s ≈ −1; a slope far off −1 flags synthetic, templated, or
     //    mis-tokenized text — a corpus-level quality gate): OLS of

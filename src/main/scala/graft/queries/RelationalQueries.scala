@@ -7891,6 +7891,150 @@ object RelationalQueries extends QueryModule {
         FROM tagged CROSS JOIN ov
         GROUP BY split ORDER BY split""")),
 
+    // ── Population Stability Index over exact decile bands (THE model-
+    //    monitoring drift number: banks retrain at PSI > 0.25 — it
+    //    complements KS/CvM because it reports WHERE the mass moved,
+    //    band by band): band edges are the exact pooled deciles off the
+    //    O(domain) cumulative histogram (the median-family window), the
+    //    two halves (even/odd user) count into bands exactly, and
+    //    PSI = Σ(p_i−q_i)·ln(p_i/q_i) folds its ≤10 band terms in band
+    //    order with exact-rational p/q; psi ships floor(·1e9). Bands
+    //    with a zero side are excluded with their count reported
+    //    (standard practice, documented). ────────────────────────────────
+    QueryDef("agg_psi_bands",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+        val byV = e.groupBy($"v")
+          .agg(sum(when($"half" === 0, 1L).otherwise(0L)).as("a"),
+            sum(when($"half" === 1, 1L).otherwise(0L)).as("b"))
+        val cum = byV
+          .withColumn("cum", sum($"a" + $"b").over(Window.orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"a" + $"b").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        // band of value v = smallest decile d (1..10) with
+        // cum(v) <= ceil(d*n/10): assign by the cumulative rank
+        val banded = cum
+          .withColumn("band",
+            expr("least(CAST(10 AS BIGINT), ((cum - 1) * 10) DIV n + 1)"))
+          .groupBy($"band")
+          .agg(sum($"a").as("ca"), sum($"b").as("cb"))
+        val totals = banded.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
+        val terms = banded.crossJoin(broadcast(totals))
+          .filter($"ca" > 0L && $"cb" > 0L)
+          .select($"band", $"ca", $"cb", $"n_a", $"n_b",
+            (($"ca".cast("double") / $"n_a".cast("double")) -
+              ($"cb".cast("double") / $"n_b".cast("double"))).as("diff"),
+            log(($"ca".cast("double") / $"n_a".cast("double")) /
+              ($"cb".cast("double") / $"n_b".cast("double"))).as("lr"))
+        val dropped = banded.crossJoin(broadcast(totals))
+          .filter($"ca" === 0L || $"cb" === 0L)
+          .agg(count(lit(1)).as("dropped_bands"))
+        terms
+          .agg(count(lit(1)).as("n_bands"),
+            sort_array(collect_list(struct($"band",
+              ($"diff" * $"lr").as("t")))).as("ts"))
+          .select($"n_bands",
+            aggregate($"ts".getField("t"), lit(0.0d), (a, x) => a + x)
+              .as("psi"))
+          .crossJoin(broadcast(dropped))
+          .select($"n_bands", $"dropped_bands",
+            floor($"psi" * lit(1e9)).cast("long").as("psi_e9"))
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            user_id % 2 AS half FROM events),
+        byv AS (SELECT v,
+            CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+          FROM e GROUP BY v),
+        cum AS (SELECT v, a, b,
+            CAST(sum(a + b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(sum(a + b) OVER () AS BIGINT) AS n
+          FROM byv),
+        banded AS (SELECT least(CAST(10 AS BIGINT),
+              ((cum - 1) * 10) // n + 1) AS band,
+            CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+          FROM cum GROUP BY 1),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+            CAST(sum(cb) AS BIGINT) AS n_b FROM banded),
+        terms AS (SELECT band, ca, cb,
+            (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+              * ln((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                / (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))) AS t
+          FROM banded CROSS JOIN t WHERE ca > 0 AND cb > 0),
+        dropped AS (SELECT CAST(count(*) AS BIGINT) AS dropped_bands
+          FROM banded CROSS JOIN t WHERE ca = 0 OR cb = 0),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_bands,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(t ORDER BY band)), (x, y) -> x + y) AS psi
+          FROM terms)
+        SELECT n_bands, dropped_bands,
+          CAST(floor(psi * 1e9) AS BIGINT) AS psi_e9
+        FROM f CROSS JOIN dropped""")),
+
+    // ── Catalog coverage audit (the recommendation cold-start health
+    //    check: how much of the catalog does the fact data actually
+    //    touch? dead SKUs poison retrieval training and skew IDF
+    //    statistics): three anti-join counts — parts never shipped,
+    //    customers who never ordered, suppliers never used — each one
+    //    left-anti against the DISTINCT fact keys, plus exact coverage
+    //    rationals. ──────────────────────────────────────────────────────
+    QueryDef("dq_catalog_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+        val liParts = li.select($"l_partkey".as("k")).distinct()
+        val liSupps = li.select($"l_suppkey".as("k")).distinct()
+        val oCusts = Tables.load(s, dir, "orders")
+          .select($"o_custkey".as("k")).distinct()
+        def cover(dim: org.apache.spark.sql.DataFrame, keyCol: String,
+            fact: org.apache.spark.sql.DataFrame, entity: String) = {
+          val total = dim.agg(count(lit(1)).as("total")) // 1-row broadcast
+          dim.select(col(keyCol).as("k"))
+            .join(fact, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("uncovered"))
+            .crossJoin(broadcast(total))
+            .select(lit(entity).as("entity"), $"uncovered", $"total",
+              ($"uncovered".cast("double") / $"total".cast("double"))
+                .as("uncovered_frac"))
+        }
+        cover(Tables.load(s, dir, "part"), "p_partkey", liParts, "part")
+          .unionAll(cover(Tables.load(s, dir, "customer"), "c_custkey",
+            oCusts, "customer"))
+          .unionAll(cover(Tables.load(s, dir, "supplier"), "s_suppkey",
+            liSupps, "supplier"))
+          .orderBy($"entity")
+      },
+      Some("""WITH p AS (SELECT 'part' AS entity,
+            CAST(count(*) AS BIGINT) AS uncovered,
+            (SELECT CAST(count(*) AS BIGINT) FROM part) AS total
+          FROM part WHERE p_partkey NOT IN
+            (SELECT DISTINCT l_partkey FROM lineitem)),
+        c AS (SELECT 'customer',
+            CAST(count(*) AS BIGINT),
+            (SELECT CAST(count(*) AS BIGINT) FROM customer)
+          FROM customer WHERE c_custkey NOT IN
+            (SELECT DISTINCT o_custkey FROM orders)),
+        s AS (SELECT 'supplier',
+            CAST(count(*) AS BIGINT),
+            (SELECT CAST(count(*) AS BIGINT) FROM supplier)
+          FROM supplier WHERE s_suppkey NOT IN
+            (SELECT DISTINCT l_suppkey FROM lineitem))
+        SELECT entity, uncovered, total,
+          CAST(uncovered AS DOUBLE) / CAST(total AS DOUBLE)
+            AS uncovered_frac
+        FROM (SELECT * FROM p UNION ALL SELECT * FROM c
+          UNION ALL SELECT * FROM s) u
+        ORDER BY entity""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

@@ -328,6 +328,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_energy_distance",
     // temporal holdout: 1-row cut-day + overlap-count broadcasts
     "split_temporal_holdout",
+    // PSI: 1-row half-total + dropped-band broadcasts onto the
+    // ≤10-band frame
+    "agg_psi_bands",
+    // catalog coverage: per entity a 1-row dimension-total broadcast
+    "dq_catalog_coverage",
     // cohort decay: the 1-row user-count broadcast onto the 4-row
     // pooled-rate frame
     "agg_cohort_decay_fit",
@@ -537,7 +542,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_peak_over_threshold",
       // temporal holdout: the same O(days) cumulative histogram
       // (cut-day pick)
-      "split_temporal_holdout")
+      "split_temporal_holdout",
+      // PSI: the same O(domain) cumulative histogram (decile bands)
+      "agg_psi_bands")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -568,7 +575,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
       "agg_sprt_sequential", "agg_peak_over_threshold",
-      "split_temporal_holdout")
+      "split_temporal_holdout", "agg_psi_bands")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -672,7 +679,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // r11 batch 19: ER blocking self-join, temporal-cut broadcasts,
     // prefix-template rollup
     "join_entity_blocking", "split_temporal_holdout",
-    "text_prefix_templates")
+    "text_prefix_templates",
+    // r11 batch 20: PSI bands, catalog anti-joins, spherical sums
+    "agg_psi_bands", "dq_catalog_coverage",
+    "embed_spherical_concentration")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

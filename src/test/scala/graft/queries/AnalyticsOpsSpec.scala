@@ -2455,6 +2455,76 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       rows.map(_.getLong(1)).sortBy(-_).toSeq)
   }
 
+  test("agg_psi_bands: PSI matches the sequential decile-band replay") {
+    val rows = run("agg_psi_bands")
+    assert(rows.length == 1)
+    val r = rows.head
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+        "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val n = vs.length.toLong
+    val byV = vs.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L
+    val bands = byV.map { case (v, g) =>
+      cum += g.length
+      val band = math.min(10L, (cum - 1) * 10 / n + 1)
+      (band, g.count(_._2 == 0).toLong, g.count(_._2 == 1).toLong)
+    }.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.map(_._2).sum, xs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    val na = bands.map(_._2).sum; val nb = bands.map(_._3).sum
+    val kept = bands.filter(t => t._2 > 0 && t._3 > 0)
+    assert(r.getLong(0) == kept.length.toLong)
+    assert(r.getLong(1) == (bands.length - kept.length).toLong)
+    val psi = kept.map { case (_, ca, cb) =>
+      val p = ca.toDouble / na; val q = cb.toDouble / nb
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(math.abs(r.getLong(2) - math.floor(psi * 1e9)) <= 2)
+  }
+
+  test("dq_catalog_coverage: anti-join counts match the set-difference replay") {
+    val rows = run("dq_catalog_coverage").map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def keys(t: String, c: String): Set[Long] =
+      Tables.load(spark, dir, t).selectExpr(s"CAST($c AS BIGINT)")
+        .collect().map(_.getLong(0)).toSet
+    val parts = keys("part", "p_partkey")
+    val custs = keys("customer", "c_custkey")
+    val supps = keys("supplier", "s_suppkey")
+    val liP = keys("lineitem", "l_partkey")
+    val liS = keys("lineitem", "l_suppkey")
+    val oC = keys("orders", "o_custkey")
+    assert(rows("part") == (((parts -- liP).size.toLong, parts.size.toLong)))
+    assert(rows("customer") == (((custs -- oC).size.toLong, custs.size.toLong)))
+    assert(rows("supplier") == (((supps -- liS).size.toLong, supps.size.toLong)))
+  }
+
+  test("embed_spherical_concentration: resultant lengths match the quantized replay") {
+    val rows = run("embed_spherical_concentration")
+    val emb = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)",
+        "CAST(embedding AS ARRAY<DOUBLE>)").collect()
+      .map(x => (x.getLong(1), x.getSeq[Double](2).toArray
+        .map(v => math.floor(v * 1048576.0).toLong)))
+    val byLabel = emb.groupBy(_._1)
+    assert(rows.length == byLabel.size)
+    rows.foreach { r =>
+      val g = byLabel(r.getLong(0))
+      assert(r.getLong(1) == g.length.toLong)
+      val units = g.map { case (_, qi) =>
+        val norm = math.sqrt(qi.map(x => (x * x).toDouble).sum)
+        qi.map(x => math.floor(x / norm * 1e6).toLong)
+      }
+      val sj = units.transpose.map(_.sum)
+      val r2 = sj.map(s0 => s0 * s0).sum
+      assert(r.getLong(2) == r2, s"label ${r.getLong(0)} r2")
+      assert(math.abs(r.getDouble(3) -
+        math.sqrt(r2.toDouble) / (g.length * 1e6)) < 1e-12)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
