@@ -8035,6 +8035,221 @@ object RelationalQueries extends QueryModule {
           UNION ALL SELECT * FROM s) u
         ORDER BY entity""")),
 
+    // ── Friedman blocked rank test (the repeated-measures sibling of
+    //    Kruskal–Wallis: each DAY is a block, the k event types are
+    //    ranked WITHIN the day — day-level volume shifts cancel, so it
+    //    detects a type consistently out-ranking the others even when
+    //    every day is busier than the last): doubled within-block
+    //    tie-averaged ranks come from a (day)-partitioned count
+    //    self-ordering (k=5 rows per block — no global window), the
+    //    per-type doubled rank sums are BIGINT, and χ²_F = 12/(nk(k+1))
+    //    ·Σ(R_j − n(k+1)/2)² ships from exact DECIMAL components (the
+    //    doubled form 3/(nk(k+1))·Σ(2R_j − n(k+1))² stays integer
+    //    until one division). Days missing a type are dropped (complete
+    //    blocks only, documented). ───────────────────────────────────────
+    QueryDef("agg_friedman_test",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"), $"event_type".as("g"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+        val k = daily.select($"g").distinct()
+          .agg(count(lit(1)).as("k"))
+        val complete = daily
+          .withColumn("types_in_day",
+            count(lit(1)).over(Window.partitionBy($"d")))
+          .crossJoin(broadcast(k))
+          .filter($"types_in_day" === $"k")
+        // doubled tie-averaged rank within the day: 2·(#smaller) +
+        // (#equal) + 1, via the k-row block windows
+        val ranked = complete
+          .withColumn("smaller", coalesce(count(lit(1))
+            .over(Window.partitionBy($"d").orderBy($"cents")
+              .rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("equal", count(lit(1))
+            .over(Window.partitionBy($"d", $"cents")))
+          .select($"d", $"g", $"k",
+            (lit(2L) * $"smaller" + $"equal" + 1L).as("r2"))
+        val perType = ranked.groupBy($"g")
+          .agg(sum($"r2").as("sum2r"), count(lit(1)).as("n_blocks"),
+            max($"k").as("k"))
+        perType
+          .agg(max($"n_blocks").as("n"), max($"k").as("k"),
+            sum((($"sum2r" - $"n_blocks" * ($"k" + 1L)).cast(dec) *
+              ($"sum2r" - $"n_blocks" * ($"k" + 1L))).cast(dec)).cast(dec)
+              .as("dev2"))
+          .select($"n", $"k", $"dev2",
+            (lit(3.0d) * $"dev2".cast("double") /
+              ($"n" * $"k" * ($"k" + 1L)).cast("double")).as("chi2_f"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            event_type AS g,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM events GROUP BY 1, 2),
+        k AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM daily),
+        complete AS (SELECT daily.*, k.k FROM daily CROSS JOIN k
+          WHERE d IN (SELECT d FROM daily CROSS JOIN k
+            GROUP BY d, k.k HAVING count(*) = max(k.k))),
+        ranked AS (SELECT d, g, k,
+            2 * (SELECT count(*) FROM complete c2
+              WHERE c2.d = complete.d AND c2.cents < complete.cents)
+              + (SELECT count(*) FROM complete c3
+                WHERE c3.d = complete.d AND c3.cents = complete.cents)
+              + 1 AS r2
+          FROM complete),
+        pt AS (SELECT g, CAST(sum(r2) AS BIGINT) AS sum2r,
+            CAST(count(*) AS BIGINT) AS n_blocks, max(k) AS k
+          FROM ranked GROUP BY g),
+        f AS (SELECT max(n_blocks) AS n, max(k) AS k,
+            CAST(sum(CAST(sum2r - n_blocks * (k + 1) AS HUGEINT)
+              * (sum2r - n_blocks * (k + 1))) AS DECIMAL(38,0)) AS dev2
+          FROM pt)
+        SELECT n, k, dev2,
+          3.0 * CAST(dev2 AS DOUBLE)
+            / CAST(n * k * (k + 1) AS DOUBLE) AS chi2_f
+        FROM f""")),
+
+    // ── One-step forecast backtest (which baseline does your series
+    //    deserve? MAE of the naive lag-1 forecast vs the seasonal
+    //    lag-7, plus their ratio — a MASE-style number < 1 means
+    //    yesterday beats last-week and the series is momentum-, not
+    //    calendar-, driven): per event type on the daily grid, both
+    //    error sums are exact BIGINT |Δ| accumulations over type-
+    //    partitioned lag windows; sMAPE folds the same exact terms.
+    //    One scan, O(days) frames. ──────────────────────────────────────
+    QueryDef("window_forecast_backtest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy($"event_type".as("g"),
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+              .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("c"))
+        val w = Window.partitionBy($"g").orderBy($"d")
+        daily
+          .withColumn("lag1", lag($"c", 1).over(w))
+          .withColumn("lag7", lag($"c", 7).over(w))
+          .filter($"lag7".isNotNull)
+          .groupBy($"g")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(abs($"c" - $"lag1")).as("sae_naive"),
+            sum(abs($"c" - $"lag7")).as("sae_seasonal"),
+            // per-term quantization keeps the double sum order-
+            // independent (same floor in both engines, BIGINT sum)
+            sum(floor((abs($"c" - $"lag1")).cast("double") * lit(2.0e9d) /
+              ($"c" + $"lag1").cast("double")).cast("long"))
+              .as("smape_sum_q9"))
+          .select($"g", $"n_eval", $"sae_naive", $"sae_seasonal",
+            $"smape_sum_q9",
+            ($"sae_naive".cast("double") / $"sae_seasonal".cast("double"))
+              .as("mase_ratio"),
+            ($"smape_sum_q9".cast("double") /
+              ($"n_eval".cast("double") * lit(1e9))).as("smape_naive"))
+          .orderBy($"g")
+      },
+      Some("""WITH daily AS (SELECT event_type AS g,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        lagged AS (SELECT g, d, c,
+            lag(c, 1) OVER (PARTITION BY g ORDER BY d) AS lag1,
+            lag(c, 7) OVER (PARTITION BY g ORDER BY d) AS lag7
+          FROM daily)
+        SELECT g, CAST(count(*) AS BIGINT) AS n_eval,
+          CAST(sum(abs(c - lag1)) AS BIGINT) AS sae_naive,
+          CAST(sum(abs(c - lag7)) AS BIGINT) AS sae_seasonal,
+          CAST(sum(CAST(floor(CAST(abs(c - lag1) AS DOUBLE) * 2.0e9
+            / CAST(c + lag1 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+            AS smape_sum_q9,
+          CAST(sum(abs(c - lag1)) AS DOUBLE)
+            / CAST(sum(abs(c - lag7)) AS DOUBLE) AS mase_ratio,
+          CAST(sum(CAST(floor(CAST(abs(c - lag1) AS DOUBLE) * 2.0e9
+            / CAST(c + lag1 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+            / (CAST(count(*) AS DOUBLE) * 1e9) AS smape_naive
+        FROM lagged WHERE lag7 IS NOT NULL
+        GROUP BY g ORDER BY g""")),
+
+    // ── Page–Hinkley drift detector (the sequential mean-shift monitor
+    //    made for streams — unlike CUSUM-against-fixed-target it tracks
+    //    the RUNNING mean, so no reference period is needed): on the
+    //    daily mean-cent series, U_t = Σ_{i≤t}(x_i − x̄_i − δ) with
+    //    x̄_i the running mean through i, alarm when U_t − min_{s≤t}U_s
+    //    > λ. Two stacked cumulative windows over the O(days) grid;
+    //    x_i are exact rationals (cent sums / counts) evaluated with
+    //    identical expression shapes, δ = 50 cents, λ = 5000; the
+    //    first alarm day is the integer output beside floor(·1e6)
+    //    extremes. ──────────────────────────────────────────────────────
+    QueryDef("agg_page_hinkley",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"), count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val walk = daily
+          .withColumn("t", row_number().over(Window.orderBy($"d"))
+            .cast("long"))
+          .withColumn("cum_c", sum($"cents").over(wcum))
+          .withColumn("cum_n", sum($"cnt").over(wcum))
+          .withColumn("x", $"cents".cast("double") / $"cnt".cast("double"))
+          .withColumn("xbar", $"cum_c".cast("double") /
+            $"cum_n".cast("double"))
+          .withColumn("term", $"x" - $"xbar" - lit(50.0d))
+          .withColumn("u", sum($"term").over(wcum))
+          .withColumn("u_min", min($"u").over(wcum))
+          .withColumn("ph", $"u" - $"u_min")
+        walk.agg(count(lit(1)).as("n_days"),
+            coalesce(min(when($"ph" > lit(5000.0d), $"d")), lit(-1L))
+              .as("first_alarm_day"),
+            floor(max($"ph") * lit(1e6)).cast("long").as("max_ph_e6"),
+            floor(min($"u") * lit(1e6)).cast("long").as("min_u_e6"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+              AS cents,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+        walk AS (SELECT d, cents, cnt,
+            CAST(sum(cents) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_c,
+            CAST(sum(cnt) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_n
+          FROM daily),
+        terms AS (SELECT d,
+            CAST(cents AS DOUBLE) / CAST(cnt AS DOUBLE)
+              - CAST(cum_c AS DOUBLE) / CAST(cum_n AS DOUBLE)
+              - 50.0 AS term
+          FROM walk),
+        u AS (SELECT d,
+            sum(term) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+          FROM terms),
+        ph AS (SELECT d, u,
+            u - min(u) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+          FROM u)
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+          coalesce(min(CASE WHEN ph > 5000.0 THEN d END),
+            CAST(-1 AS BIGINT)) AS first_alarm_day,
+          CAST(floor(max(ph) * 1e6) AS BIGINT) AS max_ph_e6,
+          CAST(floor(min(u) * 1e6) AS BIGINT) AS min_u_e6
+        FROM ph""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

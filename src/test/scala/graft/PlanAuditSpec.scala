@@ -333,6 +333,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_psi_bands",
     // catalog coverage: per entity a 1-row dimension-total broadcast
     "dq_catalog_coverage",
+    // friedman: the 1-row type-count broadcast (complete-block filter)
+    "agg_friedman_test",
     // cohort decay: the 1-row user-count broadcast onto the 4-row
     // pooled-rate frame
     "agg_cohort_decay_fit",
@@ -544,7 +546,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // (cut-day pick)
       "split_temporal_holdout",
       // PSI: the same O(domain) cumulative histogram (decile bands)
-      "agg_psi_bands")
+      "agg_psi_bands",
+      // Page-Hinkley: stacked cumulative walks over the O(days) grid
+      "agg_page_hinkley")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -575,7 +579,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
       "agg_sprt_sequential", "agg_peak_over_threshold",
-      "split_temporal_holdout", "agg_psi_bands")
+      "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -682,7 +686,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_prefix_templates",
     // r11 batch 20: PSI bands, catalog anti-joins, spherical sums
     "agg_psi_bands", "dq_catalog_coverage",
-    "embed_spherical_concentration")
+    "embed_spherical_concentration",
+    // r11 batch 21: friedman block windows, backtest lags, PH walk
+    "agg_friedman_test", "window_forecast_backtest", "agg_page_hinkley")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

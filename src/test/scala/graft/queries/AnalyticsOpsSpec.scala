@@ -2525,6 +2525,91 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_friedman_test: chi2 matches the blocked-rank replay") {
+    val rows = run("agg_friedman_test")
+    assert(rows.length == 1)
+    val r = rows.head
+    val daily = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((d, g), xs) =>
+        (d, g, xs.map(_._3).sum) }.toSeq
+    val k = daily.map(_._2).distinct.length
+    val complete = daily.groupBy(_._1).filter(_._2.length == k)
+    assert(r.getLong(0) == complete.size.toLong)
+    assert(r.getLong(1) == k.toLong)
+    // doubled tie-averaged within-block ranks
+    val sum2r = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    complete.values.foreach { block =>
+      block.foreach { case (_, g, c) =>
+        val smaller = block.count(_._3 < c).toLong
+        val equal = block.count(_._3 == c).toLong
+        sum2r(g) += 2 * smaller + equal + 1
+      }
+    }
+    val n = complete.size.toLong
+    val dev2 = sum2r.values.map { s2 =>
+      BigInt(s2 - n * (k + 1)) * BigInt(s2 - n * (k + 1)) }.sum
+    assert(BigInt(r.getDecimal(2).toBigInteger) == dev2)
+    val chi2 = 3.0 * dev2.toDouble / (n * k * (k + 1)).toDouble
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-9 * math.max(1.0, chi2))
+  }
+
+  test("window_forecast_backtest: error sums match the sequential lag replay") {
+    val rows = run("window_forecast_backtest")
+    val daily = Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .groupBy(t => (t._1, t._2)).map { case ((g, d), xs) =>
+        (g, d, xs.map(_._3).sum) }
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> xs.toSeq.sortBy(_._2).map(_._3).toVector }
+    rows.foreach { r =>
+      val series = daily(r.getString(0))
+      val evalIdx = (7 until series.length)
+      assert(r.getLong(1) == evalIdx.length.toLong)
+      assert(r.getLong(2) ==
+        evalIdx.map(i => math.abs(series(i) - series(i - 1))).sum)
+      assert(r.getLong(3) ==
+        evalIdx.map(i => math.abs(series(i) - series(i - 7))).sum)
+      val q9 = evalIdx.map { i =>
+        math.floor(math.abs(series(i) - series(i - 1)).toDouble * 2.0e9 /
+          (series(i) + series(i - 1)).toDouble).toLong }.sum
+      assert(r.getLong(4) == q9)
+    }
+  }
+
+  test("agg_page_hinkley: detector walk matches the sequential replay") {
+    val rows = run("agg_page_hinkley")
+    assert(rows.length == 1)
+    val r = rows.head
+    val daily = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2).sum, xs.length.toLong) }
+    assert(r.getLong(0) == daily.length.toLong)
+    var cumC = 0L; var cumN = 0L; var u = 0.0; var uMin = Double.MaxValue
+    var maxPh = Double.MinValue; var minU = Double.MaxValue
+    var alarm = -1L
+    daily.foreach { case (d, c, n) =>
+      cumC += c; cumN += n
+      u += c.toDouble / n - cumC.toDouble / cumN - 50.0
+      uMin = math.min(uMin, u)
+      val ph = u - uMin
+      maxPh = math.max(maxPh, ph); minU = math.min(minU, u)
+      if (alarm == -1L && ph > 5000.0) alarm = d
+    }
+    assert(r.getLong(1) == alarm)
+    assert(math.abs(r.getLong(2) - math.floor(maxPh * 1e6)) <= 2)
+    assert(math.abs(r.getLong(3) - math.floor(minU * 1e6)) <= 2)
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
