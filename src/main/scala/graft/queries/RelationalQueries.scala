@@ -8250,6 +8250,126 @@ object RelationalQueries extends QueryModule {
           CAST(floor(min(u) * 1e6) AS BIGINT) AS min_u_e6
         FROM ph""")),
 
+    // ── Quantile treatment effects (means hide WHERE a treatment
+    //    acts — QTE reads the shift at p50/p90/p99 separately, the
+    //    standard heavy-user/light-user decomposition): per arm (even/
+    //    odd user) the exact ceil(p·n) order statistic off the arm's
+    //    own cent histogram — (half)-partitioned cumulative windows,
+    //    all integer, the rank unpivots from one 3-element literal
+    //    array. Effects are exact cent differences. ──────────────────────
+    QueryDef("agg_quantile_treatment_effect",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val byV = Tables.load(s, dir, "events")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+            "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+          .groupBy($"half", $"v").agg(count(lit(1)).as("c"))
+        val cum = byV
+          .withColumn("cum", sum($"c").over(Window.partitionBy($"half")
+            .orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"c").over(Window.partitionBy($"half")))
+        val quants = cum
+          .select($"half", $"v", $"cum", $"n",
+            explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+          .groupBy($"half", $"p")
+          .agg(min(when(expr("cum >= (n * p + 99) DIV 100"), $"v"))
+            .as("q"))
+        quants.filter($"half" === 0L).select($"p", $"q".as("q_control"))
+          .join(quants.filter($"half" === 1L)
+            .select($"p".as("p2"), $"q".as("q_treat")), $"p" === $"p2")
+          .select($"p", $"q_control", $"q_treat",
+            ($"q_treat" - $"q_control").as("qte_cents"))
+          .orderBy($"p")
+      },
+      Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+            user_id % 2 AS half FROM events),
+        byv AS (SELECT half, v, CAST(count(*) AS BIGINT) AS c
+          FROM e GROUP BY half, v),
+        cum AS (SELECT half, v, c,
+            CAST(sum(c) OVER (PARTITION BY half ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum,
+            CAST(sum(c) OVER (PARTITION BY half) AS BIGINT) AS n
+          FROM byv),
+        q AS (SELECT half, p.p,
+            CAST(min(CASE WHEN cum >= (n * p.p + 99) // 100 THEN v END)
+              AS BIGINT) AS q
+          FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+          GROUP BY half, p.p)
+        SELECT a.p, a.q AS q_control, b.q AS q_treat,
+          CAST(b.q - a.q AS BIGINT) AS qte_cents
+        FROM q a JOIN q b ON a.p = b.p AND a.half = 0 AND b.half = 1
+        ORDER BY a.p""")),
+
+    // ── Neyman optimal allocation (the variance-minimizing way to
+    //    split a labeling/eval budget across strata: sample ∝ N_h·S_h,
+    //    so big AND noisy strata get the annotators): per-language
+    //    char-length moments give S_h = √(exact variance rational) —
+    //    bit-identical in both engines — weights fold in language
+    //    order, the B = 1000 budget splits by floor shares, and the
+    //    largest-remainder rule (rank by fractional part, ties by
+    //    lang) tops up so Σ alloc = B EXACTLY. Windows ride the
+    //    |strata|-row frame. ─────────────────────────────────────────────
+    QueryDef("sample_neyman_allocation",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val strata = Tables.load(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_h"), sum($"n_chars").as("s_x"),
+            sum($"n_chars" * $"n_chars").as("s_xx"))
+          .select($"lang", $"n_h",
+            ($"n_h".cast("double") * sqrt(
+              (($"n_h".cast(dec) * $"s_xx" - $"s_x".cast(dec) * $"s_x")
+                .cast(dec)).cast("double") /
+              (($"n_h".cast(dec) * ($"n_h" - 1L)).cast(dec))
+                .cast("double"))).as("w"))
+        val z = strata.agg(
+          aggregate(sort_array(collect_list(struct($"lang", $"w"))),
+            lit(0.0d), (a, x) => a + x.getField("w")).as("z"))
+        val shares = strata.crossJoin(broadcast(z))
+          .select($"lang", $"n_h",
+            (lit(1000.0d) * $"w" / $"z").as("share"))
+          .withColumn("fl", floor($"share").cast("long"))
+          .withColumn("frac", $"share" - floor($"share"))
+        val used = shares.agg(sum($"fl").as("used"))
+        shares.crossJoin(broadcast(used))
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"frac".desc, $"lang")).cast("long"))
+          .select($"lang", $"n_h", $"fl", $"rk",
+            ($"fl" + ($"rk" <= lit(1000L) - $"used").cast("long"))
+              .as("alloc"))
+          .orderBy($"lang")
+      },
+      Some("""WITH strata AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+            CAST(count(*) AS DOUBLE) * sqrt(
+              CAST(CAST(CAST(count(*) AS HUGEINT) * sum(n_chars * n_chars)
+                - CAST(sum(n_chars) AS HUGEINT) * sum(n_chars)
+                AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1)
+                AS DECIMAL(38,0)) AS DOUBLE)) AS w
+          FROM documents GROUP BY lang),
+        z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(w ORDER BY lang)), (a, b) -> a + b) AS z FROM strata),
+        shares AS (SELECT lang, n_h, 1000.0 * w / z.z AS share
+          FROM strata CROSS JOIN z),
+        fl AS (SELECT lang, n_h,
+            CAST(floor(share) AS BIGINT) AS fl,
+            share - floor(share) AS frac
+          FROM shares),
+        used AS (SELECT CAST(sum(fl) AS BIGINT) AS used FROM fl),
+        ranked AS (SELECT fl.*, used.used,
+            CAST(row_number() OVER (ORDER BY frac DESC, lang) AS BIGINT)
+              AS rk
+          FROM fl CROSS JOIN used)
+        SELECT lang, n_h, fl, rk,
+          CAST(fl + CASE WHEN rk <= 1000 - used THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+        FROM ranked ORDER BY lang""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

@@ -335,6 +335,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_catalog_coverage",
     // friedman: the 1-row type-count broadcast (complete-block filter)
     "agg_friedman_test",
+    // neyman: 1-row weight-total + used-budget broadcasts onto the
+    // |strata|-row frame
+    "sample_neyman_allocation",
     // cohort decay: the 1-row user-count broadcast onto the 4-row
     // pooled-rate frame
     "agg_cohort_decay_fit",
@@ -548,7 +551,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // PSI: the same O(domain) cumulative histogram (decile bands)
       "agg_psi_bands",
       // Page-Hinkley: stacked cumulative walks over the O(days) grid
-      "agg_page_hinkley")
+      "agg_page_hinkley",
+      // neyman: the largest-remainder rank window over the
+      // |strata|-row frame
+      "sample_neyman_allocation")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -579,7 +585,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
       "agg_sprt_sequential", "agg_peak_over_threshold",
-      "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley")
+      "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
+      "sample_neyman_allocation")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -688,7 +695,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_psi_bands", "dq_catalog_coverage",
     "embed_spherical_concentration",
     // r11 batch 21: friedman block windows, backtest lags, PH walk
-    "agg_friedman_test", "window_forecast_backtest", "agg_page_hinkley")
+    "agg_friedman_test", "window_forecast_backtest", "agg_page_hinkley",
+    // r11 batch 22: per-arm quantile histograms, neyman strata frame
+    "agg_quantile_treatment_effect", "sample_neyman_allocation")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

@@ -2610,6 +2610,51 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getLong(3) - math.floor(minU * 1e6)) <= 2)
   }
 
+  test("agg_quantile_treatment_effect: per-arm order statistics match the replay") {
+    val rows = run("agg_quantile_treatment_effect")
+    assert(rows.length == 3)
+    val vs = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS v",
+        "CAST(pmod(user_id, 2) AS BIGINT) AS half")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def quantile(half: Long, p: Long): Long = {
+      val sorted = vs.filter(_._2 == half).map(_._1).sorted
+      val rank = (sorted.length * p + 99) / 100
+      sorted((rank - 1).toInt)
+    }
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      assert(r.getLong(1) == quantile(0L, p), s"p$p control")
+      assert(r.getLong(2) == quantile(1L, p), s"p$p treat")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("sample_neyman_allocation: allocation exhausts the budget; proportional to N_h*S_h") {
+    val rows = run("sample_neyman_allocation")
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byLang = docs.groupBy(_._1)
+    assert(rows.length == byLang.size)
+    assert(rows.map(_.getLong(4)).sum == 1000L, "budget not exhausted")
+    val weights = byLang.map { case (l, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum; val sxx = xs.map(x => x._2 * x._2).sum
+      val varr = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble /
+        (BigInt(n) * (n - 1)).toDouble
+      l -> n.toDouble * math.sqrt(varr)
+    }
+    val z = weights.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    rows.foreach { r =>
+      val share = 1000.0 * weights(r.getString(0)) / z
+      assert(r.getLong(2) == math.floor(share).toLong,
+        s"${r.getString(0)} floor share")
+      // alloc within 1 of the floor (largest-remainder top-up)
+      assert(r.getLong(4) - r.getLong(2) <= 1L && r.getLong(4) >= r.getLong(2))
+    }
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
