@@ -8380,6 +8380,142 @@ object RelationalQueries extends QueryModule {
             AS BIGINT) AS alloc
         FROM ranked ORDER BY lang""")),
 
+    // ── Markov transition entropy rate (how predictable is the user
+    //    journey? H = Σ_i π_i·H(row_i) in nats — near 0 means journeys
+    //    are deterministic templates, near ln k means event types
+    //    don't condition the next step at all): transitions come from
+    //    the per-user time-ordered lag (the markov_transitions build),
+    //    probabilities are exact count rationals, and the ≤k² entropy
+    //    terms fold in (from,to) order (the mixture_kl idiom). Row
+    //    entropies ship per state beside the 1-row rate. ─────────────────
+    QueryDef("agg_transition_entropy",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val trans = e
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type".as("from_t"), $"next_type".as("to_t"))
+          .agg(count(lit(1)).as("c"))
+        val byFrom = trans.groupBy($"from_t").agg(sum($"c").as("n_from"))
+        val total = byFrom.agg(sum($"n_from").as("n_total"))
+        val terms = trans.join(byFrom, "from_t")
+          .crossJoin(broadcast(total))
+          .select($"from_t", $"to_t", $"c", $"n_from", $"n_total",
+            (-($"c".cast("double") / $"n_from".cast("double")) *
+              log($"c".cast("double") / $"n_from".cast("double")))
+              .as("h_term"))
+        val rows = terms.groupBy($"from_t")
+          .agg(max($"n_from").as("n_from"), max($"n_total").as("n_total"),
+            sort_array(collect_list(struct($"to_t", $"h_term"))).as("ts"))
+          .select($"from_t", $"n_from", $"n_total",
+            aggregate($"ts".getField("h_term"), lit(0.0d), (a, x) => a + x)
+              .as("row_entropy"))
+        rows
+          .agg(sort_array(collect_list(struct($"from_t",
+              (($"n_from".cast("double") / $"n_total".cast("double")) *
+                $"row_entropy").as("wt")))).as("ts2"),
+            max($"n_total").as("n_transitions"))
+          .select($"n_transitions",
+            floor(aggregate($"ts2".getField("wt"), lit(0.0d),
+              (a, x) => a + x) * lit(1e9)).cast("long")
+              .as("entropy_rate_e9"))
+      },
+      Some("""WITH ordered AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS next_type
+          FROM events),
+        trans AS (SELECT event_type AS from_t, next_type AS to_t,
+            CAST(count(*) AS BIGINT) AS c
+          FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        byfrom AS (SELECT from_t, CAST(sum(c) AS BIGINT) AS n_from
+          FROM trans GROUP BY from_t),
+        total AS (SELECT CAST(sum(n_from) AS BIGINT) AS n_total
+          FROM byfrom),
+        terms AS (SELECT t.from_t, t.to_t, t.c, b.n_from, n_total,
+            -(CAST(t.c AS DOUBLE) / CAST(b.n_from AS DOUBLE))
+              * ln(CAST(t.c AS DOUBLE) / CAST(b.n_from AS DOUBLE))
+              AS h_term
+          FROM trans t JOIN byfrom b ON t.from_t = b.from_t
+          CROSS JOIN total),
+        rows_ AS (SELECT from_t, max(n_from) AS n_from,
+            max(n_total) AS n_total,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(h_term ORDER BY to_t)), (a, b) -> a + b)
+              AS row_entropy
+          FROM terms GROUP BY from_t)
+        SELECT max(n_total) AS n_transitions,
+          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list((CAST(n_from AS DOUBLE) / CAST(n_total AS DOUBLE))
+              * row_entropy ORDER BY from_t)), (a, b) -> a + b) * 1e9)
+            AS BIGINT) AS entropy_rate_e9
+        FROM rows_""")),
+
+    // ── Lorenz curve deciles (the distribution SHAPE behind the Gini
+    //    number: "the top decile holds X% of revenue" is the sentence
+    //    execs actually use): customers band into spend deciles by
+    //    cumulative USER count (exact ranks off the per-user spend
+    //    histogram), each decile reports its exact user count, cent
+    //    volume, and cumulative share rationals. Same reduced-histogram
+    //    mechanics as PSI, partitioned by nothing bigger than the
+    //    O(users) collapse. ─────────────────────────────────────────────
+    QueryDef("agg_lorenz_deciles",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(expr(
+            "CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)")
+            .as("cents"))
+        val cum = perUser
+          .withColumn("rn", row_number().over(
+            Window.orderBy($"cents", $"user_id")).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        val byDecile = cum
+          .withColumn("decile",
+            expr("least(CAST(10 AS BIGINT), ((rn - 1) * 10) DIV n + 1)"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_users"), sum($"cents").as("cents"))
+        val tot = byDecile.agg(sum($"cents").as("total_cents"))
+        byDecile.crossJoin(broadcast(tot))
+          .withColumn("cum_cents", sum($"cents").over(
+            Window.orderBy($"decile")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"decile", $"n_users", $"cents",
+            ($"cents".cast("double") / $"total_cents".cast("double"))
+              .as("share"),
+            ($"cum_cents".cast("double") / $"total_cents".cast("double"))
+              .as("cum_share"))
+          .orderBy($"decile")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+            CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+              AS BIGINT) AS cents
+          FROM events GROUP BY user_id),
+        cum AS (SELECT cents,
+            CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT)
+              AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS n
+          FROM pu),
+        byd AS (SELECT least(CAST(10 AS BIGINT),
+              ((rn - 1) * 10) // n + 1) AS decile,
+            CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(cents) AS BIGINT) AS cents
+          FROM cum GROUP BY 1),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM byd)
+        SELECT decile, n_users, cents,
+          CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS share,
+          CAST(sum(cents) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(total_cents AS DOUBLE) AS cum_share
+        FROM byd CROSS JOIN tot ORDER BY decile""")),
+
     // ── CUPED pre-experiment adjustment (the variance-reduction
     //    workhorse of modern experimentation — θ = cov(y,x)/var(x) from
     //    a PRE-period covariate shrinks metric variance by ρ², often

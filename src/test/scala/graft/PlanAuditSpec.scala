@@ -338,6 +338,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // neyman: 1-row weight-total + used-budget broadcasts onto the
     // |strata|-row frame
     "sample_neyman_allocation",
+    // transition entropy: the 1-row transition-total broadcast onto
+    // the k² term frame
+    "agg_transition_entropy",
+    // lorenz: the 1-row revenue-total broadcast onto the 10-row frame
+    "agg_lorenz_deciles",
     // cohort decay: the 1-row user-count broadcast onto the 4-row
     // pooled-rate frame
     "agg_cohort_decay_fit",
@@ -554,7 +559,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_page_hinkley",
       // neyman: the largest-remainder rank window over the
       // |strata|-row frame
-      "sample_neyman_allocation")
+      "sample_neyman_allocation",
+      // lorenz: rank/cumulative windows over the O(users) per-user
+      // spend collapse (the gini_coefficient class) + the 10-row
+      // decile frame
+      "agg_lorenz_deciles")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -586,7 +595,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
       "agg_sprt_sequential", "agg_peak_over_threshold",
       "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
-      "sample_neyman_allocation")
+      "sample_neyman_allocation", "agg_lorenz_deciles")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
@@ -697,7 +706,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // r11 batch 21: friedman block windows, backtest lags, PH walk
     "agg_friedman_test", "window_forecast_backtest", "agg_page_hinkley",
     // r11 batch 22: per-arm quantile histograms, neyman strata frame
-    "agg_quantile_treatment_effect", "sample_neyman_allocation")
+    "agg_quantile_treatment_effect", "sample_neyman_allocation",
+    // r11 batch 23: transition-lag windows, lorenz user collapse
+    "agg_transition_entropy", "agg_lorenz_deciles")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)

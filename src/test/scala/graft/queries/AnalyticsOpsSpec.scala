@@ -2655,6 +2655,57 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_transition_entropy: entropy rate matches the sequential replay") {
+    val rows = run("agg_transition_entropy")
+    assert(rows.length == 1)
+    val r = rows.head
+    val trans = eventSeries.values.flatMap { xs =>
+      xs.map(_._2).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1)))
+    }.toSeq
+    assert(r.getLong(0) == trans.length.toLong)
+    val byFrom = trans.groupBy(_._1)
+    val n = trans.length.toDouble
+    val rate = byFrom.map { case (_, xs) =>
+      val nf = xs.length.toDouble
+      val rowH = xs.groupBy(_._2).values.map { g =>
+        val p = g.size / nf; -p * math.log(p) }.sum
+      (nf / n) * rowH
+    }.sum
+    assert(math.abs(r.getLong(1) - math.floor(rate * 1e9)) <= 3)
+  }
+
+  test("agg_lorenz_deciles: cumulative shares match the sorted replay") {
+    val rows = run("agg_lorenz_deciles")
+    val perUser = Tables.load(spark, dir, "events")
+      .selectExpr("user_id",
+        "coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (u, xs) => (u, xs.map(_._2).sum) }
+    val sorted = perUser.sortBy(t => (t._2, t._1))
+    val n = sorted.length.toLong
+    val deciles = sorted.zipWithIndex.groupBy { case (_, i) =>
+      math.min(10L, i.toLong * 10 / n + 1) }
+    assert(rows.length == deciles.size)
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val g = deciles(d)
+      assert(r.getLong(1) == g.length.toLong, s"decile $d users")
+      val cents = g.map(_._1._2).sum
+      assert(r.getLong(2) == cents, s"decile $d cents")
+      cum += cents
+      assert(r.getDouble(3) == cents.toDouble / total)
+      assert(r.getDouble(4) == cum.toDouble / total)
+    }
+    // Lorenz monotonicity holds per USER (deciles of unequal size —
+    // 15 users at sf0.001 band as 2,1,2,1… — break it for totals)
+    val meanShares = rows.map(r =>
+      r.getLong(2).toDouble / r.getLong(1)).toSeq
+    assert(meanShares == meanShares.sorted)
+  }
+
   test("embed_matryoshka_eval: overlap consistent with its own two rankings") {
     val rows = run("embed_matryoshka_eval")
     assert(rows.nonEmpty && rows.length <= 32)
