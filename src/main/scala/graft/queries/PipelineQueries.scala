@@ -3966,6 +3966,153 @@ object PipelineQueries extends QueryModule {
         UNION ALL SELECT CAST(3 AS BIGINT), s3.cid, s3.score FROM s3
         ORDER BY rank""")),
 
+    // ── Code-vs-prose detection per source (the corpus-routing screen a
+    //    mixed crawl needs before tokenizer/mixture decisions — code
+    //    wants different dedup, quality rules, and sampling temperature
+    //    than prose): three structural densities per doc measured as
+    //    pure LENGTH DIFFERENCES after character-class strips
+    //    (regexp_replace with simple classes — identical semantics in
+    //    Java and RE2 regex engines; no tokenization, no explode):
+    //    code-symbol chars {}();=<>[], digits, sentence punctuation.
+    //    A doc flags as code when symbols exceed 1% of its chars —
+    //    decided by integer cross-multiply. Per-source rollup ships doc
+    //    counts and exact ppm densities (integer DIV). One scan, one
+    //    |sources|-row hash aggregate. ──────────────────────────────────
+    QueryDef("text_code_detect",
+      (s, dir) => {
+        import s.implicits._
+        def stripped(cls: String) =
+          length($"text") - length(regexp_replace($"text", cls, ""))
+        val d = Tables.load(s, dir, "documents")
+          .select($"source", $"n_chars",
+            stripped("[{}();=<>\\[\\]]").cast("long").as("n_sym"),
+            stripped("[0-9]").cast("long").as("n_digit"),
+            stripped("[.,!?]").cast("long").as("n_punct"))
+        d.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"n_sym" * 100L > $"n_chars", 1L).otherwise(0L))
+              .as("code_docs"),
+            sum($"n_sym").as("sum_sym"),
+            sum($"n_digit").as("sum_digit"),
+            sum($"n_punct").as("sum_punct"),
+            sum($"n_chars").as("sum_chars"))
+          // ppm in DECIMAL(38,0) (HUGEINT twin): sum_sym·1e6 passes 2⁶³
+          // once a source holds ~9·10¹² matched chars — the 100 TB case
+          .selectExpr("source", "n_docs", "code_docs",
+            "sum_sym", "sum_digit", "sum_punct",
+            "CAST(sum_sym AS DECIMAL(38,0)) * 1000000 DIV sum_chars AS sym_ppm",
+            "CAST(sum_digit AS DECIMAL(38,0)) * 1000000 DIV sum_chars AS digit_ppm",
+            "CAST(sum_punct AS DECIMAL(38,0)) * 1000000 DIV sum_chars AS punct_ppm")
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT source, n_chars,
+            CAST(length(text) - length(regexp_replace(text,
+              '[{}();=<>\[\]]', '', 'g')) AS BIGINT) AS n_sym,
+            CAST(length(text) - length(regexp_replace(text,
+              '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+            CAST(length(text) - length(regexp_replace(text,
+              '[.,!?]', '', 'g')) AS BIGINT) AS n_punct
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN n_sym * 100 > n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS code_docs,
+          CAST(sum(n_sym) AS BIGINT) AS sum_sym,
+          CAST(sum(n_digit) AS BIGINT) AS sum_digit,
+          CAST(sum(n_punct) AS BIGINT) AS sum_punct,
+          CAST(sum(n_sym) * 1000000 // sum(n_chars) AS BIGINT) AS sym_ppm,
+          CAST(sum(n_digit) * 1000000 // sum(n_chars) AS BIGINT)
+            AS digit_ppm,
+          CAST(sum(n_punct) * 1000000 // sum(n_chars) AS BIGINT)
+            AS punct_ppm
+        FROM d GROUP BY source ORDER BY source""")),
+
+    // ── Greedy k-center coreset selection (farthest-point traversal —
+    //    the diverse-subset pick behind coreset curation and
+    //    active-learning seed sets: each round adds the point FARTHEST
+    //    from everything already chosen, the 2-approximation of the
+    //    k-center objective): 4 unrolled rounds over the vec_id < 200
+    //    candidate block, seeded at vec 0 (the MMR greedy shape). All
+    //    distances are EXACT integer L2² on floor(x·2²⁰) quantized
+    //    coordinates — (Δq)² ≤ 2⁴², ×64 dims < 2⁴⁹, pure BIGINT, no
+    //    sqrt, no IEEE anywhere — so argmax ties (→ smallest id) and
+    //    every reported radius² are engine-exact. The pair-distance
+    //    relation is built ONCE ((200 choose 2) rows, localCheckpoint
+    //    barrier) and each round is a broadcast-selected-set probe +
+    //    1-row argmax recombine; at scale the candidate block is a
+    //    deterministic stride sample and each round stays one linear
+    //    scan of it. Row r's radius² is the k-center covering radius
+    //    AFTER r−1 centers — the objective trajectory ships with the
+    //    picks. ──────────────────────────────────────────────────────────
+    QueryDef("sample_kcenter_greedy",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.load(s, dir, "embeddings")
+          .filter($"vec_id" < 200L)
+          .select($"vec_id", posexplode($"embedding").as(Seq("j", "x")))
+          .select($"vec_id", $"j",
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("qv"))
+        val d = q.select($"vec_id".as("va"), $"j".as("ja"), $"qv".as("qa"))
+          .join(q.select($"vec_id".as("vb"), $"j".as("jb"), $"qv".as("qb")),
+            $"jb" === $"ja" && $"va" < $"vb")
+          .groupBy($"va", $"vb")
+          .agg(sum(($"qa" - $"qb") * ($"qa" - $"qb")).as("d2"))
+        // symmetric view, materialized once (every greedy round probes it)
+        val ds = d.select($"va".as("x"), $"vb".as("y"), $"d2")
+          .unionAll(d.select($"vb".as("x"), $"va".as("y"), $"d2"))
+          .localCheckpoint()
+        def argmaxMin(sel: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+          val selIds = sel.map(_.select($"cid")).reduce(_ unionAll _)
+          ds.join(broadcast(selIds.withColumnRenamed("cid", "y")), "y")
+            .groupBy($"x").agg(min($"d2").as("mind"))
+            .join(broadcast(selIds.withColumnRenamed("cid", "x")), Seq("x"), "left_anti")
+            .agg(max(struct($"mind", -$"x", $"x")).as("t"))
+            .select($"t".getField("x").as("cid"), $"t".getField("mind").as("radius2"))
+        }
+        val s1 = Tables.load(s, dir, "embeddings").filter($"vec_id" === 0L)
+          .select($"vec_id".as("cid"), lit(0L).as("radius2")).localCheckpoint()
+        val s2 = argmaxMin(Seq(s1)).localCheckpoint()
+        val s3 = argmaxMin(Seq(s1, s2)).localCheckpoint()
+        val s4 = argmaxMin(Seq(s1, s2, s3)).localCheckpoint()
+        s1.select(lit(1L).as("rank"), $"cid", $"radius2")
+          .unionAll(s2.select(lit(2L).as("rank"), $"cid", $"radius2"))
+          .unionAll(s3.select(lit(3L).as("rank"), $"cid", $"radius2"))
+          .unionAll(s4.select(lit(4L).as("rank"), $"cid", $"radius2"))
+          .orderBy($"rank")
+      },
+      Some("""WITH q AS (SELECT vec_id, j,
+            CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576.0) AS BIGINT)
+              AS qv
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g
+          WHERE vec_id < 200),
+        d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+            CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2
+          FROM q a JOIN q b ON b.j = a.j AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        ds AS (SELECT va AS x, vb AS y, d2 FROM d
+          UNION ALL SELECT vb, va, d2 FROM d),
+        s2 AS (SELECT x AS cid, d2 AS radius2 FROM ds WHERE y = 0
+          ORDER BY d2 DESC, x LIMIT 1),
+        r3 AS (SELECT ds.x, min(ds.d2) AS mind FROM ds
+          WHERE ds.y = 0 OR ds.y = (SELECT cid FROM s2)
+          GROUP BY ds.x),
+        s3 AS (SELECT x AS cid, mind AS radius2 FROM r3
+          WHERE x <> 0 AND x <> (SELECT cid FROM s2)
+          ORDER BY mind DESC, x LIMIT 1),
+        r4 AS (SELECT ds.x, min(ds.d2) AS mind FROM ds
+          WHERE ds.y = 0 OR ds.y = (SELECT cid FROM s2)
+            OR ds.y = (SELECT cid FROM s3)
+          GROUP BY ds.x),
+        s4 AS (SELECT x AS cid, mind AS radius2 FROM r4
+          WHERE x <> 0 AND x <> (SELECT cid FROM s2)
+            AND x <> (SELECT cid FROM s3)
+          ORDER BY mind DESC, x LIMIT 1)
+        SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS cid,
+          CAST(0 AS BIGINT) AS radius2
+        UNION ALL SELECT 2, cid, radius2 FROM s2
+        UNION ALL SELECT 3, cid, radius2 FROM s3
+        UNION ALL SELECT 4, cid, radius2 FROM s4
+        ORDER BY rank""")),
+
     // ── Term burstiness (Church–Gale: content words CLUMP — a term
     //    whose occurrences concentrate in few docs is topical, one
     //    spread evenly is functional; the variance-to-mean ratio of

@@ -580,6 +580,15 @@ object RelationalQueries extends QueryModule {
           .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
           .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
           .agg(count(lit(1)).as("w"))
+          // localCheckpoint (the kcore iteration pattern): all 4
+          // mutual-reinforcement steps reference `edges`, each rescale
+          // references its input twice, and the output joins a2 twice —
+          // without a barrier the final plan re-evaluates the
+          // lineitem⋈orders edge build ~44× (measured 5.7 s at sf0.1 vs
+          // ~1 s checkpointed); the barrier makes "the fact table is
+          // touched once" literal. Each |nodes|-row step checkpoints too
+          // so the tiny-join fan-out doesn't compound either.
+          .localCheckpoint()
         val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
         // the ×1e9 product passes 2^63 at sf10 — DECIMAL(38,0) DIV is
         // exact integral division in Spark (bigint result), HUGEINT //
@@ -589,6 +598,7 @@ object RelationalQueries extends QueryModule {
           x.crossJoin(broadcast(mx))
             .selectExpr("node",
               s"(CAST($col0 AS DECIMAL(38,0)) * 1000000000) DIV mx AS $col0")
+            .localCheckpoint()
         }
         val h0 = nodes.selectExpr("node", "CAST(1000000000 AS BIGINT) AS h")
         def authStep(h: DataFrame): DataFrame = rescale(
@@ -2868,6 +2878,67 @@ object RelationalQueries extends QueryModule {
             - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
         FROM c""")),
 
+    // ── McNemar's paired test on the SAME two annotators as
+    //    agg_cohen_kappa (the question kappa can't answer: agreement can
+    //    be high while one annotator is systematically STRICTER — McNemar
+    //    tests whether the two disagreement directions b = A-only and
+    //    c = B-only are symmetric): χ² = (b−c)²/(b+c) and the
+    //    continuity-corrected (|b−c|−1)²/(b+c) ship as EXACT BIGINT
+    //    numerator/denominator pairs beside one IEEE division each;
+    //    verdict against the fixed χ²₀.₉₅,₁ = 3.841459 literal stays a
+    //    cross-multiplied integer compare (no float boundary). One
+    //    full-scan aggregate to a single row. ───────────────────────────
+    QueryDef("agg_mcnemar",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select(
+          when($"n_chars" >= 300, 1L).otherwise(0L).as("a"),
+          when($"n_chars" >= 200 && $"lang" === "en", 1L).otherwise(0L).as("b"))
+        d.agg(
+            sum(when($"a" === 1 && $"b" === 0, 1L).otherwise(0L)).as("b_only"),
+            sum(when($"a" === 0 && $"b" === 1, 1L).otherwise(0L)).as("c_only"))
+          .selectExpr("b_only", "c_only",
+            "(b_only - c_only) * (b_only - c_only) AS chi2_num",
+            "b_only + c_only AS chi2_den",
+            "CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE)" +
+              " / CAST(b_only + c_only AS DOUBLE) AS chi2",
+            "(abs(b_only - c_only) - 1) * (abs(b_only - c_only) - 1)" +
+              " AS chi2cc_num",
+            "CAST((abs(b_only - c_only) - 1) * (abs(b_only - c_only) - 1)" +
+              " AS DOUBLE) / CAST(b_only + c_only AS DOUBLE) AS chi2_cc",
+            // 3.841459 = 3841459/1e6: integer cross-multiply, no float;
+            // DECIMAL(38,0) (HUGEINT twin) because diff²·1e6 passes 2⁶³
+            // once the disagreement counts reach ~3·10⁶ docs
+            "CASE WHEN CAST((b_only - c_only) * (b_only - c_only)" +
+              " AS DECIMAL(38,0)) * 1000000" +
+              " > CAST(3841459 AS DECIMAL(38,0)) * (b_only + c_only)" +
+              " THEN 1 ELSE 0 END AS asymmetric")
+      },
+      Some("""WITH d AS (SELECT
+            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+            CASE WHEN n_chars >= 200 AND lang = 'en' THEN 1 ELSE 0 END AS b
+          FROM documents),
+        m AS (SELECT
+            CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS b_only,
+            CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS c_only
+          FROM d)
+        SELECT b_only, c_only,
+          CAST((b_only - c_only) * (b_only - c_only) AS BIGINT) AS chi2_num,
+          CAST(b_only + c_only AS BIGINT) AS chi2_den,
+          CAST((b_only - c_only) * (b_only - c_only) AS DOUBLE)
+            / CAST(b_only + c_only AS DOUBLE) AS chi2,
+          CAST((abs(b_only - c_only) - 1) * (abs(b_only - c_only) - 1)
+            AS BIGINT) AS chi2cc_num,
+          CAST((abs(b_only - c_only) - 1) * (abs(b_only - c_only) - 1)
+            AS DOUBLE) / CAST(b_only + c_only AS DOUBLE) AS chi2_cc,
+          CASE WHEN CAST((b_only - c_only) * (b_only - c_only) AS HUGEINT)
+              * 1000000
+            > CAST(3841459 AS HUGEINT) * (b_only + c_only)
+            THEN 1 ELSE 0 END AS asymmetric
+        FROM m""")),
+
     // ── batch sessionization (30-min inactivity gap): the canonical
     //    gaps-to-sessions rollup — flag each event that starts a new
     //    session (first for the user, or > 30 min since the previous),
@@ -3024,6 +3095,60 @@ object RelationalQueries extends QueryModule {
         SELECT event_type, dow7, n_events, value_cents,
           CAST((n_events * 1000000) // sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
         FROM a ORDER BY event_type, dow7""")),
+
+    // ── Classical additive seasonal decomposition, dow component (the
+    //    step agg_seasonality_profile's RAW dow shares can't give: raw
+    //    shares confound trend with season — decomposition first removes
+    //    the centered 7-day moving trend, THEN averages the residual by
+    //    day-of-week): daily cent totals on the O(days) grid, trend =
+    //    the complete ±3-day ROWS frame sum (global window over the
+    //    reduced grid — rolling_corr class, allowlisted), detrended
+    //    value scaled ×7 so 7·c − Σ₇ stays a pure BIGINT (no division,
+    //    no float), per-dow seasonal sum exact, the per-dow mean the one
+    //    IEEE division at the very end. Interior days only (complete
+    //    frames) — both engines drop the same 6 boundary days. ──────────
+    QueryDef("agg_seasonal_decompose",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // null-filter first: a day of only-null values would otherwise
+        // sit on the grid as a NULL row and poison its 7 frames
+        val daily = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+        val w7 = Window.orderBy($"d").rowsBetween(-3, 3)
+        daily
+          .withColumn("nf", count(lit(1)).over(w7))
+          .withColumn("t7", sum($"c").over(w7))
+          .filter($"nf" === 7L)
+          .select(($"d" % 7L).as("dow7"),
+            (lit(7L) * $"c" - $"t7").as("detr_x7"))
+          .groupBy($"dow7")
+          .agg(count(lit(1)).as("n_days"),
+            sum($"detr_x7").as("seasonal_sum_x7"))
+          .selectExpr("dow7", "n_days", "seasonal_sum_x7",
+            "CAST(seasonal_sum_x7 AS DOUBLE)" +
+              " / (7.0 * CAST(n_days AS DOUBLE)) AS seasonal_cents")
+          .orderBy($"dow7")
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        t AS (SELECT d, c,
+            count(*) OVER w AS nf,
+            CAST(sum(c) OVER w AS BIGINT) AS t7
+          FROM daily WINDOW w AS (ORDER BY d
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        detr AS (SELECT d % 7 AS dow7, 7 * c - t7 AS detr_x7
+          FROM t WHERE nf = 7)
+        SELECT dow7, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(detr_x7) AS BIGINT) AS seasonal_sum_x7,
+          CAST(sum(detr_x7) AS DOUBLE) / (7.0 * CAST(count(*) AS DOUBLE))
+            AS seasonal_cents
+        FROM detr GROUP BY dow7 ORDER BY dow7""")),
 
     // ── RFM scoring (recency / frequency / monetary): per-user exact
     //    aggregates, then 1–5 scores by QUANTILE-CUT against the exact
@@ -3356,6 +3481,82 @@ object RelationalQueries extends QueryModule {
           CAST(max(CASE WHEN n = 5 THEN n*sq - sm*sm END) AS BIGINT) AS max_disp_x25
         FROM b GROUP BY user_id ORDER BY user_id""")),
 
+    // ── Relative Strength Index per user (Wilder's RSI, the
+    //    momentum-exhaustion gauge beside the Bollinger dispersion
+    //    band): deltas of the null-filtered cent series via one lag,
+    //    gains/losses summed over the trailing 14-delta ROWS frame, and
+    //    the classic 100 − 100/(1+RS) COLLAPSES to 100·G/(G+L) because
+    //    both averages share the same window — so the indicator is an
+    //    EXACT integer: rsi_bp = G·10⁴ DIV (G+L) basis points, no float
+    //    anywhere. Reported at each user's final event (max_by on the
+    //    row ordinal), −1 sentinel until 14 deltas exist or while
+    //    G+L = 0. Both windows share ONE user_id sort-shuffle. ──────────
+    QueryDef("window_rsi",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val w14 = w.rowsBetween(-13, 0)
+        val deltas = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .selectExpr("user_id", "event_id", "ts",
+            "CAST(round(value * 100) AS BIGINT) AS c")
+          .withColumn("delta", $"c" - lag($"c", 1).over(w))
+          .filter($"delta".isNotNull)
+        val rsi = deltas
+          .withColumn("rn", row_number().over(w))
+          .withColumn("g", sum(when($"delta" > 0L, $"delta").otherwise(0L))
+            .over(w14))
+          .withColumn("l", sum(when($"delta" < 0L, -$"delta").otherwise(0L))
+            .over(w14))
+          // -1 sentinel, not NULL: Spark max_by carries a NULL value at
+          // the max key where DuckDB arg_max skips it — sentinels keep
+          // the two engines on the same row
+          .withColumn("rsi_bp",
+            when($"rn" >= 14L && $"g" + $"l" > 0L,
+              expr("g * 10000 DIV (g + l)")).otherwise(-1L))
+        rsi.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_deltas"),
+            expr("max_by(g, rn)").as("last_gain14"),
+            expr("max_by(l, rn)").as("last_loss14"),
+            expr("max_by(rsi_bp, rn)").as("last_rsi_bp"),
+            sum(when($"rsi_bp" >= 7000L, 1L).otherwise(0L))
+              .as("n_overbought"),
+            sum(when($"rsi_bp" <= 3000L, 1L).otherwise(0L)).as("n_oversold"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+        d AS (SELECT user_id, event_id, ts,
+            c - lag(c, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS delta
+          FROM e),
+        f AS (SELECT * FROM d WHERE delta IS NOT NULL),
+        r AS (SELECT user_id,
+            row_number() OVER w AS rn,
+            CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS g,
+            CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS l
+          FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        x AS (SELECT user_id, rn, g, l,
+            CASE WHEN rn >= 14 AND g + l > 0 THEN g * 10000 // (g + l)
+              ELSE -1 END AS rsi_bp
+          FROM r)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_deltas,
+          max_by(g, rn) AS last_gain14,
+          max_by(l, rn) AS last_loss14,
+          CAST(max_by(rsi_bp, rn) AS BIGINT) AS last_rsi_bp,
+          CAST(sum(CASE WHEN rsi_bp >= 7000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_overbought,
+          CAST(sum(CASE WHEN rsi_bp <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oversold
+        FROM x GROUP BY user_id ORDER BY user_id""")),
+
     // ── Market-basket pair lift over lineitem (the co-purchase miner
     //    behind "frequently bought together"): distinct (order, part)
     //    pairs self-joined on l_orderkey with p1 < p2, support-pruned
@@ -3369,8 +3570,14 @@ object RelationalQueries extends QueryModule {
     QueryDef("agg_basket_lift",
       (s, dir) => {
         import s.implicits._
+        // localCheckpoint: `items` feeds the support counts, BOTH
+        // self-join sides (via fitems), and the basket total — five
+        // evaluations of the 600 k-row distinct without a barrier
+        // (the kcore pattern; ~3 s → ~1.5 s at sf0.1). At cluster scale:
+        // persist(DISK_ONLY) on the deduped basket relation.
         val items = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+          .localCheckpoint()
         val counts = items.groupBy($"pk").agg(count(lit(1)).as("n_ord"))
         val freq = counts.filter($"n_ord" >= 8)
         // plain equi-join, not a forced broadcast: the frequent-part set
@@ -4924,7 +5131,13 @@ object RelationalQueries extends QueryModule {
           .distinct()
         val keep = e0.groupBy($"cust").agg(count(lit(1)).as("dc"))
           .filter($"dc" <= 64).select($"cust")
-        val e = e0.join(keep, Seq("cust"), "left_semi")
+        // localCheckpoint: `e` feeds the degree count AND both self-join
+        // sides, and e itself is e0 ⋈ keep(e0) — unbarriered, the base
+        // orders⋈lineitem join re-evaluates ~6× (the kcore pattern;
+        // measured 4.5 s at sf0.1 vs ~1.5 s checkpointed). At cluster
+        // scale the same barrier is persist(DISK_ONLY) on the capped
+        // edge list, which is ≤64·|customers| rows by construction.
+        val e = e0.join(keep, Seq("cust"), "left_semi").localCheckpoint()
         val deg = e.groupBy($"supp").agg(count(lit(1)).as("d"))
         val shared = e.as("a").join(e.as("b"),
             col("a.cust") === col("b.cust")
@@ -5181,6 +5394,80 @@ object RelationalQueries extends QueryModule {
             list(absdiff ORDER BY event_type)), (a, b) -> a + b) * 0.5
             AS tv_distance
         FROM d""")),
+
+    // ── Jensen–Shannon divergence between the same even/odd-day
+    //    event-type mixes as agg_tv_distance (the SYMMETRIC, always-
+    //    finite information-theoretic drift measure — KL blows up on a
+    //    zero-count category, JS's mixture midpoint never does, which
+    //    is why monitoring stacks standardize on it): per cell p, q as
+    //    exact-BIGINT ratios, m = (p+q)/2, terms p·ln(p/m) and
+    //    q·ln(q/m) (zero-count cells contribute 0 by the 0·ln0 := 0
+    //    convention, materialized as CASE), both folds in explicit
+    //    event-type order. The final nats value ships floor(·1e9) — ln
+    //    drifts 1 ulp between Java and DuckDB libm (the agg_user_entropy
+    //    finding), so raw-double emission would be flaky where the
+    //    quantized value is stable. One scan, |types|×2 cells, 1-row
+    //    totals broadcast. ──────────────────────────────────────────────
+    QueryDef("agg_jensen_shannon",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("pmod(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT), 2)")
+              .as("side"))
+        val cells = t.groupBy($"event_type")
+          .agg(sum(when($"side" === 0, 1L).otherwise(0L)).as("n_even"),
+            sum(when($"side" === 1, 1L).otherwise(0L)).as("n_odd"))
+        val tot = cells.agg(sum($"n_even").as("t_even"),
+          sum($"n_odd").as("t_odd"))
+        val terms = cells.crossJoin(broadcast(tot))
+          .select($"event_type",
+            ($"n_even".cast("double") / $"t_even".cast("double")).as("p"),
+            ($"n_odd".cast("double") / $"t_odd".cast("double")).as("q"))
+          .select($"event_type",
+            when($"p" > 0.0d,
+              $"p" * log($"p" / (($"p" + $"q") * 0.5d))).otherwise(0.0d)
+              .as("t_p"),
+            when($"q" > 0.0d,
+              $"q" * log($"q" / (($"p" + $"q") * 0.5d))).otherwise(0.0d)
+              .as("t_q"))
+        terms
+          .agg(count(lit(1)).as("n_categories"),
+            sort_array(collect_list(struct($"event_type", $"t_p", $"t_q")))
+              .as("ts"))
+          .select($"n_categories",
+            floor((aggregate($"ts".getField("t_p"), lit(0.0d),
+                (a, x) => a + x) +
+              aggregate($"ts".getField("t_q"), lit(0.0d),
+                (a, x) => a + x)) * lit(0.5d) * lit(1e9d)).cast("long")
+              .as("js_nats_q9"))
+      },
+      Some("""WITH t AS (SELECT event_type,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 AS side
+          FROM events),
+        cells AS (SELECT event_type,
+            CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+            CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+          FROM t GROUP BY event_type),
+        tot AS (SELECT CAST(sum(n_even) AS BIGINT) AS t_even,
+            CAST(sum(n_odd) AS BIGINT) AS t_odd FROM cells),
+        pq AS (SELECT event_type,
+            CAST(n_even AS DOUBLE) / CAST(t_even AS DOUBLE) AS p,
+            CAST(n_odd AS DOUBLE) / CAST(t_odd AS DOUBLE) AS q
+          FROM cells, tot),
+        terms AS (SELECT event_type,
+            CASE WHEN p > 0.0 THEN p * ln(p / ((p + q) * 0.5))
+              ELSE 0.0 END AS t_p,
+            CASE WHEN q > 0.0 THEN q * ln(q / ((p + q) * 0.5))
+              ELSE 0.0 END AS t_q
+          FROM pq)
+        SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(t_p ORDER BY event_type)), (a, b) -> a + b)
+            + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(t_q ORDER BY event_type)), (a, b) -> a + b))
+            * 0.5 * 1e9) AS BIGINT) AS js_nats_q9
+        FROM terms""")),
 
     // ── Two-proportion z-test on conversion (the A/B readout for BINARY
     //    outcomes, completing the experiment family: agg_mann_whitney_u
@@ -6632,6 +6919,150 @@ object RelationalQueries extends QueryModule {
               AS DOUBLE) AS paasche
         FROM j""")),
 
+    // ── Bounded BFS shortest hops from nation 0 over the DIRECTED trade
+    //    graph (cust-nation → supp-nation edges — "how many trade steps
+    //    from market 0 to every other market", the reachability /
+    //    influence-radius primitive under every network-distance
+    //    feature): 3 synchronous min-propagation rounds (the
+    //    graph_pagerank_fixed bounded-iteration contract — a fixed round
+    //    count is what keeps a data-dependent frontier oracle-checkable),
+    //    each round one |edges| ⋈ |reached| hash join + a min hash
+    //    aggregate; localCheckpoint per round (kcore pattern) so round
+    //    3's plan doesn't re-evaluate the fact join 3³ times. Distances
+    //    are pure integers; unreached nodes are absent by construction
+    //    in both engines. ──────────────────────────────────────────────
+    QueryDef("graph_shortest_hops",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .select($"c_nationkey".cast("long").as("src"),
+            $"s_nationkey".cast("long").as("dst"))
+          .distinct()
+          .localCheckpoint()
+        var dist = Seq((0L, 0L)).toDF("node", "hops")
+        for (_ <- 1 to 3) {
+          val relaxed = edges
+            .join(dist.select($"node".as("src"), $"hops"), "src")
+            .select($"dst".as("node"), ($"hops" + 1L).as("hops"))
+          dist = dist.unionAll(relaxed)
+            .groupBy($"node").agg(min($"hops").as("hops"))
+            .localCheckpoint()
+        }
+        dist.orderBy($"node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+            CAST(s.s_nationkey AS BIGINT) AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops),
+        d1 AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d0
+            UNION ALL SELECT e.dst, d0.hops + 1 FROM e
+              JOIN d0 ON e.src = d0.node) u GROUP BY node),
+        d2 AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d1
+            UNION ALL SELECT e.dst, d1.hops + 1 FROM e
+              JOIN d1 ON e.src = d1.node) u GROUP BY node),
+        d3 AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d2
+            UNION ALL SELECT e.dst, d2.hops + 1 FROM e
+              JOIN d2 ON e.src = d2.node) u GROUP BY node)
+        SELECT node, hops FROM d3 ORDER BY node""")),
+
+    // ── Wald–Wolfowitz runs test on the daily revenue series (the
+    //    randomness audit Mann–Kendall's trend answer can't give: a
+    //    series can be trend-free yet AUTOCORRELATED — too few runs —
+    //    or oscillating — too many; both break the i.i.d. assumption
+    //    every A/B readout above leans on): each day signs + / − against
+    //    the exact median of the daily grid (PERCENTILE_CONT parity,
+    //    1-row broadcast; equal-to-median days drop, the standard
+    //    treatment), runs counted as 1 + Σ[sign flips] via one lag over
+    //    the O(days) ordered grid (reduced-input global window — the
+    //    agg_sprt class, allowlisted), and z = (R − μ)/σ with
+    //    μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) — every
+    //    moment an exact BIGINT, one fixed-order IEEE tree with a
+    //    correctly-rounded sqrt ⇒ bit-identical doubles. ────────────────
+    QueryDef("agg_runs_test",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+        val med = daily.agg(expr("percentile(c, 0.5D)").as("med"))
+        val signed = daily.crossJoin(broadcast(med))
+          .filter($"c".cast("double") =!= $"med")
+          .select($"d",
+            when($"c".cast("double") > $"med", 1L).otherwise(-1L).as("sg"))
+        val runs = signed
+          .withColumn("flip",
+            when(lag($"sg", 1).over(Window.orderBy($"d")).isNull, 0L)
+              .when(lag($"sg", 1).over(Window.orderBy($"d")) =!= $"sg", 1L)
+              .otherwise(0L))
+          .agg(sum(when($"sg" === 1L, 1L).otherwise(0L)).as("n_above"),
+            sum(when($"sg" === -1L, 1L).otherwise(0L)).as("n_below"),
+            (sum($"flip") + lit(1L)).as("n_runs"))
+        runs.select($"n_above", $"n_below", $"n_runs",
+          ((lit(2.0d) * ($"n_above" * $"n_below").cast("double") /
+            ($"n_above" + $"n_below").cast("double") + lit(1.0d)))
+            .as("mu"))
+          .withColumn("sigma", sqrt(
+            lit(2.0d) * ($"n_above" * $"n_below").cast("double") *
+              (lit(2.0d) * ($"n_above" * $"n_below").cast("double") -
+                ($"n_above" + $"n_below").cast("double")) /
+              ((($"n_above" + $"n_below") * ($"n_above" + $"n_below"))
+                .cast("double") *
+                ($"n_above" + $"n_below" - 1L).cast("double"))))
+          .withColumn("z",
+            ($"n_runs".cast("double") - $"mu") / $"sigma")
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        med AS (SELECT quantile_cont(c, 0.5) AS med FROM daily),
+        signed AS (SELECT d,
+            CASE WHEN CAST(c AS DOUBLE) > med THEN 1 ELSE -1 END AS sg
+          FROM daily, med WHERE CAST(c AS DOUBLE) <> med),
+        flips AS (SELECT sg,
+            CASE WHEN lag(sg) OVER (ORDER BY d) IS NULL THEN 0
+              WHEN lag(sg) OVER (ORDER BY d) <> sg THEN 1 ELSE 0 END
+              AS flip
+          FROM signed),
+        r AS (SELECT
+            CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_above,
+            CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_below,
+            CAST(sum(flip) + 1 AS BIGINT) AS n_runs
+          FROM flips)
+        SELECT n_above, n_below, n_runs,
+          2.0 * CAST(n_above * n_below AS DOUBLE)
+            / CAST(n_above + n_below AS DOUBLE) + 1.0 AS mu,
+          sqrt(2.0 * CAST(n_above * n_below AS DOUBLE)
+              * (2.0 * CAST(n_above * n_below AS DOUBLE)
+                - CAST(n_above + n_below AS DOUBLE))
+            / (CAST((n_above + n_below) * (n_above + n_below) AS DOUBLE)
+              * CAST(n_above + n_below - 1 AS DOUBLE))) AS sigma,
+          (CAST(n_runs AS DOUBLE)
+            - (2.0 * CAST(n_above * n_below AS DOUBLE)
+              / CAST(n_above + n_below AS DOUBLE) + 1.0))
+            / sqrt(2.0 * CAST(n_above * n_below AS DOUBLE)
+              * (2.0 * CAST(n_above * n_below AS DOUBLE)
+                - CAST(n_above + n_below AS DOUBLE))
+            / (CAST((n_above + n_below) * (n_above + n_below) AS DOUBLE)
+              * CAST(n_above + n_below - 1 AS DOUBLE))) AS z
+        FROM r""")),
+
     // ── Mann–Kendall trend test on the daily purchase-revenue series
     //    (the nonparametric "is this drifting?" answer — no linearity or
     //    normality assumed, the companion `agg_theil_sen` slope already
@@ -7815,9 +8246,14 @@ object RelationalQueries extends QueryModule {
         cb.select($"k".as("ka"), $"nm".as("na"), $"blk")
           .join(cb.select($"k".as("kb"), $"nm".as("nb"),
             $"blk".as("blk2")), $"blk" === $"blk2" && $"ka" < $"kb")
+          // threshold-bounded levenshtein (Spark 4 3-arg form): the DP
+          // early-exits once distance must exceed 1 and returns -1 —
+          // O(len) per pair instead of O(len²) across the ~7 M in-block
+          // candidate pairs; survivors carry their TRUE distance, so the
+          // thresholdless DuckDB twin sees identical rows.
           .select($"ka", $"kb", $"na", $"nb",
-            levenshtein($"na", $"nb").cast("long").as("dist"))
-          .filter($"dist" <= 1L)
+            expr("CAST(levenshtein(na, nb, 1) AS BIGINT)").as("dist"))
+          .filter($"dist" >= 0L && $"dist" <= 1L)
           .orderBy($"ka", $"kb").limit(50)
       },
       Some("""WITH c AS (SELECT c_custkey AS k, c_name AS nm,

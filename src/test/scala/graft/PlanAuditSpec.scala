@@ -391,6 +391,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "dq_freshness_sla",
     // collocation lift: the 1-row broadcast corpus-count recombine
     "text_collocation_lift",
+    // runs test: the 1-row broadcast median recombine onto the O(days)
+    // daily grid (the scalar-recombine shape)
+    "agg_runs_test",
     // cusum: the 1-row broadcast global-target recombine onto the
     // event stream (the scalar-recombine shape)
     "window_cusum_drift",
@@ -563,7 +566,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // lorenz: rank/cumulative windows over the O(users) per-user
       // spend collapse (the gini_coefficient class) + the 10-row
       // decile frame
-      "agg_lorenz_deciles")
+      "agg_lorenz_deciles",
+      // runs test: one lag over the O(days) signed daily grid (the
+      // agg_sprt_sequential class)
+      "agg_runs_test",
+      // seasonal decompose: the ±3-day trend frame over the O(days)
+      // daily grid (the rolling_corr class)
+      "agg_seasonal_decompose")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -595,7 +604,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
       "agg_sprt_sequential", "agg_peak_over_threshold",
       "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
-      "sample_neyman_allocation", "agg_lorenz_deciles")
+      "sample_neyman_allocation", "agg_lorenz_deciles", "agg_runs_test",
+      "agg_seasonal_decompose")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

@@ -2737,6 +2737,221 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_kcenter_greedy equals the sequential farthest-point traversal") {
+    val rows = run("sample_kcenter_greedy")
+    assert(rows.length == 4)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 0L &&
+      rows(0).getLong(2) == 0L)
+    // driver replay in the same exact integer arithmetic
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .filter("vec_id < 200")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 1048576.0).toLong).toArray))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = vecs.toMap
+    var selected = Vector(0L)
+    var expected = Vector((1L, 0L, 0L))
+    for (rank <- 2 to 4) {
+      val (cid, rad) = vecs.filter(v => !selected.contains(v._1))
+        .map { case (id, q) => (id, selected.map(s => d2(q, byId(s))).min) }
+        .maxBy { case (id, mind) => (mind, -id) }
+      selected :+= cid
+      expected :+= ((rank.toLong, cid, rad))
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expected, s"got $got want $expected")
+  }
+
+  test("agg_runs_test equals the sequential runs count and Wald-Wolfowitz moments") {
+    val rows = run("agg_runs_test")
+    assert(rows.length == 1)
+    // value can be NULL — the engine's sum() skips those rows (a day of
+    // only-null values would carry c NULL, which percentile and the
+    // <> med filter both drop); filtering here mirrors that exactly
+    val daily = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toVector.sortBy(_._1)
+    val vals = daily.map(_._2.toDouble).sorted
+    val n = vals.length
+    // PERCENTILE_CONT lower-interpolated median
+    val med = if (n % 2 == 1) vals(n / 2)
+      else (vals(n / 2 - 1) + vals(n / 2)) / 2.0
+    val signs = daily.map(_._2.toDouble).filter(_ != med).map(c => if (c > med) 1 else -1)
+    val n1 = signs.count(_ == 1).toLong
+    val n2 = signs.count(_ == -1).toLong
+    val runs = 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    assert(rows(0).getLong(0) == n1)
+    assert(rows(0).getLong(1) == n2)
+    assert(rows(0).getLong(2) == runs)
+    val mu = 2.0 * (n1 * n2).toDouble / (n1 + n2).toDouble + 1.0
+    val sigma = math.sqrt(2.0 * (n1 * n2).toDouble *
+      (2.0 * (n1 * n2).toDouble - (n1 + n2).toDouble) /
+      (((n1 + n2) * (n1 + n2)).toDouble * (n1 + n2 - 1).toDouble))
+    assert(math.abs(rows(0).getDouble(3) - mu) < 1e-9)
+    assert(math.abs(rows(0).getDouble(4) - sigma) < 1e-12)
+    assert(math.abs(rows(0).getDouble(5) - (runs.toDouble - mu) / sigma) < 1e-9)
+  }
+
+  test("graph_shortest_hops equals a sequential 3-round BFS relaxation") {
+    val rows = run("graph_shortest_hops")
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = Tables.load(spark, dir, "lineitem").selectExpr("l_orderkey", "l_suppkey")
+      .join(Tables.load(spark, dir, "orders").selectExpr("o_orderkey", "o_custkey"),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .join(Tables.load(spark, dir, "customer").selectExpr("c_custkey", "c_nationkey"),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .join(Tables.load(spark, dir, "supplier").selectExpr("s_suppkey", "s_nationkey"),
+        org.apache.spark.sql.functions.expr("l_suppkey = s_suppkey"))
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS src", "CAST(s_nationkey AS BIGINT) AS dst")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = edges.flatMap { case (s0, d0) =>
+        dist.get(s0).map(h => (d0, h + 1L))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, vs) => (k, vs.map(_._2).min) }
+    }
+    assert(rows == dist, s"got $rows want $dist")
+  }
+
+  test("agg_mcnemar equals the sequential 2x2 disagreement count") {
+    val rows = run("agg_mcnemar")
+    assert(rows.length == 1)
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("n_chars", "lang").collect()
+      .map(r => (r.getLong(0) >= 300, r.getLong(0) >= 200 && r.getString(1) == "en"))
+    val b = docs.count { case (a, bb) => a && !bb }.toLong
+    val c = docs.count { case (a, bb) => !a && bb }.toLong
+    assert(rows(0).getLong(0) == b && rows(0).getLong(1) == c)
+    assert(rows(0).getLong(2) == (b - c) * (b - c))
+    assert(rows(0).getLong(3) == b + c)
+    assert(math.abs(rows(0).getDouble(4) -
+      ((b - c) * (b - c)).toDouble / (b + c).toDouble) < 1e-12)
+    val want = if ((b - c) * (b - c) * 1000000L > 3841459L * (b + c)) 1 else 0
+    assert(rows(0).getInt(7) == want)
+  }
+
+  test("agg_jensen_shannon: JS in [0, ln 2], equals the sequential fold") {
+    val rows = run("agg_jensen_shannon")
+    assert(rows.length == 1)
+    val js = rows(0).getLong(1).toDouble / 1e9
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+    // sequential replay
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 AS side")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = evs.map(_._1).distinct.sorted
+    val tEven = evs.count(_._2 == 0).toDouble
+    val tOdd = evs.count(_._2 == 1).toDouble
+    var sp = 0.0; var sq = 0.0
+    types.foreach { t =>
+      val p = evs.count(e => e._1 == t && e._2 == 0).toDouble / tEven
+      val q = evs.count(e => e._1 == t && e._2 == 1).toDouble / tOdd
+      val m = (p + q) * 0.5
+      if (p > 0) sp += p * math.log(p / m)
+      if (q > 0) sq += q * math.log(q / m)
+    }
+    assert(rows(0).getLong(0) == types.length.toLong)
+    assert(math.abs(js - (sp + sq) * 0.5) < 1e-6)
+  }
+
+  test("text_code_detect: densities consistent and ppm exact") {
+    val rows = run("text_code_detect")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, codeDocs) = (r.getLong(1), r.getLong(2))
+      assert(codeDocs >= 0 && codeDocs <= nDocs)
+      val (sym, digit, punct, symPpm) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(sym >= 0 && digit >= 0 && punct >= 0)
+      assert(symPpm >= 0 && symPpm <= 1000000L)
+      assert(r.getLong(7) <= 1000000L && r.getLong(8) <= 1000000L)
+    }
+    // spot-replay one source on the driver
+    val first = rows.head.getString(0)
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") === first)
+      .selectExpr("text", "n_chars").collect()
+    val symCls = "[{}();=<>\\[\\]]".r
+    val sumSym = docs.map(d => symCls.findAllIn(d.getString(0)).length.toLong).sum
+    val codeDocs = docs.count { d =>
+      symCls.findAllIn(d.getString(0)).length.toLong * 100L > d.getLong(1)
+    }.toLong
+    assert(rows.head.getLong(3) == sumSym)
+    assert(rows.head.getLong(2) == codeDocs)
+  }
+
+  test("window_rsi equals the sequential trailing-14 gain/loss fold") {
+    val rows = run("window_rsi")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    import org.apache.spark.sql.functions._
+    val evs = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+      .groupBy(_._1)
+    val expected = evs.collect { case (u, es) if es.length >= 2 =>
+      val deltas = es.map(_._4).sliding(2).map(p => p(1) - p(0)).toVector
+      var nOver = 0L; var nUnder = 0L
+      var lastG = 0L; var lastL = 0L; var lastRsi = -1L
+      deltas.indices.foreach { i =>
+        val win = deltas.slice(math.max(0, i - 13), i + 1)
+        val g = win.filter(_ > 0).sum
+        val l = -win.filter(_ < 0).sum
+        val rsi = if (i + 1 >= 14 && g + l > 0) g * 10000L / (g + l) else -1L
+        if (rsi >= 7000) nOver += 1
+        if (rsi >= 0 && rsi <= 3000) nUnder += 1
+        lastG = g; lastL = l; lastRsi = rsi
+      }
+      u -> ((deltas.length.toLong, lastG, lastL, lastRsi, nOver, nUnder))
+    }
+    assert(rows.size == expected.size)
+    expected.foreach { case (u, want) =>
+      assert(rows(u) == want, s"user $u: got ${rows(u)} want $want")
+    }
+  }
+
+  test("agg_seasonal_decompose: seasonal sums balance and match the driver fold") {
+    val rows = run("agg_seasonal_decompose")
+    assert(rows.length <= 7)
+    val daily = Tables.load(spark, dir, "events")
+      .filter("value IS NOT NULL")
+      .selectExpr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+      .toVector.sortBy(_._1)
+    // ROWS frame: 7 grid ROWS, not 7 consecutive calendar days
+    val expected = daily.indices
+      .filter(i => i >= 3 && i + 3 < daily.length)
+      .map { i =>
+        val t7 = (i - 3 to i + 3).map(daily(_)._2).sum
+        (daily(i)._1 % 7, 7L * daily(i)._2 - t7)
+      }
+      .groupBy(_._1).map { case (dow, xs) =>
+        dow -> ((xs.length.toLong, xs.map(_._2).sum))
+      }
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got want $expected")
+  }
+
   test("window_interval_coalesce equals a sequential per-user interval merge") {
     val rows = run("window_interval_coalesce")
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
