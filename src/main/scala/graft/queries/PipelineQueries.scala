@@ -5763,7 +5763,155 @@ object PipelineQueries extends QueryModule {
           CAST(coalesce(h.n_hits, 0) AS DOUBLE)
             / CAST(qn.nq * 10 AS DOUBLE) AS recall_at_10
         FROM budgets b LEFT JOIN hits h ON b.np = h.np CROSS JOIN qn
-        ORDER BY n_probe"""))
+        ORDER BY n_probe""")),
+
+    // ── NDCG@10 of retrieval against label relevance (the GRADED
+    //    ranking metric the recall sweeps can't see: recall@k treats
+    //    rank 1 and rank 10 alike, NDCG discounts by position — the
+    //    standard IR eval for a retrieval stack): 8 probe vectors,
+    //    brute-force cosine top-10 (the sim_topk_brute kernel), rel =
+    //    label match. Every DCG term is floor(1e9/log2(rank+1))·rel —
+    //    an INTEGER per position — so the sum is order-independent and
+    //    immune to the 1-ulp libm drift that bars raw-double emission;
+    //    ideal DCG replays the same integer terms over
+    //    min(10, n_rel) positions via a sequence fold, and
+    //    NDCG ships as an integral ppm DIV. n_rel comes from the
+    //    |labels|-row count frame (self excluded). Scale: the probe
+    //    side broadcasts; per-label counts are a dimension-sized
+    //    aggregate; the top-10 join is |Q|·10 rows against it. ──────────
+    QueryDef("sim_eval_ndcg",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val qlabels = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val top = Similarity.bruteForceTopK(queries, candidates, k = 10)
+        val rel = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id").as("nid"), col("label").as("clabel"))
+          .join(broadcast(top), col("nid") === col("neighbor_id"))
+          .join(broadcast(qlabels), col("query_id") === qlabels("qid"))
+          .select(col("query_id"), col("rank"),
+            when(col("clabel") === col("qlabel"), 1L).otherwise(0L).as("rel"))
+        val dcg = rel.groupBy(col("query_id"))
+          .agg(sum(floor(lit(1e9) / log2(col("rank") + 1)).cast("long") *
+            col("rel")).as("dcg_e9"))
+        val labCounts = emb.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+        val nrel = qlabels
+          .join(broadcast(labCounts), qlabels("qlabel") === labCounts("label"))
+          .select(col("qid"), (col("n_label") - 1L).as("n_rel"))
+        dcg.join(broadcast(nrel), dcg("query_id") === nrel("qid"))
+          .select(col("query_id"), col("n_rel"), col("dcg_e9"),
+            when(col("n_rel") > 0L, expr(
+              """aggregate(
+                   transform(sequence(1, CAST(least(10, n_rel) AS INT)),
+                     i -> CAST(floor(1e9 / log2(i + 1)) AS BIGINT)),
+                   CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+              .otherwise(0L).as("idcg_e9"))
+          .withColumn("ndcg_ppm",
+            when(col("idcg_e9") > 0L,
+              expr("(dcg_e9 * 1000000) DIV idcg_e9")))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid,
+            CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+          FROM embeddings WHERE vec_id < 8),
+        top AS (SELECT qid, cid, rn FROM (
+            SELECT q.qid, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY list_cosine_similarity(q.qv,
+                  CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+            FROM q, embeddings c WHERE q.qid <> c.vec_id)
+          WHERE rn <= 10),
+        rel AS (SELECT t.qid, t.rn,
+            CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+          FROM top t JOIN embeddings e ON t.cid = e.vec_id
+          JOIN q ON t.qid = q.qid),
+        dcg AS (SELECT qid,
+            CAST(sum(CAST(floor(1e9 / log2(rn + 1)) AS BIGINT) * rel)
+              AS BIGINT) AS dcg_e9
+          FROM rel GROUP BY qid),
+        lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+          FROM embeddings GROUP BY label),
+        nr AS (SELECT q.qid, CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+          FROM q JOIN lc ON q.qlabel = lc.label),
+        idcg AS (SELECT qid, n_rel,
+            CASE WHEN n_rel > 0 THEN CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, least(10, n_rel) + 1),
+                    i -> CAST(floor(1e9 / log2(i + 1)) AS BIGINT))),
+                (a, b) -> a + b) AS BIGINT)
+              ELSE 0 END AS idcg_e9
+          FROM nr)
+        SELECT d.qid AS query_id, i.n_rel, d.dcg_e9, i.idcg_e9,
+          CASE WHEN i.idcg_e9 > 0
+            THEN (d.dcg_e9 * 1000000) // i.idcg_e9 END AS ndcg_ppm
+        FROM dcg d JOIN idcg i ON d.qid = i.qid ORDER BY d.qid""")),
+
+    // ── isotonic recalibration of score bins (the PAV step that turns
+    //    `pipeline_calibration_bins`-style reliability tables into a
+    //    MONOTONE calibrated mapping — the standard classifier
+    //    recalibration beside Platt scaling, here in the minimax
+    //    closed form fit_k = max_{i≤k} min_{j≥k} mean(i..j), which
+    //    equals pool-adjacent-violators without any sequential loop):
+    //    docs bin by length band, label = "mentions 'spark' ≥ 2×" (the
+    //    exact substring kernel), then every (i,j) interval's weighted
+    //    mean is one exact-BIGINT ratio — the max-min runs over B=10
+    //    bins, so intervals (55) and the k-join are constant-bounded
+    //    broadcast frames; the ONLY corpus-sized step is the one
+    //    binning scan. Identical BIGINT inputs ⇒ identical IEEE
+    //    ratios ⇒ identical min/max in both engines. ────────────────────
+    QueryDef("pipeline_isotonic_calibration",
+      (s, dir) => {
+        val bins = Tables.load(s, dir, "documents")
+          .selectExpr("least(9, n_chars DIV 200) AS b",
+            """CASE WHEN (length(lower(text))
+                 - length(replace(lower(text), 'spark', ''))) DIV 5 >= 2
+               THEN 1 ELSE 0 END AS y""")
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("s"))
+        val iv = bins.select(col("b").as("i"))
+          .crossJoin(broadcast(bins.select(col("b").as("j"))))
+          .filter(col("i") <= col("j"))
+        val means = iv
+          .join(broadcast(bins), col("b") >= col("i") && col("b") <= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg((sum(col("s")).cast("double") / sum(col("n")).cast("double"))
+            .as("mean_ij"))
+        val fits = bins.select(col("b").as("k"))
+          .join(broadcast(means), col("i") <= col("k") && col("j") >= col("k"))
+          .groupBy(col("k"), col("i"))
+          .agg(min(col("mean_ij")).as("minj"))
+          .groupBy(col("k"))
+          .agg(max(col("minj")).as("fit"))
+        bins.join(broadcast(fits), bins("b") === fits("k"))
+          .select(col("b"), col("n"),
+            expr("(s * 1000000) DIV n").as("rate_ppm"),
+            floor(col("fit") * lit(1e6)).cast("long").as("fit_ppm"))
+          .orderBy(col("b"))
+      },
+      Some("""WITH bins AS (SELECT least(9, n_chars // 200) AS b,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN (length(lt) - length(replace(lt, 'spark', '')))
+                // 5 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS s
+          FROM (SELECT n_chars, lower(text) AS lt FROM documents)
+          GROUP BY 1),
+        iv AS (SELECT a.b AS i, c.b AS j FROM bins a, bins c WHERE a.b <= c.b),
+        means AS (SELECT iv.i, iv.j,
+            CAST(sum(bins.s) AS DOUBLE) / CAST(sum(bins.n) AS DOUBLE)
+              AS mean_ij
+          FROM iv JOIN bins ON bins.b >= iv.i AND bins.b <= iv.j
+          GROUP BY iv.i, iv.j),
+        fits AS (SELECT k, max(minj) AS fit FROM (
+            SELECT kb.b AS k, m.i, min(m.mean_ij) AS minj
+            FROM bins kb JOIN means m ON m.i <= kb.b AND m.j >= kb.b
+            GROUP BY kb.b, m.i)
+          GROUP BY k)
+        SELECT bins.b, bins.n, (bins.s * 1000000) // bins.n AS rate_ppm,
+          CAST(floor(fits.fit * 1e6) AS BIGINT) AS fit_ppm
+        FROM bins JOIN fits ON bins.b = fits.k ORDER BY bins.b"""))
   )
 }
 

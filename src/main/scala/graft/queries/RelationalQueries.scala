@@ -3522,7 +3522,10 @@ object RelationalQueries extends QueryModule {
             expr("max_by(rsi_bp, rn)").as("last_rsi_bp"),
             sum(when($"rsi_bp" >= 7000L, 1L).otherwise(0L))
               .as("n_overbought"),
-            sum(when($"rsi_bp" <= 3000L, 1L).otherwise(0L)).as("n_oversold"))
+            // sentinel guard: -1 (undefined RSI) must not count as
+            // oversold — only DEFINED readings in [0, 3000]
+            sum(when($"rsi_bp" >= 0L && $"rsi_bp" <= 3000L, 1L)
+              .otherwise(0L)).as("n_oversold"))
           .orderBy($"user_id")
       },
       Some("""WITH e AS (SELECT user_id, event_id,
@@ -3553,8 +3556,8 @@ object RelationalQueries extends QueryModule {
           CAST(max_by(rsi_bp, rn) AS BIGINT) AS last_rsi_bp,
           CAST(sum(CASE WHEN rsi_bp >= 7000 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_overbought,
-          CAST(sum(CASE WHEN rsi_bp <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_oversold
+          CAST(sum(CASE WHEN rsi_bp >= 0 AND rsi_bp <= 3000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oversold
         FROM x GROUP BY user_id ORDER BY user_id""")),
 
     // ── Market-basket pair lift over lineitem (the co-purchase miner
@@ -9036,6 +9039,602 @@ object RelationalQueries extends QueryModule {
               - CAST(sx AS HUGEINT) * sx AS DOUBLE)
             * CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
               - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rho2
-        FROM m"""))
+        FROM m""")),
+
+    // ── multi-source BFS distance (the "blast radius" primitive:
+    //    reachability fronts for influence propagation, recall-set
+    //    expansion, fraud-ring tracing): 4 FIXED rounds of frontier
+    //    relaxation dist'(v) = min(dist(v), min over (u,v) dist(u)+1)
+    //    over the customer–supplier bipartite trade graph (parity-
+    //    disjoint node ids, the kcore device), seeded at the 10 lowest
+    //    customers. Each round is ONE |dist|⋈|edges| shuffle join plus
+    //    a min hash-agg; the dist table never exceeds |nodes| rows and
+    //    the fixed round count is the diameter budget — the standard
+    //    bounded-iteration contract (pagerank/kcore/kmeans), no driver
+    //    convergence read-back. localCheckpoint per round stops lineage
+    //    doubling (round 4 would otherwise re-expand the orders⋈lineitem
+    //    edge build 2⁴ times). Output is the distance histogram
+    //    (d = -1 ⇒ unreached), O(diameter) rows. ───────────────────────
+    QueryDef("graph_bfs_distance",
+      (s, dir) => {
+        import s.implicits._
+        val e0 = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey")
+          .select(($"o_custkey" * 2).cast("long").as("a"),
+            ($"l_suppkey" * 2 + 1).cast("long").as("b"))
+          .distinct()
+        val edges = e0
+          .union(e0.select($"b".as("a"), $"a".as("b")))
+          .localCheckpoint()
+        val seeds = Tables.load(s, dir, "customer")
+          .filter($"c_custkey" <= 10)
+          .select(($"c_custkey" * 2).cast("long").as("node"),
+            lit(0L).as("d"))
+        val dist = (1 to 4).foldLeft(seeds.localCheckpoint()) { (dst, _) =>
+          dst.union(
+            dst.join(edges, dst("node") === edges("a"))
+              .select(edges("b").as("node"), (dst("d") + 1L).as("d")))
+            .groupBy($"node").agg(min($"d").as("d"))
+            .localCheckpoint()
+        }
+        val nodes = edges.select($"a".as("node"))
+          .union(seeds.select($"node")).distinct()
+        nodes.join(dist, Seq("node"), "left")
+          .select($"node", coalesce($"d", lit(-1L)).as("d"))
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_nodes"),
+            min($"node").as("min_node"), max($"node").as("max_node"))
+          .orderBy($"d")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT
+            CAST(o_custkey * 2 AS BIGINT) AS a,
+            CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+        d0 AS (SELECT CAST(c_custkey * 2 AS BIGINT) AS node,
+            CAST(0 AS BIGINT) AS d
+          FROM customer WHERE c_custkey <= 10),
+        d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT node, d FROM d0
+            UNION ALL SELECT e.b AS node, d0.d + 1 AS d
+            FROM d0 JOIN e ON e.a = d0.node) GROUP BY node),
+        d2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT node, d FROM d1
+            UNION ALL SELECT e.b AS node, d1.d + 1 AS d
+            FROM d1 JOIN e ON e.a = d1.node) GROUP BY node),
+        d3 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT node, d FROM d2
+            UNION ALL SELECT e.b AS node, d2.d + 1 AS d
+            FROM d2 JOIN e ON e.a = d2.node) GROUP BY node),
+        d4 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT node, d FROM d3
+            UNION ALL SELECT e.b AS node, d3.d + 1 AS d
+            FROM d3 JOIN e ON e.a = d3.node) GROUP BY node),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT a AS node FROM e UNION ALL SELECT node FROM d0)),
+        j AS (SELECT n.node, coalesce(d4.d, -1) AS d
+          FROM nodes n LEFT JOIN d4 ON n.node = d4.node)
+        SELECT CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(min(node) AS BIGINT) AS min_node,
+          CAST(max(node) AS BIGINT) AS max_node
+        FROM j GROUP BY d ORDER BY d""")),
+
+    // ── mutual information between event type and day-of-week (the
+    //    feature-relevance / leakage screen: MI ≈ 0 means the column
+    //    carries no signal about the target and can be dropped; high
+    //    NMI between a "feature" and a label is a leakage red flag):
+    //    I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) from EXACT count
+    //    rationals over the ≤|types|·7-cell contingency collapse —
+    //    one hash-agg over events, everything after rides broadcast
+    //    frames. Day-of-week as (epoch-days mod 7), not dayofweek(),
+    //    which disagrees between engines on week start. Terms fold in
+    //    (x,y) order (the transition_entropy idiom); marginals fold in
+    //    key order; floor(·1e9) pins the doubles. NMI = MI/√(H_x·H_y)
+    //    from the unfloored folds. ─────────────────────────────────────
+    QueryDef("agg_mutual_information",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_type".as("x"),
+            pmod(datediff($"ts".cast("date"),
+              to_date(lit("1970-01-01"))), lit(7)).cast("long").as("y"))
+        val joint = ev.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+        val mx = joint.groupBy($"x").agg(sum($"c").as("cx"))
+        val my = joint.groupBy($"y").agg(sum($"c").as("cy"))
+        val tot = joint.agg(sum($"c").as("n"))
+        val mi = joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+          .crossJoin(broadcast(tot))
+          .select($"x", $"y",
+            (($"c".cast("double") / $"n".cast("double")) *
+              log(($"c".cast("double") * $"n".cast("double")) /
+                ($"cx".cast("double") * $"cy".cast("double"))))
+              .as("term"))
+          .agg(sort_array(collect_list(struct($"x", $"y", $"term")))
+            .as("ts"))
+          .select(aggregate($"ts".getField("term"), lit(0.0d),
+            (a, t) => a + t).as("mi"))
+        val hx = mx.crossJoin(broadcast(tot))
+          .select($"x", (-($"cx".cast("double") / $"n".cast("double")) *
+            log($"cx".cast("double") / $"n".cast("double"))).as("term"))
+          .agg(sort_array(collect_list(struct($"x", $"term"))).as("ts"))
+          .select(aggregate($"ts".getField("term"), lit(0.0d),
+            (a, t) => a + t).as("hx"))
+        val hy = my.crossJoin(broadcast(tot))
+          .select($"y", (-($"cy".cast("double") / $"n".cast("double")) *
+            log($"cy".cast("double") / $"n".cast("double"))).as("term"))
+          .agg(sort_array(collect_list(struct($"y", $"term"))).as("ts"))
+          .select(aggregate($"ts".getField("term"), lit(0.0d),
+            (a, t) => a + t).as("hy"))
+        tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+          .crossJoin(broadcast(hy))
+          .select($"n",
+            floor($"mi" * lit(1e9)).cast("long").as("mi_e9"),
+            floor($"hx" * lit(1e9)).cast("long").as("hx_e9"),
+            floor($"hy" * lit(1e9)).cast("long").as("hy_e9"),
+            when($"hx" * $"hy" > 0.0d,
+              floor($"mi" / sqrt($"hx" * $"hy") * lit(1e6)).cast("long"))
+              .as("nmi_e6"))
+      },
+      Some("""WITH ev AS (SELECT event_type AS x,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS y
+          FROM events),
+        joint AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM ev GROUP BY x, y),
+        mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY x),
+        my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY y),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+        mi AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+              ORDER BY j.x, j.y)), (a, b) -> a + b) AS mi
+          FROM joint j JOIN mx ON j.x = mx.x JOIN my ON j.y = my.y
+          CROSS JOIN tot),
+        hx AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(-(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+              ORDER BY x)), (a, b) -> a + b) AS hx
+          FROM mx CROSS JOIN tot),
+        hy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(-(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+              ORDER BY y)), (a, b) -> a + b) AS hy
+          FROM my CROSS JOIN tot)
+        SELECT n,
+          CAST(floor(mi * 1e9) AS BIGINT) AS mi_e9,
+          CAST(floor(hx * 1e9) AS BIGINT) AS hx_e9,
+          CAST(floor(hy * 1e9) AS BIGINT) AS hy_e9,
+          CASE WHEN hx * hy > 0
+            THEN CAST(floor(mi / sqrt(hx * hy) * 1e6) AS BIGINT) END
+            AS nmi_e6
+        FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""")),
+
+    // ── Hurst exponent via rescaled range (the long-memory probe for
+    //    time series: H ≈ 0.5 random walk, > 0.5 trending/persistent,
+    //    < 0.5 mean-reverting — the standard pre-check before ARIMA-
+    //    style modeling of a metric stream): per-nation daily revenue
+    //    series chunked into non-overlapping blocks of m ∈ {8,16,32}
+    //    observations; per block R/S with the integer trick
+    //    R/S = (max−min of m·cum_t − t·Σx) / √(m·Σx² − (Σx)²) — the
+    //    numerator stays an exact BIGINT walk (both engines bit-agree),
+    //    the denominator one correctly-rounded sqrt of a DECIMAL(38)
+    //    rational, so the per-block double is engine-identical. Mean
+    //    R/S per size folds in (nation, block) order; with log2-sizes
+    //    {3,4,5} the OLS slope collapses to (log2 rs₃₂ − log2 rs₈)/2.
+    //    Scale shape: ONE (nation, day) hash-agg collapse of orders;
+    //    all windows partition by (nation, size, block) over the
+    //    O(|nations|·|days|) reduced table — no global window; the
+    //    3-row size frame is a broadcast. ──────────────────────────────
+    QueryDef("agg_hurst_rs",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val daily = Tables.load(s, dir, "orders")
+          .join(broadcast(Tables.load(s, dir, "customer")
+            .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.load(s, dir, "nation")
+            .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"o_orderdate".as("d"))
+          .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("x"))
+          .withColumn("idx", row_number().over(
+            Window.partitionBy($"n_name").orderBy($"d")).cast("long") - 1L)
+        val sizes = Seq(8L, 16L, 32L).toDF("m")
+        val cells = daily.crossJoin(broadcast(sizes))
+          .withColumn("blk", expr("idx DIV m"))
+          .withColumn("t", expr("idx % m + 1"))
+        val wb = Window.partitionBy($"n_name", $"m", $"blk").orderBy($"d")
+        val wfull = wb.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val z = cells
+          .withColumn("cum", sum($"x").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("sx", sum($"x").over(wfull))
+          .withColumn("cnt", count(lit(1)).over(wfull))
+          .withColumn("zi", $"m" * $"cum" - $"t" * $"sx")
+        val blocks = z
+          .filter($"cnt" === $"m")
+          .groupBy($"m", $"n_name", $"blk")
+          .agg((max($"zi") - min($"zi")).as("r"),
+            max($"sx").as("sx"),
+            sum(($"x".cast(dec) * $"x").cast(dec)).as("sxx"))
+          .select($"m", $"n_name", $"blk", $"r",
+            (($"m".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx").cast(dec))
+              .as("s2num"))
+          .filter($"s2num" > 0)
+          .select($"m", $"n_name", $"blk",
+            ($"r".cast("double") / sqrt($"s2num".cast("double"))).as("rs"))
+        val perSize = blocks.groupBy($"m")
+          .agg(count(lit(1)).as("n_blocks"),
+            sort_array(collect_list(struct($"n_name", $"blk", $"rs")))
+              .as("ts"))
+          .select($"m", $"n_blocks",
+            (aggregate($"ts".getField("rs"), lit(0.0d), (a, v) => a + v) /
+              $"n_blocks".cast("double")).as("rs_mean"))
+        perSize
+          .agg(max(when($"m" === 8L, $"n_blocks")).as("n_blocks_8"),
+            max(when($"m" === 8L, $"rs_mean")).as("rs8"),
+            max(when($"m" === 16L, $"n_blocks")).as("n_blocks_16"),
+            max(when($"m" === 16L, $"rs_mean")).as("rs16"),
+            max(when($"m" === 32L, $"n_blocks")).as("n_blocks_32"),
+            max(when($"m" === 32L, $"rs_mean")).as("rs32"))
+          .select($"n_blocks_8", $"n_blocks_16", $"n_blocks_32",
+            floor($"rs8" * lit(1e6)).cast("long").as("rs8_e6"),
+            floor($"rs16" * lit(1e6)).cast("long").as("rs16_e6"),
+            floor($"rs32" * lit(1e6)).cast("long").as("rs32_e6"),
+            when($"rs8" > 0.0d && $"rs32" > 0.0d,
+              floor((log2($"rs32") - log2($"rs8")) / lit(2.0d) * lit(1e6))
+                .cast("long")).as("hurst_e6"))
+      },
+      Some("""WITH daily AS (SELECT n_name, o_orderdate AS d,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS x,
+            CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY o_orderdate) AS BIGINT) - 1 AS idx
+          FROM (SELECT n_name, o_orderdate, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+          GROUP BY n_name, o_orderdate),
+        cells AS (SELECT n_name, d, x, idx, m,
+            idx // m AS blk, idx % m + 1 AS t
+          FROM daily CROSS JOIN (SELECT unnest([8, 16, 32]) AS m)),
+        z AS (SELECT n_name, m, blk, d, x, t,
+            sum(x) OVER (PARTITION BY n_name, m, blk ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(x) OVER (PARTITION BY n_name, m, blk) AS sx,
+            count(*) OVER (PARTITION BY n_name, m, blk) AS cnt
+          FROM cells),
+        blocks AS (SELECT m, n_name, blk,
+            max(m * cum - t * sx) - min(m * cum - t * sx) AS r,
+            max(sx) AS sx,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+          FROM z WHERE cnt = m GROUP BY m, n_name, blk),
+        rs AS (SELECT m, n_name, blk,
+            CAST(r AS DOUBLE) / sqrt(CAST(
+              CAST(m AS HUGEINT) * CAST(sxx AS HUGEINT)
+                - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS rs
+          FROM blocks
+          WHERE CAST(m AS HUGEINT) * CAST(sxx AS HUGEINT)
+            - CAST(sx AS HUGEINT) * sx > 0),
+        per_size AS (SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(rs ORDER BY n_name, blk)), (a, b) -> a + b)
+              / CAST(count(*) AS DOUBLE) AS rs_mean
+          FROM rs GROUP BY m),
+        piv AS (SELECT
+            max(CASE WHEN m = 8 THEN n_blocks END) AS n_blocks_8,
+            max(CASE WHEN m = 8 THEN rs_mean END) AS rs8,
+            max(CASE WHEN m = 16 THEN n_blocks END) AS n_blocks_16,
+            max(CASE WHEN m = 16 THEN rs_mean END) AS rs16,
+            max(CASE WHEN m = 32 THEN n_blocks END) AS n_blocks_32,
+            max(CASE WHEN m = 32 THEN rs_mean END) AS rs32
+          FROM per_size)
+        SELECT n_blocks_8, n_blocks_16, n_blocks_32,
+          CAST(floor(rs8 * 1e6) AS BIGINT) AS rs8_e6,
+          CAST(floor(rs16 * 1e6) AS BIGINT) AS rs16_e6,
+          CAST(floor(rs32 * 1e6) AS BIGINT) AS rs32_e6,
+          CASE WHEN rs8 > 0 AND rs32 > 0
+            THEN CAST(floor((log2(rs32) - log2(rs8)) / 2.0 * 1e6) AS BIGINT)
+            END AS hurst_e6
+        FROM piv""")),
+
+    // ── process-mining trace variants (the "what journeys actually
+    //    happen" census that eventually-follows pair counts and Markov
+    //    bigrams both erase: the full ORDERED prefix of each user's
+    //    journey as one categorical value, then a frequency table):
+    //    per-user first-5 event types (rank-capped BEFORE the
+    //    collect, so no trace ever materializes more than 5 structs),
+    //    variant string by in-group sort on the row ordinal, top 20 by
+    //    (support, variant) via TakeOrdered — never a global sort of
+    //    the variant space. Share is an integral ppm DIV against the
+    //    1-row trace-count broadcast. ────────────────────────────────────
+    QueryDef("agg_trace_variants",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pre = Tables.load(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+        val traces = pre.groupBy($"user_id")
+          .agg(concat_ws(">",
+            transform(sort_array(collect_list(struct($"rn", $"event_type"))),
+              x => x.getField("event_type"))).as("variant"))
+        val tot = traces.agg(count(lit(1)).as("n_users"))
+        traces.groupBy($"variant").agg(count(lit(1)).as("n_traces"))
+          .crossJoin(broadcast(tot))
+          .select($"variant", $"n_traces",
+            expr("(n_traces * 1000000) DIV n_users").as("share_ppm"))
+          .orderBy($"n_traces".desc, $"variant")
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT user_id,
+            array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+              AS variant
+          FROM events GROUP BY user_id),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM t),
+        v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_traces
+          FROM t GROUP BY variant)
+        SELECT variant, n_traces,
+          (n_traces * 1000000) // n_users AS share_ppm
+        FROM v CROSS JOIN tot
+        ORDER BY n_traces DESC, variant LIMIT 20""")),
+
+    // ── blocklist content filter (the Dolma/FineWeb-style lexicon
+    //    gate that sits beside quality scoring in every corpus
+    //    curation stack — here with a demo 3-category lexicon over the
+    //    fixture vocabulary; categories and terms are config, the
+    //    OPERATOR is the product): per-document substring hit counts
+    //    via the exact length-difference kernel on lower(text) (the
+    //    text_code_detect device — no regex engine variance), a doc is
+    //    flagged per category at ≥ 3 hits, and each source reports doc
+    //    counts, per-category flag counts, and total hit density as an
+    //    integral ppm of corpus chars. ONE scan, one |sources|-row
+    //    aggregate; at 100 TB this is a map-only pass + tiny shuffle. ──
+    QueryDef("text_blocklist_filter",
+      (s, dir) => {
+        import s.implicits._
+        def hits(terms: Seq[String]): Column =
+          terms.map(t =>
+            expr(s"(length(lt) - length(replace(lt, '$t', ''))) DIV ${t.length}"))
+            .reduce(_ + _).cast("long")
+        val scored = Tables.load(s, dir, "documents")
+          .withColumn("lt", lower($"text"))
+          .select($"source", $"n_chars",
+            hits(Seq("slow", "drop")).as("h_latency"),
+            hits(Seq("fast", "big")).as("h_hype"),
+            hits(Seq("spark", "stream")).as("h_infra"))
+        scored.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"h_latency" >= 3L, 1L).otherwise(0L)).as("flag_latency"),
+            sum(when($"h_hype" >= 3L, 1L).otherwise(0L)).as("flag_hype"),
+            sum(when($"h_infra" >= 3L, 1L).otherwise(0L)).as("flag_infra"),
+            sum($"h_latency" + $"h_hype" + $"h_infra").as("total_hits"),
+            sum($"n_chars").as("total_chars"))
+          .select($"source", $"n_docs", $"flag_latency", $"flag_hype",
+            $"flag_infra", $"total_hits",
+            expr("CASE WHEN total_chars > 0 THEN (total_hits * 1000000) DIV total_chars END")
+              .as("hit_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH scored AS (SELECT source, n_chars,
+            CAST((length(lt) - length(replace(lt, 'slow', ''))) // 4
+              + (length(lt) - length(replace(lt, 'drop', ''))) // 4
+              AS BIGINT) AS h_latency,
+            CAST((length(lt) - length(replace(lt, 'fast', ''))) // 4
+              + (length(lt) - length(replace(lt, 'big', ''))) // 3
+              AS BIGINT) AS h_hype,
+            CAST((length(lt) - length(replace(lt, 'spark', ''))) // 5
+              + (length(lt) - length(replace(lt, 'stream', ''))) // 6
+              AS BIGINT) AS h_infra
+          FROM (SELECT source, n_chars, lower(text) AS lt FROM documents)),
+        agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN h_latency >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS flag_latency,
+            CAST(sum(CASE WHEN h_hype >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS flag_hype,
+            CAST(sum(CASE WHEN h_infra >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS flag_infra,
+            CAST(sum(h_latency + h_hype + h_infra) AS BIGINT) AS total_hits,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM scored GROUP BY source)
+        SELECT source, n_docs, flag_latency, flag_hype, flag_infra,
+          total_hits,
+          CASE WHEN total_chars > 0
+            THEN (total_hits * 1000000) // total_chars END AS hit_ppm
+        FROM agg ORDER BY source""")),
+
+    // ── Ljung–Box portmanteau test per nation (the "is anything left
+    //    in the residuals" gate run after every forecast fit, and the
+    //    multi-lag generalization of `agg_autocorr_lag1`'s single
+    //    per-user lag): ρ_k for k = 1..5 over the daily revenue series
+    //    with SCALED deviations d_t = n·x_t − Σx, so numerators
+    //    Σd_t·d_{t+k} and the denominator Σd_t² are exact (DECIMAL —
+    //    the ~1e22 products pass int64), and every ρ is one IEEE
+    //    division; Q = n(n+2)·Σ ρ_k²/(n−k) folds over the FIXED 5-lag
+    //    list. The lag pairing is an EQUI join: the series explodes
+    //    onto a broadcast 5-row lag frame as (nation, idx+k) and meets
+    //    itself on exact key equality — no range join, no window
+    //    beyond the one idx ordinal per nation. Verdict vs the
+    //    χ²₅;0.95 = 11.0705 literal. ───────────────────────────────────
+    QueryDef("agg_ljung_box",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val daily = Tables.load(s, dir, "orders")
+          .join(broadcast(Tables.load(s, dir, "customer")
+            .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.load(s, dir, "nation")
+            .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"o_orderdate")
+          .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("x"))
+          .withColumn("idx", row_number().over(
+            Window.partitionBy($"n_name").orderBy($"o_orderdate")).cast("long") - 1L)
+        val stats = daily.groupBy($"n_name")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+        val dev = daily.join(broadcast(stats), "n_name")
+          .select($"n_name", $"idx", $"n", ($"n" * $"x" - $"sx").as("d"))
+        val den = dev.groupBy($"n_name")
+          .agg(max($"n").as("n"),
+            sum(($"d".cast(dec) * $"d").cast(dec)).as("den"))
+        val lags = Seq(1L, 2L, 3L, 4L, 5L).toDF("k")
+        val nums = dev.crossJoin(broadcast(lags))
+          .select($"n_name", ($"idx" + $"k").as("idx"), $"k", $"d".as("d0"))
+          .join(dev.select($"n_name", $"idx", $"d"), Seq("n_name", "idx"))
+          .groupBy($"n_name", $"k")
+          .agg(sum(($"d0".cast(dec) * $"d").cast(dec)).as("num"))
+        val rho = nums.join(broadcast(den), "n_name")
+          .select($"n_name", $"k", $"n",
+            ($"num".cast("double") / $"den".cast("double")).as("rho"))
+        rho.groupBy($"n_name")
+          .agg(max($"n").as("n_days"),
+            max(when($"k" === 1L, floor($"rho" * 1e9).cast("long"))).as("rho1_e9"),
+            max(when($"k" === 2L, floor($"rho" * 1e9).cast("long"))).as("rho2_e9"),
+            max(when($"k" === 3L, floor($"rho" * 1e9).cast("long"))).as("rho3_e9"),
+            sort_array(collect_list(struct($"k",
+              ($"rho" * $"rho" / ($"n" - $"k").cast("double")).as("t"))))
+              .as("ts"))
+          .select($"n_name", $"n_days", $"rho1_e9", $"rho2_e9", $"rho3_e9",
+            floor($"n_days".cast("double") * ($"n_days" + 2L).cast("double") *
+              aggregate($"ts".getField("t"), lit(0.0d), (a, v) => a + v)
+              * lit(1e6)).cast("long").as("q_e6"))
+          .withColumn("reject_white_noise",
+            ($"q_e6" > 11070500L).cast("long"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH daily AS (SELECT n_name, o_orderdate AS dt,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS x,
+            CAST(row_number() OVER (PARTITION BY n_name
+              ORDER BY o_orderdate) AS BIGINT) - 1 AS idx
+          FROM (SELECT n_name, o_orderdate, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+          GROUP BY n_name, o_orderdate),
+        stats AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx FROM daily GROUP BY n_name),
+        dev AS (SELECT d.n_name, d.idx, s.n, d.x * s.n - s.sx AS dd
+          FROM daily d JOIN stats s ON d.n_name = s.n_name),
+        den AS (SELECT n_name, max(n) AS n,
+            CAST(sum(CAST(dd AS HUGEINT) * dd) AS DECIMAL(38,0)) AS den
+          FROM dev GROUP BY n_name),
+        nums AS (SELECT a.n_name, k.k,
+            CAST(sum(CAST(a.dd AS HUGEINT) * b.dd) AS DECIMAL(38,0)) AS num
+          FROM dev a CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS k) k
+          JOIN dev b ON a.n_name = b.n_name AND a.idx + k.k = b.idx
+          GROUP BY a.n_name, k.k),
+        rho AS (SELECT n.n_name, n.k, d.n,
+            CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) AS rho
+          FROM nums n JOIN den d ON n.n_name = d.n_name),
+        q AS (SELECT n_name, max(n) AS n_days,
+            max(CASE WHEN k = 1
+              THEN CAST(floor(rho * 1e9) AS BIGINT) END) AS rho1_e9,
+            max(CASE WHEN k = 2
+              THEN CAST(floor(rho * 1e9) AS BIGINT) END) AS rho2_e9,
+            max(CASE WHEN k = 3
+              THEN CAST(floor(rho * 1e9) AS BIGINT) END) AS rho3_e9,
+            CAST(floor(CAST(max(n) AS DOUBLE) * CAST(max(n) + 2 AS DOUBLE)
+              * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(rho * rho / CAST(n - k AS DOUBLE) ORDER BY k)),
+                (a, b) -> a + b) * 1e6) AS BIGINT) AS q_e6
+          FROM rho GROUP BY n_name)
+        SELECT n_name, n_days, rho1_e9, rho2_e9, rho3_e9, q_e6,
+          CAST(CASE WHEN q_e6 > 11070500 THEN 1 ELSE 0 END AS BIGINT)
+            AS reject_white_noise
+        FROM q ORDER BY n_name""")),
+
+    // ── (Augmented-free) Dickey–Fuller unit-root test per nation (the
+    //    stationarity gate: a random walk ⇒ β ≈ 0 in Δx_t = α + β·x_{t−1}
+    //    + ε and the DF t-statistic sits above the −2.86 critical value;
+    //    a mean-reverting series ⇒ strongly negative t — run BEFORE
+    //    trusting any trend/forecast fit; completes the stationarity
+    //    triptych with `agg_hurst_rs` (memory) and `agg_mann_kendall`
+    //    (trend)): lag pairs by ONE lead window over the per-nation
+    //    daily grid, the five cross moments as DECIMAL(38,0) rationals,
+    //    β = Sxy_c/Sxx_c, SSE = (Syy_c − Sxy_c²/Sxx_c)/n,
+    //    se²(β) = (SSE/(n−2))·n/Sxx_c, t = β/se — one fixed IEEE chain
+    //    off exact integers, floor-quantized. ───────────────────────────
+    QueryDef("agg_dickey_fuller",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val dec = "decimal(38,0)"
+        val w = Window.partitionBy($"n_name").orderBy($"o_orderdate")
+        val pairs = Tables.load(s, dir, "orders")
+          .join(broadcast(Tables.load(s, dir, "customer")
+            .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.load(s, dir, "nation")
+            .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", $"o_orderdate")
+          .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("x"))
+          .withColumn("xnext", lead($"x", 1).over(w))
+          .filter($"xnext".isNotNull)
+          .select($"n_name", $"x", ($"xnext" - $"x").as("y"))
+        val m = pairs.groupBy($"n_name")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum(($"x".cast(dec) * $"x").cast(dec)).as("sxx"),
+            sum(($"x".cast(dec) * $"y").cast(dec)).as("sxy"),
+            sum(($"y".cast(dec) * $"y").cast(dec)).as("syy"))
+        m.select($"n_name", $"n",
+            ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy".cast(dec))
+              .cast(dec).cast("double").as("sxy_c"),
+            ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx".cast(dec))
+              .cast(dec).cast("double").as("sxx_c"),
+            ($"n".cast(dec) * $"syy" - $"sy".cast(dec) * $"sy".cast(dec))
+              .cast(dec).cast("double").as("syy_c"))
+          .select($"n_name", $"n".as("n_obs"),
+            ($"sxy_c" / $"sxx_c").as("beta"),
+            ((($"syy_c" - $"sxy_c" * $"sxy_c" / $"sxx_c") /
+              $"n".cast("double")) / ($"n" - 2L).cast("double") *
+              $"n".cast("double") / $"sxx_c").as("se2"))
+          .select($"n_name", $"n_obs",
+            floor($"beta" * lit(1e9)).cast("long").as("beta_e9"),
+            floor($"beta" / sqrt($"se2") * lit(1e6)).cast("long").as("df_t_e6"))
+          .withColumn("stationary",
+            ($"df_t_e6" < -2860000L).cast("long"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH daily AS (SELECT n_name, o_orderdate AS dt,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM (SELECT n_name, o_orderdate, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+          GROUP BY n_name, o_orderdate),
+        pairs AS (SELECT n_name, x, xnext - x AS y FROM (
+            SELECT n_name, x,
+              lead(x, 1) OVER (PARTITION BY n_name ORDER BY dt) AS xnext
+            FROM daily) WHERE xnext IS NOT NULL),
+        m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+          FROM pairs GROUP BY n_name),
+        c AS (SELECT n_name, n,
+            CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS sxy_c,
+            CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+              - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS sxx_c,
+            CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+              - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS syy_c
+          FROM m),
+        fit AS (SELECT n_name, n AS n_obs,
+            sxy_c / sxx_c AS beta,
+            ((syy_c - sxy_c * sxy_c / sxx_c) / CAST(n AS DOUBLE))
+              / CAST(n - 2 AS DOUBLE) * CAST(n AS DOUBLE) / sxx_c AS se2
+          FROM c)
+        SELECT n_name, n_obs,
+          CAST(floor(beta * 1e9) AS BIGINT) AS beta_e9,
+          CAST(floor(beta / sqrt(se2) * 1e6) AS BIGINT) AS df_t_e6,
+          CAST(CASE WHEN floor(beta / sqrt(se2) * 1e6) < -2860000
+            THEN 1 ELSE 0 END AS BIGINT) AS stationary
+        FROM fit ORDER BY n_name"""))
   )
 }

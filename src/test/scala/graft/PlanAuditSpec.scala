@@ -361,6 +361,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcast recombine; candidate validation and the positive
     // exclusion are equi joins
     "sample_negative_candidates",
+    // jensen-shannon: the 1-row even/odd-total broadcast onto the
+    // |types|-row cell frame (the tv_distance scalar-recombine shape)
+    "agg_jensen_shannon",
+    // mutual information: 1-row grand-total broadcast onto the
+    // ≤|types|·7-cell contingency frame + 1-row×1-row MI/H recombines
+    "agg_mutual_information",
+    // hurst R/S: the 3-row block-size frame broadcast onto the
+    // O(|nations|·|days|) daily collapse (constant-bounded side)
+    "agg_hurst_rs",
+    // trace variants: the 1-row trace-count broadcast onto the
+    // variant frequency frame
+    "agg_trace_variants",
+    // ndcg eval: sim_topk_brute's non-equi qid≠cid probe broadcast
+    "sim_eval_ndcg",
+    // ljung-box: the 5-row lag frame broadcast onto the per-nation
+    // deviation grid (constant-bounded side; the lag pairing itself
+    // is an equi join)
+    "agg_ljung_box",
+    // isotonic PAV: B=10 bin frames — interval build and the two
+    // non-equi range joins all ride ≤55-row broadcasts
+    "pipeline_isotonic_calibration",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",

@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants for the r11 signal/eval additions (BFS
+  * distances, mutual information, Hurst R/S, trace variants, blocklist
+  * filter, NDCG): the DuckDB oracle proves engine-vs-engine equality;
+  * these replay each definition as the naive sequential algorithm on
+  * the driver at sf0.001 — the distributed closed forms must equal the
+  * textbook loop.
+  */
+class SignalOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("graph_bfs_distance equals a driver-side 4-round BFS") {
+    import org.apache.spark.sql.functions._
+    val edgePairs = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long"),
+        (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edgePairs ++ edgePairs.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val seeds = Tables.load(spark, dir, "customer")
+      .filter("c_custkey <= 10").select((col("c_custkey") * 2).cast("long"))
+      .collect().map(_.getLong(0))
+    var dist = seeds.map(_ -> 0L).toMap
+    (1 to 4).foreach { _ =>
+      val next = dist.toSeq.flatMap { case (u, d) =>
+        adj.getOrElse(u, Array.empty[Long]).map(_ -> (d + 1)) } ++ dist.toSeq
+      dist = next.groupBy(_._1).map { case (k, ds) => k -> ds.map(_._2).min }
+    }
+    val nodes = adj.keySet ++ seeds
+    val hist = nodes.groupBy(n => dist.getOrElse(n, -1L))
+      .map { case (d, ns) => d -> ((ns.size.toLong, ns.min, ns.max)) }
+    val rows = run("graph_bfs_distance")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(rows.length == hist.size)
+    rows.foreach { case (d, got) =>
+      assert(got == hist(d), s"distance $d: got $got want ${hist(d)}") }
+    // seeds are distance 0; the bipartite graph alternates parity per hop
+    assert(rows.toMap.contains(0L))
+  }
+
+  test("agg_mutual_information equals the driver plug-in estimator") {
+    import org.apache.spark.sql.functions._
+    val xy = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = xy.length.toDouble
+    val joint = xy.groupBy(identity).view.mapValues(_.length).toMap
+    val mx = xy.groupBy(_._1).view.mapValues(_.length).toMap
+    val my = xy.groupBy(_._2).view.mapValues(_.length).toMap
+    // fold in (x, y) key order — the query's documented summation order
+    val mi = joint.toSeq.sortBy(_._1).map { case ((x, y), c) =>
+      (c / n) * math.log(c * n / (mx(x).toDouble * my(y).toDouble)) }.sum
+    val hx = mx.toSeq.sortBy(_._1).map { case (_, c) =>
+      -(c / n) * math.log(c / n) }.sum
+    val r = run("agg_mutual_information").head
+    assert(r.getLong(0) == xy.length.toLong)
+    assert(r.getLong(1) == math.floor(mi * 1e9).toLong, "mi_e9")
+    assert(r.getLong(2) == math.floor(hx * 1e9).toLong, "hx_e9")
+    // information-theoretic sanity: 0 <= MI <= min(Hx, Hy)
+    assert(r.getLong(1) >= -1L) // floor can take an exact 0 to -1 only via fp dust
+    assert(r.getLong(1) <= math.min(r.getLong(2), r.getLong(3)))
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, "NMI in [0,1]")
+  }
+
+  test("agg_hurst_rs equals the driver block fold and sits in (0,1)") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate"))
+      .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("x"))
+      .orderBy(col("n_name"), col("o_orderdate"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    def rsMean(m: Int): (Long, Double) = {
+      val blocks = daily.toSeq.sortBy(_._1).flatMap { case (nat, xs) =>
+        xs.grouped(m).zipWithIndex.collect {
+          case (b, i) if b.length == m => (nat, i.toLong, b) } }
+      val rs = blocks.flatMap { case (nat, blk, b) =>
+        val sx = b.sum
+        val sxx = b.map(x => BigInt(x) * BigInt(x)).sum
+        val s2num = BigInt(m) * sxx - BigInt(sx) * BigInt(sx)
+        if (s2num <= 0) None else {
+          val zs = b.scanLeft(0L)(_ + _).tail.zipWithIndex
+            .map { case (cum, i) => m * cum - (i + 1).toLong * sx }
+          Some((nat, blk, (zs.max - zs.min).toDouble / math.sqrt(s2num.toDouble)))
+        }
+      }
+      (rs.size.toLong, rs.sortBy(t => (t._1, t._2)).map(_._3).sum / rs.size)
+    }
+    val (n8, rs8) = rsMean(8); val (n16, rs16) = rsMean(16)
+    val (n32, rs32) = rsMean(32)
+    val r = run("agg_hurst_rs").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n8, n16, n32)))
+    assert(r.getLong(3) == math.floor(rs8 * 1e6).toLong, "rs8")
+    assert(r.getLong(4) == math.floor(rs16 * 1e6).toLong, "rs16")
+    assert(r.getLong(5) == math.floor(rs32 * 1e6).toLong, "rs32")
+    val hurst = r.getLong(6)
+    assert(hurst == math.floor((math.log(rs32 / rs8) / math.log(2.0)) / 2.0 * 1e6).toLong ||
+      // log2(a)-log2(b) vs log2(a/b) differ by <= 1 ulp; accept either floor
+      math.abs(hurst - math.floor((math.log(rs32) - math.log(rs8)) / math.log(2.0) / 2.0 * 1e6)) <= 1)
+    assert(hurst > 0L && hurst < 1000000L, s"H in (0,1): $hurst")
+  }
+
+  test("agg_trace_variants equals the driver first-5 prefix histogram") {
+    import org.apache.spark.sql.functions._
+    val traces = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime / 1000 * 1000000000L + r.getTimestamp(1).getNanos,
+        r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+      .groupBy(_._1).view
+      .mapValues(_.take(5).map(_._4).mkString(">")).toMap
+    val nUsers = traces.size.toLong
+    val hist = traces.values.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (v, c) => (-c, v) }.take(20)
+    val rows = run("agg_trace_variants")
+    assert(rows.length == math.min(20, hist.size))
+    rows.zip(hist).foreach { case (r, (v, c)) =>
+      assert(r.getString(0) == v && r.getLong(1) == c,
+        s"got (${r.getString(0)}, ${r.getLong(1)}) want ($v, $c)")
+      assert(r.getLong(2) == c * 1000000L / nUsers)
+    }
+  }
+
+  test("text_blocklist_filter equals a driver substring count for one source") {
+    val rows = run("text_blocklist_filter")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, fl, fh, fi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(fl <= n && fh <= n && fi <= n)
+      assert(r.getLong(5) >= 0L)
+    }
+    val first = rows.head.getString(0)
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("source") === first)
+      .selectExpr("lower(text) AS lt").collect().map(_.getString(0))
+    def cnt(t: String, term: String): Long = {
+      var i = 0; var c = 0L
+      while ({ i = t.indexOf(term, i); i >= 0 }) { c += 1; i += term.length }
+      c
+    }
+    val flagHype = docs.count(t => cnt(t, "fast") + cnt(t, "big") >= 3).toLong
+    assert(rows.head.getLong(3) == flagHype, "flag_hype")
+    assert(rows.head.getLong(2) ==
+      docs.count(t => cnt(t, "slow") + cnt(t, "drop") >= 3).toLong, "flag_latency")
+  }
+
+  /** (nation -> date-ordered daily cents) for the time-series tests. */
+  private lazy val dailySeries: Map[String, Vector[Long]] = {
+    import org.apache.spark.sql.functions._
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate"))
+      .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("x"))
+      .orderBy(col("n_name"), col("o_orderdate"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+  }
+
+  test("agg_ljung_box equals the driver autocorrelation fold") {
+    val rows = run("agg_ljung_box")
+    assert(rows.length == dailySeries.size)
+    rows.foreach { r =>
+      val xs = dailySeries(r.getString(0))
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val d = xs.map(x => n * x - sx)
+      val den = d.map(v => BigInt(v) * BigInt(v)).sum
+      val rho = (1 to 5).map { k =>
+        val num = (0 until d.length - k).map(t => BigInt(d(t)) * BigInt(d(t + k))).sum
+        num.toDouble / den.toDouble
+      }
+      assert(r.getLong(1) == n, "n_days")
+      assert(r.getLong(2) == math.floor(rho(0) * 1e9).toLong, "rho1")
+      assert(r.getLong(3) == math.floor(rho(1) * 1e9).toLong, "rho2")
+      val q = n.toDouble * (n + 2).toDouble *
+        (1 to 5).map(k => rho(k - 1) * rho(k - 1) / (n - k).toDouble).sum
+      assert(r.getLong(5) == math.floor(q * 1e6).toLong, s"${r.getString(0)} Q")
+      assert(r.getLong(6) == (if (r.getLong(5) > 11070500L) 1L else 0L))
+    }
+  }
+
+  test("agg_dickey_fuller equals the driver OLS t-statistic") {
+    val rows = run("agg_dickey_fuller")
+    assert(rows.length == dailySeries.size)
+    rows.foreach { r =>
+      val xs = dailySeries(r.getString(0))
+      val pairs = xs.sliding(2).map(p => (p(0), p(1) - p(0))).toVector
+      val n = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val sxy = pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val syy = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val sxyC = (BigInt(n) * sxy - BigInt(sx) * BigInt(sy)).toDouble
+      val sxxC = (BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble
+      val syyC = (BigInt(n) * syy - BigInt(sy) * BigInt(sy)).toDouble
+      val beta = sxyC / sxxC
+      val se2 = ((syyC - sxyC * sxyC / sxxC) / n.toDouble) / (n - 2).toDouble *
+        n.toDouble / sxxC
+      assert(r.getLong(1) == n, "n_obs")
+      assert(r.getLong(2) == math.floor(beta * 1e9).toLong, s"${r.getString(0)} beta")
+      assert(r.getLong(3) == math.floor(beta / math.sqrt(se2) * 1e6).toLong,
+        s"${r.getString(0)} t")
+      // a price-level random series mean-reverts hard: t far below 0
+      assert(r.getLong(2) < 0L, "delta regresses against level")
+    }
+  }
+
+  test("pipeline_isotonic_calibration equals driver PAV and is monotone") {
+    import org.apache.spark.sql.functions._
+    val binned = Tables.load(spark, dir, "documents")
+      .selectExpr("least(9, n_chars DIV 200) AS b",
+        """CASE WHEN (length(lower(text))
+             - length(replace(lower(text), 'spark', ''))) DIV 5 >= 2
+           THEN 1 ELSE 0 END AS y""")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val bins = binned.groupBy(_._1).map { case (b, ys) =>
+      b -> ((ys.length.toLong, ys.map(_._2).sum)) }.toSeq.sortBy(_._1)
+    val bs = bins.map(_._1)
+    def mean(i: Long, j: Long): Double = {
+      val in = bins.filter(t => t._1 >= i && t._1 <= j)
+      in.map(_._2._2).sum.toDouble / in.map(_._2._1).sum.toDouble
+    }
+    // minimax closed form == classic PAV
+    val fit = bs.map(k =>
+      k -> bs.filter(_ <= k).map(i =>
+        bs.filter(_ >= k).map(j => mean(i, j)).min).max).toMap
+    val rows = run("pipeline_isotonic_calibration")
+    assert(rows.length == bins.size)
+    var prev = Long.MinValue
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(3) == math.floor(fit(b) * 1e6).toLong, s"bin $b fit")
+      assert(r.getLong(3) >= prev, "fit must be monotone non-decreasing")
+      prev = r.getLong(3)
+    }
+  }
+
+  test("sim_eval_ndcg equals the driver cosine-ranked DCG fold") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)",
+        "CAST(label AS BIGINT) AS label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def term(rank: Int): Long =
+      math.floor(1e9 / (math.log(rank + 1.0) / math.log(2.0))).toLong
+    val byLabel = emb.groupBy(_._3).view.mapValues(_.length).toMap
+    val rows = run("sim_eval_ndcg")
+    assert(rows.length == emb.count(_._1 < 8))
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val q = emb.find(_._1 == qid).get
+      val top = emb.filter(_._1 != qid)
+        .map(c => (c._1, cos(q._2, c._2), c._3))
+        .sortBy(t => (-t._2, t._1)).take(10)
+      val dcg = top.zipWithIndex
+        .map { case ((_, _, l), i) => if (l == q._3) term(i + 1) else 0L }.sum
+      val nRel = byLabel(q._3) - 1L
+      val idcg = (1 to math.min(10L, nRel).toInt).map(term).sum
+      assert(r.getLong(1) == nRel, s"q$qid n_rel")
+      assert(r.getLong(2) == dcg, s"q$qid dcg")
+      assert(r.getLong(3) == idcg, s"q$qid idcg")
+      if (idcg > 0) {
+        assert(r.getLong(4) == dcg * 1000000L / idcg, s"q$qid ndcg")
+        assert(r.getLong(4) <= 1000000L)
+      } else assert(r.isNullAt(4), s"q$qid ndcg should be null at idcg=0")
+    }
+  }
+}
