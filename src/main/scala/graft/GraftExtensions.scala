@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("rolling_hash64", "rolling_hash64(s) - polynomial rolling hash of a string") {
       es => RollingHash64(es.head)
     }
+    inject("char_stats", "char_stats(s) - [entropy_nats, distinct_chars, n_chars] one-pass byte statistics") {
+      es => CharStats(es.head)
+    }
     inject("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array") {
       es => SimHash64(es.head)
     }

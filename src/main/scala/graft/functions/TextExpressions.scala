@@ -637,8 +637,61 @@ case class SpanTexts(child: Expression, spanWords: Int) extends UnaryExpression 
   override def prettyName: String = "span_texts"
 }
 
+/** One-pass character-level statistics (the FineWeb/CCNet-style
+  * "gibberish gate" signal: near-zero char entropy means a run-length
+  * blob, near-log(alphabet) means noise; natural prose sits in a stable
+  * band): byte histogram (the fixtures are ASCII, so byte == char; on
+  * multi-byte UTF-8 this is deliberately BYTE entropy — documented,
+  * deterministic), Shannon entropy folded in byte-value order so a SQL
+  * engine can replay the identical IEEE sum as `list(... ORDER BY ch)`,
+  * plus exact distinct-byte and length counters.
+  */
+object CharStatsKernel {
+  /** [entropy_nats, distinct_chars, n_chars] (counters exact in double). */
+  def charStats(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new Array[Double](3)
+    if (n > 0) {
+      val hist = new Array[Int](256)
+      var i = 0
+      while (i < n) { hist(bytes(i) & 0xFF) += 1; i += 1 }
+      var h = 0.0
+      var distinct = 0
+      var b = 0
+      while (b < 256) {
+        val c = hist(b)
+        if (c > 0) {
+          distinct += 1
+          val p = c.toDouble / n
+          h += -p * math.log(p)
+        }
+        b += 1
+      }
+      out(0) = h; out(1) = distinct.toDouble; out(2) = n.toDouble
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** char_stats(text) → array<double> [entropy_nats, distinct_chars, n_chars]. */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"char_stats expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    CharStatsKernel.charStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStatsKernel.charStats($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "char_stats"
+}
+
 object TextHashFunctions {
   def register(spark: SparkSession): Unit = {
+    Registration.ifAbsent(spark, "char_stats")(es => CharStats(es.head))
     Registration.ifAbsent(spark, "rolling_hash64")(es => RollingHash64(es.head))
     Registration.ifAbsent(spark, "simhash64")(es => SimHash64(es.head))
     Registration.ifAbsent(spark, "simhash64_md5")(es => SimHash64(es.head, md5Based = true))
@@ -672,6 +725,7 @@ object TextHashFunctions {
       SpanTexts(es.head, n)
     }
   }
+  def charStats(c: Column): Column = call_function("char_stats", c)
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def simhash64Md5(c: Column): Column = call_function("simhash64_md5", c)

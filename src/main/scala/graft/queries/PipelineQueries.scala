@@ -5911,7 +5911,113 @@ object PipelineQueries extends QueryModule {
           GROUP BY k)
         SELECT bins.b, bins.n, (bins.s * 1000000) // bins.n AS rate_ppm,
           CAST(floor(fits.fit * 1e6) AS BIGINT) AS fit_ppm
-        FROM bins JOIN fits ON bins.b = fits.k ORDER BY bins.b"""))
+        FROM bins JOIN fits ON bins.b = fits.k ORDER BY bins.b""")),
+
+    // ── character-entropy profile per source (the FineWeb/CCNet
+    //    "gibberish gate": run-length blobs score near 0 nats, random
+    //    noise near ln|alphabet|, prose sits in a stable band — a
+    //    cheap pre-filter before any model-based quality score): the
+    //    NEW one-pass codegen kernel `char_stats` (functions/
+    //    TextExpressions.scala CharStatsKernel) computes the byte
+    //    histogram + Shannon entropy folded in byte-value order, so
+    //    the oracle replays the identical IEEE sum via
+    //    `list(term ORDER BY ch)`; the counters are exact. Per-doc
+    //    entropies stay UNFLOORED doubles and fold per source in
+    //    doc_id order with a single floor(·1e9) at the end — one
+    //    quantization per source row, not one per doc (the ln-ulp
+    //    flakiness budget of the user_entropy finding). One map-only
+    //    scan + one |sources|-row aggregate. ────────────────────────────
+    QueryDef("text_char_entropy",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val perDoc = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source",
+            graft.functions.TextHashFunctions.charStats($"text").as("cs"))
+          .select($"doc_id", $"source",
+            $"cs".getItem(0).as("h"),
+            $"cs".getItem(1).cast("long").as("distinct_chars"),
+            $"cs".getItem(2).cast("long").as("n_bytes"))
+        perDoc.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"distinct_chars").as("sum_distinct"),
+            sum($"n_bytes").as("sum_bytes"),
+            sort_array(collect_list(struct($"doc_id", $"h"))).as("hs"))
+          .select($"source", $"n_docs", $"sum_distinct", $"sum_bytes",
+            floor(aggregate($"hs".getField("h"), lit(0.0d), (a, x) => a + x) /
+              $"n_docs".cast("double") * lit(1e9)).cast("long")
+              .as("mean_entropy_e9"))
+          .orderBy($"source")
+      },
+      Some("""WITH ch AS (SELECT doc_id, source,
+            unnest(string_split(text, '')) AS c
+          FROM documents),
+        cc AS (SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS cnt
+          FROM ch GROUP BY 1, 2, 3),
+        docs AS (SELECT doc_id, source,
+            CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS distinct_chars,
+            list(cnt ORDER BY c) AS cl
+          FROM cc GROUP BY doc_id, source),
+        ent AS (SELECT doc_id, source, n, distinct_chars,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(cl, x ->
+                -(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))),
+              (a, b) -> a + b) AS h
+          FROM docs)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(distinct_chars) AS BIGINT) AS sum_distinct,
+          CAST(sum(n) AS BIGINT) AS sum_bytes,
+          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(h ORDER BY doc_id)), (a, b) -> a + b)
+            / CAST(count(*) AS DOUBLE) * 1e9) AS BIGINT) AS mean_entropy_e9
+        FROM ent GROUP BY source ORDER BY source""")),
+
+    // ── k-anonymity / l-diversity audit (the privacy gate a corpus
+    //    must pass before release: any quasi-identifier combination
+    //    matched by fewer than k records re-identifies its members,
+    //    and a group whose sensitive attribute has < l distinct values
+    //    leaks it even at size ≥ k): QI = (source, 100-char length
+    //    band), sensitive = lang. One groupBy over the corpus builds
+    //    the QI partition (exact count + exact count-distinct per
+    //    cell), one |groups|-row rollup per source reports violation
+    //    counts, records at risk (what suppression would cost), and
+    //    the worst group sizes/diversities — all exact integers. ────────
+    QueryDef("dq_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val groups = Tables.load(s, dir, "documents")
+          .select($"source", ($"n_chars" - pmod($"n_chars", lit(100L))).as("band"),
+            $"lang")
+          .groupBy($"source", $"band")
+          .agg(count(lit(1)).as("n"), countDistinct($"lang").as("l"))
+        groups.groupBy($"source")
+          .agg(count(lit(1)).as("n_groups"),
+            sum($"n").as("n_records"),
+            sum(when($"n" < 5L, 1L).otherwise(0L)).as("k_violations"),
+            sum(when($"n" < 5L, $"n").otherwise(0L)).as("records_at_risk"),
+            min($"n").as("min_group_size"),
+            min($"l").as("min_l_diversity"))
+          .withColumn("suppression_ppm",
+            expr("(records_at_risk * 1000000) DIV n_records"))
+          .orderBy($"source")
+      },
+      Some("""WITH g AS (SELECT source, n_chars - n_chars % 100 AS band,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(DISTINCT lang) AS BIGINT) AS l
+          FROM documents GROUP BY 1, 2)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(n) AS BIGINT) AS n_records,
+          CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS k_violations,
+          CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+            AS records_at_risk,
+          CAST(min(n) AS BIGINT) AS min_group_size,
+          CAST(min(l) AS BIGINT) AS min_l_diversity,
+          (CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+            // CAST(sum(n) AS BIGINT) AS suppression_ppm
+        FROM g GROUP BY source ORDER BY source"""))
   )
 }
 

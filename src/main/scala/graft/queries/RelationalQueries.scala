@@ -9635,6 +9635,60 @@ object RelationalQueries extends QueryModule {
           CAST(floor(beta / sqrt(se2) * 1e6) AS BIGINT) AS df_t_e6,
           CAST(CASE WHEN floor(beta / sqrt(se2) * 1e6) < -2860000
             THEN 1 ELSE 0 END AS BIGINT) AS stationary
-        FROM fit ORDER BY n_name"""))
+        FROM fit ORDER BY n_name""")),
+
+    // ── Wilson score interval per event type (the proportion CI that
+    //    behaves at small n and extreme p̂ where the normal interval
+    //    collapses — the standard for conversion/defect-rate
+    //    reporting; complements `agg_ratio_metric_ci`'s delta-method
+    //    CI for RATIO metrics): p̂ = events with a recorded value /
+    //    all events of the type, exact BIGINT counts off ONE hash
+    //    aggregate, then the closed form
+    //    (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) as a fixed
+    //    IEEE chain with the z = 1.96 literal squared IN-ENGINE (both
+    //    engines parse the same double, so z·z is bit-identical).
+    //    floor(·1e9) emission. No window, no join, no broadcast. ────────
+    QueryDef("agg_wilson_ci",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"value".isNotNull, 1L).otherwise(0L)).as("x"))
+          .select($"event_type", $"n", $"x",
+            ($"x".cast("double") / $"n".cast("double")).as("p"),
+            $"n".cast("double").as("nd"))
+          .select($"event_type", $"n", $"x",
+            (($"p" + lit(1.96d) * lit(1.96d) / (lit(2.0d) * $"nd") -
+              lit(1.96d) * sqrt($"p" * (lit(1.0d) - $"p") / $"nd" +
+                lit(1.96d) * lit(1.96d) / (lit(4.0d) * $"nd" * $"nd"))) /
+              (lit(1.0d) + lit(1.96d) * lit(1.96d) / $"nd")).as("lo"),
+            (($"p" + lit(1.96d) * lit(1.96d) / (lit(2.0d) * $"nd") +
+              lit(1.96d) * sqrt($"p" * (lit(1.0d) - $"p") / $"nd" +
+                lit(1.96d) * lit(1.96d) / (lit(4.0d) * $"nd" * $"nd"))) /
+              (lit(1.0d) + lit(1.96d) * lit(1.96d) / $"nd")).as("hi"))
+          .select($"event_type", $"n", $"x",
+            floor($"lo" * lit(1e9)).cast("long").as("wilson_lo_e9"),
+            floor($"hi" * lit(1e9)).cast("long").as("wilson_hi_e9"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+          FROM events GROUP BY event_type),
+        p AS (SELECT event_type, n, x,
+            CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+            CAST(n AS DOUBLE) AS nd
+          FROM g)
+        SELECT event_type, n, x,
+          CAST(floor((p + 1.96 * 1.96 / (2.0 * nd)
+              - 1.96 * sqrt(p * (1.0 - p) / nd
+                + 1.96 * 1.96 / (4.0 * nd * nd)))
+            / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS wilson_lo_e9,
+          CAST(floor((p + 1.96 * 1.96 / (2.0 * nd)
+              + 1.96 * sqrt(p * (1.0 - p) / nd
+                + 1.96 * 1.96 / (4.0 * nd * nd)))
+            / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS wilson_hi_e9
+        FROM p ORDER BY event_type"""))
   )
 }

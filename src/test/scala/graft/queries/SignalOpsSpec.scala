@@ -257,6 +257,85 @@ class SignalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_char_entropy equals the driver byte-histogram fold") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def stats(t: String): (Double, Long, Long) = {
+      val bytes = t.getBytes("UTF-8")
+      val hist = new Array[Int](256)
+      bytes.foreach(b => hist(b & 0xFF) += 1)
+      var h = 0.0
+      hist.foreach { c =>
+        if (c > 0) { val p = c.toDouble / bytes.length; h += -p * math.log(p) } }
+      (h, hist.count(_ > 0).toLong, bytes.length.toLong)
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val ss = ds.sortBy(_._1).map(d => stats(d._3))
+      src -> ((ds.length.toLong, ss.map(_._2).sum, ss.map(_._3).sum,
+        math.floor(ss.map(_._1).sum / ds.length * 1e9).toLong))
+    }
+    val rows = run("text_char_entropy")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val want = expected(r.getString(0))
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(got == want, s"${r.getString(0)}: got $got want $want")
+      // prose made of a bounded word list sits well inside (0, ln 256)
+      assert(r.getLong(4) > 1000000000L && r.getLong(4) < 5545000000L)
+    }
+  }
+
+  test("dq_k_anonymity equals the driver QI partition audit") {
+    import org.apache.spark.sql.functions._
+    val recs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val cells = recs.groupBy(t => (t._1, t._2 - t._2 % 100))
+      .map { case (qi, rs) => qi -> ((rs.length.toLong, rs.map(_._3).distinct.length.toLong)) }
+    val rows = run("dq_k_anonymity")
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val g = cells.filter(_._1._1 == src).values.toSeq
+      assert(r.getLong(1) == g.size.toLong, "n_groups")
+      assert(r.getLong(2) == g.map(_._1).sum, "n_records")
+      assert(r.getLong(3) == g.count(_._1 < 5).toLong, "k_violations")
+      assert(r.getLong(4) == g.filter(_._1 < 5).map(_._1).sum, "records_at_risk")
+      assert(r.getLong(5) == g.map(_._1).min, "min_group_size")
+      assert(r.getLong(6) == g.map(_._2).min, "min_l_diversity")
+      assert(r.getLong(7) == r.getLong(4) * 1000000L / r.getLong(2))
+    }
+  }
+
+  test("agg_wilson_ci brackets p-hat and equals the driver closed form") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("value").isNotNull.cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = run("agg_wilson_ci")
+    rows.foreach { r =>
+      val g = evs.filter(_._1 == r.getString(0))
+      val n = g.length.toLong; val x = g.map(_._2).sum
+      assert(r.getLong(1) == n && r.getLong(2) == x)
+      val p = x.toDouble / n; val nd = n.toDouble; val z = 1.96
+      def bound(sign: Double): Double =
+        (p + z * z / (2.0 * nd) + sign * (z * math.sqrt(
+          p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)))) /
+          (1.0 + z * z / nd)
+      assert(r.getLong(3) == math.floor(bound(-1) * 1e9).toLong, "lo")
+      assert(r.getLong(4) == math.floor(bound(1) * 1e9).toLong, "hi")
+      // CI sits inside [0, 1]; it brackets p-hat strictly INSIDE the
+      // boundaries — at p-hat = 0/1 Wilson correctly pulls the interval
+      // off the boundary (that's its whole point vs the normal interval)
+      assert(r.getLong(3) >= 0L && r.getLong(4) <= 1000000000L)
+      assert(r.getLong(3) < r.getLong(4))
+      if (x > 0 && x < n)
+        assert(r.getLong(3) <= math.floor(p * 1e9).toLong &&
+          math.floor(p * 1e9).toLong <= r.getLong(4))
+    }
+  }
+
   test("sim_eval_ndcg equals the driver cosine-ranked DCG fold") {
     val emb = Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)",
