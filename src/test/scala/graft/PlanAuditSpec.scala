@@ -739,7 +739,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // r11 batch 22: per-arm quantile histograms, neyman strata frame
     "agg_quantile_treatment_effect", "sample_neyman_allocation",
     // r11 batch 23: transition-lag windows, lorenz user collapse
-    "agg_transition_entropy", "agg_lorenz_deciles")
+    "agg_transition_entropy", "agg_lorenz_deciles",
+    // r11 batch 24: BFS frontier joins, time-series lag joins/windows,
+    // trace prefix collect, char kernels, ndcg probe broadcast
+    "graph_bfs_distance", "agg_ljung_box", "agg_dickey_fuller",
+    "agg_hurst_rs", "agg_trace_variants", "text_blocklist_filter",
+    "text_char_entropy", "agg_mutual_information", "sim_eval_ndcg",
+    "pipeline_isotonic_calibration")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
