@@ -40,6 +40,18 @@ object Materialization {
     * format, so the remainder is not even rewritten).
     */
   final case class Incremental(uniqueKey: Seq[String]) extends Materialization
+  /** dbt `materialized='ephemeral'`: never materialized, never
+    * addressable — dbt compiles the model to a CTE interpolated into
+    * every downstream `ref()`. Engine mapping: the model registers as a
+    * temp view only for the DURATION of the DAG run (so downstream
+    * builds can `spark.table` it); the view is dropped before `run`
+    * returns — downstream plans captured the resolved subtree at their
+    * own analysis time — and the model is excluded from the returned
+    * frame map. No catalog or storage footprint, and Catalyst optimizes
+    * straight through the boundary (filters and column pruning cross
+    * it), which is exactly the CTE-inlining contract.
+    */
+  case object Ephemeral extends Materialization
 }
 
 /** Topological model runner — the engine's in-process `dbt run`
@@ -90,7 +102,7 @@ object ModelDag {
       models: Seq[Model],
       warehouseDir: Option[String] = None,
       catalogViews: Boolean = false): Map[String, DataFrame] = {
-    topoSort(models).map { m =>
+    val built = topoSort(models).map { m =>
       if (catalogViews) spark.catalog.dropTempView(m.name) // unshadow catalog names
       val df = m.build(spark)
       val materialized = (m.materialization, warehouseDir) match {
@@ -128,7 +140,17 @@ object ModelDag {
         case _ =>
           materialized.createOrReplaceTempView(m.name)
       }
-      m.name -> spark.table(m.name)
+      m -> spark.table(m.name)
+    }
+    // ephemeral views vanish with the run: downstream frames already
+    // carry the resolved subtrees, so dropping the name now makes the
+    // model non-addressable afterward (dbt: you cannot SELECT an
+    // ephemeral model)
+    models.filter(_.materialization == Materialization.Ephemeral)
+      .foreach(m => spark.catalog.dropTempView(m.name))
+    built.collect {
+      case (m, df) if m.materialization != Materialization.Ephemeral =>
+        m.name -> df
     }.toMap
   }
 }

@@ -379,6 +379,104 @@ object ModelQueries extends QueryModule {
             CAST(count(*) - sum(expirable) AS BIGINT) AS n_kept,
             min(CASE WHEN expirable = 0 THEN valid_from END) AS kept_from
           FROM e GROUP BY o_custkey)
-        SELECT * FROM g WHERE n_expired > 0 ORDER BY o_custkey"""))
+        SELECT * FROM g WHERE n_expired > 0 ORDER BY o_custkey""")),
+
+    // ── dbt `materialized='ephemeral'` (the fourth core dbt
+    //    materialization beside view/table/incremental — the slot the
+    //    reference's dbt_project.yml leaves at its default): a 3-model
+    //    DAG whose middle model is Ephemeral — downstream refs inline
+    //    its plan (dbt's compile-to-CTE), nothing is stored or left in
+    //    the catalog, and ModelSpec proves the name is NOT addressable
+    //    after the run. The oracle is the same query hand-compiled to
+    //    one CTE — exactly what dbt would emit. Plan note: because the
+    //    boundary is a temp view over a lazy plan, Catalyst pushes the
+    //    downstream status filter INTO the ephemeral aggregate's scan;
+    //    a materialized middle model could not do that. ─────────────────
+    QueryDef("model_ephemeral_inline",
+      (s, dir) => {
+        val raw = Model("eph_orders_raw", Nil, Materialization.View,
+          sp => Tables.load(sp, dir, "orders"))
+        val mid = Model("eph_daily_status", Seq("eph_orders_raw"),
+          Materialization.Ephemeral,
+          sp => sp.table("eph_orders_raw")
+            .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("d"))
+            .agg(count(lit(1)).as("n"),
+              expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+                .as("cents")))
+        val top = Model("eph_status_rollup", Seq("eph_daily_status"),
+          Materialization.Table,
+          sp => sp.table("eph_daily_status")
+            .filter(col("o_orderstatus") =!= "P")
+            .groupBy(col("o_orderstatus"))
+            .agg(sum(col("n")).as("n_orders"),
+              count(lit(1)).as("n_days"),
+              sum(col("cents")).as("cents")))
+        val out = ModelDag.run(s, Seq(raw, mid, top))
+        require(!out.contains("eph_daily_status"),
+          "ephemeral model leaked into the materialized map")
+        out("eph_status_rollup").orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH eph_daily_status AS (
+          SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_orders,
+          CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(cents) AS BIGINT) AS cents
+        FROM eph_daily_status WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── SCD-2 merge idempotence (the property a warehouse MERGE must
+    //    hold for safe orchestration retries — Airflow re-running a
+    //    completed snapshot task must be a no-op): apply the SAME T2
+    //    state twice; the oracle computes the single-merge history, so
+    //    the hash match IS the proof that merge∘merge = merge. Second
+    //    pass mechanics: unchanged keys carry their open rows, nothing
+    //    differs from the just-written values, so close/open sets are
+    //    empty by construction. ─────────────────────────────────────────
+    QueryDef("snapshot_merge_idempotent",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val t1 = lit("1998-01-01").cast("timestamp")
+        val t2 = lit("2000-01-01").cast("timestamp")
+        val key = Seq("o_custkey")
+        val st1 = Snapshot.stateAsOf(orders, key, "o_orderstatus",
+          "o_orderdate", "o_orderkey", t1)
+        val st2 = Snapshot.stateAsOf(orders, key, "o_orderstatus",
+          "o_orderdate", "o_orderkey", t2)
+        val once = Snapshot.scd2Merge(
+          Snapshot.scd2Init(st1, key, "o_orderstatus", t1),
+          st2, key, "o_orderstatus", t2)
+        Snapshot.scd2Merge(once, st2, key, "o_orderstatus", t2)
+          .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))
+      },
+      Some("""WITH st1 AS (
+          SELECT o_custkey, o_orderstatus FROM (
+            SELECT o_custkey, o_orderstatus,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01') t WHERE rn = 1),
+        st2 AS (
+          SELECT o_custkey, o_orderstatus FROM (
+            SELECT o_custkey, o_orderstatus,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') t WHERE rn = 1),
+        merged AS (
+          SELECT h.o_custkey, h.o_orderstatus, TIMESTAMP '1998-01-01' AS valid_from,
+            CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+          FROM st1 h LEFT JOIN st2 s ON h.o_custkey = s.o_custkey
+          WHERE s.o_custkey IS NULL OR s.o_orderstatus = h.o_orderstatus
+          UNION ALL
+          SELECT h.o_custkey, h.o_orderstatus, TIMESTAMP '1998-01-01',
+            TIMESTAMP '2000-01-01', false
+          FROM st1 h JOIN st2 s ON h.o_custkey = s.o_custkey
+          WHERE s.o_orderstatus <> h.o_orderstatus
+          UNION ALL
+          SELECT s.o_custkey, s.o_orderstatus, TIMESTAMP '2000-01-01',
+            CAST(NULL AS TIMESTAMP), true
+          FROM st2 s LEFT JOIN st1 h ON h.o_custkey = s.o_custkey
+          WHERE h.o_custkey IS NULL OR h.o_orderstatus <> s.o_orderstatus)
+        SELECT * FROM merged ORDER BY o_custkey, valid_from, o_orderstatus"""))
   )
 }

@@ -376,6 +376,90 @@ object SourceSinkQueries extends QueryModule {
         SELECT z >> 12 AS z_bucket, count(*) AS n, CAST(sum(z) AS BIGINT) AS z_sum
         FROM zt GROUP BY 1 ORDER BY z_bucket""")),
 
+    // ── layout advisor: WOULD z-ordering pay off for this table and
+    //    this predicate shape? Simulate both layouts at file
+    //    granularity — under a LINEAR l_partkey sort a file is a
+    //    partkey range (bucket = partkey DIV 16); under Z-ORDER a file
+    //    is a morton-prefix cell (the maintenance_zorder key >> 12) —
+    //    compute every file's (partkey, suppkey) min/max rectangle from
+    //    one hash-agg each, and count files/rows a 2-D box predicate
+    //    (p∈[100,200] ∧ s∈[10,20]) must scan. The linear layout prunes
+    //    partkey perfectly but reads EVERY matching-partkey file
+    //    regardless of suppkey; z-order bounds both dimensions. This is
+    //    the decision table a real lakehouse OPTIMIZE advisor emits;
+    //    everything is two aggregates over one scan each, no sort. ──────
+    QueryDef("maintenance_layout_advisor",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey")
+        def report(layout: String, bucket: Column): DataFrame =
+          li.groupBy(bucket.as("f"))
+            .agg(count(lit(1)).as("n"),
+              min($"l_partkey").as("min_p"), max($"l_partkey").as("max_p"),
+              min($"l_suppkey").as("min_s"), max($"l_suppkey").as("max_s"))
+            .agg(count(lit(1)).as("n_files"), sum($"n").as("n_rows"),
+              sum(when($"min_p" <= 200L && $"max_p" >= 100L &&
+                $"min_s" <= 20L && $"max_s" >= 10L, 1L).otherwise(0L))
+                .as("files_scanned"),
+              sum(when($"min_p" <= 200L && $"max_p" >= 100L &&
+                $"min_s" <= 20L && $"max_s" >= 10L, $"n").otherwise(0L))
+                .as("rows_scanned"))
+            .select(lit(layout).as("layout"), $"n_files", $"files_scanned",
+              $"rows_scanned",
+              expr("(rows_scanned * 1000000) DIV n_rows").as("scan_ppm"))
+        report("linear_partkey", expr("l_partkey DIV 16"))
+          .unionByName(report("zorder_morton",
+            shiftright(graft.functions.Layout.morton16($"l_partkey", $"l_suppkey"), 12)))
+          .orderBy($"layout")
+      },
+      Some("""WITH base AS (SELECT l_partkey, l_suppkey,
+            l_partkey & 65535 AS x, l_suppkey & 65535 AS y
+          FROM lineitem),
+        s1 AS (SELECT l_partkey, l_suppkey, ((x | (x << 8)) & 16711935) AS x,
+            ((y | (y << 8)) & 16711935) AS y FROM base),
+        s2 AS (SELECT l_partkey, l_suppkey, ((x | (x << 4)) & 252645135) AS x,
+            ((y | (y << 4)) & 252645135) AS y FROM s1),
+        s3 AS (SELECT l_partkey, l_suppkey, ((x | (x << 2)) & 858993459) AS x,
+            ((y | (y << 2)) & 858993459) AS y FROM s2),
+        s4 AS (SELECT l_partkey, l_suppkey, ((x | (x << 1)) & 1431655765) AS x,
+            ((y | (y << 1)) & 1431655765) AS y FROM s3),
+        keyed AS (SELECT l_partkey, l_suppkey,
+            l_partkey // 16 AS lin_f, (x | (y << 1)) >> 12 AS z_f FROM s4),
+        lin AS (SELECT lin_f AS f, CAST(count(*) AS BIGINT) AS n,
+            min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+            min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+          FROM keyed GROUP BY 1),
+        zf AS (SELECT z_f AS f, CAST(count(*) AS BIGINT) AS n,
+            min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+            min(l_suppkey) AS min_s, max(l_suppkey) AS max_s
+          FROM keyed GROUP BY 1),
+        rep AS (
+          SELECT 'linear_partkey' AS layout,
+            CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(CASE WHEN min_p <= 200 AND max_p >= 100
+              AND min_s <= 20 AND max_s >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+              AS files_scanned,
+            CAST(sum(CASE WHEN min_p <= 200 AND max_p >= 100
+              AND min_s <= 20 AND max_s >= 10 THEN n ELSE 0 END) AS BIGINT)
+              AS rows_scanned,
+            (CAST(sum(CASE WHEN min_p <= 200 AND max_p >= 100
+              AND min_s <= 20 AND max_s >= 10 THEN n ELSE 0 END) AS BIGINT)
+              * 1000000) // CAST(sum(n) AS BIGINT) AS scan_ppm
+          FROM lin
+          UNION ALL
+          SELECT 'zorder_morton',
+            CAST(count(*) AS BIGINT),
+            CAST(sum(CASE WHEN min_p <= 200 AND max_p >= 100
+              AND min_s <= 20 AND max_s >= 10 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(sum(CASE WHEN min_p <= 200 AND max_p >= 100
+              AND min_s <= 20 AND max_s >= 10 THEN n ELSE 0 END) AS BIGINT),
+            (CAST(sum(CASE WHEN min_p <= 200 AND max_p >= 100
+              AND min_s <= 20 AND max_s >= 10 THEN n ELSE 0 END) AS BIGINT)
+              * 1000000) // CAST(sum(n) AS BIGINT)
+          FROM zf)
+        SELECT * FROM rep ORDER BY layout""")),
+
     // Temp-view sink (SURVEY §2.1 sink_temp_view; reference
     // tests/dq_sql_notes.md:228 `createOrReplaceTempView("temp_table")`):
     // register the DataFrame, then answer the query through spark.sql

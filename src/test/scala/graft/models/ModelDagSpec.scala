@@ -58,4 +58,44 @@ class ModelDagSpec extends AnyFunSuite {
     spark.sql("DROP VIEW IF EXISTS my_second_dbt_model")
     spark.sql("DROP TABLE IF EXISTS my_first_dbt_model")
   }
+
+  test("ephemeral models inline into downstream refs and are not addressable after the run") {
+    import org.apache.spark.sql.functions._
+    val base = Model("eph_base", Nil, Materialization.View,
+      s => s.range(10).toDF("id"))
+    val mid = Model("eph_mid", Seq("eph_base"), Materialization.Ephemeral,
+      s => s.table("eph_base").withColumn("dbl", col("id") * 2))
+    val top = Model("eph_top", Seq("eph_mid"), Materialization.View,
+      s => s.table("eph_mid").filter(col("dbl") >= 10))
+    val out = ModelDag.run(spark, Seq(base, mid, top))
+    // dbt contract 1: ephemeral never appears among materializations
+    assert(!out.contains("eph_mid"))
+    // dbt contract 2: downstream sees the inlined rows
+    assert(out("eph_top").collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(10L, 12L, 14L, 16L, 18L))
+    // dbt contract 3: the name is not addressable after the run
+    assertThrows[Exception](spark.table("eph_mid").collect())
+    // inlining is a real optimization boundary: the downstream filter
+    // crosses into the ephemeral plan (no materialization barrier)
+    val plan = out("eph_top").queryExecution.optimizedPlan.toString
+    assert(!plan.contains("eph_mid") || plan.contains("Filter"),
+      s"downstream filter did not survive optimization:\n$plan")
+    spark.catalog.dropTempView("eph_base")
+    spark.catalog.dropTempView("eph_top")
+  }
+
+  test("rerunning a DAG with an ephemeral model is stable (re-registers, re-drops)") {
+    import org.apache.spark.sql.functions._
+    val base = Model("eph_base2", Nil, Materialization.View,
+      s => s.range(4).toDF("id"))
+    val mid = Model("eph_mid2", Seq("eph_base2"), Materialization.Ephemeral,
+      s => s.table("eph_base2").withColumn("sq", col("id") * col("id")))
+    val top = Model("eph_top2", Seq("eph_mid2"), Materialization.View,
+      s => s.table("eph_mid2"))
+    val r1 = ModelDag.run(spark, Seq(base, mid, top))("eph_top2").collect()
+    val r2 = ModelDag.run(spark, Seq(base, mid, top))("eph_top2").collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    spark.catalog.dropTempView("eph_base2")
+    spark.catalog.dropTempView("eph_top2")
+  }
 }

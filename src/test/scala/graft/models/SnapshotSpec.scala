@@ -57,4 +57,22 @@ class SnapshotSpec extends AnyFunSuite {
     val got = out("inc_t").orderBy("k").as[(Long, String)].collect().toSeq
     assert(got == Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
+
+  test("scd2Merge is idempotent: replaying the same state is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t1 = lit("2020-01-01").cast("timestamp")
+    val t2 = lit("2020-02-01").cast("timestamp")
+    val s1 = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("k", "v")
+    val s2 = Seq(1L -> "a", 2L -> "B", 4L -> "d").toDF("k", "v")
+    val once = Snapshot.scd2Merge(
+      Snapshot.scd2Init(s1, Seq("k"), "v", t1), s2, Seq("k"), "v", t2)
+    val twice = Snapshot.scd2Merge(once, s2, Seq("k"), "v", t2)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(once) == canon(twice))
+    // and the state is the expected one: 2 closed-out, 5 rows total
+    assert(twice.filter(!col("is_current")).count() == 1) // k=2 closed
+    assert(twice.filter(col("is_current")).count() == 4)  // 1,2',3,4 open
+  }
 }
