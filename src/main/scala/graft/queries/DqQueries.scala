@@ -486,6 +486,49 @@ object DqQueries extends QueryModule {
           (CAST(n_bits_set AS DOUBLE) / 4096.0)
             * (CAST(n_bits_set AS DOUBLE) / 4096.0)
             * (CAST(n_bits_set AS DOUBLE) / 4096.0) AS fpr_theory
-        FROM m"""))
+        FROM m""")),
+
+    // ── value-set drift between ingestion batches (the "new enum value
+    //    broke prod" check that DISTRIBUTION drift metrics miss — PSI/
+    //    TV/JS compare shares over a shared support; this audits the
+    //    SUPPORT itself): categories = 50-char length bands of
+    //    documents, batches = doc_id parity halves; a full-outer join
+    //    of the two per-batch category aggregates labels every band
+    //    emerged / vanished / stable with exact counts. One scan, two
+    //    |bands|-row frames. ────────────────────────────────────────────
+    QueryDef("dq_category_drift",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select(($"n_chars" - pmod($"n_chars", lit(50L))).as("band"),
+            pmod($"doc_id", lit(2L)).as("half"))
+        val a = docs.filter($"half" === 0L).groupBy($"band")
+          .agg(count(lit(1)).as("n_first"))
+        val b = docs.filter($"half" === 1L).groupBy($"band")
+          .agg(count(lit(1)).as("n_second"))
+        a.join(b, Seq("band"), "full_outer")
+          .select($"band",
+            coalesce($"n_first", lit(0L)).as("n_first"),
+            coalesce($"n_second", lit(0L)).as("n_second"))
+          .withColumn("status",
+            when($"n_first" === 0L, lit("emerged"))
+              .when($"n_second" === 0L, lit("vanished"))
+              .otherwise(lit("stable")))
+          .orderBy($"band")
+      },
+      Some("""WITH d AS (SELECT n_chars - n_chars % 50 AS band,
+            doc_id % 2 AS half FROM documents),
+        a AS (SELECT band, CAST(count(*) AS BIGINT) AS n_first
+          FROM d WHERE half = 0 GROUP BY band),
+        b AS (SELECT band, CAST(count(*) AS BIGINT) AS n_second
+          FROM d WHERE half = 1 GROUP BY band)
+        SELECT coalesce(a.band, b.band) AS band,
+          coalesce(a.n_first, 0) AS n_first,
+          coalesce(b.n_second, 0) AS n_second,
+          CASE WHEN coalesce(a.n_first, 0) = 0 THEN 'emerged'
+            WHEN coalesce(b.n_second, 0) = 0 THEN 'vanished'
+            ELSE 'stable' END AS status
+        FROM a FULL OUTER JOIN b ON a.band = b.band
+        ORDER BY band"""))
   )
 }

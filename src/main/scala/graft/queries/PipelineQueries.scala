@@ -6017,7 +6017,54 @@ object PipelineQueries extends QueryModule {
           CAST(min(l) AS BIGINT) AS min_l_diversity,
           (CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000)
             // CAST(sum(n) AS BIGINT) AS suppression_ppm
-        FROM g GROUP BY source ORDER BY source"""))
+        FROM g GROUP BY source ORDER BY source""")),
+
+    // ── deterministic source interleaving (HF `interleave_datasets` /
+    //    the T5 mixing recipe: emit examples so that at EVERY prefix of
+    //    the stream each source's share tracks its √n temperature
+    //    weight — a global hash shuffle gets the ratios right only in
+    //    expectation, interleaving enforces them deterministically):
+    //    each doc's stream position is rank-within-source / √n_source
+    //    (per-source window + one broadcast count frame), the first
+    //    4000 positions are a bounded TakeOrdered (never a global
+    //    sort), and the output audits each source's share of the
+    //    prefix against its weight. √n is one correctly-rounded IEEE
+    //    op on an exact BIGINT, so positions and ties (broken by
+    //    source, rank) agree across engines. ────────────────────────────
+    QueryDef("pipeline_interleave_sources",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents").select($"source", $"doc_id")
+        val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        val taken = docs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"source").orderBy($"doc_id")).cast("long"))
+          .join(broadcast(counts), "source")
+          .withColumn("pos", $"rn".cast("double") / sqrt($"n_s".cast("double")))
+          .orderBy($"pos", $"source", $"rn")
+          .limit(4000)
+        taken.groupBy($"source")
+          .agg(count(lit(1)).as("n_taken"), max($"rn").as("deepest_rank"))
+          .join(broadcast(counts), "source")
+          .select($"source", $"n_s", $"n_taken", $"deepest_rank",
+            expr("(n_taken * 1000000) DIV 4000").as("share_ppm"))
+          .orderBy($"source")
+      },
+      Some("""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM documents GROUP BY source),
+        ranked AS (SELECT d.source, d.doc_id,
+            CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+              AS BIGINT) AS rn, c.n_s
+          FROM documents d JOIN counts c ON d.source = c.source),
+        taken AS (SELECT source, rn, n_s
+          FROM ranked
+          ORDER BY CAST(rn AS DOUBLE) / sqrt(CAST(n_s AS DOUBLE)), source, rn
+          LIMIT 4000)
+        SELECT source, max(n_s) AS n_s, CAST(count(*) AS BIGINT) AS n_taken,
+          CAST(max(rn) AS BIGINT) AS deepest_rank,
+          (CAST(count(*) AS BIGINT) * 1000000) // 4000 AS share_ppm
+        FROM taken GROUP BY source ORDER BY source"""))
   )
 }
 

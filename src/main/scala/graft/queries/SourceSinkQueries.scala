@@ -54,6 +54,57 @@ object SourceSinkQueries extends QueryModule {
         ('USD', CAST(1.0 AS DOUBLE))) t(currency_code, standard_rate)
         ORDER BY currency_code""")),
 
+    // ── malformed-input audit (the ingestion-hardening policy every
+    //    production feed needs: PERMISSIVE parse, quarantine column,
+    //    per-field null accounting — the alternative is FAILFAST
+    //    killing a 100 TB backfill on row 3): a fixture CSV with the
+    //    four canonical defects (unparsable numeric, wrong arity,
+    //    empty field, unparsable date) reads under an explicit schema +
+    //    `_corrupt_record`; the audit counts quarantined rows, per-
+    //    column null damage, and sums the UNQUARANTINED amount exactly.
+    //    The oracle pins Spark's documented PERMISSIVE accounting as
+    //    literals (empty field ⇒ null but NOT corrupt; partial parses
+    //    keep their good fields) — a Spark behavior change would
+    //    surface as a hash mismatch here. The parsed frame caches
+    //    first: Spark refuses corrupt-column-only queries on the raw
+    //    scan (SPARK-38523 guard). ──────────────────────────────────────
+    QueryDef("src_csv_malformed_audit",
+      (s, _) => {
+        val dir = Files.createTempDirectory("graft_badcsv")
+        val f = dir.resolve("feed.csv")
+        Files.writeString(f,
+          """id,amount,day
+            |1,10.5,2024-01-01
+            |2,not_a_number,2024-01-02
+            |3,30.25,2024-01-03
+            |oops_one_field
+            |5,,2024-01-05
+            |6,60.0,bad-date
+            |""".stripMargin)
+        val df = s.read
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, amount DOUBLE, day DATE, _corrupt_record STRING"))
+          .csv(f.toString)
+          .cache()
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(col("amount").isNull, 1L).otherwise(0L))
+            .as("n_amount_null"),
+          sum(when(col("day").isNull, 1L).otherwise(0L)).as("n_day_null"),
+          sum(when(col("_corrupt_record").isNull,
+            expr("CAST(round(amount * 100) AS BIGINT)")).otherwise(0L))
+            .as("clean_amount_cents"))
+      },
+      Some("""SELECT CAST(6 AS BIGINT) AS n_rows,
+          CAST(3 AS BIGINT) AS n_quarantined,
+          CAST(3 AS BIGINT) AS n_amount_null,
+          CAST(2 AS BIGINT) AS n_day_null,
+          CAST(4075 AS BIGINT) AS clean_amount_cents""")),
+
     // ORC source/sink round-trip: the columnar alternative Spark ships
     // in-box. The region dims write to ORC, read back, and aggregate —
     // the oracle recomputes from the original parquet, so value equality

@@ -336,6 +336,40 @@ class SignalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_interleave_sources: prefix shares track sqrt-n weights, ranks contiguous") {
+    import org.apache.spark.sql.functions._
+    val rows = run("pipeline_interleave_sources")
+    assert(rows.map(_.getLong(2)).sum == 4000L ||
+      rows.map(_.getLong(2)).sum == Tables.load(spark, dir, "documents").count(),
+      "prefix must be exactly 4000 (or the whole corpus when smaller)")
+    // driver replay: merge all (pos, source, rn) and take the prefix
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val taken = counts.toSeq.flatMap { case (src, n) =>
+      (1L to n).map(rn => (rn.toDouble / math.sqrt(n.toDouble), src, rn)) }
+      .sortBy(t => (t._1, t._2, t._3))
+      .take(4000)
+    val expect = taken.groupBy(_._2).view
+      .mapValues(ts => (ts.size.toLong, ts.map(_._3).max)).toMap
+    rows.foreach { r =>
+      val (got, want) = ((r.getLong(2), r.getLong(3)), expect(r.getString(0)))
+      assert(got == want, s"${r.getString(0)}: got $got want $want")
+      // interleave takes a CONTIGUOUS rank prefix per source
+      assert(r.getLong(3) == r.getLong(2), "deepest rank == taken count")
+    }
+  }
+
+  test("dq_category_drift statuses are consistent with the counts") {
+    val rows = run("dq_category_drift")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, ns, st) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nf > 0 || ns > 0)
+      assert(st == (if (nf == 0) "emerged" else if (ns == 0) "vanished" else "stable"))
+    }
+    // the parity split leaves the bulk of the support shared
+    assert(rows.count(_.getString(3) == "stable") >= rows.length / 2)
+  }
+
   test("sim_eval_ndcg equals the driver cosine-ranked DCG fold") {
     val emb = Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)",
