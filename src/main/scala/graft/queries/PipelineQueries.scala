@@ -6064,7 +6064,60 @@ object PipelineQueries extends QueryModule {
         SELECT source, max(n_s) AS n_s, CAST(count(*) AS BIGINT) AS n_taken,
           CAST(max(rn) AS BIGINT) AS deepest_rank,
           (CAST(count(*) AS BIGINT) * 1000000) // 4000 AS share_ppm
-        FROM taken GROUP BY source ORDER BY source"""))
+        FROM taken GROUP BY source ORDER BY source""")),
+
+    // ── dedup threshold tuning curve (the decision table behind "what
+    //    Jaccard cutoff do we ship": pairs and affected docs at each
+    //    candidate threshold, from ONE exact AllPairs/PPJoin run at the
+    //    loosest setting — the same sweep-don't-rerun shape as
+    //    sim_ivf_probe_sweep): `ngramJaccardPairs` at t=0.5 generates
+    //    the exact ≥0.5 pair set once (prefix filter stays lossless at
+    //    any t, just with longer prefixes), then the 5-row threshold
+    //    frame bands it; thresholds compare as t_e2/100.0 — identical
+    //    doubles both engines, so banding is exact. Affected-doc counts
+    //    are exact distinct over the exploded pair ends. ─────────────────
+    QueryDef("dedup_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        val ts = Seq(50L, 60L, 70L, 80L, 90L).toDF("t_e2")
+        val banded = pairs.crossJoin(broadcast(ts))
+          .filter($"jaccard" >= $"t_e2".cast("double") / lit(100.0d))
+        val perT = banded.groupBy($"t_e2").agg(count(lit(1)).as("n_pairs"))
+        val docsT = banded
+          .select($"t_e2", explode(array($"doc_a", $"doc_b")).as("d"))
+          .groupBy($"t_e2").agg(countDistinct($"d").as("n_docs_in_pairs"))
+        // anchor on the threshold frame so a pair-less threshold still
+        // emits its zero row (the oracle's LEFT JOIN shape)
+        ts.join(perT, Seq("t_e2"), "left").join(docsT, Seq("t_e2"), "left")
+          .select($"t_e2", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+            coalesce($"n_docs_in_pairs", lit(0L)).as("n_docs_in_pairs"))
+          .orderBy($"t_e2")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |sh AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh))
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sh, b.sh))
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         |tt AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS t_e2),
+         |banded AS (SELECT p.doc_a, p.doc_b, tt.t_e2
+         |  FROM pairs p JOIN tt ON p.jaccard >= CAST(tt.t_e2 AS DOUBLE) / 100.0),
+         |np AS (SELECT t_e2, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM banded GROUP BY t_e2),
+         |nd AS (SELECT t_e2, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_in_pairs
+         |  FROM (SELECT t_e2, doc_a AS d FROM banded
+         |        UNION ALL SELECT t_e2, doc_b FROM banded)
+         |  GROUP BY t_e2)
+         |SELECT tt.t_e2, coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_docs_in_pairs, 0) AS n_docs_in_pairs
+         |FROM tt LEFT JOIN np ON tt.t_e2 = np.t_e2
+         |LEFT JOIN nd ON tt.t_e2 = nd.t_e2
+         |ORDER BY tt.t_e2""".stripMargin))
   )
 }
 

@@ -9689,6 +9689,69 @@ object RelationalQueries extends QueryModule {
               + 1.96 * sqrt(p * (1.0 - p) / nd
                 + 1.96 * 1.96 / (4.0 * nd * nd)))
             / (1.0 + 1.96 * 1.96 / nd) * 1e9) AS BIGINT) AS wilson_hi_e9
-        FROM p ORDER BY event_type"""))
+        FROM p ORDER BY event_type""")),
+
+    // ── Garman–Klass realized volatility per user (the OHLC-based
+    //    estimator that squeezes ~7.4× more efficiency out of a day's
+    //    bar than close-to-close returns — the standard daily-vol
+    //    readout wherever OHLC bars already exist, here on the
+    //    window_ohlc_bars collapse): per (user, day) bar via min_by/
+    //    max_by on the padded time key, daily term 0.5·ln(H/L)² −
+    //    (2ln2−1)·ln(C/O)² with the constant computed IN-ENGINE
+    //    (identical doubles), positive-price guard, per-user fold in
+    //    day order, one floor(·1e9) per user. One shuffle on
+    //    (user, day), terms ride the O(users·days) reduced frame. ───────
+    QueryDef("agg_volatility_gk",
+      (s, dir) => {
+        import s.implicits._
+        val bars = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"user_id",
+            expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)").as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            expr("""concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'),
+                lpad(CAST(event_id AS STRING), 10, '0'))""").as("k"))
+          .groupBy($"user_id", $"d")
+          .agg(expr("min_by(c, k)").as("o"), max($"c").as("h"),
+            min($"c").as("l"), expr("max_by(c, k)").as("cl"))
+          .filter($"o" > 0L && $"h" > 0L && $"l" > 0L && $"cl" > 0L)
+        val terms = bars
+          .select($"user_id", $"d",
+            log($"h".cast("double") / $"l".cast("double")).as("lhl"),
+            log($"cl".cast("double") / $"o".cast("double")).as("lco"))
+          .select($"user_id", $"d",
+            (lit(0.5d) * $"lhl" * $"lhl" -
+              (lit(2.0d) * log(lit(2.0d)) - lit(1.0d)) * $"lco" * $"lco")
+              .as("term"))
+        terms.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_days"),
+            sort_array(collect_list(struct($"d", $"term"))).as("ts"))
+          .select($"user_id", $"n_days",
+            floor(aggregate($"ts".getField("term"), lit(0.0d), (a, x) => a + x) /
+              $"n_days".cast("double") * lit(1e9)).cast("long")
+              .as("gk_var_e9"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH t AS (SELECT user_id,
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+              || lpad(CAST(event_id AS VARCHAR), 10, '0') AS k
+          FROM events WHERE value IS NOT NULL),
+        bars AS (SELECT user_id, d, arg_min(c, k) AS o, max(c) AS h,
+            min(c) AS l, arg_max(c, k) AS cl
+          FROM t GROUP BY user_id, d),
+        g AS (SELECT user_id, d,
+            ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) AS lhl,
+            ln(CAST(cl AS DOUBLE) / CAST(o AS DOUBLE)) AS lco
+          FROM bars WHERE o > 0 AND h > 0 AND l > 0 AND cl > 0),
+        terms AS (SELECT user_id, d,
+            0.5 * lhl * lhl - (2.0 * ln(2.0) - 1.0) * lco * lco AS term
+          FROM g)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(term ORDER BY d)), (a, b) -> a + b)
+            / CAST(count(*) AS DOUBLE) * 1e9) AS BIGINT) AS gk_var_e9
+        FROM terms GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -427,6 +427,61 @@ object SourceSinkQueries extends QueryModule {
         SELECT z >> 12 AS z_bucket, count(*) AS n, CAST(sum(z) AS BIGINT) AS z_sum
         FROM zt GROUP BY 1 ORDER BY z_bucket""")),
 
+    // ── parquet footer introspection (the REAL min/max stats the
+    //    zonemap/layout queries simulate: row-group footers are what a
+    //    100 TB scan planner prunes on, and an engine must be able to
+    //    read them WITHOUT scanning data): row-group stats come off
+    //    `ParquetFileReader` footers on the driver — a pure metadata
+    //    operation, bounded by file count, zero data IO — and the plan
+    //    cross-checks them against one actual scan aggregate. The
+    //    emitted row carries footer-derived totals; the oracle
+    //    recomputes them from the data, so the hash match IS the
+    //    footers-equal-data proof. Row-group granularity is asserted
+    //    in MaintenanceSpec (the oracle cannot name the file path). ─────
+    QueryDef("maintenance_footer_stats",
+      (s, dir) => {
+        import scala.jdk.CollectionConverters._
+        import org.apache.hadoop.fs.Path
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = s.sparkContext.hadoopConfiguration
+        val root = new Path(s"$dir/lineitem.parquet")
+        val fs = root.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(root).isDirectory)
+            fs.listStatus(root).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq(root)
+        val rgs = files.flatMap { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try r.getFooter.getBlocks.asScala.map { bg =>
+            val c = bg.getColumns.asScala
+              .find(_.getPath.toDotString == "l_orderkey").get
+            val st = c.getStatistics
+            (bg.getRowCount,
+              st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue())
+          }.toSeq
+          finally r.close()
+        }
+        import s.implicits._
+        val footer = Seq((rgs.map(_._1).sum, rgs.map(_._2).min, rgs.map(_._3).max))
+          .toDF("n_rows", "min_orderkey", "max_orderkey")
+        val scan = Tables.load(s, dir, "lineitem")
+          .agg(count(lit(1)).as("s_rows"),
+            min($"l_orderkey").cast("long").as("s_min"),
+            max($"l_orderkey").cast("long").as("s_max"))
+        footer.crossJoin(broadcast(scan))
+          .select($"n_rows", $"min_orderkey", $"max_orderkey",
+            ($"n_rows" === $"s_rows" && $"min_orderkey" === $"s_min" &&
+              $"max_orderkey" === $"s_max").as("footer_consistent"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+          CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+          true AS footer_consistent
+        FROM lineitem""")),
+
     // ── layout advisor: WOULD z-ordering pay off for this table and
     //    this predicate shape? Simulate both layouts at file
     //    granularity — under a LINEAR l_partkey sort a file is a

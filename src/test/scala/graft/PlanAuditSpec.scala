@@ -382,6 +382,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // isotonic PAV: B=10 bin frames — interval build and the two
     // non-equi range joins all ride ≤55-row broadcasts
     "pipeline_isotonic_calibration",
+    // threshold sweep: the 5-row threshold frame broadcast onto the
+    // exact pair set (non-equi jaccard >= t band join)
+    "dedup_threshold_sweep",
+    // footer stats: 1-row footer frame × 1-row scan-aggregate cross
+    // check (both sides single rows)
+    "maintenance_footer_stats",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",

@@ -42,6 +42,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("id", "p"))
   }
 
+  test("parquet footers expose row-group stats without scanning data") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new Path("/root/testdata/sf0.001/lineitem.parquet")
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    val blocks = try r.getFooter.getBlocks.asScala.toSeq finally r.close()
+    assert(blocks.nonEmpty, "at least one row group")
+    // every row group carries usable l_orderkey statistics
+    blocks.foreach { bg =>
+      val c = bg.getColumns.asScala.find(_.getPath.toDotString == "l_orderkey").get
+      assert(!c.getStatistics.isEmpty, "row-group stats present")
+      assert(bg.getRowCount > 0)
+    }
+    // footer row total equals the table's actual cardinality
+    val total = blocks.map(_.getRowCount).sum
+    assert(total == spark.read.parquet(f.toString).count())
+    // and the registered query reports consistency on the same fixtures
+    val row = graft.SparkEntry.queries("maintenance_footer_stats")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getBoolean(3), "footer_consistent")
+    assert(row.getLong(0) == total)
+  }
+
   private implicit class IterOps[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
