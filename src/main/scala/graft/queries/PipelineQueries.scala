@@ -6117,7 +6117,73 @@ object PipelineQueries extends QueryModule {
          |  coalesce(nd.n_docs_in_pairs, 0) AS n_docs_in_pairs
          |FROM tt LEFT JOIN np ON tt.t_e2 = np.t_e2
          |LEFT JOIN nd ON tt.t_e2 = nd.t_e2
-         |ORDER BY tt.t_e2""".stripMargin))
+         |ORDER BY tt.t_e2""".stripMargin)),
+
+    // ── nearest-centroid (Rocchio) classifier eval (the zero-training
+    //    baseline every embedding-quality report starts from — if label
+    //    centroids can't separate the classes, no k-NN threshold will):
+    //    per-label centroids as EXACT fixed-point integer component
+    //    sums (the kmeans device — cosine is scale-invariant, so the
+    //    un-normalized sum IS the centroid; long→float by both engines'
+    //    identical IEEE rounding), every vector scores against the
+    //    |labels|-row broadcast frame, argmax with label tiebreak, and
+    //    the confusion matrix + per-class accuracy come off one
+    //    aggregate. Scale: one posexplode scan for sums, one scan to
+    //    classify; nothing corpus-sized leaves the executors. ────────────
+    QueryDef("embed_nearest_centroid",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label".cast("long").as("label"), $"embedding")
+        val comp = emb
+          .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"label", $"dim")
+          .agg(sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)"))
+            .as("cs"))
+        val cents = comp.groupBy($"label")
+          .agg(transform(sort_array(collect_list(struct($"dim", $"cs"))),
+            t => t.getField("cs").cast("float")).as("ce"))
+          .select($"label".as("plabel"), $"ce")
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"label", $"plabel",
+            graft.functions.VectorFunctions.cosineSim($"embedding", $"ce")
+              .as("sim"))
+          .groupBy($"vec_id", $"label")
+          .agg(expr("max_by(plabel, struct(sim, -plabel))").as("pred"))
+        val cm = assigned.groupBy($"label", $"pred")
+          .agg(count(lit(1)).as("n"))
+        val tot = assigned.groupBy($"label").agg(count(lit(1)).as("n_class"))
+        cm.join(broadcast(tot), "label")
+          .select($"label".as("true_label"), $"pred".as("pred_label"), $"n",
+            expr("(n * 1000000) DIV n_class").as("share_ppm"))
+          .orderBy($"true_label", $"pred_label")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+            CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        comp AS (SELECT label, unnest(e) AS x,
+            generate_subscripts(e, 1) AS dim FROM v),
+        sums AS (SELECT label, dim,
+            CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS cs
+          FROM comp GROUP BY label, dim),
+        cents AS (SELECT label AS plabel,
+            list(CAST(CAST(cs AS FLOAT) AS DOUBLE) ORDER BY dim) AS ce
+          FROM sums GROUP BY label),
+        assigned AS (SELECT vec_id, label, plabel AS pred FROM (
+            SELECT q.vec_id, q.label, c.plabel,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, c.ce) DESC, c.plabel)
+                AS rn
+            FROM v q CROSS JOIN cents c) WHERE rn = 1),
+        cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+          FROM assigned GROUP BY label, pred),
+        tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_class
+          FROM assigned GROUP BY label)
+        SELECT cm.label AS true_label, cm.pred AS pred_label, cm.n,
+          (cm.n * 1000000) // tot.n_class AS share_ppm
+        FROM cm JOIN tot ON cm.label = tot.label
+        ORDER BY true_label, pred_label"""))
   )
 }
 

@@ -9752,6 +9752,92 @@ object RelationalQueries extends QueryModule {
           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
               list(term ORDER BY d)), (a, b) -> a + b)
             / CAST(count(*) AS DOUBLE) * 1e9) AS BIGINT) AS gk_var_e9
-        FROM terms GROUP BY user_id ORDER BY user_id"""))
+        FROM terms GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Shapley-value channel attribution (the game-theoretic split of
+    //    conversion credit that last-touch provably distorts — the
+    //    standard data-driven attribution model): channels = non-
+    //    purchase event types bit-indexed WITHOUT a window (rank = a
+    //    tiny types' < types self-join count), each user collapses to a
+    //    touched-channel bitmask + converted flag, v(S) = exact
+    //    conversion rate of the users at EXACTLY mask S (the observed-
+    //    coalition game, v := 0 off-support — so the lattice never
+    //    materializes: φᵢ·k! decomposes into Σ_{T∋i} (|T|−1)!(k−|T|)!·
+    //    v(T) − Σ_{S∌i} |S|!(k−1−|S|)!·v(S), two CASE terms over
+    //    observed masks × channels). factorial() is exact BIGINT in
+    //    both engines; terms fold in mask order; one floor(·1e9) per
+    //    channel. Scale: two per-user collapses on the one user_id
+    //    shuffle; everything after rides ≤2^k-row broadcast frames. ─────
+    QueryDef("agg_shapley_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events").select($"user_id", $"event_type")
+        val types = ev.filter($"event_type" =!= "purchase")
+          .select($"event_type".as("ch")).distinct()
+        val bits = types
+          .join(broadcast(types.select($"ch".as("ch2"))), $"ch2" < $"ch", "left")
+          .groupBy($"ch").agg(count($"ch2").as("bit"))
+        val kf = bits.agg(count(lit(1)).as("k"))
+        val touched = ev.join(broadcast(bits), $"event_type" === $"ch")
+          .select($"user_id", $"bit").distinct()
+          .groupBy($"user_id")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .as("mask"))
+        val conv = ev.groupBy($"user_id")
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("c"))
+        val coal = touched.join(conv, "user_id")
+          .groupBy($"mask")
+          .agg(count(lit(1)).as("n_u"), sum($"c").as("n_c"))
+          .select($"mask",
+            ($"n_c".cast("double") / $"n_u".cast("double")).as("v"),
+            expr("CAST(bit_count(mask) AS BIGINT)").as("sz"))
+        val terms = coal.crossJoin(broadcast(bits)).crossJoin(broadcast(kf))
+          .select($"ch", $"mask",
+            when(expr("(mask & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))) != 0"),
+              expr("CAST(factorial(CAST(sz - 1 AS INT)) * factorial(CAST(k - sz AS INT)) AS DOUBLE)") * $"v")
+              .otherwise(
+                -expr("CAST(factorial(CAST(sz AS INT)) * factorial(CAST(k - 1 - sz AS INT)) AS DOUBLE)") * $"v")
+              .as("term"))
+        terms.groupBy($"ch")
+          .agg(sort_array(collect_list(struct($"mask", $"term"))).as("ts"))
+          .crossJoin(broadcast(kf))
+          .select($"ch".as("channel"),
+            floor(aggregate($"ts".getField("term"), lit(0.0d), (a, x) => a + x) /
+              expr("CAST(factorial(CAST(k AS INT)) AS DOUBLE)") * lit(1e9))
+              .cast("long").as("phi_e9"))
+          .orderBy($"channel")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type FROM events),
+        types AS (SELECT DISTINCT event_type AS ch FROM ev
+          WHERE event_type <> 'purchase'),
+        bits AS (SELECT t.ch, CAST(count(u.ch) AS BIGINT) AS bit
+          FROM types t LEFT JOIN types u ON u.ch < t.ch GROUP BY t.ch),
+        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM bits),
+        touched AS (SELECT e.user_id,
+            CAST(sum(DISTINCT (CAST(1 AS BIGINT) << CAST(b.bit AS INT)))
+              AS BIGINT) AS mask
+          FROM ev e JOIN bits b ON e.event_type = b.ch GROUP BY e.user_id),
+        conv AS (SELECT user_id,
+            CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+          FROM ev GROUP BY user_id),
+        coal AS (SELECT mask,
+            CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v,
+            CAST(bit_count(mask) AS BIGINT) AS sz
+          FROM touched JOIN conv USING (user_id) GROUP BY mask),
+        terms AS (SELECT b.ch, c.mask,
+            CASE WHEN (c.mask & (CAST(1 AS BIGINT) << CAST(b.bit AS INT))) != 0
+              THEN CAST(factorial(CAST(c.sz - 1 AS INT))
+                * factorial(CAST(kk.k - c.sz AS INT)) AS DOUBLE) * c.v
+              ELSE -CAST(factorial(CAST(c.sz AS INT))
+                * factorial(CAST(kk.k - 1 - c.sz AS INT)) AS DOUBLE) * c.v
+              END AS term
+          FROM coal c CROSS JOIN bits b CROSS JOIN kk)
+        SELECT ch AS channel,
+          CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(term ORDER BY mask)), (a, b) -> a + b)
+            / CAST(factorial(CAST((SELECT k FROM kk) AS INT)) AS DOUBLE)
+            * 1e9) AS BIGINT) AS phi_e9
+        FROM terms GROUP BY ch ORDER BY channel"""))
   )
 }

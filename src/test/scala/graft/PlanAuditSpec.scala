@@ -388,6 +388,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // footer stats: 1-row footer frame × 1-row scan-aggregate cross
     // check (both sides single rows)
     "maintenance_footer_stats",
+    // shapley: observed-mask frame × k-row channel frame × 1-row k
+    // (all constant-bounded broadcasts; the bit-rank self-join too)
+    "agg_shapley_attribution",
+    // nearest centroid: the |labels|-row centroid frame broadcast onto
+    // the corpus scan (the sim_topk_ivf routing shape)
+    "embed_nearest_centroid",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",

