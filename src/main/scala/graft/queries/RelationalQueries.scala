@@ -9838,6 +9838,306 @@ object RelationalQueries extends QueryModule {
               list(term ORDER BY mask)), (a, b) -> a + b)
             / CAST(factorial(CAST((SELECT k FROM kk) AS INT)) AS DOUBLE)
             * 1e9) AS BIGINT) AS phi_e9
-        FROM terms GROUP BY ch ORDER BY channel"""))
+        FROM terms GROUP BY ch ORDER BY channel""")),
+
+    // ── k-truss peeling on the co-purchase graph (EDGE-cohesion
+    //    mining, the stricter sibling of `graph_kcore_peel`'s node
+    //    degrees: an edge survives only while it closes >= k-2 = 12
+    //    triangles — the dense-community trimmer): triangles enumerate
+    //    via DEGREE ORIENTATION (each undirected edge points from its
+    //    (degree, id)-smaller endpoint, wedges pair the out-edges of u
+    //    under the same order, the closing edge is one semi join) — the
+    //    standard trick that bounds wedge fan-out by the out-degree,
+    //    O(sqrt(|E|)) after orientation, instead of the raw degree
+    //    square a hub would pay. Each triangle is found exactly once
+    //    and credited to its 3 undirected edges; peel support < 12,
+    //    TWO fixed rounds with localCheckpoint barriers (peeling
+    //    cascades, so round 2 re-counts on the survivor set). Scale:
+    //    iteration cost is wedge-join-sized; the fact build runs once. ──
+    QueryDef("graph_ktruss_peel",
+      (s, dir) => {
+        import s.implicits._
+        val io = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val e0 = io.alias("x")
+          .join(io.alias("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .distinct()
+          .localCheckpoint()
+        def support(ed: DataFrame): DataFrame = {
+          val deg = ed.select(explode(array($"a", $"b")).as("n"))
+            .groupBy($"n").agg(count(lit(1)).as("dg"))
+          val or = ed
+            .join(deg.select($"n".as("a"), $"dg".as("da")), "a")
+            .join(deg.select($"n".as("b"), $"dg".as("db")), "b")
+            .select(
+              when(struct($"da", $"a") < struct($"db", $"b"), $"a")
+                .otherwise($"b").as("u"),
+              when(struct($"da", $"a") < struct($"db", $"b"), $"b")
+                .otherwise($"a").as("v"),
+              when(struct($"da", $"a") < struct($"db", $"b"), $"db")
+                .otherwise($"da").as("dv"))
+          val w1 = or.select($"u", $"v".as("v1"), $"dv".as("d1"))
+          val w2 = or.select($"u", $"v".as("v2"), $"dv".as("d2"))
+          val wedges = w1.join(w2, Seq("u"))
+            .filter(struct($"d1", $"v1") < struct($"d2", $"v2"))
+          val tri = wedges.join(
+              or.select($"u".as("v1"), $"v".as("v2")), Seq("v1", "v2"),
+              "left_semi")
+            .select($"u", $"v1", $"v2")
+          val hits = tri.select(explode(array(
+              struct(least($"u", $"v1").as("a"), greatest($"u", $"v1").as("b")),
+              struct(least($"u", $"v2").as("a"), greatest($"u", $"v2").as("b")),
+              struct(least($"v1", $"v2").as("a"), greatest($"v1", $"v2").as("b"))))
+              .as("e"))
+            .select($"e.a".as("a"), $"e.b".as("b"))
+            .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+          ed.join(hits, Seq("a", "b"), "left")
+            .select($"a", $"b", coalesce($"sup", lit(0L)).as("sup"))
+        }
+        def peel(ed: DataFrame): DataFrame =
+          support(ed).filter($"sup" >= 12L).select($"a", $"b").localCheckpoint()
+        def round(ed: DataFrame, r: Long): DataFrame =
+          support(ed).agg(count(lit(1)).as("n_edges"),
+            min($"sup").as("min_support"), max($"sup").as("max_support"))
+            .select(lit(r).as("round"), $"n_edges", $"min_support",
+              $"max_support")
+        val r1 = peel(e0)
+        val r2 = peel(r1)
+        round(e0, 0L).unionByName(round(r1, 1L)).unionByName(round(r2, 2L))
+          .orderBy($"round")
+      },
+      Some("""WITH io AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(x.p, y.p) AS a, greatest(x.p, y.p) AS b
+          FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+        tri0 AS MATERIALIZED (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1
+            JOIN e0 e2 ON e1.b = e2.a
+            JOIN e0 e3 ON e1.a = e3.a AND e2.b = e3.b),
+        sup0 AS MATERIALIZED (SELECT e.a, e.b, coalesce(h.sup, 0) AS sup
+          FROM e0 e LEFT JOIN (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+              SELECT x AS a, y AS b FROM tri0
+              UNION ALL SELECT x, z FROM tri0
+              UNION ALL SELECT y, z FROM tri0) GROUP BY a, b) h
+          ON e.a = h.a AND e.b = h.b),
+        e1 AS MATERIALIZED (SELECT a, b FROM sup0 WHERE sup >= 12),
+        tri1 AS MATERIALIZED (
+          SELECT t1.a AS x, t1.b AS y, t2.b AS z FROM e1 t1
+            JOIN e1 t2 ON t1.b = t2.a
+            JOIN e1 t3 ON t1.a = t3.a AND t2.b = t3.b),
+        sup1 AS MATERIALIZED (SELECT e.a, e.b, coalesce(h.sup, 0) AS sup
+          FROM e1 e LEFT JOIN (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+              SELECT x AS a, y AS b FROM tri1
+              UNION ALL SELECT x, z FROM tri1
+              UNION ALL SELECT y, z FROM tri1) GROUP BY a, b) h
+          ON e.a = h.a AND e.b = h.b),
+        e2 AS MATERIALIZED (SELECT a, b FROM sup1 WHERE sup >= 12),
+        tri2 AS MATERIALIZED (
+          SELECT t1.a AS x, t1.b AS y, t2.b AS z FROM e2 t1
+            JOIN e2 t2 ON t1.b = t2.a
+            JOIN e2 t3 ON t1.a = t3.a AND t2.b = t3.b),
+        sup2 AS MATERIALIZED (SELECT e.a, e.b, coalesce(h.sup, 0) AS sup
+          FROM e2 e LEFT JOIN (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+              SELECT x AS a, y AS b FROM tri2
+              UNION ALL SELECT x, z FROM tri2
+              UNION ALL SELECT y, z FROM tri2) GROUP BY a, b) h
+          ON e.a = h.a AND e.b = h.b)
+        SELECT CAST(0 AS BIGINT) AS round,
+            CAST(count(*) AS BIGINT) AS n_edges,
+            CAST(min(sup) AS BIGINT) AS min_support,
+            CAST(max(sup) AS BIGINT) AS max_support FROM sup0
+        UNION ALL
+        SELECT 1, CAST(count(*) AS BIGINT), CAST(min(sup) AS BIGINT),
+          CAST(max(sup) AS BIGINT) FROM sup1
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), CAST(min(sup) AS BIGINT),
+          CAST(max(sup) AS BIGINT) FROM sup2
+        ORDER BY round""")),
+
+    // ── seasonal/trend strength (the STL-style readout that turns
+    //    `agg_seasonal_decompose`'s components into the two numbers a
+    //    forecaster actually wants: F_s = max(0, 1−Var(R)/Var(detrended))
+    //    "how much of the de-trended variation is weekly", F_t = the
+    //    same against the de-seasonalized series): identical centered
+    //    7-day trend frame on the O(days) reduced grid (documented
+    //    reduced-input global window, same site class as the
+    //    decompose), seasonal means as exact rationals off the 7-row
+    //    dow frame, remainders in doubles, ALL variance folds in d
+    //    order over ONE collected struct array — engine-identical
+    //    sums, floor(·1e6) strengths. ───────────────────────────────────
+    QueryDef("window_seasonal_strength",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .groupBy(expr("CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)")
+            .as("d"))
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+        val w7 = Window.orderBy($"d").rowsBetween(-3, 3)
+        val detr = daily
+          .withColumn("nf", count(lit(1)).over(w7))
+          .withColumn("t7", sum($"c").over(w7))
+          .filter($"nf" === 7L)
+          .select($"d", ($"d" % 7L).as("dow7"),
+            (lit(7L) * $"c" - $"t7").as("x"), (lit(7L) * $"c").as("x0"))
+        val seas = detr.groupBy($"dow7")
+          .agg(sum($"x").as("sx"), count(lit(1)).as("nx"))
+        val withR = detr.join(broadcast(seas), "dow7")
+          .select($"d", $"x".cast("double").as("x"),
+            ($"x".cast("double") -
+              $"sx".cast("double") / $"nx".cast("double")).as("r"),
+            ($"x0".cast("double") -
+              $"sx".cast("double") / $"nx".cast("double")).as("y"))
+        def sumOf(ts: Column, f: Column => Column): Column =
+          aggregate(ts, lit(0.0d), (a, t) => a + f(t))
+        withR
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct($"d", $"x", $"r", $"y"))).as("ts"))
+          .select($"n", $"ts",
+            (sumOf($"ts", _.getField("x")) / $"n".cast("double")).as("mx"),
+            (sumOf($"ts", t => t.getField("x") * t.getField("x")) /
+              $"n".cast("double")).as("mxx"),
+            (sumOf($"ts", _.getField("r")) / $"n".cast("double")).as("mr"),
+            (sumOf($"ts", t => t.getField("r") * t.getField("r")) /
+              $"n".cast("double")).as("mrr"),
+            (sumOf($"ts", _.getField("y")) / $"n".cast("double")).as("my"),
+            (sumOf($"ts", t => t.getField("y") * t.getField("y")) /
+              $"n".cast("double")).as("myy"))
+          .select($"n".as("n_days"),
+            floor(($"mxx" - $"mx" * $"mx") * lit(1.0d)).cast("long")
+              .as("var_detrended"),
+            floor(($"mrr" - $"mr" * $"mr") * lit(1.0d)).cast("long")
+              .as("var_remainder"),
+            floor(greatest(lit(0.0d),
+              lit(1.0d) - ($"mrr" - $"mr" * $"mr") / ($"mxx" - $"mx" * $"mx"))
+              * lit(1e6)).cast("long").as("seasonal_strength_e6"),
+            floor(greatest(lit(0.0d),
+              lit(1.0d) - ($"mrr" - $"mr" * $"mr") / ($"myy" - $"my" * $"my"))
+              * lit(1e6)).cast("long").as("trend_strength_e6"))
+      },
+      Some("""WITH daily AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+        t AS (SELECT d, c, count(*) OVER w AS nf,
+            CAST(sum(c) OVER w AS BIGINT) AS t7
+          FROM daily WINDOW w AS (ORDER BY d
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        detr AS (SELECT d, d % 7 AS dow7, 7 * c - t7 AS x, 7 * c AS x0
+          FROM t WHERE nf = 7),
+        seas AS (SELECT dow7, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(count(*) AS BIGINT) AS nx
+          FROM detr GROUP BY dow7),
+        wr AS (SELECT d.d, CAST(d.x AS DOUBLE) AS x,
+            CAST(d.x AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.nx AS DOUBLE)
+              AS r,
+            CAST(d.x0 AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.nx AS DOUBLE)
+              AS y
+          FROM detr d JOIN seas s ON d.dow7 = s.dow7),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x ORDER BY d)), (a, b) -> a + b) / count(*) AS mx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x ORDER BY d)), (a, b) -> a + b * b) / count(*) AS mxx,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(r ORDER BY d)), (a, b) -> a + b) / count(*) AS mr,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(r ORDER BY d)), (a, b) -> a + b * b) / count(*) AS mrr,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(y ORDER BY d)), (a, b) -> a + b) / count(*) AS my,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(y ORDER BY d)), (a, b) -> a + b * b) / count(*) AS myy
+          FROM wr)
+        SELECT n AS n_days,
+          CAST(floor(mxx - mx * mx) AS BIGINT) AS var_detrended,
+          CAST(floor(mrr - mr * mr) AS BIGINT) AS var_remainder,
+          CAST(floor(greatest(0.0, 1.0 - (mrr - mr * mr) / (mxx - mx * mx))
+            * 1e6) AS BIGINT) AS seasonal_strength_e6,
+          CAST(floor(greatest(0.0, 1.0 - (mrr - mr * mr) / (myy - my * my))
+            * 1e6) AS BIGINT) AS trend_strength_e6
+        FROM f""")),
+
+    // ── empirical-Bayes shrinkage of per-part return rates (the
+    //    small-sample fix for every per-entity rate leaderboard: a part
+    //    with 1/2 returns must not outrank one with 40/100 — shrink
+    //    toward the grand prior by precision): method-of-moments prior
+    //    strength M = p̄(1−p̄)/τ² − 1 with τ² = Var(p̂) − p̄(1−p̄)/n̄
+    //    (observed between-part variance minus expected binomial noise;
+    //    τ² ≤ 0 ⇒ no real between-part signal ⇒ M = 1000 max-shrink
+    //    fallback, CASE'd identically in both engines), then
+    //    shrunk_i = (x_i + M·p̄)/(n_i + M). Prior moments fold over the
+    //    per-part rate list in partkey order (one |parts|-row collapse);
+    //    the 1-row prior broadcasts back onto the probe slice
+    //    (partkey ≤ 300) for the report. ────────────────────────────────
+    QueryDef("agg_eb_shrinkage",
+      (s, dir) => {
+        import s.implicits._
+        val per = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("x"))
+        val prior = per
+          .agg(count(lit(1)).as("k"),
+            sort_array(collect_list(struct($"l_partkey",
+              ($"x".cast("double") / $"n".cast("double")).as("p"),
+              $"n".cast("double").as("nd")))).as("ts"))
+          .select($"k",
+            (aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("p")) /
+              $"k".cast("double")).as("pbar"),
+            (aggregate($"ts", lit(0.0d),
+              (a, t) => a + t.getField("p") * t.getField("p")) /
+              $"k".cast("double")).as("pp"),
+            (aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("nd")) /
+              $"k".cast("double")).as("nbar"))
+          .select($"pbar",
+            ($"pp" - $"pbar" * $"pbar" -
+              $"pbar" * (lit(1.0d) - $"pbar") / $"nbar").as("tau2"))
+          .select($"pbar",
+            when($"tau2" > 0.0d,
+              greatest(lit(0.0d),
+                $"pbar" * (lit(1.0d) - $"pbar") / $"tau2" - lit(1.0d)))
+              .otherwise(lit(1000.0d)).as("m"))
+        per.filter($"l_partkey" <= 300L)
+          .crossJoin(broadcast(prior))
+          .select($"l_partkey", $"n", $"x",
+            expr("(x * 1000000) DIV n").as("raw_ppm"),
+            floor(($"x".cast("double") + $"m" * $"pbar") /
+              ($"n".cast("double") + $"m") * lit(1e6)).cast("long")
+              .as("shrunk_ppm"))
+          .orderBy($"l_partkey")
+      },
+      Some("""WITH per AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+          FROM lineitem GROUP BY l_partkey),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                ORDER BY l_partkey)), (a, b) -> a + b) / count(*) AS pbar,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                ORDER BY l_partkey)), (a, b) -> a + b * b) / count(*) AS pp,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(n AS DOUBLE) ORDER BY l_partkey)),
+              (a, b) -> a + b) / count(*) AS nbar
+          FROM per),
+        prior AS (SELECT pbar,
+            CASE WHEN pp - pbar * pbar - pbar * (1.0 - pbar) / nbar > 0
+              THEN greatest(0.0, pbar * (1.0 - pbar)
+                / (pp - pbar * pbar - pbar * (1.0 - pbar) / nbar) - 1.0)
+              ELSE 1000.0 END AS m
+          FROM f)
+        SELECT l_partkey, n, x, (x * 1000000) // n AS raw_ppm,
+          CAST(floor((CAST(x AS DOUBLE) + m * pbar)
+            / (CAST(n AS DOUBLE) + m) * 1e6) AS BIGINT) AS shrunk_ppm
+        FROM per CROSS JOIN prior
+        WHERE l_partkey <= 300 ORDER BY l_partkey"""))
   )
 }

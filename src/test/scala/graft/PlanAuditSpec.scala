@@ -394,6 +394,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // nearest centroid: the |labels|-row centroid frame broadcast onto
     // the corpus scan (the sim_topk_ivf routing shape)
     "embed_nearest_centroid",
+    // EB shrinkage: the 1-row (pbar, M) prior broadcast onto the probe
+    // slice (scalar-recombine shape)
+    "agg_eb_shrinkage",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",
@@ -605,7 +608,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_runs_test",
       // seasonal decompose: the ±3-day trend frame over the O(days)
       // daily grid (the rolling_corr class)
-      "agg_seasonal_decompose")
+      "agg_seasonal_decompose",
+      // seasonal strength: the same ±3-day trend frame over the
+      // O(days) daily grid as the decompose
+      "window_seasonal_strength")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -638,7 +644,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_sprt_sequential", "agg_peak_over_threshold",
       "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
       "sample_neyman_allocation", "agg_lorenz_deciles", "agg_runs_test",
-      "agg_seasonal_decompose")
+      "agg_seasonal_decompose", "window_seasonal_strength")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

@@ -430,6 +430,57 @@ class SignalOpsSpec extends AnyFunSuite {
       s"accuracy ${correct.toDouble / total} vs uniform ${1.0 / nClasses}")
   }
 
+  test("graph_ktruss_peel: monotone peel, supports bounded, driver triangle replay at round 0") {
+    import org.apache.spark.sql.functions._
+    val rows = run("graph_ktruss_peel").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    // peeling is monotone decreasing in edges
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    // driver replay of round 0 on the tiny fixture
+    val io = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val edges = io.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val sup = edges.toSeq.map { case (a, b) =>
+      (adj(a) intersect adj(b)).size.toLong }
+    assert(rows(0)._2 == edges.size.toLong, "round-0 edge count")
+    assert(rows(0)._3 == sup.min && rows(0)._4 == sup.max, "round-0 support extremes")
+  }
+
+  test("window_seasonal_strength: strengths in [0,1] ppm and Fs consistent with variances") {
+    val r = run("window_seasonal_strength").head
+    val (vx, vr, fs, ft) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(vx > 0 && vr >= 0)
+    assert(fs >= 0L && fs <= 1000000L && ft >= 0L && ft <= 1000000L)
+    // Fs floor(1e6·(1 − vr/vx)) within 1 of the emitted value (both
+    // derive from the same folded moments; the emitted one uses the
+    // unfloored variances)
+    assert(math.abs(fs - math.max(0L,
+      math.floor((1.0 - vr.toDouble / vx.toDouble) * 1e6).toLong)) <= 2)
+  }
+
+  test("agg_eb_shrinkage: shrunk rates sit between raw rate and prior, more for small n") {
+    val rows = run("agg_eb_shrinkage")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, x, raw, shr) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(x <= n && raw == x * 1000000L / n)
+      assert(shr >= 0L && shr <= 1000000L)
+    }
+    // shrinkage moves small-n parts further (relatively) than large-n
+    // parts on the same side of the prior: spot-check direction — every
+    // part with raw == 0 must be pulled strictly above 0 (toward pbar)
+    rows.filter(_.getLong(3) == 0L).foreach { r =>
+      assert(r.getLong(4) > 0L, s"part ${r.getLong(0)} not shrunk toward prior")
+    }
+  }
+
   test("sim_eval_ndcg equals the driver cosine-ranked DCG fold") {
     val emb = Tables.load(spark, dir, "embeddings")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)",
