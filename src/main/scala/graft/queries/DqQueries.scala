@@ -529,6 +529,48 @@ object DqQueries extends QueryModule {
             WHEN coalesce(b.n_second, 0) = 0 THEN 'vanished'
             ELSE 'stable' END AS status
         FROM a FULL OUTER JOIN b ON a.band = b.band
-        ORDER BY band"""))
+        ORDER BY band""")),
+
+    // ── data-contract check (the schema HANDSHAKE a producer and
+    //    consumer pin before either ships: expected column names AND
+    //    types, extras flagged, missing flagged — `src_merge_schema`
+    //    handles benign evolution, this enforces the agreed surface):
+    //    the orders contract as a literal expectation frame, actual
+    //    schema introspected from the DataFrame (a metadata operation),
+    //    full-outer reconciliation labels every column ok / type_drift
+    //    / missing / unexpected. The oracle pins BOTH sides as
+    //    literals, so a fixture schema change turns this row red. ───────
+    QueryDef("dq_schema_contract",
+      (s, dir) => {
+        import s.implicits._
+        val expected = Seq(
+          ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+          ("o_orderstatus", "string"), ("o_totalprice", "double"),
+          // parquet timestamp[us] without tz reads as TIMESTAMP_NTZ in
+          // Spark 4 — the contract pins the engine-visible type
+          ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"),
+          ("o_comment", "string") // deliberately absent: exercises `missing`
+        ).toDF("column_name", "expected_type")
+        val actual = Tables.load(s, dir, "orders").schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString))
+          .toDF("column_name", "actual_type")
+        expected.join(actual, Seq("column_name"), "full_outer")
+          .select($"column_name", $"expected_type", $"actual_type",
+            when($"expected_type".isNull, lit("unexpected"))
+              .when($"actual_type".isNull, lit("missing"))
+              .when($"expected_type" === $"actual_type", lit("ok"))
+              .otherwise(lit("type_drift")).as("status"))
+          .orderBy($"column_name")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('o_comment', 'string', NULL, 'missing'),
+          ('o_custkey', 'bigint', 'bigint', 'ok'),
+          ('o_orderdate', 'timestamp_ntz', 'timestamp_ntz', 'ok'),
+          ('o_orderkey', 'bigint', 'bigint', 'ok'),
+          ('o_orderpriority', 'string', 'string', 'ok'),
+          ('o_orderstatus', 'string', 'string', 'ok'),
+          ('o_totalprice', 'double', 'double', 'ok'))
+          t(column_name, expected_type, actual_type, status)
+        ORDER BY column_name"""))
   )
 }

@@ -6183,7 +6183,80 @@ object PipelineQueries extends QueryModule {
         SELECT cm.label AS true_label, cm.pred AS pred_label, cm.n,
           (cm.n * 1000000) // tot.n_class AS share_ppm
         FROM cm JOIN tot ON cm.label = tot.label
-        ORDER BY true_label, pred_label"""))
+        ORDER BY true_label, pred_label""")),
+
+    // ── multimodal quality gate (the LAION-style composite filter a
+    //    text-image corpus passes before training: dimension floor,
+    //    aspect-ratio cap, caption-length floor, caption-spam cap —
+    //    each pair rejected WITH reasons, because curation debugging
+    //    is "why did my corpus shrink 40%"): image side synthesizes
+    //    through the REAL binary plumbing (FakeCodec encode → opaque
+    //    binary column → mapPartitions decode, the multimodal_decode
+    //    _stats path), caption side reuses the exact substring kernel;
+    //    the gate joins them on id (equi) and one |sources|-row rollup
+    //    reports per-rule rejection counts (non-exclusive) + accepted
+    //    ppm. Oracle replays the header arithmetic from the source
+    //    columns — decode∘encode = id is part of what the hash proves. ──
+    QueryDef("multimodal_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val docs = Tables.load(s, dir, "documents")
+        val recs = docs.select($"doc_id", $"n_chars").as[(Long, Long)]
+          .map { case (id, nc) =>
+            Multimodal.MediaRecord(id, "image",
+              Multimodal.FakeCodec.encode((id % 640 + 1).toInt,
+                (nc % 480 + 1).toInt, new Array[Byte]((id % 64).toInt)))
+          }
+        val meta = Multimodal.decodeMeta(recs).toDF()
+        val gated = meta.join(
+            docs.select($"doc_id", $"source", $"n_chars",
+              lower($"text").as("lt")), $"id" === $"doc_id")
+          .select($"source",
+            ($"width" >= 64 && $"height" >= 64).as("dim_ok"),
+            (greatest($"width", $"height") <=
+              lit(3) * least($"width", $"height")).as("aspect_ok"),
+            ($"n_chars" >= 100L).as("caption_ok"),
+            (expr("(length(lt) - length(replace(lt, 'spark', ''))) DIV 5")
+              <= 5L).as("spam_ok"))
+        gated.groupBy($"source")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(!$"dim_ok", 1L).otherwise(0L)).as("rej_dims"),
+            sum(when(!$"aspect_ok", 1L).otherwise(0L)).as("rej_aspect"),
+            sum(when(!$"caption_ok", 1L).otherwise(0L)).as("rej_caption"),
+            sum(when(!$"spam_ok", 1L).otherwise(0L)).as("rej_spam"),
+            sum(when($"dim_ok" && $"aspect_ok" && $"caption_ok" && $"spam_ok",
+              1L).otherwise(0L)).as("accepted"))
+          .withColumn("accept_ppm", expr("(accepted * 1000000) DIV n_pairs"))
+          .orderBy($"source")
+      },
+      Some("""WITH m AS (SELECT source,
+            CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+            CAST(n_chars % 480 + 1 AS BIGINT) AS h,
+            n_chars, lower(text) AS lt
+          FROM documents),
+        g AS (SELECT source,
+            (w >= 64 AND h >= 64) AS dim_ok,
+            (greatest(w, h) <= 3 * least(w, h)) AS aspect_ok,
+            (n_chars >= 100) AS caption_ok,
+            ((length(lt) - length(replace(lt, 'spark', ''))) // 5 <= 5)
+              AS spam_ok
+          FROM m)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN NOT dim_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS rej_dims,
+          CAST(sum(CASE WHEN NOT aspect_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS rej_aspect,
+          CAST(sum(CASE WHEN NOT caption_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS rej_caption,
+          CAST(sum(CASE WHEN NOT spam_ok THEN 1 ELSE 0 END) AS BIGINT)
+            AS rej_spam,
+          CAST(sum(CASE WHEN dim_ok AND aspect_ok AND caption_ok AND spam_ok
+            THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+          (CAST(sum(CASE WHEN dim_ok AND aspect_ok AND caption_ok AND spam_ok
+            THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+            // CAST(count(*) AS BIGINT) AS accept_ppm
+        FROM g GROUP BY source ORDER BY source"""))
   )
 }
 

@@ -10138,6 +10138,83 @@ object RelationalQueries extends QueryModule {
           CAST(floor((CAST(x AS DOUBLE) + m * pbar)
             / (CAST(n AS DOUBLE) + m) * 1e6) AS BIGINT) AS shrunk_ppm
         FROM per CROSS JOIN prior
-        WHERE l_partkey <= 300 ORDER BY l_partkey"""))
+        WHERE l_partkey <= 300 ORDER BY l_partkey""")),
+
+    // ── Tukey–Kramer pairwise comparisons (the post-hoc step after
+    //    `agg_anova_oneway` says "SOMETHING differs": which pairs? —
+    //    running k² two-sample t-tests inflates α, the studentized
+    //    range fixes it): per-type exact moments (n, Σx, Σx² as
+    //    DECIMAL), pooled MSW = Σ_g(Σx²−(Σx)²/n)/(N−k) folded in type
+    //    order, then for every type pair q = |x̄ᵢ−x̄ⱼ|/√((MSW/2)(1/nᵢ+
+    //    1/nⱼ)) off the ≤k²-row broadcast self-join; verdict against
+    //    the q₀.₀₅(k=5, df≈∞) = 3.858 literal. One scan, one tiny
+    //    frame. ──────────────────────────────────────────────────────────
+    QueryDef("agg_tukey_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val dec = "decimal(38,0)"
+        val g = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"event_type",
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"c").as("sx"),
+            sum(($"c".cast(dec) * $"c").cast(dec)).as("sxx"))
+          .select($"event_type", $"n", $"sx",
+            ($"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double") /
+                $"n".cast("double")).as("ss_within"))
+        val pooled = g
+          .agg(sum($"n").as("n_total"), count(lit(1)).as("k"),
+            sort_array(collect_list(struct($"event_type", $"ss_within")))
+              .as("ts"))
+          .select($"n_total", $"k",
+            (aggregate($"ts".getField("ss_within"), lit(0.0d), (a, x) => a + x) /
+              ($"n_total" - $"k").cast("double")).as("msw"))
+        val a = g.select($"event_type".as("t_a"), $"n".as("n_a"), $"sx".as("sx_a"))
+        val b = g.select($"event_type".as("t_b"), $"n".as("n_b"), $"sx".as("sx_b"))
+        a.join(broadcast(b), $"t_a" < $"t_b")
+          .crossJoin(broadcast(pooled))
+          .select($"t_a", $"t_b", $"n_a", $"n_b",
+            abs($"sx_a".cast("double") / $"n_a".cast("double") -
+              $"sx_b".cast("double") / $"n_b".cast("double")).as("diff"),
+            sqrt($"msw" / lit(2.0d) *
+              (lit(1.0d) / $"n_a".cast("double") +
+                lit(1.0d) / $"n_b".cast("double"))).as("se"))
+          .select($"t_a", $"t_b", $"n_a", $"n_b",
+            floor($"diff").cast("long").as("mean_diff_cents_fl"),
+            floor($"diff" / $"se" * lit(1e6)).cast("long").as("q_e6"))
+          .withColumn("significant", ($"q_e6" > 3858000L).cast("long"))
+          .orderBy($"t_a", $"t_b")
+      },
+      Some("""WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+              * CAST(round(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sxx
+          FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        gg AS (SELECT event_type, n, sx,
+            CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE) AS ss_within
+          FROM g),
+        pooled AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+            CAST(count(*) AS BIGINT) AS k,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ss_within ORDER BY event_type)), (a, b) -> a + b)
+              / CAST(sum(n) - count(*) AS DOUBLE) AS msw
+          FROM gg),
+        pairs AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+            a.n AS n_a, b.n AS n_b,
+            abs(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)) AS diff,
+            sqrt(p.msw / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+              + 1.0 / CAST(b.n AS DOUBLE))) AS se
+          FROM gg a JOIN gg b ON a.event_type < b.event_type
+          CROSS JOIN pooled p)
+        SELECT t_a, t_b, n_a, n_b,
+          CAST(floor(diff) AS BIGINT) AS mean_diff_cents_fl,
+          CAST(floor(diff / se * 1e6) AS BIGINT) AS q_e6,
+          CAST(CASE WHEN floor(diff / se * 1e6) > 3858000
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+        FROM pairs ORDER BY t_a, t_b"""))
   )
 }

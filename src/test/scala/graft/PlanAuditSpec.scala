@@ -397,6 +397,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // EB shrinkage: the 1-row (pbar, M) prior broadcast onto the probe
     // slice (scalar-recombine shape)
     "agg_eb_shrinkage",
+    // tukey: the ≤k² type-pair self-join (t_a < t_b, both sides the
+    // |types|-row moment frame) + the 1-row MSW broadcast
+    "agg_tukey_pairs",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",
