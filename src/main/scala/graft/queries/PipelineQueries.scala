@@ -6256,7 +6256,79 @@ object PipelineQueries extends QueryModule {
           (CAST(sum(CASE WHEN dim_ok AND aspect_ok AND caption_ok AND spam_ok
             THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
             // CAST(count(*) AS BIGINT) AS accept_ppm
-        FROM g GROUP BY source ORDER BY source"""))
+        FROM g GROUP BY source ORDER BY source""")),
+
+    // ── TwoNN intrinsic-dimension estimate (Facco et al. '17 — the
+    //    "how many dimensions does this embedding space actually use"
+    //    readout that decides matryoshka truncation depth and PQ
+    //    subspace budgets): per probe the ratio μ = r₂/r₁ of its two
+    //    nearest-neighbor distances, MLE d̂ = n/Σln μ. 256 broadcast
+    //    probes score the corpus through the codegen L2 kernel into a
+    //    k=2 bounded heap (the sim_topk_brute plan — no global sort,
+    //    partial states are 2 pairs per probe); duplicate-point probes
+    //    (r₁ = 0) are excluded exactly. ln μ folds in probe order, one
+    //    floor per output cell. The oracle replays the component-wise
+    //    squared-distance fold (the pq_rerank idiom — bit-identical to
+    //    VectorKernels.l2Sq). ───────────────────────────────────────────
+    QueryDef("embed_intrinsic_dim",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        graft.functions.TopKFunctions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 256)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+          .join(broadcast(queries), col("qid") =!= col("cid"))
+          .select(col("qid"),
+            struct((-graft.functions.VectorFunctions
+              .l2Sq(col("qvec"), col("cvec"))).as("score"),
+              col("cid").cast("long").as("id")).as("p"))
+        val top2 = scored.groupBy(col("qid"))
+          .agg(graft.functions.TopKFunctions.topKPairs(col("p"), 2).as("top"))
+          .select(col("qid"),
+            (-element_at(col("top"), 1).getField("score")).as("r1sq"),
+            (-element_at(col("top"), 2).getField("score")).as("r2sq"))
+        val nq = top2.agg(count(lit(1)).as("n_probes"))
+        top2.filter($"r1sq" > 0.0d)
+          .select($"qid", (log($"r2sq" / $"r1sq") * lit(0.5d)).as("lnmu"))
+          .agg(count(lit(1)).as("n_valid"),
+            sort_array(collect_list(struct($"qid", $"lnmu"))).as("ts"))
+          .crossJoin(broadcast(nq))
+          .select($"n_probes", $"n_valid",
+            floor(aggregate($"ts".getField("lnmu"), lit(0.0d),
+              (a, x) => a + x) * lit(1e9)).cast("long").as("sum_lnmu_e9"),
+            floor($"n_valid".cast("double") /
+              aggregate($"ts".getField("lnmu"), lit(0.0d), (a, x) => a + x) *
+              lit(1e6)).cast("long").as("intrinsic_dim_e6"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 256),
+        d AS (SELECT q.qid, c.vec_id AS cid,
+            list_reduce(list_transform(range(1, 65), i ->
+                (q.qe[i] - c.e[i]) * (q.qe[i] - c.e[i])),
+              (acc, t) -> acc + t) AS dist
+          FROM q, v c WHERE q.qid <> c.vec_id),
+        r AS (SELECT qid, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+          FROM d),
+        t2 AS (SELECT qid,
+            max(CASE WHEN rn = 1 THEN dist END) AS r1,
+            max(CASE WHEN rn = 2 THEN dist END) AS r2
+          FROM r WHERE rn <= 2 GROUP BY qid),
+        mus AS (SELECT qid, ln(r2 / r1) * 0.5 AS lnmu FROM t2 WHERE r1 > 0),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM t2),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_valid,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(lnmu ORDER BY qid)), (a, b) -> a + b) AS slm
+          FROM mus)
+        SELECT np.n_probes, f.n_valid,
+          CAST(floor(slm * 1e9) AS BIGINT) AS sum_lnmu_e9,
+          CAST(floor(CAST(f.n_valid AS DOUBLE) / slm * 1e6) AS BIGINT)
+            AS intrinsic_dim_e6
+        FROM f CROSS JOIN np"""))
   )
 }
 

@@ -10215,6 +10215,216 @@ object RelationalQueries extends QueryModule {
           CAST(floor(diff / se * 1e6) AS BIGINT) AS q_e6,
           CAST(CASE WHEN floor(diff / se * 1e6) > 3858000
             THEN 1 ELSE 0 END AS BIGINT) AS significant
-        FROM pairs ORDER BY t_a, t_b"""))
+        FROM pairs ORDER BY t_a, t_b""")),
+
+    // ── log-rank test (the two-sample SURVIVAL comparison —
+    //    `agg_survival_km` draws one curve, this decides whether two
+    //    arms' time-to-convert curves differ, censoring handled
+    //    properly where a naive conversion-rate z-test is biased by
+    //    horizon truncation): per (arm, day) exit table on the
+    //    COMPLETE 0..14 grid (30 literal rows, no join builds it),
+    //    at-risk via the KM suffix-sum device (windows partitioned by
+    //    arm over the O(horizon) frame), per-day hypergeometric
+    //    O−E and variance as exact-count IEEE terms folded in day
+    //    order, χ² = (ΣO−E)²/ΣV vs the χ²₁;₀.₉₅ = 3.841 literal. ────────
+    QueryDef("agg_logrank_test",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+        val users = e.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+        val firstBuy = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        val lifet = users.join(firstBuy, Seq("user_id"), "left")
+          .select(pmod($"user_id", lit(2L)).as("arm"),
+            datediff(to_date($"p_ts"), to_date($"first_ts")).cast("long")
+              .as("d_raw"))
+          .select($"arm",
+            when($"d_raw".isNotNull && $"d_raw" <= 14L, $"d_raw")
+              .otherwise(14L).as("dur"),
+            when($"d_raw".isNotNull && $"d_raw" <= 14L, 1L).otherwise(0L)
+              .as("evt"))
+        val grid = (for { d <- 0L to 14L; a <- Seq(0L, 1L) } yield (d, a))
+          .toDF("dur", "arm")
+        val byDay = grid.join(
+            lifet.groupBy($"arm", $"dur")
+              .agg(sum($"evt").as("d"), count(lit(1)).as("a")),
+            Seq("dur", "arm"), "left")
+          .select($"dur", $"arm", coalesce($"d", lit(0L)).as("d"),
+            coalesce($"a", lit(0L)).as("a"))
+        val wcum = Window.partitionBy($"arm").orderBy($"dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wall = Window.partitionBy($"arm")
+        val risk = byDay
+          .withColumn("n", sum($"a").over(wall) - sum($"a").over(wcum) + $"a")
+        val g0 = risk.filter($"arm" === 0L)
+          .select($"dur", $"d".as("d0"), $"n".as("n0"))
+        val g1 = risk.filter($"arm" === 1L)
+          .select($"dur", $"d".as("d1"), $"n".as("n1"))
+        val terms = g0.join(g1, "dur")
+          .filter($"d0" + $"d1" > 0L && $"n0" + $"n1" > 1L)
+          .select($"dur", $"d0", $"d1", $"n0", $"n1",
+            ($"d0".cast("double") -
+              ($"d0" + $"d1").cast("double") * $"n0".cast("double") /
+                ($"n0" + $"n1").cast("double")).as("ome"),
+            (($"d0" + $"d1").cast("double") * $"n0".cast("double") *
+              $"n1".cast("double") *
+              ($"n0" + $"n1" - $"d0" - $"d1").cast("double") /
+              (($"n0" + $"n1").cast("double") * ($"n0" + $"n1").cast("double") *
+                ($"n0" + $"n1" - 1L).cast("double"))).as("v"))
+        terms
+          .agg(count(lit(1)).as("n_event_days"),
+            sort_array(collect_list(struct($"dur", $"ome", $"v"))).as("ts"))
+          .select($"n_event_days",
+            floor(aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("ome"))
+              * lit(1e6)).cast("long").as("o_minus_e_e6"),
+            (aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("ome")) *
+              aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("ome")) /
+              aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("v")))
+              .as("chi2"))
+          .select($"n_event_days", $"o_minus_e_e6",
+            floor($"chi2" * lit(1e6)).cast("long").as("chi2_e6"))
+          .withColumn("curves_differ", ($"chi2_e6" > 3841000L).cast("long"))
+      },
+      Some("""WITH u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+          FROM events GROUP BY user_id),
+        p AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS p_ts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        l AS (SELECT user_id % 2 AS arm,
+            CASE WHEN d_raw IS NOT NULL AND d_raw <= 14 THEN d_raw
+              ELSE 14 END AS dur,
+            CASE WHEN d_raw IS NOT NULL AND d_raw <= 14 THEN 1 ELSE 0 END
+              AS evt
+          FROM (SELECT u.user_id,
+              CAST(CAST(p.p_ts AS DATE) - CAST(u.first_ts AS DATE) AS BIGINT)
+                AS d_raw
+            FROM u LEFT JOIN p ON u.user_id = p.user_id) q),
+        grid AS (SELECT d.dur, a.arm
+          FROM (SELECT unnest(range(0, 15)) AS dur) d
+          CROSS JOIN (SELECT unnest([0, 1]) AS arm) a),
+        byday AS (SELECT g.dur, g.arm,
+            coalesce(x.d, 0) AS d, coalesce(x.a, 0) AS a
+          FROM grid g LEFT JOIN (
+            SELECT arm, dur, CAST(sum(evt) AS BIGINT) AS d,
+              CAST(count(*) AS BIGINT) AS a
+            FROM l GROUP BY arm, dur) x
+          ON g.dur = x.dur AND g.arm = x.arm),
+        risk AS (SELECT dur, arm, d, a,
+            sum(a) OVER (PARTITION BY arm)
+              - sum(a) OVER (PARTITION BY arm ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + a AS n
+          FROM byday),
+        j AS (SELECT g0.dur, g0.d AS d0, g0.n AS n0, g1.d AS d1, g1.n AS n1
+          FROM risk g0 JOIN risk g1 ON g0.dur = g1.dur
+            AND g0.arm = 0 AND g1.arm = 1),
+        terms AS (SELECT dur,
+            CAST(d0 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+              / CAST(n0 + n1 AS DOUBLE) AS ome,
+            CAST(d0 + d1 AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+              * CAST(n0 + n1 - d0 - d1 AS DOUBLE)
+              / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE)
+                * CAST(n0 + n1 - 1 AS DOUBLE)) AS v
+          FROM j WHERE d0 + d1 > 0 AND n0 + n1 > 1),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ome ORDER BY dur)), (a, b) -> a + b) AS s_ome,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(v ORDER BY dur)), (a, b) -> a + b) AS sv
+          FROM terms)
+        SELECT n_event_days,
+          CAST(floor(s_ome * 1e6) AS BIGINT) AS o_minus_e_e6,
+          CAST(floor(s_ome * s_ome / sv * 1e6) AS BIGINT) AS chi2_e6,
+          CAST(CASE WHEN floor(s_ome * s_ome / sv * 1e6) > 3841000
+            THEN 1 ELSE 0 END AS BIGINT) AS curves_differ
+        FROM f""")),
+
+    // ── Cochran–Mantel–Haenszel stratified 2×2 test + MH common odds
+    //    ratio (the confounder-controlled association readout — a
+    //    pooled χ² can show an effect that REVERSES within every
+    //    stratum (Simpson), CMH tests the within-stratum association):
+    //    strata = epoch-day-mod-7, arm = event parity, outcome = value
+    //    recorded; per-stratum hypergeometric O−E and variance as
+    //    exact-count IEEE terms, OR_MH = Σ(ad/n)/Σ(bc/n), all folds in
+    //    stratum order off one ≤7·4-cell contingency collapse. ──────────
+    QueryDef("agg_cmh_test",
+      (s, dir) => {
+        import s.implicits._
+        val cells = Tables.load(s, dir, "events")
+          .select(pmod(datediff($"ts".cast("date"),
+              to_date(lit("1970-01-01"))), lit(7)).cast("long").as("k"),
+            pmod($"event_id", lit(2L)).as("arm"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy($"k")
+          .agg(sum(when($"arm" === 0L && $"y" === 1L, 1L).otherwise(0L)).as("a"),
+            sum(when($"arm" === 0L && $"y" === 0L, 1L).otherwise(0L)).as("b"),
+            sum(when($"arm" === 1L && $"y" === 1L, 1L).otherwise(0L)).as("c"),
+            sum(when($"arm" === 1L && $"y" === 0L, 1L).otherwise(0L)).as("d"))
+          .withColumn("n", $"a" + $"b" + $"c" + $"d")
+          .filter($"n" > 1L)
+        val terms = cells.select($"k",
+          ($"a".cast("double") -
+            ($"a" + $"b").cast("double") * ($"a" + $"c").cast("double") /
+              $"n".cast("double")).as("ome"),
+          (($"a" + $"b").cast("double") * ($"c" + $"d").cast("double") *
+            ($"a" + $"c").cast("double") * ($"b" + $"d").cast("double") /
+            ($"n".cast("double") * $"n".cast("double") *
+              ($"n" - 1L).cast("double"))).as("v"),
+          ($"a".cast("double") * $"d".cast("double") / $"n".cast("double"))
+            .as("ad_n"),
+          ($"b".cast("double") * $"c".cast("double") / $"n".cast("double"))
+            .as("bc_n"))
+        terms
+          .agg(count(lit(1)).as("n_strata"),
+            sort_array(collect_list(struct($"k", $"ome", $"v", $"ad_n",
+              $"bc_n"))).as("ts"))
+          .select($"n_strata",
+            floor(aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("ome")) *
+              aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("ome")) /
+              aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("v")) *
+              lit(1e6)).cast("long").as("cmh_chi2_e6"),
+            floor(aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("ad_n")) /
+              aggregate($"ts", lit(0.0d), (a, t) => a + t.getField("bc_n")) *
+              lit(1e6)).cast("long").as("or_mh_e6"))
+          .withColumn("reject_indep", ($"cmh_chi2_e6" > 3841000L).cast("long"))
+      },
+      Some("""WITH cells AS (SELECT
+            CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS k,
+            CAST(sum(CASE WHEN event_id % 2 = 0 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(sum(CASE WHEN event_id % 2 = 0 AND event_type <> 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN event_id % 2 = 1 AND event_type = 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN event_id % 2 = 1 AND event_type <> 'purchase'
+              THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM events GROUP BY 1),
+        wn AS (SELECT *, a + b + c + d AS n FROM cells WHERE a+b+c+d > 1),
+        terms AS (SELECT k,
+            CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+              / CAST(n AS DOUBLE) AS ome,
+            CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+              * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(n - 1 AS DOUBLE)) AS v,
+            CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS ad_n,
+            CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS bc_n
+          FROM wn),
+        f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ome ORDER BY k)), (a, b) -> a + b) AS s_ome,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(v ORDER BY k)), (a, b) -> a + b) AS sv,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(ad_n ORDER BY k)), (a, b) -> a + b) AS sad,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(bc_n ORDER BY k)), (a, b) -> a + b) AS sbc
+          FROM terms)
+        SELECT n_strata,
+          CAST(floor(s_ome * s_ome / sv * 1e6) AS BIGINT) AS cmh_chi2_e6,
+          CAST(floor(sad / sbc * 1e6) AS BIGINT) AS or_mh_e6,
+          CAST(CASE WHEN floor(s_ome * s_ome / sv * 1e6) > 3841000
+            THEN 1 ELSE 0 END AS BIGINT) AS reject_indep
+        FROM f"""))
   )
 }

@@ -400,6 +400,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // tukey: the ≤k² type-pair self-join (t_a < t_b, both sides the
     // |types|-row moment frame) + the 1-row MSW broadcast
     "agg_tukey_pairs",
+    // intrinsic dim: sim_topk_brute's non-equi qid≠cid probe broadcast
+    // + the 1-row probe-count recombine
+    "embed_intrinsic_dim",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",
