@@ -6328,7 +6328,95 @@ object PipelineQueries extends QueryModule {
           CAST(floor(slm * 1e9) AS BIGINT) AS sum_lnmu_e9,
           CAST(floor(CAST(f.n_valid AS DOUBLE) / slm * 1e6) AS BIGINT)
             AS intrinsic_dim_e6
-        FROM f CROSS JOIN np"""))
+        FROM f CROSS JOIN np""")),
+
+    // ── curation filter ablation (the table a corpus owner reads
+    //    before shipping a filter stack: what does EACH filter alone
+    //    cost, what does the whole stack cost — "my corpus shrank 40%"
+    //    debugging, the FineWeb-style ablation): four standard gates —
+    //    length floor, spam lexicon cap (exact substring kernel),
+    //    language pin, exact-dup first-occurrence (md5 fingerprint
+    //    window, the dedup_exact rule) — evaluated as FLAGS in one
+    //    scan + one fingerprint window, then a single 1-row aggregate
+    //    stacks into the 6-variant report (baseline, each-alone, full
+    //    stack), doc counts + retained char mass. ───────────────────────
+    QueryDef("pipeline_filter_ablation",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val flags = Tables.load(s, dir, "documents")
+          .withColumn("lt", lower($"text"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5($"lt")).orderBy($"doc_id")))
+          .select($"n_chars",
+            ($"n_chars" >= 200L).as("len_ok"),
+            (expr("(length(lt) - length(replace(lt, 'slow', ''))) DIV 4") +
+              expr("(length(lt) - length(replace(lt, 'drop', ''))) DIV 4")
+              < 3L).as("spam_ok"),
+            ($"lang" === "en").as("lang_ok"),
+            ($"rn" === 1).as("first_ok"))
+        def m(cond: org.apache.spark.sql.Column, tag: String)
+            : Seq[org.apache.spark.sql.Column] = Seq(
+          sum(when(cond, 1L).otherwise(0L)).as("n_" + tag),
+          sum(when(cond, $"n_chars").otherwise(0L)).as("c_" + tag))
+        val cols = m(lit(true), "base") ++ m($"len_ok", "len") ++
+          m($"spam_ok", "spam") ++ m($"lang_ok", "lang") ++
+          m($"first_ok", "dedup") ++
+          m($"len_ok" && $"spam_ok" && $"lang_ok" && $"first_ok", "all")
+        val agg1 = flags.agg(cols.head, cols.tail: _*)
+        agg1.selectExpr(
+          """stack(6,
+               'a_baseline', n_base, c_base,
+               'b_len_only', n_len, c_len,
+               'c_spam_only', n_spam, c_spam,
+               'd_lang_only', n_lang, c_lang,
+               'e_dedup_only', n_dedup, c_dedup,
+               'f_full_stack', n_all, c_all)
+             AS (variant, n_docs, chars_kept)""")
+          .orderBy($"variant")
+      },
+      Some("""WITH f AS (SELECT n_chars,
+            (n_chars >= 200) AS len_ok,
+            ((length(lt) - length(replace(lt, 'slow', ''))) // 4
+              + (length(lt) - length(replace(lt, 'drop', ''))) // 4 < 3)
+              AS spam_ok,
+            (lang = 'en') AS lang_ok,
+            (row_number() OVER (PARTITION BY md5(lt) ORDER BY doc_id) = 1)
+              AS first_ok
+          FROM (SELECT doc_id, n_chars, lang, lower(text) AS lt
+            FROM documents)),
+        a AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_base,
+            CAST(sum(n_chars) AS BIGINT) AS c_base,
+            CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+            CAST(sum(CASE WHEN len_ok THEN n_chars ELSE 0 END) AS BIGINT)
+              AS c_len,
+            CAST(sum(CASE WHEN spam_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_spam,
+            CAST(sum(CASE WHEN spam_ok THEN n_chars ELSE 0 END) AS BIGINT)
+              AS c_spam,
+            CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_lang,
+            CAST(sum(CASE WHEN lang_ok THEN n_chars ELSE 0 END) AS BIGINT)
+              AS c_lang,
+            CAST(sum(CASE WHEN first_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dedup,
+            CAST(sum(CASE WHEN first_ok THEN n_chars ELSE 0 END) AS BIGINT)
+              AS c_dedup,
+            CAST(sum(CASE WHEN len_ok AND spam_ok AND lang_ok AND first_ok
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+            CAST(sum(CASE WHEN len_ok AND spam_ok AND lang_ok AND first_ok
+              THEN n_chars ELSE 0 END) AS BIGINT) AS c_all
+          FROM f)
+        SELECT * FROM (
+          SELECT 'a_baseline' AS variant, n_base AS n_docs,
+            c_base AS chars_kept FROM a
+          UNION ALL SELECT 'b_len_only', n_len, c_len FROM a
+          UNION ALL SELECT 'c_spam_only', n_spam, c_spam FROM a
+          UNION ALL SELECT 'd_lang_only', n_lang, c_lang FROM a
+          UNION ALL SELECT 'e_dedup_only', n_dedup, c_dedup FROM a
+          UNION ALL SELECT 'f_full_stack', n_all, c_all FROM a)
+        ORDER BY variant"""))
   )
 }
 

@@ -2653,6 +2653,139 @@ object RelationalQueries extends QueryModule {
                WHEN o_custkey = 1 THEN 4611686018427387904 END AS overflow_mul
         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
 
+    // ── try_cast family (the OTHER half of ANSI-mode hardening beside
+    //    `func_try_arith`'s overflow guards: string→typed coercion that
+    //    quarantines instead of throwing — the ingestion edge every
+    //    string-typed feed crosses): derive messy strings FROM data
+    //    (priority text, numeric-ish comment slices), try_cast to
+    //    int/double/date, and count successes vs nulls per coercion —
+    //    one scan, a |priorities|-row rollup. The oracle replays with
+    //    DuckDB's TRY_CAST; Spark's 2-arg try_to_timestamp appears via
+    //    its CASE-expressible semantics. ────────────────────────────────
+    QueryDef("func_try_cast_family",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders").filter($"o_orderkey" < 20000)
+          .select($"o_orderpriority",
+            expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_int"),
+            expr("try_cast(o_orderpriority AS DOUBLE)").as("pri_dbl"),
+            expr("try_cast(CAST(o_totalprice AS STRING) AS DECIMAL(18,2))").as("price_dec"),
+            expr("try_cast(o_orderstatus AS DATE)").as("status_date"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"pri_int".isNotNull, 1L).otherwise(0L)).as("ok_int"),
+            sum(when($"pri_dbl".isNotNull, 1L).otherwise(0L)).as("ok_dbl"),
+            sum(when($"price_dec".isNotNull, 1L).otherwise(0L)).as("ok_dec"),
+            sum(when($"status_date".isNotNull, 1L).otherwise(0L)).as("ok_date"),
+            sum(coalesce($"pri_int".cast("long"), lit(0L))).as("sum_pri"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER)
+            IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_int,
+          CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS DOUBLE)
+            IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_dbl,
+          CAST(sum(CASE WHEN TRY_CAST(CAST(o_totalprice AS VARCHAR)
+            AS DECIMAL(18,2)) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS ok_dec,
+          CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS DATE)
+            IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ok_date,
+          CAST(sum(coalesce(TRY_CAST(substring(o_orderpriority, 1, 1)
+            AS INTEGER), 0)) AS BIGINT) AS sum_pri
+        FROM orders WHERE o_orderkey < 20000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── partial correlation (the confounder-controlled dependence
+    //    readout: does per-user SPEND relate to event COUNT once you
+    //    control for how many active DAYS the user has? raw correlation
+    //    conflates both with tenure): the classic recursion
+    //    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over three
+    //    pairwise correlations whose centered numerators/denominators
+    //    are exact DECIMAL(38,0) rationals off ONE per-user collapse —
+    //    doubles enter only at the final fixed-shape arithmetic.
+    //    floor(·1e9) emission for all four correlations. ─────────────────
+    QueryDef("agg_partial_corr",
+      (s, dir) => {
+        import s.implicits._
+        val dec = "decimal(38,0)"
+        val u = Tables.load(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(expr("CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)")
+            .as("x"),
+            count(lit(1)).as("y"),
+            countDistinct(to_date($"ts")).as("z"))
+        val m = u.agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+          sum(($"x".cast(dec) * $"x").cast(dec)).as("sxx"),
+          sum(($"y".cast(dec) * $"y").cast(dec)).as("syy"),
+          sum(($"z".cast(dec) * $"z").cast(dec)).as("szz"),
+          sum(($"x".cast(dec) * $"y").cast(dec)).as("sxy"),
+          sum(($"x".cast(dec) * $"z").cast(dec)).as("sxz"),
+          sum(($"y".cast(dec) * $"z").cast(dec)).as("syz"))
+        def c(ab: String, a: String, b: String): Column =
+          (($"n".cast(dec) * col(ab) - col("s" + a).cast(dec) * col("s" + b))
+            .cast(dec).cast("double") /
+            sqrt((($"n".cast(dec) * col("s" + a + a) -
+              col("s" + a).cast(dec) * col("s" + a)).cast(dec)).cast("double") *
+              (($"n".cast(dec) * col("s" + b + b) -
+                col("s" + b).cast(dec) * col("s" + b)).cast(dec)).cast("double")))
+        m.select($"n",
+            c("sxy", "x", "y").as("rxy"), c("sxz", "x", "z").as("rxz"),
+            c("syz", "y", "z").as("ryz"))
+          .select($"n",
+            floor($"rxy" * lit(1e9)).cast("long").as("rxy_e9"),
+            floor($"rxz" * lit(1e9)).cast("long").as("rxz_e9"),
+            floor($"ryz" * lit(1e9)).cast("long").as("ryz_e9"),
+            floor(($"rxy" - $"rxz" * $"ryz") /
+              sqrt((lit(1.0d) - $"rxz" * $"rxz") *
+                (lit(1.0d) - $"ryz" * $"ryz")) * lit(1e9)).cast("long")
+              .as("partial_rxy_z_e9"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0))
+              AS BIGINT) AS x,
+            CAST(count(*) AS BIGINT) AS y,
+            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS z
+          FROM events GROUP BY user_id),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(z) AS BIGINT) AS sz,
+            CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+            CAST(sum(CAST(z AS HUGEINT) * z) AS DECIMAL(38,0)) AS szz,
+            CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+            CAST(sum(CAST(x AS HUGEINT) * z) AS DECIMAL(38,0)) AS sxz,
+            CAST(sum(CAST(y AS HUGEINT) * z) AS DECIMAL(38,0)) AS syz
+          FROM u),
+        r AS (SELECT n,
+            CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+                - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+              / sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                  - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+                  - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rxy,
+            CAST(CAST(n AS HUGEINT) * CAST(sxz AS HUGEINT)
+                - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+              / sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                  - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * CAST(szz AS HUGEINT)
+                  - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS rxz,
+            CAST(CAST(n AS HUGEINT) * CAST(syz AS HUGEINT)
+                - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+              / sqrt(CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+                  - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * CAST(szz AS HUGEINT)
+                  - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS ryz
+          FROM m)
+        SELECT n,
+          CAST(floor(rxy * 1e9) AS BIGINT) AS rxy_e9,
+          CAST(floor(rxz * 1e9) AS BIGINT) AS rxz_e9,
+          CAST(floor(ryz * 1e9) AS BIGINT) AS ryz_e9,
+          CAST(floor((rxy - rxz * ryz)
+            / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e9) AS BIGINT)
+            AS partial_rxy_z_e9
+        FROM r""")),
+
     // VARIANT (Spark 4 semi-structured type): parse the events props
     // JSON once into a variant and extract typed fields with
     // variant_get — the shredding-friendly path for open schemas, vs
