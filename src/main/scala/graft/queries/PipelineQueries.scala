@@ -6416,7 +6416,60 @@ object PipelineQueries extends QueryModule {
           UNION ALL SELECT 'd_lang_only', n_lang, c_lang FROM a
           UNION ALL SELECT 'e_dedup_only', n_dedup, c_dedup FROM a
           UNION ALL SELECT 'f_full_stack', n_all, c_all FROM a)
-        ORDER BY variant"""))
+        ORDER BY variant""")),
+
+    // ── soft deduplication weights (the DROP-free alternative the
+    //    recent dedup literature favors: instead of deleting near-dups,
+    //    DOWNWEIGHT each cluster member by 1/|cluster| so the cluster
+    //    contributes one document's worth of gradient — repetition bias
+    //    gone, rare-but-duplicated content kept): near-dup clusters
+    //    from the exact AllPairs+union-find machinery, weight_ppm =
+    //    10⁶ DIV k exact integers, per-source report of raw vs
+    //    EFFECTIVE (weighted) doc and char mass. Singletons (no pair)
+    //    keep weight 1 via the null-cluster coalesce. ────────────────────
+    QueryDef("dedup_soft_weights",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val clusters = Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+        val sizes = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("k"))
+        val withK = docs.select($"doc_id", $"source", $"n_chars")
+          .join(clusters, Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster_id"), "left")
+          .select($"source", $"n_chars", coalesce($"k", lit(1L)).as("k"))
+        withK.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"k" > 1L, 1L).otherwise(0L)).as("n_in_clusters"),
+            sum(expr("1000000 DIV k")).as("sum_weight_ppm"),
+            sum(expr("(n_chars * 1000000) DIV k")).as("effective_chars_x1e6"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a, s b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+         |  FROM cl GROUP BY cluster_id),
+         |w AS (SELECT d.source, d.n_chars, coalesce(sz.k, 1) AS k
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |  LEFT JOIN sz ON cl.cluster_id = sz.cluster_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_clusters,
+         |  CAST(sum(1000000 // k) AS BIGINT) AS sum_weight_ppm,
+         |  CAST(sum((n_chars * 1000000) // k) AS BIGINT)
+         |    AS effective_chars_x1e6
+         |FROM w GROUP BY source ORDER BY source""".stripMargin))
   )
 }
 

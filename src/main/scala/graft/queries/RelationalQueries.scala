@@ -2786,6 +2786,194 @@ object RelationalQueries extends QueryModule {
             AS partial_rxy_z_e9
         FROM r""")),
 
+    // ── harmonic centrality on the nation trade graph (the
+    //    disconnected-safe closeness: C(u) = Σ_v 1/d(u,v) — unreachable
+    //    nodes contribute 0 instead of poisoning the mean, which is why
+    //    it replaced classic closeness in practice): all-sources BFS on
+    //    the bounded |nations|² state (3 fixed min-relaxation rounds,
+    //    the graph_bfs_distance contract, localCheckpoint per round),
+    //    and because every finite distance here is ≤ 3, the reciprocal
+    //    sum is EXACT INTEGER arithmetic — Σ 6 DIV d with 6/d ∈
+    //    {6,3,2} — no float anywhere. Beyond-3-hop pairs count as
+    //    unreached (documented bounded-round contract). ──────────────────
+    QueryDef("graph_harmonic_centrality",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val e0 = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .filter($"c_nationkey" =!= $"s_nationkey")
+          .select(least($"c_nationkey", $"s_nationkey").cast("long").as("a"),
+            greatest($"c_nationkey", $"s_nationkey").cast("long").as("b"))
+          .distinct()
+        val edges = e0.union(e0.select($"b".as("a"), $"a".as("b")))
+          .localCheckpoint()
+        val nodes = edges.select($"a".as("node")).distinct()
+        val d0 = nodes.select($"node".as("src"), $"node".as("v"), lit(0L).as("d"))
+        val dist = (1 to 3).foldLeft(d0.localCheckpoint()) { (dst, _) =>
+          dst.union(
+            dst.join(edges, dst("v") === edges("a"))
+              .select(dst("src"), edges("b").as("v"), (dst("d") + 1L).as("d")))
+            .groupBy($"src", $"v").agg(min($"d").as("d"))
+            .localCheckpoint()
+        }
+        dist.filter($"d" > 0L)
+          .groupBy($"src")
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("6 DIV d")).as("harmonic_x6"))
+          .orderBy($"src")
+      },
+      Some("""WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT)
+              AS a,
+            CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS b
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey),
+        e AS MATERIALIZED (SELECT a, b FROM e0
+          UNION ALL SELECT b AS a, a AS b FROM e0),
+        n AS (SELECT DISTINCT a AS node FROM e),
+        d0 AS (SELECT node AS src, node AS v, CAST(0 AS BIGINT) AS d FROM n),
+        d1 AS (SELECT src, v, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT src, v, d FROM d0
+            UNION ALL SELECT d0.src, e.b AS v, d0.d + 1 AS d
+            FROM d0 JOIN e ON e.a = d0.v) GROUP BY src, v),
+        d2 AS (SELECT src, v, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT src, v, d FROM d1
+            UNION ALL SELECT d1.src, e.b AS v, d1.d + 1 AS d
+            FROM d1 JOIN e ON e.a = d1.v) GROUP BY src, v),
+        d3 AS (SELECT src, v, CAST(min(d) AS BIGINT) AS d FROM (
+            SELECT src, v, d FROM d2
+            UNION ALL SELECT d2.src, e.b AS v, d2.d + 1 AS d
+            FROM d2 JOIN e ON e.a = d2.v) GROUP BY src, v)
+        SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+          CAST(sum(6 // d) AS BIGINT) AS harmonic_x6
+        FROM d3 WHERE d > 0 GROUP BY src ORDER BY src""")),
+
+    // ── gravity model of trade flows (the econ workhorse
+    //    ln(flow_ij) = β₀ + β₁·ln(mass_i) + β₂·ln(mass_j): do bigger
+    //    markets trade superlinearly? — and the engine's closed-form
+    //    MULTIVARIATE OLS: two regressors + intercept solved by
+    //    Cramer's rule over the 3×3 normal equations, every determinant
+    //    a fixed literal-order IEEE chain over moments folded in (i,j)
+    //    order): flows = the pagerank edge build (one fact join, done
+    //    once), masses = its row/column marginals joined back
+    //    broadcast, R² from SSE = Syy − β·X'y. floor(·1e6) emission. ─────
+    QueryDef("agg_gravity_model",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val flows = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("i"), $"s_nationkey".as("j"))
+          .agg(count(lit(1)).as("w"))
+        val outM = flows.groupBy($"i").agg(sum($"w").as("oi"))
+        val inM = flows.groupBy($"j").agg(sum($"w").as("ij_"))
+        val rows = flows.join(broadcast(outM), "i").join(broadcast(inM), "j")
+          .select($"i", $"j", log($"w".cast("double")).as("y"),
+            log($"oi".cast("double")).as("x1"),
+            log($"ij_".cast("double")).as("x2"))
+        def f(g: Column => Column): Column =
+          aggregate($"ts", lit(0.0d), (a, t) => a + g(t))
+        rows
+          .agg(count(lit(1)).as("n_flows"),
+            sort_array(collect_list(struct($"i", $"j", $"y", $"x1", $"x2")))
+              .as("ts"))
+          .select($"n_flows", $"n_flows".cast("double").as("n"),
+            f(_.getField("x1")).as("a"), f(_.getField("x2")).as("b"),
+            f(t => t.getField("x1") * t.getField("x1")).as("c"),
+            f(t => t.getField("x1") * t.getField("x2")).as("e"),
+            f(t => t.getField("x2") * t.getField("x2")).as("fq"),
+            f(_.getField("y")).as("sy"),
+            f(t => t.getField("x1") * t.getField("y")).as("g"),
+            f(t => t.getField("x2") * t.getField("y")).as("h"),
+            f(t => t.getField("y") * t.getField("y")).as("syy"))
+          .select($"n_flows", $"n", $"sy", $"syy",
+            ($"n" * ($"c" * $"fq" - $"e" * $"e") -
+              $"a" * ($"a" * $"fq" - $"e" * $"b") +
+              $"b" * ($"a" * $"e" - $"c" * $"b")).as("det"),
+            ($"sy" * ($"c" * $"fq" - $"e" * $"e") -
+              $"a" * ($"g" * $"fq" - $"e" * $"h") +
+              $"b" * ($"g" * $"e" - $"c" * $"h")).as("det0"),
+            ($"n" * ($"g" * $"fq" - $"e" * $"h") -
+              $"sy" * ($"a" * $"fq" - $"e" * $"b") +
+              $"b" * ($"a" * $"h" - $"g" * $"b")).as("det1"),
+            ($"n" * ($"c" * $"h" - $"g" * $"e") -
+              $"a" * ($"a" * $"h" - $"g" * $"b") +
+              $"sy" * ($"a" * $"e" - $"c" * $"b")).as("det2"),
+            $"g", $"h")
+          .select($"n_flows",
+            floor($"det0" / $"det" * lit(1e6)).cast("long").as("b0_e6"),
+            floor($"det1" / $"det" * lit(1e6)).cast("long").as("b1_e6"),
+            floor($"det2" / $"det" * lit(1e6)).cast("long").as("b2_e6"),
+            floor((lit(1.0d) -
+              ($"syy" - $"det0" / $"det" * $"sy" - $"det1" / $"det" * $"g" -
+                $"det2" / $"det" * $"h") /
+              ($"syy" - $"sy" * $"sy" / $"n")) * lit(1e6)).cast("long")
+              .as("r2_e6"))
+      },
+      Some("""WITH flows AS (SELECT c.c_nationkey AS i, s.s_nationkey AS j,
+            CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2),
+        om AS (SELECT i, CAST(sum(w) AS BIGINT) AS oi FROM flows GROUP BY i),
+        im AS (SELECT j, CAST(sum(w) AS BIGINT) AS ij_ FROM flows GROUP BY j),
+        rows_ AS (SELECT f.i, f.j, ln(CAST(f.w AS DOUBLE)) AS y,
+            ln(CAST(om.oi AS DOUBLE)) AS x1, ln(CAST(im.ij_ AS DOUBLE)) AS x2
+          FROM flows f JOIN om ON f.i = om.i JOIN im ON f.j = im.j),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n_flows,
+            CAST(count(*) AS DOUBLE) AS n,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x1 ORDER BY i, j)), (p, q) -> p + q) AS a,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x2 ORDER BY i, j)), (p, q) -> p + q) AS b,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x1 ORDER BY i, j)), (p, q) -> p + q * q) AS c,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x1 * x2 ORDER BY i, j)), (p, q) -> p + q) AS e,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x2 ORDER BY i, j)), (p, q) -> p + q * q) AS fq,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(y ORDER BY i, j)), (p, q) -> p + q) AS sy,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x1 * y ORDER BY i, j)), (p, q) -> p + q) AS g,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(x2 * y ORDER BY i, j)), (p, q) -> p + q) AS h,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(y ORDER BY i, j)), (p, q) -> p + q * q) AS syy
+          FROM rows_),
+        d AS (SELECT *,
+            n * (c * fq - e * e) - a * (a * fq - e * b)
+              + b * (a * e - c * b) AS det,
+            sy * (c * fq - e * e) - a * (g * fq - e * h)
+              + b * (g * e - c * h) AS det0,
+            n * (g * fq - e * h) - sy * (a * fq - e * b)
+              + b * (a * h - g * b) AS det1,
+            n * (c * h - g * e) - a * (a * h - g * b)
+              + sy * (a * e - c * b) AS det2
+          FROM m)
+        SELECT n_flows,
+          CAST(floor(det0 / det * 1e6) AS BIGINT) AS b0_e6,
+          CAST(floor(det1 / det * 1e6) AS BIGINT) AS b1_e6,
+          CAST(floor(det2 / det * 1e6) AS BIGINT) AS b2_e6,
+          CAST(floor((1.0 - (syy - det0 / det * sy - det1 / det * g
+              - det2 / det * h) / (syy - sy * sy / n)) * 1e6) AS BIGINT)
+            AS r2_e6
+        FROM d""")),
+
     // VARIANT (Spark 4 semi-structured type): parse the events props
     // JSON once into a variant and extract typed fields with
     // variant_get — the shredding-friendly path for open schemas, vs
