@@ -6469,7 +6469,148 @@ object PipelineQueries extends QueryModule {
          |  CAST(sum(1000000 // k) AS BIGINT) AS sum_weight_ppm,
          |  CAST(sum((n_chars * 1000000) // k) AS BIGINT)
          |    AS effective_chars_x1e6
-         |FROM w GROUP BY source ORDER BY source""".stripMargin))
+         |FROM w GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── Theil index decomposition (the inequality measure that — unlike
+    //    Gini — splits EXACTLY into within-group + between-group parts:
+    //    "is char mass concentrated inside sources or across them?"):
+    //    per-source T_g = (Σx·ln x)/X_g − ln μ_g with the Σx·ln x fold
+    //    in doc_id order (exact integer x, one ln per doc), between
+    //    term = (X_g/X)·ln(μ_g/μ) against the 1-row global broadcast.
+    //    Emitted per source so Σ shares·T_g + Σ between = total Theil
+    //    by construction. One scan + |sources|-row frames. ────────────────
+    QueryDef("agg_theil_decomposition",
+      (s, dir) => {
+        import s.implicits._
+        val per = Tables.load(s, dir, "documents")
+          .filter($"n_chars" > 0L)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_g"), sum($"n_chars").as("x_g"),
+            sort_array(collect_list(struct($"doc_id",
+              ($"n_chars".cast("double") *
+                log($"n_chars".cast("double"))).as("xlx")))).as("ts"))
+          .select($"source", $"n_g", $"x_g",
+            aggregate($"ts".getField("xlx"), lit(0.0d), (a, v) => a + v)
+              .as("sxlx"))
+        val tot = per.agg(sum($"n_g").as("n"), sum($"x_g").as("x"))
+        per.crossJoin(broadcast(tot))
+          .select($"source", $"n_g", $"x_g",
+            floor(($"sxlx" / $"x_g".cast("double") -
+              log($"x_g".cast("double") / $"n_g".cast("double"))) * lit(1e9))
+              .cast("long").as("theil_within_e9"),
+            floor(($"x_g".cast("double") / $"x".cast("double")) *
+              log(($"x_g".cast("double") / $"n_g".cast("double")) /
+                ($"x".cast("double") / $"n".cast("double"))) * lit(1e9))
+              .cast("long").as("between_term_e9"))
+          .orderBy($"source")
+      },
+      Some("""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g,
+            CAST(sum(n_chars) AS BIGINT) AS x_g,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(n_chars AS DOUBLE) * ln(CAST(n_chars AS DOUBLE))
+                ORDER BY doc_id)), (a, b) -> a + b) AS sxlx
+          FROM documents WHERE n_chars > 0 GROUP BY source),
+        tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+            CAST(sum(x_g) AS BIGINT) AS x FROM per)
+        SELECT source, n_g, x_g,
+          CAST(floor((sxlx / CAST(x_g AS DOUBLE)
+            - ln(CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE))) * 1e9)
+            AS BIGINT) AS theil_within_e9,
+          CAST(floor((CAST(x_g AS DOUBLE) / CAST(x AS DOUBLE))
+            * ln((CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+              / (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))) * 1e9) AS BIGINT)
+            AS between_term_e9
+        FROM per CROSS JOIN tot ORDER BY source""")),
+
+    // ── stylometry matrix (the authorship/contamination triage view:
+    //    function-word frequency profiles are the classic style
+    //    fingerprint — two "different" sources with near-1 cosine are
+    //    one upstream crawler in disguise): 8 function-word TOKEN
+    //    counts per source via the exact length-difference kernel on a
+    //    space-DOUBLED text (' a a ' would otherwise hide its second
+    //    token from non-overlapping replace — doubling gives every
+    //    token its own delimiters), then pairwise cosine over the
+    //    |sources|² broadcast self-join as one fixed 8-term literal
+    //    IEEE chain off exact BIGINT counts. ─────────────────────────────
+    QueryDef("text_stylometry_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val words = Seq("the", "a", "value", "table", "fast", "slow",
+          "query", "data")
+        def cnt(i: Int): org.apache.spark.sql.Column = {
+          val w = words(i)
+          expr(s"(length(t2) - length(replace(t2, ' $w ', ''))) DIV ${w.length + 2}")
+            .cast("long")
+        }
+        val per = Tables.load(s, dir, "documents")
+          .withColumn("t2",
+            concat(lit(" "), regexp_replace(lower($"text"), " ", "  "), lit(" ")))
+          .select($"source" +: words.indices.map(i => cnt(i).as(s"c$i")): _*)
+          .groupBy($"source")
+          .agg(sum($"c0").as("c0"), sum($"c1").as("c1"), sum($"c2").as("c2"),
+            sum($"c3").as("c3"), sum($"c4").as("c4"), sum($"c5").as("c5"),
+            sum($"c6").as("c6"), sum($"c7").as("c7"))
+        val a = per.select($"source".as("s_a") +:
+          words.indices.map(i => col(s"c$i").as(s"a$i")): _*)
+        val b = per.select($"source".as("s_b") +:
+          words.indices.map(i => col(s"c$i").as(s"b$i")): _*)
+        val dot = words.indices.map(i =>
+          col(s"a$i").cast("double") * col(s"b$i").cast("double"))
+          .reduce(_ + _)
+        val na = words.indices.map(i =>
+          col(s"a$i").cast("double") * col(s"a$i").cast("double"))
+          .reduce(_ + _)
+        val nb = words.indices.map(i =>
+          col(s"b$i").cast("double") * col(s"b$i").cast("double"))
+          .reduce(_ + _)
+        a.join(broadcast(b), $"s_a" < $"s_b")
+          .select($"s_a", $"s_b",
+            floor(dot / (sqrt(na) * sqrt(nb)) * lit(1e9)).cast("long")
+              .as("style_cos_e9"))
+          .orderBy($"s_a", $"s_b")
+      },
+      Some("""WITH d AS (SELECT source,
+            ' ' || replace(lower(text), ' ', '  ') || ' ' AS t2
+          FROM documents),
+        per AS (SELECT source,
+            CAST(sum((length(t2) - length(replace(t2, ' the ', ''))) // 5) AS BIGINT) AS c0,
+            CAST(sum((length(t2) - length(replace(t2, ' a ', ''))) // 3) AS BIGINT) AS c1,
+            CAST(sum((length(t2) - length(replace(t2, ' value ', ''))) // 7) AS BIGINT) AS c2,
+            CAST(sum((length(t2) - length(replace(t2, ' table ', ''))) // 7) AS BIGINT) AS c3,
+            CAST(sum((length(t2) - length(replace(t2, ' fast ', ''))) // 6) AS BIGINT) AS c4,
+            CAST(sum((length(t2) - length(replace(t2, ' slow ', ''))) // 6) AS BIGINT) AS c5,
+            CAST(sum((length(t2) - length(replace(t2, ' query ', ''))) // 7) AS BIGINT) AS c6,
+            CAST(sum((length(t2) - length(replace(t2, ' data ', ''))) // 6) AS BIGINT) AS c7
+          FROM d GROUP BY source)
+        SELECT a.source AS s_a, b.source AS s_b,
+          CAST(floor(
+            (CAST(a.c0 AS DOUBLE) * CAST(b.c0 AS DOUBLE)
+              + CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)
+              + CAST(a.c2 AS DOUBLE) * CAST(b.c2 AS DOUBLE)
+              + CAST(a.c3 AS DOUBLE) * CAST(b.c3 AS DOUBLE)
+              + CAST(a.c4 AS DOUBLE) * CAST(b.c4 AS DOUBLE)
+              + CAST(a.c5 AS DOUBLE) * CAST(b.c5 AS DOUBLE)
+              + CAST(a.c6 AS DOUBLE) * CAST(b.c6 AS DOUBLE)
+              + CAST(a.c7 AS DOUBLE) * CAST(b.c7 AS DOUBLE))
+            / (sqrt(CAST(a.c0 AS DOUBLE) * CAST(a.c0 AS DOUBLE)
+                + CAST(a.c1 AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+                + CAST(a.c2 AS DOUBLE) * CAST(a.c2 AS DOUBLE)
+                + CAST(a.c3 AS DOUBLE) * CAST(a.c3 AS DOUBLE)
+                + CAST(a.c4 AS DOUBLE) * CAST(a.c4 AS DOUBLE)
+                + CAST(a.c5 AS DOUBLE) * CAST(a.c5 AS DOUBLE)
+                + CAST(a.c6 AS DOUBLE) * CAST(a.c6 AS DOUBLE)
+                + CAST(a.c7 AS DOUBLE) * CAST(a.c7 AS DOUBLE))
+              * sqrt(CAST(b.c0 AS DOUBLE) * CAST(b.c0 AS DOUBLE)
+                + CAST(b.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)
+                + CAST(b.c2 AS DOUBLE) * CAST(b.c2 AS DOUBLE)
+                + CAST(b.c3 AS DOUBLE) * CAST(b.c3 AS DOUBLE)
+                + CAST(b.c4 AS DOUBLE) * CAST(b.c4 AS DOUBLE)
+                + CAST(b.c5 AS DOUBLE) * CAST(b.c5 AS DOUBLE)
+                + CAST(b.c6 AS DOUBLE) * CAST(b.c6 AS DOUBLE)
+                + CAST(b.c7 AS DOUBLE) * CAST(b.c7 AS DOUBLE)))
+            * 1e9) AS BIGINT) AS style_cos_e9
+        FROM per a JOIN per b ON a.source < b.source
+        ORDER BY s_a, s_b"""))
   )
 }
 

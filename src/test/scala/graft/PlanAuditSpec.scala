@@ -403,6 +403,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // intrinsic dim: sim_topk_brute's non-equi qid≠cid probe broadcast
     // + the 1-row probe-count recombine
     "embed_intrinsic_dim",
+    // theil: the 1-row global-total broadcast onto the |sources|-row
+    // frame (scalar-recombine shape)
+    "agg_theil_decomposition",
+    // stylometry: the |sources|² s_a < s_b self-join, both sides the
+    // |sources|-row count-vector frame
+    "text_stylometry_matrix",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",
