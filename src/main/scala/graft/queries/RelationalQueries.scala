@@ -10660,6 +10660,158 @@ object RelationalQueries extends QueryModule {
             THEN 1 ELSE 0 END AS BIGINT) AS curves_differ
         FROM f""")),
 
+    // ── competing-risks cumulative incidence (Aalen–Johansen: when a
+    //    user can FIRST-convert OR FIRST-error, 1−KM per cause
+    //    overcounts — each cause's incidence must price in the other's
+    //    removals; this is the estimator clinical/churn analysis
+    //    standardizes on): per user the earlier of first-purchase /
+    //    first-error day (purchase wins day ties, censor at 14), exits
+    //    on the 15-row literal grid, at-risk by the KM suffix device
+    //    (integer windows — exact). Survival and CIF avoid exp∘Σln
+    //    entirely (the engines' exp/ln disagree by an ulp exactly at
+    //    boundaries like 0.1): the 15-row frame collects once and each
+    //    row computes S(t) = Π_{s≤t}(1−d/n) and
+    //    CIF_k(t) = Σ_{s≤t} S(s−1)·d_k/n as NESTED ordered folds over
+    //    the broadcast array — pure multiplication/addition chains,
+    //    bit-identical across engines, O(15²) work. ─────────────────────
+    QueryDef("agg_competing_risks",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+        val users = e.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+        val fp = e.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+        val fe = e.filter($"event_type" === "error")
+          .groupBy($"user_id").agg(min($"ts").as("e_ts"))
+        val lifet = users
+          .join(fp, Seq("user_id"), "left").join(fe, Seq("user_id"), "left")
+          .select(
+            when(datediff(to_date($"p_ts"), to_date($"first_ts")) <= 14,
+              datediff(to_date($"p_ts"), to_date($"first_ts")).cast("long"))
+              .as("dp"),
+            when(datediff(to_date($"e_ts"), to_date($"first_ts")) <= 14,
+              datediff(to_date($"e_ts"), to_date($"first_ts")).cast("long"))
+              .as("de"))
+          .select(
+            when($"dp".isNotNull && ($"de".isNull || $"dp" <= $"de"), lit(1L))
+              .when($"de".isNotNull, lit(2L)).otherwise(lit(0L)).as("cause"),
+            coalesce(when($"dp".isNotNull && ($"de".isNull || $"dp" <= $"de"), $"dp")
+              .otherwise($"de"), lit(14L)).as("dur"))
+        val grid = (0L to 14L).toDF("dur")
+        val byDay = grid.join(
+            lifet.groupBy($"dur")
+              .agg(sum(when($"cause" === 1L, 1L).otherwise(0L)).as("d1"),
+                sum(when($"cause" === 2L, 1L).otherwise(0L)).as("d2"),
+                count(lit(1)).as("a")),
+            Seq("dur"), "left")
+          .select($"dur", coalesce($"d1", lit(0L)).as("d1"),
+            coalesce($"d2", lit(0L)).as("d2"), coalesce($"a", lit(0L)).as("a"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        val wCum = Window.orderBy($"dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val risk = byDay
+          .withColumn("n", sum($"a").over(wAll) - sum($"a").over(wCum) + $"a")
+          .withColumn("f",
+            when($"n" > 0L,
+              ($"n" - $"d1" - $"d2").cast("double") / $"n".cast("double"))
+              .otherwise(lit(1.0d)))
+        val arr = risk
+          .agg(sort_array(collect_list(struct($"dur", $"d1", $"d2", $"n",
+            $"f"))).as("arr"))
+        def sTo(bound: Column, strict: Boolean): Column = {
+          val cmp: (Column, Column) => Column =
+            if (strict) (a, b) => a < b else (a, b) => a <= b
+          aggregate(filter($"arr", x => cmp(x.getField("dur"), bound)),
+            lit(1.0d), (acc, x) => acc * x.getField("f"))
+        }
+        def cif(dcol: String): Column =
+          aggregate(filter($"arr", x => x.getField("dur") <= $"dur"),
+            lit(0.0d), (acc, x) =>
+              acc + when(x.getField("n") > 0L,
+                aggregate(filter($"arr",
+                    y => y.getField("dur") < x.getField("dur")),
+                  lit(1.0d), (a2, y) => a2 * y.getField("f")) *
+                  x.getField(dcol).cast("double") /
+                  x.getField("n").cast("double"))
+                .otherwise(lit(0.0d)))
+        risk.crossJoin(broadcast(arr))
+          .select($"dur", $"n".as("n_risk"), $"d1".as("d_purchase"),
+            $"d2".as("d_error"),
+            floor(sTo($"dur", strict = false) * lit(1e9)).cast("long")
+              .as("surv_e9"),
+            floor(cif("d1") * lit(1e9)).cast("long").as("cif_purchase_e9"),
+            floor(cif("d2") * lit(1e9)).cast("long").as("cif_error_e9"))
+          .orderBy($"dur")
+      },
+      Some("""WITH u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+          FROM events GROUP BY user_id),
+        fp AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS p_ts FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+        fe AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS e_ts FROM events
+          WHERE event_type = 'error' GROUP BY user_id),
+        l0 AS (SELECT
+            CASE WHEN CAST(CAST(fp.p_ts AS DATE) - CAST(u.first_ts AS DATE)
+                AS BIGINT) <= 14
+              THEN CAST(CAST(fp.p_ts AS DATE) - CAST(u.first_ts AS DATE)
+                AS BIGINT) END AS dp,
+            CASE WHEN CAST(CAST(fe.e_ts AS DATE) - CAST(u.first_ts AS DATE)
+                AS BIGINT) <= 14
+              THEN CAST(CAST(fe.e_ts AS DATE) - CAST(u.first_ts AS DATE)
+                AS BIGINT) END AS de
+          FROM u LEFT JOIN fp ON u.user_id = fp.user_id
+          LEFT JOIN fe ON u.user_id = fe.user_id),
+        l AS (SELECT
+            CASE WHEN dp IS NOT NULL AND (de IS NULL OR dp <= de) THEN 1
+              WHEN de IS NOT NULL THEN 2 ELSE 0 END AS cause,
+            coalesce(CASE WHEN dp IS NOT NULL AND (de IS NULL OR dp <= de)
+              THEN dp ELSE de END, 14) AS dur
+          FROM l0),
+        grid AS (SELECT CAST(unnest(range(0, 15)) AS BIGINT) AS dur),
+        byday AS (SELECT g.dur, coalesce(x.d1, 0) AS d1,
+            coalesce(x.d2, 0) AS d2, coalesce(x.a, 0) AS a
+          FROM grid g LEFT JOIN (
+            SELECT dur,
+              CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+              CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+              CAST(count(*) AS BIGINT) AS a
+            FROM l GROUP BY dur) x ON g.dur = x.dur),
+        risk AS (SELECT dur, d1, d2, a,
+            sum(a) OVER () - sum(a) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + a AS n
+          FROM byday),
+        rf AS (SELECT dur, d1, d2, CAST(n AS BIGINT) AS n,
+            CASE WHEN n > 0
+              THEN CAST(n - d1 - d2 AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE 1.0 END AS f
+          FROM risk),
+        arr AS (SELECT list(struct_pack(dur := dur, d1 := d1, d2 := d2,
+            n := n, f := f) ORDER BY dur) AS arr FROM rf)
+        SELECT r.dur, r.n AS n_risk, r.d1 AS d_purchase, r.d2 AS d_error,
+          CAST(floor(list_reduce(list_prepend(1.0,
+              list_transform(list_filter(a.arr, x -> x.dur <= r.dur),
+                x -> x.f)), (p, q) -> p * q) * 1e9) AS BIGINT) AS surv_e9,
+          CAST(floor(list_reduce(list_prepend(0.0,
+              list_transform(list_filter(a.arr, x -> x.dur <= r.dur),
+                x -> CASE WHEN x.n > 0 THEN
+                  list_reduce(list_prepend(1.0,
+                    list_transform(list_filter(a.arr, y -> y.dur < x.dur),
+                      y -> y.f)), (p2, q2) -> p2 * q2)
+                  * CAST(x.d1 AS DOUBLE) / CAST(x.n AS DOUBLE)
+                  ELSE 0.0 END)), (p, q) -> p + q) * 1e9) AS BIGINT)
+            AS cif_purchase_e9,
+          CAST(floor(list_reduce(list_prepend(0.0,
+              list_transform(list_filter(a.arr, x -> x.dur <= r.dur),
+                x -> CASE WHEN x.n > 0 THEN
+                  list_reduce(list_prepend(1.0,
+                    list_transform(list_filter(a.arr, y -> y.dur < x.dur),
+                      y -> y.f)), (p2, q2) -> p2 * q2)
+                  * CAST(x.d2 AS DOUBLE) / CAST(x.n AS DOUBLE)
+                  ELSE 0.0 END)), (p, q) -> p + q) * 1e9) AS BIGINT)
+            AS cif_error_e9
+        FROM rf r CROSS JOIN arr a ORDER BY r.dur""")),
+
     // ── Cochran–Mantel–Haenszel stratified 2×2 test + MH common odds
     //    ratio (the confounder-controlled association readout — a
     //    pooled χ² can show an effect that REVERSES within every

@@ -409,6 +409,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // stylometry: the |sources|² s_a < s_b self-join, both sides the
     // |sources|-row count-vector frame
     "text_stylometry_matrix",
+    // competing risks: the 1-row collected day-array broadcast back
+    // onto the 15-row grid (scalar-recombine shape)
+    "agg_competing_risks",
     // approx-quantile bound check: exact-rank scan against the 1-row
     // broadcast sketch estimates (the *_bounds scalar-recombine shape)
     "agg_approx_quantile_bounds",
@@ -623,7 +626,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_seasonal_decompose",
       // seasonal strength: the same ±3-day trend frame over the
       // O(days) daily grid as the decompose
-      "window_seasonal_strength")
+      "window_seasonal_strength",
+      // competing risks: the KM suffix/cumulative walks over the
+      // 15-row literal day grid
+      "agg_competing_risks")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -656,7 +662,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_sprt_sequential", "agg_peak_over_threshold",
       "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
       "sample_neyman_allocation", "agg_lorenz_deciles", "agg_runs_test",
-      "agg_seasonal_decompose", "window_seasonal_strength")
+      "agg_seasonal_decompose", "window_seasonal_strength",
+      "agg_competing_risks")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
