@@ -10189,6 +10189,9 @@ object RelationalQueries extends QueryModule {
         def support(ed: DataFrame): DataFrame = {
           val deg = ed.select(explode(array($"a", $"b")).as("n"))
             .groupBy($"n").agg(count(lit(1)).as("dg"))
+          // the oriented list feeds three branches (two wedge sides +
+          // the closing-edge semi join) — checkpoint it, or the degree
+          // join re-evaluates 3× per support pass
           val or = ed
             .join(deg.select($"n".as("a"), $"dg".as("da")), "a")
             .join(deg.select($"n".as("b"), $"dg".as("db")), "b")
@@ -10199,6 +10202,7 @@ object RelationalQueries extends QueryModule {
                 .otherwise($"a").as("v"),
               when(struct($"da", $"a") < struct($"db", $"b"), $"db")
                 .otherwise($"da").as("dv"))
+            .localCheckpoint()
           val w1 = or.select($"u", $"v".as("v1"), $"dv".as("d1"))
           val w2 = or.select($"u", $"v".as("v2"), $"dv".as("d2"))
           val wedges = w1.join(w2, Seq("u"))
@@ -10217,16 +10221,21 @@ object RelationalQueries extends QueryModule {
           ed.join(hits, Seq("a", "b"), "left")
             .select($"a", $"b", coalesce($"sup", lit(0L)).as("sup"))
         }
-        def peel(ed: DataFrame): DataFrame =
-          support(ed).filter($"sup" >= 12L).select($"a", $"b").localCheckpoint()
-        def round(ed: DataFrame, r: Long): DataFrame =
-          support(ed).agg(count(lit(1)).as("n_edges"),
+        // ONE support pass per level: its checkpointed result serves
+        // both the round's stats and the next peel (the naive
+        // stats+peel split would run the wedge join twice per level)
+        def stats(sup: DataFrame, r: Long): DataFrame =
+          sup.agg(count(lit(1)).as("n_edges"),
             min($"sup").as("min_support"), max($"sup").as("max_support"))
             .select(lit(r).as("round"), $"n_edges", $"min_support",
               $"max_support")
-        val r1 = peel(e0)
-        val r2 = peel(r1)
-        round(e0, 0L).unionByName(round(r1, 1L)).unionByName(round(r2, 2L))
+        val sup0 = support(e0).localCheckpoint()
+        val sup1 = support(sup0.filter($"sup" >= 12L).select($"a", $"b"))
+          .localCheckpoint()
+        val sup2 = support(sup1.filter($"sup" >= 12L).select($"a", $"b"))
+          .localCheckpoint()
+        stats(sup0, 0L).unionByName(stats(sup1, 1L))
+          .unionByName(stats(sup2, 2L))
           .orderBy($"round")
       },
       Some("""WITH io AS MATERIALIZED (
