@@ -782,7 +782,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_bfs_distance", "agg_ljung_box", "agg_dickey_fuller",
     "agg_hurst_rs", "agg_trace_variants", "text_blocklist_filter",
     "text_char_entropy", "agg_mutual_information", "sim_eval_ndcg",
-    "pipeline_isotonic_calibration")
+    "pipeline_isotonic_calibration",
+    // r11 batch 25: wedge-join truss, soft-dedup pair gen, brute L2
+    // probes, survival grids, coalition collapses
+    "graph_ktruss_peel", "dedup_soft_weights", "embed_intrinsic_dim",
+    "text_stylometry_matrix", "agg_competing_risks", "agg_logrank_test",
+    "agg_shapley_attribution", "agg_gravity_model",
+    "graph_harmonic_centrality", "dedup_threshold_sweep")
 
   test("driver entry smoke: flagship query returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
