@@ -67,10 +67,14 @@ object Tables {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
+      // all table scans resolve through the pluggable Source seam —
+      // swapping "parquet" for a registered warehouse format (bigquery,
+      // iceberg, jdbc…) needs no call-site changes
+      val src = graft.sources.Source("parquet")
       val df =
         if (name == "events") {
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          val raw = spark.read.parquet(path(dir, name))
+          val raw = src.load(spark, path(dir, name))
           raw.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType =>
               raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
@@ -79,7 +83,7 @@ object Tables {
             case _ => raw
           }
         } else {
-          spark.read.parquet(path(dir, name))
+          src.load(spark, path(dir, name))
         }
       cache.put(key, df)
       df

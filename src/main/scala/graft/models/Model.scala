@@ -134,7 +134,40 @@ object ModelDag {
       }
       (m.materialization, m.sqlText) match {
         case (Materialization.View, Some(sql)) if catalogViews =>
-          spark.sql(s"CREATE OR REPLACE VIEW `${m.name}` AS $sql")
+          // A persistent view referencing an Ephemeral model's temp view
+          // would be rejected by Spark (INVALID_TEMP_OBJ_REFERENCE) and
+          // dangle once the ephemeral is dropped after this run. dbt's
+          // contract is CTE inlining — replicate it: prepend each
+          // (transitively) referenced ephemeral's SQL body as a CTE, in
+          // dependency order. Ephemerals without sqlText can't be
+          // inlined into SQL text, so that combination is rejected
+          // loudly here instead of failing later inside Spark.
+          val ephByName = models
+            .filter(_.materialization == Materialization.Ephemeral)
+            .map(e => e.name -> e).toMap
+          val needed = scala.collection.mutable.LinkedHashSet.empty[Model]
+          def visit(deps: Seq[String]): Unit = deps.foreach { d =>
+            ephByName.get(d).foreach { e =>
+              if (!needed.contains(e)) { visit(e.deps); needed += e }
+            }
+          }
+          visit(m.deps)
+          needed.foreach { e =>
+            require(e.sqlText.isDefined,
+              s"catalog view '${m.name}' depends on ephemeral '${e.name}' " +
+                "which has no sqlText — a persistent view cannot reference " +
+                "a temp view, and nothing can be inlined; give the " +
+                "ephemeral a sqlText body or materialize it as a View/Table")
+          }
+          val finalSql = if (needed.isEmpty) sql else {
+            val ctes = needed.map(e => s"`${e.name}` AS (${e.sqlText.get})")
+              .mkString(", ")
+            val trimmed = sql.trim
+            if (trimmed.toUpperCase.startsWith("WITH"))
+              s"WITH $ctes, ${trimmed.drop(4).trim}"
+            else s"WITH $ctes $trimmed"
+          }
+          spark.sql(s"CREATE OR REPLACE VIEW `${m.name}` AS $finalSql")
         case (Materialization.Table, _) if catalogViews && warehouseDir.isDefined =>
           () // already a catalog table via saveAsTable — don't shadow it
         case _ =>

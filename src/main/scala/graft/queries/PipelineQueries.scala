@@ -4141,6 +4141,11 @@ object PipelineQueries extends QueryModule {
             (($"n_docs" - 1L).cast(dec) * $"total").cast(dec).as("vmr_den"))
           .withColumn("vmr",
             $"vmr_num".cast("double") / $"vmr_den".cast("double"))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"term", $"total", $"df",
+            $"vmr_num".cast("string").as("vmr_num"),
+            $"vmr_den".cast("string").as("vmr_den"), $"vmr")
           .orderBy($"total".desc, $"term")
       },
       Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
@@ -4157,10 +4162,11 @@ object PipelineQueries extends QueryModule {
         top AS (SELECT * FROM pt CROSS JOIN nd
           ORDER BY total DESC, term LIMIT 20)
         SELECT term, total, df,
-          CAST(CAST(n_docs AS HUGEINT) * ss_tf
-            - CAST(total AS HUGEINT) * total AS DECIMAL(38,0)) AS vmr_num,
-          CAST(CAST(n_docs - 1 AS HUGEINT) * total AS DECIMAL(38,0))
-            AS vmr_den,
+          CAST(CAST(CAST(n_docs AS HUGEINT) * ss_tf
+            - CAST(total AS HUGEINT) * total AS DECIMAL(38,0)) AS VARCHAR)
+            AS vmr_num,
+          CAST(CAST(CAST(n_docs - 1 AS HUGEINT) * total AS DECIMAL(38,0))
+            AS VARCHAR) AS vmr_den,
           CAST(CAST(CAST(n_docs AS HUGEINT) * ss_tf
               - CAST(total AS HUGEINT) * total AS DECIMAL(38,0)) AS DOUBLE)
             / CAST(CAST(CAST(n_docs - 1 AS HUGEINT) * total
@@ -4819,7 +4825,10 @@ object PipelineQueries extends QueryModule {
               ($"s_a".cast("decimal(38,0)") * $"n_b" -
                 $"s_b".cast("decimal(38,0)") * $"n_a")).as("term"))
           .groupBy($"label", $"n_a", $"n_b")
-          .agg(sum($"term").cast("decimal(38,0)").as("drift_num"))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .agg(sum($"term").cast("decimal(38,0)").cast("string")
+            .as("drift_num"))
           .withColumn("drift_den",
             ($"n_a" * $"n_b") * ($"n_a" * $"n_b"))
           .orderBy($"label")
@@ -4841,9 +4850,9 @@ object PipelineQueries extends QueryModule {
               AS n_b
           FROM embeddings GROUP BY label)
         SELECT d.label, c.n_a, c.n_b,
-          CAST(sum((CAST(d.s_a AS HUGEINT) * c.n_b - CAST(d.s_b AS HUGEINT) * c.n_a)
+          CAST(CAST(sum((CAST(d.s_a AS HUGEINT) * c.n_b - CAST(d.s_b AS HUGEINT) * c.n_a)
             * (CAST(d.s_a AS HUGEINT) * c.n_b - CAST(d.s_b AS HUGEINT) * c.n_a))
-            AS DECIMAL(38,0)) AS drift_num,
+            AS DECIMAL(38,0)) AS VARCHAR) AS drift_num,
           (c.n_a * c.n_b) * (c.n_a * c.n_b) AS drift_den
         FROM dims d JOIN counts c ON d.label = c.label
         GROUP BY 1, 2, 3 ORDER BY d.label""")),
@@ -5949,6 +5958,14 @@ object PipelineQueries extends QueryModule {
               .as("mean_entropy_e9"))
           .orderBy($"source")
       },
+      // KNOWN DIVERGENCE GUARD (r11 advice): the Spark kernel computes
+      // UTF-8 BYTE entropy (CharStatsKernel folds the 256-bin byte
+      // histogram) while this oracle splits by CHARACTER
+      // (string_split) — they agree iff the fixture text is pure
+      // ASCII. The documents fixture is ASCII by construction
+      // (TESTDATA.md); if this query ever goes red after a fixture
+      // change, check for non-ASCII text first — it's this known
+      // byte-vs-char semantics gap, not an engine bug.
       Some("""WITH ch AS (SELECT doc_id, source,
             unnest(string_split(text, '')) AS c
           FROM documents),

@@ -105,6 +105,56 @@ object RelationalQueries extends QueryModule {
             AND p_name LIKE '%red%') profit
     GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
 
+  // BigQuery NUMERIC-faithful sweep over the three money-heaviest TPC-H
+  // shapes (SURVEY §1.2, r11 verdict item 4): the q1 pricing rollup, the
+  // q5 six-table star revenue, and the q9 profit rollup, each computed
+  // end-to-end in DECIMAL(38,9) — exact cents in, exact NUMERIC
+  // accumulation, one plain-string boundary (the agg_numeric_money_mode
+  // device: raw DECIMAL(38,9) output would hash-mismatch on parquet
+  // encoding). Identical SQL runs on both engines: products stay at the
+  // inferred sub-38 precision (a (38,9)×(38,9) multiply would overflow
+  // DuckDB's width cap), then widen to NUMERIC before the sum.
+  private val MoneySweepSql = """WITH q1 AS (
+      SELECT 'q1' AS report, l_returnflag || '/' || l_linestatus AS grp,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))
+            AS DECIMAL(38,9))) AS STRING) AS amount_numeric,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus),
+    q5 AS (
+      SELECT 'q5' AS report, n_name AS grp,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))
+            AS DECIMAL(38,9))) AS STRING) AS amount_numeric,
+        CAST(count(*) AS BIGINT) AS n
+      FROM region, nation, customer, orders, lineitem, supplier
+      WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        AND c_nationkey = n_nationkey AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND s_nationkey = c_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name),
+    q9 AS (
+      SELECT 'q9' AS report,
+        nation || '/' || CAST(o_year AS STRING) AS grp,
+        CAST(sum(CAST(amount AS DECIMAL(38,9))) AS STRING)
+          AS amount_numeric,
+        CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+            FROM part, supplier, lineitem, orders, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%red%') profit
+      GROUP BY nation, o_year)
+    SELECT * FROM q1 UNION ALL SELECT * FROM q5 UNION ALL SELECT * FROM q9
+    ORDER BY report, grp"""
+
   private val Q10Sql = """SELECT c_custkey, c_name,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,2)) - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue,
            c_acctbal, n_name
@@ -2000,6 +2050,17 @@ object RelationalQueries extends QueryModule {
           CAST(max(${sqlNumeric("o_totalprice")}) AS VARCHAR) AS max_numeric,
           count(*) AS n
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // BigQuery NUMERIC-mode sweep over q1/q5/q9 (one registered query,
+    // three sub-reports — see MoneySweepSql for the full design note).
+    QueryDef("agg_money_mode_sweep",
+      (s, dir) => {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(MoneySweepSql)
+      },
+      Some(MoneySweepSql)),
 
     // TPC-H Q3 analog: segment-filtered customer ⋈ orders ⋈ lineitem,
     // top-10 orders by exact-decimal revenue — the canonical
@@ -4426,10 +4487,14 @@ object RelationalQueries extends QueryModule {
             ($"n" * $"sxx" - $"sx" * $"sx").as("d1"),
             ($"n" * $"syy" - $"sy" * $"sy").as("d2"))
           .select($"user_id", $"n", signum($"num").cast("long").as("sign"),
+            // DECIMAL(38,0) stays internal; ship the exact integers as
+            // digit-for-digit strings — the driver hashes the parquet
+            // ENCODING, and Spark's FIXED_LEN_BYTE_ARRAY(16) decimal
+            // hashes differently from DuckDB's HUGEINT-backed decimal.
             ($"num".cast("decimal(38,0)") * $"num")
-              .cast("decimal(38,0)").as("r2_num"),
+              .cast("decimal(38,0)").cast("string").as("r2_num"),
             ($"d1".cast("decimal(38,0)") * $"d2")
-              .cast("decimal(38,0)").as("r2_den"))
+              .cast("decimal(38,0)").cast("string").as("r2_den"))
           .orderBy($"user_id")
       },
       Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
@@ -4449,8 +4514,10 @@ object RelationalQueries extends QueryModule {
             n * syy - sy * sy AS d2
           FROM g)
         SELECT user_id, n, CAST(sign(num) AS BIGINT) AS sign,
-          CAST(CAST(num AS HUGEINT) * num AS DECIMAL(38,0)) AS r2_num,
-          CAST(CAST(d1 AS HUGEINT) * d2 AS DECIMAL(38,0)) AS r2_den
+          CAST(CAST(CAST(num AS HUGEINT) * num AS DECIMAL(38,0))
+            AS VARCHAR) AS r2_num,
+          CAST(CAST(CAST(d1 AS HUGEINT) * d2 AS DECIMAL(38,0))
+            AS VARCHAR) AS r2_den
         FROM c ORDER BY user_id""")),
 
     // ── Session abandonment rate per day (product analytics' checkout
@@ -4699,7 +4766,10 @@ object RelationalQueries extends QueryModule {
           .groupBy($"label")
           .agg(count(lit(1)).as("n_vecs"),
             min($"norm2").as("min_norm2"), max($"norm2").as("max_norm2"),
-            sum($"norm2").cast("decimal(38,0)").as("sum_norm2"))
+            // exact DECIMAL internally, string emission (see
+            // agg_autocorr_lag1 — driver hashes the parquet encoding)
+            sum($"norm2").cast("decimal(38,0)").cast("string")
+              .as("sum_norm2"))
           .orderBy($"label")
       },
       Some("""WITH q AS (SELECT vec_id, label,
@@ -4711,7 +4781,7 @@ object RelationalQueries extends QueryModule {
         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
           CAST(min(norm2) AS BIGINT) AS min_norm2,
           CAST(max(norm2) AS BIGINT) AS max_norm2,
-          CAST(sum(norm2) AS DECIMAL(38,0)) AS sum_norm2
+          CAST(CAST(sum(norm2) AS DECIMAL(38,0)) AS VARCHAR) AS sum_norm2
         FROM v GROUP BY label ORDER BY label""")),
 
     // ── Mann–Whitney U drift test (rank-based companion to
@@ -4798,12 +4868,14 @@ object RelationalQueries extends QueryModule {
             sum($"x" * $"y").as("sxy"))
           .select($"lag", $"n",
             signum($"n" * $"sxy" - $"sx" * $"sy").cast("long").as("sign"),
+            // exact DECIMAL internally, string emission (see
+            // agg_autocorr_lag1 — driver hashes the parquet encoding)
             (($"n" * $"sxy" - $"sx" * $"sy").cast("decimal(38,0)") *
               ($"n" * $"sxy" - $"sx" * $"sy")).cast("decimal(38,0)")
-              .as("r2_num"),
+              .cast("string").as("r2_num"),
             ((($"n" * $"sxx" - $"sx" * $"sx")).cast("decimal(38,0)") *
               ($"n" * $"syy" - $"sy" * $"sy")).cast("decimal(38,0)")
-              .as("r2_den"))
+              .cast("string").as("r2_den"))
           .orderBy($"lag")
       },
       Some("""WITH daily AS (SELECT event_type,
@@ -4826,10 +4898,10 @@ object RelationalQueries extends QueryModule {
           FROM j GROUP BY lag)
         SELECT CAST(lag AS INTEGER) AS lag, n,
           CAST(sign(n * sxy - sx * sy) AS BIGINT) AS sign,
-          CAST(CAST(n * sxy - sx * sy AS HUGEINT)
-            * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS r2_num,
-          CAST(CAST(n * sxx - sx * sx AS HUGEINT)
-            * (n * syy - sy * sy) AS DECIMAL(38,0)) AS r2_den
+          CAST(CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+            * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS VARCHAR) AS r2_num,
+          CAST(CAST(CAST(n * sxx - sx * sx AS HUGEINT)
+            * (n * syy - sy * sy) AS DECIMAL(38,0)) AS VARCHAR) AS r2_den
         FROM g ORDER BY lag""")),
 
     // ── Partition-stats report over the events table's day partitions
@@ -6403,6 +6475,13 @@ object RelationalQueries extends QueryModule {
             ($"ssw" * ($"k" - 1L).cast(dec)).cast(dec).as("f_den"))
           .withColumn("f_stat",
             $"f_num".cast("double") / $"f_den".cast("double"))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"k", $"n",
+            $"ssb".cast("string").as("ssb"),
+            $"ssw".cast("string").as("ssw"),
+            $"f_num".cast("string").as("f_num"),
+            $"f_den".cast("string").as("f_den"), $"f_stat")
       },
       Some("""WITH e AS (SELECT event_type,
             CAST(round(value * 100) AS BIGINT) AS v
@@ -6425,9 +6504,11 @@ object RelationalQueries extends QueryModule {
             CAST(sum(ssb_t) AS DECIMAL(38,0)) AS ssb,
             CAST(sum(ssw_t) AS DECIMAL(38,0)) AS ssw
           FROM c)
-        SELECT k, n, ssb, ssw,
-          CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0)) AS f_num,
-          CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0)) AS f_den,
+        SELECT k, n, CAST(ssb AS VARCHAR) AS ssb, CAST(ssw AS VARCHAR) AS ssw,
+          CAST(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0))
+            AS VARCHAR) AS f_num,
+          CAST(CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0))
+            AS VARCHAR) AS f_den,
           CAST(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0))
               AS DOUBLE)
             / CAST(CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0))
@@ -6471,12 +6552,14 @@ object RelationalQueries extends QueryModule {
           .filter($"n" === 7L)
           .select($"d", $"n",
             signum($"n" * $"sxy" - $"sx" * $"sy").cast("long").as("sign"),
+            // exact DECIMAL internally, string emission (see
+            // agg_autocorr_lag1 — driver hashes the parquet encoding)
             (($"n" * $"sxy" - $"sx" * $"sy").cast("decimal(38,0)") *
               ($"n" * $"sxy" - $"sx" * $"sy")).cast("decimal(38,0)")
-              .as("r2_num"),
+              .cast("string").as("r2_num"),
             ((($"n" * $"sxx" - $"sx" * $"sx")).cast("decimal(38,0)") *
               ($"n" * $"syy" - $"sy" * $"sy")).cast("decimal(38,0)")
-              .as("r2_den"))
+              .cast("string").as("r2_den"))
           .orderBy($"d")
       },
       Some("""WITH daily AS (SELECT event_type,
@@ -6499,10 +6582,10 @@ object RelationalQueries extends QueryModule {
             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         SELECT d, n,
           CAST(sign(n * sxy - sx * sy) AS BIGINT) AS sign,
-          CAST(CAST(n * sxy - sx * sy AS HUGEINT)
-            * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS r2_num,
-          CAST(CAST(n * sxx - sx * sx AS HUGEINT)
-            * (n * syy - sy * sy) AS DECIMAL(38,0)) AS r2_den
+          CAST(CAST(CAST(n * sxy - sx * sy AS HUGEINT)
+            * (n * sxy - sx * sy) AS DECIMAL(38,0)) AS VARCHAR) AS r2_num,
+          CAST(CAST(CAST(n * sxx - sx * sx AS HUGEINT)
+            * (n * syy - sy * sy) AS DECIMAL(38,0)) AS VARCHAR) AS r2_den
         FROM r WHERE n = 7 ORDER BY d""")),
 
     // ── Winsorized and trimmed means per event type (the robust-mean
@@ -6680,9 +6763,14 @@ object RelationalQueries extends QueryModule {
             sum(($"w".cast(dec) * $"dx".cast(dec) * $"dy".cast(dec)).cast(dec))
               .cast(dec).as("sxy"))
           .select($"s_w",
-            ($"s_w".cast(dec) * $"sxy" - $"sx" * $"sy").cast(dec).as("num"),
-            ($"s_w".cast(dec) * $"sxx" - $"sx" * $"sx").cast(dec).as("den1"),
-            ($"s_w".cast(dec) * $"syy" - $"sy" * $"sy").cast(dec).as("den2"),
+            // exact DECIMAL internally, string emission (see
+            // agg_autocorr_lag1 — driver hashes the parquet encoding)
+            ($"s_w".cast(dec) * $"sxy" - $"sx" * $"sy").cast(dec)
+              .cast("string").as("num"),
+            ($"s_w".cast(dec) * $"sxx" - $"sx" * $"sx").cast(dec)
+              .cast("string").as("den1"),
+            ($"s_w".cast(dec) * $"syy" - $"sy" * $"sy").cast(dec)
+              .cast("string").as("den2"),
             signum(($"s_w".cast(dec) * $"sxy" - $"sx" * $"sy")
               .cast("double")).cast("long").as("sign"))
       },
@@ -6710,15 +6798,15 @@ object RelationalQueries extends QueryModule {
               AS DECIMAL(38,0)) AS sxy
           FROM e JOIN dg dx ON e.src = dx.node JOIN dg dy ON e.dst = dy.node)
         SELECT s_w,
-          CAST(CAST(s_w AS HUGEINT) * CAST(sxy AS HUGEINT)
+          CAST(CAST(CAST(s_w AS HUGEINT) * CAST(sxy AS HUGEINT)
             - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
-            AS DECIMAL(38,0)) AS num,
-          CAST(CAST(s_w AS HUGEINT) * CAST(sxx AS HUGEINT)
+            AS DECIMAL(38,0)) AS VARCHAR) AS num,
+          CAST(CAST(CAST(s_w AS HUGEINT) * CAST(sxx AS HUGEINT)
             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
-            AS DECIMAL(38,0)) AS den1,
-          CAST(CAST(s_w AS HUGEINT) * CAST(syy AS HUGEINT)
+            AS DECIMAL(38,0)) AS VARCHAR) AS den1,
+          CAST(CAST(CAST(s_w AS HUGEINT) * CAST(syy AS HUGEINT)
             - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
-            AS DECIMAL(38,0)) AS den2,
+            AS DECIMAL(38,0)) AS VARCHAR) AS den2,
           CAST(sign(CAST(CAST(s_w AS HUGEINT) * CAST(sxy AS HUGEINT)
             - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE))
             AS BIGINT) AS sign
@@ -7210,7 +7298,13 @@ object RelationalQueries extends QueryModule {
               .as("p_num"),
             sum(($"p0".cast(dec) * $"q1".cast(dec)).cast(dec)).cast(dec)
               .as("p_den"))
-          .select($"n_parts", $"l_num", $"l_den", $"p_num", $"p_den",
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"n_parts",
+            $"l_num".cast("string").as("l_num"),
+            $"l_den".cast("string").as("l_den"),
+            $"p_num".cast("string").as("p_num"),
+            $"p_den".cast("string").as("p_den"),
             ($"l_num".cast("double") / $"l_den".cast("double"))
               .as("laspeyres"),
             ($"p_num".cast("double") / $"p_den".cast("double"))
@@ -7231,10 +7325,14 @@ object RelationalQueries extends QueryModule {
           WHERE yr = 1997),
         j AS (SELECT * FROM b JOIN c ON b.l_partkey = c.pk1)
         SELECT CAST(count(*) AS BIGINT) AS n_parts,
-          CAST(sum(CAST(p1 AS HUGEINT) * q0) AS DECIMAL(38,0)) AS l_num,
-          CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DECIMAL(38,0)) AS l_den,
-          CAST(sum(CAST(p1 AS HUGEINT) * q1) AS DECIMAL(38,0)) AS p_num,
-          CAST(sum(CAST(p0 AS HUGEINT) * q1) AS DECIMAL(38,0)) AS p_den,
+          CAST(CAST(sum(CAST(p1 AS HUGEINT) * q0) AS DECIMAL(38,0))
+            AS VARCHAR) AS l_num,
+          CAST(CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DECIMAL(38,0))
+            AS VARCHAR) AS l_den,
+          CAST(CAST(sum(CAST(p1 AS HUGEINT) * q1) AS DECIMAL(38,0))
+            AS VARCHAR) AS p_num,
+          CAST(CAST(sum(CAST(p0 AS HUGEINT) * q1) AS DECIMAL(38,0))
+            AS VARCHAR) AS p_den,
           CAST(CAST(sum(CAST(p1 AS HUGEINT) * q0) AS DECIMAL(38,0)) AS DOUBLE)
             / CAST(CAST(sum(CAST(p0 AS HUGEINT) * q0) AS DECIMAL(38,0))
               AS DOUBLE) AS laspeyres,
@@ -7649,6 +7747,10 @@ object RelationalQueries extends QueryModule {
               ($"n_a" * $"n_b").cast(dec)).cast(dec).as("t_den"))
           .withColumn("t_stat",
             $"u".cast("double") / $"t_den".cast("double"))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"n_a", $"n_b", $"u".cast("string").as("u"),
+            $"t_den".cast("string").as("t_den"), $"t_stat")
       },
       Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
             user_id % 2 AS half FROM events),
@@ -7671,9 +7773,9 @@ object RelationalQueries extends QueryModule {
               * (c.ca * t.n_b - c.cb * t.n_a)
               * (c.ca * t.n_b - c.cb * t.n_a)) AS DECIMAL(38,0)) AS u
           FROM c, t)
-        SELECT n_a, n_b, u,
-          CAST(CAST((n_a + n_b) AS HUGEINT) * (n_a + n_b)
-            * n_a * n_b AS DECIMAL(38,0)) AS t_den,
+        SELECT n_a, n_b, CAST(u AS VARCHAR) AS u,
+          CAST(CAST(CAST((n_a + n_b) AS HUGEINT) * (n_a + n_b)
+            * n_a * n_b AS DECIMAL(38,0)) AS VARCHAR) AS t_den,
           CAST(u AS DOUBLE)
             / CAST(CAST((n_a + n_b) AS HUGEINT) * (n_a + n_b)
               * n_a * n_b AS DOUBLE) AS t_stat
@@ -7730,6 +7832,11 @@ object RelationalQueries extends QueryModule {
             $"h_stat" / (lit(1.0d) - $"tie_sum".cast("double") /
               ($"n_total".cast(dec) * $"n_total" * $"n_total" - $"n_total")
                 .cast(dec).cast("double")))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"n_total", $"n_groups",
+            $"tie_sum".cast("string").as("tie_sum"),
+            $"h_stat", $"h_tie_corrected")
       },
       Some("""WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
             event_type AS g FROM events),
@@ -7761,7 +7868,7 @@ object RelationalQueries extends QueryModule {
               * CAST(n_total + 1 AS DOUBLE))
               - 3.0 * CAST(n_total + 1 AS DOUBLE) AS h_stat
           FROM folded)
-        SELECT n_total, n_groups, tie_sum, h_stat,
+        SELECT n_total, n_groups, CAST(tie_sum AS VARCHAR) AS tie_sum, h_stat,
           h_stat / (1.0 - CAST(tie_sum AS DOUBLE)
             / CAST(CAST(CAST(n_total AS HUGEINT) * n_total * n_total
                 - n_total AS DECIMAL(38,0)) AS DOUBLE)) AS h_tie_corrected
@@ -7822,8 +7929,13 @@ object RelationalQueries extends QueryModule {
             ($"n" * $"sxy" - $"sx" * $"sy").cast(dec).as("num"),
             ($"n" * $"sxx" - $"sx" * $"sx").cast(dec).as("d1"),
             ($"n" * $"syy" - $"sy" * $"sy").cast(dec).as("d2"))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
           .select($"g", $"n", signum($"num".cast("double")).cast("long")
-              .as("sign"), $"num", $"d1", $"d2",
+              .as("sign"),
+            $"num".cast("string").as("num"),
+            $"d1".cast("string").as("d1"),
+            $"d2".cast("string").as("d2"),
             when($"d1" > 0 && $"d2" > 0,
               $"num".cast("double") /
                 (sqrt($"d1".cast("double")) * sqrt($"d2".cast("double"))))
@@ -7865,7 +7977,8 @@ object RelationalQueries extends QueryModule {
             CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS d2
           FROM m)
         SELECT g, n, CAST(sign(CAST(num AS DOUBLE)) AS BIGINT) AS sign,
-          num, d1, d2,
+          CAST(num AS VARCHAR) AS num, CAST(d1 AS VARCHAR) AS d1,
+          CAST(d2 AS VARCHAR) AS d2,
           CASE WHEN d1 > 0 AND d2 > 0 THEN CAST(num AS DOUBLE)
             / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))
           END AS rho
@@ -8075,6 +8188,13 @@ object RelationalQueries extends QueryModule {
             ($"ssw" * ($"k" - 1L).cast(dec)).cast(dec).as("f_den"))
           .withColumn("f_stat",
             $"f_num".cast("double") / $"f_den".cast("double"))
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"k", $"n",
+            $"ssb".cast("string").as("ssb"),
+            $"ssw".cast("string").as("ssw"),
+            $"f_num".cast("string").as("f_num"),
+            $"f_den".cast("string").as("f_den"), $"f_stat")
       },
       Some("""WITH e AS (SELECT event_type AS g,
             CAST(round(value * 100) AS BIGINT) AS v
@@ -8112,9 +8232,11 @@ object RelationalQueries extends QueryModule {
             CAST(sum(ssb_t) AS DECIMAL(38,0)) AS ssb,
             CAST(sum(ssw_t) AS DECIMAL(38,0)) AS ssw
           FROM c2)
-        SELECT k, n, ssb, ssw,
-          CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0)) AS f_num,
-          CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0)) AS f_den,
+        SELECT k, n, CAST(ssb AS VARCHAR) AS ssb, CAST(ssw AS VARCHAR) AS ssw,
+          CAST(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0))
+            AS VARCHAR) AS f_num,
+          CAST(CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0))
+            AS VARCHAR) AS f_den,
           CAST(CAST(CAST(ssb AS HUGEINT) * (n - k) AS DECIMAL(38,0))
               AS DOUBLE)
             / CAST(CAST(CAST(ssw AS HUGEINT) * (k - 1) AS DECIMAL(38,0))
@@ -8852,7 +8974,9 @@ object RelationalQueries extends QueryModule {
             sum((($"sum2r" - $"n_blocks" * ($"k" + 1L)).cast(dec) *
               ($"sum2r" - $"n_blocks" * ($"k" + 1L))).cast(dec)).cast(dec)
               .as("dev2"))
-          .select($"n", $"k", $"dev2",
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"n", $"k", $"dev2".cast("string").as("dev2"),
             (lit(3.0d) * $"dev2".cast("double") /
               ($"n" * $"k" * ($"k" + 1L)).cast("double")).as("chi2_f"))
       },
@@ -8880,7 +9004,7 @@ object RelationalQueries extends QueryModule {
             CAST(sum(CAST(sum2r - n_blocks * (k + 1) AS HUGEINT)
               * (sum2r - n_blocks * (k + 1))) AS DECIMAL(38,0)) AS dev2
           FROM pt)
-        SELECT n, k, dev2,
+        SELECT n, k, CAST(dev2 AS VARCHAR) AS dev2,
           3.0 * CAST(dev2 AS DOUBLE)
             / CAST(n * k * (k + 1) AS DOUBLE) AS chi2_f
         FROM f""")),
@@ -9317,7 +9441,12 @@ object RelationalQueries extends QueryModule {
               .cast(dec).as("varx_num"),
             ($"n".cast(dec) * $"syy" - $"sy".cast(dec) * $"sy".cast(dec))
               .cast(dec).as("vary_num"))
-          .select($"n", $"sx", $"sy", $"cov_num", $"varx_num", $"vary_num",
+          // exact DECIMAL internally, string emission (see
+          // agg_autocorr_lag1 — driver hashes the parquet encoding)
+          .select($"n", $"sx", $"sy",
+            $"cov_num".cast("string").as("cov_num"),
+            $"varx_num".cast("string").as("varx_num"),
+            $"vary_num".cast("string").as("vary_num"),
             ($"cov_num".cast("double") / $"varx_num".cast("double"))
               .as("theta"),
             ($"cov_num".cast("double") * $"cov_num".cast("double") /
@@ -9342,12 +9471,15 @@ object RelationalQueries extends QueryModule {
             CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
           FROM u)
         SELECT n, sx, sy,
-          CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
-            - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS cov_num,
-          CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
-            - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS varx_num,
-          CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
-            - CAST(sy AS HUGEINT) * sy AS DECIMAL(38,0)) AS vary_num,
+          CAST(CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+            - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS VARCHAR)
+            AS cov_num,
+          CAST(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+            - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS VARCHAR)
+            AS varx_num,
+          CAST(CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+            - CAST(sy AS HUGEINT) * sy AS DECIMAL(38,0)) AS VARCHAR)
+            AS vary_num,
           CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
             / CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
@@ -10164,17 +10296,16 @@ object RelationalQueries extends QueryModule {
     // ── k-truss peeling on the co-purchase graph (EDGE-cohesion
     //    mining, the stricter sibling of `graph_kcore_peel`'s node
     //    degrees: an edge survives only while it closes >= k-2 = 12
-    //    triangles — the dense-community trimmer): triangles enumerate
-    //    via DEGREE ORIENTATION (each undirected edge points from its
-    //    (degree, id)-smaller endpoint, wedges pair the out-edges of u
-    //    under the same order, the closing edge is one semi join) — the
-    //    standard trick that bounds wedge fan-out by the out-degree,
-    //    O(sqrt(|E|)) after orientation, instead of the raw degree
-    //    square a hub would pay. Each triangle is found exactly once
-    //    and credited to its 3 undirected edges; peel support < 12,
-    //    TWO fixed rounds with localCheckpoint barriers (peeling
-    //    cascades, so round 2 re-counts on the survivor set). Scale:
-    //    iteration cost is wedge-join-sized; the fact build runs once. ──
+    //    triangles — the dense-community trimmer): per-edge support
+    //    comes from the EDGE-ITERATOR identity sup(a,b) = |N(a) ∩ N(b)|
+    //    — two |E|-row adjacency joins and a map-side sorted-array
+    //    intersection, instead of enumerating wedges through an
+    //    exchange (the r3-r11 wedge-join formulation shuffled ~41 M
+    //    wedge rows per pass at sf0.1). Peel support < 12, TWO fixed
+    //    rounds with localCheckpoint barriers (peeling cascades, so
+    //    round 2 re-counts on the survivor set). Scale: per-pass cost
+    //    is Σ_e deg(a)+deg(b) arithmetic inside one stage + |E|-row
+    //    shuffles; the fact build runs once. ───────────────────────────
     QueryDef("graph_ktruss_peel",
       (s, dir) => {
         import s.implicits._
@@ -10186,44 +10317,29 @@ object RelationalQueries extends QueryModule {
           .select(col("x.p").as("a"), col("y.p").as("b"))
           .distinct()
           .localCheckpoint()
+        // EDGE-ITERATOR support (r11 verdict item 2 — the wedge-join
+        // formulation shuffled ~41 M wedge rows per pass at sf0.1,
+        // 16-30 s/run): support(a,b) = |N(a) ∩ N(b)| directly. Two
+        // |E|-row equi joins co-locate each edge with both endpoints'
+        // sorted adjacency arrays; the intersection size is computed
+        // MAP-SIDE — nothing wedge-sized ever crosses an exchange, and
+        // the arithmetic (Σ_e deg(a)+deg(b) element steps, the same
+        // total work as the wedge enumeration) runs at memory speed
+        // inside one stage. Skew bound = max adjacency array (max
+        // degree 97 at sf0.1); a 100 TB hub-heavy graph would pair
+        // this with a degree cap, as any k-truss formulation must. ──────
         def support(ed: DataFrame): DataFrame = {
-          val deg = ed.select(explode(array($"a", $"b")).as("n"))
-            .groupBy($"n").agg(count(lit(1)).as("dg"))
-          // the oriented list feeds three branches (two wedge sides +
-          // the closing-edge semi join) — checkpoint it, or the degree
-          // join re-evaluates 3× per support pass
-          val or = ed
-            .join(deg.select($"n".as("a"), $"dg".as("da")), "a")
-            .join(deg.select($"n".as("b"), $"dg".as("db")), "b")
-            .select(
-              when(struct($"da", $"a") < struct($"db", $"b"), $"a")
-                .otherwise($"b").as("u"),
-              when(struct($"da", $"a") < struct($"db", $"b"), $"b")
-                .otherwise($"a").as("v"),
-              when(struct($"da", $"a") < struct($"db", $"b"), $"db")
-                .otherwise($"da").as("dv"))
-            .localCheckpoint()
-          val w1 = or.select($"u", $"v".as("v1"), $"dv".as("d1"))
-          val w2 = or.select($"u", $"v".as("v2"), $"dv".as("d2"))
-          val wedges = w1.join(w2, Seq("u"))
-            .filter(struct($"d1", $"v1") < struct($"d2", $"v2"))
-          val tri = wedges.join(
-              or.select($"u".as("v1"), $"v".as("v2")), Seq("v1", "v2"),
-              "left_semi")
-            .select($"u", $"v1", $"v2")
-          val hits = tri.select(explode(array(
-              struct(least($"u", $"v1").as("a"), greatest($"u", $"v1").as("b")),
-              struct(least($"u", $"v2").as("a"), greatest($"u", $"v2").as("b")),
-              struct(least($"v1", $"v2").as("a"), greatest($"v1", $"v2").as("b"))))
-              .as("e"))
-            .select($"e.a".as("a"), $"e.b".as("b"))
-            .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
-          ed.join(hits, Seq("a", "b"), "left")
-            .select($"a", $"b", coalesce($"sup", lit(0L)).as("sup"))
+          val adj = ed.select($"a".as("n"), $"b".as("m"))
+            .union(ed.select($"b".as("n"), $"a".as("m")))
+            .groupBy($"n").agg(sort_array(collect_list($"m")).as("nbrs"))
+          ed.join(adj.select($"n".as("a"), $"nbrs".as("na")), "a")
+            .join(adj.select($"n".as("b"), $"nbrs".as("nb")), "b")
+            .select($"a", $"b",
+              size(array_intersect($"na", $"nb")).cast("long").as("sup"))
         }
         // ONE support pass per level: its checkpointed result serves
         // both the round's stats and the next peel (the naive
-        // stats+peel split would run the wedge join twice per level)
+        // stats+peel split would run the support pass twice per level)
         def stats(sup: DataFrame, r: Long): DataFrame =
           sup.agg(count(lit(1)).as("n_edges"),
             min($"sup").as("min_support"), max($"sup").as("max_support"))

@@ -114,7 +114,8 @@ object SourceSinkQueries extends QueryModule {
       (s, dir) => {
         val tmp = Files.createTempDirectory("graft_orc").resolve("nation").toString
         Tables.load(s, dir, "nation").write.mode("overwrite").orc(tmp)
-        s.read.orc(tmp)
+        // reads resolve through the pluggable Source registry (SURVEY §2.1)
+        graft.sources.Source("orc").load(s, tmp)
           .groupBy(col("n_regionkey"))
           .agg(count(lit(1)).as("n_nations"),
             min(col("n_name")).as("first_name"),
@@ -136,7 +137,8 @@ object SourceSinkQueries extends QueryModule {
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").json(tmp)
-        s.read.json(tmp) // schema inferred from the JSON lines
+        // schema inferred from the JSON lines; read via the Source seam
+        graft.sources.Source("json").load(s, tmp)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(20,2)")).cast("double").as("total_value"),

@@ -6,11 +6,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tables from a warehouse by name
   * (`spark.read.format("bigquery").load(name)`, dq_sql_notes.md:74) —
   * this trait keeps that format pluggable, so a `bigquery` (or iceberg,
-  * jdbc, …) source drops in without touching the engine.
+  * jdbc, …) source drops in without touching the engine: implement
+  * [[Source.load]] and call [[Source.register]]; every call site that
+  * resolves through [[Source.apply]] (notably [[graft.Tables.load]] and
+  * the format round-trip queries) picks it up by name.
   */
 trait Source {
   /** Load a table by reference (path or name, format-defined). */
   def load(spark: SparkSession, ref: String): DataFrame
+}
+
+object Source {
+  private val registry =
+    scala.collection.concurrent.TrieMap[String, Source](
+      "parquet" -> ParquetSource,
+      "csv" -> CsvSource,
+      "orc" -> OrcSource,
+      "json" -> JsonSource)
+
+  /** Plug a new format in (e.g. `Source.register("bigquery", BqSource)`);
+    * replaces any previous binding for the name.
+    */
+  def register(format: String, source: Source): Unit =
+    registry.put(format, source)
+
+  def formats: Set[String] = registry.keySet.toSet
+
+  def apply(format: String): Source =
+    registry.getOrElse(format,
+      throw new IllegalArgumentException(
+        s"unknown source format '$format' — registered: " +
+          registry.keys.toSeq.sorted.mkString(", ") +
+          "; add one with Source.register(name, source)"))
 }
 
 /** Parquet-directory source — the testdata stand-in for the warehouse. */
@@ -21,6 +48,16 @@ object ParquetSource extends Source {
 /** Header+inferSchema CSV (dbt seeds). */
 object CsvSource extends Source {
   def load(spark: SparkSession, ref: String): DataFrame = Sources.seedCsv(spark, ref)
+}
+
+/** ORC directory (columnar interchange — `src_orc_roundtrip`). */
+object OrcSource extends Source {
+  def load(spark: SparkSession, ref: String): DataFrame = spark.read.orc(ref)
+}
+
+/** JSON-lines with schema inference (`src_json_roundtrip`). */
+object JsonSource extends Source {
+  def load(spark: SparkSession, ref: String): DataFrame = spark.read.json(ref)
 }
 
 object Sources {

@@ -669,6 +669,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")
   }
 
+  test("no registered query EMITS a wide decimal (internal decimals fine)") {
+    // r11 verdict item 1: a DECIMAL(p>18,s) output column round-trips
+    // through parquet as FIXED_LEN_BYTE_ARRAY(16) on the Spark side but
+    // as a HUGEINT-backed decimal in DuckDB — values compare repr-equal
+    // while the driver's encoding hash diverges, turning a correct query
+    // red at the gate. Exact wide-decimal arithmetic stays INTERNAL;
+    // the emitted column must be a canonical type (STRING of the exact
+    // integer, or a BIGINT device). p<=18 decimals encode as INT64 in
+    // both engines and are left alone.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val wide = SparkEntry.queries(name)(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] &&
+          f.dataType.asInstanceOf[DecimalType].precision > 18 =>
+          s"${f.name}:${f.dataType.simpleString}"
+      }
+      if (wide.nonEmpty) Some(s"$name -> ${wide.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      "wide-decimal output columns (cast them to string at emission):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no registered query plans a cartesian product; BNLJ only in documented bounded shapes") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)

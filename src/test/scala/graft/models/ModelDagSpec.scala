@@ -76,12 +76,61 @@ class ModelDagSpec extends AnyFunSuite {
     // dbt contract 3: the name is not addressable after the run
     assertThrows[Exception](spark.table("eph_mid").collect())
     // inlining is a real optimization boundary: the downstream filter
-    // crosses into the ephemeral plan (no materialization barrier)
-    val plan = out("eph_top").queryExecution.optimizedPlan.toString
-    assert(!plan.contains("eph_mid") || plan.contains("Filter"),
-      s"downstream filter did not survive optimization:\n$plan")
+    // must be PUSHED THROUGH the ephemeral model's Project to sit
+    // directly on the leaf relation — a materialization barrier (or a
+    // view that blocks pushdown) would leave a Project between them
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode}
+    val opt = out("eph_top").queryExecution.optimizedPlan
+    val pushedToLeaf = opt.collect {
+      case f: Filter if f.child.isInstanceOf[LeafNode] => f
+    }
+    assert(pushedToLeaf.nonEmpty,
+      s"downstream filter did not reach the leaf through the ephemeral boundary:\n$opt")
+    assert(pushedToLeaf.exists(_.condition.toString.contains("* 2")),
+      s"pushed filter lost the substituted ephemeral expression (id * 2):\n$opt")
     spark.catalog.dropTempView("eph_base")
     spark.catalog.dropTempView("eph_top")
+  }
+
+  test("catalog mode inlines ephemeral sqlText as a CTE into downstream persistent views") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "wheph").toString
+    val base = Model("eph_cat_base", Nil, Materialization.View,
+      s => s.sql("SELECT id FROM range(10)"),
+      sqlText = Some("SELECT id FROM range(10)"))
+    val mid = Model("eph_cat_mid", Seq("eph_cat_base"), Materialization.Ephemeral,
+      s => s.sql("SELECT id, id * 2 AS dbl FROM `eph_cat_base`"),
+      sqlText = Some("SELECT id, id * 2 AS dbl FROM `eph_cat_base`"))
+    val top = Model("eph_cat_top", Seq("eph_cat_mid"), Materialization.View,
+      s => s.sql("SELECT dbl FROM `eph_cat_mid` WHERE dbl >= 10"),
+      sqlText = Some("SELECT dbl FROM `eph_cat_mid` WHERE dbl >= 10"))
+    ModelDag.run(spark, Seq(base, mid, top),
+      warehouseDir = Some(dir), catalogViews = true)
+    val vw = spark.catalog.getTable("eph_cat_top")
+    assert(!vw.isTemporary && vw.tableType == "VIEW", vw.toString)
+    // the persistent view works AFTER the ephemeral temp view is gone —
+    // its SQL carries the inlined CTE, not a dangling temp-view ref
+    assert(spark.table("eph_cat_top").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 12L, 14L, 16L, 18L))
+    assertThrows[Exception](spark.table("eph_cat_mid").collect())
+    spark.sql("DROP VIEW IF EXISTS eph_cat_top")
+    spark.sql("DROP VIEW IF EXISTS eph_cat_base")
+  }
+
+  test("catalog mode rejects a view over an ephemeral that has no sqlText (nothing to inline)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "whephbad").toString
+    val mid = Model("eph_bad_mid", Nil, Materialization.Ephemeral,
+      s => s.range(5).toDF("id")) // DataFrame-only: cannot inline into SQL
+    val top = Model("eph_bad_top", Seq("eph_bad_mid"), Materialization.View,
+      s => s.sql("SELECT id FROM `eph_bad_mid`"),
+      sqlText = Some("SELECT id FROM `eph_bad_mid`"))
+    val e = intercept[IllegalArgumentException] {
+      ModelDag.run(spark, Seq(mid, top),
+        warehouseDir = Some(dir), catalogViews = true)
+    }
+    assert(e.getMessage.contains("eph_bad_mid"), e.getMessage)
+    spark.catalog.dropTempView("eph_bad_mid")
   }
 
   test("rerunning a DAG with an ephemeral model is stable (re-registers, re-drops)") {

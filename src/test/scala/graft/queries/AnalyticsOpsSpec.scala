@@ -254,7 +254,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (label, na, nb) = (r.getInt(0), r.getLong(1), r.getLong(2))
       assert(na + nb == perLabel(label))
-      assert(r.getDecimal(3).signum() >= 0, "squared drift must be >= 0")
+      assert(BigInt(r.getString(3)).signum >= 0, "squared drift must be >= 0")
       assert(r.getLong(4) == (na * nb) * (na * nb))
     }
   }
@@ -340,7 +340,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (n, sign) = (r.getLong(1), r.getLong(2))
       val (num2, den) =
-        (BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))
+        (BigDecimal(r.getString(3)), BigDecimal(r.getString(4)))
       assert(n >= 1 && (sign == -1 || sign == 0 || sign == 1))
       assert(num2 >= 0 && den >= 0)
       assert(num2 <= den, "r^2 must be <= 1 (Cauchy-Schwarz)")
@@ -399,7 +399,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == nVecs)
     rows.foreach { r =>
       val (n, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      val sum = BigDecimal(r.getDecimal(4))
+      val sum = BigDecimal(r.getString(4))
       assert(mn >= 0 && mn <= mx)
       assert(sum >= BigDecimal(mn) * n && sum <= BigDecimal(mx) * n)
     }
@@ -430,8 +430,8 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val rows = run("agg_cross_corr_lagk")
     assert(rows.map(_.getInt(0)).toSeq == Seq(-2, -1, 0, 1, 2))
     rows.foreach { r =>
-      val num2 = BigDecimal(r.getDecimal(3))
-      val den = BigDecimal(r.getDecimal(4))
+      val num2 = BigDecimal(r.getString(3))
+      val den = BigDecimal(r.getString(4))
       assert(num2 >= 0 && num2 <= den)
     }
   }
@@ -1138,10 +1138,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         BigInt(2000000L) * m * BigInt(g.sum) + BigInt(g.length) * m * m
     }.sum
     assert(r.getLong(0) == k && r.getLong(1) == n)
-    assert(BigInt(r.getDecimal(2).toBigInteger) == ssb)
-    assert(BigInt(r.getDecimal(3).toBigInteger) == ssw)
-    assert(BigInt(r.getDecimal(4).toBigInteger) == ssb * BigInt(n - k))
-    assert(BigInt(r.getDecimal(5).toBigInteger) == ssw * BigInt(k - 1))
+    assert(BigInt(r.getString(2)) == ssb)
+    assert(BigInt(r.getString(3)) == ssw)
+    assert(BigInt(r.getString(4)) == ssb * BigInt(n - k))
+    assert(BigInt(r.getString(5)) == ssw * BigInt(k - 1))
     assert(ssb >= 0 && ssw >= 0)
   }
 
@@ -1172,8 +1172,8 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.length == expected.size)
     rows.foreach { r =>
       val d = r.getLong(0)
-      val got = (r.getLong(2), BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger))
+      val got = (r.getLong(2), BigInt(r.getString(3)),
+        BigInt(r.getString(4)))
       assert(got == expected(d), s"day $d")
       // Cauchy–Schwarz: r² ≤ 1
       assert(got._2 <= got._3 || got._3 == 0)
@@ -1312,9 +1312,9 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.length == 1)
     val r = rows.head
     val sW = r.getLong(0)
-    val num = BigInt(r.getDecimal(1).toBigInteger)
-    val den1 = BigInt(r.getDecimal(2).toBigInteger)
-    val den2 = BigInt(r.getDecimal(3).toBigInteger)
+    val num = BigInt(r.getString(1))
+    val den1 = BigInt(r.getString(2))
+    val den2 = BigInt(r.getString(3))
     assert(den1 >= 0 && den2 >= 0)
     assert(num * num <= den1 * den2, "Cauchy-Schwarz violated")
     assert(r.getLong(4) == num.signum.toLong)
@@ -1605,10 +1605,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       val (_, q) = py((pk, if (curQty) 1997 else 1996))
       BigInt(p) * BigInt(q)
     }.sum
-    assert(BigInt(r.getDecimal(1).toBigInteger) == idx(cur = true, curQty = false))
-    assert(BigInt(r.getDecimal(2).toBigInteger) == idx(cur = false, curQty = false))
-    assert(BigInt(r.getDecimal(3).toBigInteger) == idx(cur = true, curQty = true))
-    assert(BigInt(r.getDecimal(4).toBigInteger) == idx(cur = false, curQty = true))
+    assert(BigInt(r.getString(1)) == idx(cur = true, curQty = false))
+    assert(BigInt(r.getString(2)) == idx(cur = false, curQty = false))
+    assert(BigInt(r.getString(3)) == idx(cur = true, curQty = true))
+    assert(BigInt(r.getString(4)) == idx(cur = false, curQty = true))
     assert(r.getDouble(5) > 0 && r.getDouble(6) > 0)
   }
 
@@ -1729,9 +1729,9 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val sxx = perUser.map(t => BigInt(t._1) * BigInt(t._1)).sum
     val syy = perUser.map(t => BigInt(t._2) * BigInt(t._2)).sum
     val sxy = perUser.map(t => BigInt(t._1) * BigInt(t._2)).sum
-    assert(BigInt(r.getDecimal(3).toBigInteger) == BigInt(n) * sxy - sx * sy)
-    assert(BigInt(r.getDecimal(4).toBigInteger) == BigInt(n) * sxx - sx * sx)
-    assert(BigInt(r.getDecimal(5).toBigInteger) == BigInt(n) * syy - sy * sy)
+    assert(BigInt(r.getString(3)) == BigInt(n) * sxy - sx * sy)
+    assert(BigInt(r.getString(4)) == BigInt(n) * sxx - sx * sx)
+    assert(BigInt(r.getString(5)) == BigInt(n) * syy - sy * sy)
     assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0 + 1e-12)
   }
 
@@ -1802,9 +1802,9 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       val gap = BigInt(ca * nb - cb * na)
       u += BigInt(a + b) * gap * gap
     }
-    assert(BigInt(r.getDecimal(2).toBigInteger) == u)
+    assert(BigInt(r.getString(2)) == u)
     val den = BigInt(na + nb) * BigInt(na + nb) * BigInt(na) * BigInt(nb)
-    assert(BigInt(r.getDecimal(3).toBigInteger) == den)
+    assert(BigInt(r.getString(3)) == den)
     assert(r.getDouble(4) >= 0.0)
   }
 
@@ -1825,7 +1825,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val tieCnt = sorted.groupBy(identity).map { case (v, g) => v -> g.length }
     def avgRank(v: Long): Double = firstRank(v) + (tieCnt(v) - 1) / 2.0
     val tieSum = tieCnt.values.map(t => BigInt(t) * t * t - t).sum
-    assert(BigInt(r.getDecimal(2).toBigInteger) == tieSum)
+    assert(BigInt(r.getString(2)) == tieSum)
     val groups = vs.groupBy(_._2)
     val sumR2OverN = groups.values.map { g =>
       val rs = g.map(x => avgRank(x._1)).sum
@@ -1874,9 +1874,9 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       val sxy = pairs.map(p => p._1 * p._2).sum
       val sxx = pairs.map(p => p._1 * p._1).sum
       val syy = pairs.map(p => p._2 * p._2).sum
-      assert(BigInt(r.getDecimal(3).toBigInteger) == n * sxy - sx * sy)
-      assert(BigInt(r.getDecimal(4).toBigInteger) == n * sxx - sx * sx)
-      assert(BigInt(r.getDecimal(5).toBigInteger) == n * syy - sy * sy)
+      assert(BigInt(r.getString(3)) == n * sxy - sx * sy)
+      assert(BigInt(r.getString(4)) == n * sxx - sx * sx)
+      assert(BigInt(r.getString(5)) == n * syy - sy * sy)
       val num = (n * sxy - sx * sy).toDouble
       val den = math.sqrt((n * sxx - sx * sx).toDouble) *
         math.sqrt((n * syy - sy * sy).toDouble)
@@ -2114,8 +2114,8 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val ssw = gm.map(t => BigInt(t._4) * BigInt(1000000000000L) -
       BigInt(2000000L) * BigInt(t._5) * BigInt(t._3) +
       BigInt(t._2) * BigInt(t._5) * BigInt(t._5)).sum
-    assert(BigInt(r.getDecimal(2).toBigInteger) == ssb)
-    assert(BigInt(r.getDecimal(3).toBigInteger) == ssw)
+    assert(BigInt(r.getString(2)) == ssb)
+    assert(BigInt(r.getString(3)) == ssw)
     val f = (ssb * (nTot - groups.size)).toDouble /
       (ssw * (groups.size - 1)).toDouble
     assert(math.abs(r.getDouble(6) - f) < 1e-9 * math.max(1.0, f))
@@ -2351,8 +2351,8 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       val (df, total, ss) = perTerm(r.getString(0))
       assert(r.getLong(1) == total && r.getLong(2) == df)
       val num = BigInt(nDocs) * ss - BigInt(total) * total
-      assert(BigInt(r.getDecimal(3).toBigInteger) == num)
-      assert(BigInt(r.getDecimal(4).toBigInteger) == BigInt(nDocs - 1) * total)
+      assert(BigInt(r.getString(3)) == num)
+      assert(BigInt(r.getString(4)) == BigInt(nDocs - 1) * total)
       assert(r.getDouble(5) == num.toDouble / (BigInt(nDocs - 1) * total).toDouble)
     }
     // descending by corpus frequency
@@ -2552,7 +2552,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val n = complete.size.toLong
     val dev2 = sum2r.values.map { s2 =>
       BigInt(s2 - n * (k + 1)) * BigInt(s2 - n * (k + 1)) }.sum
-    assert(BigInt(r.getDecimal(2).toBigInteger) == dev2)
+    assert(BigInt(r.getString(2)) == dev2)
     val chi2 = 3.0 * dev2.toDouble / (n * k * (k + 1)).toDouble
     assert(math.abs(r.getDouble(3) - chi2) < 1e-9 * math.max(1.0, chi2))
   }

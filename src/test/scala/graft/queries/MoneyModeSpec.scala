@@ -34,6 +34,28 @@ class MoneyModeSpec extends AnyFunSuite {
     assert(num == dbl)
   }
 
+  test("money-mode sweep covers q1/q5/q9 with 9-scale NUMERIC amounts") {
+    val rows = graft.SparkEntry.queries("agg_money_mode_sweep")(spark, sfDir)
+      .collect()
+    val byReport = rows.groupBy(_.getString(0))
+    assert(byReport.keySet == Set("q1", "q5", "q9"), byReport.keySet)
+    rows.foreach { r =>
+      val amt = r.getString(2)
+      assert(amt.matches("""-?\d+\.\d{9}"""), s"not plain NUMERIC: $amt")
+      assert(r.getLong(3) > 0L)
+    }
+    // q1 replays the q1_pricing_summary revenue exactly (same filter,
+    // same cents arithmetic — only the accumulator type differs)
+    val q1rev = rows.filter(_.getString(0) == "q1")
+      .map(r => BigDecimal(r.getString(2))).sum
+    val dblRev = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .agg(sum(Exact.dec2(col("l_extendedprice")) *
+        (Exact.one - Exact.rate(col("l_discount")))).as("v"))
+      .head.getDecimal(0)
+    assert(q1rev == BigDecimal(dblRev), s"$q1rev != $dblRev")
+  }
+
   test("decimal→string boundary is the 9-scale plain form both engines print") {
     val row = Tables.load(spark, sfDir, "orders")
       .agg(min(Exact.money(col("o_totalprice"), Exact.NumericMode))
