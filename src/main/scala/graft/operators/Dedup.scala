@@ -974,6 +974,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al., 2023 — semantic dedup for LLM pretraining
+    * corpora): cluster the embedding space, then search for near-dups
+    * ONLY within each cluster and keep one representative per duplicate
+    * group. The published method's scale argument is exactly this
+    * blocking step: corpus² pair candidates collapse to Σ_cell occ², and
+    * growing the cell count with the corpus keeps occupancy — so cost
+    * per vector — constant. Cross-cell near-dups are missed by design
+    * (the method's documented approximation).
+    *
+    * Determinism for the oracle: clustering is the same seeded quantizer
+    * as `sim_topk_ivf` (lowest-id centroids, cosine argmax, ties → lower
+    * cell), and the kept representative per duplicate pair is the lower
+    * id — a vector is REMOVED iff some smaller same-cell id is ≥
+    * `threshold` similar, so each similarity group keeps exactly its
+    * minimum. Returns the per-cell curation report (members, duplicate
+    * pairs, removed, kept), O(cells) rows.
+    */
+  def semDedupCells(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val (_, assign) = Similarity.ivfIndex(cand, numCells) // (cid, cell)
+    val withCell = cand.join(assign, "cid")
+    val pairs = withCell
+      .select(col("cell"), col("cid").as("id_a"), col("cvec").as("va"))
+      .join(withCell.select(col("cell").as("cell2"), col("cid").as("id_b"),
+        col("cvec").as("vb")),
+        col("cell") === col("cell2") && col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions
+        .cosineSim(col("va"), col("vb")) >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"))
+    val perCellPairs = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("id_b")).as("n_removed"))
+    withCell.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(perCellPairs, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
+
   /** Scale path for embedding near-dup: random-hyperplane LSH buckets
     * generate candidates (equi join, no cross product); the left side is
     * multi-probed to hamming distance 1, so any pair whose signatures

@@ -75,6 +75,69 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98
+    * — the standard retrieval diversifier): from each query's exact
+    * top-`poolK` pool, greedily select `selectK` results maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — relevance traded
+    * against redundancy with what's already picked. The first pick is
+    * pure relevance; ties break to the lower candidate id at every
+    * step, so the selection is a pure function of the data.
+    *
+    * Distributed shape: the pool is the bounded-heap top-k (|Q|·poolK
+    * rows), pool-internal pairwise sims are one self-join on qid
+    * (|Q|·poolK² rows — poolK is a constant, so this never scales with
+    * the corpus), and each greedy step is one aggregate + one argmax
+    * over those constant-size frames. selectK is unrolled statically —
+    * no driver loop over data-dependent state, so the whole selection
+    * stays one Catalyst plan an ANSI engine can replay as an oracle.
+    */
+  def mmrRerank(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      poolK: Int,
+      selectK: Int,
+      lambda: Double): DataFrame = {
+    require(selectK >= 1 && selectK <= poolK, s"selectK $selectK vs poolK $poolK")
+    VectorFunctions.register(candidates.sparkSession)
+    val pool = bruteForceTopK(queries, candidates, poolK)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cid"),
+        col("sim").as("rel"))
+    val vecs = candidates.select(col("cid"), col("cvec"))
+    val poolV = pool.join(vecs, "cid")
+    val pairs = poolV.select(col("qid"), col("cid").as("c1"), col("cvec").as("v1"))
+      .join(poolV.select(col("qid").as("q2"), col("cid").as("c2"),
+        col("cvec").as("v2")), col("qid") === col("q2") && col("c1") =!= col("c2"))
+      .select(col("qid"), col("c1"), col("c2"),
+        VectorFunctions.cosineSim(col("v1"), col("v2")).as("s12"))
+    // argmax by (score desc, cid asc) via max(struct(score, -cid))
+    def argmax(df: DataFrame, score: Column): DataFrame = df
+      .groupBy(col("qid"))
+      .agg(max(struct(score.as("s"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("qid"), (-col("m.nc")).as("cid"))
+    var selected = argmax(pool, col("rel"))
+      .withColumn("rank", lit(1))
+    for (step <- 2 to selectK) {
+      val remaining = pool.join(selected.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val pairsR = pairs.select(col("qid").as("pq"), col("c1"), col("c2"),
+        col("s12"))
+      val withMaxSim = remaining
+        .join(pairsR, col("qid") === col("pq") && col("cid") === col("c1"))
+        .join(selected.select(col("qid").as("sq"), col("cid").as("sc")),
+          col("qid") === col("sq") && col("c2") === col("sc"))
+        .groupBy(col("qid"), col("cid"), col("rel"))
+        .agg(max(col("s12")).as("max_sim"))
+      val pick = argmax(withMaxSim,
+        lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+        .withColumn("rank", lit(step))
+      selected = selected.unionByName(pick)
+    }
+    selected.join(pool, Seq("qid", "cid"))
+      .select(col("qid").as("query_id"), col("rank"),
+        col("cid").as("neighbor_id"), col("rel"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** MIPS at scale: the norm-augmentation reduction to angular LSH
     * (Bachrach et al., RecSys'14 / Shrivastava & Li, NIPS'14 ALSH).
     * Candidates x map to x' = [x, √(M²−|x|²)] (M = corpus max norm) and

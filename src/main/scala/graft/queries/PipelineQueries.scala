@@ -693,6 +693,42 @@ object PipelineQueries extends QueryModule {
           AND list_cosine_similarity(a.e, b.e) >= 0.4
         ORDER BY id_a, id_b""")),
 
+    // ── SemDeDup (Abbas et al. 2023): cluster-then-dedup — the seeded
+    //    IVF quantizer blocks the corpus into 64 cells, near-dup search
+    //    runs only within cells (corpus² → Σ occ²), the kept
+    //    representative per duplicate group is the minimum id. Output is
+    //    the per-cell curation report. Cross-cell dups missed by design
+    //    (the published method's approximation); same 0.4 threshold as
+    //    the exact/LSH embedding dedups so the three paths are
+    //    comparable on the fixture. ─────────────────────────────────────
+    QueryDef("dedup_semdedup_cells",
+      (s, dir) => Dedup.semDedupCells(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numCells = 64, threshold = 0.4)
+        .orderBy("cell"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        wc AS (SELECT a.vec_id, a.cell, v.e FROM assign a
+          JOIN v ON v.vec_id = a.vec_id),
+        pairs AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+          FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE list_cosine_similarity(x.e, y.e) >= 0.4),
+        pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+            CAST(count(DISTINCT id_b) AS BIGINT) AS n_removed
+          FROM pairs GROUP BY cell),
+        mem AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+          FROM wc GROUP BY cell)
+        SELECT mem.cell, mem.n_members,
+          CAST(coalesce(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+          CAST(coalesce(pc.n_removed, 0) AS BIGINT) AS n_removed,
+          CAST(mem.n_members - coalesce(pc.n_removed, 0) AS BIGINT) AS n_kept
+        FROM mem LEFT JOIN pc ON mem.cell = pc.cell ORDER BY mem.cell""")),
+
     // ── similarity search: exact top-k per query (bounded-heap agg) ─────
     QueryDef("sim_topk_brute",
       (s, dir) => {
@@ -738,6 +774,79 @@ object PipelineQueries extends QueryModule {
           FROM embeddings q, embeddings c
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND c.label = 1) t
         WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ── MMR diversified rerank (Carbonell & Goldstein SIGIR'98): from
+    //    each query's exact top-8 pool greedily pick 4 maximizing
+    //    0.75·rel − 0.25·max-sim-to-selected (ties → lower id at every
+    //    step). λ = 0.75 is chosen so BOTH coefficients are exact binary
+    //    fractions — the Scala-side 1−λ fold and the SQL literals are
+    //    the same doubles, so every mmr comparison is bit-identical.
+    //    The greedy steps are statically unrolled (one Catalyst plan, no
+    //    driver loop); all frames are |Q|·poolK ≤ constant. ─────────────
+    QueryDef("sim_rerank_mmr",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.mmrRerank(queries, candidates,
+          poolK = 8, selectK = 4, lambda = 0.75)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        pool AS (SELECT qid, cid, rel FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              list_cosine_similarity(q.e, c.e) AS rel,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id)
+                AS rn
+            FROM v q, v c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+          WHERE rn <= 8),
+        pr AS (SELECT p1.qid, p1.cid AS c1, p2.cid AS c2,
+            list_cosine_similarity(a.e, b.e) AS s12
+          FROM pool p1 JOIN pool p2 ON p1.qid = p2.qid AND p1.cid <> p2.cid
+          JOIN v a ON a.vec_id = p1.cid JOIN v b ON b.vec_id = p2.cid),
+        s1 AS (SELECT qid, cid, rel FROM (SELECT qid, cid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) rn
+          FROM pool) WHERE rn = 1),
+        m2 AS (SELECT p.qid, p.cid, p.rel, max(pr.s12) AS ms
+          FROM pool p JOIN pr ON pr.qid = p.qid AND pr.c1 = p.cid
+          JOIN s1 ON s1.qid = pr.qid AND s1.cid = pr.c2
+          WHERE NOT EXISTS (SELECT 1 FROM s1 x
+            WHERE x.qid = p.qid AND x.cid = p.cid)
+          GROUP BY p.qid, p.cid, p.rel),
+        p2 AS (SELECT qid, cid, rel FROM (SELECT qid, cid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY
+              CAST(0.75 AS DOUBLE) * rel - CAST(0.25 AS DOUBLE) * ms DESC,
+              cid) rn FROM m2) WHERE rn = 1),
+        sel2 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM p2),
+        m3 AS (SELECT p.qid, p.cid, p.rel, max(pr.s12) AS ms
+          FROM pool p JOIN pr ON pr.qid = p.qid AND pr.c1 = p.cid
+          JOIN sel2 ON sel2.qid = pr.qid AND sel2.cid = pr.c2
+          WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+            WHERE x.qid = p.qid AND x.cid = p.cid)
+          GROUP BY p.qid, p.cid, p.rel),
+        p3 AS (SELECT qid, cid, rel FROM (SELECT qid, cid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY
+              CAST(0.75 AS DOUBLE) * rel - CAST(0.25 AS DOUBLE) * ms DESC,
+              cid) rn FROM m3) WHERE rn = 1),
+        sel3 AS (SELECT qid, cid FROM sel2 UNION ALL SELECT qid, cid FROM p3),
+        m4 AS (SELECT p.qid, p.cid, p.rel, max(pr.s12) AS ms
+          FROM pool p JOIN pr ON pr.qid = p.qid AND pr.c1 = p.cid
+          JOIN sel3 ON sel3.qid = pr.qid AND sel3.cid = pr.c2
+          WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+            WHERE x.qid = p.qid AND x.cid = p.cid)
+          GROUP BY p.qid, p.cid, p.rel),
+        p4 AS (SELECT qid, cid, rel FROM (SELECT qid, cid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY
+              CAST(0.75 AS DOUBLE) * rel - CAST(0.25 AS DOUBLE) * ms DESC,
+              cid) rn FROM m4) WHERE rn = 1)
+        SELECT qid AS query_id, 1 AS rank, cid AS neighbor_id, rel FROM s1
+        UNION ALL SELECT qid, 2, cid, rel FROM p2
+        UNION ALL SELECT qid, 3, cid, rel FROM p3
+        UNION ALL SELECT qid, 4, cid, rel FROM p4
+        ORDER BY query_id, rank""")),
 
     // ── MIPS: exact top-k by INNER PRODUCT (recommender / learned-
     //    retrieval scoring — magnitude carries signal, FAISS
@@ -4172,6 +4281,60 @@ object PipelineQueries extends QueryModule {
             / CAST(CAST(CAST(n_docs - 1 AS HUGEINT) * total
               AS DECIMAL(38,0)) AS DOUBLE) AS vmr
         FROM top ORDER BY total DESC, term""")),
+
+    // ── Hashed linear quality classifier (fastText-style inference —
+    //    the model-based quality gate of a curation pipeline, e.g.
+    //    CCNet/FineWeb's classifier stage): token → md5 hash → one of
+    //    4096 weight buckets, doc score = Σ tf·w / n_tokens, label =
+    //    sign. The WEIGHTS are a deterministic stand-in (a pure function
+    //    of the bucket — the FakeCodec pattern: no trained artifact
+    //    ships in this sandbox), while the inference plumbing is the
+    //    real thing a trained model needs: tokenize → hash → bucket →
+    //    weighted sum → threshold, one explode + two hash aggregates,
+    //    map-side partial aggregation, no UDF. Swapping in trained
+    //    weights = a broadcast join against a 4096-row weight table. ────
+    QueryDef("text_hashed_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", explode(tokens($"text")).as("tok"))
+          .select($"doc_id", $"source",
+            pmod(conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"),
+              lit(4096L)).as("bucket"))
+          .withColumn("w",
+            pmod($"bucket" * lit(2654435761L), lit(2001L)) - lit(1000L))
+        val perDoc = toks.groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_toks"), sum($"w").as("score_num"))
+        perDoc.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"score_num" > 0L, 1L).otherwise(0L)).as("n_pos"),
+            sum($"score_num").as("sum_num"),
+            sum($"n_toks").as("sum_toks"))
+          .withColumn("mean_score_ppm",
+            floor($"sum_num".cast("double") / $"sum_toks".cast("double")
+              * lit(1e6)).cast("long"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        b AS (SELECT doc_id, source,
+            ${OracleGen.md5PrefixExpr("md5(tok)", 8)} % 4096 AS bucket
+          FROM t),
+        w AS (SELECT doc_id, source,
+            (bucket * 2654435761) % 2001 - 1000 AS w FROM b),
+        d AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(sum(w) AS BIGINT) AS score_num
+          FROM w GROUP BY doc_id, source)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN score_num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          CAST(sum(score_num) AS BIGINT) AS sum_num,
+          CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+          CAST(floor(CAST(sum(score_num) AS DOUBLE)
+            / CAST(sum(n_toks) AS DOUBLE) * 1e6) AS BIGINT)
+            AS mean_score_ppm
+        FROM d GROUP BY source ORDER BY source""")),
 
     // ── Energy distance between two embedding populations (the
     //    distribution-level two-sample test for vector spaces — "did

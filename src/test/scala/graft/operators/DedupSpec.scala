@@ -485,4 +485,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
     assert(lsh == exact) // hamming-1 probing recovers both planted pairs
   }
+
+  test("semDedupCells: cells partition the corpus; pair counts equal the in-cell brute join") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val report = Dedup.semDedupCells(emb, "vec_id", "embedding",
+      numCells = 16, threshold = 0.4).collect()
+    assert(report.map(_.getLong(1)).sum == emb.count(), "members partition corpus")
+    report.foreach { r =>
+      val (members, pairs, removed, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(removed <= pairs && removed < members)
+      assert(kept == members - removed && kept >= 1)
+    }
+    // replay: within-cell brute pairs (exact path restricted to the cell)
+    // must match the reported per-cell pair counts exactly
+    val (_, assign) = Similarity.ivfIndex(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("cvec")), 16)
+    val cellOf = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brutePairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .groupBy { case (a, _) => cellOf(a) }.view.mapValues(_.length.toLong).toMap
+    report.foreach { r =>
+      assert(r.getLong(2) == brutePairs.getOrElse(r.getLong(0), 0L),
+        s"cell ${r.getLong(0)} pair count")
+    }
+  }
 }

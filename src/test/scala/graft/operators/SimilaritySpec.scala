@@ -564,4 +564,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"), plan)
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("mmrRerank equals the driver greedy replay (pool, pairwise sims, unrolled picks)") {
+    val poolK = 8; val selectK = 4; val lambda = 0.75
+    val got = Similarity.mmrRerank(asQ(emb.filter($"vec_id" < 10)), asC(emb),
+        poolK, selectK, lambda)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { val a = x(i).toDouble; val b = y(i).toDouble; d += a*b; nx += a*a; ny += b*b }
+      val den = math.sqrt(nx) * math.sqrt(ny); if (den == 0) 0 else d / den
+    }
+    val byId = vecs.toMap
+    for ((q, qv) <- vecs if q < 10) {
+      val pool = vecs.filter(_._1 != q)
+        .map { case (c, cv) => (c, cos(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(poolK)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      selected += pool.head._1 // first pick: pure relevance, tie → lower id
+      while (selected.size < selectK) {
+        val next = pool.filterNot(p => selected.contains(p._1))
+          .map { case (c, rel) =>
+            val maxSim = selected.map(s => cos(byId(c), byId(s))).max
+            (c, lambda * rel - (1.0 - lambda) * maxSim)
+          }
+          .minBy { case (c, m) => (-m, c) }._1
+        selected += next
+      }
+      assert(got(q) == selected.toSeq, s"query $q: got ${got(q)} want $selected")
+    }
+  }
 }

@@ -227,4 +227,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(nT == 0 || r.getDouble(5) > 0.0,
       "LSH missed every true near-dup pair — banding is broken")
   }
+
+  test("text_hashed_classifier equals the driver tokenize-hash-weight replay") {
+    val rows = run("text_hashed_classifier")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def weight(tok: String): Long = {
+      val bucket = java.lang.Long.parseLong(md5Hex(tok).take(8), 16) % 4096L
+      (bucket * 2654435761L) % 2001L - 1000L
+    }
+    val perDoc = docs.map { r =>
+      val toks = r.getString(2).trim.toLowerCase.split("\\s+")
+      (r.getString(1), toks.length.toLong, toks.map(weight).sum)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val sumNum = ds.map(_._3).sum; val sumToks = ds.map(_._2).sum
+      src -> (ds.length.toLong, ds.count(_._3 > 0L).toLong, sumNum, sumToks,
+        math.floor(sumNum.toDouble / sumToks.toDouble * 1e6).toLong)
+    }
+    assert(rows == expect,
+      s"mismatch: ${rows.toSeq.sorted.take(2)} vs ${expect.toSeq.sorted.take(2)}")
+  }
 }
