@@ -990,16 +990,26 @@ object Dedup {
     * `threshold` similar, so each similarity group keeps exactly its
     * minimum. Returns the per-cell curation report (members, duplicate
     * pairs, removed, kept), O(cells) rows.
+    *
+    * `numCells = 0` (the default) sizes the cell count to the corpus:
+    * n/32 clamped to [64, 4096] — a FIXED cell count is the same scale
+    * trap the r3 LSH audit found (occupancy ∝ n ⇒ in-cell pairs ∝ n²);
+    * growing cells with n keeps occupancy ~32, so pair work per vector
+    * stays constant. One sizing count, the embeddingNearDupPairsLsh
+    * precedent; the oracle mirrors it as a computed LIMIT.
     */
   def semDedupCells(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      numCells: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      numCells: Int = 0): DataFrame = {
     graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val (_, assign) = Similarity.ivfIndex(cand, numCells) // (cid, cell)
+    val cells =
+      if (numCells > 0) numCells
+      else math.min(4096L, math.max(64L, embeddings.count() / 32L)).toInt
+    val (_, assign) = Similarity.ivfIndex(cand, cells) // (cid, cell)
     val withCell = cand.join(assign, "cid")
     val pairs = withCell
       .select(col("cell"), col("cid").as("id_a"), col("cvec").as("va"))

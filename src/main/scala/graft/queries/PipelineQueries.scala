@@ -703,11 +703,13 @@ object PipelineQueries extends QueryModule {
     //    comparable on the fixture. ─────────────────────────────────────
     QueryDef("dedup_semdedup_cells",
       (s, dir) => Dedup.semDedupCells(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", numCells = 64, threshold = 0.4)
+          "vec_id", "embedding", threshold = 0.4) // cells auto-sized ~n/32
         .orderBy("cell"),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
-        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id
+          LIMIT (SELECT least(4096, greatest(64, count(*) // 32))
+                 FROM embeddings)),
         assign AS (SELECT vec_id, cell FROM (
             SELECT c.vec_id, t.cell,
               row_number() OVER (PARTITION BY c.vec_id

@@ -280,6 +280,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // pagerank: |nodes|-row teleport frame × 1-row node-count broadcast
     // (per iteration); the edge build and contributions are equi joins
     "graph_pagerank_fixed",
+    // semdedup: the same vector×centroid routing cross join as topk_ivf
+    // (|cells|-row broadcast side, auto-sized ~n/32 ≤ 4096); the in-cell
+    // pair join itself is an equi join on cell
+    "dedup_semdedup_cells",
     // curriculum: |bins|-row (≤3) bucket-count self-join on bin<bin for
     // the cumulative offsets — both sides broadcast-tiny
     "pipeline_curriculum_order",
@@ -787,6 +791,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // r11 batch 18: NB moments, burstiness term frame, energy-distance
     // dimension join
     "agg_negbin_fit", "text_burstiness", "embed_energy_distance",
+    // r12: SemDeDup cell blocking (auto-sized quantizer + in-cell pair
+    // join), multi-query MMR operator, hashed-classifier explode+agg
+    "dedup_semdedup_cells", "sim_rerank_mmr", "text_hashed_classifier",
     // r11 batch 19: ER blocking self-join, temporal-cut broadcasts,
     // prefix-template rollup
     "join_entity_blocking", "split_temporal_holdout",

@@ -489,7 +489,7 @@ class DedupSpec extends AnyFunSuite {
   test("semDedupCells: cells partition the corpus; pair counts equal the in-cell brute join") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val report = Dedup.semDedupCells(emb, "vec_id", "embedding",
-      numCells = 16, threshold = 0.4).collect()
+      threshold = 0.4, numCells = 16).collect()
     assert(report.map(_.getLong(1)).sum == emb.count(), "members partition corpus")
     report.foreach { r =>
       val (members, pairs, removed, kept) =
