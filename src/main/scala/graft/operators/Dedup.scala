@@ -991,12 +991,16 @@ object Dedup {
     * minimum. Returns the per-cell curation report (members, duplicate
     * pairs, removed, kept), O(cells) rows.
     *
-    * `numCells = 0` (the default) sizes the cell count to the corpus:
-    * n/32 clamped to [64, 4096] — a FIXED cell count is the same scale
-    * trap the r3 LSH audit found (occupancy ∝ n ⇒ in-cell pairs ∝ n²);
-    * growing cells with n keeps occupancy ~32, so pair work per vector
-    * stays constant. One sizing count, the embeddingNearDupPairsLsh
-    * precedent; the oracle mirrors it as a computed LIMIT.
+    * `numCells = 0` (the default) sizes the cell count to ⌊√n⌋ clamped
+    * to [64, 4096] — the BALANCED point between the two quadratic traps:
+    * a FIXED cell count makes occupancy ∝ n so in-cell pairs grow n²
+    * (the r3 LSH wall), while cells ∝ n makes the ROUTING pass (every
+    * vector × every centroid) grow n². At √n both sides grow n^1.5:
+    * routing is n·√n cosines and in-cell pair work is n·occ = n·√n.
+    * One sizing count, the embeddingNearDupPairsLsh precedent; the
+    * oracle mirrors it as a computed LIMIT (floor(sqrt(n)) is the
+    * correctly-rounded IEEE sqrt of an integer-valued double — both
+    * engines agree bit-for-bit).
     */
   def semDedupCells(
       embeddings: DataFrame,
@@ -1008,7 +1012,8 @@ object Dedup {
     val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val cells =
       if (numCells > 0) numCells
-      else math.min(4096L, math.max(64L, embeddings.count() / 32L)).toInt
+      else math.min(4096L, math.max(64L,
+        math.sqrt(embeddings.count().toDouble).toLong)).toInt
     val (_, assign) = Similarity.ivfIndex(cand, cells) // (cid, cell)
     val withCell = cand.join(assign, "cid")
     val pairs = withCell

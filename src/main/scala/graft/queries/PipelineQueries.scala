@@ -703,12 +703,13 @@ object PipelineQueries extends QueryModule {
     //    comparable on the fixture. ─────────────────────────────────────
     QueryDef("dedup_semdedup_cells",
       (s, dir) => Dedup.semDedupCells(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4) // cells auto-sized ~n/32
+          "vec_id", "embedding", threshold = 0.4) // cells auto-sized ~sqrt(n)
         .orderBy("cell"),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
         cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id
-          LIMIT (SELECT least(4096, greatest(64, count(*) // 32))
+          LIMIT (SELECT least(4096, greatest(64,
+                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))
                  FROM embeddings)),
         assign AS (SELECT vec_id, cell FROM (
             SELECT c.vec_id, t.cell,

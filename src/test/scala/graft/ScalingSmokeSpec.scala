@@ -54,7 +54,12 @@ class ScalingSmokeSpec extends AnyFunSuite {
       // pre-purge this measured WEDGED at sf1 (the fixture's verbatim
       // name copies make every block 10×, pairs 100×); post-purge the
       // pathological blocks drop and the query is scan-bound
-      "join_entity_blocking")
+      "join_entity_blocking",
+      // r12: semdedup's cell count auto-sizes ~√n — the balanced sizing
+      // (measured 2.6× at 10×). This guard CAUGHT the first cut's n/32
+      // sizing at 14.5×: cells ∝ n makes the routing pass (n × cells
+      // cosines) quadratic even while in-cell occupancy stays flat.
+      "dedup_semdedup_cells")
 
   test("approximate dedup operators stay sub-quadratic at 10× data") {
     assume(new java.io.File(s"$sf1/documents.parquet").exists(),
