@@ -100,5 +100,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("span_texts", "span_texts(text, spanWords) - the non-overlapping token spans themselves") {
       es => SpanTexts(es(0), litInt(es(1)))
     }
+    inject("sorted_intersect_count", "sorted_intersect_count(a, b) - intersection size of two sorted bigint arrays (two-pointer merge)") {
+      es => SortedIntersectCount(es(0), es(1))
+    }
   }
 }

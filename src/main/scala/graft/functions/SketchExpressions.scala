@@ -62,6 +62,21 @@ object SketchKernels {
     if ((h & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** Two-pointer intersection size of two sorted long arrays — see
+    * [[SortedIntersectCount]].
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Random-hyperplane signature: bit j = [dot(v, plane_j) >= 0] with
     * plane components ±1 derived from mix(seed, bit, dim) parity — the
     * planes never materialize.
@@ -168,6 +183,8 @@ object SketchFunctions {
     Registration.ifAbsent(spark, "rh_signature")(
       es => RhSignature(es.head, litInt(es(1)), litLong(es(2))))
     Registration.ifAbsent(spark, "cms_estimate")(es => CountMinEstimate(es(0), es(1)))
+    Registration.ifAbsent(spark, "sorted_intersect_count")(
+      es => SortedIntersectCount(es(0), es(1)))
   }
 
   def minhash64(baseHashes: Column, numHashes: Int): Column =
@@ -176,4 +193,37 @@ object SketchFunctions {
     call_function("cms_estimate", sketch, item)
   def rhSignature(vec: Column, bits: Int, seed: Long): Column =
     call_function("rh_signature", vec, lit(bits), lit(seed))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
+}
+
+/** sorted_intersect_count(a, b) → bigint: intersection size of two
+  * SORTED long arrays by one two-pointer merge walk — the edge-iterator
+  * triangle-count inner loop (sup(a,b) = |N(a) ∩ N(b)| per edge).
+  * Spark's `array_intersect` builds a per-row hash set of boxed
+  * elements and materializes the intersection array only to take its
+  * size; this is the same count with zero allocation, inside
+  * whole-stage codegen. Inputs MUST be sorted (the caller's
+  * sort_array(collect_list(...)) adjacency build guarantees it) —
+  * unsorted inputs undercount, the standard merge-walk contract.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SketchKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
 }

@@ -10328,6 +10328,7 @@ object RelationalQueries extends QueryModule {
         // inside one stage. Skew bound = max adjacency array (max
         // degree 97 at sf0.1); a 100 TB hub-heavy graph would pair
         // this with a degree cap, as any k-truss formulation must. ──────
+        graft.functions.SketchFunctions.register(s)
         def support(ed: DataFrame): DataFrame = {
           val adj = ed.select($"a".as("n"), $"b".as("m"))
             .union(ed.select($"b".as("n"), $"a".as("m")))
@@ -10335,7 +10336,11 @@ object RelationalQueries extends QueryModule {
           ed.join(adj.select($"n".as("a"), $"nbrs".as("na")), "a")
             .join(adj.select($"n".as("b"), $"nbrs".as("nb")), "b")
             .select($"a", $"b",
-              size(array_intersect($"na", $"nb")).cast("long").as("sup"))
+              // native two-pointer merge count over the SORTED adjacency
+              // arrays — array_intersect pays a boxed hash set + a
+              // materialized intersection array per edge
+              graft.functions.SketchFunctions
+                .sortedIntersectCount($"na", $"nb").as("sup"))
         }
         // ONE support pass per level: its checkpointed result serves
         // both the round's stats and the next peel (the naive
