@@ -1035,6 +1035,59 @@ object Dedup {
         (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
   }
 
+  /** Incremental SemDeDup: admit an incoming batch against a FROZEN
+    * cell index built over the stored corpus — the per-batch serving
+    * shape of [[semDedupCells]], completing the index-lifecycle story
+    * the MinHash (`dedup_signature_index`) and IVF (`sim_index_probe`)
+    * families already have. Per batch: route |batch| vectors against
+    * the stored quantizer (|batch|·cells cosines — never a corpus
+    * re-assignment), compare each only against SAME-CELL stored members
+    * plus SMALLER-ID same-cell batchmates (so a batch of mutual dups
+    * admits exactly its minimum — the semDedupCells keep rule applied
+    * online). Emits one row per batch vector: cell, match count, best
+    * (highest-cosine, ties → lower id) match, and the admit decision.
+    * O(batch · occupancy) — never O(corpus).
+    */
+  def semDedupProbe(
+      stored: DataFrame, // (cid, cvec) — the indexed corpus
+      batch: DataFrame, // (cid, cvec) — incoming
+      threshold: Double,
+      numCells: Int = 0): DataFrame = {
+    graft.functions.VectorFunctions.register(stored.sparkSession)
+    val cells =
+      if (numCells > 0) numCells
+      else math.min(4096L, math.max(64L,
+        math.sqrt(stored.count().toDouble).toLong)).toInt
+    val (centroids, storedAssign) = Similarity.ivfIndex(stored, cells)
+    val storedCells = stored.join(storedAssign, "cid")
+      .select(col("cell"), col("cid").as("sid"), col("cvec").as("sv"))
+    val batchCells = batch
+      .join(Similarity.routeToCells(centroids, batch), "cid")
+      .select(col("cell"), col("cid"), col("cvec"))
+    val candidates = batchCells
+      .join(storedCells, Seq("cell"))
+      .unionByName(batchCells.join(
+        batchCells.select(col("cell"), col("cid").as("sid"),
+          col("cvec").as("sv")), Seq("cell"))
+        .filter(col("sid") < col("cid")))
+    val matches = candidates
+      .select(col("cell"), col("cid"), col("sid"),
+        graft.functions.VectorFunctions.cosineSim(col("cvec"), col("sv"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("cell"), col("cid"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("cosine"), (-col("sid")).as("nsid"))).as("best"))
+      .select(col("cell"), col("cid"), col("n_matches"),
+        (-col("best.nsid")).as("best_match_id"))
+    batchCells.select(col("cell"), col("cid"))
+      .join(matches, Seq("cell", "cid"), "left")
+      .select(col("cid").as("vec_id"), col("cell"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match_id"),
+        (coalesce(col("n_matches"), lit(0L)) === 0L).as("admitted"))
+  }
+
   /** Scale path for embedding near-dup: random-hyperplane LSH buckets
     * generate candidates (equi join, no cross product); the left side is
     * multi-probed to hamming distance 1, so any pair whose signatures

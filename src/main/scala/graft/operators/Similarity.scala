@@ -418,6 +418,13 @@ object Similarity {
     * index ROTATION (per incoming batch) run — sharing it is what makes
     * rotate-then-probe provably equal to rebuild-then-probe.
     */
+  /** Public frozen-quantizer routing: assign vectors to their owning
+    * cell against a STORED centroid table — the per-batch step of every
+    * incremental index consumer (ivfIndexRotate, Dedup.semDedupProbe).
+    */
+  def routeToCells(centroids: DataFrame, vectors: DataFrame): DataFrame =
+    assignCells(centroids, vectors)
+
   private def assignCells(centroids: DataFrame, vectors: DataFrame): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
     rankTopK(

@@ -732,6 +732,67 @@ object PipelineQueries extends QueryModule {
           CAST(mem.n_members - coalesce(pc.n_removed, 0) AS BIGINT) AS n_kept
         FROM mem LEFT JOIN pc ON mem.cell = pc.cell ORDER BY mem.cell""")),
 
+    // ── Incremental SemDeDup: admit a batch against the frozen cell
+    //    index over the stored corpus (stored = 3/4 of ids, batch =
+    //    vec_id % 4 = 0 — a proportional split at every sf). Each batch
+    //    vector is routed against the STORED quantizer and compared
+    //    only to same-cell stored members + smaller-id same-cell
+    //    batchmates — O(batch·occupancy), never a corpus re-assignment.
+    //    The admit rule is semDedupCells' keep-minimum applied online. ──
+    QueryDef("dedup_semdedup_probe",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Dedup.semDedupProbe(
+          emb.filter(pmod(col("vec_id"), lit(4L)) =!= 0L)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          emb.filter(pmod(col("vec_id"), lit(4L)) === 0L)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        stored AS (SELECT * FROM v WHERE vec_id % 4 <> 0),
+        batch AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM stored ORDER BY vec_id
+          LIMIT (SELECT least(4096, greatest(64,
+                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))
+                 FROM stored)),
+        sa AS (SELECT vec_id, cell FROM (
+            SELECT s.vec_id, t.cell, row_number() OVER (PARTITION BY s.vec_id
+              ORDER BY list_cosine_similarity(s.e, t.ce) DESC, t.cell) rn
+            FROM stored s CROSS JOIN cent t) WHERE rn = 1),
+        ba AS (SELECT vec_id, cell FROM (
+            SELECT b.vec_id, t.cell, row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_cosine_similarity(b.e, t.ce) DESC, t.cell) rn
+            FROM batch b CROSS JOIN cent t) WHERE rn = 1),
+        cand AS (
+          SELECT ba.cell, ba.vec_id AS cid, bb.e AS be, sa.vec_id AS sid,
+            s.e AS se
+          FROM ba JOIN batch bb ON bb.vec_id = ba.vec_id
+          JOIN sa ON sa.cell = ba.cell
+          JOIN stored s ON s.vec_id = sa.vec_id
+          UNION ALL
+          SELECT b1.cell, b1.vec_id, bb1.e, b2.vec_id, bb2.e
+          FROM ba b1 JOIN batch bb1 ON bb1.vec_id = b1.vec_id
+          JOIN ba b2 ON b2.cell = b1.cell AND b2.vec_id < b1.vec_id
+          JOIN batch bb2 ON bb2.vec_id = b2.vec_id),
+        sims AS (SELECT cell, cid, sid,
+            list_cosine_similarity(be, se) AS cosine
+          FROM cand WHERE list_cosine_similarity(be, se) >= 0.4),
+        best AS (SELECT cid, sid AS best_match_id, n_matches FROM (
+            SELECT cid, sid,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY cosine DESC, sid) rn,
+              CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_matches
+            FROM sims) WHERE rn = 1)
+        SELECT ba.vec_id, ba.cell,
+          CAST(coalesce(best.n_matches, 0) AS BIGINT) AS n_matches,
+          best.best_match_id,
+          coalesce(best.n_matches, 0) = 0 AS admitted
+        FROM ba LEFT JOIN best ON best.cid = ba.vec_id
+        ORDER BY ba.vec_id""")),
+
     // ── similarity search: exact top-k per query (bounded-heap agg) ─────
     QueryDef("sim_topk_brute",
       (s, dir) => {

@@ -511,4 +511,46 @@ class DedupSpec extends AnyFunSuite {
         s"cell ${r.getLong(0)} pair count")
     }
   }
+
+  test("semDedupProbe: admit decisions match the brute same-cell replay") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stored = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val got = Dedup.semDedupProbe(stored, batch, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4))).toMap
+    assert(got.size == batch.count())
+    // driver replay: frozen routing over stored centroids, candidates =
+    // same-cell stored + smaller-id same-cell batch, cosine >= t
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { val a = x(i).toDouble; val b = y(i).toDouble; d += a*b; nx += a*a; ny += b*b }
+      val den = math.sqrt(nx) * math.sqrt(ny); if (den == 0) 0 else d / den
+    }
+    val storedIds = vecs.keys.filter(_ % 4 != 0).toSeq.sorted
+    val batchIds = vecs.keys.filter(_ % 4 == 0).toSeq.sorted
+    val nCells = math.min(4096L, math.max(64L,
+      math.sqrt(storedIds.size.toDouble).toLong)).toInt
+    val cents = storedIds.take(nCells)
+    def route(id: Long): Long =
+      cents.map(c => (c, cos(vecs(id), vecs(c))))
+        .maxBy { case (c, s) => (s, -c) }._1
+    val storedCell = storedIds.map(id => id -> route(id)).toMap
+    val batchCell = batchIds.map(id => id -> route(id)).toMap
+    batchIds.foreach { id =>
+      val cands = storedIds.filter(s => storedCell(s) == batchCell(id)) ++
+        batchIds.filter(b => b < id && batchCell(b) == batchCell(id))
+      val hits = cands.map(c => (c, cos(vecs(id), vecs(c))))
+        .filter(_._2 >= 0.4)
+      val (n, best, adm) = got(id)
+      assert(n == hits.size.toLong, s"vec $id match count")
+      assert(adm == hits.isEmpty, s"vec $id admit")
+      if (hits.nonEmpty)
+        assert(best == hits.maxBy { case (c, s) => (s, -c) }._1, s"vec $id best")
+    }
+  }
 }
