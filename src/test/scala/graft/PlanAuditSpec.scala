@@ -280,10 +280,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // pagerank: |nodes|-row teleport frame × 1-row node-count broadcast
     // (per iteration); the edge build and contributions are equi joins
     "graph_pagerank_fixed",
-    // semdedup: the same vector×centroid routing cross join as topk_ivf
-    // (|cells|-row broadcast side, auto-sized ~n/32 ≤ 4096); the in-cell
-    // pair join itself is an equi join on cell
-    "dedup_semdedup_cells",
+    // semdedup (+ its incremental probe): the same vector×centroid
+    // routing cross join as topk_ivf (|cells|-row broadcast side,
+    // auto-sized ~√n ≤ 4096); the in-cell pair/candidate joins are
+    // equi joins on cell
+    "dedup_semdedup_cells", "dedup_semdedup_probe",
     // curriculum: |bins|-row (≤3) bucket-count self-join on bin<bin for
     // the cumulative offsets — both sides broadcast-tiny
     "pipeline_curriculum_order",
