@@ -553,4 +553,55 @@ class DedupSpec extends AnyFunSuite {
         assert(best == hits.maxBy { case (c, s) => (s, -c) }._1, s"vec $id best")
     }
   }
+
+  test("semDedupProbe under Structured Streaming equals the one-shot batch admission") {
+    // The serving contract: micro-batches arriving in id order, each
+    // probed against (initial index + everything seen so far), must
+    // produce the SAME per-vector decisions as one probe over the whole
+    // incoming set — because "all earlier batches" and "smaller-id
+    // batchmates" coincide under id-ordered arrival, and the quantizer
+    // stays frozen (incoming ids sit above the stored seed range, the
+    // sim_index_rotate precedent).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def asCand(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val stored0 = asCand(emb.filter(col("vec_id") < 300))
+    val incoming = emb.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val oneShot = Dedup.semDedupProbe(stored0, asCand(emb.filter(col("vec_id") >= 300)),
+        threshold = 0.4, numCells = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4))).toMap
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    val decisions = scala.collection.mutable.Map.empty[Long, (Long, Long, Boolean)]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        val storedNow = stored0.unionByName(
+          spark.createDataFrame(seen.toSeq).toDF("cid", "cvec")
+            .withColumn("cvec", col("cvec").cast("array<float>")))
+        val b = spark.createDataFrame(rows.toSeq).toDF("cid", "cvec")
+          .withColumn("cvec", col("cvec").cast("array<float>"))
+        decisions ++= Dedup.semDedupProbe(storedNow, b,
+            threshold = 0.4, numCells = 16)
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+              r.getBoolean(4)))
+        seen ++= rows; ()
+      }
+      .start()
+    try {
+      mem.addData(incoming.filter(_._1 < 400).toSeq); q.processAllAvailable()
+      mem.addData(incoming.filter(_._1 >= 400).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(decisions.toMap == oneShot)
+    assert(decisions.nonEmpty && decisions.values.exists(!_._3))
+  }
 }
