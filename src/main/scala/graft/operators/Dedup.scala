@@ -25,6 +25,9 @@ object Dedup {
   private def shingleHashed(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
     graft.functions.TextHashFunctions.register(docs.sparkSession)
+    // every shingle-set consumer may verify via the sorted-merge
+    // intersection kernel (jaccard/containment below)
+    graft.functions.SketchFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"),
       graft.functions.TextHashFunctions.shingleHashes(col(textCol), shingleSize).as("sh"))
   }
@@ -764,9 +767,21 @@ object Dedup {
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
 
-  /** Exact Jaccard over two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)) / size(array_union(a, b))
+  /** Exact Jaccard over two SORTED distinct-element long arrays (every
+    * shingle set in this module — `shingle_hashes` emits sorted
+    * distinct). |A∪B| = |A|+|B|−|A∩B|, and the intersection count is
+    * one allocation-free sorted-merge walk (`sorted_intersect_count`)
+    * instead of array_intersect's boxed hash set PLUS array_union's
+    * materialized union — the verify step runs once per surviving
+    * candidate pair, which at corpus scale is the dedup verify's whole
+    * cost. Both divisions are exact-integer-operand IEEE divides, so
+    * the value is bit-identical to the old form and to the DuckDB
+    * oracles' len(list_intersect)/len(list_distinct(list_concat)).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val c = graft.functions.SketchFunctions.sortedIntersectCount(a, b)
+    c / (size(a) + size(b) - c)
+  }
 
   // ── n-gram Jaccard with prefix filtering (AllPairs/PPJoin family) ────
   /** All pairs with shingle-Jaccard >= `threshold`, exactly — without a
@@ -892,7 +907,9 @@ object Dedup {
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))) / size(col("sh_a")))
+        // sorted-merge count (see jaccard above) — sh arrays are sorted
+        graft.functions.SketchFunctions
+          .sortedIntersectCount(col("sh_a"), col("sh_b")) / size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
