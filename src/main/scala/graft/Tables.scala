@@ -26,12 +26,17 @@ object Tables {
   // so the value would pin the key and nothing would ever be collected) —
   // at most `maxEntries` plans are retained, so a stopped session's plans
   // age out instead of living for the JVM lifetime.
+  // The Source-registry generation is part of the key: a mid-session
+  // Source.register("parquet", ...) would otherwise be silently ignored
+  // for any table already loaded (the swap-without-call-site-changes
+  // seam must also apply to repeat loads). Stale-generation entries age
+  // out of the LRU like any other.
   private val maxEntries = 64
   private val cache =
-    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+    new java.util.LinkedHashMap[(SparkSession, String, String, Long), DataFrame](
       16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String, String, Long), DataFrame]): Boolean =
         size() > maxEntries
     }
 
@@ -63,7 +68,7 @@ object Tables {
     * re-tag under the UTC session timezone.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = cache.synchronized {
-    val key = (spark, dir, name)
+    val key = (spark, dir, name, graft.sources.Source.generation)
     val hit = cache.get(key)
     if (hit != null) hit
     else {

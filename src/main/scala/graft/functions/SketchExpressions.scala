@@ -210,12 +210,20 @@ object SketchFunctions {
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
+  // containsNull=false is REQUIRED, not just expected: the kernel reads
+  // every slot with getLong, so a null element would read garbage and
+  // silently miscount (vs array_intersect's null semantics). Every
+  // in-module producer (shingle_hashes, sort_array(collect_list(...)))
+  // emits non-null elements; arbitrary SQL callers with nullable arrays
+  // get a loud analysis error instead of a wrong count.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects two array<bigint>, got ${l.simpleString}, ${r.simpleString}")
+        s"sorted_intersect_count expects two array<bigint> with non-null " +
+          s"elements (containsNull=false — a null slot would be read as " +
+          s"garbage by the merge kernel), got ${l.simpleString}, ${r.simpleString}")
     }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SketchKernels.sortedIntersectCount(

@@ -160,9 +160,43 @@ object ModelDag {
                 "ephemeral a sqlText body or materialize it as a View/Table")
           }
           val finalSql = if (needed.isEmpty) sql else {
-            val ctes = needed.map(e => s"`${e.name}` AS (${e.sqlText.get})")
+            // dbt's __dbt__cte__ precedent: inline each ephemeral under a
+            // reserved prefix and rewrite references, so a view whose OWN
+            // WITH clause defines a CTE with an ephemeral's bare name
+            // can't produce a duplicate CTE definition. The rewrite is
+            // dbt-style token substitution (whole-word / backquoted name
+            // → prefixed name) — names must be referenced as relations,
+            // the same contract dbt's ref() imposes. Ephemeral BODIES are
+            // rewritten for every needed name (they are the only place a
+            // transitive ephemeral is referenced); the view's SQL only
+            // for its DIRECT ephemeral deps, so a view-local CTE that
+            // happens to share a transitive ephemeral's name is left
+            // alone (SQL scoping already resolves it to the local CTE).
+            def alias(n: String) = s"__eph__$n"
+            def rewriteRefs(body: String, names: Iterable[String]): String =
+              names.foldLeft(body) { (acc, n) =>
+                val q = java.util.regex.Pattern.quote(n)
+                acc.replaceAll(s"`$q`|\\b$q\\b", s"`${alias(n)}`")
+              }
+            val allNames = needed.toSeq.map(_.name)
+            val directNames = m.deps.filter(ephByName.contains)
+            directNames.foreach { d =>
+              // a view-local CTE named like a DIRECT ephemeral dep is
+              // genuinely ambiguous — refuse loudly rather than let the
+              // rewrite silently capture the local definition
+              require(!sql.matches(s"(?is).*\\b${java.util.regex.Pattern.quote(d)}`?\\s+AS\\s*\\(.*"),
+                s"catalog view '${m.name}' declares ephemeral dep '$d' but its " +
+                  "SQL also defines a CTE of that name — rename one of them")
+            }
+            val ctes = needed
+              .map(e => s"`${alias(e.name)}` AS (${rewriteRefs(e.sqlText.get, allNames)})")
               .mkString(", ")
-            val trimmed = sql.trim
+            // strip leading -- line comments and /* */ blocks before the
+            // WITH sniff — a comment ahead of WITH would otherwise route
+            // the text down the non-WITH branch and produce `WITH x AS
+            // (...) -- c WITH ...`, a confusing Spark parse error
+            val trimmed = rewriteRefs(sql, directNames).trim
+              .replaceAll("(?s)\\A(?:\\s*(?:--[^\\n]*\\n|/\\*.*?\\*/))*\\s*", "")
             if (trimmed.toUpperCase.startsWith("WITH"))
               s"WITH $ctes, ${trimmed.drop(4).trim}"
             else s"WITH $ctes $trimmed"

@@ -2471,8 +2471,8 @@ object PipelineQueries extends QueryModule {
         val encoded = (1 to 20).foldLeft(enc0) { (acc, i) =>
           val m = element_at(col("ms"), i)
           val pat = coalesce(concat(m.getField("a"), lit(" "), m.getField("b"), lit(" ")),
-            lit(" "))
-          val rep = coalesce(concat(m.getField("a"), m.getField("b"), lit(" ")), lit(" "))
+            lit("\u0000"))
+          val rep = coalesce(concat(m.getField("a"), m.getField("b"), lit(" ")), lit("\u0000"))
           call_function("replace", acc, pat, rep)
         }
         top.crossJoin(broadcast(mrow))

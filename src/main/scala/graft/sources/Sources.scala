@@ -24,11 +24,22 @@ object Source {
       "orc" -> OrcSource,
       "json" -> JsonSource)
 
+  // Bumped on every register() so caches keyed on resolved sources (e.g.
+  // graft.Tables' memoized plans) can include it in their key: a
+  // re-registration mid-session then MISSES the stale entry instead of
+  // silently serving a plan built against the previous binding.
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Monotone registry version — changes iff a register() happened. */
+  def generation: Long = gen.get()
+
   /** Plug a new format in (e.g. `Source.register("bigquery", BqSource)`);
     * replaces any previous binding for the name.
     */
-  def register(format: String, source: Source): Unit =
+  def register(format: String, source: Source): Unit = {
     registry.put(format, source)
+    gen.incrementAndGet()
+  }
 
   def formats: Set[String] = registry.keySet.toSet
 

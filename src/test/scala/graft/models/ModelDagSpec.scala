@@ -133,6 +133,37 @@ class ModelDagSpec extends AnyFunSuite {
     spark.catalog.dropTempView("eph_bad_mid")
   }
 
+  test("inlined ephemeral CTEs are prefixed so a view-local CTE of the same name can't collide") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "whephcte").toString
+    val mid = Model("eph_pfx_mid", Nil, Materialization.Ephemeral,
+      s => s.sql("SELECT id, id * 3 AS tri FROM range(6)"),
+      sqlText = Some("SELECT id, id * 3 AS tri FROM range(6)"))
+    // the view's OWN WITH clause defines a CTE named after a TRANSITIVE
+    // sibling name-space ('local'), plus a leading comment before WITH —
+    // both previously broke the inliner (duplicate CTE / parse error)
+    val top = Model("eph_pfx_top", Seq("eph_pfx_mid"), Materialization.View,
+      s => s.sql("SELECT tri FROM `eph_pfx_mid` WHERE tri > 6"),
+      sqlText = Some(
+        """-- leading comment before WITH
+          WITH local AS (SELECT 1 AS one)
+          SELECT tri FROM `eph_pfx_mid` CROSS JOIN local WHERE tri > 6"""))
+    ModelDag.run(spark, Seq(mid, top), warehouseDir = Some(dir), catalogViews = true)
+    assert(spark.table("eph_pfx_top").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(9L, 12L, 15L))
+    // a view-local CTE named exactly like a DIRECT ephemeral dep is
+    // genuinely ambiguous — rejected loudly, not silently rewritten
+    val bad = Model("eph_pfx_bad", Seq("eph_pfx_mid"), Materialization.View,
+      s => s.sql("SELECT 1 AS x"),
+      sqlText = Some(
+        "WITH eph_pfx_mid AS (SELECT 1 AS x) SELECT x FROM eph_pfx_mid"))
+    val e = intercept[IllegalArgumentException] {
+      ModelDag.run(spark, Seq(mid, bad), warehouseDir = Some(dir), catalogViews = true)
+    }
+    assert(e.getMessage.contains("eph_pfx_mid"), e.getMessage)
+    spark.sql("DROP VIEW IF EXISTS eph_pfx_top")
+  }
+
   test("rerunning a DAG with an ephemeral model is stable (re-registers, re-drops)") {
     import org.apache.spark.sql.functions._
     val base = Model("eph_base2", Nil, Materialization.View,
