@@ -30,7 +30,12 @@ import org.apache.spark.sql.SparkSession
   * rationale) flags `"contended":true`, telling the judge the totals
   * are load-poisoned, not regressed; a transient spike shows as
   * pre/post asymmetry in the emitted fields. A canary probe that
-  * itself fails records -1, never aborts the artifact.
+  * itself fails records -1, never aborts the artifact. The bracket has
+  * a blind spot — contention that starts after `pre` and ends before
+  * `post` (the r12 driver artifact: mid-alphabet queries 2-30× high,
+  * both probes clean) — so the probe ALSO runs every 50 queries and
+  * the artifact carries `"windows":[...]` + `"contended_windows":[...]`
+  * (1-based indexes of blocks whose probe exceeded 3× floor).
   *
   * The printed line must fit the driver's 2000-char stdout-tail capture:
   * BENCH_r01–r03 all show `parsed: null` because the full per-query map
@@ -53,10 +58,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** One timed pass; None on failure. */
+    /** Release every persisted RDD block after a pass. The iterative
+      * queries (graph family, dedup_clusters, MMR) barrier 3-6
+      * localCheckpoint frames each; ContextCleaner only reclaims those
+      * blocks when GC happens to collect the RDD reference, so across a
+      * 452-query suite they accumulate, heap pressure mounts, and
+      * whichever query draws the resulting GC pauses pays 2-4× — the r12
+      * cross-run volatility (ktruss 3.7 / 11.4 / 15.0 s on identical
+      * code). Deterministic release after every pass makes each query
+      * start from the same zero-resident state. Nothing else persists
+      * blocks across queries: Tables.load memoizes PLANS (no .cache()),
+      * so the sweep can be unconditional.
+      */
+    def releaseCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
+    /** One timed pass; None on failure. Block release runs OUTSIDE the
+      * timed window: it is bench hygiene, not query cost.
+      */
     def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
@@ -64,6 +87,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
       }
+      releaseCheckpoints()
+      r
     }
 
     /** min of two passes; -1 sentinel if either pass fails. */
@@ -101,7 +126,19 @@ object Bench {
     canaryOnce() // discarded: absorbs the canary's own codegen compile,
                  // so `pre` measures machine load, not first-run JIT
     val canaryPre = canary()
-    val results = names.map(n => n -> run(n))
+    // Mid-suite canary windows (r12 verdict item 3): the r12 driver run
+    // was load-poisoned 2-30× across the mid-alphabet block while BOTH
+    // bracketing probes read clean — contention that starts after `pre`
+    // and ends before `post` is invisible to the bracket. A single-pass
+    // probe every `windowEvery` queries localizes it: window i covers
+    // queries [i·50, (i+1)·50). Single pass, not min-of-2 — JIT is warm
+    // mid-suite and the probe's JOB is to see transient load.
+    val windowEvery = 50
+    val winTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % windowEvery == 0) winTimes += canaryOnce()
+      n -> run(n)
+    }
     val canaryPost = canary()
     // min, not max: `pre` sits ~2× floor even on an idle box (JIT
     // tiering hasn't finished after one discarded pass), while a
@@ -120,32 +157,43 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // Representative slice across operator families: TPC-H analogs, the
-    // dedup/ANN hot paths, join/snapshot/profile, pipeline, streaming,
-    // text, multimodal. Membership-filtered so a renamed query can never
-    // break the bench.
+    // The suite's TOP SPENDERS first (r12 verdict item 4: every query
+    // >2 s in a clean full run must be headline-visible, or a real
+    // regression there is invisible at the gate — the clean-r12 >2 s set
+    // is the graph family, entity blocking, negative candidates, the
+    // ingest loop, theil_sen, mips_norm), then a representative slice
+    // across operator families. Membership-filtered so a renamed query
+    // can never break the bench.
     val headline = Seq(
+      "graph_ktruss_peel", "graph_kcore_peel", "graph_neighbor_jaccard",
+      "join_entity_blocking", "sample_negative_candidates",
+      "dedup_ingest_loop", "graph_copurchase_projection", "graph_hits_power",
+      "graph_harmonic_centrality", "graph_bfs_distance", "agg_theil_sen",
+      "sim_topk_mips_norm", "graph_label_propagation",
+      "dedup_semdedup_cells", "dedup_semdedup_twolevel",
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-      "q17_small_quantity_revenue", "q18_large_volume_customer",
-      "q20_dominant_share_supplier", "q21_sole_fault_supplier",
+      "q9_product_type_profit", "q17_small_quantity_revenue",
+      "q18_large_volume_customer", "q21_sole_fault_supplier",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters",
-      "dedup_simhash", "dedup_embedding_lsh", "sim_topk_brute", "sim_topk_ivf",
+      "dedup_embedding_lsh", "sim_topk_brute", "sim_topk_ivf",
+      "sim_topk_pq", "sim_index_probe",
       "join_asof_latest_order", "join_salted_skew", "snapshot_scd2_history",
       "agg_profile_stats", "pipeline_daily_run", "pipeline_corpus_curation",
-      "streaming_sessionization", "text_lang_quality", "window_running_sum",
-      "multimodal_json_extract", "model_incremental",
-      "q9_product_type_profit", "q19_disjunctive_revenue",
-      "pipeline_decontaminate", "text_fingerprint_rolling", "sim_topk_lsh",
-      "join_asof_nearest", "window_funnel_stages", "text_quality_gopher",
-      "agg_bitmap_distinct", "agg_hll_mergeable_bounds", "streaming_late_drop",
-      "maintenance_zorder", "streaming_interval_join_outer",
-      "dedup_ingest_loop", "sim_index_probe",
-      "sim_topk_ivfpq", "text_bm25_search", "text_lm_score")
+      "pipeline_decontaminate", "streaming_sessionization",
+      "streaming_interval_join_outer", "text_lang_quality",
+      "text_fingerprint_rolling", "maintenance_zorder", "model_incremental")
     val byName = results.toMap
     val head = headline.filter(byName.contains).map(n => n -> byName(n))
 
+    // windows: one probe per 50-query block; contended_windows lists the
+    // 1-based block indexes whose probe exceeded 3× floor, so a judge can
+    // localize a contamination window without re-running the suite
+    val winJson = winTimes.map(r3).mkString("[", ",", "]")
+    val winBad = winTimes.zipWithIndex
+      .collect { case (t, i) if t > 3.0 * canaryFloor => (i + 1).toString }
+      .mkString("[", ",", "]")
     val canaryJson =
-      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"contended":$contended}"""
+      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"contended":$contended,"windows":$winJson,"contended_windows":$winBad}"""
 
     val fullJson =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"canary":$canaryJson,"queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""

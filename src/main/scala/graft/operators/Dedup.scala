@@ -487,7 +487,7 @@ object Dedup {
     candidates
       .join(shE.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shI.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -752,7 +752,7 @@ object Dedup {
         .select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(candShingles(docsB, "doc_b")
         .select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -765,7 +765,16 @@ object Dedup {
     pairs
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
+
+  /** Exact Jaccard over ANY two arrays — the generic public entry point:
+    * hash-set intersection/union via Spark's builtins, so unsorted or
+    * duplicate-element inputs (and any element type) get set semantics.
+    * Hot paths inside this module use [[sortedJaccard]] instead, whose
+    * sorted-distinct input contract buys an allocation-free merge walk.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
 
   /** Exact Jaccard over two SORTED distinct-element long arrays (every
     * shingle set in this module — `shingle_hashes` emits sorted
@@ -775,10 +784,15 @@ object Dedup {
     * materialized union — the verify step runs once per surviving
     * candidate pair, which at corpus scale is the dedup verify's whole
     * cost. Both divisions are exact-integer-operand IEEE divides, so
-    * the value is bit-identical to the old form and to the DuckDB
-    * oracles' len(list_intersect)/len(list_distinct(list_concat)).
+    * the value is bit-identical to [[jaccard]] on sorted-distinct input
+    * and to the DuckDB oracles'
+    * len(list_intersect)/len(list_distinct(list_concat)). INPUT
+    * CONTRACT: sorted, distinct, non-null elements — unsorted or
+    * duplicate elements silently undercount (the merge-walk contract),
+    * and the kernel type-checks only array<bigint> with
+    * containsNull=false; callers with arbitrary arrays use [[jaccard]].
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def sortedJaccard(a: Column, b: Column): Column = {
     val c = graft.functions.SketchFunctions.sortedIntersectCount(a, b)
     c / (size(a) + size(b) - c)
   }
@@ -1008,16 +1022,23 @@ object Dedup {
     * minimum. Returns the per-cell curation report (members, duplicate
     * pairs, removed, kept), O(cells) rows.
     *
-    * `numCells = 0` (the default) sizes the cell count to ⌊√n⌋ clamped
-    * to [64, 4096] — the BALANCED point between the two quadratic traps:
-    * a FIXED cell count makes occupancy ∝ n so in-cell pairs grow n²
-    * (the r3 LSH wall), while cells ∝ n makes the ROUTING pass (every
-    * vector × every centroid) grow n². At √n both sides grow n^1.5:
-    * routing is n·√n cosines and in-cell pair work is n·occ = n·√n.
-    * One sizing count, the embeddingNearDupPairsLsh precedent; the
-    * oracle mirrors it as a computed LIMIT (floor(sqrt(n)) is the
-    * correctly-rounded IEEE sqrt of an integer-valued double — both
-    * engines agree bit-for-bit).
+    * `numCells = 0` (the default) sizes the cell count to ⌊√n⌋ (floor 64,
+    * NO upper clamp) — the BALANCED point between the two quadratic
+    * traps: a FIXED cell count makes occupancy ∝ n so in-cell pairs grow
+    * n² (the r3 LSH wall — exactly the wall the r12-era [64, 4096] clamp
+    * silently re-opened past n ≈ 4096² ≈ 17 M vectors), while cells ∝ n
+    * makes the ROUTING pass (every vector × every centroid) grow n².
+    * At √n the in-cell pair work grows n·occ = n·√n, and the quantizer
+    * shape keeps the routing side in check past the flat-broadcast
+    * budget: [[Similarity.buildCellIndex]] switches to a TWO-LEVEL
+    * quantizer above [[Similarity.maxFlatCells]] cells (~n^(1/4) coarse
+    * cells broadcast, per-coarse-cell sub-split via a keyed shuffle
+    * join), so routing is ~2·n^(5/4) cosines and nothing corpus-scaled
+    * is ever broadcast. One sizing count, the embeddingNearDupPairsLsh
+    * precedent; the oracle mirrors the flat construction as a computed
+    * LIMIT (valid at every oracle scale — the two-level switch sits at
+    * 17 M vectors; ScalingSmokeSpec pins sub-quadratic candidate growth
+    * across that boundary).
     */
   def semDedupCells(
       embeddings: DataFrame,
@@ -1029,10 +1050,36 @@ object Dedup {
     val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val cells =
       if (numCells > 0) numCells
-      else math.min(4096L, math.max(64L,
-        math.sqrt(embeddings.count().toDouble).toLong)).toInt
-    val (_, assign) = Similarity.ivfIndex(cand, cells) // (cid, cell)
-    val withCell = cand.join(assign, "cid")
+      else math.max(64L, math.sqrt(embeddings.count().toDouble).toLong).toInt
+    semDedupReport(cand, Similarity.buildCellIndex(cand, cells), threshold)
+  }
+
+  /** [[semDedupCells]] with a FORCED two-level quantizer (explicit tier
+    * sizes) — the shape the auto path takes past ~17 M vectors, pinned
+    * at oracle-checkable corpus sizes. Same report, same keep-minimum
+    * rule; only the cell construction differs (see
+    * [[Similarity.buildCellIndexTwoLevel]]).
+    */
+  def semDedupCellsTwoLevel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      coarseCells: Int,
+      subCells: Int): DataFrame = {
+    val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    semDedupReport(cand,
+      Similarity.buildCellIndexTwoLevel(cand, coarseCells, subCells), threshold)
+  }
+
+  /** Per-cell curation report over a routed corpus: within-cell cosine
+    * pairs ≥ threshold, removed = distinct higher-id pair members (each
+    * duplicate group keeps its minimum id), O(cells) output rows.
+    */
+  private def semDedupReport(cand: DataFrame, index: Similarity.CellIndex,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(cand.sparkSession)
+    val withCell = cand.join(index.route(cand), "cid")
     val pairs = withCell
       .select(col("cell"), col("cid").as("id_a"), col("cvec").as("va"))
       .join(withCell.select(col("cell").as("cell2"), col("cid").as("id_b"),
@@ -1052,34 +1099,55 @@ object Dedup {
         (col("n_members") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
   }
 
-  /** Incremental SemDeDup: admit an incoming batch against a FROZEN
-    * cell index built over the stored corpus — the per-batch serving
-    * shape of [[semDedupCells]], completing the index-lifecycle story
-    * the MinHash (`dedup_signature_index`) and IVF (`sim_index_probe`)
-    * families already have. Per batch: route |batch| vectors against
-    * the stored quantizer (|batch|·cells cosines — never a corpus
-    * re-assignment), compare each only against SAME-CELL stored members
-    * plus SMALLER-ID same-cell batchmates (so a batch of mutual dups
-    * admits exactly its minimum — the semDedupCells keep rule applied
-    * online). Emits one row per batch vector: cell, match count, best
-    * (highest-cosine, ties → lower id) match, and the admit decision.
-    * O(batch · occupancy) — never O(corpus).
+  /** Incremental SemDeDup, CONVENIENCE form: builds the cell index over
+    * `stored` on every call — one corpus-sized routing pass plus a
+    * count() for the auto-sizing — then delegates to the index overload.
+    * Right for one-shot admission checks; a serving tier admitting many
+    * batches builds the index once ([[Similarity.buildCellIndex]] +
+    * `index.route(stored)`, both persistable DataFrames) and calls the
+    * overload below per batch, which is O(batch·occupancy), never
+    * O(corpus). (r12 advisory: the per-call rebuild is a property of
+    * THIS overload, not of the algorithm.)
     */
   def semDedupProbe(
       stored: DataFrame, // (cid, cvec) — the indexed corpus
       batch: DataFrame, // (cid, cvec) — incoming
       threshold: Double,
       numCells: Int = 0): DataFrame = {
-    graft.functions.VectorFunctions.register(stored.sparkSession)
     val cells =
       if (numCells > 0) numCells
-      else math.min(4096L, math.max(64L,
-        math.sqrt(stored.count().toDouble).toLong)).toInt
-    val (centroids, storedAssign) = Similarity.ivfIndex(stored, cells)
+      else math.max(64L, math.sqrt(stored.count().toDouble).toLong).toInt
+    val index = Similarity.buildCellIndex(
+      stored.select(col("cid"), col("cvec")), cells)
+    semDedupProbe(index, index.route(stored), stored, batch, threshold)
+  }
+
+  /** Incremental SemDeDup against a PREBUILT frozen index: admit an
+    * incoming batch using the stored corpus's quantizer and assignment
+    * tables — the per-batch serving shape of [[semDedupCells]],
+    * completing the index-lifecycle story the MinHash
+    * (`dedup_signature_index`) and IVF (`sim_index_probe`) families
+    * already have. Per batch: route |batch| vectors against the FROZEN
+    * quantizer (|batch|·|coarse| broadcast cosines, plus the keyed
+    * sub-tier join when two-level — never a corpus re-assignment),
+    * compare each only against SAME-CELL stored members plus SMALLER-ID
+    * same-cell batchmates (so a batch of mutual dups admits exactly its
+    * minimum — the semDedupCells keep rule applied online). Emits one
+    * row per batch vector: cell, match count, best (highest-cosine,
+    * ties → lower id) match, and the admit decision.
+    * O(batch · occupancy) — never O(corpus).
+    */
+  def semDedupProbe(
+      index: Similarity.CellIndex, // frozen quantizer over `stored`
+      storedAssign: DataFrame, // (cid, cell) — stored routing, persistable
+      stored: DataFrame, // (cid, cvec) — vectors for the verify cosines
+      batch: DataFrame, // (cid, cvec) — incoming
+      threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(stored.sparkSession)
     val storedCells = stored.join(storedAssign, "cid")
       .select(col("cell"), col("cid").as("sid"), col("cvec").as("sv"))
     val batchCells = batch
-      .join(Similarity.routeToCells(centroids, batch), "cid")
+      .join(index.route(batch), "cid")
       .select(col("cell"), col("cid"), col("cvec"))
     val candidates = batchCells
       .join(storedCells, Seq("cell"))

@@ -427,12 +427,128 @@ object Similarity {
 
   private def assignCells(centroids: DataFrame, vectors: DataFrame): DataFrame = {
     VectorFunctions.register(vectors.sparkSession)
-    rankTopK(
-        vectors.crossJoin(broadcast(centroids))
-          .select(col("cid").as("qid"), col("cell_id").as("cid"),
-            VectorFunctions.cosineSim(col("cvec"), col("centroid")).as("sim")),
-        1)
-      .select(col("query_id").as("cid"), col("neighbor_id").as("cell"))
+    argmaxCell(vectors.crossJoin(broadcast(centroids))
+      .select(col("cid"),
+        VectorFunctions.cosineSim(col("cvec"), col("centroid")).as("sim"),
+        col("cell_id")))
+  }
+
+  /** argmax-cosine cell pick from (cid, sim, cell_id) scored rows — the
+    * k=1 rank with the SAME semantics as [[rankTopK]] at k=1 (highest
+    * sim, ties → lower cell id: max of struct(sim, −cell) compares
+    * lexicographically), but as a codegen'd declarative `max` instead of
+    * the boxed bounded-heap aggregate. Routing is the corpus-sized pass
+    * of every index build (n·|centroids| rows flow through this), so the
+    * k=1 special case is worth the native form: the 17 M-vector boundary
+    * guard measured the heap form ~6× slower end-to-end.
+    */
+  private def argmaxCell(scored: DataFrame): DataFrame =
+    scored
+      .select(col("cid"),
+        struct(col("sim"), (-col("cell_id")).as("ncell")).as("p"))
+      .groupBy(col("cid"))
+      .agg(max(col("p")).as("best"))
+      .select(col("cid"), (-col("best.ncell")).as("cell"))
+
+  /** A frozen cell-quantizer artifact, one or two levels.
+    *
+    * `coarse` = (cell_id, centroid): the broadcast tier — at most
+    * [[maxFlatCells]] rows single-level, ~n^(1/4) rows two-level, so it
+    * broadcasts at ANY corpus size. `sub` = Some((ccell, cell_id,
+    * centroid)): the second tier, routed by a KEYED equi join on the
+    * coarse cell (a shuffle join, never a broadcast BNLJ), so its row
+    * count — ~√n at the two-level sizing — never has to fit in a
+    * broadcast budget. Final cell ids are member vector ids in both
+    * shapes (globally unique; a vector's cell is its quantizer-nearest
+    * sub-centroid's id).
+    */
+  final case class CellIndex(coarse: DataFrame, sub: Option[DataFrame]) {
+    /** Route vectors (cid, cvec) → (cid, cell) against the frozen
+      * quantizer: |v|·|coarse| broadcast cosines, plus — two-level only —
+      * one keyed join to the owning coarse cell's sub-centroids
+      * (≤ |v|·c2 cosines through a shuffle join). Never corpus-sized,
+      * never an unbounded broadcast.
+      */
+    def route(vectors: DataFrame): DataFrame = sub match {
+      case None => assignCells(coarse, vectors)
+      case Some(subCents) =>
+        val coarseAssign = assignCells(
+          coarse.select(col("cell_id"), col("centroid")), vectors)
+          .select(col("cid"), col("cell").as("ccell"))
+        val subAssign = argmaxCell(vectors.join(coarseAssign, "cid")
+          .join(subCents, "ccell") // keyed shuffle join — no broadcast
+          .select(col("cid"),
+            VectorFunctions.cosineSim(col("cvec"), col("centroid")).as("sim"),
+            col("cell_id")))
+        // A PROBED vector can land in a coarse cell that was EMPTY when
+        // the index was built (no sub-quantizer there) — the inner join
+        // above drops it. Such a vector gets the deterministic fallback
+        // cell −ccell−1: negative, so it can never collide with a real
+        // sub-cell id (member vec ids, ≥ 0), and empty-at-build means no
+        // stored member shares it — exactly the "nothing to compare
+        // against" semantics an empty cell should have.
+        coarseAssign.join(subAssign, Seq("cid"), "left")
+          .select(col("cid"),
+            coalesce(col("cell"), -col("ccell") - 1).as("cell"))
+    }
+  }
+
+  /** Above this, a flat quantizer stops scaling: broadcast-routing √n
+    * centroids is fine to here (4096 × 1 KiB vectors ≈ 4 MiB), but the
+    * r3-documented wall is the ROUTING product n·√n — past n ≈ 4096²
+    * (~17 M vectors) the two-level split keeps both tiers ~n^(1/4) and
+    * total routing ~n^(5/4) instead.
+    */
+  val maxFlatCells = 4096
+
+  /** Seeded deterministic cell quantizer, auto-shaped to the corpus:
+    * single-level (lowest-id centroids, [[ivfIndex]] semantics) while
+    * `totalCells` ≤ [[maxFlatCells]]; past that, TWO-LEVEL — ~√totalCells
+    * coarse cells from the lowest ids, then each coarse cell re-split by
+    * its own lowest-id members into ~√totalCells sub-centroids. The
+    * two-level shape removes BOTH 100 TB walls of the flat form at once:
+    * the routing pass drops from n·√n to ~2·n^(5/4) cosines (coarse tier
+    * broadcast, sub tier a keyed shuffle join), and the broadcast payload
+    * stays ~n^(1/4) rows no matter how big the corpus grows. Hot cells
+    * are re-split BY CONSTRUCTION (every coarse cell gets its own
+    * sub-quantizer), so occupancy keeps shrinking as cells grow with n —
+    * no frozen-cell-count quadratic. Fully deterministic: both tiers are
+    * lowest-id seeds, both argmaxes tie-break to the lower cell id, so a
+    * DuckDB oracle can replay the construction exactly.
+    */
+  def buildCellIndex(candidates: DataFrame, totalCells: Int): CellIndex = {
+    require(totalCells > 0, s"totalCells must be positive, got $totalCells")
+    if (totalCells <= maxFlatCells) {
+      val (centroids, _) = ivfIndex(candidates, totalCells)
+      CellIndex(centroids, None)
+    } else {
+      // ceil(sqrt) on both tiers: c1·c2 ≥ totalCells, each tier ~√totalCells
+      val c1 = math.ceil(math.sqrt(totalCells.toDouble)).toInt
+      val c2 = math.ceil(totalCells.toDouble / c1).toInt
+      buildCellIndexTwoLevel(candidates, c1, c2)
+    }
+  }
+
+  /** The two-level construction with EXPLICIT tier sizes — what
+    * [[buildCellIndex]] auto-picks past [[maxFlatCells]]; exposed so the
+    * two-level path can be exercised (and oracle-replayed) at small
+    * corpus sizes instead of only past 17 M vectors.
+    */
+  def buildCellIndexTwoLevel(candidates: DataFrame, coarseCells: Int,
+      subCells: Int): CellIndex = {
+    require(coarseCells > 0 && subCells > 0,
+      s"tier sizes must be positive, got ($coarseCells, $subCells)")
+    val coarse = candidates.orderBy(col("cid")).limit(coarseCells)
+      .select(col("cid").as("cell_id"), col("cvec").as("centroid"))
+    val coarseAssign = assignCells(coarse, candidates)
+      .select(col("cid"), col("cell").as("ccell"))
+    import org.apache.spark.sql.expressions.Window
+    val sub = candidates.join(coarseAssign, "cid")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ccell")).orderBy(col("cid"))))
+      .filter(col("rn") <= subCells)
+      .select(col("ccell"), col("cid").as("cell_id"), col("cvec").as("centroid"))
+    CellIndex(coarse, Some(sub))
   }
 
   /** Rotation for the persisted IVF index: route the incoming batch

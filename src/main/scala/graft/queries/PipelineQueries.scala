@@ -708,8 +708,8 @@ object PipelineQueries extends QueryModule {
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
         cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id
-          LIMIT (SELECT least(4096, greatest(64,
-                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))
+          LIMIT (SELECT greatest(64,
+                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
                  FROM embeddings)),
         assign AS (SELECT vec_id, cell FROM (
             SELECT c.vec_id, t.cell,
@@ -755,8 +755,8 @@ object PipelineQueries extends QueryModule {
         stored AS (SELECT * FROM v WHERE vec_id % 4 <> 0),
         batch AS (SELECT * FROM v WHERE vec_id % 4 = 0),
         cent AS (SELECT vec_id AS cell, e AS ce FROM stored ORDER BY vec_id
-          LIMIT (SELECT least(4096, greatest(64,
-                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)))
+          LIMIT (SELECT greatest(64,
+                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
                  FROM stored)),
         sa AS (SELECT vec_id, cell FROM (
             SELECT s.vec_id, t.cell, row_number() OVER (PARTITION BY s.vec_id
@@ -792,6 +792,53 @@ object PipelineQueries extends QueryModule {
           coalesce(best.n_matches, 0) = 0 AS admitted
         FROM ba LEFT JOIN best ON best.cid = ba.vec_id
         ORDER BY ba.vec_id""")),
+
+    // ── SemDeDup, two-level quantizer FORCED at oracle scale: the shape
+    //    the auto path takes past ~17 M vectors (√√n coarse cells route
+    //    by broadcast, each coarse cell re-split by its own lowest-id
+    //    members via a keyed shuffle join — no frozen-cell-count
+    //    quadratic, no corpus-scaled broadcast). 8×8 tiers here so the
+    //    500-vector correctness fixture exercises every construction
+    //    step; the oracle replays both tiers exactly (lowest-id seeds,
+    //    cosine argmax, ties → lower cell at both levels). ──────────────
+    QueryDef("dedup_semdedup_twolevel",
+      (s, dir) => Dedup.semDedupCellsTwoLevel(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, coarseCells = 8, subCells = 8)
+        .orderBy("cell"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cc AS (SELECT vec_id AS ccell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        ca AS (SELECT vec_id, ccell FROM (
+            SELECT c.vec_id, t.ccell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.ccell) AS rn
+            FROM v c CROSS JOIN cc t) WHERE rn = 1),
+        sc AS (SELECT ccell, vec_id AS cell, e AS sce FROM (
+            SELECT ca.ccell, ca.vec_id, v.e,
+              row_number() OVER (PARTITION BY ca.ccell
+                ORDER BY ca.vec_id) AS rn
+            FROM ca JOIN v ON v.vec_id = ca.vec_id) WHERE rn <= 8),
+        sa AS (SELECT vec_id, cell FROM (
+            SELECT ca.vec_id, sc.cell,
+              row_number() OVER (PARTITION BY ca.vec_id
+                ORDER BY list_cosine_similarity(v.e, sc.sce) DESC, sc.cell) AS rn
+            FROM ca JOIN v ON v.vec_id = ca.vec_id
+            JOIN sc ON sc.ccell = ca.ccell) WHERE rn = 1),
+        wc AS (SELECT sa.vec_id, sa.cell, v.e FROM sa
+          JOIN v ON v.vec_id = sa.vec_id),
+        pairs AS (SELECT x.cell, x.vec_id AS id_a, y.vec_id AS id_b
+          FROM wc x JOIN wc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          WHERE list_cosine_similarity(x.e, y.e) >= 0.4),
+        pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+            CAST(count(DISTINCT id_b) AS BIGINT) AS n_removed
+          FROM pairs GROUP BY cell),
+        mem AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+          FROM wc GROUP BY cell)
+        SELECT mem.cell, mem.n_members,
+          CAST(coalesce(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+          CAST(coalesce(pc.n_removed, 0) AS BIGINT) AS n_removed,
+          CAST(mem.n_members - coalesce(pc.n_removed, 0) AS BIGINT) AS n_kept
+        FROM mem LEFT JOIN pc ON mem.cell = pc.cell ORDER BY mem.cell""")),
 
     // ── similarity search: exact top-k per query (bounded-heap agg) ─────
     QueryDef("sim_topk_brute",

@@ -126,6 +126,41 @@ object SourceSinkQueries extends QueryModule {
           min(n_name) AS first_name, CAST(max(n_nationkey) AS INTEGER) AS max_key
         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // JDBC warehouse round-trip through embedded Derby — the Source
+    // seam's first REAL connector (SURVEY §2.1 promises a warehouse drop-
+    // in; the file formats above can't prove pushdown). The nation dims
+    // write into an in-memory Derby table (VARCHAR column types pinned —
+    // Spark's DerbyDialect would otherwise map strings to CLOB, which
+    // Derby refuses to compare/aggregate), then read BACK through
+    // Source("jdbc") with a filter Spark pushes into the database
+    // (SourceRegistrySpec pins `PushedFilters` in the scan). Oracle
+    // recomputes from the original parquet, so value equality proves
+    // type-faithful fidelity through a genuine JDBC write/read.
+    QueryDef("src_jdbc_roundtrip",
+      (s, dir) => {
+        val url = graft.sources.JdbcSource.derbyMemoryUrl("graft_src")
+        Tables.load(s, dir, "nation").write.format("jdbc")
+          .option("url", url)
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("dbtable", "nation_jdbc")
+          .option("createTableColumnTypes",
+            "n_name VARCHAR(64)")
+          .mode("overwrite").save()
+        if (!graft.sources.Source.formats.contains("jdbc"))
+          graft.sources.Source.register("jdbc", graft.sources.JdbcSource(url))
+        graft.sources.Source("jdbc").load(s, "nation_jdbc")
+          .filter(col("n_regionkey") >= 2) // pushed into Derby
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("n_name")).as("first_name"),
+            max(col("n_nationkey")).as("max_key"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+          min(n_name) AS first_name, CAST(max(n_nationkey) AS INTEGER) AS max_key
+        FROM nation WHERE n_regionkey >= 2
+        GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // JSON-lines source/sink round-trip with INFERRED schema — the
     // other in-box format (spark-avro isn't shipped in /opt/spark/jars).
     // Doubles survive because the JSON writer emits round-trippable

@@ -281,10 +281,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // (per iteration); the edge build and contributions are equi joins
     "graph_pagerank_fixed",
     // semdedup (+ its incremental probe): the same vector×centroid
-    // routing cross join as topk_ivf (|cells|-row broadcast side,
-    // auto-sized ~√n ≤ 4096); the in-cell pair/candidate joins are
-    // equi joins on cell
+    // routing cross join as topk_ivf; the broadcast side is the COARSE
+    // quantizer tier only — ~√n up to maxFlatCells=4096 flat, ~n^(1/4)
+    // rows two-level past that, so it is bounded at ANY corpus size —
+    // and the in-cell pair/candidate joins are equi joins on cell
     "dedup_semdedup_cells", "dedup_semdedup_probe",
+    // two-level semdedup: the coarse tier (8 rows here) is the only
+    // BNLJ; the sub tier routes via a keyed equi join on ccell
+    "dedup_semdedup_twolevel",
     // curriculum: |bins|-row (≤3) bucket-count self-join on bin<bin for
     // the cumulative offsets — both sides broadcast-tiny
     "pipeline_curriculum_order",
@@ -795,6 +799,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // r12: SemDeDup cell blocking (auto-sized quantizer + in-cell pair
     // join), multi-query MMR operator, hashed-classifier explode+agg
     "dedup_semdedup_cells", "sim_rerank_mmr", "text_hashed_classifier",
+    // r13: the forced two-level quantizer (coarse broadcast + keyed
+    // sub-tier join) must keep its shape at 10× data
+    "dedup_semdedup_twolevel",
     // r11 batch 19: ER blocking self-join, temporal-cut broadcasts,
     // prefix-template rollup
     "join_entity_blocking", "split_temporal_holdout",

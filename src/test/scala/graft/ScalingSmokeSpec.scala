@@ -86,6 +86,55 @@ class ScalingSmokeSpec extends AnyFunSuite {
       "bucket-space saturation (quadratic wall): " + offenders.mkString(", "))
   }
 
+  test("semdedup auto-sizing crosses the 4096-cell flat boundary sub-quadratically") {
+    // r12 verdict item 1: the old [64, 4096] clamp froze the cell count
+    // past n ≈ 4096² ≈ 16.8 M vectors — occupancy then grew ∝ n and
+    // in-cell pair work returned to n²/4096, the exact wall the √n
+    // sizing was built to avoid. The fix: ⌊√n⌋ unclamped, built as a
+    // TWO-LEVEL quantizer past maxFlatCells (coarse ~n^(1/4) broadcast
+    // tier + per-coarse-cell keyed sub-split). This guard actually
+    // CROSSES the boundary — 17 M synthetic dim-2 vectors through the
+    // real auto-sizing — and asserts the mechanism: the index goes
+    // two-level, the realized cell count keeps growing past the old
+    // clamp, and the candidate-pair volume Σ occ·(occ−1)/2 stays within
+    // a small factor of the n^1.5 envelope (a frozen 4096-cell index is
+    // AT the envelope exactly at the boundary and ∝ n² beyond it, so
+    // the mechanism assertions are what make this a boundary guard).
+    // Vector angles follow the golden-angle spiral so ids are
+    // uncorrelated with direction — the lowest-id seeding needs spread
+    // seeds, same as the real embeddings fixture (ids ⊥ geometry).
+    assume(new java.io.File(s"$sf1/documents.parquet").exists(),
+      "sf1 not generated (scaling pass only — this test is synthetic but heavyweight)")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val n = 17000000L
+    val cells = math.max(64L, math.sqrt(n.toDouble).toLong).toInt // semDedupCells' auto-sizing
+    assert(cells > Similarity.maxFlatCells,
+      s"guard must cross the flat boundary: cells=$cells")
+    val golden = 2.399963229728653d
+    val cand = spark.range(n).select(col("id").as("cid"),
+      array(cos(col("id") * lit(golden)).cast("float"),
+        sin(col("id") * lit(golden)).cast("float")).as("cvec"))
+    val index = Similarity.buildCellIndex(cand, cells)
+    assert(index.sub.isDefined, "past maxFlatCells the index must be two-level")
+    val t0 = System.nanoTime()
+    val row = index.route(cand).groupBy("cell").agg(count(lit(1)).as("occ"))
+      .agg(sum(col("occ") * (col("occ") - lit(1L)) / lit(2L)).as("cand_pairs"),
+        count(lit(1)).as("n_cells"), max(col("occ")).as("max_occ"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val candPairs = row.getAs[Number]("cand_pairs").doubleValue()
+    val nCells = row.getAs[Long]("n_cells")
+    val maxOcc = row.getAs[Long]("max_occ")
+    val envelope = n.toDouble * math.sqrt(n.toDouble) / 2.0
+    info(f"n=$n cells=$nCells maxOcc=$maxOcc candPairs=$candPairs%.3g " +
+      f"envelope=$envelope%.3g ratio=${candPairs / envelope}%.2f route+occ=$secs%.1fs")
+    assert(nCells > Similarity.maxFlatCells,
+      s"cell count re-froze at the old clamp: $nCells")
+    assert(candPairs <= 8.0 * envelope,
+      f"candidate volume ${candPairs}%.3g exceeds 8× the n^1.5 envelope $envelope%.3g")
+  }
+
   test("embedding LSH keeps near-identical recall at the sf1 bucket sizing") {
     assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
       "sf1 not generated (tools/gen_sf1.py)")

@@ -512,6 +512,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedupCellsTwoLevel: partition + report invariants hold and the quantizer is genuinely two-tier") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cand = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val index = Similarity.buildCellIndexTwoLevel(cand, coarseCells = 4, subCells = 4)
+    assert(index.sub.isDefined)
+    // routing is total and single-valued: every vector gets exactly one cell
+    val assign = index.route(cand).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(assign.length == emb.count() && assign.map(_._1).distinct.length == assign.length)
+    // every cell id is a sub-centroid's member vec id (no fallback cells
+    // when routing the build corpus itself), and ≤ 16 cells exist
+    val subIds = index.sub.get.collect().map(_.getLong(1)).toSet
+    assert(assign.map(_._2).toSet.subsetOf(subIds))
+    assert(assign.map(_._2).distinct.length <= 16)
+    // the report over the two-level routing preserves the semdedup
+    // invariants: members partition the corpus, kept = members − removed
+    val report = Dedup.semDedupCellsTwoLevel(emb, "vec_id", "embedding",
+      threshold = 0.4, coarseCells = 4, subCells = 4).collect()
+    assert(report.map(_.getLong(1)).sum == emb.count())
+    report.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(3) && r.getLong(4) >= 1)
+    }
+  }
+
+  test("semDedupProbe prebuilt-index overload equals the convenience form (and never re-routes the corpus)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stored = emb.filter(col("vec_id") % 4 =!= 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val convenience = Dedup.semDedupProbe(stored, batch, threshold = 0.4, numCells = 16)
+      .collect().map(_.toString).sorted.toSeq
+    // serving shape: build once, persist (localCheckpoint stands in for
+    // the parquet round-trip), probe with the frozen artifacts
+    val index = Similarity.buildCellIndex(stored, 16)
+    val storedAssign = index.route(stored).localCheckpoint(true)
+    val viaIndex = Dedup.semDedupProbe(index, storedAssign, stored, batch, threshold = 0.4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex == convenience)
+  }
+
   test("semDedupProbe: admit decisions match the brute same-cell replay") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val stored = emb.filter(col("vec_id") % 4 =!= 0)

@@ -44,6 +44,42 @@ class SourceRegistrySpec extends AnyFunSuite {
     } finally Source.register("fake_warehouse", FakeWarehouseSource) // idempotent re-bind
   }
 
+  test("JDBC source behind the seam: real connector, real filter pushdown (embedded Derby)") {
+    // r12 verdict item 7: the seam had only file formats and an
+    // in-memory fake — prove it against a connector with genuine
+    // pushdown semantics. Derby ships on Spark's classpath (metastore
+    // engine), so this is zero-new-deps.
+    import org.apache.spark.sql.functions._
+    val url = JdbcSource.derbyMemoryUrl("graft_spec")
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .write.format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "nation_spec")
+      .option("createTableColumnTypes",
+        "n_name VARCHAR(64)")
+      .mode("overwrite").save()
+    Source.register("jdbc", JdbcSource(url))
+    val df = Source("jdbc").load(spark, "nation_spec")
+      .filter(col("n_regionkey") >= 2)
+      .select("n_nationkey", "n_regionkey")
+    // the filter must reach the DATABASE, not run in Spark: the JDBC
+    // scan advertises it as a pushed filter, and the column list is
+    // pruned to the two selected columns
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.replaceAll("\\s", "").contains("GreaterThanOrEqual(n_regionkey,2)"),
+      s"filter not pushed into the JDBC source:\n$scan")
+    assert(!scan.contains("n_name"), "column pruning lost through JDBC " +
+      "(unselected n_name should not appear in the scan)")
+    // and the values are right (vs the parquet original)
+    val viaJdbc = df.collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    val direct = graft.Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      .filter(col("n_regionkey") >= 2).select("n_nationkey", "n_regionkey")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(viaJdbc.sameElements(direct))
+  }
+
   test("unknown format fails loudly with the registered list") {
     val e = intercept[IllegalArgumentException](Source("snowflake_nope"))
     assert(e.getMessage.contains("snowflake_nope"))
