@@ -55,6 +55,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Shuffle FILES (unlike RDD blocks, which the per-pass release
+      // sweep frees) are only deleted when ContextCleaner sees the
+      // shuffle dependency get GC'd — across a heavy multi-query run at
+      // big sf they accumulate until the disk fills (the sf10 ktruss
+      // measurement died on SPILL_OUT_OF_MEMORY/ENOSPC with ~70 GB of
+      // dead shuffle files from the six previous queries still on
+      // disk). The 2-min periodic driver GC bounds that accumulation;
+      // at sf0.1 suite pace it fires ~4 times (~1 s total).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1054,22 +1054,34 @@ object Dedup {
     semDedupReport(cand, Similarity.buildCellIndex(cand, cells), threshold)
   }
 
-  /** [[semDedupCells]] with a FORCED two-level quantizer (explicit tier
-    * sizes) — the shape the auto path takes past ~17 M vectors, pinned
-    * at oracle-checkable corpus sizes. Same report, same keep-minimum
-    * rule; only the cell construction differs (see
-    * [[Similarity.buildCellIndexTwoLevel]]).
+  /** [[semDedupCells]] with a FORCED two-level quantizer — the shape the
+    * auto path takes past ~17 M vectors, pinned at oracle-checkable
+    * corpus sizes. Same report, same keep-minimum rule; only the cell
+    * construction differs (see [[Similarity.buildCellIndexTwoLevel]]).
+    * Tier sizes ≤ 0 auto-size to ⌊√⌊√n⌋⌋ (floor 2) — BOTH tiers grow
+    * with the corpus, so total cells track √n and neither the fixed-cell
+    * (n² pairs) nor the fixed-occupancy (n² routing) trap re-opens; the
+    * nested integer sqrt is exactly replayable in SQL (sqrt of an
+    * integer-valued double is correctly rounded in both engines, the
+    * semDedupCells LIMIT precedent).
     */
   def semDedupCellsTwoLevel(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      coarseCells: Int,
-      subCells: Int): DataFrame = {
+      coarseCells: Int = 0,
+      subCells: Int = 0): DataFrame = {
     val cand = embeddings.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val (c1, c2) =
+      if (coarseCells > 0 && subCells > 0) (coarseCells, subCells)
+      else {
+        val t = math.max(2L, math.sqrt(
+          math.sqrt(embeddings.count().toDouble).toLong.toDouble).toLong).toInt
+        (t, t)
+      }
     semDedupReport(cand,
-      Similarity.buildCellIndexTwoLevel(cand, coarseCells, subCells), threshold)
+      Similarity.buildCellIndexTwoLevel(cand, c1, c2), threshold)
   }
 
   /** Per-cell curation report over a routed corpus: within-cell cosine

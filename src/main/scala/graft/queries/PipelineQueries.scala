@@ -794,20 +794,26 @@ object PipelineQueries extends QueryModule {
         ORDER BY ba.vec_id""")),
 
     // ── SemDeDup, two-level quantizer FORCED at oracle scale: the shape
-    //    the auto path takes past ~17 M vectors (√√n coarse cells route
-    //    by broadcast, each coarse cell re-split by its own lowest-id
+    //    the auto path takes past ~17 M vectors (coarse cells route by
+    //    broadcast, each coarse cell re-split by its own lowest-id
     //    members via a keyed shuffle join — no frozen-cell-count
-    //    quadratic, no corpus-scaled broadcast). 8×8 tiers here so the
-    //    500-vector correctness fixture exercises every construction
-    //    step; the oracle replays both tiers exactly (lowest-id seeds,
-    //    cosine argmax, ties → lower cell at both levels). ──────────────
+    //    quadratic, no corpus-scaled broadcast). BOTH tiers auto-size to
+    //    ⌊√⌊√n⌋⌋ (4×4 at the 500-vector correctness fixture, 21×21 at
+    //    sf10) so total cells track √n at every sf — a fixed tier pin
+    //    would itself re-open the fixed-cell n² trap as sf grows. The
+    //    oracle replays both tiers exactly (computed tier LIMIT, lowest-
+    //    id seeds, cosine argmax, ties → lower cell at both levels). ────
     QueryDef("dedup_semdedup_twolevel",
       (s, dir) => Dedup.semDedupCellsTwoLevel(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.4, coarseCells = 8, subCells = 8)
+          "vec_id", "embedding", threshold = 0.4) // tiers auto-sized ~⁴√n
         .orderBy("cell"),
       Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings),
-        cc AS (SELECT vec_id AS ccell, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        tiers AS (SELECT greatest(2, CAST(floor(sqrt(CAST(
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+            AS DOUBLE))) AS BIGINT)) AS t FROM embeddings),
+        cc AS (SELECT vec_id AS ccell, e AS ce FROM v ORDER BY vec_id
+          LIMIT (SELECT t FROM tiers)),
         ca AS (SELECT vec_id, ccell FROM (
             SELECT c.vec_id, t.ccell,
               row_number() OVER (PARTITION BY c.vec_id
@@ -817,7 +823,8 @@ object PipelineQueries extends QueryModule {
             SELECT ca.ccell, ca.vec_id, v.e,
               row_number() OVER (PARTITION BY ca.ccell
                 ORDER BY ca.vec_id) AS rn
-            FROM ca JOIN v ON v.vec_id = ca.vec_id) WHERE rn <= 8),
+            FROM ca JOIN v ON v.vec_id = ca.vec_id)
+          WHERE rn <= (SELECT t FROM tiers)),
         sa AS (SELECT vec_id, cell FROM (
             SELECT ca.vec_id, sc.cell,
               row_number() OVER (PARTITION BY ca.vec_id
