@@ -10333,8 +10333,16 @@ object RelationalQueries extends QueryModule {
           val adj = ed.select($"a".as("n"), $"b".as("m"))
             .union(ed.select($"b".as("n"), $"a".as("m")))
             .groupBy($"n").agg(sort_array(collect_list($"m")).as("nbrs"))
-          ed.join(adj.select($"n".as("a"), $"nbrs".as("na")), "a")
-            .join(adj.select($"n".as("b"), $"nbrs".as("nb")), "b")
+          // shuffle_hash on the adjacency side of BOTH joins: under the
+          // default sort-merge plan the SECOND join sorts its left input
+          // — the |E|-row edge⋈adjacency intermediate already carrying
+          // one endpoint's full array (~Σdeg² elements wide) — and that
+          // sort is the spill that killed the sf10 measurement (~70 GB
+          // scratch, ENOSPC). Hashing the SMALL side (|V| adjacency
+          // rows) instead lets the wide side stream unsorted: scratch
+          // drops to the hash tables (|V|·deg elements per partition).
+          ed.join(adj.select($"n".as("a"), $"nbrs".as("na")).hint("shuffle_hash"), "a")
+            .join(adj.select($"n".as("b"), $"nbrs".as("nb")).hint("shuffle_hash"), "b")
             .select($"a", $"b",
               // native two-pointer merge count over the SORTED adjacency
               // arrays — array_intersect pays a boxed hash set + a
@@ -10449,8 +10457,10 @@ object RelationalQueries extends QueryModule {
           val adj = ed.select($"a".as("n"), $"b".as("m"))
             .union(ed.select($"b".as("n"), $"a".as("m")))
             .groupBy($"n").agg(sort_array(collect_list($"m")).as("nbrs"))
-          ed.join(adj.select($"n".as("a"), $"nbrs".as("na")), "a")
-            .join(adj.select($"n".as("b"), $"nbrs".as("nb")), "b")
+          // shuffle_hash on the adjacency sides — see graph_ktruss_peel:
+          // sorting the array-wide intermediate is the spill at scale
+          ed.join(adj.select($"n".as("a"), $"nbrs".as("na")).hint("shuffle_hash"), "a")
+            .join(adj.select($"n".as("b"), $"nbrs".as("nb")).hint("shuffle_hash"), "b")
             .select($"a", $"b",
               graft.functions.SketchFunctions
                 .sortedIntersectCount($"na", $"nb").as("sup"))
