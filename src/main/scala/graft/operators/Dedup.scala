@@ -443,6 +443,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** b-bit MinHash LSH (Li & König, WWW'10): identical pipeline to
+    * [[minhashLshPairs]], but each signature slot is truncated to its
+    * low `bits` bits BEFORE banding — the signature a 100 TB index
+    * actually persists shrinks from 64×8 B to 64×`bits`/8 B (16× at
+    * the default b=4), which is the difference between an index that
+    * fits executor memory and one that doesn't.
+    *
+    * Correctness is unchanged: truncation is a pure function of the
+    * slot, so two docs whose full slots collide still collide after
+    * masking — the banded detector's no-miss guarantee at the
+    * threshold is PRESERVED, and the extra false-positive candidates
+    * truncation admits (two different slots agreeing on their low b
+    * bits, ≈ 2^-b·r per band) are removed by the same exact-Jaccard
+    * verify. The output is therefore the identical exact pair relation,
+    * pinned by sharing [[minhashLshPairs]]'s oracle.
+    */
+  def minhashLshPairsBbit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      bits: Int = 4): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"b-bit minhash bits in [1, 63], got $bits")
+    graft.functions.SketchFunctions.register(docs.sparkSession)
+    val mask = (1L << bits) - 1
+    val shingled = shingleHashed(docs, idCol, textCol, shingleSize)
+    val withSig = shingled
+      .withColumn("sig",
+        transform(minhashSignature(col("sh"), bands * rowsPerBand),
+          v => v.bitwiseAND(lit(mask))))
+    val banded = withSig.select(col("id"),
+      bandKeys(col("sig"), bands, rowsPerBand).as(Seq("band", "bkey")))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    attachShingles(candidates, shingled)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Incremental (asymmetric) near-dup detection: which INCOMING docs
     * near-duplicate a doc already in the EXISTING corpus — the streaming
     * ingest shape. At 100 TB the existing side's banded signatures are a

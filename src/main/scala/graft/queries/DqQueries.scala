@@ -571,6 +571,65 @@ object DqQueries extends QueryModule {
           ('o_orderstatus', 'string', 'string', 'ok'),
           ('o_totalprice', 'double', 'double', 'ok'))
           t(column_name, expected_type, actual_type, status)
-        ORDER BY column_name"""))
+        ORDER BY column_name""")),
+
+    // ── functional-dependency violation audit (the Metanome-style FD
+    //    check a profiler runs before trusting a column as a lookup
+    //    key): for each CANDIDATE dependency A → B, group by A and
+    //    count groups carrying >1 distinct B — a violated FD means A
+    //    does NOT determine B and any dimension built keyed on A would
+    //    pick rows nondeterministically. Three candidates spanning the
+    //    holds / mildly-violated / heavily-violated spectrum; per-FD
+    //    row: LHS group count, violating groups, violation rate in
+    //    integer basis points, worst per-group RHS fan-out. One hash
+    //    aggregate per candidate (count(DISTINCT B) per A, then a
+    //    |groups|-bounded rollup) — no joins, no windows. ───────────────
+    QueryDef("dq_functional_dependency",
+      (s, dir) => {
+        import s.implicits._
+        def audit(df: DataFrame, fd: String, a: String, b: String): DataFrame =
+          df.groupBy(col(a))
+            .agg(countDistinct(col(b)).as("n_rhs"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when($"n_rhs" > 1L, 1L).otherwise(0L)).as("n_violating"),
+              max($"n_rhs").as("max_rhs_distinct"))
+            .select(lit(fd).as("fd"), $"n_lhs", $"n_violating",
+              expr("n_violating * 10000 DIV n_lhs").as("violation_bp"),
+              $"max_rhs_distinct")
+        audit(Tables.load(s, dir, "events"), "events: user_id -> event_type",
+            "user_id", "event_type")
+          .unionAll(audit(Tables.load(s, dir, "lineitem"),
+            "lineitem: l_partkey -> l_suppkey", "l_partkey", "l_suppkey"))
+          .unionAll(audit(Tables.load(s, dir, "orders"),
+            "orders: o_custkey -> o_orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .orderBy($"fd")
+      },
+      Some("""WITH a1 AS (SELECT user_id, count(DISTINCT event_type) AS n_rhs
+            FROM events GROUP BY user_id),
+          a2 AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS n_rhs
+            FROM lineitem GROUP BY l_partkey),
+          a3 AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_rhs
+            FROM orders GROUP BY o_custkey),
+          u AS (
+            SELECT 'events: user_id -> event_type' AS fd,
+              CAST(count(*) AS BIGINT) AS n_lhs,
+              CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating,
+              CAST(max(n_rhs) AS BIGINT) AS max_rhs_distinct FROM a1
+            UNION ALL
+            SELECT 'lineitem: l_partkey -> l_suppkey',
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(max(n_rhs) AS BIGINT) FROM a2
+            UNION ALL
+            SELECT 'orders: o_custkey -> o_orderpriority',
+              CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(max(n_rhs) AS BIGINT) FROM a3)
+          SELECT fd, n_lhs, n_violating,
+            CAST(n_violating * 10000 // n_lhs AS BIGINT) AS violation_bp,
+            max_rhs_distinct
+          FROM u ORDER BY fd"""))
   )
 }

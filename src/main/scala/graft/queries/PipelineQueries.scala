@@ -190,6 +190,83 @@ object PipelineQueries extends QueryModule {
        |WHERE len(list_intersect(e.sh, i.sh)) / len(list_distinct(list_concat(e.sh, i.sh))) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Held-out per-doc bigram-LM fluency scores — the stupid-backoff
+    * pipeline `text_lm_score` registers, factored out so the CCNet
+    * bucket split reuses the IDENTICAL plan: reference LM (unigram +
+    * bigram counts) trains on doc_id % 4 ≠ 0, scores the held-out
+    * quarter; per bigram S(w2|w1) = c(w1w2)/c(w1) if seen else
+    * 0.4·c(w2)/N; doc score = mean S, summed in POSITION order so
+    * doubles match the oracle's ordered list_reduce bitwise.
+    * Returns (doc_id, n_bigrams, lm_score).
+    */
+  private def lmHeldOutScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val held = docs.filter(col("doc_id") % 4 === 0)
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(i.as("pos"),
+          element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainToks = train.select(explode(col("toks")).as("w"))
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nTot = trainToks.agg(count(lit(1)).as("n_tokens"))
+    val bi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+    val sval = bigrams(held)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("pos"),
+        when(col("c_bg").isNotNull, col("c_bg") / col("c_w1"))
+          .otherwise(lit(0.4) * (coalesce(col("c_w2"), lit(0L)) / col("n_tokens")))
+          .as("sv"))
+    sval.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("sv")))),
+          lit(0.0), (acc, x) => acc + x.getField("sv")).as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ssum") / col("n_bigrams")).as("lm_score"))
+  }
+
+  /** DuckDB twin of [[lmHeldOutScores]] up to the per-doc `agg` CTE
+    * (doc_id, n_bigrams, ssum) — shared by `text_lm_score` and
+    * `pipeline_perplexity_buckets`.
+    */
+  private val sqlLmScoreCtes =
+    """WITH tt AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |tr AS (SELECT * FROM tt WHERE doc_id % 4 <> 0),
+      |sc AS (SELECT * FROM tt WHERE doc_id % 4 = 0 AND len(toks) >= 2),
+      |uni AS (SELECT unnest(toks) AS w FROM tr),
+      |uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+      |nt AS (SELECT count(*) AS n_tokens FROM uni),
+      |trb0 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      |  FROM tr WHERE len(toks) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c_bg FROM (
+      |    SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM trb0) GROUP BY w1, w2),
+      |scb0 AS (SELECT doc_id, toks,
+      |    unnest(generate_series(1, len(toks) - 1)) AS i FROM sc),
+      |scb AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM scb0),
+      |sval AS (SELECT s.doc_id, s.pos,
+      |    CASE WHEN b.c_bg IS NOT NULL THEN b.c_bg / u1.c_w
+      |      ELSE 0.4 * (coalesce(u2.c_w, 0) / nt.n_tokens) END AS sv
+      |  FROM scb s
+      |  LEFT JOIN bc b ON s.w1 = b.w1 AND s.w2 = b.w2
+      |  LEFT JOIN uc u1 ON s.w1 = u1.w
+      |  LEFT JOIN uc u2 ON s.w2 = u2.w
+      |  CROSS JOIN nt),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list(sv ORDER BY pos), (a, b) -> a + b) AS ssum
+      |  FROM sval GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact dedup: one hash aggregate on a text fingerprint ───────────
@@ -313,6 +390,21 @@ object PipelineQueries extends QueryModule {
     QueryDef("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(sqlExactJaccardPairs)),
+
+    // ── b-bit MinHash (Li & König WWW'10): signature slots truncated to
+    //    their low 4 bits before banding — the persisted index shrinks
+    //    16×, the property that decides whether a 100 TB signature index
+    //    fits executor memory. Truncation only ADDS candidates (equal
+    //    slots stay equal), so banding's no-miss guarantee holds and the
+    //    exact-Jaccard verify removes the extra false positives: the
+    //    output is the identical exact pair relation, pinned by sharing
+    //    dedup_minhash_lsh's oracle (DedupSpec pins b-bit ≡ full-width
+    //    pair-for-pair too). ────────────────────────────────────────────
+    QueryDef("dedup_minhash_bbit",
+      (s, dir) => Dedup.minhashLshPairsBbit(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8, bits = 4)
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 
@@ -1076,6 +1168,52 @@ object PipelineQueries extends QueryModule {
         CAST(coalesce(list_sum(codes), 0) AS INTEGER) AS code_sum,
         list_min(codes) AS code_min, list_max(codes) AS code_max
       FROM c ORDER BY vec_id""")),
+
+    // ── SQ8 asymmetric search (FAISS ScalarQuantizer's search shape —
+    //    the two-stage that makes embed_quantize_int8's 4× byte cut an
+    //    ANN speedup, not just a storage one): stage 1 scans int8 CODES
+    //    with the full-precision query — (scale/127)·⟨q, codes⟩ reads a
+    //    quarter of the bytes of a float32 scan, and at 100 TB the
+    //    brute stage is memory-bandwidth-bound so bytes ≈ time; stage 2
+    //    re-ranks only the 50-per-query shortlist with exact cosine on
+    //    full vectors. Zero codebook training (vs PQ), near-lossless
+    //    recall. Every step is IEEE-replayable: scale/floor/dot/cosine
+    //    run the same left-to-right double folds as the oracle's list
+    //    kernels, ties break to the lower id in both engines. ───────────
+    QueryDef("sim_topk_sq8",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.sq8TopKRerank(
+            emb.filter(col("vec_id") < 10)
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+            emb.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+            k = 5, rerank = 50)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id, e,
+            list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        codes AS (SELECT vec_id, scale,
+            list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+              ELSE floor(x / scale * 127) END) AS cd
+          FROM c),
+        ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+            c.scale / 127 * list_dot_product(q.e, c.cd) AS asim
+          FROM v q JOIN codes c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        sl AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY asim DESC, cid) AS rn
+          FROM ap) WHERE rn <= 50),
+        ex AS (SELECT sl.qid, sl.cid,
+            list_cosine_similarity(q.e, cv.e) AS sim
+          FROM sl JOIN v q ON sl.qid = q.vec_id
+            JOIN v cv ON sl.cid = cv.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM ex)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
 
     // ── similarity search: multi-table LSH-bucketed ANN. Deterministic
     //    seed-derived hyperplanes → the oracle restates all 4 tables'
@@ -3549,69 +3687,47 @@ object PipelineQueries extends QueryModule {
     //    hash-shuffle joins, vocabulary-sized sides, nothing
     //    corpus-quadratic. ─────────────────────────────────────────────
     QueryDef("text_lm_score",
+      (s, dir) => lmHeldOutScores(s, dir).orderBy("doc_id"),
+      Some(s"""$sqlLmScoreCtes
+        |SELECT doc_id, n_bigrams, ssum / n_bigrams AS lm_score
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ── CCNet perplexity buckets (Wenzek et al. 2020 — the head/middle/
+    //    tail split the CCNet pipeline cuts every language's crawl into,
+    //    keeping "head" as the cleanest training slice): held-out docs
+    //    from the SAME reference bigram LM as `text_lm_score` are ranked
+    //    by fluency and cut at the exact score TERCILES (percentile ≡
+    //    quantile_cont — shared PERCENTILE_CONT interpolation, the
+    //    proven engine-parity pair); bucket = head above the upper cut,
+    //    tail below the lower. Per-bucket audit row: doc count, bigram
+    //    volume, and the score range the cut produced. Plan shape: the
+    //    LM scoring pipeline + one 1-row broadcast tercile recombine —
+    //    a scalar join, never a global sort of the corpus. ──────────────
+    QueryDef("pipeline_perplexity_buckets",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val train = docs.filter(col("doc_id") % 4 =!= 0)
-        val held = docs.filter(col("doc_id") % 4 === 0)
-        def bigrams(df: org.apache.spark.sql.DataFrame) = df
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(1), size(col("toks")) - 1),
-            i => struct(i.as("pos"),
-              element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2")))).as("b"))
-          .select(col("doc_id"), col("b.pos").as("pos"),
-            col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val trainToks = train.select(explode(col("toks")).as("w"))
-        val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c_w"))
-        val nTot = trainToks.agg(count(lit(1)).as("n_tokens"))
-        val bi = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
-        val sval = bigrams(held)
-          .join(bi, Seq("w1", "w2"), "left")
-          .join(uni.select(col("w").as("w1"), col("c_w").as("c_w1")), Seq("w1"), "left")
-          .join(uni.select(col("w").as("w2"), col("c_w").as("c_w2")), Seq("w2"), "left")
-          .crossJoin(broadcast(nTot))
-          .select(col("doc_id"), col("pos"),
-            when(col("c_bg").isNotNull, col("c_bg") / col("c_w1"))
-              .otherwise(lit(0.4) * (coalesce(col("c_w2"), lit(0L)) / col("n_tokens")))
-              .as("sv"))
-        sval.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            aggregate(sort_array(collect_list(struct(col("pos"), col("sv")))),
-              lit(0.0), (acc, x) => acc + x.getField("sv")).as("ssum"))
+        val scored = lmHeldOutScores(s, dir)
+        val cuts = scored.agg(
+          expr("percentile(lm_score, array(1.0D/3.0D, 2.0D/3.0D))").as("c"))
+          .select(col("c").getItem(0).as("c1"), col("c").getItem(1).as("c2"))
+        scored.crossJoin(broadcast(cuts))
           .select(col("doc_id"), col("n_bigrams"),
-            (col("ssum") / col("n_bigrams")).as("lm_score"))
-          .orderBy("doc_id")
+            when(col("lm_score") >= col("c2"), "head")
+              .when(col("lm_score") >= col("c1"), "middle")
+              .otherwise("tail").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("sum_bigrams"))
+          .orderBy("bucket")
       },
-      Some("""WITH tt AS (SELECT doc_id,
-            string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        tr AS (SELECT * FROM tt WHERE doc_id % 4 <> 0),
-        sc AS (SELECT * FROM tt WHERE doc_id % 4 = 0 AND len(toks) >= 2),
-        uni AS (SELECT unnest(toks) AS w FROM tr),
-        uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
-        nt AS (SELECT count(*) AS n_tokens FROM uni),
-        trb0 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
-          FROM tr WHERE len(toks) >= 2),
-        bc AS (SELECT w1, w2, count(*) AS c_bg FROM (
-            SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM trb0) GROUP BY w1, w2),
-        scb0 AS (SELECT doc_id, toks,
-            unnest(generate_series(1, len(toks) - 1)) AS i FROM sc),
-        scb AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
-          FROM scb0),
-        sval AS (SELECT s.doc_id, s.pos,
-            CASE WHEN b.c_bg IS NOT NULL THEN b.c_bg / u1.c_w
-              ELSE 0.4 * (coalesce(u2.c_w, 0) / nt.n_tokens) END AS sv
-          FROM scb s
-          LEFT JOIN bc b ON s.w1 = b.w1 AND s.w2 = b.w2
-          LEFT JOIN uc u1 ON s.w1 = u1.w
-          LEFT JOIN uc u2 ON s.w2 = u2.w
-          CROSS JOIN nt),
-        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-            list_reduce(list(sv ORDER BY pos), (a, b) -> a + b) AS ssum
-          FROM sval GROUP BY doc_id)
-        SELECT doc_id, n_bigrams, ssum / n_bigrams AS lm_score
-        FROM agg ORDER BY doc_id""")),
+      Some(s"""$sqlLmScoreCtes,
+        |sc2 AS (SELECT doc_id, n_bigrams, ssum / n_bigrams AS lm_score FROM agg),
+        |cuts AS (SELECT quantile_cont(lm_score, 1.0/3.0) AS c1,
+        |    quantile_cont(lm_score, 2.0/3.0) AS c2 FROM sc2)
+        |SELECT CASE WHEN lm_score >= c2 THEN 'head'
+        |    WHEN lm_score >= c1 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams
+        |FROM sc2 CROSS JOIN cuts GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // ── end-to-end corpus curation: quality filter → exact dedup
     //    (canonical kept) → deterministic train/test split — the whole
@@ -5297,6 +5413,76 @@ object PipelineQueries extends QueryModule {
           CAST(n_total * 1000000 // (k * n_lang) AS BIGINT) * n_lang
             AS lang_mass_x1e6
         FROM pl, t ORDER BY lang""")),
+
+    // ── DSIR importance weights (Xie et al. 2023, "Data Selection via
+    //    Importance Resampling" — the hashed-n-gram way to tilt a raw
+    //    crawl toward a target domain WITHOUT training a model): both
+    //    distributions are bag-of-hashed-bigram unigram models (B=1024
+    //    md5 buckets, add-one smoothing), target = the corpus's English
+    //    slice, raw = everything; a doc's weight is its features'
+    //    summed log-likelihood ratio Σ ln(p_tgt(h)/p_raw(h)) — docs
+    //    that "read like" the target score high and resampling by this
+    //    weight is importance sampling of the target from the raw pool.
+    //    Determinism: each per-feature term is quantized to micro-nats
+    //    (floor·1e6, BIGINT) BEFORE the per-doc sum, so the reduction is
+    //    order-free integer addition (ln/IEEE engine-parity is only
+    //    needed per-term, the proven pattern). Scale shape: ONE corpus
+    //    scan feeds a 1024-row feature aggregate; the per-doc pass joins
+    //    features to the broadcast term table — map-side, no row-scaled
+    //    recombine; the report slice (doc_id < 200) bounds the output. ──
+    QueryDef("pipeline_dsir_weights",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val toks = split(lower(trim($"text")), "\\s+")
+        val bigrams = transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2))))
+        val feats = docs.select($"doc_id", $"lang",
+          explode(bigrams).as("bg"))
+          .select($"doc_id", $"lang",
+            pmod(conv(substring(md5($"bg"), 1, 4), 16, 10).cast("long"),
+              lit(1024L)).as("h"))
+        val counts = feats.groupBy($"h").agg(
+          count(lit(1)).as("n_raw"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
+        val totals = counts.agg(sum($"n_raw").as("nr"), sum($"n_tgt").as("nt"))
+        val terms = counts.crossJoin(broadcast(totals))
+          .select($"h",
+            floor(log(
+              (($"n_tgt" + 1L) * ($"nr" + 1024L)).cast("double") /
+                (($"n_raw" + 1L) * ($"nt" + 1024L)).cast("double"))
+              * 1000000.0d).cast("long").as("term_micro"))
+        feats.filter($"doc_id" < 200)
+          .join(broadcast(terms), "h")
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_features"),
+            sum($"term_micro").as("dsir_micro_nats"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |      FOR i IN generate_series(1, greatest(len(toks)-1, 1))]) AS bg
+         |  FROM t),
+         |f AS (SELECT doc_id, lang, md5(bg) AS m FROM bg),
+         |hh AS (SELECT doc_id, lang,
+         |    (${OracleGen.md5PrefixExpr("m", 4)}) % 1024 AS h FROM f),
+         |c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM hh GROUP BY h),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+         |    CAST(sum(n_tgt) AS BIGINT) AS nt FROM c),
+         |terms AS (SELECT h,
+         |    CAST(floor(ln(CAST((n_tgt + 1) * (nr + 1024) AS DOUBLE)
+         |        / CAST((n_raw + 1) * (nt + 1024) AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS tm
+         |  FROM c CROSS JOIN tot)
+         |SELECT hh.doc_id, hh.lang, CAST(count(*) AS BIGINT) AS n_features,
+         |  CAST(sum(terms.tm) AS BIGINT) AS dsir_micro_nats
+         |FROM hh JOIN terms USING (h) WHERE hh.doc_id < 200
+         |GROUP BY hh.doc_id, hh.lang ORDER BY hh.doc_id""".stripMargin)),
 
     // ── Out-of-fold m-estimate target encoding (the leak-free way to
     //    turn a categorical into a numeric feature: each fold's rows are

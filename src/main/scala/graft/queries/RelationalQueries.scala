@@ -759,6 +759,58 @@ object RelationalQueries extends QueryModule {
         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         FROM corners GROUP BY node ORDER BY node""")),
 
+    // ── DOULION approximate triangle counting (Tsourakakis et al.,
+    //    KDD'09) on the co-purchase graph — the scale answer when even
+    //    the oriented O(m^1.5) exact join is too big: sparsify edges
+    //    with coin p = 1/4, count triangles EXACTLY on the sample, and
+    //    scale by p⁻³ = 64 (each surviving triangle needed all three
+    //    edges kept, so E[est] is unbiased; variance concentrates for
+    //    pm ≫ 1). The coin is md5(a:b) nibble < '4' — a pure function
+    //    of the edge, so any engine / rerun / partitioning draws the
+    //    SAME sample and the estimate is deterministic, exactly
+    //    replayable in SQL. Work drops ~p on the edge scan and ~p^1.5
+    //    on the triangle join's fan-out — at 100 TB that is the
+    //    difference between running and not; the exact per-node variant
+    //    (`graph_triangle_count`) stays the correctness anchor. ─────────
+    QueryDef("graph_triangle_doulion",
+      (s, dir) => {
+        import s.implicits._
+        val io = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val edges = io.alias("x")
+          .join(io.alias("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .distinct()
+        val kept = edges.filter(
+          substring(md5(concat($"a".cast("string"), lit(":"),
+            $"b".cast("string"))), 1, 1) < "4")
+          .localCheckpoint() // 3-way self-join: plan the sample ONCE
+        val tri = kept.alias("e1")
+          .join(kept.alias("e2"), col("e1.b") === col("e2.a"))
+          .join(kept.alias("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        edges.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+          .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_tri_sampled"))))
+          .select($"n_edges", $"n_kept", $"n_tri_sampled",
+            ($"n_tri_sampled" * 64L).as("est_triangles"))
+      },
+      Some("""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+        e AS (SELECT DISTINCT x.p AS a, y.p AS b
+          FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+        k AS (SELECT a, b FROM e
+          WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+            1, 1) < '4'),
+        tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_sampled
+          FROM k e1 JOIN k e2 ON e1.b = e2.a
+          JOIN k e3 ON e1.a = e3.a AND e2.b = e3.b)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+          (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_kept,
+          n_tri_sampled, n_tri_sampled * 64 AS est_triangles
+        FROM tri""")),
+
     // ── key-skew pre-flight report: per-key row share in integer basis
     //    points (n·10000 DIV total against the 1-row broadcast total) —
     //    the diagnostic you run BEFORE choosing a partitioning/salting

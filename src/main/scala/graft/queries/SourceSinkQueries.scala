@@ -470,6 +470,84 @@ object SourceSinkQueries extends QueryModule {
         SELECT z >> 12 AS z_bucket, count(*) AS n, CAST(sum(z) AS BIGINT) AS z_sum
         FROM zt GROUP BY 1 ORDER BY z_bucket""")),
 
+    // ── Hilbert-curve layout vs Z-order, HEAD TO HEAD (the clustering
+    //    upgrade Iceberg/Delta reach for past Morton): index the same
+    //    8-bit (l_partkey, l_suppkey) keys with both curves, cut each
+    //    into width-257 index ranges (= files under range partitioning —
+    //    DELIBERATELY unaligned with the bit structure, because aligned
+    //    power-of-4 cuts make both curves' ranges the same 16×16 tiles
+    //    and real range-partition splits land wherever the data does),
+    //    and measure what a scan planner actually prunes on — each
+    //    file's (x, y) bounding-box area from its min/max footer stats.
+    //    Hilbert's unit-step property (consecutive d are (x,y) neighbors;
+    //    Morton jumps diagonals at power-of-two seams) shows up directly
+    //    as smaller total/max box area = more skippable files for any
+    //    2-D predicate (full-grid: Σ area 96 k vs 182 k, max 512 vs
+    //    4352 — LayoutSpec pins the win). Output: per-curve file count,
+    //    Σ area, max area + the full-grid checksum that pins both index
+    //    chains exactly. The 8-step rotate chain is pure integer CASE
+    //    arithmetic — the oracle replays it CTE for CTE
+    //    (functions/Layout.scala). ───────────────────────────────────────
+    QueryDef("maintenance_hilbert_order",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem")
+          .select(($"l_partkey".cast("long") % 256L).as("x"),
+            ($"l_suppkey".cast("long") % 256L).as("y"))
+        val h = graft.functions.Layout.hilbert8(li, "x", "y", "hd")
+          .select(lit("hilbert").as("curve"), $"x", $"y",
+            expr("hd DIV 257").as("bucket"), $"hd".as("d"))
+        val z = li
+          .select($"x", $"y",
+            graft.functions.Layout.morton16($"x", $"y").as("zd"))
+          .select(lit("morton").as("curve"), $"x", $"y",
+            expr("zd DIV 257").as("bucket"), $"zd".as("d"))
+        h.union(z)
+          .groupBy($"curve", $"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"x").as("x0"), max($"x").as("x1"),
+            min($"y").as("y0"), max($"y").as("y1"),
+            sum($"d").as("d_sum"))
+          .groupBy($"curve")
+          .agg(count(lit(1)).as("n_files"),
+            sum(($"x1" - $"x0" + 1L) * ($"y1" - $"y0" + 1L)).as("sum_box_area"),
+            max(($"x1" - $"x0" + 1L) * ($"y1" - $"y0" + 1L)).as("max_box_area"),
+            sum($"d_sum").as("d_checksum"))
+          .orderBy($"curve")
+      },
+      Some {
+        val seed = """SELECT l_partkey % 256 AS x8, l_suppkey % 256 AS y8,
+          |  0 AS d8, l_partkey % 256 AS x, l_suppkey % 256 AS y
+          |  FROM lineitem""".stripMargin
+        val hilbertChain =
+          graft.functions.Layout.hilbert8OracleCtes(seed, "x, y")
+        s"""$hilbertChain,
+        |hil AS (SELECT 'hilbert' AS curve, x, y, d0 // 257 AS bucket,
+        |    CAST(d0 AS BIGINT) AS d FROM h0),
+        |mb AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+        |m1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS sx,
+        |    ((y | (y << 8)) & 16711935) AS sy FROM mb),
+        |m2 AS (SELECT x, y, ((sx | (sx << 4)) & 252645135) AS sx,
+        |    ((sy | (sy << 4)) & 252645135) AS sy FROM m1),
+        |m3 AS (SELECT x, y, ((sx | (sx << 2)) & 858993459) AS sx,
+        |    ((sy | (sy << 2)) & 858993459) AS sy FROM m2),
+        |m4 AS (SELECT x, y, ((sx | (sx << 1)) & 1431655765) AS sx,
+        |    ((sy | (sy << 1)) & 1431655765) AS sy FROM m3),
+        |mor AS (SELECT 'morton' AS curve, x, y,
+        |    (sx | (sy << 1)) // 257 AS bucket,
+        |    CAST((sx | (sy << 1)) AS BIGINT) AS d FROM m4),
+        |u AS (SELECT * FROM hil UNION ALL SELECT * FROM mor),
+        |files AS (SELECT curve, bucket, count(*) AS n,
+        |    min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+        |    CAST(sum(d) AS BIGINT) AS d_sum
+        |  FROM u GROUP BY curve, bucket)
+        |SELECT curve, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS sum_box_area,
+        |  CAST(max((x1 - x0 + 1) * (y1 - y0 + 1)) AS BIGINT) AS max_box_area,
+        |  CAST(sum(d_sum) AS BIGINT) AS d_checksum
+        |FROM files GROUP BY curve ORDER BY curve""".stripMargin
+      }),
+
     // ── parquet footer introspection (the REAL min/max stats the
     //    zonemap/layout queries simulate: row-group footers are what a
     //    100 TB scan planner prunes on, and an engine must be able to

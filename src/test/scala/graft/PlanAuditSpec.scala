@@ -518,7 +518,22 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_triplet_margin",
     // probe sweep: the topk_ivf routing/brute cross joins + the 4-row
     // budget broadcast on prank<=np + the 1-row query-count recombine
-    "sim_ivf_probe_sweep")
+    "sim_ivf_probe_sweep",
+    // SQ8: stage 1 is topk_brute's non-equi qid≠cid probe broadcast
+    // over the int8 CODES scan; the exact re-rank joins are equi joins
+    "sim_topk_sq8",
+    // DSIR: the 1-row (N_raw, N_tgt) totals broadcast onto the 1024-row
+    // feature table (scalar-recombine shape); the per-doc pass is an
+    // equi join on the broadcast term table
+    "pipeline_dsir_weights",
+    // DOULION: two 1-row broadcast count recombines (kept-edge count +
+    // sampled-triangle count onto the 1-row edge total); the triangle
+    // enumeration itself is equi joins on the sparsified edge set
+    "graph_triangle_doulion",
+    // CCNet buckets: the 1-row tercile-cuts broadcast onto the held-out
+    // score frame (scalar-recombine shape); the LM pipeline underneath
+    // is all equi joins
+    "pipeline_perplexity_buckets")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

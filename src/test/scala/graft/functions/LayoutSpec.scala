@@ -23,6 +23,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == 39L)
   }
 
+  test("hilbert8 is a bijection onto [0, 65535] with unit curve steps") {
+    // Exhaustive over the full 256×256 grid: every (x, y) gets a DISTINCT
+    // index (bijectivity — a collision would corrupt range partitioning),
+    // and consecutive indices are (x, y) NEIGHBORS (|Δx|+|Δy| = 1, the
+    // unit-step property that makes Hilbert boxes tighter than Morton's).
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+    val df = grid.toDF("x", "y")
+    val got = Layout.hilbert8(df, "x", "y", "d")
+      .select($"d", $"x", $"y").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.length == 65536)
+    assert(got.map(_._1).toSeq == (0L until 65536L))
+    got.sliding(2).foreach {
+      case Array((_, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1,
+          s"non-unit curve step: ($x1,$y1) -> ($x2,$y2)")
+      case _ =>
+    }
+  }
+
+  test("hilbert beats morton on per-file bounding-box area (the layout claim)") {
+    // Cut both curves' indices into width-257 "files" over the full grid
+    // (UNALIGNED with the bit structure — aligned power-of-4 cuts make
+    // both curves' ranges the same 16×16 tiles, hiding the difference;
+    // real range-partition splits land wherever the data does); Hilbert's
+    // total bounding-box area must be strictly smaller — the pruning
+    // advantage maintenance_hilbert_order reports. Expected ≈ 96 k vs
+    // 182 k; 2× margin asserted.
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x.toLong, y.toLong)))
+    val df = grid.toDF("x", "y")
+    def totalBoxArea(indexed: org.apache.spark.sql.DataFrame): Long = indexed
+      .groupBy(expr("d DIV 257").as("bucket"))
+      .agg(((max($"x") - min($"x") + 1L) * (max($"y") - min($"y") + 1L)).as("area"))
+      .agg(sum($"area")).as[Long].head()
+    val hil = totalBoxArea(Layout.hilbert8(df, "x", "y", "d"))
+    val mor = totalBoxArea(df.select($"x", $"y",
+      Layout.morton16($"x", $"y").as("d")))
+    assert(hil * 15 < mor * 8, s"hilbert box area $hil not <~ morton/1.875 $mor")
+  }
+
   test("range-partitioning by the z key yields pairwise-disjoint z ranges (file pruning works)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val ranges = li

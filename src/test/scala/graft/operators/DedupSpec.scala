@@ -120,6 +120,20 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.contains((6L, 7L)))
   }
 
+  test("b-bit minhash equals the full-width pair set (truncation only adds candidates)") {
+    // The b-bit form may admit MORE candidates (low-b slot collisions)
+    // but never fewer, and the exact verify filters the extras — so the
+    // OUTPUT pair relation must be identical pair-for-pair, values too.
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (bits <- Seq(1, 4, 8)) {
+      val bbit = Dedup.minhashLshPairsBbit(corpus, "doc_id", "text",
+          threshold = 0.5, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(bbit == full, s"b=$bits diverged from full-width")
+    }
+  }
+
   test("minhashLshPairsAgainst equals the symmetric pairs restricted to cross-side") {
     // asymmetric ingest-shape dedup must find exactly the near-dup pairs
     // that cross the existing/incoming boundary — no same-side pairs, no

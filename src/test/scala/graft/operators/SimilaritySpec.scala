@@ -42,6 +42,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8TopKRerank recall@5 >= 0.95 vs exact cosine truth (near-lossless quantization)") {
+    // SQ8 keeps per-vector max-abs scale, so relative component error is
+    // <= 1/254 of the largest component — the shortlist should almost
+    // never drop a true top-k neighbor, and the exact re-rank restores
+    // true cosine ORDER for everything shortlisted.
+    val k = 5
+    val queries = asQ(emb.filter($"vec_id" < 20))
+    def keyed(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = keyed(Similarity.bruteForceTopK(queries, asC(emb), k))
+    val sq8 = keyed(Similarity.sq8TopKRerank(queries, asC(emb), k, rerank = 50))
+    val recall = (truth & sq8).size.toDouble / truth.size
+    info(f"SQ8 recall@$k: $recall%.3f")
+    assert(recall >= 0.95, f"SQ8 recall $recall below 0.95")
+    // shortlisted results carry EXACT cosine scores: any pair reported by
+    // both paths must agree bitwise (the re-rank uses the same kernel)
+    val bruteScores = Similarity.bruteForceTopK(queries, asC(emb), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.sq8TopKRerank(queries, asC(emb), k, rerank = 50)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bruteScores.get(key).foreach(exp =>
+          assert(r.getDouble(2) == exp, s"non-exact rerank score at $key"))
+      }
+  }
+
   test("mipsTopK matches a literal inner-product sort-and-take per query") {
     val k = 4
     val got = Similarity.mipsTopK(asQ(emb.filter($"vec_id" < 5)), asC(emb), k)
