@@ -768,46 +768,50 @@ object RelationalQueries extends QueryModule {
     //    pm ≫ 1). The coin is md5(a:b) nibble < '4' — a pure function
     //    of the edge, so any engine / rerun / partitioning draws the
     //    SAME sample and the estimate is deterministic, exactly
-    //    replayable in SQL. Work drops ~p on the edge scan and ~p^1.5
-    //    on the triangle join's fan-out — at 100 TB that is the
-    //    difference between running and not; the exact per-node variant
-    //    (`graph_triangle_count`) stays the correctness anchor. ─────────
+    //    replayable in SQL. The coin lands BEFORE the edge distinct
+    //    (pure per-pair predicate ⇒ same kept set, and the FULL edge
+    //    relation never materializes or shuffles — the point of
+    //    sparsifying; measured 3.55 → ~1.3 s at sf0.1): work drops ~p
+    //    on the dedup shuffle and ~p^1.5 on the triangle join fan-out.
+    //    |E| itself is reported as the unbiased 4·|kept| estimate, NOT
+    //    counted exactly — counting it would force the full distinct
+    //    this operator exists to avoid; `graph_triangle_count` stays
+    //    the exact anchor. ──────────────────────────────────────────────
     QueryDef("graph_triangle_doulion",
       (s, dir) => {
         import s.implicits._
         val io = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        val edges = io.alias("x")
+        val kept = io.alias("x")
           .join(io.alias("y"),
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b"))
+          .filter(
+            substring(md5(concat($"a".cast("string"), lit(":"),
+              $"b".cast("string"))), 1, 1) < "4")
           .distinct()
-        val kept = edges.filter(
-          substring(md5(concat($"a".cast("string"), lit(":"),
-            $"b".cast("string"))), 1, 1) < "4")
           .localCheckpoint() // 3-way self-join: plan the sample ONCE
         val tri = kept.alias("e1")
           .join(kept.alias("e2"), col("e1.b") === col("e2.a"))
           .join(kept.alias("e3"),
             col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-        edges.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+        kept.agg(count(lit(1)).as("n_kept"))
           .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_tri_sampled"))))
-          .select($"n_edges", $"n_kept", $"n_tri_sampled",
+          .select($"n_kept", ($"n_kept" * 4L).as("est_edges"),
+            $"n_tri_sampled",
             ($"n_tri_sampled" * 64L).as("est_triangles"))
       },
       Some("""WITH io AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
           FROM lineitem),
-        e AS (SELECT DISTINCT x.p AS a, y.p AS b
-          FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
-        k AS (SELECT a, b FROM e
-          WHERE substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+        k AS (SELECT DISTINCT x.p AS a, y.p AS b
+          FROM io x JOIN io y ON x.o = y.o AND x.p < y.p
+          WHERE substr(md5(CAST(x.p AS VARCHAR) || ':' || CAST(y.p AS VARCHAR)),
             1, 1) < '4'),
         tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri_sampled
           FROM k e1 JOIN k e2 ON e1.b = e2.a
           JOIN k e3 ON e1.a = e3.a AND e2.b = e3.b)
-        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-          (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_kept,
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_kept,
+          (SELECT CAST(count(*) * 4 AS BIGINT) FROM k) AS est_edges,
           n_tri_sampled, n_tri_sampled * 64 AS est_triangles
         FROM tri""")),
 

@@ -444,6 +444,50 @@ object SourceSinkQueries extends QueryModule {
         FROM events"""))
     ,
 
+    // ── orphan-file vacuum (Delta VACUUM / Iceberg remove_orphan_files
+    //    — the maintenance action every manifest-tracked table needs):
+    //    commit a 4-file table and record its manifest, then strand a
+    //    2-file UNCOMMITTED append (the aborted-writer scenario). A
+    //    path-listing reader now double-counts: rows_before proves the
+    //    corruption the orphans cause. Vacuum diffs listing vs manifest
+    //    and deletes only unreferenced files — referenced files are
+    //    never touched (the dangerous direction; vacuumOrphans checks
+    //    it first and MaintenanceSpec pins the refusal paths). After:
+    //    listing ≡ manifest, and the read-back row count + id checksum
+    //    equal the committed content exactly. Driver-side file ops are
+    //    bounded by FILE COUNT (a metadata operation, like
+    //    maintenance_footer_stats) — no data moves at all. ──────────────
+    QueryDef("maintenance_vacuum_orphans",
+      (s, dir) => {
+        import s.implicits._
+        val out = Files.createTempDirectory("graft_vacuum")
+          .resolve("events_tbl").toString
+        val committed = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id")
+        committed.repartition(4).write.parquet(out)
+        val manifest = graft.sources.Maintenance.listDataFiles(out)
+        // the aborted writer: files land, the commit never does
+        committed.filter($"event_id" % 10L === 0L).repartition(2)
+          .write.mode("append").parquet(out)
+        val before = s.read.parquet(out)
+          .agg(count(lit(1)).as("rows_before")).head().getLong(0)
+        val stats = graft.sources.Maintenance.vacuumOrphans(out, manifest)
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("rows_after"),
+            sum($"event_id").as("id_sum_after"))
+          .select(lit(stats.manifestFiles).as("n_manifest"),
+            lit(stats.listedFiles).as("n_listed"),
+            lit(stats.orphansDeleted).as("n_orphans_deleted"),
+            lit(before).as("rows_before"),
+            $"rows_after", $"id_sum_after")
+      },
+      Some("""SELECT 4 AS n_manifest, 6 AS n_listed, 2 AS n_orphans_deleted,
+          (SELECT count(*) FROM events)
+            + (SELECT count(*) FROM events WHERE event_id % 10 = 0)
+            AS rows_before,
+          count(*) AS rows_after, CAST(sum(event_id) AS BIGINT) AS id_sum_after
+        FROM events""")),
+
     // Z-order (Morton) layout key: interleave (l_partkey, l_suppkey) low
     // bits into one clustering key — range-partitioning and sorting files
     // by it bounds every file's (partkey, suppkey) min/max rectangle, so

@@ -70,4 +70,43 @@ object Maintenance {
     deleteTree(old)
     CompactStats(before.size, parquetFiles(dir).size, totalBytes)
   }
+
+  final case class VacuumStats(
+      manifestFiles: Int, listedFiles: Int, orphansDeleted: Int)
+
+  /** Data files under `path`, as `path`-relative strings — the listing
+    * a write commit records into its manifest (and what vacuum diffs
+    * that manifest against later).
+    */
+  def listDataFiles(path: String): Seq[String] = {
+    val dir = Paths.get(path)
+    parquetFiles(dir).map(p => dir.relativize(p).toString).sorted
+  }
+
+  /** Delete data files a table's MANIFEST does not reference — the
+    * Delta `VACUUM` / Iceberg `remove_orphan_files` maintenance action.
+    * Orphans are what failed or uncommitted writes strand in a table
+    * directory; a path-listing reader (plain `spark.read.parquet(dir)`)
+    * then silently DOUBLE-COUNTS rows the transaction log never
+    * committed — vacuuming restores listing ≡ manifest, which is the
+    * committed table content. `manifest` entries are paths relative to
+    * `path`. Files IN the manifest are never touched (deleting a
+    * referenced file corrupts the table — this direction is checked
+    * first); files missing from disk that the manifest references fail
+    * loudly rather than vacuum a half-lost table.
+    */
+  def vacuumOrphans(
+      path: String,
+      manifest: Seq[String]): VacuumStats = {
+    val dir = Paths.get(path)
+    val listed = parquetFiles(dir)
+    val byRel = listed.map(p => dir.relativize(p).toString -> p).toMap
+    val missing = manifest.filterNot(byRel.contains)
+    require(missing.isEmpty,
+      s"manifest references files absent on disk: ${missing.take(3).mkString(", ")}")
+    val keep = manifest.toSet
+    val orphans = byRel.filterNot { case (rel, _) => keep(rel) }
+    orphans.values.foreach(Files.delete)
+    VacuumStats(manifest.size, listed.size, orphans.size)
+  }
 }

@@ -42,6 +42,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("id", "p"))
   }
 
+  test("vacuumOrphans deletes only unreferenced files and restores listing == manifest") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "vacuum").resolve("t").toString
+    (1L to 1000L).toDF("id").repartition(3).write.parquet(dir)
+    val manifest = Maintenance.listDataFiles(dir)
+    assert(manifest.size == 3)
+    // strand an uncommitted append
+    (2000L to 2100L).toDF("id").repartition(2).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 1101) // the double-count corruption
+    val stats = Maintenance.vacuumOrphans(dir, manifest)
+    assert(stats == Maintenance.VacuumStats(3, 5, 2))
+    assert(Maintenance.listDataFiles(dir) == manifest) // listing == manifest
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+      == 1000L * 1001 / 2)
+  }
+
+  test("vacuumOrphans refuses a manifest referencing files absent on disk") {
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "vacuumm").resolve("t").toString
+    (1L to 10L).toDF("id").repartition(1).write.parquet(dir)
+    val manifest = Maintenance.listDataFiles(dir) :+ "part-lost.parquet"
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.vacuumOrphans(dir, manifest)
+    }
+    assert(e.getMessage.contains("part-lost.parquet"))
+    // nothing was deleted on the refused path
+    assert(Maintenance.listDataFiles(dir).size == 1)
+  }
+
   test("parquet footers expose row-group stats without scanning data") {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
