@@ -446,9 +446,9 @@ object Dedup {
   /** b-bit MinHash LSH (Li & König, WWW'10): identical pipeline to
     * [[minhashLshPairs]], but each signature slot is truncated to its
     * low `bits` bits BEFORE banding — the signature a 100 TB index
-    * actually persists shrinks from 64×8 B to 64×`bits`/8 B (16× at
-    * the default b=4), which is the difference between an index that
-    * fits executor memory and one that doesn't.
+    * actually persists shrinks from 64×8 B to 64×`bits`/8 B (8-16×
+    * at realistic sizing), which is the difference between an index
+    * that fits executor memory and one that doesn't.
     *
     * Correctness is unchanged: truncation is a pure function of the
     * slot, so two docs whose full slots collide still collide after
@@ -458,6 +458,19 @@ object Dedup {
     * bits, ≈ 2^-b·r per band) are removed by the same exact-Jaccard
     * verify. The output is therefore the identical exact pair relation,
     * pinned by sharing [[minhashLshPairs]]'s oracle.
+    *
+    * `bits = 0` (the default, and the registered query's path)
+    * auto-sizes b so the truncated PER-BAND key space stays ≥ 4·n —
+    * smallest b with 2^(r·b) ≥ 4n, by integer bit-length (never
+    * Math.log, same last-ulp argument as the embedding-LSH sizer).
+    * A FIXED b is the classic fixed-key-space trap this module
+    * documents twice already (simhash sub-banding, embedding bucket
+    * bits): expected spurious band collisions are n²·bands/2^(r·b),
+    * so frozen b ⇒ candidates ∝ n² — measured 16.9× at the sf1→sf10
+    * decade with b=4 before the sizer landed (SCALING.md). Auto-b
+    * bounds them at bands·n/4 ∝ n while keeping the ≥ 4× storage cut
+    * (b grows only logarithmically: 50 k docs → b=5, 17 M → b=7,
+    * 1 B → b=8).
     */
   def minhashLshPairsBbit(
       docs: DataFrame,
@@ -467,10 +480,19 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      bits: Int = 4): DataFrame = {
-    require(bits >= 1 && bits <= 63, s"b-bit minhash bits in [1, 63], got $bits")
+      bits: Int = 0): DataFrame = {
+    require(bits >= 0 && bits <= 63, s"b-bit minhash bits in [0, 63], got $bits")
+    val b =
+      if (bits > 0) bits
+      else {
+        val n = docs.count()
+        // smallest k with 2^k >= 4n, then b = ceil(k / r), floor 4
+        val m = math.max(1L, 4L * n)
+        val k = 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+        math.min(16, math.max(4, (k + rowsPerBand - 1) / rowsPerBand))
+      }
     graft.functions.SketchFunctions.register(docs.sparkSession)
-    val mask = (1L << bits) - 1
+    val mask = (1L << b) - 1
     val shingled = shingleHashed(docs, idCol, textCol, shingleSize)
     val withSig = shingled
       .withColumn("sig",

@@ -393,18 +393,20 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 
-    // ── b-bit MinHash (Li & König WWW'10): signature slots truncated to
-    //    their low 4 bits before banding — the persisted index shrinks
-    //    16×, the property that decides whether a 100 TB signature index
-    //    fits executor memory. Truncation only ADDS candidates (equal
-    //    slots stay equal), so banding's no-miss guarantee holds and the
-    //    exact-Jaccard verify removes the extra false positives: the
-    //    output is the identical exact pair relation, pinned by sharing
-    //    dedup_minhash_lsh's oracle (DedupSpec pins b-bit ≡ full-width
-    //    pair-for-pair too). ────────────────────────────────────────────
+    // ── b-bit MinHash (Li & König WWW'10): signature slots truncated
+    //    before banding — the persisted index shrinks 8-16×, the
+    //    property that decides whether a 100 TB signature index fits
+    //    executor memory. b auto-sizes to the corpus (smallest b with
+    //    2^(r·b) ≥ 4n — a FIXED b is the fixed-key-space trap: frozen
+    //    b=4 measured 16.9× at the sf1→sf10 decade before the sizer).
+    //    Truncation only ADDS candidates (equal slots stay equal), so
+    //    banding's no-miss guarantee holds and the exact-Jaccard verify
+    //    removes the extra false positives: the output is the identical
+    //    exact pair relation, pinned by sharing dedup_minhash_lsh's
+    //    oracle (DedupSpec pins b-bit ≡ full-width pair-for-pair too). ──
     QueryDef("dedup_minhash_bbit",
       (s, dir) => Dedup.minhashLshPairsBbit(Tables.load(s, dir, "documents"),
-          "doc_id", "text", threshold = 0.8, bits = 4)
+          "doc_id", "text", threshold = 0.8)
         .orderBy("doc_a", "doc_b"),
       Some(sqlExactJaccardPairs)),
 

@@ -9550,6 +9550,68 @@ object RelationalQueries extends QueryModule {
               - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rho2
         FROM m""")),
 
+    // ── Mondrian split-conformal prediction intervals (Vovk; Lei et
+    //    al. 2018 — the distribution-free way to put a coverage
+    //    GUARANTEE on any point predictor): md5-deterministic 3-way
+    //    split (train / calibration / test); the predictor is the
+    //    train-fold per-priority mean (cents, exact integer sums); the
+    //    per-PRIORITY calibration quantile of |y − ŷ| (Mondrian =
+    //    group-conditional, so each group earns its own width) at the
+    //    0.9 level gives q̂, and the test fold reports achieved
+    //    coverage in integer basis points — the number that should
+    //    concentrate near 9000 regardless of how wrong the model is,
+    //    which is the whole point of conformal. The exact finite-sample
+    //    level is ⌈(n_cal+1)·0.9⌉/n_cal; at corpus n the /n_cal
+    //    correction is sub-ulp, and percentile ≡ quantile_cont is the
+    //    proven parity pair. Plan: three fold scans feeding two
+    //    |priorities|-row aggregates + one equi join — no windows,
+    //    nothing row-scaled recombines. ─────────────────────────────────
+    QueryDef("agg_conformal_interval",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderpriority".as("cat"),
+            expr("CAST(ascii(substring(md5(CAST(o_orderkey AS STRING)), 1, 1)) % 3 AS BIGINT)")
+              .as("fold"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val model = o.filter($"fold" === 0L).groupBy($"cat")
+          .agg((sum($"cents").cast("double") / count(lit(1)).cast("double"))
+            .as("pred"))
+        val cal = o.filter($"fold" === 1L).join(model, "cat")
+          .groupBy($"cat")
+          .agg(count(lit(1)).as("n_cal"),
+            expr("percentile(abs(CAST(cents AS DOUBLE) - pred), 0.9D)")
+              .as("q_hat"))
+        o.filter($"fold" === 2L).join(model, "cat").join(cal, "cat")
+          .groupBy($"cat")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(abs($"cents".cast("double") - $"pred") <= $"q_hat", 1L)
+              .otherwise(0L)).as("n_covered"),
+            max($"n_cal").as("n_cal"), max($"q_hat").as("q_hat"))
+          .select($"cat", $"n_cal", $"q_hat", $"n_test", $"n_covered",
+            expr("n_covered * 10000 DIV n_test").as("coverage_bp"))
+          .orderBy($"cat")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS cat,
+            ascii(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) % 3 AS fold,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        m AS (SELECT cat,
+            CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
+          FROM o WHERE fold = 0 GROUP BY cat),
+        cal AS (SELECT o.cat, CAST(count(*) AS BIGINT) AS n_cal,
+            quantile_cont(abs(CAST(cents AS DOUBLE) - pred), 0.9) AS q_hat
+          FROM o JOIN m ON o.cat = m.cat WHERE fold = 1 GROUP BY o.cat),
+        t AS (SELECT o.cat, CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN abs(CAST(cents AS DOUBLE) - pred) <= q_hat
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+            max(n_cal) AS n_cal, max(q_hat) AS q_hat
+          FROM o JOIN m ON o.cat = m.cat JOIN cal ON o.cat = cal.cat
+          WHERE fold = 2 GROUP BY o.cat)
+        SELECT cat, n_cal, q_hat, n_test, n_covered,
+          CAST(n_covered * 10000 // n_test AS BIGINT) AS coverage_bp
+        FROM t ORDER BY cat""")),
+
     // ── multi-source BFS distance (the "blast radius" primitive:
     //    reachability fronts for influence propagation, recall-set
     //    expansion, fraud-ring tracing): 4 FIXED rounds of frontier

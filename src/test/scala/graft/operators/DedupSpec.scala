@@ -126,7 +126,7 @@ class DedupSpec extends AnyFunSuite {
     // OUTPUT pair relation must be identical pair-for-pair, values too.
     val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    for (bits <- Seq(1, 4, 8)) {
+    for (bits <- Seq(0, 1, 4, 8)) { // 0 = the auto-sized registered path
       val bbit = Dedup.minhashLshPairsBbit(corpus, "doc_id", "text",
           threshold = 0.5, bits = bits)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
