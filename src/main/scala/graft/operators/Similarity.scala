@@ -857,16 +857,40 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       candidates: DataFrame, // (cid, cvec)
       k: Int,
-      rerank: Int = 50): DataFrame = {
-    VectorFunctions.register(candidates.sparkSession)
+      rerank: Int = 50): DataFrame =
+    sq8TopKViaCodes(sq8Index(candidates), queries, candidates, k, rerank)
+
+  /** The persisted SQ8 index artifact: (cid, scale, codes) — per-vector
+    * max-abs scale + int8 codes stored as float (exactly representable;
+    * parquet round-trips them bit-identically). One narrow map over the
+    * corpus, no shuffle — built once at ingest, ~¼ the corpus bytes.
+    */
+  def sq8Index(candidates: DataFrame): DataFrame = {
     val maxabs = array_max(transform(col("cvec"), v => abs(v.cast("double"))))
-    val coded = candidates.select(col("cid"),
+    candidates.select(col("cid"),
       maxabs.as("scale"),
       transform(col("cvec"),
         v => when(maxabs === 0.0d, lit(0.0d))
           .otherwise(floor(v.cast("double") / maxabs * 127)).cast("float"))
         .as("codes"))
-    val approx = coded.join(broadcast(queries), col("qid") =!= col("cid"))
+  }
+
+  /** SQ8 search against a STORED index: stage 1 touches ONLY the codes
+    * table (the serving tier never loads full vectors for the scan);
+    * full-precision `candidates` are joined back for the exact re-rank
+    * of the shortlist alone. [[sq8TopKRerank]] delegates here, so the
+    * index-probe form is output-identical to the recompute form by
+    * construction — `sim_index_sq8` shares `sim_topk_sq8`'s oracle to
+    * make the driver prove it every round.
+    */
+  def sq8TopKViaCodes(
+      index: DataFrame, // (cid, scale, codes)
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      rerank: Int = 50): DataFrame = {
+    VectorFunctions.register(candidates.sparkSession)
+    val approx = index.join(broadcast(queries), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (col("scale") / lit(127.0d) *
           VectorFunctions.innerProduct(col("qvec"), col("codes"))).as("sim"))

@@ -267,6 +267,36 @@ object PipelineQueries extends QueryModule {
       |    list_reduce(list(sv ORDER BY pos), (a, b) -> a + b) AS ssum
       |  FROM sval GROUP BY doc_id)""".stripMargin
 
+  /** Oracle for the SQ8 two-stage search — shared verbatim by
+    * `sim_topk_sq8` (recompute form) and `sim_index_sq8` (persisted-
+    * codes form): the two are output-identical by construction and
+    * sharing the oracle makes the driver prove it every round.
+    */
+  private val sqlSq8Topk =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        c AS (SELECT vec_id, e,
+            list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        codes AS (SELECT vec_id, scale,
+            list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+              ELSE floor(x / scale * 127) END) AS cd
+          FROM c),
+        ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+            c.scale / 127 * list_dot_product(q.e, c.cd) AS asim
+          FROM v q JOIN codes c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10),
+        sl AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY asim DESC, cid) AS rn
+          FROM ap) WHERE rn <= 50),
+        ex AS (SELECT sl.qid, sl.cid,
+            list_cosine_similarity(q.e, cv.e) AS sim
+          FROM sl JOIN v q ON sl.qid = q.vec_id
+            JOIN v cv ON sl.cid = cv.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM ex)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact dedup: one hash aggregate on a text fingerprint ───────────
@@ -1193,29 +1223,34 @@ object PipelineQueries extends QueryModule {
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        c AS (SELECT vec_id, e,
-            list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
-        codes AS (SELECT vec_id, scale,
-            list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
-              ELSE floor(x / scale * 127) END) AS cd
-          FROM c),
-        ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-            c.scale / 127 * list_dot_product(q.e, c.cd) AS asim
-          FROM v q JOIN codes c ON q.vec_id <> c.vec_id
-          WHERE q.vec_id < 10),
-        sl AS (SELECT qid, cid FROM (SELECT qid, cid,
-            row_number() OVER (PARTITION BY qid ORDER BY asim DESC, cid) AS rn
-          FROM ap) WHERE rn <= 50),
-        ex AS (SELECT sl.qid, sl.cid,
-            list_cosine_similarity(q.e, cv.e) AS sim
-          FROM sl JOIN v q ON sl.qid = q.vec_id
-            JOIN v cv ON sl.cid = cv.vec_id),
-        r AS (SELECT qid, cid, sim,
-            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
-          FROM ex)
-        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
-        FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
+      Some(sqlSq8Topk)),
+
+    // ── SQ8 serving shape: probe the PERSISTED codes index. The
+    //    (cid, scale, codes) table — ~¼ the corpus bytes, built by one
+    //    narrow map at ingest — round-trips through parquet (int8 codes
+    //    stored as float are exactly representable, so the round-trip
+    //    is bit-identical), and stage 1 scans ONLY the stored codes;
+    //    full vectors are joined back for the exact re-rank of the
+    //    50-per-query shortlist alone. Same oracle as sim_topk_sq8 ⇒
+    //    the driver proves index-probe ≡ recompute every round (the
+    //    SQ8 twin of sim_index_probe / dedup_signature_index). ──────────
+    QueryDef("sim_index_sq8",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val root = scratchDir("sq8", dir)
+        Similarity.sq8Index(candidates)
+          .write.mode("overwrite").parquet(root + "/codes")
+        Similarity.sq8TopKViaCodes(
+            s.read.parquet(root + "/codes"), queries, candidates,
+            k = 5, rerank = 50)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlSq8Topk)),
 
     // ── similarity search: multi-table LSH-bucketed ANN. Deterministic
     //    seed-derived hyperplanes → the oracle restates all 4 tables'

@@ -521,7 +521,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_probe_sweep",
     // SQ8: stage 1 is topk_brute's non-equi qid≠cid probe broadcast
     // over the int8 CODES scan; the exact re-rank joins are equi joins
-    "sim_topk_sq8",
+    // (the index form probes the same shape against stored codes)
+    "sim_topk_sq8", "sim_index_sq8",
     // DSIR: the 1-row (N_raw, N_tgt) totals broadcast onto the 1024-row
     // feature table (scalar-recombine shape); the per-doc pass is an
     // equi join on the broadcast term table
