@@ -5521,6 +5521,105 @@ object PipelineQueries extends QueryModule {
          |FROM hh JOIN terms USING (h) WHERE hh.doc_id < 200
          |GROUP BY hh.doc_id, hh.lang ORDER BY hh.doc_id""".stripMargin)),
 
+    // ── DSIR importance RESAMPLING — the weights' whole purpose, closed
+    //    end-to-end via the Gumbel-top-k identity (Vieira 2014): the k
+    //    largest (score + Gumbel) keys ARE a without-replacement sample
+    //    w.p. ∝ exp(score), so the exp() never has to be computed —
+    //    priorities stay in log space, where ln-parity is the proven
+    //    pair (the md5-uniform is A-Res's: u = (h₃₂+0.5)/2³², Gumbel =
+    //    −ln(−ln u), a pure function of doc_id). Per-doc scores come
+    //    from the SAME hashed-bigram model as `pipeline_dsir_weights`,
+    //    over the FULL corpus this time; the 200-doc draw is a
+    //    TakeOrdered (bounded top-k, no global sort), and the report —
+    //    per-language counts of the sample vs the raw corpus, in basis
+    //    points — shows exactly the tilt toward the English target DSIR
+    //    exists to produce. ──────────────────────────────────────────────
+    QueryDef("pipeline_dsir_resample",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val toks = split(lower(trim($"text")), "\\s+")
+        val bigrams = transform(
+          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(2))))
+        val feats = docs.select($"doc_id", $"lang",
+          explode(bigrams).as("bg"))
+          .select($"doc_id", $"lang",
+            pmod(conv(substring(md5($"bg"), 1, 4), 16, 10).cast("long"),
+              lit(1024L)).as("h"))
+        val counts = feats.groupBy($"h").agg(
+          count(lit(1)).as("n_raw"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
+        val totals = counts.agg(sum($"n_raw").as("nr"), sum($"n_tgt").as("nt"))
+        val terms = counts.crossJoin(broadcast(totals))
+          .select($"h",
+            floor(log(
+              (($"n_tgt" + 1L) * ($"nr" + 1024L)).cast("double") /
+                (($"n_raw" + 1L) * ($"nt" + 1024L)).cast("double"))
+              * 1000000.0d).cast("long").as("term_micro"))
+        val scored = feats
+          .join(broadcast(terms), "h")
+          .groupBy($"doc_id", $"lang")
+          .agg(sum($"term_micro").as("dsir_micro"))
+        val u = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") + lit(0.5d)) / lit(4294967296.0d)
+        val sel = scored
+          .select($"doc_id", $"lang",
+            ($"dsir_micro".cast("double") / lit(1000000.0d)
+              - log(-log(u))).as("priority"))
+          .orderBy($"priority".desc, $"doc_id")
+          .limit(200)
+        val rawLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_corpus"))
+        val tot = docs.agg(count(lit(1)).as("n_total"))
+        sel.groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+          .join(rawLang, "lang")
+          .crossJoin(broadcast(tot))
+          .select($"lang", $"n_sampled", $"n_corpus",
+            expr("n_sampled * 10000 DIV 200").as("sample_share_bp"),
+            expr("n_corpus * 10000 DIV n_total").as("corpus_share_bp"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |    unnest([array_to_string(toks[i:i+1], ' ')
+         |      FOR i IN generate_series(1, greatest(len(toks)-1, 1))]) AS bg
+         |  FROM t),
+         |f AS (SELECT doc_id, lang, md5(bg) AS m FROM bg),
+         |hh AS (SELECT doc_id, lang,
+         |    (${OracleGen.md5PrefixExpr("m", 4)}) % 1024 AS h FROM f),
+         |c AS (SELECT h, CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+         |  FROM hh GROUP BY h),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS nr,
+         |    CAST(sum(n_tgt) AS BIGINT) AS nt FROM c),
+         |terms AS (SELECT h,
+         |    CAST(floor(ln(CAST((n_tgt + 1) * (nr + 1024) AS DOUBLE)
+         |        / CAST((n_raw + 1) * (nt + 1024) AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS tm
+         |  FROM c CROSS JOIN tot),
+         |sc AS (SELECT hh.doc_id, hh.lang,
+         |    CAST(sum(terms.tm) AS BIGINT) AS dsir_micro
+         |  FROM hh JOIN terms USING (h) GROUP BY hh.doc_id, hh.lang),
+         |pr AS (SELECT doc_id, lang,
+         |    CAST(dsir_micro AS DOUBLE) / 1000000
+         |      - ln(-ln((${OracleGen.md5PrefixExpr("md5(CAST(doc_id AS VARCHAR))", 8)}
+         |          + 0.5) / 4294967296.0)) AS priority
+         |  FROM sc),
+         |sel AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+         |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM pr)
+         |  WHERE rn <= 200),
+         |rl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_corpus
+         |  FROM documents GROUP BY lang),
+         |nt2 AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         |sg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+         |  FROM sel GROUP BY lang)
+         |SELECT sg.lang, sg.n_sampled, rl.n_corpus,
+         |  CAST(sg.n_sampled * 10000 // 200 AS BIGINT) AS sample_share_bp,
+         |  CAST(rl.n_corpus * 10000 // nt2.n_total AS BIGINT) AS corpus_share_bp
+         |FROM sg JOIN rl ON sg.lang = rl.lang CROSS JOIN nt2
+         |ORDER BY sg.lang""".stripMargin)),
+
     // ── Out-of-fold m-estimate target encoding (the leak-free way to
     //    turn a categorical into a numeric feature: each fold's rows are
     //    encoded from statistics that EXCLUDE the fold, so the feature

@@ -525,8 +525,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_sq8", "sim_index_sq8",
     // DSIR: the 1-row (N_raw, N_tgt) totals broadcast onto the 1024-row
     // feature table (scalar-recombine shape); the per-doc pass is an
-    // equi join on the broadcast term table
-    "pipeline_dsir_weights",
+    // equi join on the broadcast term table (the resample form adds the
+    // 1-row corpus-total broadcast onto the |langs|-row report)
+    "pipeline_dsir_weights", "pipeline_dsir_resample",
     // DOULION: two 1-row broadcast count recombines (kept-edge count +
     // sampled-triangle count onto the 1-row edge total); the triangle
     // enumeration itself is equi joins on the sparsified edge set
