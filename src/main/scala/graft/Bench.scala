@@ -176,6 +176,7 @@ object Bench {
     val headline = Seq(
       "graph_ktruss_peel", "graph_kcore_peel", "graph_neighbor_jaccard",
       "graph_triangle_doulion", "pipeline_dsir_weights",
+      "pipeline_dsir_resample", "sim_index_sq8",
       "join_entity_blocking", "sample_negative_candidates",
       "dedup_ingest_loop", "graph_copurchase_projection", "graph_hits_power",
       "graph_harmonic_centrality", "graph_bfs_distance", "agg_theil_sen",
