@@ -35,7 +35,11 @@ import org.apache.spark.sql.SparkSession
   * `post` (the r12 driver artifact: mid-alphabet queries 2-30× high,
   * both probes clean) — so the probe ALSO runs every 50 queries and
   * the artifact carries `"windows":[...]` + `"contended_windows":[...]`
-  * (1-based indexes of blocks whose probe exceeded 3× floor).
+  * (1-based indexes of blocks whose probe exceeded 3× floor) +
+  * `"n_contended_windows"`. The top-level `contended` flips when the
+  * bracket trips OR when ≥2 windows trip (r13 verdict item 2: the
+  * driver artifact carried contended_windows [3,4,8,9] yet read
+  * `"contended":false` — a gate reading one boolean was misled).
   *
   * The printed line must fit the driver's 2000-char stdout-tail capture:
   * BENCH_r01–r03 all show `parsed: null` because the full per-query map
@@ -154,10 +158,19 @@ object Bench {
     // load-poisoned run (the r10 artifact: every query ~2.5×, probes
     // 6–17× floor THROUGHOUT) elevates both probes. min can only trip
     // when contention spans the whole suite — exactly the case where
-    // the totals are untrustworthy; a transient spike shows up as
-    // pre/post asymmetry in the emitted fields instead.
-    val contended =
+    // the totals are untrustworthy. The bracket alone is NOT enough
+    // (r13 verdict item: the driver artifact carried
+    // contended_windows [3,4,8,9] yet "contended":false because both
+    // bracketing probes read clean), so the top-level flag ALSO flips
+    // when ≥2 mid-suite windows trip — one tripped window can be a
+    // single transient (cron tick, page-cache flush) and stays
+    // localizable via contended_windows without poisoning the flag,
+    // but two+ means a material share of the suite ran under load.
+    val bracketContended =
       math.min(canaryPre, canaryPost) > 3.0 * canaryFloor
+    val contendedWindows = winTimes.zipWithIndex
+      .collect { case (t, i) if t > 3.0 * canaryFloor => i + 1 }
+    val contended = bracketContended || contendedWindows.size >= 2
 
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]): String =
@@ -200,11 +213,9 @@ object Bench {
     // 1-based block indexes whose probe exceeded 3× floor, so a judge can
     // localize a contamination window without re-running the suite
     val winJson = winTimes.map(r3).mkString("[", ",", "]")
-    val winBad = winTimes.zipWithIndex
-      .collect { case (t, i) if t > 3.0 * canaryFloor => (i + 1).toString }
-      .mkString("[", ",", "]")
+    val winBad = contendedWindows.map(_.toString).mkString("[", ",", "]")
     val canaryJson =
-      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"contended":$contended,"windows":$winJson,"contended_windows":$winBad}"""
+      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"contended":$contended,"n_contended_windows":${contendedWindows.size},"windows":$winJson,"contended_windows":$winBad}"""
 
     val fullJson =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"canary":$canaryJson,"queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""

@@ -471,6 +471,15 @@ object Dedup {
     * bounds them at bands·n/4 ∝ n while keeping the ≥ 4× storage cut
     * (b grows only logarithmically: 50 k docs → b=5, 17 M → b=7,
     * 1 B → b=8).
+    *
+    * NOT side-effect-free at build time on the auto path: `bits = 0`
+    * with `numDocs = None` runs one `docs.count()` Spark job at
+    * DataFrame-CONSTRUCTION time (r13 advisory — every other builder in
+    * this module is job-free until the returned plan executes). The
+    * corpus size is a number a real ingest pipeline already tracks, so
+    * callers that have it pass `numDocs = Some(n)` and the construction
+    * is job-free; same contract as [[graft.operators.Similarity.ivfKnnJoinSeeded]]'s
+    * `numCentroids`.
     */
   def minhashLshPairsBbit(
       docs: DataFrame,
@@ -480,12 +489,13 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      bits: Int = 0): DataFrame = {
+      bits: Int = 0,
+      numDocs: Option[Long] = None): DataFrame = {
     require(bits >= 0 && bits <= 63, s"b-bit minhash bits in [0, 63], got $bits")
     val b =
       if (bits > 0) bits
       else {
-        val n = docs.count()
+        val n = numDocs.getOrElse(docs.count())
         // smallest k with 2^k >= 4n, then b = ceil(k / r), floor 4
         val m = math.max(1L, 4L * n)
         val k = 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
@@ -559,6 +569,86 @@ object Dedup {
       .withColumn("jaccard", sortedJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ── Persisted-bloom ingest PRE-FILTER (r13 verdict item 5): the
+  //    standard 100 TB trick of skipping already-seen docs before ANY
+  //    shingle/signature work. A bloom over the stored corpus's exact
+  //    fingerprints is probed by each incoming batch; bloom NEGATIVES
+  //    are definite (no false negatives by construction), so a miss
+  //    proves the doc is new and the whole exact-dedup path can skip
+  //    it — only the ~FPR share of genuinely-new docs plus the true
+  //    dups pay the fingerprint join. EXACTNESS of the end-to-end dedup
+  //    is preserved because the filter only ever skips work, never
+  //    skips a dup. ────────────────────────────────────────────────────
+
+  /** Corpus-proportional filter sizing: the smallest power of two ≥
+    * 16·nStored bits. A FIXED m is this module's documented
+    * fixed-key-space trap (fill ratio → 1 as n grows and every probe
+    * false-positives, silently degrading the prefilter to a no-op that
+    * still pays its own cost); at m = 16n with k = 3 hashes the fill
+    * stays ≤ 1−e^(−3/16) ≈ 0.17 and FPR ≈ 0.5% at ANY corpus size.
+    * Power-of-two via integer bit-length — transcendental-free, so the
+    * oracle replays the sizing exactly (the sim_knn_join device).
+    */
+  def bloomSize(nStored: Long): Long = {
+    val target = math.max(1L, 16L * nStored)
+    1L << (64 - java.lang.Long.numberOfLeadingZeros(target - 1L))
+  }
+
+  /** k derived md5 bit positions for one fingerprint (the
+    * dq_bloom_fpr_eval device: position j = md5("j:" ‖ fp) % m —
+    * engine-replayable, uniform). */
+  private def bloomPositions(fp: Column, m: Long, hashes: Int): Column =
+    array((1 to hashes).map(j =>
+      pmod(conv(substring(md5(concat(lit(s"$j:"), fp)), 1, 8), 16, 10)
+        .cast("long"), lit(m))): _*)
+
+  /** The persisted filter artifact: the DISTINCT set bit positions over
+    * the stored fingerprints — ≤ min(m, k·n) single-long rows, written
+    * once at ingest and appended as batches commit (set-bit union is
+    * append + distinct). Stored as a position TABLE rather than a
+    * packed bitmap so probing stays a relational equi join; at 100 TB
+    * the table is bucketed by `pos` at write time so per-batch probes
+    * shuffle only the k·|batch| probe rows, never the filter.
+    */
+  def bloomBits(
+      storedFps: DataFrame, // (fp)
+      m: Long,
+      hashes: Int = 3): DataFrame =
+    storedFps
+      .select(explode(bloomPositions(col("fp"), m, hashes)).as("pos"))
+      .distinct()
+
+  /** Probe an incoming batch against the stored filter: returns
+    * (id, fp, bloom_hit). `bloom_hit = false` is DEFINITE — the doc's
+    * fingerprint is not in the stored corpus and every downstream
+    * exact-dedup join can skip it; hits (true dups + ~FPR false
+    * positives) proceed to the exact fingerprint check. Cost per batch:
+    * the fingerprint kernel over the batch + a k·|batch|-row equi join
+    * against the filter — O(batch), nothing corpus-sized recomputes
+    * (duplicate positions within a probe count per-row, so the
+    * all-present test stays a plain count — the dq_bloom_fpr_eval
+    * argument).
+    */
+  def bloomPrefilter(
+      bits: DataFrame, // (pos) from bloomBits, possibly parquet-read
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Long,
+      hashes: Int = 3): DataFrame = {
+    val inc = incoming.select(col(idCol).as("id"),
+      fingerprint(col(textCol)).as("fp"))
+    val hits = inc
+      .select(col("id"), explode(bloomPositions(col("fp"), m, hashes)).as("pos"))
+      .join(bits, Seq("pos"))
+      .groupBy(col("id")).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === hashes.toLong)
+      .select(col("id"), lit(true).as("bloom_hit"))
+    inc.join(hits, Seq("id"), "left")
+      .select(col("id"), col("fp"),
+        coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
   }
 
   /** Write-once MinHash signature INDEX over a corpus: one (id, sig)

@@ -571,6 +571,59 @@ object Similarity {
       batchId: Option[Long] = None): Unit =
     writeRotation(assignCells(centroids, incoming), assignmentsPath, batchId)
 
+  /** Quantizer DRIFT AUDIT — the monitoring number behind every
+    * rotation's validity caveat ([[ivfIndexRotate]]: "valid while the
+    * frozen centroid set equals the union's seed pick"): for each
+    * vector, its cell under the STORED (frozen) quantizer vs under a
+    * FRESH seed pick over the current corpus. The share of changed
+    * cells is exactly how stale the frozen quantizer is; a serving tier
+    * alarms on it and re-versions past a threshold
+    * ([[ivfReversionOnDrift]]). Cost: two routing passes over `vectors`
+    * (|v|·|C| broadcast cosines each) + one |v|-row equi join — the
+    * same linear shape as one index build.
+    *
+    * Returns (cid, old_cell, new_cell, cell_changed).
+    */
+  def ivfDriftAudit(
+      storedCentroids: DataFrame, // (cell_id, centroid), the frozen quantizer
+      vectors: DataFrame, // (cid, cvec), the CURRENT corpus
+      numCentroids: Int): DataFrame = {
+    val oldA = assignCells(storedCentroids, vectors)
+      .select(col("cid"), col("cell").as("old_cell"))
+    val newA = ivfIndex(vectors, numCentroids)._2
+      .select(col("cid"), col("cell").as("new_cell"))
+    oldA.join(newA, "cid")
+      .select(col("cid"), col("old_cell"), col("new_cell"),
+        (col("old_cell") =!= col("new_cell")).as("cell_changed"))
+  }
+
+  /** Version-bump RE-TRAIN on drift — the operator every rotation
+    * scaladoc here defers to: audit the frozen quantizer against the
+    * current corpus; while drift ≤ `maxDriftShare` KEEP version 1 (the
+    * stored centroids, re-routing the corpus against them — the cheap
+    * branch, and on the no-drift fixture provably identical to a
+    * rebuild: see `sim_index_rotate`); past it, REBUILD as version 2
+    * (fresh seed pick + fresh assignment — after which old probes are
+    * only comparable on the unchanged-cell subset, which SimilaritySpec
+    * pins). One bounded build-time action: the 1-row drift-share
+    * aggregate (the alarm metric a serving tier already tracks).
+    *
+    * Returns (version, centroids, assignments).
+    */
+  def ivfReversionOnDrift(
+      storedCentroids: DataFrame,
+      vectors: DataFrame,
+      numCentroids: Int,
+      maxDriftShare: Double = 0.01): (Int, DataFrame, DataFrame) = {
+    val audit = ivfDriftAudit(storedCentroids, vectors, numCentroids)
+    val share = audit
+      .agg(avg(col("cell_changed").cast("double"))).head().getDouble(0)
+    if (share > maxDriftShare) {
+      val (c2, a2) = ivfIndex(vectors, numCentroids)
+      (2, c2, a2)
+    } else (1, storedCentroids, assignCells(storedCentroids, vectors))
+  }
+
   /** Rotation write with optional REPLAY IDEMPOTENCE: with `batchId`
     * set (the foreachBatch id), the batch's rows land in an overwrite-
     * mode `batch_<id>/` subdirectory, so a streaming-engine retry of
@@ -875,6 +928,23 @@ object Similarity {
         .as("codes"))
   }
 
+  /** Rotation for the persisted SQ8 index: encode the incoming batch —
+    * a per-vector pure function, so unlike IVF/PQ there is NO frozen
+    * quantizer state to version — and append the new (cid, scale,
+    * codes) rows to the codes parquet: an O(batch) narrow map +
+    * file-add, mirroring [[ivfIndexRotate]]/[[pqIndexRotate]] (same
+    * `batch_<id>` replay-idempotence contract via [[writeRotation]]).
+    * Because encoding is stateless per vector, rotated codes ≡ a
+    * from-scratch [[sq8Index]] rebuild over the union UNCONDITIONALLY —
+    * no seed-stability caveat; SimilaritySpec's streaming-parity test
+    * pins it alongside the IVF/PQ rotations.
+    */
+  def sq8IndexRotate(
+      incoming: DataFrame, // (cid, cvec)
+      codesPath: String,
+      batchId: Option[Long] = None): Unit =
+    writeRotation(sq8Index(incoming), codesPath, batchId)
+
   /** SQ8 search against a STORED index: stage 1 touches ONLY the codes
     * table (the serving tier never loads full vectors for the scan);
     * full-precision `candidates` are joined back for the exact re-rank
@@ -891,6 +961,77 @@ object Similarity {
       rerank: Int = 50): DataFrame = {
     VectorFunctions.register(candidates.sparkSession)
     val approx = index.join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (col("scale") / lit(127.0d) *
+          VectorFunctions.innerProduct(col("qvec"), col("codes"))).as("sim"))
+    val shortlist = rankTopK(approx, rerank)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+    val exact = shortlist
+      .join(queries, "qid")
+      .join(candidates, "cid")
+      .select(col("qid"), col("cid"),
+        VectorFunctions.cosineSim(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(exact, k)
+  }
+
+  /** IVF-SQ8 fused (FAISS `IVFx,SQ8` — the serving shape that closes
+    * SQ8's last corpus-sized cost): [[sq8TopKViaCodes]]'s stage 1 scans
+    * the WHOLE codes table per query batch — fine locally, not the
+    * serving shape at 100 TB. Here the coarse (IVF) quantizer prunes
+    * the corpus to nProbe cells per query first, so the SQ8 approximate
+    * dot runs only over probed cells' members: per batch |Q|×|C|
+    * routing + (nProbe/|C|)·corpus code reads + |Q|·rerank exact
+    * cosines — neither the unprobed cells' codes nor any unshortlisted
+    * full vector is touched. The composition mirrors [[ivfPqViaIndex]]
+    * (IVF routes, compressed codes score, broadcast |Q|·nProbe probe
+    * rows carry the query vectors); SQ8 trades PQ's higher compression
+    * for zero codebook training and a near-lossless shortlist. All
+    * three index artifacts — (cell_id, centroid), (cid, cell),
+    * (cid, scale, codes) — persist to parquet; at scale assignments and
+    * codes live in ONE table keyed by cid, written together at ingest.
+    *
+    * Deterministic end to end (seeded centroids, IEEE-replayable
+    * scale/floor/dot/cosine, ties → lower id at every cut), so
+    * `sim_topk_ivfsq8` / `sim_index_ivfsq8`'s shared oracle replays
+    * routing, code construction, the probed approximate scan, and both
+    * ranking cuts exactly.
+    */
+  def ivfSq8TopKSeeded(
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec)
+      k: Int,
+      numCentroids: Int,
+      nProbe: Int,
+      rerank: Int = 50): DataFrame = {
+    val (centroids, assignments) = ivfIndex(candidates, numCentroids)
+    ivfSq8ViaIndex(centroids, assignments, sq8Index(candidates),
+      queries, candidates, k, nProbe, rerank)
+  }
+
+  /** Serving-time fused probe against STORED artifacts: stored IVF
+    * tables route, stored SQ8 codes score the probed cells, full
+    * vectors are fetched only for the |Q|·rerank exact re-rank.
+    */
+  def ivfSq8ViaIndex(
+      centroids: DataFrame, // (cell_id, centroid) from ivfIndex
+      assignments: DataFrame, // (cid, cell) from ivfIndex
+      index: DataFrame, // (cid, scale, codes) from sq8Index
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec), exact re-rank only
+      k: Int,
+      nProbe: Int,
+      rerank: Int = 50): DataFrame = {
+    VectorFunctions.register(index.sparkSession)
+    val qProbes = rankTopK(
+        queries.crossJoin(broadcast(centroids))
+          .select(col("qid"), col("cell_id").as("cid"),
+            VectorFunctions.cosineSim(col("qvec"), col("centroid")).as("sim")),
+        nProbe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
+      .join(queries, "qid")
+    val cIndexed = assignments.join(index, "cid")
+    val approx = cIndexed.join(broadcast(qProbes),
+        cIndexed("cell") === qProbes("cell") && col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (col("scale") / lit(127.0d) *
           VectorFunctions.innerProduct(col("qvec"), col("codes"))).as("sim"))

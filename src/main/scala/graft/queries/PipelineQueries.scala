@@ -297,6 +297,54 @@ object PipelineQueries extends QueryModule {
         SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
 
+  /** Oracle for the fused IVF-SQ8 search — [[sqlIvfTopk]]'s routing CTEs
+    * (seeded lowest-64 centroids, argmax assignment, 24-probe choice)
+    * composed with [[sqlSq8Topk]]'s code construction and two-stage
+    * scoring, with the approximate scan restricted to probed cells.
+    * Shared verbatim by `sim_topk_ivfsq8` (recompute form) and
+    * `sim_index_ivfsq8` (persisted-artifact form) — output-identical by
+    * construction, and sharing the oracle makes the driver prove it
+    * every round.
+    */
+  private val sqlIvfSq8Topk =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
+        sc AS (SELECT vec_id, e,
+            list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        codes AS (SELECT vec_id, scale,
+            list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+              ELSE floor(x / scale * 127) END) AS cd
+          FROM sc),
+        ap AS (SELECT p.qid, a.vec_id AS cid,
+            c.scale / 127 * list_dot_product(q.e, c.cd) AS asim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN v q ON q.vec_id = p.qid
+          WHERE p.qid <> a.vec_id),
+        sl AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY asim DESC, cid) AS rn
+          FROM ap) WHERE rn <= 50),
+        ex AS (SELECT sl.qid, sl.cid,
+            list_cosine_similarity(q.e, cv.e) AS sim
+          FROM sl JOIN v q ON sl.qid = q.vec_id
+            JOIN v cv ON sl.cid = cv.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM ex)
+        SELECT qid AS query_id, cid AS neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5 ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── exact dedup: one hash aggregate on a text fingerprint ───────────
@@ -492,6 +540,69 @@ object PipelineQueries extends QueryModule {
           .orderBy("doc_a", "doc_b")
       },
       Some(sqlCrossSidePairs)),
+
+    // ── persisted-bloom ingest pre-filter (r13 verdict item 5 — the
+    //    100 TB trick of skipping already-seen docs before ANY shingle
+    //    work): a bloom over the stored 80%'s exact fingerprints —
+    //    m auto-sized to the smallest power of two ≥ 16·n_stored (the
+    //    anti-fixed-key-space sizing, replayed by the oracle via
+    //    integer bit-length), k = 3 md5-derived positions, persisted as
+    //    a distinct-position parquet — is probed by the incoming 20%.
+    //    Misses are DEFINITE negatives (skip the exact join entirely);
+    //    only hits pay the fingerprint equi join, whose verdict is the
+    //    is_dup column. Exactness preserved: the filter can only skip
+    //    work, never a dup — every is_dup=true row must carry
+    //    bloom_hit=true, which the oracle's independent replay pins
+    //    every round. Probe cost per batch: fingerprint kernel +
+    //    3·|batch| probe rows through one equi join — O(batch). The
+    //    stored-count sizing input is one bounded build-time count
+    //    (a number a real ingest pipeline already tracks). ──────────────
+    QueryDef("dedup_bloom_prefilter",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stored = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        val storedFps = stored
+          .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        val m = Dedup.bloomSize(stored.count())
+        val root = scratchDir("bloom", dir)
+        Dedup.bloomBits(storedFps, m)
+          .write.mode("overwrite").parquet(root + "/bits")
+        val probed = Dedup.bloomPrefilter(
+          s.read.parquet(root + "/bits"), incoming, "doc_id", "text", m)
+        // the exact check runs ONLY on bloom survivors — that is the
+        // saved work; misses are definite-new by the bloom contract
+        val verdict = probed.filter(col("bloom_hit"))
+          .join(storedFps.distinct().withColumn("seen", lit(true)),
+            Seq("fp"), "left")
+          .select(col("id"), coalesce(col("seen"), lit(false)).as("is_dup"))
+        probed.join(verdict, Seq("id"), "left")
+          .select(col("id").as("doc_id"), col("bloom_hit"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val posExpr = OracleGen.md5PrefixExpr(
+          "md5(CAST(j AS VARCHAR) || ':' || fp)", 8)
+        s"""WITH d AS (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        st AS (SELECT fp FROM d WHERE doc_id % 10 < 8),
+        mm AS (SELECT (1::BIGINT << length(format('{:b}', 16 * count(*) - 1))) AS m
+          FROM st),
+        bits AS (SELECT DISTINCT ($posExpr) % m AS pos
+          FROM st CROSS JOIN mm, (SELECT unnest([1, 2, 3]) AS j)),
+        inc AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 >= 8),
+        ph AS (SELECT doc_id, ($posExpr) % m AS pos
+          FROM inc CROSS JOIN mm, (SELECT unnest([1, 2, 3]) AS j)),
+        hit AS (SELECT doc_id FROM ph JOIN bits USING (pos)
+          GROUP BY doc_id HAVING count(*) = 3)
+        SELECT i.doc_id, h.doc_id IS NOT NULL AS bloom_hit,
+          h.doc_id IS NOT NULL
+            AND EXISTS (SELECT 1 FROM st WHERE st.fp = i.fp) AS is_dup
+        FROM inc i LEFT JOIN hit h ON i.doc_id = h.doc_id
+        ORDER BY i.doc_id"""
+      }),
 
     // ── incremental dedup through the PERSISTED signature index: build
     //    the write-once (id, sig) minhash index for the existing 80%,
@@ -1380,6 +1491,64 @@ object PipelineQueries extends QueryModule {
       },
       Some("SELECT vec_id AS id, true AS cell_equal FROM embeddings ORDER BY vec_id")),
 
+    // ── quantizer drift audit + re-version decision (r13 verdict item
+    //    3: every rotation proof above is valid only "while the frozen
+    //    seed set equals the union's seed pick" — this operator is what
+    //    a serving tier runs to DETECT when that stops holding): freeze
+    //    the v1 quantizer on the vec_id % 5 ≠ 0 slice (persisted to
+    //    parquet — incoming ids now interleave BELOW the seed range, so
+    //    a fresh seed pick over the union genuinely differs), then audit
+    //    every vector's cell under frozen-v1 vs fresh-pick quantizers.
+    //    Output: per-vector (old_cell, new_cell, cell_changed) + the
+    //    corpus drift share in basis points + the version-bump decision
+    //    at the 1% threshold — all in-plan (the 1-row share aggregate
+    //    recombines via broadcast). The rebuild execution itself +
+    //    old-probe/new-probe comparability on the unchanged subset are
+    //    pinned by SimilaritySpec's ivfReversionOnDrift tests. ──────────
+    QueryDef("sim_index_reversion",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val all = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val existing = all.filter(pmod(col("cid"), lit(5L)) =!= 0L)
+        val root = scratchDir("reversion", dir)
+        Similarity.ivfIndex(existing, numCentroids = 64)._1
+          .write.mode("overwrite").parquet(root + "/centroids_v1")
+        val audit = Similarity.ivfDriftAudit(
+          s.read.parquet(root + "/centroids_v1"), all, numCentroids = 64)
+        val share = audit.agg(
+          sum(when(col("cell_changed"), 1L).otherwise(0L)).as("n_changed"),
+          count(lit(1)).as("n_total"))
+        audit.crossJoin(broadcast(share))
+          .select(col("cid").as("id"), col("old_cell"), col("new_cell"),
+            col("cell_changed"),
+            expr("n_changed * 10000 DIV n_total").as("drift_bp"),
+            (expr("n_changed * 10000 DIV n_total") > 100L).as("rebuild"))
+          .orderBy("id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        oldc AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e FROM v WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 64)),
+        newc AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        oa AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN oldc t) WHERE rn = 1),
+        na AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN newc t) WHERE rn = 1),
+        j AS (SELECT o.vec_id, o.cell AS old_cell, n.cell AS new_cell,
+            o.cell <> n.cell AS cell_changed
+          FROM oa o JOIN na n ON o.vec_id = n.vec_id),
+        m AS (SELECT CAST(sum(CASE WHEN cell_changed THEN 1 ELSE 0 END) AS BIGINT) AS nch,
+            CAST(count(*) AS BIGINT) AS n FROM j)
+        SELECT vec_id AS id, old_cell, new_cell, cell_changed,
+          CAST(nch * 10000 // n AS BIGINT) AS drift_bp,
+          nch * 10000 // n > 100 AS rebuild
+        FROM j CROSS JOIN m ORDER BY id""")),
+
     // ── PQ-ADC ANN (recompute form): the MEMORY-BOUND index shape —
     //    vectors encode once into m=4 subspace codes (argmin-L2 against
     //    a seeded per-subspace codebook = slices of the 16 lowest-id
@@ -1604,6 +1773,60 @@ object PipelineQueries extends QueryModule {
           FROM scored)
         SELECT qid AS query_id, cid AS neighbor_id, dist, CAST(rn AS INTEGER) AS rank
         FROM r WHERE rn <= 5 ORDER BY query_id, rank""")),
+
+    // ── IVF-SQ8 fused (FAISS IVFx,SQ8 — r13 top task: sim_topk_sq8's
+    //    stage 1 was the last registered serving form paying a full-
+    //    corpus codes scan per query batch): the coarse quantizer prunes
+    //    to 24 of 64 cells per query, the SQ8 approximate dot scans only
+    //    probed cells' int8 codes (¼ the bytes of the float corpus ×
+    //    nProbe/|C| of the rows), exact cosine re-ranks the 50-deep
+    //    shortlist. Same seeded quantizer as sim_topk_ivf + the same
+    //    code arithmetic as sim_topk_sq8; the oracle replays both and
+    //    the fused two-stage. ───────────────────────────────────────────
+    QueryDef("sim_topk_ivfsq8",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Similarity.ivfSq8TopKSeeded(queries, candidates, k = 5,
+            numCentroids = 64, nProbe = 24, rerank = 50)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlIvfSq8Topk)),
+
+    // ── IVF-SQ8 serving shape: probe the PERSISTED artifact triple —
+    //    (cell_id, centroid) + (cid, cell) + (cid, scale, codes), all
+    //    parquet round-tripped (int8 codes stored as float are exactly
+    //    representable). Routing, probed approximate scan, and re-rank
+    //    all run against STORED tables; full vectors are joined back
+    //    only for the 50-per-query exact re-rank. Shares
+    //    sim_topk_ivfsq8's oracle ⇒ the driver proves index-probe ≡
+    //    recompute every round. ─────────────────────────────────────────
+    QueryDef("sim_index_ivfsq8",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val candidates = emb
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val root = scratchDir("ivfsq8", dir)
+        val (centroids, assignments) = Similarity.ivfIndex(candidates, numCentroids = 64)
+        centroids.write.mode("overwrite").parquet(root + "/centroids")
+        assignments.write.mode("overwrite").parquet(root + "/assignments")
+        Similarity.sq8Index(candidates)
+          .write.mode("overwrite").parquet(root + "/codes")
+        Similarity.ivfSq8ViaIndex(
+            s.read.parquet(root + "/centroids"),
+            s.read.parquet(root + "/assignments"),
+            s.read.parquet(root + "/codes"),
+            queries, candidates, k = 5, nProbe = 24, rerank = 50)
+          .withColumn("rank", col("rank").cast(IntegerType))
+          .orderBy("query_id", "rank")
+      },
+      Some(sqlIvfSq8Topk)),
 
     // ── k-NN JOIN (corpus×corpus, every vector gets top-k neighbors):
     //    the search queries above broadcast a small query set; here both
@@ -5466,35 +5689,18 @@ object PipelineQueries extends QueryModule {
     //    needed per-term, the proven pattern). Scale shape: ONE corpus
     //    scan feeds a 1024-row feature aggregate; the per-doc pass joins
     //    features to the broadcast term table — map-side, no row-scaled
-    //    recombine; the report slice (doc_id < 200) bounds the output. ──
+    //    recombine; the report slice (doc_id < 200) bounds the output.
+    //    Registered with the md5 hash kernel (oracle-replayable); the
+    //    production twin swaps in xxhash64 via Dsir.HashKernel.Xx64 —
+    //    ~6× on the corpus-sized kernel, shape equivalence pinned by
+    //    DsirSpec (see operators/Dsir.scala). ───────────────────────────
     QueryDef("pipeline_dsir_weights",
       (s, dir) => {
         import s.implicits._
+        import graft.operators.Dsir
         val docs = Tables.load(s, dir, "documents")
-        val toks = split(lower(trim($"text")), "\\s+")
-        val bigrams = transform(
-          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(2))))
-        val feats = docs.select($"doc_id", $"lang",
-          explode(bigrams).as("bg"))
-          .select($"doc_id", $"lang",
-            pmod(conv(substring(md5($"bg"), 1, 4), 16, 10).cast("long"),
-              lit(1024L)).as("h"))
-        val counts = feats.groupBy($"h").agg(
-          count(lit(1)).as("n_raw"),
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
-        val totals = counts.agg(sum($"n_raw").as("nr"), sum($"n_tgt").as("nt"))
-        val terms = counts.crossJoin(broadcast(totals))
-          .select($"h",
-            floor(log(
-              (($"n_tgt" + 1L) * ($"nr" + 1024L)).cast("double") /
-                (($"n_raw" + 1L) * ($"nt" + 1024L)).cast("double"))
-              * 1000000.0d).cast("long").as("term_micro"))
-        feats.filter($"doc_id" < 200)
-          .join(broadcast(terms), "h")
-          .groupBy($"doc_id", $"lang")
-          .agg(count(lit(1)).as("n_features"),
-            sum($"term_micro").as("dsir_micro_nats"))
+        val feats = Dsir.hashedBigramFeatures(docs)
+        Dsir.docWeights(feats.filter($"doc_id" < 200), Dsir.llrTerms(feats))
           .orderBy($"doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,
@@ -5543,39 +5749,13 @@ object PipelineQueries extends QueryModule {
     QueryDef("pipeline_dsir_resample",
       (s, dir) => {
         import s.implicits._
+        import graft.operators.Dsir
         val docs = Tables.load(s, dir, "documents")
-        val toks = split(lower(trim($"text")), "\\s+")
-        val bigrams = transform(
-          sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(2))))
-        val feats = docs.select($"doc_id", $"lang",
-          explode(bigrams).as("bg"))
+        val feats = Dsir.hashedBigramFeatures(docs).localCheckpoint()
+        val scored = Dsir.docWeights(feats, Dsir.llrTerms(feats))
           .select($"doc_id", $"lang",
-            pmod(conv(substring(md5($"bg"), 1, 4), 16, 10).cast("long"),
-              lit(1024L)).as("h"))
-          .localCheckpoint()
-        val counts = feats.groupBy($"h").agg(
-          count(lit(1)).as("n_raw"),
-          sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_tgt"))
-        val totals = counts.agg(sum($"n_raw").as("nr"), sum($"n_tgt").as("nt"))
-        val terms = counts.crossJoin(broadcast(totals))
-          .select($"h",
-            floor(log(
-              (($"n_tgt" + 1L) * ($"nr" + 1024L)).cast("double") /
-                (($"n_raw" + 1L) * ($"nt" + 1024L)).cast("double"))
-              * 1000000.0d).cast("long").as("term_micro"))
-        val scored = feats
-          .join(broadcast(terms), "h")
-          .groupBy($"doc_id", $"lang")
-          .agg(sum($"term_micro").as("dsir_micro"))
-        val u = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
-          .cast("long").cast("double") + lit(0.5d)) / lit(4294967296.0d)
-        val sel = scored
-          .select($"doc_id", $"lang",
-            ($"dsir_micro".cast("double") / lit(1000000.0d)
-              - log(-log(u))).as("priority"))
-          .orderBy($"priority".desc, $"doc_id")
-          .limit(200)
+            $"dsir_micro_nats")
+        val sel = Dsir.gumbelResample(scored, 200)
         val rawLang = docs.groupBy($"lang").agg(count(lit(1)).as("n_corpus"))
         val tot = docs.agg(count(lit(1)).as("n_total"))
         sel.groupBy($"lang").agg(count(lit(1)).as("n_sampled"))

@@ -9556,16 +9556,23 @@ object RelationalQueries extends QueryModule {
     //    split (train / calibration / test); the predictor is the
     //    train-fold per-priority mean (cents, exact integer sums); the
     //    per-PRIORITY calibration quantile of |y − ŷ| (Mondrian =
-    //    group-conditional, so each group earns its own width) at the
-    //    0.9 level gives q̂, and the test fold reports achieved
-    //    coverage in integer basis points — the number that should
-    //    concentrate near 9000 regardless of how wrong the model is,
-    //    which is the whole point of conformal. The exact finite-sample
-    //    level is ⌈(n_cal+1)·0.9⌉/n_cal; at corpus n the /n_cal
-    //    correction is sub-ulp, and percentile ≡ quantile_cont is the
-    //    proven parity pair. Plan: three fold scans feeding two
-    //    |priorities|-row aggregates + one equi join — no windows,
-    //    nothing row-scaled recombines. ─────────────────────────────────
+    //    group-conditional, so each group earns its own width) gives
+    //    q̂, and the test fold reports achieved coverage in integer
+    //    basis points — the number that should concentrate near 9000
+    //    regardless of how wrong the model is, which is the whole point
+    //    of conformal. q̂ is the EXACT finite-sample order statistic
+    //    the ≥90% guarantee requires (r13 advisory — the plain 0.9
+    //    interpolated quantile is slightly anti-conservative for small
+    //    groups): the k-th smallest residual with k = ⌈(n_cal+1)·0.9⌉
+    //    = (9·(n_cal+1)+9) DIV 10 (pure integer arithmetic, identical
+    //    in both engines; capped at n_cal — the k > n_cal case where
+    //    the guarantee is vacuous). Plan: three fold scans, a
+    //    |priorities|-row model aggregate, and ONE per-priority sort
+    //    (the row_number window that selects the order statistic) whose
+    //    per-group state equals what the exact `percentile` aggregate
+    //    it replaces buffered anyway; the 100 TB relaxation is
+    //    approx_percentile, traded here for the exact guarantee +
+    //    oracle. ───────────────────────────────────────────────────────
     QueryDef("agg_conformal_interval",
       (s, dir) => {
         import s.implicits._
@@ -9577,11 +9584,14 @@ object RelationalQueries extends QueryModule {
         val model = o.filter($"fold" === 0L).groupBy($"cat")
           .agg((sum($"cents").cast("double") / count(lit(1)).cast("double"))
             .as("pred"))
+        val byCat = org.apache.spark.sql.expressions.Window.partitionBy($"cat")
         val cal = o.filter($"fold" === 1L).join(model, "cat")
-          .groupBy($"cat")
-          .agg(count(lit(1)).as("n_cal"),
-            expr("percentile(abs(CAST(cents AS DOUBLE) - pred), 0.9D)")
-              .as("q_hat"))
+          .select($"cat", abs($"cents".cast("double") - $"pred").as("r"))
+          .withColumn("rn", row_number().over(byCat.orderBy($"r")))
+          .withColumn("n_cal", count(lit(1)).over(byCat))
+          .filter($"rn" ===
+            least(expr("(9L * (n_cal + 1L) + 9L) DIV 10L"), $"n_cal"))
+          .select($"cat", $"n_cal", $"r".as("q_hat"))
         o.filter($"fold" === 2L).join(model, "cat").join(cal, "cat")
           .groupBy($"cat")
           .agg(count(lit(1)).as("n_test"),
@@ -9599,9 +9609,12 @@ object RelationalQueries extends QueryModule {
         m AS (SELECT cat,
             CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pred
           FROM o WHERE fold = 0 GROUP BY cat),
-        cal AS (SELECT o.cat, CAST(count(*) AS BIGINT) AS n_cal,
-            quantile_cont(abs(CAST(cents AS DOUBLE) - pred), 0.9) AS q_hat
-          FROM o JOIN m ON o.cat = m.cat WHERE fold = 1 GROUP BY o.cat),
+        calr AS (SELECT o.cat, abs(CAST(cents AS DOUBLE) - pred) AS r,
+            row_number() OVER (PARTITION BY o.cat ORDER BY abs(CAST(cents AS DOUBLE) - pred)) AS rn,
+            CAST(count(*) OVER (PARTITION BY o.cat) AS BIGINT) AS n_cal
+          FROM o JOIN m ON o.cat = m.cat WHERE fold = 1),
+        cal AS (SELECT cat, n_cal, r AS q_hat FROM calr
+          WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)),
         t AS (SELECT o.cat, CAST(count(*) AS BIGINT) AS n_test,
             CAST(sum(CASE WHEN abs(CAST(cents AS DOUBLE) - pred) <= q_hat
               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
@@ -10423,7 +10436,17 @@ object RelationalQueries extends QueryModule {
     //    rounds with localCheckpoint barriers (peeling cascades, so
     //    round 2 re-counts on the survivor set). Scale: per-pass cost
     //    is Σ_e deg(a)+deg(b) arithmetic inside one stage + |E|-row
-    //    shuffles; the fact build runs once. ───────────────────────────
+    //    shuffles; the fact build runs once.
+    //    ROUTING (r13 verdict, the board's one `weak`): this UNCAPPED
+    //    form is the EXACTNESS REFERENCE, not the 100 TB default — its
+    //    Σ_e deg(a)+deg(b) support work is the ALGORITHM's, ∝ Σ_v deg²
+    //    on hub-heavy graphs (measured 32.6× at the sf1→sf10 decade,
+    //    past the n^1.5 envelope, ~77 GB scratch before the
+    //    shuffle_hash fix and still Σdeg²-bound after it). 100 TB runs
+    //    default to `graph_ktruss_capped` (≤ 2·cap merge steps per
+    //    edge, 4.2× at the same decade); `graph_ktruss_cap_sweep`
+    //    measures what each cap costs in retained edges so the choice
+    //    is data-driven, not a guess. ──────────────────────────────────
     QueryDef("graph_ktruss_peel",
       (s, dir) => {
         import s.implicits._
@@ -10654,6 +10677,93 @@ object RelationalQueries extends QueryModule {
         SELECT 2, CAST(count(*) AS BIGINT), CAST(min(sup) AS BIGINT),
           CAST(max(sup) AS BIGINT) FROM sup2
         ORDER BY round""")),
+
+    // ── cap-SENSITIVITY sweep for the degree-capped k-truss (the
+    //    dedup_threshold_sweep shape, r13 verdict item 7): before
+    //    committing a 100 TB run to one cap, measure what each
+    //    candidate cap ∈ {30, 60, 120} costs — edges retained after hub
+    //    removal, edges that would survive the first peel (sup ≥ 12),
+    //    and the support range — off a SHARED edge+degree build
+    //    (checkpointed once; each cap pays only its own anti-join +
+    //    one support pass, and the capped subgraphs nest so the sweep's
+    //    total work is bounded by 3× the largest cap's pass). This is
+    //    the data-driven cap choice the `graph_ktruss_peel` routing
+    //    note defers to. ────────────────────────────────────────────────
+    QueryDef("graph_ktruss_cap_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val io = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val e0 = io.alias("x")
+          .join(io.alias("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .distinct()
+          .localCheckpoint()
+        val deg = e0.select($"a".as("n")).union(e0.select($"b".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        graft.functions.SketchFunctions.register(s)
+        def support(ed: DataFrame): DataFrame = {
+          val adj = ed.select($"a".as("n"), $"b".as("m"))
+            .union(ed.select($"b".as("n"), $"a".as("m")))
+            .groupBy($"n").agg(sort_array(collect_list($"m")).as("nbrs"))
+          // shuffle_hash on the adjacency sides — see graph_ktruss_peel
+          ed.join(adj.select($"n".as("a"), $"nbrs".as("na")).hint("shuffle_hash"), "a")
+            .join(adj.select($"n".as("b"), $"nbrs".as("nb")).hint("shuffle_hash"), "b")
+            .select($"a", $"b",
+              graft.functions.SketchFunctions
+                .sortedIntersectCount($"na", $"nb").as("sup"))
+        }
+        Seq(30L, 60L, 120L).map { cap =>
+          val hubs = deg.filter($"deg" > cap).select($"n")
+          val ec = e0
+            .join(hubs.select($"n".as("a")), Seq("a"), "left_anti")
+            .join(hubs.select($"n".as("b")), Seq("b"), "left_anti")
+            .select($"a", $"b")
+          support(ec).agg(count(lit(1)).as("n_edges"),
+              sum(when($"sup" >= 12L, 1L).otherwise(0L)).as("n_kept"),
+              min($"sup").as("min_support"), max($"sup").as("max_support"))
+            .select(lit(cap).as("cap"), $"n_edges", $"n_kept",
+              $"min_support", $"max_support")
+        }.reduce(_.unionByName(_)).orderBy($"cap")
+      },
+      Some {
+        def capBlock(cap: Int) =
+          s"""hubs$cap AS (SELECT n FROM deg WHERE deg > $cap),
+          ec$cap AS MATERIALIZED (SELECT a, b FROM e0
+            WHERE a NOT IN (SELECT n FROM hubs$cap)
+              AND b NOT IN (SELECT n FROM hubs$cap)),
+          tri$cap AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ec$cap e1
+              JOIN ec$cap e2 ON e1.b = e2.a
+              JOIN ec$cap e3 ON e1.a = e3.a AND e2.b = e3.b),
+          sup$cap AS (SELECT e.a, e.b, coalesce(h.sup, 0) AS sup
+            FROM ec$cap e LEFT JOIN (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+                SELECT x AS a, y AS b FROM tri$cap
+                UNION ALL SELECT x, z FROM tri$cap
+                UNION ALL SELECT y, z FROM tri$cap) GROUP BY a, b) h
+            ON e.a = h.a AND e.b = h.b)"""
+        def sel(cap: Int) =
+          s"""SELECT CAST($cap AS BIGINT) AS cap,
+            CAST(count(*) AS BIGINT) AS n_edges,
+            CAST(sum(CASE WHEN sup >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(min(sup) AS BIGINT) AS min_support,
+            CAST(max(sup) AS BIGINT) AS max_support FROM sup$cap"""
+        s"""WITH io AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          e0 AS MATERIALIZED (
+            SELECT DISTINCT x.p AS a, y.p AS b
+            FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
+          deg AS (SELECT n, count(*) AS deg FROM (
+              SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+          ${capBlock(30)},
+          ${capBlock(60)},
+          ${capBlock(120)}
+          ${sel(30)} UNION ALL ${sel(60)} UNION ALL ${sel(120)}
+          ORDER BY cap"""
+      }),
 
     // ── seasonal/trend strength (the STL-style readout that turns
     //    `agg_seasonal_decompose`'s components into the two numbers a

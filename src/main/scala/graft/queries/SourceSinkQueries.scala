@@ -43,7 +43,7 @@ object SourceSinkQueries extends QueryModule {
 
     QueryDef("src_seed_csv",
       (s, _) => {
-        val dir = Files.createTempDirectory("graft_seed")
+        val dir = QueryScratch.dir("seed")
         val f = dir.resolve("currency_rates.csv")
         Files.writeString(f, seedContent)
         Sources.loadSeed(s, f.toString, "currency_rates").orderBy("currency_code")
@@ -70,7 +70,7 @@ object SourceSinkQueries extends QueryModule {
     //    scan (SPARK-38523 guard). ──────────────────────────────────────
     QueryDef("src_csv_malformed_audit",
       (s, _) => {
-        val dir = Files.createTempDirectory("graft_badcsv")
+        val dir = QueryScratch.dir("badcsv")
         val f = dir.resolve("feed.csv")
         Files.writeString(f,
           """id,amount,day
@@ -112,7 +112,7 @@ object SourceSinkQueries extends QueryModule {
     // (strings, ints) with zero extra dependencies.
     QueryDef("src_orc_roundtrip",
       (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_orc").resolve("nation").toString
+        val tmp = QueryScratch.dir("orc").resolve("nation").toString
         Tables.load(s, dir, "nation").write.mode("overwrite").orc(tmp)
         // reads resolve through the pluggable Source registry (SURVEY §2.1)
         graft.sources.Source("orc").load(s, tmp)
@@ -174,7 +174,7 @@ object SourceSinkQueries extends QueryModule {
     // original parquet.
     QueryDef("src_json_roundtrip",
       (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_json").resolve("events").toString
+        val tmp = QueryScratch.dir("json").resolve("events").toString
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").json(tmp)
@@ -230,7 +230,7 @@ object SourceSinkQueries extends QueryModule {
     // with a different slice, read back: only the second write survives.
     QueryDef("sink_table_roundtrip",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_wh").resolve("region_ctas").toString
+        val out = QueryScratch.dir("wh").resolve("region_ctas").toString
         val region = Tables.load(s, dir, "region")
         region.filter(col("r_regionkey") < 2).write.mode("overwrite").parquet(out)
         region.filter(col("r_regionkey") >= 2).write.mode("overwrite").parquet(out)
@@ -242,7 +242,7 @@ object SourceSinkQueries extends QueryModule {
     // must both be present — proves mode("append"), not overwrite).
     QueryDef("sink_append_roundtrip",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_monitor").resolve("profile_stats").toString
+        val out = QueryScratch.dir("monitor").resolve("profile_stats").toString
         val prof = Profiler.profileTables(s,
           Seq("region" -> Tables.load(s, dir, "region")),
           runId = "run_a", environment = "test")
@@ -268,7 +268,7 @@ object SourceSinkQueries extends QueryModule {
     QueryDef("join_bucketed_colocated",
       (s, dir) => {
         val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-        val loc = Files.createTempDirectory("graft_bucketed")
+        val loc = QueryScratch.dir("bucketed")
         Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
           .repartition(8, col("o_custkey"))
           .write.mode("overwrite").option("path", loc.resolve("orders").toString)
@@ -298,7 +298,7 @@ object SourceSinkQueries extends QueryModule {
     // (PlanAuditSpec asserts PartitionFilters on the scan).
     QueryDef("sink_partitioned_pruning",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_part").resolve("events_by_type").toString
+        val out = QueryScratch.dir("part").resolve("events_by_type").toString
         Tables.load(s, dir, "events").select(col("event_id"), col("value"), col("event_type"))
           .write.partitionBy("event_type").mode("overwrite").parquet(out)
         s.read.parquet(out).filter(col("event_type") === "click")
@@ -317,7 +317,7 @@ object SourceSinkQueries extends QueryModule {
     // byte-identical with/without DPP, so the oracle is the plain join.
     QueryDef("join_dpp_partitioned",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_dpp").resolve("li_by_flag").toString
+        val out = QueryScratch.dir("dpp").resolve("li_by_flag").toString
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
           .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
@@ -326,7 +326,7 @@ object SourceSinkQueries extends QueryModule {
         // LocalRelation dim would constant-fold the filter away and the
         // PartitionPruning rule (which looks for a filter on the other
         // side) would never fire — so the dim round-trips through parquet
-        val dimPath = Files.createTempDirectory("graft_dpp").resolve("flag_dim").toString
+        val dimPath = QueryScratch.dir("dpp").resolve("flag_dim").toString
         s.createDataFrame(Seq(("R", "returned"), ("A", "accepted"), ("N", "none")))
           .toDF("flag", "label")
           .write.mode("overwrite").parquet(dimPath)
@@ -350,7 +350,7 @@ object SourceSinkQueries extends QueryModule {
     // 100 TB without rewriting history).
     QueryDef("src_merge_schema",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_evo").resolve("nation_evo").toString
+        val out = QueryScratch.dir("evo").resolve("nation_evo").toString
         val nation = Tables.load(s, dir, "nation")
         nation.select(col("n_nationkey"), col("n_name"))
           .write.parquet(s"$out/slice=a")
@@ -430,7 +430,7 @@ object SourceSinkQueries extends QueryModule {
 
     QueryDef("maintenance_compact",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_compact").resolve("events_frag").toString
+        val out = QueryScratch.dir("compact").resolve("events_frag").toString
         Tables.load(s, dir, "events").select("event_id", "event_type")
           .repartition(64).write.parquet(out)
         val stats = graft.sources.Maintenance.compactParquet(s, out, 512L * 1024 * 1024)
@@ -460,7 +460,7 @@ object SourceSinkQueries extends QueryModule {
     QueryDef("maintenance_vacuum_orphans",
       (s, dir) => {
         import s.implicits._
-        val out = Files.createTempDirectory("graft_vacuum")
+        val out = QueryScratch.dir("vacuum")
           .resolve("events_tbl").toString
         val committed = Tables.load(s, dir, "events")
           .select($"event_id", $"user_id")
@@ -487,6 +487,51 @@ object SourceSinkQueries extends QueryModule {
             AS rows_before,
           count(*) AS rows_after, CAST(sum(event_id) AS BIGINT) AS id_sum_after
         FROM events""")),
+
+    // ── manifest time-travel read (Delta VERSION AS OF / Iceberg
+    //    snapshot read — the lakehouse READ half of the commit protocol
+    //    maintenance_vacuum_orphans enforces the write half of): commit
+    //    v1 = the even-event_id half (2 files + a sum(event_id) content
+    //    checksum into the append-only _graft_log), append the odd half,
+    //    commit v2 (4 files). A path-listing reader sees only the latest
+    //    state; readAsOf(v1) scans exactly v1's manifest files, so its
+    //    recomputed row count and checksum must reproduce the RECORDED
+    //    v1 commit — proving appends never rewrote v1's files and the
+    //    manifest is sufficient to reconstruct any version. Per-version
+    //    commit checksums are bounded driver aggregates (one scalar per
+    //    commit — the stats a real writer computes at commit time).
+    //    Driver-side file ops are bounded by file count. ────────────────
+    QueryDef("maintenance_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val out = QueryScratch.dir("ttravel").resolve("events_tbl").toString
+        val ev = Tables.load(s, dir, "events").select($"event_id", $"user_id")
+        val v1 = ev.filter($"event_id" % 2L === 0L)
+        v1.repartition(2).write.parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          v1.agg(sum($"event_id")).head().getLong(0))
+        ev.filter($"event_id" % 2L =!= 0L).repartition(2)
+          .write.mode("append").parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          ev.agg(sum($"event_id")).head().getLong(0))
+        val perVersion = graft.sources.Maintenance.versions(out).map { v =>
+          val ci = graft.sources.Maintenance.readCommit(out, v)
+          graft.sources.Maintenance.readAsOf(s, out, v)
+            .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_sum"))
+            .select(lit(v).as("version"),
+              lit(ci.files.size).as("n_files"),
+              $"n_rows", $"id_sum",
+              ($"id_sum" === lit(ci.checksum)).as("checksum_equal"))
+        }
+        perVersion.reduce(_.unionAll(_)).orderBy($"version")
+      },
+      Some("""SELECT 1 AS version, 2 AS n_files, count(*) AS n_rows,
+          CAST(sum(event_id) AS BIGINT) AS id_sum, true AS checksum_equal
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT 2, 4, count(*), CAST(sum(event_id) AS BIGINT), true
+        FROM events
+        ORDER BY version""")),
 
     // Z-order (Morton) layout key: interleave (l_partkey, l_suppkey) low
     // bits into one clustering key — range-partitioning and sorting files
@@ -800,7 +845,7 @@ object SourceSinkQueries extends QueryModule {
     //    day counts prove only the target partition changed. ────────────
     QueryDef("sink_dynamic_partition_overwrite",
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_dynpart")
+        val out = QueryScratch.dir("dynpart")
           .resolve("events_by_day").toString
         val e = Tables.load(s, dir, "events")
           .selectExpr("event_id", "value",

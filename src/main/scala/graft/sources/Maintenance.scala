@@ -109,4 +109,72 @@ object Maintenance {
     orphans.values.foreach(Files.delete)
     VacuumStats(manifest.size, listed.size, orphans.size)
   }
+
+  // ── Versioned commit log + AS-OF reads (the lakehouse READ half of
+  //    the manifest protocol vacuumOrphans enforces the write half of:
+  //    Delta's _delta_log / Iceberg's snapshot list, minimally).
+  //    Each commit records the table's CURRENT data-file listing plus a
+  //    caller-computed content checksum into an append-only
+  //    `_graft_log/v<k>.manifest`; a reader AS OF version k scans
+  //    exactly v_k's files — append-mode writers never rewrite files, so
+  //    every old version stays readable until a vacuum against a newer
+  //    manifest retires its unreferenced files. The checksum makes the
+  //    commit VERIFIABLE: `maintenance_time_travel` recomputes it from
+  //    the as-of read and must reproduce the recorded value. ───────────
+
+  final case class CommitInfo(version: Int, files: Seq[String], checksum: Long)
+
+  private val logDirName = "_graft_log"
+
+  private def manifestPath(path: String, version: Int): Path =
+    Paths.get(path, logDirName, f"v$version%05d.manifest")
+
+  /** Committed versions under `path`, ascending (empty → no log). */
+  def versions(path: String): Seq[Int] = {
+    val logDir = Paths.get(path, logDirName)
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+        s.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq.sorted
+  }
+
+  /** Record the table's current file listing as the next version. The
+    * checksum is the writer's content statement (any engine-replayable
+    * aggregate of the committed rows — the registered query uses
+    * sum(event_id)); line 1 of the manifest, data files after. Returns
+    * the recorded commit. Write is staged-then-renamed so a concurrent
+    * reader never observes a half-written manifest.
+    */
+  def commitVersion(path: String, checksum: Long): CommitInfo = {
+    val v = versions(path).lastOption.getOrElse(0) + 1
+    val files = listDataFiles(path)
+    val target = manifestPath(path, v)
+    Files.createDirectories(target.getParent)
+    val stage = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(stage, (checksum.toString +: files).asJava)
+    Files.move(stage, target)
+    CommitInfo(v, files, checksum)
+  }
+
+  /** Read back version k's recorded commit (manifest + checksum). */
+  def readCommit(path: String, version: Int): CommitInfo = {
+    val p = manifestPath(path, version)
+    require(Files.exists(p), s"no committed version $version under $path")
+    val lines = Files.readAllLines(p).asScala.toSeq
+    CommitInfo(version, lines.tail, lines.head.toLong)
+  }
+
+  /** The table AS OF version k: scan exactly v_k's manifest files —
+    * later appends are invisible, exactly like a Delta/Iceberg
+    * versioned read. Fails loudly if any referenced file was vacuumed
+    * away (spark errors on the missing path at scan time).
+    */
+  def readAsOf(spark: SparkSession, path: String, version: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ci = readCommit(path, version)
+    require(ci.files.nonEmpty, s"version $version committed an empty table")
+    spark.read.parquet(ci.files.map(f => Paths.get(path, f).toString): _*)
+  }
 }

@@ -247,6 +247,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // index_probe/rotate: same vector×centroid routing cross join as
     // topk_ivf, against the STORED |centroids|-row broadcast table
     "sim_index_probe", "sim_index_rotate",
+    // drift audit: two of the same routing cross joins (frozen + fresh
+    // quantizer) + the 1-row drift-share broadcast recombine
+    "sim_index_reversion",
     // domain_mix / median / pack_chunks: 1-row broadcast scalar recombine
     // (pack_chunks rebases its data-derived shard bucket on broadcast
     // min/max ids — see the scaladoc at its QueryDef)
@@ -255,6 +258,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // non-equi qid≠cid guard (codes side streams map-only), plus the
     // same query×centroid routing as topk_ivf in the fused form
     "sim_topk_pq", "sim_index_pq", "sim_topk_ivfpq", "sim_topk_pq_rerank",
+    // SQ8 + IVF-SQ8: topk_brute's non-equi qid≠cid probe broadcast over
+    // the codes scan (sq8), plus in the fused form the query×centroid
+    // routing cross join of topk_ivf (|centroids| small const) with the
+    // probed-cells scoring join an equi join on cell
+    "sim_topk_ivfsq8", "sim_index_ivfsq8",
     // range search: brute-exact registered form, same non-equi broadcast
     // shape as topk_brute
     "sim_range_search",
@@ -819,6 +827,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // r13: the forced two-level quantizer (coarse broadcast + keyed
     // sub-tier join) must keep its shape at 10× data
     "dedup_semdedup_twolevel",
+    // r14: the fused IVF-SQ8 probe (routing cross join + cell equi join
+    // + codes scoring) must keep its shape at 10× data
+    "sim_topk_ivfsq8", "sim_index_ivfsq8",
     // r11 batch 19: ER blocking self-join, temporal-cut broadcasts,
     // prefix-template rollup
     "join_entity_blocking", "split_temporal_holdout",

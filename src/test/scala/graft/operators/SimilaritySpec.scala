@@ -68,6 +68,45 @@ class SimilaritySpec extends AnyFunSuite {
       }
   }
 
+  test("ivfSq8TopKSeeded recall tracks the scanned fraction; probe ≡ recompute via parquet") {
+    // Fused IVF-SQ8: on an unclustered corpus IVF recall tracks
+    // nProbe/nc exactly as sim_topk_ivf's sweep measured, and SQ8's
+    // shortlist is near-lossless WITHIN the probed cells — so the fused
+    // recall should sit at the IVF-only level (the SQ8 stage must not
+    // cost measurable recall on top of the pruning).
+    val k = 5
+    val queries = asQ(emb.filter($"vec_id" < 20))
+    def keyed(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = keyed(Similarity.bruteForceTopK(queries, asC(emb), k))
+    val ivfOnly = keyed(Similarity.ivfTopKSeeded(queries, asC(emb), k,
+      numCentroids = 16, nProbe = 8))
+    val fused = keyed(Similarity.ivfSq8TopKSeeded(queries, asC(emb), k,
+      numCentroids = 16, nProbe = 8, rerank = 50))
+    val rIvf = (truth & ivfOnly).size.toDouble / truth.size
+    val rFused = (truth & fused).size.toDouble / truth.size
+    info(f"recall@$k ivf=$rIvf%.3f fused ivf-sq8=$rFused%.3f")
+    assert(rFused >= rIvf - 0.02,
+      f"SQ8 stage cost recall on top of IVF pruning: $rFused%.3f vs $rIvf%.3f")
+    // persisted-artifact probe ≡ recompute, through a parquet round-trip
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfsq8_spec").toString
+    val (centroids, assignments) = Similarity.ivfIndex(asC(emb), 16)
+    centroids.write.mode("overwrite").parquet(root + "/centroids")
+    assignments.write.mode("overwrite").parquet(root + "/assignments")
+    Similarity.sq8Index(asC(emb)).write.mode("overwrite").parquet(root + "/codes")
+    val viaIndex = Similarity.ivfSq8ViaIndex(
+      spark.read.parquet(root + "/centroids"),
+      spark.read.parquet(root + "/assignments"),
+      spark.read.parquet(root + "/codes"),
+      queries, asC(emb), k, nProbe = 8, rerank = 50)
+    val recompute = Similarity.ivfSq8TopKSeeded(queries, asC(emb), k,
+      numCentroids = 16, nProbe = 8, rerank = 50)
+    def rows(df: DataFrame): Set[(Long, Long, Double, Int)] = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.get(3).toString.toInt)).toSet
+    assert(rows(viaIndex) == rows(recompute))
+  }
+
   test("mipsTopK matches a literal inner-product sort-and-take per query") {
     val k = 4
     val got = Similarity.mipsTopK(asQ(emb.filter($"vec_id" < 5)), asC(emb), k)
@@ -422,6 +461,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rotated.size == ids.length)
   }
 
+  test("ivfReversionOnDrift: keep below threshold (probe ≡ rebuild), re-version above") {
+    val nc = 8
+    val ids = emb.select($"vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 4 / 5)
+    // NO-DRIFT branch: incoming ids sit ABOVE the seed range, so the
+    // frozen seed pick equals the union's fresh pick — drift share 0,
+    // the operator must KEEP version 1, and (because the quantizers are
+    // identical) re-routing against v1 must equal a from-scratch rebuild
+    val prefix = asC(emb.filter($"vec_id" < cut))
+    val (c1, _) = Similarity.ivfIndex(prefix, nc)
+    val (vKeep, cKeep, aKeep) =
+      Similarity.ivfReversionOnDrift(c1, asC(emb), nc, maxDriftShare = 0.01)
+    assert(vKeep == 1)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents(cKeep) == cents(c1), "keep branch must return the stored quantizer")
+    assert(cells(aKeep) == cells(Similarity.ivfIndex(asC(emb), nc)._2),
+      "keep-branch routing must equal a from-scratch rebuild when drift is 0")
+    // DRIFTED branch: freeze the quantizer on the vec_id % 5 != 0 slice —
+    // fresh union seeds interleave below the frozen range, cells move
+    val (cOld, _) = Similarity.ivfIndex(asC(emb.filter($"vec_id" % 5 =!= 0L)), nc)
+    val audit = Similarity.ivfDriftAudit(cOld, asC(emb), nc)
+    val share = audit.agg(avg($"cell_changed".cast("double"))).head().getDouble(0)
+    assert(share > 0.01, f"fixture produced no drift ($share%.4f) — split choice broken")
+    val (vNew, cNew, aNew) =
+      Similarity.ivfReversionOnDrift(cOld, asC(emb), nc, maxDriftShare = 0.01)
+    assert(vNew == 2)
+    assert(cents(cNew) == cents(Similarity.ivfIndex(asC(emb), nc)._1),
+      "rebuild branch must return the fresh seed pick")
+    // a threshold ABOVE the measured drift keeps the frozen quantizer
+    assert(Similarity.ivfReversionOnDrift(cOld, asC(emb), nc,
+      maxDriftShare = 1.0)._1 == 1)
+    // probe comparability across the version bump: (a) EXHAUSTIVE
+    // probes (nProbe = nc) against old and new indexes return the
+    // identical exact top-k — re-versioning moves PRUNING structure,
+    // never scoring; (b) on the UNCHANGED subset the two versions index
+    // every vector identically (the comparable slice the rotation
+    // contract promises), checked against actual routing, not the audit
+    val queries = asQ(emb.filter($"vec_id" < 20))
+    def probes(c: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfTopKViaIndex(c, Similarity.routeToCells(c, asC(emb)), queries,
+        asC(emb), k = 3, nProbe = nc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probes(cOld) == probes(cNew),
+      "exhaustive probes diverged across the version bump")
+    val oldRoute = cells(Similarity.routeToCells(cOld, asC(emb)))
+    val newRoute = cells(Similarity.routeToCells(cNew, asC(emb)))
+    val unchanged = audit.filter(!$"cell_changed")
+      .select($"cid").collect().map(_.getLong(0))
+    assert(unchanged.nonEmpty)
+    unchanged.foreach { id =>
+      assert(oldRoute(id) == newRoute(id),
+        s"vector $id marked unchanged but routed differently")
+    }
+  }
+
   test("ANN index rotation under Structured Streaming equals a batch rebuild") {
     // The serving deployment shape: vectors arrive as micro-batches and
     // foreachBatch routes each against the FROZEN quantizers (stored IVF
@@ -436,6 +533,7 @@ class SimilaritySpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_annstream")
     val (cents, assigns) = (root.resolve("c").toString, root.resolve("a").toString)
     val (seeds, codes) = (root.resolve("s").toString, root.resolve("k").toString)
+    val sq8codes = root.resolve("q").toString
     val rows = emb.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
     val cut = rows(rows.length * 2 / 5)._1
@@ -446,6 +544,7 @@ class SimilaritySpec extends AnyFunSuite {
     val (sDf, kDf) = Similarity.pqIndex(existing, m = 4, ksub = 8, spread = false)
     sDf.write.mode("overwrite").parquet(seeds)
     kDf.write.mode("overwrite").parquet(codes)
+    Similarity.sq8Index(existing).write.mode("overwrite").parquet(sq8codes)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
     var lastBatch = -1L
@@ -459,6 +558,7 @@ class SimilaritySpec extends AnyFunSuite {
           batchId = Some(id))
         Similarity.pqIndexRotate(spark.read.parquet(seeds), b, codes, m = 4,
           batchId = Some(id))
+        Similarity.sq8IndexRotate(b, sq8codes, batchId = Some(id))
         lastBatch = id
         b.unpersist(); ()
       }
@@ -477,6 +577,7 @@ class SimilaritySpec extends AnyFunSuite {
       batchId = Some(lastBatch))
     Similarity.pqIndexRotate(spark.read.parquet(seeds), replayDf, codes, m = 4,
       batchId = Some(lastBatch))
+    Similarity.sq8IndexRotate(replayDf, sq8codes, batchId = Some(lastBatch))
     val rotatedAssign = Similarity.readIndexTable(spark, assigns).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rotatedAssignRows = Similarity.readIndexTable(spark, assigns).count()
@@ -490,6 +591,13 @@ class SimilaritySpec extends AnyFunSuite {
     val rebuiltCodes = Similarity.pqIndex(asC(emb), 4, 8, spread = false)._2
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(rotatedCodes == rebuiltCodes)
+    // SQ8 rotation: stateless per-vector encode, so rotated ≡ rebuild
+    // holds UNCONDITIONALLY (no seed-stability caveat like IVF/PQ)
+    val rotatedSq8 = Similarity.readIndexTable(spark, sq8codes).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Float](2)))).toMap
+    val rebuiltSq8 = Similarity.sq8Index(asC(emb)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Float](2)))).toMap
+    assert(rotatedSq8 == rebuiltSq8)
     assert(rotatedAssign.size == rows.length)
   }
 

@@ -73,6 +73,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.listDataFiles(dir).size == 1)
   }
 
+  test("time travel: versioned commits, as-of reads, vacuum interplay") {
+    import org.apache.spark.sql.functions.sum
+    val dir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "ttravel").resolve("t").toString
+    (1L to 100L).toDF("id").repartition(2).write.parquet(dir)
+    val c1 = Maintenance.commitVersion(dir, 100L * 101 / 2)
+    assert(c1.version == 1 && c1.files.size == 2)
+    (101L to 300L).toDF("id").repartition(3).write.mode("append").parquet(dir)
+    val c2 = Maintenance.commitVersion(dir, 300L * 301 / 2)
+    assert(c2.version == 2 && c2.files.size == 5)
+    assert(Maintenance.versions(dir) == Seq(1, 2))
+    // as-of reads reconstruct each version exactly; recomputed checksum
+    // must reproduce the recorded commit (appends never rewrite v1 files)
+    def sumAsOf(v: Int): Long =
+      Maintenance.readAsOf(spark, dir, v).agg(sum($"id")).head().getLong(0)
+    assert(sumAsOf(1) == Maintenance.readCommit(dir, 1).checksum)
+    assert(sumAsOf(2) == Maintenance.readCommit(dir, 2).checksum)
+    assert(Maintenance.readAsOf(spark, dir, 1).count() == 100)
+    // missing version fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.readCommit(dir, 3)
+    }
+    assert(e.getMessage.contains("version 3"))
+    // vacuum against the LATEST manifest keeps every file v2 references
+    // (v2 ⊇ v1 under append-only writes), so v1 stays readable; the
+    // manifest log itself is never a vacuum candidate (non-parquet)
+    val stats = Maintenance.vacuumOrphans(dir, Maintenance.readCommit(dir, 2).files)
+    assert(stats.orphansDeleted == 0)
+    assert(sumAsOf(1) == 100L * 101 / 2)
+  }
+
   test("parquet footers expose row-group stats without scanning data") {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
