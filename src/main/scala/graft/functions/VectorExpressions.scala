@@ -401,6 +401,70 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "pq_adc"
 }
 
+/** One-pass SQ8 (max-abs scalar quantization) encode kernel. */
+object Sq8Kernels {
+  /** (scale, codes) for one vector: scale = max |double(v_i)| (0.0 for
+    * the empty/all-zero vector), codes_i = floor(v_i/scale·127) stored
+    * as float (integers ≤ 127 are float-exact). Arithmetic order is the
+    * declarative form's — double division, ·127, floor — so results are
+    * bit-identical to the oracle's list_transform replay.
+    */
+  def encode(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    var scale = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getFloat(i).toDouble)
+      if (a > scale) scale = a
+      i += 1
+    }
+    val codes = new Array[Float](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        codes(i) = math.floor(x.getFloat(i).toDouble / scale * 127.0).toFloat
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)))
+  }
+}
+
+/** `sq8_encode(vec)` → struct(scale double, codes array<float>) — the
+  * SQ8 index payload as ONE whole-stage-codegen pass. The declarative
+  * form (array_max(transform(|v|)) + a second transform for the codes)
+  * runs two boxed per-element lambdas outside codegen; on the
+  * corpus-sized index build that was the dominant cost of every SQ8
+  * query (r14 measurement: the sf10 sim_topk_sq8 end-to-end was 72 s of
+  * which the stored-codes PROBE was 1.6 s — the rest was the boxed
+  * encode).
+  */
+case class Sq8Encode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_encode expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  override protected def nullSafeEval(v: Any): Any =
+    Sq8Kernels.encode(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"graft.functions.Sq8Kernels.encode($v);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "sq8_encode"
+}
+
 /** Session registration + typed Column API. */
 object VectorFunctions {
   private def litInt(e: Expression): Int = e.eval(null) match {
@@ -417,6 +481,7 @@ object VectorFunctions {
     Registration.ifAbsent(spark, "pq_dtable")(es => PqDtable(es(0), es(1), litInt(es(2))))
     Registration.ifAbsent(spark, "pq_adc")(es => PqAdc(es(0), es(1)))
     Registration.ifAbsent(spark, "l2_sq")(es => L2Squared(es(0), es(1)))
+    Registration.ifAbsent(spark, "sq8_encode")(es => Sq8Encode(es(0)))
   }
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -429,4 +494,5 @@ object VectorFunctions {
   def pqDtable(vec: Column, seeds: Column, m: Int): Column =
     call_function("pq_dtable", vec, seeds, org.apache.spark.sql.functions.lit(m))
   def pqAdc(codes: Column, dtable: Column): Column = call_function("pq_adc", codes, dtable)
+  def sq8Encode(vec: Column): Column = call_function("sq8_encode", vec)
 }

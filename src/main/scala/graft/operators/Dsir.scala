@@ -13,21 +13,34 @@ import org.apache.spark.sql.functions._
   * HASH KERNELS — the replayability/throughput trade (r13 verdict item
   * 6): the bigram → bucket hash is the corpus-sized kernel of the whole
   * pipeline (every token position pays one hash), and the two modes are
-  *  - [[HashKernel.Md5]]: `md5(bigram)` prefix → bucket. Engine-
-  *    replayable — DuckDB computes the identical digest, which is what
-  *    makes the registered queries exact-oracle-checkable. Cost: md5 is
-  *    a cryptographic digest; SCALING.md measured the DSIR pair
-  *    md5-kernel-BOUND at sf10 (369 s, ~6× over an xxhash64 run of the
-  *    same plan).
-  *  - [[HashKernel.Xx64]]: `xxhash64(bigram)` → bucket — Spark's
-  *    codegen'd non-cryptographic hash, the kernel a production 100 TB
-  *    run should use. Same plan, same schema, same per-doc feature
-  *    COUNTS (bucketing changes which bucket a bigram lands in, never
-  *    how many bigrams a doc has), deterministic across partitionings —
-  *    but not replayable by an external SQL oracle, so the md5 form
-  *    keeps the correctness gate and DsirSpec pins the xx64 twin's
-  *    SHAPE equivalence instead (schema ≡, n_features ≡, repeated-run
-  *    determinism, resample size ≡).
+  *  - [[HashKernel.Md5]]: md5 of the "t1 t2" bigram string → prefix →
+  *    bucket. Engine-replayable — DuckDB computes the identical digest,
+  *    which is what makes the registered queries exact-oracle-checkable.
+  *  - [[HashKernel.Xx64]]: variadic `xxhash64(t1, t2)` → bucket —
+  *    Spark's codegen'd non-cryptographic hash over the two token
+  *    columns directly, so the bigram STRING never materializes. Same
+  *    plan shape, same schema, same per-doc feature COUNTS (bucketing
+  *    changes which bucket a bigram lands in, never how many bigrams a
+  *    doc has), deterministic across partitionings — but not replayable
+  *    by an external SQL oracle, so the md5 form keeps the correctness
+  *    gate and DsirSpec pins the xx64 twin's SHAPE equivalence instead
+  *    (schema ≡, n_features ≡, repeated-run determinism, resample
+  *    size ≡).
+  *
+  * KERNEL SHAPE (r14 measurement — this corrects SCALING.md r13's
+  * "md5-kernel-bound, ~6× xxhash64 swap" diagnosis): the r13 form built
+  * the bigram array with a higher-order `transform(sequence, i ⇒
+  * concat_ws(slice))` — boxed per-element lambdas OUTSIDE whole-stage
+  * codegen, allocating a slice array + UTF8String per token position —
+  * and THAT, not the digest, was the corpus-sized cost. Measured at sf1
+  * (features stage, min-of-2, local[8]): boxed-transform md5 52.5 s /
+  * xx64 40.4 s; codegen explode(sequence) + per-row element lookups:
+  * md5 3.1 s (17×, bigram strings byte-identical so the oracle is
+  * untouched), xx64 1.3 s (the remaining 2.4× is the true digest +
+  * string-build delta — the production twin's honest win). Single-token
+  * docs: `try_element_at` (ANSI-safe) returns NULL past the end and
+  * `concat_ws` skips NULLs, reproducing the old slice semantics
+  * (bigram = the lone token) exactly.
   */
 object Dsir {
 
@@ -40,34 +53,41 @@ object Dsir {
     case object Xx64 extends HashKernel
   }
 
-  private def bucket(bg: Column, buckets: Int, hash: HashKernel): Column =
+  /** The two tokens at position i, ANSI-safe: try_element_at returns
+    * NULL one past the end (single-token docs) and concat_ws skips it.
+    */
+  private def tok(i: Column): Column = try_element_at(col("tk"), i)
+
+  private def bucket(i: Column, buckets: Int, hash: HashKernel): Column =
     hash match {
       case HashKernel.Md5 =>
-        pmod(conv(substring(md5(bg), 1, 4), 16, 10).cast("long"),
-          lit(buckets.toLong))
+        pmod(conv(substring(md5(concat_ws(" ", tok(i), tok(i + 1))), 1, 4),
+          16, 10).cast("long"), lit(buckets.toLong))
       case HashKernel.Xx64 =>
-        pmod(xxhash64(bg), lit(buckets.toLong))
+        pmod(xxhash64(tok(i), tok(i + 1)), lit(buckets.toLong))
     }
 
   /** The hashed-bigram feature table (doc_id, lang, h): one row per
     * token position — the ONE corpus-sized pass of the pipeline, a
-    * narrow explode+hash map inside the scan. Callers that score the
-    * whole corpus should checkpoint/persist the result once (the
-    * resample query does; at 100 TB the persisted (doc, h) table is
-    * ~3% of corpus bytes, the artifact an ingest pipeline keeps beside
-    * the text).
+    * narrow codegen explode+hash map inside the scan (see KERNEL SHAPE
+    * in the object scaladoc: position indexes explode, tokens are
+    * looked up per row — no boxed per-element lambda, no intermediate
+    * bigram array). Callers that score the whole corpus should
+    * checkpoint/persist the result once (the resample query does; at
+    * 100 TB the persisted (doc, h) table is ~3% of corpus bytes, the
+    * artifact an ingest pipeline keeps beside the text).
     */
   def hashedBigramFeatures(
       docs: DataFrame, // (doc_id, lang, text)
       buckets: Int = 1024,
       hash: HashKernel = HashKernel.Md5): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
-    docs.select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+    docs.select(col("doc_id"), col("lang"), toks.as("tk"))
+      .select(col("doc_id"), col("lang"), col("tk"),
+        explode(sequence(lit(1), greatest(size(col("tk")) - 1, lit(1))))
+          .as("i"))
       .select(col("doc_id"), col("lang"),
-        bucket(col("bg"), buckets, hash).as("h"))
+        bucket(col("i"), buckets, hash).as("h"))
   }
 
   /** Per-bucket importance terms in micro-nats: add-one-smoothed

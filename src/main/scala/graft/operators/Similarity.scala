@@ -917,15 +917,18 @@ object Similarity {
     * max-abs scale + int8 codes stored as float (exactly representable;
     * parquet round-trips them bit-identically). One narrow map over the
     * corpus, no shuffle — built once at ingest, ~¼ the corpus bytes.
+    * Encoding is the native one-pass [[graft.functions.Sq8Encode]]
+    * kernel: the declarative array_max(transform)+transform form ran
+    * two boxed per-element lambdas outside codegen and dominated every
+    * SQ8 query end-to-end (r14: 72 s sf10 total vs 1.6 s stored-codes
+    * probe). Identical arithmetic (double max-abs, floor(v/scale·127))
+    * ⇒ the oracle replay is unchanged.
     */
   def sq8Index(candidates: DataFrame): DataFrame = {
-    val maxabs = array_max(transform(col("cvec"), v => abs(v.cast("double"))))
-    candidates.select(col("cid"),
-      maxabs.as("scale"),
-      transform(col("cvec"),
-        v => when(maxabs === 0.0d, lit(0.0d))
-          .otherwise(floor(v.cast("double") / maxabs * 127)).cast("float"))
-        .as("codes"))
+    VectorFunctions.register(candidates.sparkSession)
+    candidates
+      .select(col("cid"), VectorFunctions.sq8Encode(col("cvec")).as("e"))
+      .select(col("cid"), col("e.scale").as("scale"), col("e.codes").as("codes"))
   }
 
   /** Rotation for the persisted SQ8 index: encode the incoming batch —
@@ -1011,6 +1014,10 @@ object Similarity {
   /** Serving-time fused probe against STORED artifacts: stored IVF
     * tables route, stored SQ8 codes score the probed cells, full
     * vectors are fetched only for the |Q|·rerank exact re-rank.
+    * Separate assignment/codes tables are re-fused here by a cid equi
+    * join; prefer [[ivfSq8Index]] + [[ivfSq8ViaFusedIndex]], where the
+    * index is written as ONE cell-partitioned table and the probe prunes
+    * unprobed cells at SCAN time.
     */
   def ivfSq8ViaIndex(
       centroids: DataFrame, // (cell_id, centroid) from ivfIndex
@@ -1020,8 +1027,46 @@ object Similarity {
       candidates: DataFrame, // (cid, cvec), exact re-rank only
       k: Int,
       nProbe: Int,
+      rerank: Int = 50): DataFrame =
+    ivfSq8ViaFusedIndex(centroids, assignments.join(index, "cid"),
+      queries, candidates, k, nProbe, rerank)
+
+  /** The fused IVF-SQ8 index as ONE table: (cid, cell, scale, codes) —
+    * routing assignment and quantized codes written TOGETHER at ingest,
+    * keyed by cid, meant to be persisted PARTITIONED BY `cell`
+    * (`.write.partitionBy("cell")`). That layout is what turns the
+    * probed-cells cut from a row filter into a SCAN cut: the probe's
+    * equi join on `cell` against the broadcast |Q|·nProbe probe rows
+    * dynamic-partition-prunes the parquet scan, so unprobed cells'
+    * FILES are never read — at 100 TB that is nProbe/|C| of the index
+    * bytes per batch instead of all of them. (The r14 end-to-end
+    * measurement that motivated this: with codes and assignments stored
+    * as separate unpartitioned tables, the probe's cid re-fuse join had
+    * to READ the whole codes table, and fused probing was no faster
+    * than the brute codes scan.)
+    */
+  def ivfSq8Index(
+      candidates: DataFrame, // (cid, cvec)
+      numCentroids: Int): (DataFrame, DataFrame) = {
+    val (centroids, assignments) = ivfIndex(candidates, numCentroids)
+    (centroids, assignments.join(sq8Index(candidates), "cid"))
+  }
+
+  /** Probe the fused cell-partitioned index (see [[ivfSq8Index]]):
+    * routing |Q|×|C| against broadcast centroids, then the SQ8
+    * approximate dot only over probed cells — a broadcast equi join on
+    * `cell` that partition-prunes a cell-partitioned scan — and the
+    * exact cosine re-rank over the |Q|·rerank shortlist.
+    */
+  def ivfSq8ViaFusedIndex(
+      centroids: DataFrame, // (cell_id, centroid) from ivfIndex
+      fused: DataFrame, // (cid, cell, scale, codes) from ivfSq8Index
+      queries: DataFrame, // (qid, qvec)
+      candidates: DataFrame, // (cid, cvec), exact re-rank only
+      k: Int,
+      nProbe: Int,
       rerank: Int = 50): DataFrame = {
-    VectorFunctions.register(index.sparkSession)
+    VectorFunctions.register(fused.sparkSession)
     val qProbes = rankTopK(
         queries.crossJoin(broadcast(centroids))
           .select(col("qid"), col("cell_id").as("cid"),
@@ -1029,9 +1074,8 @@ object Similarity {
         nProbe)
       .select(col("query_id").as("qid"), col("neighbor_id").as("cell"))
       .join(queries, "qid")
-    val cIndexed = assignments.join(index, "cid")
-    val approx = cIndexed.join(broadcast(qProbes),
-        cIndexed("cell") === qProbes("cell") && col("qid") =!= col("cid"))
+    val approx = fused.join(broadcast(qProbes),
+        fused("cell") === qProbes("cell") && col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (col("scale") / lit(127.0d) *
           VectorFunctions.innerProduct(col("qvec"), col("codes"))).as("sim"))

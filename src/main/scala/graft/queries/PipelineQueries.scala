@@ -1797,14 +1797,19 @@ object PipelineQueries extends QueryModule {
       },
       Some(sqlIvfSq8Topk)),
 
-    // ── IVF-SQ8 serving shape: probe the PERSISTED artifact triple —
-    //    (cell_id, centroid) + (cid, cell) + (cid, scale, codes), all
-    //    parquet round-tripped (int8 codes stored as float are exactly
-    //    representable). Routing, probed approximate scan, and re-rank
-    //    all run against STORED tables; full vectors are joined back
-    //    only for the 50-per-query exact re-rank. Shares
-    //    sim_topk_ivfsq8's oracle ⇒ the driver proves index-probe ≡
-    //    recompute every round. ─────────────────────────────────────────
+    // ── IVF-SQ8 serving shape: probe the PERSISTED artifacts — the
+    //    (cell_id, centroid) quantizer plus the FUSED index, ONE table
+    //    (cid, cell, scale, codes) written PARTITIONED BY cell (int8
+    //    codes stored as float are exactly representable, so the
+    //    parquet round-trip is bit-identical). The cell layout is the
+    //    point: the probe's equi join on `cell` prunes the index SCAN
+    //    to probed cells' files — nProbe/|C| of the index bytes per
+    //    batch, never all of them (the r14 decades measured the
+    //    unpartitioned two-table form no faster end-to-end than the
+    //    brute codes scan, because the cid re-fuse join read every
+    //    code row). Full vectors are joined back only for the
+    //    50-per-query exact re-rank. Shares sim_topk_ivfsq8's oracle ⇒
+    //    the driver proves index-probe ≡ recompute every round. ─────────
     QueryDef("sim_index_ivfsq8",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1813,15 +1818,15 @@ object PipelineQueries extends QueryModule {
         val candidates = emb
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val root = scratchDir("ivfsq8", dir)
-        val (centroids, assignments) = Similarity.ivfIndex(candidates, numCentroids = 64)
+        val (centroids, fused) = Similarity.ivfSq8Index(candidates, numCentroids = 64)
         centroids.write.mode("overwrite").parquet(root + "/centroids")
-        assignments.write.mode("overwrite").parquet(root + "/assignments")
-        Similarity.sq8Index(candidates)
-          .write.mode("overwrite").parquet(root + "/codes")
-        Similarity.ivfSq8ViaIndex(
+        fused.write.mode("overwrite").partitionBy("cell")
+          .parquet(root + "/index")
+        Similarity.ivfSq8ViaFusedIndex(
             s.read.parquet(root + "/centroids"),
-            s.read.parquet(root + "/assignments"),
-            s.read.parquet(root + "/codes"),
+            s.read.parquet(root + "/index")
+              .select(col("cid"), col("cell").cast("long").as("cell"),
+                col("scale"), col("codes")),
             queries, candidates, k = 5, nProbe = 24, rerank = 50)
           .withColumn("rank", col("rank").cast(IntegerType))
           .orderBy("query_id", "rank")

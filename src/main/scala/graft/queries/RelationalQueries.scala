@@ -10694,12 +10694,16 @@ object RelationalQueries extends QueryModule {
         import s.implicits._
         val io = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        // e0 deliberately NOT checkpointed (it recomputes per cap, the
+        // graph_ktruss_capped footprint): pinning the |E|-row edge set
+        // in storage for the whole sweep starved the support passes'
+        // execution memory at sf10 (UNABLE_TO_ACQUIRE_MEMORY under the
+        // 8g driver). Only the small degree table is shared pinned.
         val e0 = io.alias("x")
           .join(io.alias("y"),
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .select(col("x.p").as("a"), col("y.p").as("b"))
           .distinct()
-          .localCheckpoint()
         val deg = e0.select($"a".as("n")).union(e0.select($"b".as("n")))
           .groupBy($"n").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
@@ -10715,18 +10719,56 @@ object RelationalQueries extends QueryModule {
               graft.functions.SketchFunctions
                 .sortedIntersectCount($"na", $"nb").as("sup"))
         }
-        Seq(30L, 60L, 120L).map { cap =>
+        // One cap at a time, with DETERMINISTIC block release between
+        // passes: unioned lazily the three adjacency collect_list
+        // aggregates run as concurrent stages of one job and their
+        // combined hash-agg state OOMed at sf10; and because
+        // Dataset.unpersist does not release localCheckpoint RDD
+        // blocks, per-cap checkpoints ACCUMULATED across the sweep and
+        // starved execution memory the same way. So each cap's 5-scalar
+        // stat row is collected to the driver (the bounded 1-row
+        // verdict pattern DqEngine uses) and every RDD pinned after the
+        // shared degree snapshot is unpersisted, blocking, before the
+        // next cap runs — peak memory is exactly one capped pass's,
+        // the graph_ktruss_capped envelope.
+        val keep = s.sparkContext.getPersistentRDDs.keySet
+        val collected = Seq(30L, 60L, 120L).map { cap =>
           val hubs = deg.filter($"deg" > cap).select($"n")
+          // checkpoint BEFORE the adjacency aggregate — same barrier as
+          // graph_ktruss_capped: fused with the two anti-joins, the
+          // aggregate's hash state shares task memory with the join
+          // hash maps and OOMed at sf10
           val ec = e0
             .join(hubs.select($"n".as("a")), Seq("a"), "left_anti")
             .join(hubs.select($"n".as("b")), Seq("b"), "left_anti")
             .select($"a", $"b")
-          support(ec).agg(count(lit(1)).as("n_edges"),
+            .localCheckpoint()
+          val r = support(ec).agg(count(lit(1)).as("n_edges"),
               sum(when($"sup" >= 12L, 1L).otherwise(0L)).as("n_kept"),
               min($"sup").as("min_support"), max($"sup").as("max_support"))
-            .select(lit(cap).as("cap"), $"n_edges", $"n_kept",
-              $"min_support", $"max_support")
-        }.reduce(_.unionByName(_)).orderBy($"cap")
+            .head()
+          s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!keep.contains(id)) rdd.unpersist(blocking = true)
+          }
+          org.apache.spark.sql.Row(cap, r.getLong(0),
+            if (r.isNullAt(1)) null else r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            if (r.isNullAt(3)) null else r.getLong(3))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cap",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_edges",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_kept",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("min_support",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("max_support",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        s.createDataFrame(
+            s.sparkContext.parallelize(collected, 1), schema)
+          .orderBy($"cap")
       },
       Some {
         def capBlock(cap: Int) =

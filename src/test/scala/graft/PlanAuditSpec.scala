@@ -232,6 +232,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
   }
 
+  test("fused IVF-SQ8 probe prunes the cell-partitioned index scan") {
+    // the whole point of persisting the fused index partitioned by cell
+    // (r14): the probe's join on `cell` must reach the index scan as a
+    // partition-level prune — dynamicpruning (probe set known only
+    // through the join) — so unprobed cells' FILES are never read
+    val p = plan("sim_index_ivfsq8")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+  }
+
   // Every BroadcastNestedLoopJoin in the suite must be one of these
   // documented bounded shapes; anything new is a scale regression.
   //  - histogram / profile_stats / incremental_distinct_exact /
