@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("token_rolling_hash64", "token_rolling_hash64(tokens) - order-sensitive rolling document fingerprint") {
       es => TokenRollingHash64(es.head)
     }
+    inject("token_window_hash64", "token_window_hash64(text, k) - rolling hash of every overlapping k-token window") {
+      es => TokenWindowHashes(es.head, litInt(es(1)))
+    }
     inject("shingle_hashes", "shingle_hashes(text, n) - sorted distinct word n-gram hashes") {
       es => ShingleHashes(es.head, litInt(es(1)))
     }

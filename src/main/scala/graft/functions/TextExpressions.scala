@@ -607,6 +607,76 @@ object SpanKernel {
   }
 }
 
+/** One-pass OVERLAPPING-window rolling-hash kernel — the fingerprint
+  * front end of exact-substring dedup (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better": remove every ≥k-token
+  * substring already seen elsewhere in the corpus). Emits the
+  * polynomial rolling hash of EVERY k-token window of the
+  * trim/lower/\s+-split text — n−k+1 hashes for n tokens — in O(n):
+  * h₀ folds the first k token md5-low-64 values, then
+  * hᵢ₊₁ = (hᵢ − mᵢ·P^(k−1))·P + mᵢ₊ₖ (P = 1000003, mod 2⁶⁴ via natural
+  * long wrap). Each window hash equals the plain left fold over that
+  * window's tokens, so a SQL engine replays any single window with a
+  * k-term list_reduce — the chunk-combinable property of
+  * [[TextKernels.tokenRollingHash64]] applied per position. md5 per
+  * token keeps the token mapping engine-replayable; the per-thread memo
+  * serves the zipfian head.
+  */
+object WindowHashKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def tokenWindowHash64(text: UTF8String, k: Int): ArrayData = {
+    val s = text.trim().toLowerCase().toString
+    val toks = Ws.split(s, -1)
+    val n = toks.length
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val m = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      m(i) = TextKernels.md5Low64Cached(UTF8String.fromString(toks(i)))
+      i += 1
+    }
+    var pk = 1L // P^(k-1) mod 2^64
+    var e = 0
+    while (e < k - 1) { pk *= 1000003L; e += 1 }
+    val out = new Array[Any](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * 1000003L + m(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (h - m(i - 1) * pk) * 1000003L + m(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** token_window_hash64(text, k) → array<bigint>: rolling hash of every
+  * overlapping k-token window, position-indexed (posexplode gives the
+  * 0-based window start).
+  */
+case class TokenWindowHashes(child: Expression, windowTokens: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"token_window_hash64 expects string, got ${dt.simpleString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    WindowHashKernel.tokenWindowHash64(v.asInstanceOf[UTF8String], windowTokens)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowHashKernel.tokenWindowHash64($c, $windowTokens)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "token_window_hash64"
+}
+
 /** span_md5s(text, spanWords) → array<string> of per-span md5 hex. */
 case class SpanMd5s(child: Expression, spanWords: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -716,6 +786,14 @@ object TextHashFunctions {
       }
       SpanMd5s(es.head, n)
     }
+    Registration.ifAbsent(spark, "token_window_hash64") { es =>
+      val n = es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"token_window_hash64 k must be a literal int, got $other")
+      }
+      TokenWindowHashes(es.head, n)
+    }
     Registration.ifAbsent(spark, "span_texts") { es =>
       val n = es(1).eval(null) match {
         case i: Int => i
@@ -740,4 +818,6 @@ object TextHashFunctions {
     call_function("span_md5s", c, org.apache.spark.sql.functions.lit(spanWords))
   def spanTexts(c: Column, spanWords: Int): Column =
     call_function("span_texts", c, org.apache.spark.sql.functions.lit(spanWords))
+  def tokenWindowHash64(c: Column, k: Int): Column =
+    call_function("token_window_hash64", c, org.apache.spark.sql.functions.lit(k))
 }

@@ -414,6 +414,12 @@ object Sq8Kernels {
     var scale = 0.0
     var i = 0
     while (i < n) {
+      // fail loudly on a null slot: getFloat would silently read it as
+      // 0.0f, a semantic drift from the declarative form this kernel
+      // replaced (r14 advisory) — embedding vectors never carry nulls,
+      // so any null here is corrupt input, not a case to paper over
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"sq8_encode: null element at index $i — vectors must be dense")
       val a = math.abs(x.getFloat(i).toDouble)
       if (a > scale) scale = a
       i += 1
@@ -444,6 +450,12 @@ object Sq8Kernels {
 case class Sq8Encode(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // parquet list elements arrive as containsNull=true even though
+    // embedding vectors never actually hold null slots (and Cast cannot
+    // strip containsNull), so the type stays accepted here — the KERNEL
+    // raises on a null slot instead of silently reading it as 0.0f,
+    // which is the semantic drift the r14 advisory flagged (the
+    // declarative form this kernel replaced propagated the null)
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"sq8_encode expects array<float>, got ${other.simpleString}")

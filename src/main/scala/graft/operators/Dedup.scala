@@ -136,6 +136,78 @@ object Dedup {
         md5(col("rebuilt")).as("dedup_fp"))
   }
 
+  /** EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the production dedup of the
+    * big LM corpora, approximated on k-token granularity): every
+    * OVERLAPPING k-token window is rolling-hash fingerprinted
+    * ([[graft.functions.WindowHashKernel]] — O(n) per doc, one codegen
+    * scan), the corpus-wide FIRST occurrence of each fingerprint wins
+    * (first = smallest (doc id, window start) — reproducible under any
+    * partitioning; later occurrences, INCLUDING within-doc repeats, are
+    * duplicate substrings), and a token is removed iff ANY duplicate
+    * window covers it — the per-doc overlap merge, computed as a
+    * trailing rolling max over the duplicate-start flags (a token at
+    * position t is covered iff a duplicate window starts in
+    * [t−k+1, t] — the `pipeline_span_corruption` device). Returns ALL
+    * docs as (id, n_tokens, n_dup_windows, n_removed, dedup_chars,
+    * dedup_fp) with the rebuilt text length-and-md5 summarized, like
+    * [[applySpanDedup]].
+    *
+    * Scale shape: one kernel scan emits the window hashes (n−k+1 rows
+    * per doc), the first-occurrence rule is ONE window shuffle
+    * partitioned by the hash (high-cardinality key, no global order —
+    * the inherent corpus-sized exchange of corpus-wide dedup), and the
+    * duplicate STARTS (only the dup share of the corpus) re-group per
+    * doc into a sorted start array that joins back to the token rows on
+    * doc id — token rows shuffle ONCE (by id), the coverage test is a
+    * per-token probe of the doc's own sorted start list, and the
+    * rolling-max merge + rebuild re-use that same id partitioning (one
+    * sort, no further exchange). Unlike fixed-span dedup
+    * ([[spanDedupStats]]) this catches duplicated passages at ANY
+    * alignment, at the cost of k× window rows in the fingerprint
+    * exchange.
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, "windowTokens >= 2")
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextHashFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val wh = d.select(col("id"),
+      posexplode(graft.functions.TextHashFunctions
+        .tokenWindowHash64(col("text"), windowTokens)).as(Seq("pos", "h")))
+    val wFirst = Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))
+    // duplicate window starts, re-grouped to one sorted array per doc
+    // (bounded by the doc's own window count)
+    val dupStarts = wh
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ms"))
+    val tokRows = d.select(col("id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    tokRows
+      .join(dupStarts, Seq("id"), "left")
+      .withColumn("sf",
+        when(col("ms").isNotNull && array_contains(col("ms"), col("pos")), 1L)
+          .otherwise(0L))
+      .withColumn("removed",
+        max(col("sf")).over(wDoc.rowsBetween(-(windowTokens - 1), 0)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("sf")).as("n_dup_windows"),
+        sum(col("removed")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("removed") === 0L,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("rebuilt"))
+      .select(col("id"), col("n_tokens"), col("n_dup_windows"),
+        col("n_removed"),
+        length(col("rebuilt")).cast("long").as("dedup_chars"),
+        md5(col("rebuilt")).as("dedup_fp"))
+  }
+
   /** (id, span_idx, h): non-overlapping `spanWords`-token windows of the
     * lower-cased text, md5-fingerprinted — the shared front end of
     * [[spanDedupStats]] and [[boilerplateSpanStats]]. The whole
@@ -598,11 +670,23 @@ object Dedup {
 
   /** k derived md5 bit positions for one fingerprint (the
     * dq_bloom_fpr_eval device: position j = md5("j:" ‖ fp) % m —
-    * engine-replayable, uniform). */
-  private def bloomPositions(fp: Column, m: Long, hashes: Int): Column =
+    * engine-replayable, uniform). Positions come from a 15-nibble
+    * (60-bit) md5 prefix, NOT the 8-nibble (32-bit) one the fixed-m
+    * dq harness uses: [[bloomSize]] grows m past 2³² once nStored
+    * exceeds ~2²⁸ docs, and a 32-bit position source would make the
+    * pmod a no-op there — the filter's effective key space silently
+    * saturating at 2³² bits is exactly the fixed-key-space trap the
+    * corpus-proportional sizing exists to avoid (r14 advisory). 60
+    * bits covers m = 16n up to n ≈ 7·10¹⁶ docs; the require makes any
+    * excursion past that fail loudly instead of silently aliasing.
+    */
+  private def bloomPositions(fp: Column, m: Long, hashes: Int): Column = {
+    require(m <= (1L << 60),
+      s"bloom size $m exceeds the 60-bit position space; corpus too large")
     array((1 to hashes).map(j =>
-      pmod(conv(substring(md5(concat(lit(s"$j:"), fp)), 1, 8), 16, 10)
+      pmod(conv(substring(md5(concat(lit(s"$j:"), fp)), 1, 15), 16, 10)
         .cast("long"), lit(m))): _*)
+  }
 
   /** The persisted filter artifact: the DISTINCT set bit positions over
     * the stored fingerprints — ≤ min(m, k·n) single-long rows, written

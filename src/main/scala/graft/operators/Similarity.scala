@@ -616,8 +616,12 @@ object Similarity {
       numCentroids: Int,
       maxDriftShare: Double = 0.01): (Int, DataFrame, DataFrame) = {
     val audit = ivfDriftAudit(storedCentroids, vectors, numCentroids)
+    // coalesce: avg over an empty audit is null, and an empty corpus
+    // trivially has zero drift — keep version 1 instead of NPE-ing on
+    // the null unbox (r14 advisory)
     val share = audit
-      .agg(avg(col("cell_changed").cast("double"))).head().getDouble(0)
+      .agg(coalesce(avg(col("cell_changed").cast("double")), lit(0.0)))
+      .head().getDouble(0)
     if (share > maxDriftShare) {
       val (c2, a2) = ivfIndex(vectors, numCentroids)
       (2, c2, a2)

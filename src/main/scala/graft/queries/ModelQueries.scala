@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import graft.Tables
 import graft.models._
@@ -154,7 +153,7 @@ object ModelQueries extends QueryModule {
     // merges them in; the final table must equal the full-history build.
     QueryDef("model_incremental",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_inc").toString
+        val wh = QueryScratch.dir("model_inc").toString
         def daily(pred: org.apache.spark.sql.Column): Model =
           Model("orders_daily", Nil, Materialization.Incremental(Seq("d")),
             sp => Tables.load(sp, dir, "orders")
@@ -272,7 +271,7 @@ object ModelQueries extends QueryModule {
     // really is a VIEW, not a table or temp view.
     QueryDef("sink_view",
       (s, dir) => {
-        val wh = Files.createTempDirectory("graft_view_wh").toString
+        val wh = QueryScratch.dir("view_wh").toString
         val base = Model("graft_region_base", Nil, Materialization.Table,
           sp => Tables.load(sp, dir, "region").select(col("r_regionkey"), col("r_name")))
         val view = Model("graft_region_view", Seq("graft_region_base"),

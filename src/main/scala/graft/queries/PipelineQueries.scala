@@ -24,40 +24,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object PipelineQueries extends QueryModule {
 
-  /** Shared scratch root for the persisted-index queries: ONE temp root
-    * per JVM, subdirs keyed by (tag, data dir) so repeated invocations of
-    * the same query overwrite their own index instead of leaking a fresh
-    * temp dir per call (r10 advisory); the whole root is removed on JVM
-    * exit. Note the index parquet write these queries perform is an EAGER
-    * Spark action at DataFrame-BUILD time — the index is an input
-    * artifact of the returned plan, not a node in it, so its build cost
-    * lands in whichever phase calls the query fn.
-    */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_sigidx")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
-    p
-  }
-
-  private val scratchSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  /** Unique per INVOCATION (the _N suffix): two builds of the same query
-    * must not share an index directory, or the second build's overwrite
-    * would delete files a still-unexecuted first plan has already listed
-    * (FileNotFoundException at execute time). Invocation dirs accumulate
-    * under the one scratch root for the JVM's life and are removed at
-    * exit — bounded by invocation count, never by rerun count of any one
-    * plan.
+  /** Per-invocation scratch for the persisted-index queries, delegating
+    * to the JVM-wide [[QueryScratch]] root (one temp root, one shutdown
+    * hook — r14 advisory: this module previously kept a second root +
+    * hook + counter of its own). The dataDir hash stays in the tag so
+    * concurrent runs against different fixtures never collide; the _N
+    * suffix QueryScratch appends keeps invocations unique — two builds
+    * of the same query must not share an index directory, or the second
+    * build's overwrite would delete files a still-unexecuted first plan
+    * has already listed (FileNotFoundException at execute time). Note
+    * the index parquet write these queries perform is an EAGER Spark
+    * action at DataFrame-BUILD time — the index is an input artifact of
+    * the returned plan, not a node in it, so its build cost lands in
+    * whichever phase calls the query fn.
     */
   private def scratchDir(tag: String, dataDir: String): String =
-    scratchRoot.resolve(
-      tag + "_" + Integer.toHexString(dataDir.hashCode) +
-        "_" + scratchSeq.incrementAndGet()).toString
+    QueryScratch.dir(
+      tag + "_" + Integer.toHexString(dataDir.hashCode)).toString
 
   /** Oracle for the seeded-IVF top-k search: replays centroid pick
     * (lowest-64 ids), cosine-argmax assignment (ties → lower cell),
@@ -433,6 +416,60 @@ object PipelineQueries extends QueryModule {
           CAST(length(rebuilt) AS BIGINT) AS dedup_chars, md5(rebuilt) AS dedup_fp
         FROM g ORDER BY doc_id""")),
 
+    // ── EXACT-SUBSTRING dedup (Lee et al. 2022 — the ≥k-token
+    //    duplicate-passage removal the fixed-span form above
+    //    approximates only at span alignment): every OVERLAPPING
+    //    8-token window rolling-hash fingerprints in one O(n) kernel
+    //    scan, corpus-wide first occurrence wins, later occurrences
+    //    mark their k tokens, per-doc overlap merge = trailing rolling
+    //    max over the duplicate-start flags, rebuilt text length+md5
+    //    summarized. The oracle refolds every window's hash with an
+    //    8-term list_reduce (the window fold ≡ the kernel's incremental
+    //    rolling identity), replays the first-occurrence rule, the
+    //    coverage merge, and the ordered rebuild. ──────────────────────
+    QueryDef("dedup_substring_exact",
+      (s, dir) => Dedup.exactSubstringDedup(Tables.load(s, dir, "documents"),
+          "doc_id", "text", windowTokens = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some {
+        val foldExpr =
+          s"""list_reduce(list_prepend(0::HUGEINT,
+            [${OracleGen.md5Low64Expr("md5(tok)")} FOR tok IN toks[i:i+7]]),
+            (acc, x) -> (acc * 1000003::HUGEINT + x)
+              % 18446744073709551616::HUGEINT)"""
+        s"""WITH t AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        w0 AS (SELECT doc_id, toks,
+            unnest(generate_series(1, len(toks) - 7)) AS i FROM t),
+        wh AS (SELECT doc_id, i - 1 AS pos, $foldExpr AS h FROM w0),
+        r AS (SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM wh),
+        mk AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+        tok AS (SELECT doc_id, unnest(toks) AS tok,
+            generate_subscripts(toks, 1) - 1 AS pos FROM t),
+        f AS (SELECT tok.doc_id, tok.pos, tok.tok,
+            CASE WHEN mk.pos IS NOT NULL THEN 1 ELSE 0 END AS sf
+          FROM tok LEFT JOIN mk
+            ON tok.doc_id = mk.doc_id AND tok.pos = mk.pos),
+        m AS (SELECT doc_id, pos, tok, sf,
+            max(sf) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS removed
+          FROM f),
+        g AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(sf) AS BIGINT) AS n_dup_windows,
+            CAST(sum(removed) AS BIGINT) AS n_removed,
+            coalesce(string_agg(CASE WHEN removed = 0 THEN tok END,
+              ' ' ORDER BY pos), '') AS rebuilt
+          FROM m GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_dup_windows, n_removed,
+          CAST(length(rebuilt) AS BIGINT) AS dedup_chars,
+          md5(rebuilt) AS dedup_fp
+        FROM g ORDER BY doc_id"""
+      }),
+
     // ── n-gram Jaccard near-dup (lossless size blocking, exact result) ──
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
@@ -582,8 +619,11 @@ object PipelineQueries extends QueryModule {
           .orderBy("doc_id")
       },
       Some {
+        // 15 nibbles = 60-bit positions, matching Dedup.bloomPositions
+        // (a 32-bit source would saturate once bloomSize crosses 2^32 —
+        // the r14 advisory)
         val posExpr = OracleGen.md5PrefixExpr(
-          "md5(CAST(j AS VARCHAR) || ':' || fp)", 8)
+          "md5(CAST(j AS VARCHAR) || ':' || fp)", 15)
         s"""WITH d AS (SELECT doc_id,
           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
           FROM documents),

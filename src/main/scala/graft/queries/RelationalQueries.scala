@@ -10678,27 +10678,33 @@ object RelationalQueries extends QueryModule {
           CAST(max(sup) AS BIGINT) FROM sup2
         ORDER BY round""")),
 
-    // ── cap-SENSITIVITY sweep for the degree-capped k-truss (the
-    //    dedup_threshold_sweep shape, r13 verdict item 7): before
-    //    committing a 100 TB run to one cap, measure what each
-    //    candidate cap ∈ {30, 60, 120} costs — edges retained after hub
-    //    removal, edges that would survive the first peel (sup ≥ 12),
-    //    and the support range — off a SHARED edge+degree build
-    //    (checkpointed once; each cap pays only its own anti-join +
-    //    one support pass, and the capped subgraphs nest so the sweep's
-    //    total work is bounded by 3× the largest cap's pass). This is
-    //    the data-driven cap choice the `graph_ktruss_peel` routing
-    //    note defers to. ────────────────────────────────────────────────
+    // ── cap-SENSITIVITY sweep for the degree-capped k-truss, SAMPLED
+    //    form (r14 verdict item 2 — the previous sweep paid 3 FULL
+    //    edge-set support passes, 431 s at sf10 for a pre-run
+    //    diagnostic): hub identification stays EXACT off the full
+    //    degree table (hubs are the thing the cap is about), but the
+    //    per-cap support pass runs on a deterministic md5 edge coin
+    //    (keep iff md5('ks:'‖a‖':'‖b) first nibble < '4', rate 1/4 —
+    //    the dedup_lsh_eval bounded-harness device: replayable, not a
+    //    Bernoulli RNG). Under the coin each triangle survives with
+    //    p³ so E[sampled support] = sup/16 uniformly — cross-cap
+    //    RATIOS, which are what the cap decision reads, are preserved
+    //    in expectation while each pass costs ~1/16 the triangle work.
+    //    Reported per cap ∈ {30, 60, 120}: exact hub count, sampled
+    //    edges retained, sampled edges with any triangle signal,
+    //    sampled support max and total (the Σsup cost proxy a 100 TB
+    //    run sizes against). The sampled edge set is checkpointed ONCE
+    //    and shared by all three caps (the capped subgraphs nest);
+    //    per-cap work = two anti-joins + one sampled support pass.
+    //    Memory discipline is inherited from the unsampled form: stats
+    //    collapse to a collected 1-row verdict per cap and every RDD
+    //    pinned after the shared deg/es snapshots is unpersisted,
+    //    blocking, before the next cap runs. ───────────────────────────
     QueryDef("graph_ktruss_cap_sweep",
       (s, dir) => {
         import s.implicits._
         val io = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        // e0 deliberately NOT checkpointed (it recomputes per cap, the
-        // graph_ktruss_capped footprint): pinning the |E|-row edge set
-        // in storage for the whole sweep starved the support passes'
-        // execution memory at sf10 (UNABLE_TO_ACQUIRE_MEMORY under the
-        // 8g driver). Only the small degree table is shared pinned.
         val e0 = io.alias("x")
           .join(io.alias("y"),
             col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -10706,6 +10712,13 @@ object RelationalQueries extends QueryModule {
           .distinct()
         val deg = e0.select($"a".as("n")).union(e0.select($"b".as("n")))
           .groupBy($"n").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        // deterministic md5 coin, rate 4/16: one |E|-row pass, pinned
+        // once for the whole sweep (|E|/4 two-long rows — bounded where
+        // pinning full e0 starved execution memory at sf10)
+        val es = e0.filter(
+            substring(md5(concat(lit("ks:"), $"a".cast("string"),
+              lit(":"), $"b".cast("string"))), 1, 1) < "4")
           .localCheckpoint()
         graft.functions.SketchFunctions.register(s)
         def support(ed: DataFrame): DataFrame = {
@@ -10719,38 +10732,23 @@ object RelationalQueries extends QueryModule {
               graft.functions.SketchFunctions
                 .sortedIntersectCount($"na", $"nb").as("sup"))
         }
-        // One cap at a time, with DETERMINISTIC block release between
-        // passes: unioned lazily the three adjacency collect_list
-        // aggregates run as concurrent stages of one job and their
-        // combined hash-agg state OOMed at sf10; and because
-        // Dataset.unpersist does not release localCheckpoint RDD
-        // blocks, per-cap checkpoints ACCUMULATED across the sweep and
-        // starved execution memory the same way. So each cap's 5-scalar
-        // stat row is collected to the driver (the bounded 1-row
-        // verdict pattern DqEngine uses) and every RDD pinned after the
-        // shared degree snapshot is unpersisted, blocking, before the
-        // next cap runs — peak memory is exactly one capped pass's,
-        // the graph_ktruss_capped envelope.
         val keep = s.sparkContext.getPersistentRDDs.keySet
         val collected = Seq(30L, 60L, 120L).map { cap =>
           val hubs = deg.filter($"deg" > cap).select($"n")
-          // checkpoint BEFORE the adjacency aggregate — same barrier as
-          // graph_ktruss_capped: fused with the two anti-joins, the
-          // aggregate's hash state shares task memory with the join
-          // hash maps and OOMed at sf10
-          val ec = e0
+          val nHubs = hubs.count()
+          val ec = es
             .join(hubs.select($"n".as("a")), Seq("a"), "left_anti")
             .join(hubs.select($"n".as("b")), Seq("b"), "left_anti")
             .select($"a", $"b")
             .localCheckpoint()
           val r = support(ec).agg(count(lit(1)).as("n_edges"),
-              sum(when($"sup" >= 12L, 1L).otherwise(0L)).as("n_kept"),
-              min($"sup").as("min_support"), max($"sup").as("max_support"))
+              sum(when($"sup" >= 1L, 1L).otherwise(0L)).as("n_sup_pos"),
+              max($"sup").as("max_support"), sum($"sup").as("sum_support"))
             .head()
           s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
             if (!keep.contains(id)) rdd.unpersist(blocking = true)
           }
-          org.apache.spark.sql.Row(cap, r.getLong(0),
+          org.apache.spark.sql.Row(cap, nHubs, r.getLong(0),
             if (r.isNullAt(1)) null else r.getLong(1),
             if (r.isNullAt(2)) null else r.getLong(2),
             if (r.isNullAt(3)) null else r.getLong(3))
@@ -10758,13 +10756,15 @@ object RelationalQueries extends QueryModule {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("cap",
             org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_hubs",
+            org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("n_edges",
             org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_kept",
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("min_support",
+          org.apache.spark.sql.types.StructField("n_sup_pos",
             org.apache.spark.sql.types.LongType, nullable = true),
           org.apache.spark.sql.types.StructField("max_support",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("sum_support",
             org.apache.spark.sql.types.LongType, nullable = true)))
         s.createDataFrame(
             s.sparkContext.parallelize(collected, 1), schema)
@@ -10773,7 +10773,7 @@ object RelationalQueries extends QueryModule {
       Some {
         def capBlock(cap: Int) =
           s"""hubs$cap AS (SELECT n FROM deg WHERE deg > $cap),
-          ec$cap AS MATERIALIZED (SELECT a, b FROM e0
+          ec$cap AS MATERIALIZED (SELECT a, b FROM es
             WHERE a NOT IN (SELECT n FROM hubs$cap)
               AND b NOT IN (SELECT n FROM hubs$cap)),
           tri$cap AS MATERIALIZED (
@@ -10789,10 +10789,11 @@ object RelationalQueries extends QueryModule {
             ON e.a = h.a AND e.b = h.b)"""
         def sel(cap: Int) =
           s"""SELECT CAST($cap AS BIGINT) AS cap,
+            (SELECT CAST(count(*) AS BIGINT) FROM hubs$cap) AS n_hubs,
             CAST(count(*) AS BIGINT) AS n_edges,
-            CAST(sum(CASE WHEN sup >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-            CAST(min(sup) AS BIGINT) AS min_support,
-            CAST(max(sup) AS BIGINT) AS max_support FROM sup$cap"""
+            CAST(sum(CASE WHEN sup >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sup_pos,
+            CAST(max(sup) AS BIGINT) AS max_support,
+            CAST(sum(sup) AS BIGINT) AS sum_support FROM sup$cap"""
         s"""WITH io AS MATERIALIZED (
             SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
           e0 AS MATERIALIZED (
@@ -10800,6 +10801,9 @@ object RelationalQueries extends QueryModule {
             FROM io x JOIN io y ON x.o = y.o AND x.p < y.p),
           deg AS (SELECT n, count(*) AS deg FROM (
               SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+          es AS MATERIALIZED (SELECT a, b FROM e0
+            WHERE substr(md5('ks:' || CAST(a AS VARCHAR) || ':'
+              || CAST(b AS VARCHAR)), 1, 1) < '4'),
           ${capBlock(30)},
           ${capBlock(60)},
           ${capBlock(120)}

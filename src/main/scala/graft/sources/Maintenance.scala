@@ -133,11 +133,18 @@ object Maintenance {
   def versions(path: String): Seq[Int] = {
     val logDir = Paths.get(path, logDirName)
     if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
-        s.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .toSeq.sorted
+    else {
+      // Files.list holds a directory fd until closed — versions() runs
+      // on every commit and as-of read, so an unclosed stream leaks one
+      // fd per call (r14 advisory)
+      val stream = Files.list(logDir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .toSeq.sorted
+      finally stream.close()
+    }
   }
 
   /** Record the table's current file listing as the next version. The
@@ -154,7 +161,11 @@ object Maintenance {
     Files.createDirectories(target.getParent)
     val stage = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.write(stage, (checksum.toString +: files).asJava)
-    Files.move(stage, target)
+    // ATOMIC_MOVE, not the default copy-permitting move: the scaladoc's
+    // "readers never observe a half-written manifest" holds only if the
+    // stage→target rename is a single directory-entry swap
+    Files.move(stage, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     CommitInfo(v, files, checksum)
   }
 

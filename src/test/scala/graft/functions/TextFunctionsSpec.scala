@@ -80,6 +80,33 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  /** The incremental rolling identity: window hash i of
+    * token_window_hash64(text, k) must equal the plain fold
+    * (token_rolling_hash64) over tokens[i, i+k) — the property the
+    * exact-substring oracle's per-window list_reduce replay rests on.
+    */
+  test("tokenWindowHash64 windows equal the rolling fold of each slice") {
+    TextHashFunctions.register(spark)
+    val text = "The quick  Brown fox jumps over the quick brown fox again and again"
+    val k = 4
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val windows = Seq(text).toDF("t")
+      .select(TextHashFunctions.tokenWindowHash64(col("t"), k).as("v"))
+      .collect()(0).getSeq[Long](0)
+    assert(windows.length == toks.length - k + 1)
+    val folds = (0 to toks.length - k).map { i =>
+      Seq(toks.slice(i, i + k).mkString(" ")).toDF("t")
+        .select(TextHashFunctions.tokenRollingHash64(split(col("t"), " ")).as("v"))
+        .collect()(0).getLong(0)
+    }
+    assert(windows == folds)
+    // short doc → empty window list, never a partial window
+    val short = Seq("a b c").toDF("t")
+      .select(TextHashFunctions.tokenWindowHash64(col("t"), 4).as("v"))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("rollingHash64 and simhash64 registered expressions evaluate") {
     TextHashFunctions.register(spark)
     val h1 = one[Long](TextHashFunctions.rollingHash64(col("t")), "abc")

@@ -366,6 +366,62 @@ class DedupSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == got)
   }
 
+  /** Exact-substring dedup vs an independent brute-force replay of the
+    * Lee et al. rule (window TEXT as the grouping key — the operator
+    * groups on the rolling hash, so parity also witnesses that the
+    * kernel's incremental hashes collide exactly when window text is
+    * equal): first occurrence by (doc id, window start) wins, every
+    * later occurrence (cross-doc AND within-doc) marks its k tokens,
+    * a token is removed iff any marked window covers it.
+    */
+  test("exactSubstringDedup matches brute force, any partitioning") {
+    val k = 3
+    val raw = Seq(
+      (1L, "a b c d e f g"), // all windows first occurrences
+      (2L, "x y a b c d z"), // "a b c"/"b c d" duplicate doc 1 → drop a..d
+      (3L, "a b c a b c a b c"), // within-doc repeats + cross-doc dup
+      (4L, "p q"), // shorter than k → no windows, untouched
+      (5L, "entirely fresh words here")
+    )
+    val docs = raw.toDF("doc_id", "text")
+
+    // brute force on window text
+    val toks = raw.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+") }
+    val occ = for {
+      (id, ts) <- toks
+      i <- 0 to ts.length - k
+    } yield (ts.slice(i, i + k).mkString(" "), id, i)
+    val firstOf = occ.groupBy(_._1).map { case (key, os) =>
+      key -> os.map(o => (o._2, o._3)).min
+    }
+    val marked = occ.filter(o => firstOf(o._1) != ((o._2, o._3)))
+      .map(o => (o._2, o._3))
+    val expected = toks.map { case (id, ts) =>
+      val ms = marked.collect { case (d, p) if d == id => p }
+      val removed = (0 until ts.length)
+        .filter(t => ms.exists(s => s <= t && t < s + k))
+      val rebuilt = ts.zipWithIndex.collect {
+        case (w, i) if !removed.contains(i) => w
+      }.mkString(" ")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(rebuilt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> ((ts.length.toLong, ms.size.toLong, removed.size.toLong,
+        rebuilt.length.toLong, fp))
+    }.toMap
+
+    def run(df: DataFrame) =
+      Dedup.exactSubstringDedup(df, "doc_id", "text", windowTokens = k)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+            r.getAs[Long]("n_removed"), r.getAs[Long]("dedup_chars"),
+            r.getAs[String]("dedup_fp")))).toMap
+    val got = run(docs)
+    assert(got == expected, s"got=$got expected=$expected")
+    // first-occurrence winners are a pure function of (id, pos) —
+    // partitioning must not change the report
+    assert(run(docs.repartition(7)) == got)
+  }
+
   test("applySpanDedup rebuilds docs from kept spans, any partitioning") {
     // sw=2 over docs 1/2: identical normalized text → doc 1 keeps all 7
     // spans, doc 2 keeps none (every span first occurred in doc 1) and
