@@ -214,8 +214,18 @@ object Bench {
     // localize a contamination window without re-running the suite
     val winJson = winTimes.map(r3).mkString("[", ",", "]")
     val winBad = contendedWindows.map(_.toString).mkString("[", ",", "]")
+    // machine_speed (r14 verdict item 6): median probe / floor — ONE
+    // number a gate can normalize totals with across differently-loaded
+    // sessions (the r14 adjudication had to re-derive it by hand from
+    // the window arrays). 1.0–2.0 ≈ idle box; the r14 contended driver
+    // session read ~2.5–3.5 on the same engine.
+    val probeSamples = (Seq(canaryPre, canaryPost) ++ winTimes)
+      .filter(_ >= 0).sorted
+    val machineSpeed =
+      if (probeSamples.isEmpty) -1.0
+      else probeSamples(probeSamples.size / 2) / canaryFloor
     val canaryJson =
-      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"contended":$contended,"n_contended_windows":${contendedWindows.size},"windows":$winJson,"contended_windows":$winBad}"""
+      s"""{"pre":${r3(canaryPre)},"post":${r3(canaryPost)},"floor":$canaryFloor,"machine_speed":${r3(machineSpeed)},"contended":$contended,"n_contended_windows":${contendedWindows.size},"windows":$winJson,"contended_windows":$winBad}"""
 
     val fullJson =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nq":${results.size},"canary":$canaryJson,"queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""

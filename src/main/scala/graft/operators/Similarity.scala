@@ -1218,6 +1218,102 @@ object Similarity {
     typedlit(rows.map(_.getSeq[Float](1).toSeq).toSeq)
   }
 
+  /** PQ codebook drift audit — the PQ twin of [[ivfDriftAudit]] (r14
+    * verdict item 4: `pqIndexRotate`'s frozen-seed encode is only
+    * comparable to a rebuild while the frozen seed pick equals the
+    * union's pick; this is what a serving tier runs to DETECT when that
+    * stops holding): encode every CURRENT corpus vector under the
+    * frozen (stored) codebook AND under a fresh prefix-stable
+    * (spread=false) pick over the current corpus, and report per-vector
+    * subspace code agreement. Cost: two corpus encode passes (narrow
+    * codegen maps inside the scan — the [[pqIndex]] shape) + one
+    * |corpus|-row equi join; the codebooks stay ksub-row driver
+    * matrices.
+    *
+    * Returns (cid, old_codes, new_codes, n_sub_changed, code_changed).
+    */
+  def pqDriftAudit(
+      storedSeeds: DataFrame, // (code, vec), the frozen quantizer
+      vectors: DataFrame, // (cid, cvec), the CURRENT corpus
+      m: Int): DataFrame = {
+    VectorFunctions.register(vectors.sparkSession)
+    val ksub = storedSeeds.count().toInt
+    val oldMat = seedMatrix(storedSeeds)
+    val oldCodes = vectors.select(col("cid"),
+      VectorFunctions.pqEncode(col("cvec"), oldMat, m).as("old_codes"))
+    // empty corpus → trivially empty audit (a fresh pick over zero
+    // vectors has no codebook to encode against — PqCoder rejects it)
+    if (vectors.isEmpty)
+      return oldCodes.select(col("cid"), col("old_codes"),
+        col("old_codes").as("new_codes"), lit(0L).as("n_sub_changed"),
+        lit(false).as("code_changed")).limit(0)
+    val (freshSeeds, newCodesDf) = pqIndex(vectors, m, ksub, spread = false)
+    val newCodes = newCodesDf.withColumnRenamed("codes", "new_codes")
+    // Codes are POSITIONAL (code k = k-th seed in pick order), so a new
+    // low id entering the fresh pick renumbers every later seed — raw
+    // code comparison would read that shift as 100% drift. The audit
+    // therefore compares the assigned QUANTIZATION VECTOR: a content-
+    // keyed bijection old code → fresh code over the shared seed
+    // vectors (both collected ksub-row driver matrices), with dropped
+    // seeds mapping to -1 (always drift — their code word no longer
+    // exists in the fresh book).
+    val oldSeedRows = storedSeeds.orderBy(col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toVector))
+    val freshRows = freshSeeds.collect()
+      .map(r => (r.getSeq[Float](1).toVector, r.getInt(0)))
+    // uniqueness among the seeds actually picked (an empty corpus picks
+    // none — the audit is then trivially empty, not an error)
+    val freshByVec = freshRows.toMap
+    require(freshByVec.size == freshRows.length,
+      "duplicate seed vectors make the drift bijection ill-defined")
+    val codeMap: Map[Int, Int] =
+      oldSeedRows.map { case (oc, v) => oc -> freshByVec.getOrElse(v, -1) }.toMap
+    val mapLit = typedlit(codeMap)
+    oldCodes.join(newCodes, "cid")
+      .withColumn("n_sub_changed",
+        aggregate(
+          zip_with(col("old_codes"), col("new_codes"),
+            (a, b) => when(coalesce(element_at(mapLit, a), lit(-1)) === b, 0)
+              .otherwise(1)),
+          lit(0), (acc, x) => acc + x).cast("long"))
+      .select(col("cid"), col("old_codes"), col("new_codes"),
+        col("n_sub_changed"), (col("n_sub_changed") > 0L).as("code_changed"))
+  }
+
+  /** Version-bump RE-TRAIN on PQ codebook drift — [[ivfReversionOnDrift]]
+    * for the codes index: audit the frozen codebook against the current
+    * corpus; while the share of vectors whose code word changed stays ≤
+    * `maxDriftShare`, KEEP version 1 (stored seeds + re-encode under
+    * them — cheap, and on a no-drift corpus provably identical to a
+    * rebuild: `sim_index_pq_rotate`); past it, REBUILD as version 2
+    * (fresh prefix-stable pick + fresh encode). One bounded build-time
+    * action: the 1-row drift-share aggregate.
+    *
+    * Returns (version, seeds, codes).
+    */
+  def pqReversionOnDrift(
+      storedSeeds: DataFrame,
+      vectors: DataFrame,
+      m: Int,
+      maxDriftShare: Double = 0.01): (Int, DataFrame, DataFrame) = {
+    val audit = pqDriftAudit(storedSeeds, vectors, m)
+    // coalesce: an empty corpus trivially has zero drift (the
+    // ivfReversionOnDrift empty-audit rule)
+    val share = audit
+      .agg(coalesce(avg(col("code_changed").cast("double")), lit(0.0)))
+      .head().getDouble(0)
+    if (share > maxDriftShare) {
+      val ksub = storedSeeds.count().toInt
+      val (s2, c2) = pqIndex(vectors, m, ksub, spread = false)
+      (2, s2, c2)
+    } else {
+      VectorFunctions.register(vectors.sparkSession)
+      val mat = seedMatrix(storedSeeds)
+      (1, storedSeeds, vectors.select(col("cid"),
+        VectorFunctions.pqEncode(col("cvec"), mat, m).as("codes")))
+    }
+  }
+
   /** Corpus×corpus k-NN JOIN via the same seeded IVF quantizer as
     * [[ivfTopKSeeded]]: every vector gets its top-k neighbors from the
     * whole corpus. The search variants broadcast the (small) query set;

@@ -533,6 +533,90 @@ object SourceSinkQueries extends QueryModule {
         FROM events
         ORDER BY version""")),
 
+    // ── Versioned MANIFEST DIFF (r14 verdict item 7 — what changed
+    //    between two REAL committed versions, not a synthetic v2):
+    //    commit v1 = the even-event_id half as (key, cents, seq=1,
+    //    deleted=false); append a merge-on-read delta batch — seq=2
+    //    corrections doubling cents for event_id % 10 = 0, seq=2
+    //    tombstones for event_id % 20 = 2 (the Hudi/Iceberg MOR shape:
+    //    appends never rewrite v1's files), and the odd half as new
+    //    rows — then commit v2. Each version reconstructs EXCLUSIVELY
+    //    through readAsOf (manifest-listed files only) + latest-seq-
+    //    wins reconcile (row_number per key, tombstones drop), and the
+    //    two states feed snapshot_table_diff's full-outer classifier.
+    //    The oracle replays the delta rules straight off events —
+    //    added = odds, removed = tombstoned evens, changed = corrected
+    //    evens with cents ≠ 0 (0·2 = 0 stays unchanged, both engines
+    //    agree by the same rule). MaintenanceSpec pins the counts
+    //    against the independently computed commit delta. ──────────────
+    QueryDef("maintenance_version_diff",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val out = QueryScratch.dir("vdiff").resolve("events_tbl").toString
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id",
+            coalesce(expr("CAST(round(value * 100) AS BIGINT)"), lit(-1L))
+              .as("cents"))
+        val v1 = ev.filter($"event_id" % 2L === 0L)
+          .select($"event_id", $"cents", lit(1L).as("seq"),
+            lit(false).as("deleted"))
+        v1.repartition(2).write.parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          v1.agg(sum($"event_id")).head().getLong(0))
+        val upd = ev.filter($"event_id" % 10L === 0L)
+          .select($"event_id", ($"cents" * 2L).as("cents"),
+            lit(2L).as("seq"), lit(false).as("deleted"))
+        val del = ev.filter($"event_id" % 20L === 2L)
+          .select($"event_id", lit(-1L).as("cents"),
+            lit(2L).as("seq"), lit(true).as("deleted"))
+        val add = ev.filter($"event_id" % 2L =!= 0L)
+          .select($"event_id", $"cents", lit(2L).as("seq"),
+            lit(false).as("deleted"))
+        upd.unionByName(del).unionByName(add).repartition(2)
+          .write.mode("append").parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          s.read.parquet(out).agg(sum($"event_id")).head().getLong(0))
+        def reconcile(df: DataFrame): DataFrame = {
+          val w = Window.partitionBy($"event_id").orderBy($"seq".desc)
+          df.withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1 && !$"deleted")
+            .select($"event_id".as("key"), $"cents")
+        }
+        val s1 = reconcile(graft.sources.Maintenance.readAsOf(s, out, 1))
+        val s2 = reconcile(graft.sources.Maintenance.readAsOf(s, out, 2))
+        s1.select($"key", $"cents".as("c1"))
+          .join(s2.select($"key", $"cents".as("c2")), Seq("key"), "full_outer")
+          .select($"key",
+            when($"c1".isNull, lit("added"))
+              .when($"c2".isNull, lit("removed"))
+              .when($"c1" === $"c2", lit("unchanged"))
+              .otherwise(lit("changed")).as("change_type"))
+          .groupBy($"change_type")
+          .agg(count(lit(1)).as("n"), min($"key").as("min_key"),
+            max($"key").as("max_key"))
+          .orderBy($"change_type")
+      },
+      Some("""WITH ev AS (SELECT event_id,
+            coalesce(CAST(round(value * 100) AS BIGINT), -1) AS cents
+          FROM events),
+        v1 AS (SELECT event_id AS key, cents FROM ev WHERE event_id % 2 = 0),
+        v2 AS (SELECT event_id AS key,
+            CASE WHEN event_id % 10 = 0 THEN cents * 2 ELSE cents END AS cents
+          FROM ev WHERE event_id % 2 = 0 AND event_id % 20 <> 2
+          UNION ALL
+          SELECT event_id, cents FROM ev WHERE event_id % 2 = 1),
+        d AS (SELECT coalesce(v1.key, v2.key) AS key,
+            CASE WHEN v1.key IS NULL THEN 'added'
+              WHEN v2.key IS NULL THEN 'removed'
+              WHEN v1.cents = v2.cents THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+          FROM v1 FULL OUTER JOIN v2 ON v1.key = v2.key)
+        SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(min(key) AS BIGINT) AS min_key,
+          CAST(max(key) AS BIGINT) AS max_key
+        FROM d GROUP BY change_type ORDER BY change_type""")),
+
     // Z-order (Morton) layout key: interleave (l_partkey, l_suppkey) low
     // bits into one clustering key — range-partitioning and sorting files
     // by it bounds every file's (partkey, suppkey) min/max rectangle, so

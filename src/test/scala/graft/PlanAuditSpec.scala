@@ -259,6 +259,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // drift audit: two of the same routing cross joins (frozen + fresh
     // quantizer) + the 1-row drift-share broadcast recombine
     "sim_index_reversion",
+    // PQ drift audit: same shape — two ksub-row codebook encodes are
+    // narrow maps, the BNLJ is the 1-row drift-share broadcast recombine
+    "sim_index_pq_reversion",
+    // classifier training: the final 1-row accuracy/count broadcast
+    // recombines (each step's weight join is an equi join on bucket)
+    "text_classifier_train",
     // domain_mix / median / pack_chunks: 1-row broadcast scalar recombine
     // (pack_chunks rebases its data-derived shard bucket on broadcast
     // min/max ids — see the scaladoc at its QueryDef)

@@ -519,6 +519,67 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqReversionOnDrift: keep below threshold (encode ≡ rebuild), re-version above") {
+    val m = 4
+    val ksub = 8
+    val ids = emb.select($"vec_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 4 / 5)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def seeds(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // NO-DRIFT branch: prefix-stable (spread=false) seeds over a prefix
+    // slice equal the union's fresh pick — version 1, and re-encoding
+    // under the frozen book must equal a from-scratch rebuild
+    val sPrefix = Similarity.pqIndex(asC(emb.filter($"vec_id" < cut)),
+      m, ksub, spread = false)._1
+    val (vKeep, sKeep, cKeep) =
+      Similarity.pqReversionOnDrift(sPrefix, asC(emb), m, maxDriftShare = 0.01)
+    assert(vKeep == 1)
+    assert(seeds(sKeep) == seeds(sPrefix))
+    assert(codes(cKeep) ==
+      codes(Similarity.pqIndex(asC(emb), m, ksub, spread = false)._2),
+      "keep-branch encode must equal a from-scratch rebuild when drift is 0")
+    // DRIFTED branch: freeze on the vec_id % 5 != 0 slice — fresh union
+    // seeds interleave below the frozen range. The audit must compare
+    // assigned QUANTIZATION VECTORS through the content bijection, not
+    // positional code numbers (a renumbered shared seed is NOT drift).
+    val sOld = Similarity.pqIndex(asC(emb.filter($"vec_id" % 5 =!= 0L)),
+      m, ksub, spread = false)._1
+    val audit = Similarity.pqDriftAudit(sOld, asC(emb), m)
+    val share = audit.agg(avg($"code_changed".cast("double"))).head().getDouble(0)
+    assert(share > 0.01 && share < 1.0,
+      f"audit share $share%.4f — either no drift or the positional-" +
+        "renumbering bug is back (1.0 means every vector read as changed)")
+    // hand replay of one vector's n_sub_changed through the bijection
+    val oldSeeds = sOld.orderBy($"code").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toVector).toMap
+    val freshSeeds = Similarity.pqIndex(asC(emb), m, ksub, spread = false)._1
+      .collect().map(r => r.getSeq[Float](1).toVector -> r.getInt(0)).toMap
+    val row = audit.orderBy($"cid").head()
+    val oc = row.getSeq[Int](1)
+    val nc2 = row.getSeq[Int](2)
+    val expectChanged = oc.zip(nc2).count { case (a, b) =>
+      freshSeeds.get(oldSeeds(a)) != Some(b)
+    }
+    assert(row.getLong(3) == expectChanged.toLong)
+    val (vNew, sNew, cNew) =
+      Similarity.pqReversionOnDrift(sOld, asC(emb), m, maxDriftShare = 0.01)
+    assert(vNew == 2)
+    assert(seeds(sNew) ==
+      seeds(Similarity.pqIndex(asC(emb), m, ksub, spread = false)._1),
+      "rebuild branch must return the fresh seed pick")
+    assert(codes(cNew) ==
+      codes(Similarity.pqIndex(asC(emb), m, ksub, spread = false)._2))
+    // a threshold ABOVE the measured drift keeps the frozen book
+    assert(Similarity.pqReversionOnDrift(sOld, asC(emb), m,
+      maxDriftShare = 1.0)._1 == 1)
+    // empty corpus: zero drift by definition, keep version 1 (the
+    // ivfReversionOnDrift empty-audit guard, mirrored)
+    assert(Similarity.pqReversionOnDrift(sOld,
+      asC(emb.filter($"vec_id" < -1L)), m, maxDriftShare = 0.01)._1 == 1)
+  }
+
   test("ANN index rotation under Structured Streaming equals a batch rebuild") {
     // The serving deployment shape: vectors arrive as micro-batches and
     // foreachBatch routes each against the FROZEN quantizers (stored IVF

@@ -104,6 +104,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sumAsOf(1) == 100L * 101 / 2)
   }
 
+  /** r14 verdict item 7: the diff of two REAL manifest versions must
+    * reproduce the known commit delta — added = the odd half appended
+    * in v2, removed = the tombstoned evens (event_id % 20 = 2),
+    * changed = the corrected evens (% 10 = 0) whose cents actually
+    * moved (cents·2 ≠ cents unless 0), unchanged = the rest.
+    */
+  test("maintenance_version_diff counts equal the known commit delta") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("maintenance_version_diff")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_id",
+        coalesce(expr("CAST(round(value * 100) AS BIGINT)"), lit(-1L))
+          .as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val evens = ev.filter(_._1 % 2 == 0)
+    val nAdded = ev.count(_._1 % 2 != 0)
+    val nRemoved = evens.count(_._1 % 20 == 2)
+    val nChanged = evens.count { case (id, c) => id % 10 == 0 && c * 2 != c }
+    val nUnchanged = evens.length - nRemoved - nChanged
+    assert(got == Map("added" -> nAdded.toLong, "removed" -> nRemoved.toLong,
+      "changed" -> nChanged.toLong, "unchanged" -> nUnchanged.toLong)
+      .filter(_._2 > 0L), s"got $got")
+  }
+
   test("parquet footers expose row-group stats without scanning data") {
     import scala.jdk.CollectionConverters._
     import org.apache.hadoop.fs.Path
