@@ -7705,7 +7705,364 @@ object PipelineQueries extends QueryModule {
                 + CAST(b.c7 AS DOUBLE) * CAST(b.c7 AS DOUBLE)))
             * 1e9) AS BIGINT) AS style_cos_e9
         FROM per a JOIN per b ON a.source < b.source
-        ORDER BY s_a, s_b"""))
+        ORDER BY s_a, s_b""")),
+
+    // ── Active-learning margin sampling (uncertainty batch pick —
+    //    Lewis & Gale'94 uncertainty sampling over the library's seeded
+    //    32-cell routing model): route every vector against the seeded
+    //    centroids (the embed_silhouette pass) and keep the 32 vectors
+    //    whose top-2 cell similarities sit CLOSEST — the minimum-margin
+    //    batch a label-acquisition loop sends for annotation next.
+    //    Margins compare as floor(sim·10⁶) integers (the silhouette
+    //    quantization: per-row IEEE bit-identical, integer diff after),
+    //    ties to the smaller vec_id — the pick is engine-exact. Shape:
+    //    one |corpus|×32 broadcast routing pass + TakeOrdered(32);
+    //    nothing corpus-wide shuffles, no global window — at 100 TB it
+    //    rides the same audited plan as the silhouette/kmeans family. ───
+    QueryDef("sample_uncertainty_margin",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val cent = v.orderBy($"vec_id").limit(32)
+          .select($"vec_id".as("cell"), $"embedding".as("ce"))
+        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
+        val sims = v.crossJoin(broadcast(cent))
+          .select($"vec_id", $"cell",
+            graft.functions.VectorFunctions.cosineSim($"embedding", $"ce").as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+        sims.groupBy($"vec_id")
+          .agg(max(when($"rn" === 1, $"cell")).as("cell_1"),
+            max(when($"rn" === 2, $"cell")).as("cell_2"),
+            max(when($"rn" === 1,
+              floor($"sim" * lit(1000000.0)).cast("long"))).as("s1_x1e6"),
+            max(when($"rn" === 2,
+              floor($"sim" * lit(1000000.0)).cast("long"))).as("s2_x1e6"))
+          .select($"vec_id", $"cell_1", $"cell_2",
+            ($"s1_x1e6" - $"s2_x1e6").as("margin_x1e6"))
+          .orderBy($"margin_x1e6", $"vec_id").limit(32)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          WHERE rn <= 32),
+        sims AS (SELECT q.vec_id, t.cell,
+            list_cosine_similarity(q.e, t.ce) AS sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+          FROM v q CROSS JOIN cent t),
+        p AS (SELECT vec_id,
+            max(CASE WHEN rn = 1 THEN cell END) AS cell_1,
+            max(CASE WHEN rn = 2 THEN cell END) AS cell_2,
+            max(CASE WHEN rn = 1
+              THEN CAST(floor(sim * 1000000.0) AS BIGINT) END) AS s1_x1e6,
+            max(CASE WHEN rn = 2
+              THEN CAST(floor(sim * 1000000.0) AS BIGINT) END) AS s2_x1e6
+          FROM sims WHERE rn <= 2 GROUP BY vec_id)
+        SELECT vec_id, cell_1, cell_2,
+          CAST(s1_x1e6 - s2_x1e6 AS BIGINT) AS margin_x1e6
+        FROM p ORDER BY margin_x1e6, vec_id LIMIT 32""")),
+
+    // ── Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    //    neural scaling laws": in the abundant-data regime, KEEP the
+    //    HARD examples — the ones far from their cluster prototype —
+    //    and prune the easy redundant core). Cells come from the seeded
+    //    32-centroid assignment; hardness is the distance to the cell's
+    //    own MEAN, made exact by cross-multiplication: with q=floor(x·2²⁰)
+    //    coordinates and per-cell integer sums S over n members,
+    //    n²·‖x−μ‖² = Σ_d (n·q_d − S_d)² — BIGINT terms (n·q < 2³⁸),
+    //    squared into DECIMAL(38,0) (< 2⁸³·64 ≈ 3·10²⁶ — the burstiness
+    //    envelope), so the within-cell hardness ranking has no IEEE
+    //    anywhere. For keep-fractions 50/70/90% the row AT the cut rank
+    //    ships (cell, n_kept, threshold d2): the prune manifest a 100 TB
+    //    curation run materializes per cell. Shape: one routing pass,
+    //    one (cell,dim) hash aggregate broadcast back, one within-cell
+    //    rank (32 cells; at petabyte scale the rank-select swaps to the
+    //    agg_median_distributed two-pass histogram device). ─────────────
+    QueryDef("embed_prune_prototypes",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val cent = v.orderBy($"vec_id").limit(32)
+          .select($"vec_id".as("cell"), $"embedding".as("ce"))
+        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
+        val assign = v.crossJoin(broadcast(cent))
+          .select($"vec_id", $"cell",
+            graft.functions.VectorFunctions.cosineSim($"embedding", $"ce").as("sim"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"vec_id", $"cell")
+        val comp = v.select($"vec_id", posexplode($"embedding").as(Seq("j", "x")))
+          .select($"vec_id", $"j",
+            floor($"x".cast("double") * lit(1048576.0)).cast("long").as("qv"))
+          .join(assign, "vec_id")
+        val sums = comp.groupBy($"cell", $"j")
+          .agg(count(lit(1)).as("n_members"), sum($"qv").as("sv"))
+        val dist = comp.join(sums, Seq("cell", "j"))
+          .withColumn("t", ($"n_members" * $"qv" - $"sv").cast("decimal(19,0)"))
+          .groupBy($"vec_id", $"cell")
+          .agg(max($"n_members").as("n_members"), sum($"t" * $"t").as("d2"))
+        val wr = Window.partitionBy($"cell").orderBy($"d2".desc, $"vec_id")
+        val rnk = dist.withColumn("hard_rank", row_number().over(wr))
+        val fracs = Seq(50L, 70L, 90L).toDF("frac_pct")
+        rnk.crossJoin(broadcast(fracs))
+          .filter($"hard_rank" ===
+            greatest(lit(1L), expr("(n_members * frac_pct) DIV 100")))
+          .select($"cell", $"frac_pct", $"n_members",
+            greatest(lit(1L), expr("(n_members * frac_pct) DIV 100")).as("n_kept"),
+            $"d2".cast("string").as("cut_d2"))
+          .orderBy($"cell", $"frac_pct")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          WHERE rn <= 32),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        comp AS (SELECT vec_id, j,
+            CAST(floor(e[j] * 1048576.0) AS BIGINT) AS qv
+          FROM v, (SELECT unnest(generate_series(1, 64)) AS j) g),
+        ac AS (SELECT c.vec_id, c.j, c.qv, a.cell
+          FROM comp c JOIN assign a ON a.vec_id = c.vec_id),
+        sums AS (SELECT cell, j, CAST(count(*) AS BIGINT) AS n_members,
+            CAST(sum(qv) AS BIGINT) AS sv
+          FROM ac GROUP BY cell, j),
+        dist AS (SELECT ac.vec_id, ac.cell,
+            max(s.n_members) AS n_members,
+            CAST(sum(CAST(s.n_members * ac.qv - s.sv AS HUGEINT)
+              * (s.n_members * ac.qv - s.sv)) AS DECIMAL(38,0)) AS d2
+          FROM ac JOIN sums s ON s.cell = ac.cell AND s.j = ac.j
+          GROUP BY ac.vec_id, ac.cell),
+        rnk AS (SELECT *, row_number() OVER (PARTITION BY cell
+            ORDER BY d2 DESC, vec_id) AS hard_rank FROM dist),
+        f AS (SELECT CAST(unnest([50, 70, 90]) AS BIGINT) AS frac_pct)
+        SELECT cell, frac_pct, n_members,
+          CAST(greatest(1, (n_members * frac_pct) // 100) AS BIGINT) AS n_kept,
+          CAST(d2 AS VARCHAR) AS cut_d2
+        FROM rnk CROSS JOIN f
+        WHERE hard_rank = greatest(1, (n_members * frac_pct) // 100)
+        ORDER BY cell, frac_pct""")),
+
+    // ── Exact KNN-Shapley data valuation (Jia et al. 2019, VLDB: for a
+    //    K-NN utility the Shapley value of every training point has a
+    //    closed recursion over the distance ranks — the one data-
+    //    valuation method that is exact at corpus scale instead of
+    //    Monte-Carlo). Eval set = the deterministic ≤17-vector stride
+    //    sample (the decontaminate_embed device); train = the rest. Per
+    //    eval item, train points rank by EXACT integer L2² on
+    //    floor(x·2²⁰) coordinates (the kcenter device — no IEEE in the
+    //    ranking), then the rank-K=5 recursion runs fully quantized:
+    //    contribution at rank i is Δind·((10⁹·min(K,i)) DIV (K·i)) and
+    //    the reverse-rank cumulative sum telescopes it — every s-value
+    //    is a BIGINT nano-unit, order-free, engine-exact (quantization
+    //    error ≤ n·10⁻⁹ per eval item, irrelevant to a valuation
+    //    RANKING). Output: top-40 and bottom-40 training points by
+    //    summed value. Shape: one broadcast |train|×|eval| scan + per-
+    //    eval rank windows (17 partitions); the inherent exact-Shapley
+    //    cost is the per-eval sort — at 100 TB the documented route is
+    //    rank truncation (tail terms < K/R), same plan shape. ───────────
+    QueryDef("embed_knn_shapley",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding",
+              x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("qe"))
+        val cnt = v.agg(count(lit(1)).as("n_vecs"))
+        val strided = v.crossJoin(broadcast(cnt))
+          .withColumn("stride", expr("greatest(1L, n_vecs DIV 16)"))
+        val testSet = strided.filter(pmod($"vec_id", $"stride") === 0)
+          .select($"vec_id".as("eval_id"), $"label".as("eval_label"), $"qe".as("ee"))
+        val train = strided.filter(pmod($"vec_id", $"stride") =!= 0)
+          .select($"vec_id", $"label", $"qe")
+        val pairs = train.crossJoin(broadcast(testSet))
+          .select($"eval_id", $"vec_id", $"label",
+            when($"label" === $"eval_label", 1L).otherwise(0L).as("ind"),
+            aggregate(zip_with($"qe", $"ee", (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d2"))
+        val wAsc = Window.partitionBy($"eval_id").orderBy($"d2", $"vec_id")
+        val wAll = Window.partitionBy($"eval_id")
+        val ranked = pairs
+          .withColumn("rn", row_number().over(wAsc))
+          .withColumn("n_train", count(lit(1)).over(wAll))
+          .withColumn("ind_next", lead($"ind", 1).over(wAsc))
+        val contrib = ranked.withColumn("c",
+          when($"rn" === $"n_train", $"ind" * expr("1000000000L DIV n_train"))
+            .otherwise(($"ind" - $"ind_next") *
+              expr("(1000000000L * least(5L, rn)) DIV (5L * rn)")))
+        val wCum = Window.partitionBy($"eval_id").orderBy($"rn".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val shap = contrib.withColumn("s_nano", sum($"c").over(wCum))
+          .groupBy($"vec_id", $"label")
+          .agg(count(lit(1)).as("n_eval"), sum($"s_nano").as("shap_sum_nano"))
+          .localCheckpoint()
+        val top = shap.orderBy($"shap_sum_nano".desc, $"vec_id").limit(40)
+          .withColumn("side", lit("top"))
+        val bottom = shap.orderBy($"shap_sum_nano".asc, $"vec_id").limit(40)
+          .withColumn("side", lit("bottom"))
+        top.unionAll(bottom).orderBy($"side", $"vec_id")
+      },
+      Some("""WITH raw AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM raw),
+        q AS (SELECT vec_id, label, j,
+            CAST(floor(e[j] * 1048576.0) AS BIGINT) AS qv
+          FROM raw, (SELECT unnest(generate_series(1, 64)) AS j) g),
+        ev AS (SELECT vec_id AS eval_id, label AS eval_label, j, qv
+          FROM q, nd WHERE vec_id % greatest(1, n_vecs // 16) = 0),
+        tr AS (SELECT vec_id, label, j, qv
+          FROM q, nd WHERE vec_id % greatest(1, n_vecs // 16) <> 0),
+        pairs AS (SELECT e.eval_id, t.vec_id, max(t.label) AS label,
+            max(CASE WHEN t.label = e.eval_label THEN 1 ELSE 0 END) AS ind,
+            CAST(sum((t.qv - e.qv) * (t.qv - e.qv)) AS BIGINT) AS d2
+          FROM tr t JOIN ev e ON e.j = t.j
+          GROUP BY e.eval_id, t.vec_id),
+        ranked AS (SELECT *,
+            row_number() OVER (PARTITION BY eval_id ORDER BY d2, vec_id) AS rn,
+            count(*) OVER (PARTITION BY eval_id) AS n_train,
+            lead(ind, 1) OVER (PARTITION BY eval_id ORDER BY d2, vec_id)
+              AS ind_next
+          FROM pairs),
+        contrib AS (SELECT *,
+            CASE WHEN rn = n_train THEN ind * (1000000000 // n_train)
+              ELSE (ind - ind_next)
+                * ((1000000000 * least(5, rn)) // (5 * rn)) END AS c
+          FROM ranked),
+        shap AS (SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(sum(s_nano) AS BIGINT) AS shap_sum_nano FROM (
+            SELECT vec_id, label, eval_id,
+              sum(c) OVER (PARTITION BY eval_id ORDER BY rn DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_nano
+            FROM contrib) t GROUP BY vec_id, label),
+        top AS (SELECT vec_id, label, n_eval, shap_sum_nano, 'top' AS side
+          FROM shap ORDER BY shap_sum_nano DESC, vec_id LIMIT 40),
+        bottom AS (SELECT vec_id, label, n_eval, shap_sum_nano,
+            'bottom' AS side
+          FROM shap ORDER BY shap_sum_nano ASC, vec_id LIMIT 40)
+        SELECT * FROM top UNION ALL SELECT * FROM bottom
+        ORDER BY side, vec_id""")),
+
+    // ── ANN index recall gate (the eval every vector-serving deploy
+    //    runs before flipping traffic: recall@k of the cheap probe path
+    //    against the exact ranking, on a fixed query sample): the
+    //    seeded-IVF probe at a DELIBERATELY thin nProbe=8/64 (the
+    //    operating point under test) versus bruteForceTopK ground truth
+    //    at k=5, per-query hits and integer recall‰. Both legs are the
+    //    library's own audited operators and the oracle replays both —
+    //    so the measured recall itself (not just the plumbing) is
+    //    engine-exact. Shape: the probe leg reads only probed cells,
+    //    the truth leg is one broadcast-query corpus scan into the
+    //    bounded heap; the |Q|-row join that scores them is noise. ──────
+    QueryDef("sim_recall_eval",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        val candidates = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        val ivf = Similarity.ivfTopKSeeded(queries, candidates, k = 5,
+            numCentroids = 64, nProbe = 8)
+          .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+        val brute = Similarity.bruteForceTopK(queries, candidates, k = 5)
+          .select($"query_id", $"neighbor_id")
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce($"hit", lit(0L))).as("n_hits"))
+          .select($"query_id", $"n_true", $"n_hits",
+            expr("n_hits * 1000L DIV n_true").as("recall_permille"))
+          .orderBy($"query_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 8),
+        scored AS (SELECT p.qid, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        ivf AS (SELECT qid, cid FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM scored) t WHERE rn <= 5),
+        brute AS (SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rn
+            FROM v q JOIN v c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10) t WHERE rn <= 5)
+        SELECT b.qid AS query_id, CAST(count(*) AS BIGINT) AS n_true,
+          CAST(sum(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hits,
+          CAST((sum(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+            // count(*) AS BIGINT) AS recall_permille
+        FROM brute b LEFT JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+        GROUP BY b.qid ORDER BY query_id""")),
+
+    // ── Randomized response (Warner'65 — the local-DP telemetry
+    //    mechanism: each event reports its sensitive bit truthfully
+    //    with p=3/4, flipped with 1/4, so no single report reveals the
+    //    truth while the aggregate debiases exactly): the coin is the
+    //    deterministic md5(event_id) draw (the library's seeded-noise
+    //    device — reproducible on any partitioning, replayable by the
+    //    oracle), the sensitive bit is "was this a purchase", grouped
+    //    monthly. The unbiased estimator (c − n·q)/(p−q) at p=3/4 is
+    //    the exact integer (4c − n)/2 — shipped as est_x2 BIGINT with
+    //    the true count and |error| beside it, so the privacy/utility
+    //    trade is itself the tested output. Shape: one scan, one hash
+    //    aggregate; nothing joins, nothing windows. ─────────────────────
+    QueryDef("dq_randomized_response",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val coin = pmod(conv(substring(md5($"event_id".cast("string")), 1, 8),
+          16, 10).cast("long"), lit(4L))
+        val b = when($"event_type" === "purchase", 1L).otherwise(0L)
+        ev.select(date_trunc("day", $"ts").cast("date").as("day"),
+            b.as("b"), coin.as("coin"))
+          .withColumn("r", when($"coin" < 3, $"b").otherwise(lit(1L) - $"b"))
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"r").as("noisy_cnt"),
+            sum($"b").as("true_cnt"))
+          .select($"day", $"n_events", $"noisy_cnt",
+            (lit(4L) * $"noisy_cnt" - $"n_events").as("est_x2"),
+            $"true_cnt",
+            abs(lit(4L) * $"noisy_cnt" - $"n_events"
+              - lit(2L) * $"true_cnt").as("abs_err_x2"))
+          .orderBy($"day")
+      },
+      Some(s"""WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+            ${OracleGen.md5PrefixExpr("md5(CAST(event_id AS VARCHAR))", 8)}
+              % 4 AS coin
+          FROM events),
+        r AS (SELECT day, b,
+            CASE WHEN coin < 3 THEN b ELSE 1 - b END AS r FROM e)
+        SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(r) AS BIGINT) AS noisy_cnt,
+          CAST(4 * sum(r) - count(*) AS BIGINT) AS est_x2,
+          CAST(sum(b) AS BIGINT) AS true_cnt,
+          CAST(abs(4 * sum(r) - count(*) - 2 * sum(b)) AS BIGINT)
+            AS abs_err_x2
+        FROM r GROUP BY day ORDER BY day"""))
   )
 }
 

@@ -558,7 +558,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // CCNet buckets: the 1-row tercile-cuts broadcast onto the held-out
     // score frame (scalar-recombine shape); the LM pipeline underneath
     // is all equi joins
-    "pipeline_perplexity_buckets")
+    "pipeline_perplexity_buckets",
+    // margin sampling + prototype pruning: the corpus×32-centroid
+    // routing cross join (the embed_silhouette shape)
+    "sample_uncertainty_margin", "embed_prune_prototypes",
+    // knn shapley: the 1-row corpus-count broadcast (stride device) +
+    // the ≤17-row broadcast eval-set probe (decontaminate_embed shape)
+    "embed_knn_shapley",
+    // recall eval: topk_ivf's query×centroid routing cross joins +
+    // topk_brute's non-equi qid≠cid probe broadcast (both bounded)
+    "sim_recall_eval")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -276,4 +276,162 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows == expect,
       s"mismatch: ${rows.toSeq.sorted.take(2)} vs ${expect.toSeq.sorted.take(2)}")
   }
+
+  // ── round-15 valuation / pruning / governance operators ────────────────
+
+  /** Exact-KNN-Shapley parity: an independent in-memory replay of Jia et
+    * al.'s recursion (same floor(x·2²⁰) quantization, same integer
+    * nano-unit contributions) must reproduce every emitted value. This
+    * pins the algorithm itself; the oracle pins engine equality.
+    */
+  test("embed_knn_shapley equals the in-memory recursion replay") {
+    val rows = run("embed_knn_shapley")
+    assert(rows.nonEmpty && rows.length <= 80)
+    // independent replay from the raw table
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray))
+      .sortBy(_._1)
+    val n = raw.length
+    val stride = math.max(1L, n.toLong / 16L)
+    val (ev, tr) = raw.partition(v => v._1 % stride == 0)
+    val shap = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    ev.foreach { case (_, elab, ee) =>
+      val ranked = tr.map { case (vid, lab, qe) =>
+        val d2 = qe.zip(ee).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, vid, if (lab == elab) 1L else 0L)
+      }.sortBy(t => (t._1, t._2))
+      val m = ranked.length
+      val contrib = ranked.zipWithIndex.map { case ((_, vid, ind), i) =>
+        val rn = i + 1L
+        val c =
+          if (rn == m) ind * (1000000000L / m)
+          else (ind - ranked(i + 1)._3) *
+            ((1000000000L * math.min(5L, rn)) / (5L * rn))
+        (vid, c)
+      }
+      var suffix = 0L
+      contrib.reverseIterator.foreach { case (vid, c) =>
+        suffix += c
+        shap(vid) += suffix
+      }
+    }
+    rows.foreach { r =>
+      val vid = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("n_eval") == ev.length.toLong)
+      assert(r.getAs[Long]("shap_sum_nano") == shap(vid),
+        s"vec $vid: query ${r.getAs[Long]("shap_sum_nano")} vs replay ${shap(vid)}")
+    }
+    // every top-side value must dominate every bottom-side value
+    val top = rows.filter(_.getAs[String]("side") == "top")
+      .map(_.getAs[Long]("shap_sum_nano"))
+    val bottom = rows.filter(_.getAs[String]("side") == "bottom")
+      .map(_.getAs[Long]("shap_sum_nano"))
+    assert(top.nonEmpty && bottom.nonEmpty && top.min >= bottom.max)
+  }
+
+  test("embed_prune_prototypes: cut ranks, monotone thresholds, member conservation") {
+    val rows = run("embed_prune_prototypes")
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length == 3, s"cell $cell must emit all three fractions")
+      val sorted = rs.sortBy(_.getAs[Long]("frac_pct"))
+      assert(sorted.map(_.getAs[Long]("frac_pct")).toSeq == Seq(50L, 70L, 90L))
+      val n = sorted.head.getAs[Long]("n_members")
+      assert(sorted.forall(_.getAs[Long]("n_members") == n))
+      sorted.foreach { r =>
+        val kept = r.getAs[Long]("n_kept")
+        assert(kept == math.max(1L, n * r.getAs[Long]("frac_pct") / 100L))
+        assert(kept >= 1L && kept <= n)
+      }
+      // keeping MORE means cutting DEEPER into the easy core: the
+      // threshold distance at the cut rank is non-increasing in frac
+      val cuts = sorted.map(r => BigInt(r.getAs[String]("cut_d2")))
+      assert(cuts(0) >= cuts(1) && cuts(1) >= cuts(2),
+        s"cell $cell thresholds not monotone: $cuts")
+    }
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(byCell.map { case (_, rs) => rs.head.getAs[Long]("n_members") }.sum
+      == total)
+  }
+
+  test("sample_uncertainty_margin: 32 smallest non-negative margins, distinct cells") {
+    val rows = run("sample_uncertainty_margin")
+    assert(rows.length == 32)
+    var prev = (Long.MinValue, Long.MinValue)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("margin_x1e6")
+      assert(m >= 0L, "top-1 sim is >= top-2 sim by construction")
+      assert(r.getAs[Long]("cell_1") != r.getAs[Long]("cell_2"))
+      val key = (m, r.getAs[Long]("vec_id"))
+      assert(prev._1 < key._1 || (prev._1 == key._1 && prev._2 < key._2),
+        "output must be ordered by (margin, vec_id)")
+      prev = key
+    }
+  }
+
+  test("sim_recall_eval: hit arithmetic and recall=1 at full probe") {
+    val rows = run("sim_recall_eval")
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val nTrue = r.getAs[Long]("n_true")
+      val hits = r.getAs[Long]("n_hits")
+      assert(nTrue == 5L && hits >= 0L && hits <= nTrue)
+      assert(r.getAs[Long]("recall_permille") == hits * 1000L / nTrue)
+    }
+    // probing every cell makes IVF exhaustive: recall must be exactly 1
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val full = graft.operators.Similarity
+      .ivfTopKSeeded(qs, cs, k = 5, numCentroids = 64, nProbe = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.operators.Similarity.bruteForceTopK(qs, cs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, "nProbe = numCentroids must equal brute force")
+  }
+
+  /** The estimator identity and a pure-JVM md5 coin replay: the query's
+    * noisy counts must be exactly reproducible from the raw events, and
+    * the debias arithmetic must hold row by row.
+    */
+  test("dq_randomized_response: coin replay and debias identity") {
+    val rows = run("dq_randomized_response")
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 4L
+    }
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "CAST(date_trunc('day', ts) AS DATE) AS day",
+        "CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS b")
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getLong(0), r.getLong(2)))
+    val expect = ev.groupBy(_._1).map { case (m, es) =>
+      val n = es.length.toLong
+      val noisy = es.map { case (_, id, b) =>
+        if (coin(id) < 3L) b else 1L - b
+      }.sum
+      val truth = es.map(_._3).sum
+      m -> (n, noisy, truth)
+    }
+    rows.foreach { r =>
+      val m = r.getAs[java.sql.Date]("day").toString
+      val (n, noisy, truth) = expect(m)
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("noisy_cnt") == noisy, s"day $m coin replay")
+      assert(r.getAs[Long]("true_cnt") == truth)
+      assert(r.getAs[Long]("est_x2") == 4L * noisy - n)
+      assert(r.getAs[Long]("abs_err_x2") == math.abs(4L * noisy - n - 2L * truth))
+    }
+    assert(rows.length == expect.size)
+  }
 }
