@@ -208,6 +208,60 @@ object Dedup {
         md5(col("rebuilt")).as("dedup_fp"))
   }
 
+  /** Onion (doc-level) dedup scoreboard (Pomikálek 2011, "Removing
+    * boilerplate and duplicate content from web corpora": the duplicate
+    * rule between full-doc exact hashing — too strict — and
+    * [[exactSubstringDedup]] — which rewrites text): a document is
+    * DROPPED when more than `dropPermille`/1000 of its overlapping
+    * `windowTokens`-token windows already occurred in an EARLIER
+    * document (corpus order = ascending id); otherwise it ships
+    * untouched. A window is stale iff its corpus-wide FIRST document
+    * is an earlier doc — within-doc repeats never count against their
+    * own doc (the substring form owns that case). Documents with fewer
+    * than `windowTokens` tokens have no windows and are always kept.
+    *
+    * Shape: one O(tokens) `token_window_hash64` kernel scan (shared
+    * with [[exactSubstringDedup]]), a (h → min id) map-side-combinable
+    * hash aggregate, a co-keyed equi join back, two bounded
+    * aggregates — nothing windows, nothing broadcasts corpus-sized
+    * state; at 100 TB the (h → min id) table IS the substring-dedup
+    * index already costed in SCALING.md.
+    */
+  def onionDocShare(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, windowTokens: Int = 8,
+      dropPermille: Int = 500): DataFrame = {
+    require(windowTokens >= 2, "windowTokens >= 2")
+    require(dropPermille >= 0 && dropPermille <= 1000,
+      "dropPermille in [0, 1000]")
+    graft.functions.TextHashFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      col(textCol).as("text"))
+    val wh = d.select(col("id"),
+      explode(graft.functions.TextHashFunctions
+        .tokenWindowHash64(col("text"), windowTokens)).as("h"))
+    val first = wh.groupBy(col("h")).agg(min(col("id")).as("first_id"))
+    val perDoc = wh.join(first, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_stale"))
+    d.select(col("id"), col("source"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("source"),
+        coalesce(col("n_w"), lit(0L)).as("n_w"),
+        coalesce(col("n_stale"), lit(0L)).as("n_stale"))
+      .withColumn("dropped",
+        when(col("n_stale") * lit(1000L) >
+          col("n_w") * lit(dropPermille.toLong), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(col("n_w")).as("total_windows"),
+        sum(col("n_stale")).as("stale_windows"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        expr("n_dropped * 1000000L DIV n_docs").as("dropped_ppm"),
+        col("total_windows"), col("stale_windows"))
+  }
+
   /** (id, span_idx, h): non-overlapping `spanWords`-token windows of the
     * lower-cased text, md5-fingerprinted — the shared front end of
     * [[spanDedupStats]] and [[boilerplateSpanStats]]. The whole

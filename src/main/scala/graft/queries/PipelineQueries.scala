@@ -8062,7 +8062,244 @@ object PipelineQueries extends QueryModule {
           CAST(sum(b) AS BIGINT) AS true_cnt,
           CAST(abs(4 * sum(r) - count(*) - 2 * sum(b)) AS BIGINT)
             AS abs_err_x2
-        FROM r GROUP BY day ORDER BY day"""))
+        FROM r GROUP BY day ORDER BY day""")),
+
+    // ── External clustering quality: ADJUSTED RAND INDEX of the seeded
+    //    32-cell k-means assignment against the ground-truth labels —
+    //    the eval that tells whether the quantizer's cells mean anything
+    //    (silhouette is internal geometry; ARI is agreement with truth).
+    //    All pair-counting is EXACT integer: C(x,2) = x(x−1) DIV 2 per
+    //    contingency cell / row / column margin (each ≤ C(n,2) ≈ 2·10¹²,
+    //    BIGINT), and the permutation-model correction clears the /2s by
+    //    scaling both sides: num = 2·C(n,2)·Σij − 2·ΣA·ΣB,
+    //    den = C(n,2)·(ΣA+ΣB) − 2·ΣA·ΣB — products ≈ 10²⁵ ride
+    //    DECIMAL(38,0) (the burstiness envelope), shipped as canonical
+    //    strings beside one IEEE division. Shape: one routing pass, one
+    //    ≤32·|labels| contingency hash aggregate, 1-row recombines. ──────
+    QueryDef("embed_cluster_ari",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label", $"embedding")
+        val cent = v.orderBy($"vec_id").limit(32)
+          .select($"vec_id".as("cell"), $"embedding".as("ce"))
+        val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")
+        val assign = v.crossJoin(broadcast(cent))
+          .select($"vec_id", $"label", $"cell",
+            graft.functions.VectorFunctions.cosineSim($"embedding", $"ce").as("sim"))
+          .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"vec_id", $"label", $"cell")
+        // c·(c−1) is always even: the shift IS the /2, and stays BIGINT
+        // (a double-division detour loses exactness past 2^53 pairs)
+        def comb2(c: org.apache.spark.sql.Column) =
+          shiftright(c * (c - lit(1L)), 1)
+        val cont = assign.groupBy($"cell", $"label").agg(count(lit(1)).as("nij"))
+          .localCheckpoint()
+        val sij = cont.agg(sum(comb2($"nij")).as("sum_comb_cont"),
+          sum($"nij").as("n"),
+          countDistinct($"cell").as("n_cells"),
+          countDistinct($"label").as("n_labels"))
+        val sa = cont.groupBy($"cell").agg(sum($"nij").as("ai"))
+          .agg(sum(comb2($"ai")).as("sum_comb_cells"))
+        val sb = cont.groupBy($"label").agg(sum($"nij").as("bj"))
+          .agg(sum(comb2($"bj")).as("sum_comb_labels"))
+        val dec = "decimal(19,0)"
+        sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+          .withColumn("cn2", comb2($"n").cast(dec))
+          .withColumn("num",
+            (lit(2L).cast(dec) * $"cn2" * $"sum_comb_cont".cast(dec)
+              - lit(2L).cast(dec) * $"sum_comb_cells".cast(dec)
+                * $"sum_comb_labels".cast(dec)).cast("decimal(38,0)"))
+          .withColumn("den",
+            ($"cn2" * ($"sum_comb_cells" + $"sum_comb_labels").cast(dec)
+              - lit(2L).cast(dec) * $"sum_comb_cells".cast(dec)
+                * $"sum_comb_labels".cast(dec)).cast("decimal(38,0)"))
+          .select($"n", $"n_cells", $"n_labels",
+            $"sum_comb_cont", $"sum_comb_cells", $"sum_comb_labels",
+            $"num".cast("string").as("ari_num"),
+            $"den".cast("string").as("ari_den"),
+            ($"num".cast("double") / $"den".cast("double")).as("ari"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          WHERE rn <= 32),
+        assign AS (SELECT vec_id, label, cell FROM (
+            SELECT c.vec_id, c.label, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        cont AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS nij
+          FROM assign GROUP BY cell, label),
+        sij AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_comb_cont,
+            CAST(sum(nij) AS BIGINT) AS n,
+            CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+            CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+          FROM cont),
+        sa AS (SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_comb_cells
+          FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY cell)),
+        sb AS (SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_comb_labels
+          FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY label)),
+        x AS (SELECT *, CAST(n * (n - 1) // 2 AS HUGEINT) AS cn2
+          FROM sij CROSS JOIN sa CROSS JOIN sb)
+        SELECT n, n_cells, n_labels,
+          sum_comb_cont, sum_comb_cells, sum_comb_labels,
+          CAST(CAST(2::HUGEINT * cn2 * sum_comb_cont
+            - 2::HUGEINT * sum_comb_cells * sum_comb_labels
+            AS DECIMAL(38,0)) AS VARCHAR) AS ari_num,
+          CAST(CAST(cn2 * (sum_comb_cells + sum_comb_labels)
+            - 2::HUGEINT * sum_comb_cells * sum_comb_labels
+            AS DECIMAL(38,0)) AS VARCHAR) AS ari_den,
+          CAST(CAST(2::HUGEINT * cn2 * sum_comb_cont
+              - 2::HUGEINT * sum_comb_cells * sum_comb_labels
+              AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(CAST(cn2 * (sum_comb_cells + sum_comb_labels)
+              - 2::HUGEINT * sum_comb_cells * sum_comb_labels
+              AS DECIMAL(38,0)) AS DOUBLE) AS ari
+        FROM x""")),
+
+    // ── Vocabulary coverage planning (Good–Turing + Chao1 — "how much
+    //    unseen vocabulary is left", the corpus-sizing question a
+    //    tokenizer/pretraining plan starts from): per language, token
+    //    count N, type count V, hapax n₁ and dis-legomena n₂ off one
+    //    (lang, token) hash aggregate; Good–Turing unseen-mass
+    //    P(next token is new) ≈ n₁/N in integer ppm, and the
+    //    bias-corrected Chao1 richness V + n₁(n₁−1)/(2(n₂+1)) as an
+    //    EXACT rational (num/den BIGINTs — defined even at n₂=0)
+    //    beside one IEEE division. Two hash aggregates, no joins, no
+    //    windows — the 100 TB plan is the same two map-side-combinable
+    //    aggregates. ─────────────────────────────────────────────────────
+    QueryDef("text_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val tf = Tables.load(s, dir, "documents")
+          .select($"lang", explode(tokens($"text")).as("tok"))
+          .groupBy($"lang", $"tok").agg(count(lit(1)).as("tf"))
+        tf.groupBy($"lang")
+          .agg(sum($"tf").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when($"tf" === 1L, 1L).otherwise(0L)).as("n_hapax"),
+            sum(when($"tf" === 2L, 1L).otherwise(0L)).as("n_dis"))
+          .select($"lang", $"n_tokens", $"n_types", $"n_hapax", $"n_dis",
+            expr("n_hapax * 1000000L DIV n_tokens").as("gt_unseen_ppm"),
+            ($"n_types" * lit(2L) * ($"n_dis" + lit(1L))
+              + $"n_hapax" * ($"n_hapax" - lit(1L))).as("chao1_num"),
+            (lit(2L) * ($"n_dis" + lit(1L))).as("chao1_den"))
+          .withColumn("chao1",
+            $"chao1_num".cast("double") / $"chao1_den".cast("double"))
+          .orderBy($"lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM t GROUP BY lang, tok),
+        g AS (SELECT lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+            CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+          FROM tf GROUP BY lang)
+        SELECT lang, n_tokens, n_types, n_hapax, n_dis,
+          CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS gt_unseen_ppm,
+          CAST(n_types * 2 * (n_dis + 1) + n_hapax * (n_hapax - 1) AS BIGINT)
+            AS chao1_num,
+          CAST(2 * (n_dis + 1) AS BIGINT) AS chao1_den,
+          CAST(n_types * 2 * (n_dis + 1) + n_hapax * (n_hapax - 1) AS DOUBLE)
+            / CAST(2 * (n_dis + 1) AS DOUBLE) AS chao1
+        FROM g ORDER BY lang""")),
+
+    // ── IVF index balance audit (the index-health gate beside
+    //    sim_recall_eval: recall says "does it find things", balance
+    //    says "will the hot cell be a tail-latency wall"): cell sizes
+    //    off the persisted-shape assignment table, imbalance factor
+    //    λ = C·Σn_c²/n² (=1 uniform, →C one hot cell) as an EXACT
+    //    integer rational (Σn_c² ≤ n² ≈ 4·10¹², ×C=64 still BIGINT)
+    //    beside one IEEE division, plus the min/max/used-cell extremes.
+    //    One routing pass + one |cells|-row aggregate. ───────────────────
+    QueryDef("sim_index_ivf_balance",
+      (s, dir) => {
+        import s.implicits._
+        val candidates = Tables.load(s, dir, "embeddings")
+          .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        val cells = Similarity.ivfIndex(candidates, numCentroids = 64)._2
+          .groupBy($"cell").agg(count(lit(1)).as("cnt"))
+        cells.agg(sum($"cnt").as("n_vectors"),
+            count(lit(1)).as("n_cells_used"),
+            max($"cnt").as("max_cell"),
+            min($"cnt").as("min_cell"),
+            sum($"cnt" * $"cnt").as("sum_sq"))
+          .select($"n_vectors", $"n_cells_used", $"max_cell", $"min_cell",
+            (lit(64L) * $"sum_sq").as("imbalance_num"),
+            ($"n_vectors" * $"n_vectors").as("imbalance_den"),
+            ((lit(64L) * $"sum_sq").cast("double")
+              / ($"n_vectors" * $"n_vectors").cast("double")).as("imbalance"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+          FROM assign GROUP BY cell)
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_vectors,
+          CAST(count(*) AS BIGINT) AS n_cells_used,
+          max(cnt) AS max_cell, min(cnt) AS min_cell,
+          CAST(64 * sum(cnt * cnt) AS BIGINT) AS imbalance_num,
+          CAST(sum(cnt) * sum(cnt) AS BIGINT) AS imbalance_den,
+          CAST(64 * sum(cnt * cnt) AS DOUBLE)
+            / CAST(sum(cnt) * sum(cnt) AS DOUBLE) AS imbalance
+        FROM cells""")),
+
+    // ── Onion (doc-level) dedup share (Pomikálek 2011 — the corpus
+    //    hygiene rule between full-doc hashing and substring surgery:
+    //    DROP a document when most of its content already appeared in
+    //    EARLIER documents, keep it untouched otherwise): every
+    //    overlapping 8-token window off the same O(n) kernel scan as
+    //    dedup_substring_exact, but the rule is per-DOC — a window is
+    //    stale iff its corpus-wide FIRST document is an earlier doc
+    //    (within-doc repeats don't count against their own doc; the
+    //    substring form handles those), drop when stale windows exceed
+    //    half. Per-source scoreboard ships doc/drop counts and window
+    //    mass. Shape: kernel scan → (h → min doc) hash aggregate →
+    //    co-keyed join-back → two hash aggregates; nothing windows. ──────
+    QueryDef("dedup_onion_share",
+      (s, dir) => Dedup.onionDocShare(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", windowTokens = 8, dropPermille = 500)
+        .orderBy("source"),
+      Some {
+        val foldExpr =
+          s"""list_reduce(list_prepend(0::HUGEINT,
+            [${OracleGen.md5Low64Expr("md5(tok)")} FOR tok IN toks[i:i+7]]),
+            (acc, x) -> (acc * 1000003::HUGEINT + x)
+              % 18446744073709551616::HUGEINT)"""
+        s"""WITH t AS (SELECT doc_id, source,
+            string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents),
+        w0 AS (SELECT doc_id, toks,
+            unnest(generate_series(1, len(toks) - 7)) AS i FROM t),
+        wh AS (SELECT doc_id, $foldExpr AS h FROM w0),
+        fst AS (SELECT h, min(doc_id) AS first_id FROM wh GROUP BY h),
+        d AS (SELECT wh.doc_id, CAST(count(*) AS BIGINT) AS n_w,
+            CAST(sum(CASE WHEN f.first_id < wh.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stale
+          FROM wh JOIN fst f ON wh.h = f.h GROUP BY wh.doc_id),
+        a AS (SELECT t.source, coalesce(d.n_w, 0) AS n_w,
+            coalesce(d.n_stale, 0) AS n_stale,
+            CASE WHEN coalesce(d.n_stale, 0) * 1000
+              > coalesce(d.n_w, 0) * 500 THEN 1 ELSE 0 END AS dropped
+          FROM t LEFT JOIN d ON t.doc_id = d.doc_id)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dropped) AS BIGINT) AS n_dropped,
+          CAST(sum(dropped) * 1000000 // count(*) AS BIGINT) AS dropped_ppm,
+          CAST(sum(n_w) AS BIGINT) AS total_windows,
+          CAST(sum(n_stale) AS BIGINT) AS stale_windows
+        FROM a GROUP BY source ORDER BY source"""
+      })
   )
 }
 

@@ -567,7 +567,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "embed_knn_shapley",
     // recall eval: topk_ivf's query×centroid routing cross joins +
     // topk_brute's non-equi qid≠cid probe broadcast (both bounded)
-    "sim_recall_eval")
+    "sim_recall_eval",
+    // cluster ARI: the corpus×32-centroid routing cross join
+    // (silhouette shape) + three 1-row pair-count recombines
+    "embed_cluster_ari",
+    // ivf balance: topk_ivf's vector×centroid routing cross join
+    "sim_index_ivf_balance")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -434,4 +434,120 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(rows.length == expect.size)
   }
+
+  test("embed_cluster_ari: pair-counting algebra and bounds hold") {
+    val rows = run("embed_cluster_ari")
+    assert(rows.length == 1)
+    val r = rows(0)
+    val n = BigInt(r.getAs[Long]("n"))
+    val sij = BigInt(r.getAs[Long]("sum_comb_cont"))
+    val sa = BigInt(r.getAs[Long]("sum_comb_cells"))
+    val sb = BigInt(r.getAs[Long]("sum_comb_labels"))
+    val cn2 = n * (n - 1) / 2
+    val num = BigInt(2) * cn2 * sij - BigInt(2) * sa * sb
+    val den = cn2 * (sa + sb) - BigInt(2) * sa * sb
+    assert(BigInt(r.getAs[String]("ari_num")) == num)
+    assert(BigInt(r.getAs[String]("ari_den")) == den)
+    val ari = r.getAs[Double]("ari")
+    assert(ari == num.toDouble / den.toDouble)
+    assert(ari <= 1.0 && ari >= -1.0)
+    assert(r.getAs[Long]("n_cells") <= 32L && r.getAs[Long]("n_labels") >= 2L)
+    assert(n.toLong ==
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+  }
+
+  test("text_vocab_coverage: Good-Turing / Chao1 identities and count conservation") {
+    val rows = run("text_vocab_coverage")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val v = r.getAs[Long]("n_types")
+      val n1 = r.getAs[Long]("n_hapax")
+      val n2 = r.getAs[Long]("n_dis")
+      assert(n1 + n2 <= v && v <= nTok && n1 <= nTok)
+      assert(r.getAs[Long]("gt_unseen_ppm") == n1 * 1000000L / nTok)
+      val num = v * 2L * (n2 + 1L) + n1 * (n1 - 1L)
+      val den = 2L * (n2 + 1L)
+      assert(r.getAs[Long]("chao1_num") == num)
+      assert(r.getAs[Long]("chao1_den") == den)
+      val chao1 = r.getAs[Double]("chao1")
+      assert(chao1 == num.toDouble / den.toDouble)
+      // the richness estimate can only extend the observed vocabulary
+      assert(chao1 >= v.toDouble)
+    }
+    import org.apache.spark.sql.functions._
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(lower(trim(col("text"))), "\\s+")).as("k"))
+      .agg(sum(col("k"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
+
+  test("sim_index_ivf_balance: rational identity, Cauchy-Schwarz floor, extremes") {
+    val rows = run("sim_index_ivf_balance")
+    assert(rows.length == 1)
+    val r = rows(0)
+    val n = r.getAs[Long]("n_vectors")
+    val used = r.getAs[Long]("n_cells_used")
+    assert(n == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    assert(used >= 1L && used <= 64L)
+    assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell") &&
+      r.getAs[Long]("min_cell") >= 1L)
+    val num = r.getAs[Long]("imbalance_num")
+    val den = r.getAs[Long]("imbalance_den")
+    assert(den == n * n)
+    val imb = r.getAs[Double]("imbalance")
+    assert(imb == num.toDouble / den.toDouble)
+    // C·Σn_c² ≥ C·n²/C_used ≥ n² (Cauchy–Schwarz): λ ≥ 1, = 1 only uniform
+    assert(imb >= 1.0)
+  }
+
+  /** Full in-memory replay of the onion rule: the kernel's rolling
+    * window hashes (md5-low-64 left fold, natural long wrap), the
+    * corpus-wide first-doc relation, the per-doc stale share, the >50%
+    * drop rule, and the per-source rollup.
+    */
+  test("dedup_onion_share equals the in-memory onion replay") {
+    val rows = run("dedup_onion_share")
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Low64(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseUnsignedLong(hex.substring(16), 16)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val k = 8
+    val winByDoc = docs.map { case (id, src, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val hs = toks.map(md5Low64)
+      val wins = (0 to toks.length - k)
+        .map(i => hs.slice(i, i + k).foldLeft(0L)((a, x) => a * 1000003L + x))
+      (id, src, wins)
+    }
+    val firstDoc = scala.collection.mutable.Map.empty[Long, Long]
+    winByDoc.foreach { case (id, _, wins) =>
+      wins.foreach(h => if (!firstDoc.contains(h)) firstDoc(h) = id)
+    }
+    val perSource = winByDoc.groupBy(_._2).map { case (src, ds) =>
+      val stats = ds.map { case (id, _, wins) =>
+        val stale = wins.count(h => firstDoc(h) < id)
+        (wins.length.toLong, stale.toLong,
+          if (stale * 1000L > wins.length * 500L) 1L else 0L)
+      }
+      src -> (ds.length.toLong, stats.map(_._3).sum,
+        stats.map(_._1).sum, stats.map(_._2).sum)
+    }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nd, dropped, totW, staleW) = perSource(src)
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_dropped") == dropped, s"$src dropped")
+      assert(r.getAs[Long]("dropped_ppm") == dropped * 1000000L / nd)
+      assert(r.getAs[Long]("total_windows") == totW, s"$src windows")
+      assert(r.getAs[Long]("stale_windows") == staleW, s"$src stale")
+    }
+    assert(rows.length == perSource.size)
+  }
 }
