@@ -8299,7 +8299,145 @@ object PipelineQueries extends QueryModule {
           CAST(sum(n_w) AS BIGINT) AS total_windows,
           CAST(sum(n_stale) AS BIGINT) AS stale_windows
         FROM a GROUP BY source ORDER BY source"""
-      })
+      }),
+
+    // ── Shadow A/B of two index configs (the serving experiment run
+    //    BEFORE flipping an ANN tier's probe budget: route the same
+    //    query batch through config A (nProbe=8) and config B
+    //    (nProbe=24) and score how much the RANKINGS move): per query,
+    //    top-5 overlap plus truncated RANK-BIASED OVERLAP at p=1/2
+    //    (Webber et al. 2010 — depth-discounted agreement, the standard
+    //    search-AB ranking-similarity metric). RBO@5 with p=1/2 is an
+    //    EXACT integer rational: Σ_d o_d/(d·2^d) over common
+    //    denominator 1920 gives per-depth weights (960,240,80,30,12) —
+    //    BIGINT counting, one IEEE division for display. Shape: two
+    //    probe passes over the SAME seeded index + a ≤|Q|·k join;
+    //    nothing new shuffles. ─────────────────────────────────────────
+    QueryDef("sim_index_shadow_ab",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        val candidates = emb.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+        val a = Similarity.ivfTopKSeeded(queries, candidates, k = 5,
+            numCentroids = 64, nProbe = 8)
+          .select($"query_id", $"neighbor_id", $"rank".as("ra"))
+        val b = Similarity.ivfTopKSeeded(queries, candidates, k = 5,
+            numCentroids = 64, nProbe = 24)
+          .select($"query_id", $"neighbor_id", $"rank".as("rb"))
+        val weights = Seq((1, 960L), (2, 240L), (3, 80L), (4, 30L), (5, 12L))
+        val aggs = weights.map { case (d, w) =>
+          sum(when($"ra" <= d && $"rb" <= d, lit(w)).otherwise(0L)).as(s"w$d")
+        } :+ count(lit(1)).as("overlap_at5")
+        val od = a.join(b, Seq("query_id", "neighbor_id"))
+          .groupBy($"query_id")
+          .agg(aggs.head, aggs.tail: _*)
+        a.select($"query_id").distinct()
+          .join(od, Seq("query_id"), "left")
+          .select($"query_id",
+            coalesce($"overlap_at5", lit(0L)).as("overlap_at5"),
+            (coalesce($"w1", lit(0L)) + coalesce($"w2", lit(0L))
+              + coalesce($"w3", lit(0L)) + coalesce($"w4", lit(0L))
+              + coalesce($"w5", lit(0L))).as("rbo_num"),
+            lit(1920L).as("rbo_den"))
+          .withColumn("rbo", $"rbo_num".cast("double") / lit(1920.0d))
+          .orderBy($"query_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 64),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        pr AS (SELECT qid, cell, rn FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t WHERE q.vec_id < 10) WHERE rn <= 24),
+        sc AS (SELECT p.qid, p.rn AS prn, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM pr p JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        ra AS (SELECT qid, cid, rn AS ra FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM sc WHERE prn <= 8) t WHERE rn <= 5),
+        rb AS (SELECT qid, cid, rn AS rb FROM (SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM sc) t WHERE rn <= 5),
+        od AS (SELECT ra.qid,
+            CAST(count(*) AS BIGINT) AS overlap_at5,
+            CAST(sum(CASE WHEN ra <= 1 AND rb <= 1 THEN 960 ELSE 0 END)
+              + sum(CASE WHEN ra <= 2 AND rb <= 2 THEN 240 ELSE 0 END)
+              + sum(CASE WHEN ra <= 3 AND rb <= 3 THEN 80 ELSE 0 END)
+              + sum(CASE WHEN ra <= 4 AND rb <= 4 THEN 30 ELSE 0 END)
+              + sum(CASE WHEN ra <= 5 AND rb <= 5 THEN 12 ELSE 0 END)
+              AS BIGINT) AS rbo_num
+          FROM ra JOIN rb ON ra.qid = rb.qid AND ra.cid = rb.cid
+          GROUP BY ra.qid),
+        ql AS (SELECT DISTINCT vec_id AS query_id FROM v WHERE vec_id < 10)
+        SELECT q.query_id,
+          coalesce(od.overlap_at5, 0) AS overlap_at5,
+          coalesce(od.rbo_num, 0) AS rbo_num,
+          CAST(1920 AS BIGINT) AS rbo_den,
+          CAST(coalesce(od.rbo_num, 0) AS DOUBLE) / 1920.0 AS rbo
+        FROM ql q LEFT JOIN od ON od.qid = q.query_id
+        ORDER BY q.query_id""")),
+
+    // ── Language-ID confusion matrix (the eval FOR the library's own
+    //    langid heuristic, against the corpus's ground-truth lang
+    //    column — text_lang_quality groups by prediction only; this is
+    //    the full confusion relation a model card reports): per
+    //    (true, predicted) cell count, row/column margins via windows
+    //    over the ≤|langs|² REDUCED cell table only, per-cell share of
+    //    its true-language row in integer ppm, diagonal flag. One
+    //    kernel scan + one hash aggregate. ────────────────────────────────
+    QueryDef("text_langid_eval",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.TextHashFunctions.register(s)
+        val cells = Tables.load(s, dir, "documents")
+          .select($"lang", graft.functions.TextHashFunctions
+            .textLangId($"text").as("lang_pred"))
+          .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+        cells
+          .withColumn("n_true", sum($"n").over(Window.partitionBy($"lang")))
+          .withColumn("n_pred", sum($"n").over(Window.partitionBy($"lang_pred")))
+          .select($"lang", $"lang_pred", $"n", $"n_true", $"n_pred",
+            expr("n * 1000000L DIV n_true").as("row_share_ppm"),
+            when($"lang" === $"lang_pred", 1L).otherwise(0L).as("correct"))
+          .orderBy($"lang", $"lang_pred")
+      },
+      Some("""WITH t AS (
+          SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS toks, text
+          FROM documents),
+        m AS (SELECT lang, toks, text,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that'))) AS en,
+          len(list_filter(toks, x -> x IN ('el','la','los','las','una','por','con'))) AS es,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+          len(list_filter(toks, x -> x IN ('le','les','des','une','est','dans'))) AS fr
+          FROM t),
+        p AS (SELECT lang,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+               WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+               WHEN es >= de AND es >= fr THEN 'es'
+               WHEN de >= fr THEN 'de'
+               ELSE 'fr' END AS lang_pred
+          FROM m),
+        cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY lang, lang_pred),
+        w AS (SELECT *,
+            CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+            CAST(sum(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS n_pred
+          FROM cells)
+        SELECT lang, lang_pred, n, n_true, n_pred,
+          CAST(n * 1000000 // n_true AS BIGINT) AS row_share_ppm,
+          CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM w ORDER BY lang, lang_pred"""))
   )
 }
 

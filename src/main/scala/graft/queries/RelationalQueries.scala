@@ -11428,6 +11428,84 @@ object RelationalQueries extends QueryModule {
           CAST(floor(sad / sbc * 1e6) AS BIGINT) AS or_mh_e6,
           CAST(CASE WHEN floor(s_ome * s_ome / sv * 1e6) > 3841000
             THEN 1 ELSE 0 END AS BIGINT) AS reject_indep
-        FROM f"""))
+        FROM f""")),
+
+    // ── Post-stratification ATE (standardization / g-formula — the
+    //    adjust-then-average causal estimator beside the panel's
+    //    diff-in-diff and CUPED): strata = market segment, treatment =
+    //    urgent/high order priority, outcome = fulfilled flag. Per
+    //    stratum the arm rates are EXACT integer rationals off one hash
+    //    aggregate; the stratum term n_s·(p_t−p_c) is one fixed IEEE
+    //    expression from those integers, and the ATE folds the terms in
+    //    stratum order (sort_array ≡ list ORDER BY — the jensen_shannon
+    //    device) over the used-strata weight total, floor(·1e9).
+    //    Single-arm strata are excluded from the estimate but ship with
+    //    used=0 so the exclusion is itself auditable. One join + one
+    //    |strata|-row aggregate + a 1-row broadcast recombine. ───────────
+    QueryDef("agg_stratified_ate",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        val base = o.join(c, $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment".as("stratum"),
+            when(substring($"o_orderpriority", 1, 1).isin("1", "2"), 1L)
+              .otherwise(0L).as("t"),
+            when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+        val cells = base.groupBy($"stratum")
+          .agg(sum($"t").as("n_t"),
+            sum(lit(1L) - $"t").as("n_c"),
+            sum($"t" * $"y").as("f_t"),
+            sum((lit(1L) - $"t") * $"y").as("f_c"))
+        val terms = cells
+          .withColumn("used",
+            when($"n_t" > 0L && $"n_c" > 0L, 1L).otherwise(0L))
+          .withColumn("term",
+            when($"used" === 1L,
+              ($"n_t" + $"n_c").cast("double")
+                * ($"f_t".cast("double") / $"n_t".cast("double")
+                  - $"f_c".cast("double") / $"n_c".cast("double")))
+              .otherwise(lit(0.0d)))
+          .localCheckpoint()
+        val folded = terms
+          .agg(sum(when($"used" === 1L, $"n_t" + $"n_c").otherwise(0L))
+              .as("n_used"),
+            sort_array(collect_list(struct($"stratum", $"term"))).as("ts"))
+          .select($"n_used",
+            floor(aggregate($"ts".getField("term"), lit(0.0d), (a, x) => a + x)
+              / $"n_used".cast("double") * lit(1e9d)).cast("long").as("ate_e9"))
+        terms.select($"stratum", $"n_t", $"n_c", $"f_t", $"f_c", $"used")
+          .crossJoin(broadcast(folded))
+          .orderBy($"stratum")
+      },
+      Some("""WITH b AS (SELECT c.c_mktsegment AS stratum,
+            CASE WHEN substring(o.o_orderpriority, 1, 1) IN ('1','2')
+              THEN 1 ELSE 0 END AS t,
+            CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        cells AS (SELECT stratum, CAST(sum(t) AS BIGINT) AS n_t,
+            CAST(sum(1 - t) AS BIGINT) AS n_c,
+            CAST(sum(t * y) AS BIGINT) AS f_t,
+            CAST(sum((1 - t) * y) AS BIGINT) AS f_c
+          FROM b GROUP BY stratum),
+        terms AS (SELECT *,
+            CASE WHEN n_t > 0 AND n_c > 0 THEN 1 ELSE 0 END AS used,
+            CASE WHEN n_t > 0 AND n_c > 0 THEN
+              CAST(n_t + n_c AS DOUBLE)
+                * (CAST(f_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                  - CAST(f_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+            ELSE 0.0 END AS term
+          FROM cells),
+        f AS (SELECT
+            CAST(sum(CASE WHEN used = 1 THEN n_t + n_c ELSE 0 END) AS BIGINT)
+              AS n_used,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(term ORDER BY stratum)), (p, q) -> p + q) AS s
+          FROM terms)
+        SELECT stratum, n_t, n_c, f_t, f_c, CAST(used AS BIGINT) AS used,
+          n_used,
+          CAST(floor(s / CAST(n_used AS DOUBLE) * 1e9) AS BIGINT) AS ate_e9
+        FROM terms CROSS JOIN f ORDER BY stratum"""))
   )
 }

@@ -572,7 +572,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // (silhouette shape) + three 1-row pair-count recombines
     "embed_cluster_ari",
     // ivf balance: topk_ivf's vector×centroid routing cross join
-    "sim_index_ivf_balance")
+    "sim_index_ivf_balance",
+    // shadow A/B: topk_ivf's query×centroid routing cross join, twice
+    // (both probe budgets ride the same bounded centroid broadcast)
+    "sim_index_shadow_ab",
+    // stratified ATE: the 1-row folded-estimate broadcast recombine
+    // onto the |strata|-row frame (the anova scalar-recombine shape)
+    "agg_stratified_ate")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

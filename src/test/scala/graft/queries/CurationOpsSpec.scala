@@ -550,4 +550,70 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(rows.length == perSource.size)
   }
+
+  test("sim_index_shadow_ab: RBO arithmetic, bounds, full query coverage") {
+    val rows = run("sim_index_shadow_ab")
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq.sorted == (0L until 10L))
+    rows.foreach { r =>
+      val o = r.getAs[Long]("overlap_at5")
+      val num = r.getAs[Long]("rbo_num")
+      assert(o >= 0L && o <= 5L)
+      assert(r.getAs[Long]("rbo_den") == 1920L)
+      // perfect agreement is Σ d·w_d = 1860; every pair contributes at
+      // least the depth-5 weight and at most its full prefix weight
+      assert(num >= 12L * o && num <= 1860L)
+      assert(o < 5L || num <= 1860L)
+      assert(r.getAs[Double]("rbo") == num.toDouble / 1920.0)
+    }
+  }
+
+  test("text_langid_eval: margins are consistent and shares sum to a row") {
+    val rows = run("text_langid_eval")
+    assert(rows.nonEmpty)
+    val byTrue = rows.groupBy(_.getAs[String]("lang"))
+    byTrue.foreach { case (lang, rs) =>
+      val total = rs.map(_.getAs[Long]("n")).sum
+      assert(rs.forall(_.getAs[Long]("n_true") == total), s"$lang n_true")
+      // integer-floored shares can undershoot 1e6 by at most |cells|
+      val shares = rs.map(_.getAs[Long]("row_share_ppm")).sum
+      assert(shares <= 1000000L && shares > 1000000L - rs.length.toLong)
+    }
+    val byPred = rows.groupBy(_.getAs[String]("lang_pred"))
+    byPred.foreach { case (p, rs) =>
+      val total = rs.map(_.getAs[Long]("n")).sum
+      assert(rs.forall(_.getAs[Long]("n_pred") == total), s"$p n_pred")
+    }
+    rows.foreach { r =>
+      assert((r.getAs[Long]("correct") == 1L) ==
+        (r.getAs[String]("lang") == r.getAs[String]("lang_pred")))
+    }
+  }
+
+  test("agg_stratified_ate equals the stratum-ordered fold replay") {
+    val rows = run("agg_stratified_ate")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("used") == 1L) ==
+        (r.getAs[Long]("n_t") > 0L && r.getAs[Long]("n_c") > 0L))
+      assert(r.getAs[Long]("f_t") <= r.getAs[Long]("n_t") &&
+        r.getAs[Long]("f_c") <= r.getAs[Long]("n_c"))
+    }
+    val sorted = rows.sortBy(_.getAs[String]("stratum"))
+    val nUsed = sorted.filter(_.getAs[Long]("used") == 1L)
+      .map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum
+    var s = 0.0d
+    sorted.foreach { r =>
+      if (r.getAs[Long]("used") == 1L)
+        s += (r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).toDouble *
+          (r.getAs[Long]("f_t").toDouble / r.getAs[Long]("n_t").toDouble
+            - r.getAs[Long]("f_c").toDouble / r.getAs[Long]("n_c").toDouble)
+      else s += 0.0d
+    }
+    val ate = math.floor(s / nUsed.toDouble * 1e9).toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_used") == nUsed)
+      assert(r.getAs[Long]("ate_e9") == ate,
+        s"fold replay ${r.getAs[Long]("ate_e9")} vs $ate")
+    }
+  }
 }
