@@ -8437,7 +8437,175 @@ object PipelineQueries extends QueryModule {
         SELECT lang, lang_pred, n, n_true, n_pred,
           CAST(n * 1000000 // n_true AS BIGINT) AS row_share_ppm,
           CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS BIGINT) AS correct
-        FROM w ORDER BY lang, lang_pred"""))
+        FROM w ORDER BY lang, lang_pred""")),
+
+    // ── Local Outlier Factor (Breunig et al. 2000 — the density-ratio
+    //    anomaly score for embedding spaces: a point is anomalous when
+    //    its local density is low RELATIVE to its neighbors', which
+    //    catches outliers global distance thresholds miss): built
+    //    entirely on the audited sub-quadratic IVF kNN JOIN
+    //    (sim_knn_join's plan — the production neighbor graph, a pure
+    //    function of the data, so the whole chain replays). Distances
+    //    quantize once to floor((1−sim)·10⁹) BIGINT, making k-distance,
+    //    reach-distance and the Σreach sums EXACT integers; the only
+    //    IEEE is the final lrd-ratio fold, taken in neighbor-rank order
+    //    (sort_array ≡ list ORDER BY) from those integers. Zero-sum
+    //    degenerates (a point whose 5 neighbors are all identical to
+    //    it) ship lof=−1 rather than dividing by zero. Top-20 by score.
+    //    Shape: one kNN join + three keyed hash joins on its ≤5n-row
+    //    output + TakeOrdered — nothing new is corpus-quadratic. ─────────
+    QueryDef("embed_lof_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.load(s, dir, "embeddings")
+          .select($"vec_id".as("vid"), $"embedding".as("vec"))
+        val knn = Similarity.ivfKnnJoinSeeded(emb, k = 5, nProbe = 8)
+          .select($"query_id".as("qid"), $"neighbor_id".as("cid"),
+            $"rank".as("rn"),
+            floor((lit(1.0d) - $"sim") * lit(1000000000.0d)).cast("long")
+              .as("dq"))
+          .localCheckpoint()
+        val kd = knn.groupBy($"qid").agg(max($"dq").as("kdist"))
+        val re = knn
+          .join(kd.withColumnRenamed("qid", "cid"), "cid")
+          .select($"qid", greatest($"dq", $"kdist").as("reach"))
+        val sTab = re.groupBy($"qid")
+          .agg(sum($"reach").as("s_sum"), count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val terms = knn
+          .join(sTab.select($"qid".as("cid"), $"s_sum".as("s_o"),
+            $"deg".as("deg_o")), "cid")
+          .select($"qid", $"rn",
+            when($"s_o" > 0L, $"deg_o".cast("double") / $"s_o".cast("double"))
+              .otherwise(lit(0.0d)).as("term"))
+        val folded = terms.groupBy($"qid")
+          .agg(sort_array(collect_list(struct($"rn", $"term"))).as("ts"))
+          .select($"qid",
+            aggregate($"ts".getField("term"), lit(0.0d), (a, x) => a + x)
+              .as("ratio_sum"))
+        sTab.join(folded, "qid")
+          .select($"qid".as("vec_id"), $"deg", $"s_sum",
+            when($"s_sum" > 0L,
+              floor($"s_sum".cast("double") * $"ratio_sum"
+                / ($"deg" * $"deg").cast("double") * lit(1000000.0d))
+                .cast("long"))
+              .otherwise(lit(-1L)).as("lof_e6"))
+          .orderBy($"lof_e6".desc, $"vec_id").limit(20)
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        w AS (SELECT (1::BIGINT << ((length(format('{:b}', 8 * count(*) - 1)) + 1) // 2)) AS nc
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM
+          (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM v)
+          CROSS JOIN w WHERE rn <= nc),
+        assign AS (SELECT vec_id, cell FROM (
+            SELECT c.vec_id, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell) AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        probes AS (SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, t.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.e, t.ce) DESC, t.cell) AS rn
+            FROM v q CROSS JOIN cent t) WHERE rn <= 8),
+        scored AS (SELECT p.qid, a.vec_id AS cid,
+            list_cosine_similarity(q.e, c.e) AS sim
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN v q ON q.vec_id = p.qid
+          JOIN v c ON c.vec_id = a.vec_id
+          WHERE p.qid <> a.vec_id),
+        r AS (SELECT qid, cid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+          FROM scored),
+        n5 AS (SELECT qid, cid, rn,
+            CAST(floor((1.0 - sim) * 1000000000.0) AS BIGINT) AS dq
+          FROM r WHERE rn <= 5),
+        kd AS (SELECT qid AS cid, max(dq) AS kdist FROM n5 GROUP BY qid),
+        re AS (SELECT a.qid, greatest(a.dq, k.kdist) AS reach
+          FROM n5 a JOIN kd k USING (cid)),
+        s AS (SELECT qid, CAST(sum(reach) AS BIGINT) AS s_sum,
+            CAST(count(*) AS BIGINT) AS deg
+          FROM re GROUP BY qid),
+        tm AS (SELECT a.qid, a.rn,
+            CASE WHEN so.s_sum > 0
+              THEN CAST(so.deg AS DOUBLE) / CAST(so.s_sum AS DOUBLE)
+              ELSE 0.0 END AS term
+          FROM n5 a JOIN s so ON so.qid = a.cid),
+        fo AS (SELECT qid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(term ORDER BY rn)), (p, q) -> p + q) AS ratio_sum
+          FROM tm GROUP BY qid)
+        SELECT s.qid AS vec_id, s.deg, s.s_sum,
+          CASE WHEN s.s_sum > 0 THEN
+            CAST(floor(CAST(s.s_sum AS DOUBLE) * fo.ratio_sum
+              / CAST(s.deg * s.deg AS DOUBLE) * 1000000.0) AS BIGINT)
+          ELSE -1 END AS lof_e6
+        FROM s JOIN fo USING (qid)
+        ORDER BY lof_e6 DESC, vec_id LIMIT 20""")),
+
+    // ── PPS systematic sampling (probability-proportional-to-size with
+    //    the midpoint systematic start — Madow's method, the weighted
+    //    design beside `sample_neyman_allocation`'s stratified one):
+    //    per source, 10 picks land at char-mass positions
+    //    start + i·stride (stride = T DIV 10, start = stride DIV 2 —
+    //    fully deterministic, no seed), and a doc is drawn once per
+    //    pick inside its cumulative interval, so long docs can carry
+    //    multiplicity — exactly PPS-with-replacement. The pick-count
+    //    arithmetic is pure nonnegative integer division (the
+    //    count-below function c(x) = ((x−start−1) DIV stride)+1 capped
+    //    at 10, hits = c(cum)−c(prev)); inclusion expectation ships in
+    //    ppm. Per-source prefix sums ride source-partitioned windows
+    //    (the audit-clean shape; at 100 TB the standard two-pass
+    //    partition-offset prefix device replaces them, same algebra). ────
+    QueryDef("sample_pps_systematic",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars")
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        val cum = d.withColumn("cum", sum($"n_chars").over(w))
+          .withColumn("prev", $"cum" - $"n_chars")
+        val tot = d.groupBy($"source")
+          .agg(sum($"n_chars").as("t"))
+        cum.join(tot, "source")
+          .withColumn("stride", expr("greatest(1L, t DIV 10)"))
+          .withColumn("start", expr("stride DIV 2"))
+          .withColumn("c_hi", expr(
+            "least(CASE WHEN cum <= start THEN 0L ELSE (cum - start - 1) DIV stride + 1L END, 10L)"))
+          .withColumn("c_lo", expr(
+            "least(CASE WHEN prev <= start THEN 0L ELSE (prev - start - 1) DIV stride + 1L END, 10L)"))
+          .withColumn("hits", $"c_hi" - $"c_lo")
+          .filter($"hits" > 0L)
+          .select($"source", $"doc_id", $"n_chars", $"hits",
+            expr("least(1000000L, n_chars * 10L * 1000000L DIV t)")
+              .as("incl_ppm"))
+          .orderBy($"source", $"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        c AS (SELECT *,
+            CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM d),
+        tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+          FROM d GROUP BY source),
+        j AS (SELECT c.source, c.doc_id, c.n_chars,
+            c.cum, c.cum - c.n_chars AS prev,
+            greatest(1, tot.t // 10) AS stride, tot.t AS t
+          FROM c JOIN tot ON tot.source = c.source),
+        h AS (SELECT *, stride // 2 AS strt,
+            least(CASE WHEN cum <= stride // 2 THEN 0
+              ELSE (cum - stride // 2 - 1) // stride + 1 END, 10) AS c_hi,
+            least(CASE WHEN prev <= stride // 2 THEN 0
+              ELSE (prev - stride // 2 - 1) // stride + 1 END, 10) AS c_lo
+          FROM j)
+        SELECT source, doc_id, n_chars,
+          CAST(c_hi - c_lo AS BIGINT) AS hits,
+          CAST(least(1000000, n_chars * 10 * 1000000 // t) AS BIGINT)
+            AS incl_ppm
+        FROM h WHERE c_hi - c_lo > 0
+        ORDER BY source, doc_id"""))
   )
 }
 

@@ -616,4 +616,85 @@ class CurationOpsSpec extends AnyFunSuite {
         s"fold replay ${r.getAs[Long]("ate_e9")} vs $ate")
     }
   }
+
+  /** LOF arithmetic pinned against an in-memory replay over the SAME
+    * kNN relation (the neighbor graph itself is sim_knn_join's audited
+    * operator): k-distance, reach-distance, exact integer Σreach, and
+    * the rank-ordered lrd-ratio fold must reproduce every emitted score.
+    */
+  test("embed_lof_outliers equals the in-memory LOF replay over the kNN graph") {
+    val rows = run("embed_lof_outliers")
+    assert(rows.length == 20)
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("vid"), col("embedding").as("vec"))
+    val knn = graft.operators.Similarity.ivfKnnJoinSeeded(emb, k = 5, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor((lit(1.0d) - col("sim")) * lit(1000000000.0d)).cast("long").as("dq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getLong(3)))
+    val byQ = knn.groupBy(_._1)
+    val kdist = byQ.map { case (q, ns) => q -> ns.map(_._4).max }
+    val sDeg = byQ.map { case (q, ns) =>
+      q -> (ns.map(n => math.max(n._4, kdist(n._2))).sum, ns.length.toLong)
+    }
+    val lof = byQ.map { case (q, ns) =>
+      val (sp, deg) = sDeg(q)
+      val ratio = ns.sortBy(_._3).map { n =>
+        val (so, dego) = sDeg(n._2)
+        if (so > 0L) dego.toDouble / so.toDouble else 0.0d
+      }.foldLeft(0.0d)(_ + _)
+      q -> (if (sp > 0L) math.floor(sp.toDouble * ratio / (deg * deg).toDouble * 1e6).toLong
+            else -1L)
+    }
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val vid = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("lof_e6") == lof(vid), s"vec $vid")
+      assert(r.getAs[Long]("lof_e6") <= prev)
+      prev = r.getAs[Long]("lof_e6")
+      assert(r.getAs[Long]("deg") <= 5L && r.getAs[Long]("s_sum") >= 0L)
+    }
+    // the reported 20 are the global top by (score, id)
+    val top = lof.toSeq.sortBy { case (v, s) => (-s, v) }.take(20).map(_._2)
+    assert(rows.map(_.getAs[Long]("lof_e6")).toSeq == top)
+  }
+
+  /** Systematic PPS always lands exactly 10 picks per source (the 10th
+    * pick position 9.5·stride < T), and the whole pick relation must
+    * equal the integer replay from the raw table.
+    */
+  test("sample_pps_systematic equals the integer replay; 10 picks per source") {
+    val rows = run("sample_pps_systematic")
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).iterator.flatMap { case (src, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val t = sorted.map(_._3).sum
+      val stride = math.max(1L, t / 10L)
+      val start = stride / 2L
+      def cBelow(x: Long): Long =
+        math.min(if (x <= start) 0L else (x - start - 1L) / stride + 1L, 10L)
+      var cum = 0L
+      sorted.flatMap { case (id, _, nc) =>
+        val prev = cum; cum += nc
+        val hits = cBelow(cum) - cBelow(prev)
+        if (hits > 0L)
+          Some((src, id) -> (nc, hits, math.min(1000000L, nc * 10L * 1000000L / t)))
+        else None
+      }
+    }.toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[Long]("doc_id"))
+      val (nc, hits, ppm) = expect(key)
+      assert(r.getAs[Long]("n_chars") == nc)
+      assert(r.getAs[Long]("hits") == hits, s"$key hits")
+      assert(r.getAs[Long]("incl_ppm") == ppm)
+    }
+    assert(rows.length == expect.size)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("hits")).sum == 10L, s"$src pick total")
+    }
+  }
 }
