@@ -8605,7 +8605,295 @@ object PipelineQueries extends QueryModule {
           CAST(least(1000000, n_chars * 10 * 1000000 // t) AS BIGINT)
             AS incl_ppm
         FROM h WHERE c_hi - c_lo > 0
-        ORDER BY source, doc_id"""))
+        ORDER BY source, doc_id""")),
+
+    // ── TRUNCATED KNN-Shapley — the 100 TB form embed_knn_shapley's
+    //    scaladoc routes to, implemented: only each eval item's top-R
+    //    (R=128) nearest training points enter the recursion, and they
+    //    arrive through the bounded-heap TopKPairs aggregate (k-sized
+    //    state per partition, |R| rows per eval cross the wire) instead
+    //    of a per-eval global sort — the fat |train|-row rank windows
+    //    disappear from the plan; the recursion windows run over
+    //    |eval|·R rows only. Scores use the exact negated integer-L2²
+    //    (< 2⁴⁸, exactly representable in the heap's double; ties to the
+    //    smaller id ≡ ORDER BY d2, vec_id). The estimator runs the
+    //    IDENTICAL quantized recursion with the horizon R in place of
+    //    n — each ignored tail term is bounded by K/i < K/R, and
+    //    unranked points (never in any top-R) simply carry no value,
+    //    which is the estimator's semantics, not an approximation of
+    //    this query. Agreement with the exact form is spec-pinned at
+    //    sf0.001 where truncation actually bites (R=128 < n=183). ────────
+    QueryDef("embed_knn_shapley_trunc",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.TopKFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding",
+              x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("qe"))
+        val cnt = v.agg(count(lit(1)).as("n_vecs"))
+        val strided = v.crossJoin(broadcast(cnt))
+          .withColumn("stride", expr("greatest(1L, n_vecs DIV 16)"))
+        val testSet = strided.filter(pmod($"vec_id", $"stride") === 0)
+          .select($"vec_id".as("eval_id"), $"label".as("eval_label"),
+            $"qe".as("ee"))
+        val train = strided.filter(pmod($"vec_id", $"stride") =!= 0)
+          .select($"vec_id", $"label", $"qe")
+        val labels = train.select($"vec_id".as("id"), $"label")
+        val pairs = train.crossJoin(broadcast(testSet))
+          .select($"eval_id",
+            struct(
+              (aggregate(zip_with($"qe", $"ee", (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, x) => acc + x) * lit(-1L)).cast("double")
+                .as("score"),
+              $"vec_id".as("id")).as("p"))
+        val ranked = pairs.groupBy($"eval_id")
+          .agg(graft.functions.TopKFunctions.topKPairs($"p", 128).as("top"))
+          .select($"eval_id", posexplode($"top").as(Seq("pos", "e")))
+          .select($"eval_id", ($"pos" + 1).cast("long").as("rn"),
+            $"e.id".as("id"))
+          .join(labels, "id")
+          .join(broadcast(testSet.select($"eval_id", $"eval_label")), "eval_id")
+          .select($"eval_id", $"id", $"label", $"rn",
+            when($"label" === $"eval_label", 1L).otherwise(0L).as("ind"))
+        val wAsc = Window.partitionBy($"eval_id").orderBy($"rn")
+        val wAll = Window.partitionBy($"eval_id")
+        val contrib = ranked
+          .withColumn("r_eff", count(lit(1)).over(wAll))
+          .withColumn("ind_next", lead($"ind", 1).over(wAsc))
+          .withColumn("c",
+            when($"rn" === $"r_eff", $"ind" * expr("1000000000L DIV r_eff"))
+              .otherwise(($"ind" - $"ind_next") *
+                expr("(1000000000L * least(5L, rn)) DIV (5L * rn)")))
+        val wCum = Window.partitionBy($"eval_id").orderBy($"rn".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val shap = contrib.withColumn("s_nano", sum($"c").over(wCum))
+          .groupBy($"id", $"label")
+          .agg(count(lit(1)).as("n_eval"), sum($"s_nano").as("shap_sum_nano"))
+          .localCheckpoint()
+        val top = shap.orderBy($"shap_sum_nano".desc, $"id").limit(40)
+          .withColumn("side", lit("top"))
+        val bottom = shap.orderBy($"shap_sum_nano".asc, $"id").limit(40)
+          .withColumn("side", lit("bottom"))
+        top.unionAll(bottom)
+          .select($"id".as("vec_id"), $"label", $"n_eval", $"shap_sum_nano",
+            $"side")
+          .orderBy($"side", $"vec_id")
+      },
+      Some("""WITH raw AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM raw),
+        q AS (SELECT vec_id, label, j,
+            CAST(floor(e[j] * 1048576.0) AS BIGINT) AS qv
+          FROM raw, (SELECT unnest(generate_series(1, 64)) AS j) g),
+        ev AS (SELECT vec_id AS eval_id, label AS eval_label, j, qv
+          FROM q, nd WHERE vec_id % greatest(1, n_vecs // 16) = 0),
+        tr AS (SELECT vec_id, label, j, qv
+          FROM q, nd WHERE vec_id % greatest(1, n_vecs // 16) <> 0),
+        pairs AS (SELECT e.eval_id, t.vec_id, max(t.label) AS label,
+            max(CASE WHEN t.label = e.eval_label THEN 1 ELSE 0 END) AS ind,
+            CAST(sum((t.qv - e.qv) * (t.qv - e.qv)) AS BIGINT) AS d2
+          FROM tr t JOIN ev e ON e.j = t.j
+          GROUP BY e.eval_id, t.vec_id),
+        topr AS (SELECT * FROM (SELECT *,
+            row_number() OVER (PARTITION BY eval_id ORDER BY d2, vec_id) AS rn
+          FROM pairs) t WHERE rn <= 128),
+        ranked AS (SELECT *,
+            count(*) OVER (PARTITION BY eval_id) AS r_eff,
+            lead(ind, 1) OVER (PARTITION BY eval_id ORDER BY rn) AS ind_next
+          FROM topr),
+        contrib AS (SELECT *,
+            CASE WHEN rn = r_eff THEN ind * (1000000000 // r_eff)
+              ELSE (ind - ind_next)
+                * ((1000000000 * least(5, rn)) // (5 * rn)) END AS c
+          FROM ranked),
+        shap AS (SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(sum(s_nano) AS BIGINT) AS shap_sum_nano FROM (
+            SELECT vec_id, label, eval_id,
+              sum(c) OVER (PARTITION BY eval_id ORDER BY rn DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_nano
+            FROM contrib) t GROUP BY vec_id, label),
+        top AS (SELECT vec_id, label, n_eval, shap_sum_nano, 'top' AS side
+          FROM shap ORDER BY shap_sum_nano DESC, vec_id LIMIT 40),
+        bottom AS (SELECT vec_id, label, n_eval, shap_sum_nano,
+            'bottom' AS side
+          FROM shap ORDER BY shap_sum_nano ASC, vec_id LIMIT 40)
+        SELECT * FROM top UNION ALL SELECT * FROM bottom
+        ORDER BY side, vec_id""")),
+
+    // ── t-closeness audit (Li et al. 2007 — the privacy gate BEYOND
+    //    dq_k_anonymity's k/l: a QI group can be large (k-safe) and
+    //    l-diverse yet still leak if its sensitive-attribute
+    //    DISTRIBUTION differs sharply from the corpus-wide one; t-close
+    //    means every group's distance to the global distribution stays
+    //    under t): QI = (source, 100-char band), sensitive = lang,
+    //    distance = total variation (the categorical EMD). Exactness:
+    //    TV is computed in cross-multiplied integers —
+    //    Σ|c_gl·N − c_l·n_g| over a group×lang frame, decimal(38)
+    //    products so 100 TB counts can't overflow, then ONE integral
+    //    division to ppm (Spark `div` ≡ DuckDB `//` on nonnegatives).
+    //    Scale: one corpus aggregate builds the (group, lang) cells;
+    //    the |groups|×|langs| recombine joins a broadcast |langs| dim —
+    //    no corpus-sized shuffle beyond the first groupBy. ────────────
+    QueryDef("dq_t_closeness",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.load(s, dir, "documents")
+          .select($"source",
+            ($"n_chars" - pmod($"n_chars", lit(100L))).as("band"), $"lang")
+          .groupBy($"source", $"band", $"lang").agg(count(lit(1)).as("c"))
+        val gn = g.groupBy($"source", $"band").agg(sum($"c").as("n_g"))
+        val l = g.groupBy($"lang").agg(sum($"c").as("c_l"))
+        val t = g.agg(sum($"c").as("n"))
+        val gl = gn.crossJoin(broadcast(l))
+          .join(g, Seq("source", "band", "lang"), "left")
+          .na.fill(0L, Seq("c"))
+        val tv = gl.crossJoin(broadcast(t))
+          .groupBy($"source", $"band")
+          .agg(max($"n_g").as("n_g"), max($"n").as("n"),
+            sum(abs($"c".cast("decimal(38,0)") * $"n"
+              - $"c_l".cast("decimal(38,0)") * $"n_g")).as("s"))
+        val tc = tv.select($"source", $"band", $"n_g",
+          expr("CAST((s * 1000000) div (2 * CAST(n_g AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("tc_ppm"))
+        tc.groupBy($"source")
+          .agg(count(lit(1)).as("n_groups"),
+            max($"tc_ppm").as("max_tc_ppm"),
+            sum(when($"tc_ppm" > 250000L, 1L).otherwise(0L))
+              .as("n_violations"),
+            sum(when($"tc_ppm" > 250000L, $"n_g").otherwise(0L))
+              .as("records_at_risk"),
+            pmod(max($"tc_ppm" * 100000L + $"band"), lit(100000L))
+              .as("worst_band"))
+          .orderBy($"source")
+      },
+      Some("""WITH g AS (SELECT source, n_chars - n_chars % 100 AS band,
+            lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        gn AS (SELECT source, band, CAST(sum(c) AS BIGINT) AS n_g
+          FROM g GROUP BY 1, 2),
+        l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS c_l FROM g GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        gl AS (SELECT gn.source, gn.band, gn.n_g, l.lang, l.c_l,
+            coalesce(g.c, 0) AS c_gl
+          FROM gn CROSS JOIN l LEFT JOIN g
+            ON g.source = gn.source AND g.band = gn.band AND g.lang = l.lang),
+        tv AS (SELECT gl.source, gl.band, max(gl.n_g) AS n_g,
+            sum(abs(CAST(c_gl AS HUGEINT) * t.n
+              - CAST(c_l AS HUGEINT) * gl.n_g)) AS s
+          FROM gl, t GROUP BY 1, 2),
+        tc AS (SELECT tv.source, tv.band, tv.n_g,
+            CAST(s * 1000000 // (2 * CAST(n_g AS HUGEINT) * t.n) AS BIGINT)
+              AS tc_ppm
+          FROM tv, t)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(max(tc_ppm) AS BIGINT) AS max_tc_ppm,
+          CAST(sum(CASE WHEN tc_ppm > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violations,
+          CAST(sum(CASE WHEN tc_ppm > 250000 THEN n_g ELSE 0 END) AS BIGINT)
+            AS records_at_risk,
+          CAST(max(tc_ppm * 100000 + band) % 100000 AS BIGINT) AS worst_band
+        FROM tc GROUP BY source ORDER BY source""")),
+
+    // ── MMD two-sample drift test on embeddings (Gretton et al. 2012 —
+    //    the kernel two-sample statistic beside embed_energy_distance;
+    //    the POLYNOMIAL kernel k(x,y) = (c + ⟨x,y⟩)² keeps every kernel
+    //    value an exact integer, where the classic RBF's exp() would pin
+    //    the whole statistic to libm): sides = label<5 vs label≥5,
+    //    deterministic stride sample ≤ ~256/side at ANY corpus size
+    //    (the dedup_lsh_eval bounding device, so the quadratic pair
+    //    stage is a bounded eval cost, never a scale wall), coordinates
+    //    quantized to floor(e·2¹⁰) so |⟨x,y⟩| < 2²⁶ = c and each kernel
+    //    term ≤ 2⁵⁴ is long-exact; sums in decimal(38,0); biased
+    //    MMD² = Sxx/nx² + Syy/ny² − 2Sxy/(nx·ny) emitted as ONE exact
+    //    integral division over the common denominator (≥ 0 for a PD
+    //    kernel — safe for trunc-vs-floor divide parity). ─────────────
+    QueryDef("embed_mmd_drift",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.load(s, dir, "embeddings")
+          .select($"vec_id",
+            when($"label" < 5L, "a").otherwise("b").as("side"), $"embedding")
+        val nc = raw.groupBy($"side").agg(count(lit(1)).as("n_side"))
+        val samp = raw.join(broadcast(nc), "side")
+          .filter(pmod($"vec_id", expr("greatest(1L, n_side DIV 128)")) === 0L)
+          .select($"vec_id", $"side",
+            transform($"embedding",
+              x => floor(x.cast("double") * lit(1024.0)).cast("long")).as("q"))
+          .localCheckpoint()
+        val ns = samp.agg(
+          sum(when($"side" === "a", 1L).otherwise(0L)).as("nx"),
+          sum(when($"side" === "b", 1L).otherwise(0L)).as("ny"))
+        val b = samp.select($"side".as("sb"), $"q".as("qb"))
+        val kcol = (lit(67108864L)
+          + aggregate(zip_with($"q", $"qb", (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v)).as("kc")
+        val dots = samp.crossJoin(broadcast(b))
+          .select($"side", $"sb", kcol)
+        val ker = dots.agg(
+          sum(when($"side" === "a" && $"sb" === "a",
+            ($"kc" * $"kc").cast("decimal(38,0)"))).as("sxx"),
+          sum(when($"side" === "b" && $"sb" === "b",
+            ($"kc" * $"kc").cast("decimal(38,0)"))).as("syy"),
+          sum(when($"side" === "a" && $"sb" === "b",
+            ($"kc" * $"kc").cast("decimal(38,0)"))).as("sxy"))
+        ker.crossJoin(broadcast(ns))
+          .select($"nx", $"ny",
+            expr("CAST(sxx div (CAST(nx AS DECIMAL(38,0)) * nx) AS BIGINT)")
+              .as("mean_kxx"),
+            expr("CAST(syy div (CAST(ny AS DECIMAL(38,0)) * ny) AS BIGINT)")
+              .as("mean_kyy"),
+            expr("CAST(sxy div (CAST(nx AS DECIMAL(38,0)) * ny) AS BIGINT)")
+              .as("mean_kxy"),
+            expr("""CAST((sxx * ny * ny + syy * nx * nx - 2 * sxy * nx * ny)
+                div (CAST(nx AS DECIMAL(38,0)) * nx * ny * ny) AS BIGINT)""")
+              .as("mmd_q"))
+      },
+      Some("""WITH raw AS (SELECT vec_id,
+            CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS side,
+            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        nc AS (SELECT side, CAST(count(*) AS BIGINT) AS n_side
+          FROM raw GROUP BY 1),
+        samp AS (SELECT r.vec_id, r.side, r.e
+          FROM raw r JOIN nc ON nc.side = r.side
+          WHERE r.vec_id % greatest(1, nc.n_side // 128) = 0),
+        ns AS (SELECT
+            CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nx,
+            CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ny
+          FROM samp),
+        q AS (SELECT vec_id, side, j,
+            CAST(floor(e[j] * 1024.0) AS BIGINT) AS qv
+          FROM samp, (SELECT unnest(generate_series(1, 64)) AS j) g),
+        dots AS (SELECT a.side AS sa, b.side AS sb, a.vec_id AS ia,
+            b.vec_id AS ib, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot
+          FROM q a JOIN q b ON a.j = b.j
+          GROUP BY 1, 2, 3, 4),
+        ker AS (SELECT
+            sum(CASE WHEN sa = 'a' AND sb = 'a'
+              THEN (CAST(67108864 AS HUGEINT) + dot) * (67108864 + dot) END)
+              AS sxx,
+            sum(CASE WHEN sa = 'b' AND sb = 'b'
+              THEN (CAST(67108864 AS HUGEINT) + dot) * (67108864 + dot) END)
+              AS syy,
+            sum(CASE WHEN sa = 'a' AND sb = 'b'
+              THEN (CAST(67108864 AS HUGEINT) + dot) * (67108864 + dot) END)
+              AS sxy
+          FROM dots)
+        SELECT ns.nx, ns.ny,
+          CAST(sxx // (CAST(ns.nx AS HUGEINT) * ns.nx) AS BIGINT)
+            AS mean_kxx,
+          CAST(syy // (CAST(ns.ny AS HUGEINT) * ns.ny) AS BIGINT)
+            AS mean_kyy,
+          CAST(sxy // (CAST(ns.nx AS HUGEINT) * ns.ny) AS BIGINT)
+            AS mean_kxy,
+          CAST((sxx * ns.ny * ns.ny + syy * ns.nx * ns.nx
+              - 2 * sxy * ns.nx * ns.ny)
+            // (CAST(ns.nx AS HUGEINT) * ns.nx * ns.ny * ns.ny) AS BIGINT)
+            AS mmd_q
+        FROM ker, ns"""))
   )
 }
 

@@ -11506,6 +11506,127 @@ object RelationalQueries extends QueryModule {
         SELECT stratum, n_t, n_c, f_t, f_c, CAST(used AS BIGINT) AS used,
           n_used,
           CAST(floor(s / CAST(n_used AS DOUBLE) * 1e9) AS BIGINT) AS ate_e9
-        FROM terms CROSS JOIN f ORDER BY stratum"""))
+        FROM terms CROSS JOIN f ORDER BY stratum""")),
+
+    // ── KMV / Theta-sketch distinct with SET OPERATIONS (the
+    //    DataSketches theta algebra beside agg_hll_mergeable_bounds,
+    //    which bounds one stream's cardinality but cannot intersect:
+    //    the K smallest hashes ARE the sketch — union = merge-then-cut
+    //    at K, intersection = retained-set join under θ = min θₛ — the
+    //    one mergeable-sketch family whose set algebra comes with it):
+    //    entity = user-day, hash = 13-nibble md5 prefix (52 bits, every
+    //    value exactly representable in the heap's double so Spark's
+    //    -h max-heap order IS DuckDB's ORDER BY h), K = 64. Each
+    //    stream's sketch is ONE bounded-heap topk_pairs aggregate —
+    //    K-sized state per partition, mergeable map-side, no window, no
+    //    global sort; estimates are (K−1)·(2⁵²/θ) — one IEEE divide
+    //    then multiply, engine-exact. The exact_n audit columns are the
+    //    only corpus-sized aggregates. Scale: sketch state is O(K) per
+    //    stream at ANY corpus size — the 100 TB posture is the point of
+    //    the sketch. ───────────────────────────────────────────
+    QueryDef("agg_theta_sketch_setops",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TopKFunctions.register(s)
+        val ue = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("click", "view"))
+          .select($"event_type".as("et"),
+            ($"user_id" * 100000L
+              + expr("unix_micros(ts) DIV 86400000000")).as("ud"))
+          .distinct()
+        val hh = ue.select($"et",
+          expr("CAST(conv(substring(md5(CAST(ud AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+            .as("h"))
+        val h1 = hh.distinct()
+        val un = hh.select(lit("union").as("et"), $"h").distinct()
+        val th = h1.unionAll(un)
+          .groupBy($"et")
+          .agg(count(lit(1)).as("nd"),
+            graft.functions.TopKFunctions.topKPairs(
+              struct((-$"h").cast("double").as("score"), $"h".as("id")), 64)
+              .as("top"))
+          .select($"et", $"nd",
+            when($"nd" <= 64L, lit(4503599627370496L))
+              .otherwise(expr("try_element_at(top, 64).id")).as("theta"),
+            expr("transform(top, p -> p.id)").as("kept"))
+        val est = th.select($"et", $"nd".as("exact_n"),
+          when($"nd" <= 64L, $"nd")
+            .otherwise(floor(lit(63L)
+              * (lit(4503599627370496.0) / $"theta".cast("double")))
+              .cast("long")).as("est_n"),
+          $"theta")
+        val tA = th.filter($"et" === "click")
+          .select($"theta".as("t_a"), $"kept".as("kept_a"))
+        val tB = th.filter($"et" === "view")
+          .select($"theta".as("t_b"), $"kept".as("kept_b"))
+        val exactI = ue.filter($"et" === "click").select($"ud")
+          .intersect(ue.filter($"et" === "view").select($"ud"))
+          .agg(count(lit(1)).as("exact_i"))
+        val irow = tA.crossJoin(broadcast(tB))
+          .crossJoin(broadcast(exactI))
+          .select(lit("intersect").as("et"), $"exact_i".as("exact_n"),
+            floor(expr("size(filter(array_intersect(kept_a, kept_b), x -> x < least(t_a, t_b)))")
+              .cast("long")
+              * (lit(4503599627370496.0)
+                / least($"t_a", $"t_b").cast("double")))
+              .cast("long").as("est_n"),
+            least($"t_a", $"t_b").as("theta"))
+        est.unionByName(irow)
+          .select($"et", $"exact_n", $"est_n", $"theta",
+            expr("(abs(est_n - exact_n) * 1000000) DIV greatest(exact_n, 1L)")
+              .as("err_ppm"))
+          .orderBy($"et")
+      },
+      Some("""WITH ue AS (SELECT DISTINCT event_type AS et,
+          user_id * 100000 + epoch_us(ts) // 86400000000 AS ud FROM events
+          WHERE event_type IN ('click','view')),
+        hh AS (SELECT et, ((strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[1]) - 1) * 281474976710656
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[2]) - 1) * 17592186044416
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[3]) - 1) * 1099511627776
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[4]) - 1) * 68719476736
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[5]) - 1) * 4294967296
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[6]) - 1) * 268435456
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[7]) - 1) * 16777216
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[8]) - 1) * 1048576
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[9]) - 1) * 65536
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[10]) - 1) * 4096
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[11]) - 1) * 256
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[12]) - 1) * 16
+          + (strpos('0123456789abcdef', md5(CAST(ud AS VARCHAR))[13]) - 1) * 1) AS h FROM ue),
+        h1 AS (SELECT DISTINCT et, h FROM hh),
+        un AS (SELECT DISTINCT 'union' AS et, h FROM hh),
+        all3 AS (SELECT * FROM h1 UNION ALL SELECT * FROM un),
+        ranked AS (SELECT et, h,
+            row_number() OVER (PARTITION BY et ORDER BY h) AS rn,
+            count(*) OVER (PARTITION BY et) AS nd FROM all3),
+        kept AS (SELECT * FROM ranked WHERE rn <= 64),
+        th AS (SELECT et, CAST(max(nd) AS BIGINT) AS nd,
+            CAST(CASE WHEN max(nd) <= 64 THEN 4503599627370496
+              ELSE max(CASE WHEN rn = 64 THEN h END) END AS BIGINT) AS theta
+          FROM kept GROUP BY et),
+        est AS (SELECT et, nd AS exact_n, theta,
+            CASE WHEN nd <= 64 THEN nd
+              ELSE CAST(floor(63 * (4503599627370496.0 / theta)) AS BIGINT)
+              END AS est_n
+          FROM th),
+        tmin AS (SELECT least(max(CASE WHEN et = 'click' THEN theta END),
+            max(CASE WHEN et = 'view' THEN theta END)) AS t FROM th),
+        ik AS (SELECT CAST(count(*) AS BIGINT) AS n_i FROM kept a
+          JOIN kept b ON a.h = b.h, tmin
+          WHERE a.et = 'click' AND b.et = 'view' AND a.h < tmin.t),
+        iex AS (SELECT CAST(count(*) AS BIGINT) AS exact_i FROM
+          (SELECT ud FROM ue WHERE et = 'click'
+           INTERSECT SELECT ud FROM ue WHERE et = 'view')),
+        irow AS (SELECT 'intersect' AS et, iex.exact_i AS exact_n,
+            CAST(tmin.t AS BIGINT) AS theta,
+            CAST(floor(ik.n_i * (4503599627370496.0 / tmin.t)) AS BIGINT)
+              AS est_n
+          FROM iex, tmin, ik),
+        allr AS (SELECT et, exact_n, est_n, theta FROM est
+          UNION ALL SELECT et, exact_n, est_n, theta FROM irow)
+        SELECT et, exact_n, est_n, theta,
+          CAST(abs(est_n - exact_n) * 1000000 // greatest(exact_n, 1)
+            AS BIGINT) AS err_ppm
+        FROM allr ORDER BY et"""))
   )
 }

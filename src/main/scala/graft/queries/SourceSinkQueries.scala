@@ -617,6 +617,63 @@ object SourceSinkQueries extends QueryModule {
           CAST(max(key) AS BIGINT) AS max_key
         FROM d GROUP BY change_type ORDER BY change_type""")),
 
+    // ── Version EXPIRY (retention GC — Iceberg expire_snapshots /
+    //    Delta VACUUM retention; the lifecycle piece between
+    //    time_travel, version_diff and vacuum_orphans): v1 = even half
+    //    (2 files, append commit), v2 = + odd half (4 files, append
+    //    commit), v3 = a COMPACTION REPLACE commit — the table rewritten
+    //    as one file and committed via commitFiles, so v3 references
+    //    only the rewritten file while v1/v2 keep the originals readable.
+    //    expireVersions(keepLast=1) then ages out v1+v2; exactly the 4
+    //    superseded originals become unreferenced and are deleted (an
+    //    append-only history would free NOTHING — the query's counts
+    //    prove the replace-commit semantics, not just file deletion).
+    //    Post-expire the latest version must still reproduce its
+    //    recorded commit checksum AND the directory listing must equal
+    //    its manifest (a path-listing reader and the versioned reader
+    //    agree — the vacuum invariant, now established by GC). ──────────
+    QueryDef("maintenance_version_expire",
+      (s, dir) => {
+        import s.implicits._
+        val out = QueryScratch.dir("vexpire").resolve("events_tbl").toString
+        val ev = Tables.load(s, dir, "events").select($"event_id", $"user_id")
+        val v1 = ev.filter($"event_id" % 2L === 0L)
+        v1.repartition(2).write.parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          v1.agg(sum($"event_id")).head().getLong(0))
+        ev.filter($"event_id" % 2L =!= 0L).repartition(2)
+          .write.mode("append").parquet(out)
+        val fullSum = ev.agg(sum($"event_id")).head().getLong(0)
+        graft.sources.Maintenance.commitVersion(out, fullSum)
+        // compaction: rewrite the whole table as ONE new file in place,
+        // then REPLACE-commit only the rewritten file
+        val before = graft.sources.Maintenance.listDataFiles(out).toSet
+        s.read.parquet(out).repartition(1)
+          .write.mode("append").parquet(out)
+        val rewritten = graft.sources.Maintenance.listDataFiles(out)
+          .filterNot(before)
+        graft.sources.Maintenance.commitFiles(out, rewritten, fullSum)
+        val st = graft.sources.Maintenance.expireVersions(out, keepLast = 1)
+        val latest = graft.sources.Maintenance.versions(out).max
+        val ci = graft.sources.Maintenance.readCommit(out, latest)
+        val listingClean =
+          graft.sources.Maintenance.listDataFiles(out).toSet == ci.files.toSet
+        graft.sources.Maintenance.readAsOf(s, out, latest)
+          .agg(count(lit(1)).as("rows_after"), sum($"event_id").as("id_sum_after"))
+          .select(lit(st.versionsBefore).as("n_versions_before"),
+            lit(st.expired.size).as("n_expired"),
+            lit(st.deletableFiles).as("n_deletable"),
+            lit(st.deletedFiles).as("n_deleted"),
+            lit(listingClean).as("listing_clean"),
+            $"rows_after", $"id_sum_after",
+            ($"id_sum_after" === lit(ci.checksum)).as("checksum_equal"))
+      },
+      Some("""SELECT 3 AS n_versions_before, 2 AS n_expired,
+          4 AS n_deletable, 4 AS n_deleted, true AS listing_clean,
+          count(*) AS rows_after, CAST(sum(event_id) AS BIGINT) AS id_sum_after,
+          true AS checksum_equal
+        FROM events""")),
+
     // Z-order (Morton) layout key: interleave (l_partkey, l_suppkey) low
     // bits into one clustering key — range-partitioning and sorting files
     // by it bounds every file's (partkey, suppkey) min/max rectangle, so
@@ -951,6 +1008,50 @@ object SourceSinkQueries extends QueryModule {
         SELECT day, CAST(count(*) AS BIGINT) AS n_rows FROM e
         WHERE (day = 19730 AND event_id % 2 = 0)
            OR day IN (19723, 19745)
-        GROUP BY day ORDER BY day"""))
+        GROUP BY day ORDER BY day""")),
+
+    // ── Incremental read between two REAL manifest versions (the
+    //    lakehouse CDC-style consumption pattern Iceberg calls an
+    //    incremental scan: a downstream job that already processed
+    //    version k reads ONLY the files version k+1 added — never a
+    //    full-table diff, never a re-scan): v1 commits the even half
+    //    (2 files), v2 appends the odd half (2 more); the incremental
+    //    file set is manifest(v2) − manifest(v1) resolved from the two
+    //    committed manifests (sources/Maintenance.readCommit), and the
+    //    query reads exactly those files. The audit proves the scan is
+    //    both COMPLETE (odd-row count + id-sum match the table delta)
+    //    and MINIMAL (2 of 4 files touched, all rows odd). Scale: the
+    //    incremental read is O(new data) no matter the table size —
+    //    that is the contract this query pins. ───────────────────────
+    QueryDef("maintenance_incremental_read",
+      (s, dir) => {
+        import s.implicits._
+        val out = QueryScratch.dir("vincr").resolve("events_tbl").toString
+        val ev = Tables.load(s, dir, "events").select($"event_id", $"user_id")
+        val v1d = ev.filter($"event_id" % 2L === 0L)
+        v1d.repartition(2).write.parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          v1d.agg(sum($"event_id")).head().getLong(0))
+        ev.filter($"event_id" % 2L =!= 0L).repartition(2)
+          .write.mode("append").parquet(out)
+        graft.sources.Maintenance.commitVersion(out,
+          ev.agg(sum($"event_id")).head().getLong(0))
+        val c1 = graft.sources.Maintenance.readCommit(out, 1)
+        val c2 = graft.sources.Maintenance.readCommit(out, 2)
+        val newFiles = c2.files.filterNot(c1.files.toSet)
+        val inc = s.read.parquet(newFiles.map(f => s"$out/$f"): _*)
+        inc.agg(count(lit(1)).as("rows_incremental"),
+            sum($"event_id").as("id_sum_incremental"),
+            sum(pmod($"event_id", lit(2L))).as("n_odd"))
+          .select(lit(c1.files.size).as("n_files_v1"),
+            lit(newFiles.size).as("n_files_new"),
+            $"rows_incremental", $"id_sum_incremental",
+            ($"n_odd" === $"rows_incremental").as("all_odd"))
+      },
+      Some("""SELECT 2 AS n_files_v1, 2 AS n_files_new,
+          count(*) AS rows_incremental,
+          CAST(sum(event_id) AS BIGINT) AS id_sum_incremental,
+          true AS all_odd
+        FROM events WHERE event_id % 2 = 1"""))
   )
 }

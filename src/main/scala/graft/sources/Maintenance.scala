@@ -169,6 +169,54 @@ object Maintenance {
     CommitInfo(v, files, checksum)
   }
 
+  /** Commit an EXPLICIT file set as the next version — the REPLACE
+    * commit shape ([[commitVersion]] is the append shape that lists the
+    * whole directory). A compaction writes its rewritten files, then
+    * commits ONLY them: earlier versions keep referencing the old files
+    * (time travel intact) until [[expireVersions]] ages them out. File
+    * names are `path`-relative, exactly as [[readAsOf]] resolves them.
+    */
+  def commitFiles(path: String, files: Seq[String],
+      checksum: Long): CommitInfo = {
+    require(files.nonEmpty, "a version must reference at least one file")
+    val v = versions(path).lastOption.getOrElse(0) + 1
+    val target = manifestPath(path, v)
+    Files.createDirectories(target.getParent)
+    val stage = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(stage, (checksum.toString +: files.sorted).asJava)
+    Files.move(stage, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    CommitInfo(v, files.sorted, checksum)
+  }
+
+  final case class ExpireStats(versionsBefore: Int, expired: Seq[Int],
+      retained: Seq[Int], deletableFiles: Int, deletedFiles: Int)
+
+  /** Retention GC — the Iceberg `expire_snapshots` / Delta VACUUM-
+    * retention analog: drop all but the newest `keepLast` versions. A
+    * data file is deletable iff ONLY expired versions reference it;
+    * append-only histories therefore free NOTHING (every commit's files
+    * are inherited by its successors) — storage is reclaimed exactly
+    * when a REPLACE commit ([[commitFiles]], i.e. compaction) superseded
+    * files and the last version referencing them ages out. Deletes the
+    * superseded data files first, then the expired manifests, so a
+    * crash mid-expire can only strand already-unreferenced files (the
+    * [[vacuumOrphans]] class), never break a retained version.
+    */
+  def expireVersions(path: String, keepLast: Int): ExpireStats = {
+    require(keepLast >= 1, "keepLast >= 1")
+    val vs = versions(path)
+    val (expired, retained) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val keep = retained.flatMap(v => readCommit(path, v).files).toSet
+    val drop = expired.flatMap(v => readCommit(path, v).files).toSet -- keep
+    var deleted = 0
+    drop.toSeq.sorted.foreach { f =>
+      if (Files.deleteIfExists(Paths.get(path, f))) deleted += 1
+    }
+    expired.foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    ExpireStats(vs.size, expired, retained, drop.size, deleted)
+  }
+
   /** Read back version k's recorded commit (manifest + checksum). */
   def readCommit(path: String, version: Int): CommitInfo = {
     val p = manifestPath(path, version)

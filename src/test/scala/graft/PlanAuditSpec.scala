@@ -578,7 +578,21 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_index_shadow_ab",
     // stratified ATE: the 1-row folded-estimate broadcast recombine
     // onto the |strata|-row frame (the anova scalar-recombine shape)
-    "agg_stratified_ate")
+    "agg_stratified_ate",
+    // truncated knn shapley: the same 1-row corpus-count + ≤17-row
+    // eval-set probe broadcasts as embed_knn_shapley
+    "embed_knn_shapley_trunc",
+    // theta sketch: three 1-row recombines (click-θ × view-θ × exact
+    // intersection count) — all single-row sketch summaries
+    "agg_theta_sketch_setops",
+    // t-closeness: the |groups|×|langs| dimension cross against the
+    // broadcast ≤|langs|-row marginal + the 1-row corpus-total
+    // recombine (the tv_distance shape)
+    "dq_t_closeness",
+    // MMD: the ≤~256-per-side stride sample crossed with its broadcast
+    // self (the dedup_lsh_eval bounded-eval shape) + the 1-row
+    // (nx, ny) recombine
+    "embed_mmd_drift")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -697,4 +697,160 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(rs.map(_.getAs[Long]("hits")).sum == 10L, s"$src pick total")
     }
   }
+
+  /** The truncated estimator must (a) agree with the exact form where it
+    * matters — the top/bottom pick sets — at a scale where truncation
+    * actually bites (sf0.001: R=128 < n_train=183; measured 39/40 and
+    * 36/40), and (b) never rank a point on more evals than exist.
+    */
+  test("embed_knn_shapley_trunc agrees with the exact form on the pick sets") {
+    val ex = run("embed_knn_shapley")
+    val tr = run("embed_knn_shapley_trunc")
+    assert(tr.nonEmpty && tr.length <= 80)
+    def side(rows: Array[Row], s: String): Set[Long] =
+      rows.filter(_.getAs[String]("side") == s).map(_.getAs[Long]("vec_id")).toSet
+    val topAgree = (side(ex, "top") intersect side(tr, "top")).size
+    val botAgree = (side(ex, "bottom") intersect side(tr, "bottom")).size
+    assert(topAgree >= 32, s"top agreement $topAgree/40 under truncation")
+    assert(botAgree >= 32, s"bottom agreement $botAgree/40 under truncation")
+    val nEvalMax = tr.map(_.getAs[Long]("n_eval")).max
+    assert(nEvalMax <= 17L, "a point cannot rank on more evals than exist")
+  }
+
+  /** Retention GC end to end: the replace commit supersedes exactly the
+    * four original files, expire deletes exactly those, the retained
+    * version still reproduces its recorded checksum, and the directory
+    * listing equals the manifest afterwards (the vacuum invariant).
+    */
+  test("maintenance_version_expire frees exactly the superseded files") {
+    val rows = run("maintenance_version_expire")
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Int]("n_versions_before") == 3)
+    assert(r.getAs[Int]("n_expired") == 2)
+    assert(r.getAs[Int]("n_deletable") == 4)
+    assert(r.getAs[Int]("n_deleted") == 4)
+    assert(r.getAs[Boolean]("listing_clean"))
+    assert(r.getAs[Boolean]("checksum_equal"))
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(r.getAs[Long]("rows_after") == n)
+  }
+
+  /** Theta algebra: the four sketches must satisfy the set identities
+    * the exact audit columns encode, the sketch must actually be LIVE
+    * (θ strictly below the full key space whenever n > K), and every
+    * estimate stays within a loose deterministic error envelope
+    * (max observed at sf0.001 is 13.2% on the intersection).
+    */
+  test("agg_theta_sketch_setops: theta set algebra and error envelope") {
+    val rows = run("agg_theta_sketch_setops")
+    assert(rows.length == 4)
+    val m = rows.map(r => r.getAs[String]("et") -> r).toMap
+    assert(Seq("click", "view", "union", "intersect").forall(m.contains))
+    def ex(et: String): Long = m(et).getAs[Long]("exact_n")
+    assert(ex("union") >= math.max(ex("click"), ex("view")))
+    assert(ex("intersect") <= math.min(ex("click"), ex("view")))
+    assert(ex("click") + ex("view") == ex("union") + ex("intersect"),
+      "inclusion-exclusion must hold on the exact audit columns")
+    val full = 4503599627370496L
+    rows.foreach { r =>
+      if (r.getAs[Long]("exact_n") > 64L)
+        assert(r.getAs[Long]("theta") < full,
+          s"${r.getAs[String]("et")}: sketch must be live past K")
+      assert(r.getAs[Long]("est_n") > 0L)
+      assert(r.getAs[Long]("err_ppm") <= 300000L,
+        s"${r.getAs[String]("et")}: ${r.getAs[Long]("err_ppm")} ppm")
+    }
+  }
+
+  /** Full BigInt replay of the cross-multiplied TV arithmetic — the
+    * oracle proves engine parity; this pins the t-closeness DEFINITION
+    * against an independent in-memory implementation.
+    */
+  test("dq_t_closeness matches an in-memory BigInt TV replay") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "n_chars - n_chars % 100 AS band", "lang")
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("band"),
+        r.getAs[String]("lang")))
+    val byCell = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byGroup = docs.groupBy(d => (d._1, d._2)).view.mapValues(_.length.toLong).toMap
+    val byLang = docs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val tc = byGroup.map { case ((srcName, band), ng) =>
+      val s = byLang.map { case (lang, cl) =>
+        (BigInt(byCell.getOrElse((srcName, band, lang), 0L)) * n
+          - BigInt(cl) * ng).abs
+      }.sum
+      ((srcName, band), ((s * 1000000) / (BigInt(2) * ng * n)).toLong, ng)
+    }
+    val got = run("dq_t_closeness")
+    assert(got.length == tc.map(_._1._1).toSet.size)
+    got.foreach { r =>
+      val srcName = r.getAs[String]("source")
+      val rowsHere = tc.filter(_._1._1 == srcName).toSeq
+      assert(r.getAs[Long]("n_groups") == rowsHere.size.toLong)
+      assert(r.getAs[Long]("max_tc_ppm") == rowsHere.map(_._2).max)
+      assert(r.getAs[Long]("n_violations") ==
+        rowsHere.count(_._2 > 250000L).toLong)
+      assert(r.getAs[Long]("records_at_risk") ==
+        rowsHere.filter(_._2 > 250000L).map(_._3).sum)
+      assert(r.getAs[Long]("worst_band") ==
+        rowsHere.map { case ((_, band), t, _) => t * 100000L + band }
+          .max % 100000L)
+    }
+  }
+
+  /** Full BigInt replay of the polynomial-kernel MMD — every kernel
+    * value is an exact integer, so the in-memory recomputation must
+    * match bit-for-bit, and a PD kernel's biased MMD² is ≥ 0.
+    */
+  test("embed_mmd_drift equals the in-memory BigInt kernel replay") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Number]("label").longValue,
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1024.0).toLong)
+          .toArray))
+    val aAll = vecs.filter(_._2 < 5L)
+    val bAll = vecs.filter(_._2 >= 5L)
+    def samp(side: Array[(Long, Long, Array[Long])]) = {
+      val stride = math.max(1L, side.length.toLong / 128L)
+      side.filter(v => v._1 % stride == 0L).map(_._3)
+    }
+    val (sa, sb) = (samp(aAll), samp(bAll))
+    def kern(x: Array[Long], y: Array[Long]): BigInt = {
+      var d = 0L; var j = 0
+      while (j < x.length) { d += x(j) * y(j); j += 1 }
+      val k = BigInt(67108864L + d); k * k
+    }
+    def cross(u: Array[Array[Long]], v: Array[Array[Long]]): BigInt =
+      u.iterator.map(x => v.iterator.map(y => kern(x, y)).sum).sum
+    val (sxx, syy, sxy) = (cross(sa, sa), cross(sb, sb), cross(sa, sb))
+    val (nx, ny) = (BigInt(sa.length), BigInt(sb.length))
+    val r = run("embed_mmd_drift")(0)
+    assert(r.getAs[Long]("nx") == sa.length.toLong)
+    assert(r.getAs[Long]("ny") == sb.length.toLong)
+    assert(r.getAs[Long]("mean_kxx") == (sxx / (nx * nx)).toLong)
+    assert(r.getAs[Long]("mean_kyy") == (syy / (ny * ny)).toLong)
+    assert(r.getAs[Long]("mean_kxy") == (sxy / (nx * ny)).toLong)
+    val num = sxx * ny * ny + syy * nx * nx - 2 * sxy * nx * ny
+    assert(num >= 0, "biased MMD^2 of a PD kernel is nonnegative")
+    assert(r.getAs[Long]("mmd_q") == (num / (nx * nx * ny * ny)).toLong)
+  }
+
+  /** The incremental scan must be minimal (only v2's 2 new files) and
+    * complete (exactly the odd half it appended).
+    */
+  test("maintenance_incremental_read reads only the delta files") {
+    val rows = run("maintenance_incremental_read")
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Int]("n_files_v1") == 2)
+    assert(r.getAs[Int]("n_files_new") == 2)
+    assert(r.getAs[Boolean]("all_odd"))
+    val odd = spark.read.parquet(s"$dir/events.parquet")
+      .filter("event_id % 2 = 1")
+    assert(r.getAs[Long]("rows_incremental") == odd.count())
+  }
 }
