@@ -8893,7 +8893,90 @@ object PipelineQueries extends QueryModule {
               - 2 * sxy * ns.nx * ns.ny)
             // (CAST(ns.nx AS HUGEINT) * ns.nx * ns.ny * ns.ny) AS BIGINT)
             AS mmd_q
-        FROM ker, ns"""))
+        FROM ker, ns""")),
+
+    // ── PQ dimension-permutation planning (the free OPQ baseline —
+    //    Ge et al. 2013 note a variance-BALANCED dimension allocation
+    //    recovers much of the rotation's gain at zero matrix cost; the
+    //    natural contiguous split concentrates high-variance dims in a
+    //    few subspaces and starves their codebooks): per-dim variance
+    //    as the exact integer numerator n·Σq²−(Σq)² over floor(e·2²⁰)
+    //    coords (decimal sums), dims ranked by variance and dealt
+    //    round-robin into the 8 subspaces; report = per-subspace
+    //    variance share (ppm) natural vs permuted + the max·K/total
+    //    imbalance factor of each scheme + the improvement bit. Scale:
+    //    ONE corpus scan feeds a 64-row per-dim aggregate; everything
+    //    after is ≤64-row arithmetic — the planning pass a PQ (re)train
+    //    would run first at any corpus size. ──────────────────────────
+    QueryDef("sim_index_pq_permute",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val q = Tables.load(s, dir, "embeddings")
+          .select(posexplode(transform($"embedding",
+            x => floor(x.cast("double") * lit(1048576.0)).cast("long")))
+            .as(Seq("j0", "qv")))
+          .select(($"j0" + 1).cast("long").as("j"), $"qv")
+        val vn = q.groupBy($"j")
+          .agg(count(lit(1)).as("n"),
+            sum($"qv".cast("decimal(38,0)")).as("s"),
+            sum(($"qv" * $"qv").cast("decimal(38,0)")).as("ss"))
+          .select($"j", ($"n" * $"ss" - $"s" * $"s").as("varnum"))
+        val assigned = vn
+          .withColumn("r", row_number().over(
+            Window.orderBy($"varnum".desc, $"j")).cast("long"))
+          .select($"j", $"varnum", expr("(j - 1) DIV 8").as("sub_nat"),
+            pmod($"r" - 1L, lit(8L)).as("sub_perm"))
+        val tot = vn.agg(sum($"varnum").as("t"))
+        val natm = assigned.groupBy($"sub_nat".as("sub"))
+          .agg(sum($"varnum").as("m_nat"))
+        val perm = assigned.groupBy($"sub_perm".as("sub"))
+          .agg(sum($"varnum").as("m_perm"))
+        val imbn = natm.agg(max($"m_nat").as("mx_nat"))
+        val imbp = perm.agg(max($"m_perm").as("mx_perm"))
+        natm.join(perm, "sub")
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(imbn))
+          .crossJoin(broadcast(imbp))
+          .select($"sub",
+            expr("CAST((m_nat * 1000000) div t AS BIGINT)")
+              .as("nat_share_ppm"),
+            expr("CAST((m_perm * 1000000) div t AS BIGINT)")
+              .as("perm_share_ppm"),
+            expr("CAST((mx_nat * 8 * 1000000) div t AS BIGINT)")
+              .as("imb_nat_ppm"),
+            expr("CAST((mx_perm * 8 * 1000000) div t AS BIGINT)")
+              .as("imb_perm_ppm"),
+            expr("""(mx_perm * 8 * 1000000) div t
+                <= (mx_nat * 8 * 1000000) div t""").as("balanced"))
+          .orderBy($"sub")
+      },
+      Some("""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+  q AS (SELECT vec_id, j, CAST(floor(e[j] * 1048576.0) AS BIGINT) AS qv
+    FROM raw, (SELECT unnest(generate_series(1, 64)) AS j) g),
+  dv AS (SELECT j, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(qv) AS HUGEINT) AS s, CAST(sum(qv * qv) AS HUGEINT) AS ss
+    FROM q GROUP BY j),
+  vn AS (SELECT j, n * ss - s * s AS varnum FROM dv),
+  ranked AS (SELECT j, varnum,
+      row_number() OVER (ORDER BY varnum DESC, j) AS r FROM vn),
+  assigned AS (SELECT j, varnum, (j - 1) // 8 AS sub_nat,
+      (r - 1) % 8 AS sub_perm FROM ranked),
+  tot AS (SELECT sum(varnum) AS t FROM vn),
+  natm AS (SELECT sub_nat AS sub, sum(varnum) AS m FROM assigned GROUP BY 1),
+  perm AS (SELECT sub_perm AS sub, sum(varnum) AS m FROM assigned GROUP BY 1),
+  imbn AS (SELECT CAST(max(m) AS HUGEINT) AS mx FROM natm),
+  imbp AS (SELECT CAST(max(m) AS HUGEINT) AS mx FROM perm)
+  SELECT CAST(natm.sub AS BIGINT) AS sub,
+    CAST(natm.m * 1000000 // tot.t AS BIGINT) AS nat_share_ppm,
+    CAST(perm.m * 1000000 // tot.t AS BIGINT) AS perm_share_ppm,
+    CAST(imbn.mx * 8 * 1000000 // tot.t AS BIGINT) AS imb_nat_ppm,
+    CAST(imbp.mx * 8 * 1000000 // tot.t AS BIGINT) AS imb_perm_ppm,
+    imbp.mx * 8 * 1000000 // tot.t <= imbn.mx * 8 * 1000000 // tot.t
+      AS balanced
+  FROM natm JOIN perm USING (sub), tot, imbn, imbp
+  ORDER BY sub"""))
   )
 }
 

@@ -11627,6 +11627,137 @@ object RelationalQueries extends QueryModule {
         SELECT et, exact_n, est_n, theta,
           CAST(abs(est_n - exact_n) * 1000000 // greatest(exact_n, 1)
             AS BIGINT) AS err_ppm
-        FROM allr ORDER BY et"""))
+        FROM allr ORDER BY et""")),
+
+    // ── Fellegi–Sunter record-linkage scoring (1969 — the probabilistic
+    //    ER layer ABOVE join_entity_blocking's candidate generation:
+    //    blocking answers "which pairs to compare", FS answers "is a
+    //    compared pair the same entity", as a log-likelihood-ratio
+    //    score over field agreements): fields = (nation, segment,
+    //    acctbal band); u-probabilities are ESTIMATED FROM THE DATA as
+    //    exact match-by-chance rationals Σc_f²·10⁶ DIV N² (decimal
+    //    products — no pair sampling, one |field|-row aggregate each);
+    //    m-probabilities are the classic fixed priors (0.95/0.90/0.85).
+    //    Agreement/disagreement weights are per-term micro-nat
+    //    quantized (floor·10⁶ BEFORE the sum — the DSIR ln-parity
+    //    pattern), so each of the 2³ pattern scores is an exact BIGINT
+    //    sum and the match/possible/non_match thresholds are integer
+    //    compares. Output IS the classic FS pattern table. Scale: the
+    //    pair stage is the audited block-purged self-join (≤150/block);
+    //    everything after is ≤8 pattern rows + 1-row weight broadcasts. ──
+    QueryDef("join_er_fellegi_sunter",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.load(s, dir, "customer")
+          .select($"c_custkey".as("k"), substring($"c_name", 10, 7).as("blk"),
+            $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 50000")
+              .as("band"))
+          .localCheckpoint()
+        val n = c.agg(count(lit(1)).as("n"))
+        def uPpm(field: String, out: String) =
+          c.groupBy(col(field)).agg(count(lit(1)).as("c"))
+            .crossJoin(broadcast(n))
+            .agg(expr("""CAST((sum(CAST(c AS DECIMAL(38,0)) * c) * 1000000)
+                div (CAST(max(n) AS DECIMAL(38,0)) * max(n)) AS BIGINT)""")
+              .as(out))
+        val w = uPpm("nat", "u1_ppm")
+          .crossJoin(broadcast(uPpm("seg", "u2_ppm")))
+          .crossJoin(broadcast(uPpm("band", "u3_ppm")))
+          .select($"u1_ppm", $"u2_ppm", $"u3_ppm",
+            floor(lit(1000000) * log(lit(950000.0) / $"u1_ppm".cast("double")))
+              .cast("long").as("w1p"),
+            floor(lit(1000000)
+              * log(lit(50000.0) / (lit(1000000) - $"u1_ppm").cast("double")))
+              .cast("long").as("w1m"),
+            floor(lit(1000000) * log(lit(900000.0) / $"u2_ppm".cast("double")))
+              .cast("long").as("w2p"),
+            floor(lit(1000000)
+              * log(lit(100000.0) / (lit(1000000) - $"u2_ppm").cast("double")))
+              .cast("long").as("w2m"),
+            floor(lit(1000000) * log(lit(850000.0) / $"u3_ppm".cast("double")))
+              .cast("long").as("w3p"),
+            floor(lit(1000000)
+              * log(lit(150000.0) / (lit(1000000) - $"u3_ppm").cast("double")))
+              .cast("long").as("w3m"))
+        val kept = c.groupBy($"blk").agg(count(lit(1)).as("bsz"))
+          .filter($"bsz" <= 150L).select($"blk")
+        val cb = c.join(kept, "blk")
+        val pat = cb.select($"blk", $"k".as("ka"), $"nat".as("na"),
+            $"seg".as("sa"), $"band".as("ba"))
+          .join(cb.select($"blk".as("blk2"), $"k".as("kb"), $"nat".as("nb"),
+            $"seg".as("sb"), $"band".as("bb")),
+            $"blk" === $"blk2" && $"ka" < $"kb")
+          .groupBy(
+            when($"na" === $"nb", 1).otherwise(0).as("g_nation"),
+            when($"sa" === $"sb", 1).otherwise(0).as("g_segment"),
+            when($"ba" === $"bb", 1).otherwise(0).as("g_band"))
+          .agg(count(lit(1)).as("n_pairs"))
+        pat.crossJoin(broadcast(w))
+          .withColumn("score_unat",
+            when($"g_nation" === 1, $"w1p").otherwise($"w1m")
+              + when($"g_segment" === 1, $"w2p").otherwise($"w2m")
+              + when($"g_band" === 1, $"w3p").otherwise($"w3m"))
+          .select($"g_nation", $"g_segment", $"g_band", $"n_pairs",
+            $"score_unat",
+            when($"score_unat" >= 2200000L, "match")
+              .when($"score_unat" >= 0L, "possible")
+              .otherwise("non_match").as("decision"),
+            $"u1_ppm", $"u2_ppm", $"u3_ppm")
+          .orderBy($"g_nation", $"g_segment", $"g_band")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, substring(c_name, 10, 7) AS blk,
+      c_nationkey AS nat, c_mktsegment AS seg,
+      CAST(round(c_acctbal * 100) AS BIGINT) // 50000 AS band
+    FROM customer),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+  u1 AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+        // (CAST(n.n AS HUGEINT) * n.n) AS BIGINT) AS u_ppm
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM c GROUP BY nat), n
+    GROUP BY n.n),
+  u2 AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+        // (CAST(n.n AS HUGEINT) * n.n) AS BIGINT) AS u_ppm
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM c GROUP BY seg), n
+    GROUP BY n.n),
+  u3 AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) * 1000000
+        // (CAST(n.n AS HUGEINT) * n.n) AS BIGINT) AS u_ppm
+    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM c GROUP BY band), n
+    GROUP BY n.n),
+  w AS (SELECT
+      CAST(floor(1000000 * ln(950000.0 / u1.u_ppm)) AS BIGINT) AS w1p,
+      CAST(floor(1000000 * ln(50000.0 / (1000000 - u1.u_ppm))) AS BIGINT)
+        AS w1m,
+      CAST(floor(1000000 * ln(900000.0 / u2.u_ppm)) AS BIGINT) AS w2p,
+      CAST(floor(1000000 * ln(100000.0 / (1000000 - u2.u_ppm))) AS BIGINT)
+        AS w2m,
+      CAST(floor(1000000 * ln(850000.0 / u3.u_ppm)) AS BIGINT) AS w3p,
+      CAST(floor(1000000 * ln(150000.0 / (1000000 - u3.u_ppm))) AS BIGINT)
+        AS w3m,
+      u1.u_ppm AS u1_ppm, u2.u_ppm AS u2_ppm, u3.u_ppm AS u3_ppm
+    FROM u1, u2, u3),
+  kept AS (SELECT blk FROM c GROUP BY blk HAVING count(*) <= 150),
+  cb AS (SELECT c.* FROM c JOIN kept USING (blk)),
+  pat AS (SELECT
+      CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS g_nation,
+      CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_segment,
+      CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS g_band,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cb a JOIN cb b ON a.blk = b.blk AND a.k < b.k
+    GROUP BY 1, 2, 3)
+  SELECT p.g_nation, p.g_segment, p.g_band, p.n_pairs,
+    (CASE WHEN p.g_nation = 1 THEN w.w1p ELSE w.w1m END
+      + CASE WHEN p.g_segment = 1 THEN w.w2p ELSE w.w2m END
+      + CASE WHEN p.g_band = 1 THEN w.w3p ELSE w.w3m END) AS score_unat,
+    CASE WHEN (CASE WHEN p.g_nation = 1 THEN w.w1p ELSE w.w1m END
+      + CASE WHEN p.g_segment = 1 THEN w.w2p ELSE w.w2m END
+      + CASE WHEN p.g_band = 1 THEN w.w3p ELSE w.w3m END) >= 2200000
+      THEN 'match'
+      WHEN (CASE WHEN p.g_nation = 1 THEN w.w1p ELSE w.w1m END
+      + CASE WHEN p.g_segment = 1 THEN w.w2p ELSE w.w2m END
+      + CASE WHEN p.g_band = 1 THEN w.w3p ELSE w.w3m END) >= 0
+      THEN 'possible' ELSE 'non_match' END AS decision,
+    w.u1_ppm, w.u2_ppm, w.u3_ppm
+  FROM pat p, w
+  ORDER BY g_nation, g_segment, g_band"""))
   )
 }

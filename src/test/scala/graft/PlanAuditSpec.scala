@@ -592,7 +592,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // MMD: the ≤~256-per-side stride sample crossed with its broadcast
     // self (the dedup_lsh_eval bounded-eval shape) + the 1-row
     // (nx, ny) recombine
-    "embed_mmd_drift")
+    "embed_mmd_drift",
+    // Fellegi–Sunter: three 1-row N broadcasts under the u-rationals,
+    // the 1-row weight-frame recombines, and the ≤8-pattern × 1-row
+    // weight cross; the pair stage is the audited equi block join
+    "join_er_fellegi_sunter",
+    // PQ permute: the 1-row total/max-variance recombines onto the
+    // 8-subspace frame
+    "sim_index_pq_permute")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast
@@ -712,7 +719,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "window_seasonal_strength",
       // competing risks: the KM suffix/cumulative walks over the
       // 15-row literal day grid
-      "agg_competing_risks")
+      "agg_competing_risks",
+      // PQ permute: the variance-rank window over the 64-row per-dim
+      // aggregate (fixed embedding dimensionality)
+      "sim_index_pq_permute")
     assert(globalWindowQueries.toSet == allowedGlobalWindows,
       s"global-window query set changed: got ${globalWindowQueries.mkString(", ")} — " +
         "a new unpartitioned window needs a reduced-input proof + allowlist entry " +
@@ -746,7 +756,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
       "sample_neyman_allocation", "agg_lorenz_deciles", "agg_runs_test",
       "agg_seasonal_decompose", "window_seasonal_strength",
-      "agg_competing_risks")
+      "agg_competing_risks", "sim_index_pq_permute")
     assert(offenders.toSet == allowed,
       s"unpartitioned WindowExec query set changed: got ${offenders.mkString(", ")} — " +
         "each site needs a reduced-input proof + allowlist entry in BOTH window audits")

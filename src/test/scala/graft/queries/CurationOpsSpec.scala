@@ -853,4 +853,75 @@ class CurationOpsSpec extends AnyFunSuite {
       .filter("event_id % 2 = 1")
     assert(r.getAs[Long]("rows_incremental") == odd.count())
   }
+  /** FS structure: the pattern table must cover every observed pattern
+    * once, scores must be MONOTONE in agreements (flipping any single
+    * field 0→1 raises the score, since w⁺ > w⁻ for every field), and
+    * decisions must restate the thresholds.
+    */
+  test("join_er_fellegi_sunter: monotone pattern scores and threshold decisions") {
+    val rows = run("join_er_fellegi_sunter")
+    assert(rows.nonEmpty && rows.length <= 8)
+    val byPat = rows.map(r => ((r.getAs[Int]("g_nation"),
+      r.getAs[Int]("g_segment"), r.getAs[Int]("g_band")),
+      r.getAs[Long]("score_unat"))).toMap
+    assert(byPat.size == rows.length, "each pattern appears once")
+    for (((n0, s0, b0), sc) <- byPat) {
+      for ((up, down) <- Seq(((1, s0, b0), (0, s0, b0)),
+        ((n0, 1, b0), (n0, 0, b0)), ((n0, s0, 1), (n0, s0, 0)))) {
+        (byPat.get(up), byPat.get(down)) match {
+          case (Some(hi), Some(lo)) => assert(hi > lo,
+            s"agreement must raise the score: $up=$hi vs $down=$lo")
+          case _ => ()
+        }
+      }
+      val _ = sc
+    }
+    rows.foreach { r =>
+      val sc = r.getAs[Long]("score_unat")
+      val expected = if (sc >= 2200000L) "match"
+        else if (sc >= 0L) "possible" else "non_match"
+      assert(r.getAs[String]("decision") == expected)
+      Seq("u1_ppm", "u2_ppm", "u3_ppm").foreach { u =>
+        val v = r.getAs[Long](u); assert(v > 0L && v < 1000000L)
+      }
+    }
+  }
+
+  /** Full BigInt replay of the variance ranking and round-robin deal —
+    * shares, imbalance factors and the improvement bit must match an
+    * independent in-memory computation exactly.
+    */
+  test("sim_index_pq_permute matches the in-memory variance-deal replay") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x =>
+        math.floor(x.toDouble * 1048576.0).toLong).toArray)
+    val dims = 0 until 64
+    val varnum = dims.map { j =>
+      val n = BigInt(vecs.length)
+      val s = vecs.map(v => BigInt(v(j))).sum
+      val ss = vecs.map(v => BigInt(v(j)) * v(j)).sum
+      (j + 1, n * ss - s * s)
+    }
+    val ranked = varnum.sortBy { case (j, v) => (-v, j) }.zipWithIndex
+      .map { case ((j, v), r0) => (j, v, r0 % 8) }
+    val tot = varnum.map(_._2).sum
+    val natM = varnum.groupBy { case (j, _) => (j - 1) / 8 }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val permM = ranked.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val imbN = (natM.values.max * 8 * 1000000) / tot
+    val imbP = (permM.values.max * 8 * 1000000) / tot
+    val rows = run("sim_index_pq_permute")
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val sub = r.getAs[Long]("sub").toInt
+      assert(r.getAs[Long]("nat_share_ppm") ==
+        ((natM(sub) * 1000000) / tot).toLong)
+      assert(r.getAs[Long]("perm_share_ppm") ==
+        ((permM(sub) * 1000000) / tot).toLong)
+      assert(r.getAs[Long]("imb_nat_ppm") == imbN.toLong)
+      assert(r.getAs[Long]("imb_perm_ppm") == imbP.toLong)
+      assert(r.getAs[Boolean]("balanced") == (imbP <= imbN))
+    }
+  }
 }
