@@ -11758,6 +11758,86 @@ object RelationalQueries extends QueryModule {
       THEN 'possible' ELSE 'non_match' END AS decision,
     w.u1_ppm, w.u2_ppm, w.u3_ppm
   FROM pat p, w
-  ORDER BY g_nation, g_segment, g_band"""))
+  ORDER BY g_nation, g_segment, g_band""")),
+
+    // ── Delete-a-group jackknife CI for a ratio metric (the production
+    //    variance estimator for ratios whose numerator and denominator
+    //    are both random — the survey-statistics workhorse beside
+    //    agg_ratio_metric_ci's delta method; groups = customer nations,
+    //    metric = cents per order): each leave-one-group-out ratio is
+    //    quantized floor(·10⁹) after ONE IEEE divide (engine-parity per
+    //    op, the proven pattern), then ALL jackknife arithmetic —
+    //    pseudo-values G·R − (G−1)·R₍₋g₎, deviation sum of squares in
+    //    decimal(38,0), the (G−1)/G scaling — is exact integers; one
+    //    final sqrt for the SE. Scale: one fact-side aggregate to
+    //    |G|=25 rows, then 1-row recombines — the G recomputations that
+    //    make naive jackknife O(G·n) collapse to subtractions off the
+    //    per-group totals. ────────────────────────────────────────────
+    QueryDef("agg_jackknife_ratio_ci",
+      (s, dir) => {
+        import s.implicits._
+        val b = Tables.load(s, dir, "orders")
+          .select($"o_custkey",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .join(Tables.load(s, dir, "customer")
+            .select($"c_custkey", $"c_nationkey".as("g")),
+            $"o_custkey" === $"c_custkey")
+        val pg = b.groupBy($"g")
+          .agg(count(lit(1)).as("n_g"), sum($"cents").as("s_g"))
+        val t = pg.agg(count(lit(1)).as("gn"), sum($"n_g").as("n"),
+          sum($"s_g").as("s"))
+        val loo = pg.crossJoin(broadcast(t))
+          .select($"g", $"n_g", $"s_g", $"gn",
+            floor((($"s" - $"s_g").cast("double")
+              / ($"n" - $"n_g").cast("double")) * lit(1e9))
+              .cast("long").as("r_loo_e9"))
+        val fullR = t.select(
+          floor(($"s".cast("double") / $"n".cast("double")) * lit(1e9))
+            .cast("long").as("r_full_e9"))
+        val m = loo.agg(expr("CAST(sum(r_loo_e9) DIV max(gn) AS BIGINT)")
+          .as("rbar_e9"))
+        val v = loo.crossJoin(broadcast(m))
+          .agg(sum((($"r_loo_e9" - $"rbar_e9").cast("decimal(38,0)")
+            * ($"r_loo_e9" - $"rbar_e9"))).as("dev2"),
+            max($"gn").as("gn2"))
+        val se = v.select(floor(sqrt(
+            expr("CAST((gn2 - 1) * dev2 AS DOUBLE)")
+              / expr("CAST(gn2 * gn2 AS DOUBLE)")))
+          .cast("long").as("se_e9"))
+        loo.crossJoin(broadcast(fullR)).crossJoin(broadcast(se))
+          .select($"g".as("nation"), $"n_g", $"s_g", $"r_loo_e9",
+            ($"gn" * $"r_full_e9" - ($"gn" - 1L) * $"r_loo_e9")
+              .as("pseudo_e9"),
+            $"r_full_e9", $"se_e9",
+            ($"r_full_e9" - $"se_e9" * 2L).as("ci_lo_e9"),
+            ($"r_full_e9" + $"se_e9" * 2L).as("ci_hi_e9"))
+          .orderBy($"nation")
+      },
+      Some("""WITH b AS (SELECT c.c_nationkey AS g,
+      CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+  pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+      CAST(sum(cents) AS BIGINT) AS s_g FROM b GROUP BY g),
+  t AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+      CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s FROM pg),
+  loo AS (SELECT pg.g, pg.n_g, pg.s_g,
+      CAST(floor(CAST(t.s - pg.s_g AS DOUBLE)
+        / CAST(t.n - pg.n_g AS DOUBLE) * 1e9) AS BIGINT) AS r_loo_e9,
+      t.gn, t.n, t.s FROM pg, t),
+  full_r AS (SELECT CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e9)
+      AS BIGINT) AS r_full_e9 FROM t),
+  m AS (SELECT CAST(sum(r_loo_e9) // max(gn) AS BIGINT) AS rbar_e9 FROM loo),
+  v AS (SELECT CAST(sum(CAST(r_loo_e9 - m.rbar_e9 AS HUGEINT)
+        * (r_loo_e9 - m.rbar_e9)) AS HUGEINT) AS dev2,
+      max(gn) AS gn FROM loo, m GROUP BY m.rbar_e9),
+  se AS (SELECT CAST(floor(sqrt(CAST((gn - 1) * dev2 AS DOUBLE)
+      / CAST(gn * gn AS DOUBLE))) AS BIGINT) AS se_e9 FROM v)
+  SELECT loo.g AS nation, loo.n_g, loo.s_g, loo.r_loo_e9,
+    CAST(loo.gn * full_r.r_full_e9 - (loo.gn - 1) * loo.r_loo_e9 AS BIGINT)
+      AS pseudo_e9,
+    full_r.r_full_e9, se.se_e9,
+    full_r.r_full_e9 - 2 * se.se_e9 AS ci_lo_e9,
+    full_r.r_full_e9 + 2 * se.se_e9 AS ci_hi_e9
+  FROM loo, full_r, se ORDER BY nation"""))
   )
 }

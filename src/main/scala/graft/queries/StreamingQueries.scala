@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
 object StreamingQueries extends QueryModule {
 
   val defs: Seq[QueryDef] = Seq(
+    // ── Per-day KMV distinct sketch, streamed (the mergeable-sketch ×
+    //    streaming marriage: the SAME bounded-heap topk_pairs aggregate
+    //    that powers agg_theta_sketch_setops runs as a stateful
+    //    streaming aggregation — micro-batch state merges are the
+    //    sketch's union, proven against this one-shot batch twin in
+    //    StreamingSpec): K=32 smallest md5 hashes per day, est =
+    //    (K−1)·(2⁵²/θ), exact per-day distincts as audit. O(days·K)
+    //    state at any corpus size. ─────────────────────────────────────
+    QueryDef("streaming_distinct_kmv",
+      (s, dir) => Streaming.kmvDailyDistinct(Tables.load(s, dir, "events")),
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+      ((strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[1]) - 1) * 281474976710656 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[2]) - 1) * 17592186044416 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[3]) - 1) * 1099511627776 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[4]) - 1) * 68719476736 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[5]) - 1) * 4294967296 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[6]) - 1) * 268435456 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[7]) - 1) * 16777216 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[8]) - 1) * 1048576 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[9]) - 1) * 65536 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[10]) - 1) * 4096 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[11]) - 1) * 256 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[12]) - 1) * 16 + (strpos('0123456789abcdef', md5(CAST(user_id AS VARCHAR))[13]) - 1) * 1) AS h FROM events),
+  dh AS (SELECT DISTINCT day, h FROM e),
+  ranked AS (SELECT day, h,
+      row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+      count(*) OVER (PARTITION BY day) AS nd FROM dh),
+  kept AS (SELECT * FROM ranked WHERE rn <= 32),
+  th AS (SELECT day, CAST(max(nd) AS BIGINT) AS nd,
+      CAST(CASE WHEN max(nd) < 32 THEN 4503599627370496
+        ELSE max(CASE WHEN rn = 32 THEN h END) END AS BIGINT) AS theta
+    FROM kept GROUP BY day),
+  ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM e GROUP BY day)
+  SELECT th.day, ex.exact_users,
+    CASE WHEN th.nd < 32 THEN th.nd
+      ELSE CAST(floor(31 * (4503599627370496.0 / th.theta)) AS BIGINT) END
+      AS est_users,
+    th.theta,
+    CAST(abs(CASE WHEN th.nd < 32 THEN th.nd
+        ELSE CAST(floor(31 * (4503599627370496.0 / th.theta)) AS BIGINT) END
+      - ex.exact_users) * 1000000 // greatest(ex.exact_users, 1) AS BIGINT)
+      AS err_ppm
+  FROM th JOIN ex USING (day) ORDER BY day""")),
+
     QueryDef("streaming_tumbling_counts",
       (s, dir) => Streaming.tumblingEventCounts(Tables.load(s, dir, "events"))
         .orderBy("window_start", "event_type"),

@@ -23,6 +23,44 @@ object Streaming {
     * long the stream runs. On a batch DataFrame the watermark is a no-op
     * and this is a plain window aggregate.
     */
+  /** Per-day KMV distinct-user sketch, batch twin (the streaming form is
+    * the same groupBy + topk_pairs aggregate run in complete mode over
+    * micro-batches — StreamingSpec proves the micro-batched sketch state
+    * merges to this one-shot result, which is the mergeability claim of
+    * agg_theta_sketch_setops exercised through the streaming engine).
+    * K=32 smallest 13-nibble md5 hashes per day (set semantics of the
+    * bounded heap = KMV over distinct hashes, no pre-distinct pass);
+    * exact per-day distinct users ride along as the audit column.
+    */
+  def kmvDailyDistinct(events: DataFrame, k: Int = 32): DataFrame = {
+    val s = events.sparkSession
+    graft.functions.TopKFunctions.register(s)
+    import s.implicits._
+    val e = events.select(
+      expr("unix_micros(ts) DIV 86400000000").as("day"), col("user_id"),
+      expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)")
+        .as("h"))
+    val full = 4503599627370496L
+    e.groupBy($"day")
+      .agg(countDistinct($"user_id").as("exact_users"),
+        countDistinct($"h").as("nd"),
+        graft.functions.TopKFunctions.topKPairs(
+          struct((-$"h").cast("double").as("score"), $"h".as("id")), k)
+          .as("top"))
+      .select($"day", $"exact_users", $"nd",
+        when($"nd" < k.toLong, lit(full))
+          .otherwise(expr(s"try_element_at(top, $k).id")).as("theta"))
+      .select($"day", $"exact_users",
+        when($"nd" < k.toLong, $"nd")
+          .otherwise(floor(lit((k - 1).toLong)
+            * (lit(4503599627370496.0) / $"theta".cast("double")))
+            .cast("long")).as("est_users"),
+        $"theta")
+      .withColumn("err_ppm",
+        expr("(abs(est_users - exact_users) * 1000000) DIV greatest(exact_users, 1L)"))
+      .orderBy($"day")
+  }
+
   def tumblingEventCounts(
       events: DataFrame,
       windowDur: String = "1 hour",

@@ -599,7 +599,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_er_fellegi_sunter",
     // PQ permute: the 1-row total/max-variance recombines onto the
     // 8-subspace frame
-    "sim_index_pq_permute")
+    "sim_index_pq_permute",
+    // jackknife: the 1-row totals/mean/SE recombines onto the |G|=25
+    // per-group frame (the anova scalar-recombine shape)
+    "agg_jackknife_ratio_ci")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -2980,4 +2980,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(rows(u) == want, s"user $u: got ${rows(u)} want $want")
     }
   }
+  /** Driver replay of the delete-a-group jackknife: per-group totals,
+    * quantized LOO ratios, pseudo-values, the (G−1)/G variance and the
+    * CI must equal the naive loop exactly.
+    */
+  test("agg_jackknife_ratio_ci equals the naive jackknife loop") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("g")),
+        col("o_custkey") === col("c_custkey"))
+      .select("g", "cents").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val byG = base.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    val gN = byG.size.toLong
+    val n = base.length.toLong
+    val s = base.map(_._2).sum
+    val loo = byG.map { case (g, (ng, sg)) =>
+      g -> math.floor((s - sg).toDouble / (n - ng).toDouble * 1e9).toLong
+    }
+    val rFull = math.floor(s.toDouble / n.toDouble * 1e9).toLong
+    val rbar = loo.values.sum / gN
+    val dev2 = loo.values.map(r => BigInt(r - rbar) * (r - rbar)).sum
+    val se = math.floor(math.sqrt(
+      (BigInt(gN - 1) * dev2).toDouble / (gN * gN).toDouble)).toLong
+    val rows = run("agg_jackknife_ratio_ci")
+    assert(rows.length == gN)
+    rows.foreach { r =>
+      val g = r.getAs[Number]("nation").longValue
+      assert(r.getAs[Long]("n_g") == byG(g)._1)
+      assert(r.getAs[Long]("s_g") == byG(g)._2)
+      assert(r.getAs[Long]("r_loo_e9") == loo(g))
+      assert(r.getAs[Long]("pseudo_e9") == gN * rFull - (gN - 1) * loo(g))
+      assert(r.getAs[Long]("r_full_e9") == rFull)
+      assert(r.getAs[Long]("se_e9") == se)
+      assert(r.getAs[Long]("ci_lo_e9") == rFull - 2 * se)
+      assert(r.getAs[Long]("ci_hi_e9") == rFull + 2 * se)
+    }
+  }
 }

@@ -739,4 +739,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(twin.contains((1L, 10L, 40L, 90L, 40L, 70L, 3L, 200L)))
     } finally q.stop()
   }
+  test("streaming KMV: micro-batched sketch state merges to the one-shot sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TopKFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables.load(spark, dir, "events")
+      .selectExpr("unix_micros(ts) DIV 86400000000 AS day",
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mem = MemoryStream[(Long, Long)]
+    val agg = mem.toDF.toDF("day", "h")
+      .groupBy($"day")
+      .agg(graft.functions.TopKFunctions.topKPairs(
+        struct((-$"h").cast("double").as("score"), $"h".as("id")), 32)
+        .as("top"))
+    val q = agg.writeStream.format("memory").queryName("kmv_mb")
+      .outputMode("complete").start()
+    try {
+      base.grouped(math.max(1, base.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_mb")
+        .select($"day", expr("transform(top, p -> p.id)").as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val twin = graft.streaming.Streaming.kmvDailyDistinct(
+        graft.Tables.load(spark, dir, "events")).collect()
+      assert(twin.nonEmpty && twin.length == streamed.size)
+      val full = 4503599627370496L
+      twin.foreach { r =>
+        val day = r.getAs[Long]("day")
+        val kept = streamed(day)
+        // the streamed sketch must be sorted ascending in h and its
+        // k-th element must reproduce the batch twin's theta
+        assert(kept == kept.sorted)
+        val theta = if (kept.length < 32) full else kept.last
+        assert(r.getAs[Long]("theta") == theta,
+          s"day $day: streamed theta $theta vs twin ${r.getAs[Long]("theta")}")
+        val est = if (kept.length < 32) kept.length.toLong
+          else math.floor(31L * (4503599627370496.0 / theta)).toLong
+        assert(r.getAs[Long]("est_users") == est, s"day $day estimate")
+      }
+    } finally q.stop()
+  }
 }
