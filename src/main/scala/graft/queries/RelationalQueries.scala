@@ -11838,6 +11838,152 @@ object RelationalQueries extends QueryModule {
     full_r.r_full_e9, se.se_e9,
     full_r.r_full_e9 - 2 * se.se_e9 AS ci_lo_e9,
     full_r.r_full_e9 + 2 * se.se_e9 AS ci_hi_e9
-  FROM loo, full_r, se ORDER BY nation"""))
+  FROM loo, full_r, se ORDER BY nation""")),
+
+    // ── Hampel filter repair report (the production robust time-series
+    //    cleaner beside agg_mad_outliers' corpus-global MAD: per-point
+    //    LOCAL median ± 3·1.4826·MAD over a ±3-row window, the repair
+    //    rule SCADA/metrics pipelines run before any model sees the
+    //    series): per user, exact lower-median of the 7-row window and
+    //    of its absolute deviations via sort_array on the BOUNDED
+    //    collected frame (integer cents, no IEEE anywhere), flag iff
+    //    |x−med|·10⁴ > 44478·mad (mad>0) or x≠med (degenerate mad=0);
+    //    report = per-user flag counts + ppm + the repair mass a LOCF
+    //    substitution would move. Scale: partitioned 7-row windows only
+    //    — no global window, no shuffle beyond the per-user sort. ─────
+    QueryDef("window_hampel_filter",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "events")
+          .filter($"value".isNotNull)
+          .select($"user_id", $"event_id",
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(-3, 3)
+        val d = e.withColumn("win", collect_list($"cents").over(w))
+          .withColumn("med",
+            expr("sort_array(win)[(size(win) + 1) DIV 2 - 1]"))
+          .withColumn("mad",
+            expr("sort_array(transform(win, v -> abs(v - med)))" +
+              "[(size(win) + 1) DIV 2 - 1]"))
+          .withColumn("flagged",
+            when(($"mad" > 0L && abs($"cents" - $"med") * 10000L
+              > lit(44478L) * $"mad")
+              || ($"mad" === 0L && $"cents" =!= $"med"), 1L).otherwise(0L))
+        d.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"flagged").as("n_flagged"),
+            expr("sum(flagged) * 1000000 DIV count(1)").as("flagged_ppm"),
+            sum(when($"flagged" === 1L, abs($"cents" - $"med"))
+              .otherwise(0L)).as("repair_mass_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+      CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL),
+  w AS (SELECT user_id, event_id, cents,
+      list(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+    FROM e),
+  m AS (SELECT user_id, event_id, cents, win,
+      list_sort(win)[(len(win) + 1) // 2] AS med FROM w),
+  d AS (SELECT user_id, event_id, cents, med,
+      list_sort(list_transform(win, v -> abs(v - med)))[(len(win) + 1) // 2]
+        AS mad
+    FROM m),
+  f AS (SELECT user_id, event_id, cents, med, mad,
+      CASE WHEN (mad > 0 AND abs(cents - med) * 10000 > 44478 * mad)
+        OR (mad = 0 AND cents <> med) THEN 1 ELSE 0 END AS flagged
+    FROM d)
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(flagged) AS BIGINT) AS n_flagged,
+    CAST(sum(flagged) * 1000000 // count(*) AS BIGINT) AS flagged_ppm,
+    CAST(sum(CASE WHEN flagged = 1 THEN abs(cents - med) ELSE 0 END)
+      AS BIGINT) AS repair_mass_cents
+  FROM f GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Personalized PageRank from a seed set (the recommender /
+    //    retrieval variant of graph_pagerank_fixed: restart mass
+    //    returns to the SEEDS, not uniformly, so scores rank proximity
+    //    to the seed neighborhood): seeds = nations {0,1,2}, two damped
+    //    iterations in the pagerank_fixed fixed-point discipline —
+    //    BIGINT rank units, (r·w) DIV ow edge pushes, teleport
+    //    15e9 DIV (100·|S|) only at seeds — order-independent and
+    //    partitioning-proof. Same scale shape as pagerank_fixed: the
+    //    fact-side edge aggregation dominates; iterations are
+    //    |nations|²-bounded joins. ────────────────────────────────────
+    QueryDef("graph_personalized_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val c = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        val edges = li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"c_nationkey".as("src"), $"s_nationkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.load(s, dir, "nation")
+          .select($"n_nationkey".as("node"),
+            when($"n_nationkey".isin(0, 1, 2), 1L).otherwise(0L).as("seed"))
+        val sc = nodes.agg(sum($"seed").as("ns"))
+        val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
+        val r0 = nodes.crossJoin(broadcast(sc))
+          .selectExpr("node", "seed",
+            "CASE WHEN seed = 1 THEN 1000000000 DIV ns ELSE 0L END AS r")
+        def iterate(r: DataFrame): DataFrame = {
+          val incoming = edges
+            .join(broadcast(outw), "src")
+            .join(broadcast(r.withColumnRenamed("node", "src")
+              .select($"src", $"r")), "src")
+            .selectExpr("dst", "(r * w) DIV ow AS c")
+            .groupBy($"dst").agg(sum($"c").as("inr"))
+          nodes.crossJoin(broadcast(sc))
+            .join(broadcast(incoming), $"node" === $"dst", "left")
+            .selectExpr("node", "seed",
+              """CASE WHEN seed = 1 THEN 15000000000 DIV (100 * ns)
+                ELSE 0L END + (85 * coalesce(inr, 0L)) DIV 100 AS r""")
+        }
+        val r1 = iterate(r0)
+        val r2 = iterate(r1)
+        r1.withColumnRenamed("r", "ppr_i1")
+          .join(r2.select($"node".as("node2"), $"r".as("ppr_i2")),
+            $"node" === $"node2")
+          .select($"node", $"seed", $"ppr_i1", $"ppr_i2")
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      CAST(count(*) AS BIGINT) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2),
+  n AS (SELECT n_nationkey AS node,
+      CASE WHEN n_nationkey IN (0, 1, 2) THEN 1 ELSE 0 END AS seed
+    FROM nation),
+  sc AS (SELECT CAST(sum(seed) AS BIGINT) AS ns FROM n),
+  ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+  r0 AS (SELECT node, seed,
+      CASE WHEN seed = 1 THEN 1000000000 // sc.ns ELSE 0 END AS r
+    FROM n, sc),
+  c1 AS (SELECT e.dst, CAST(sum((r0.r * e.w) // ow.ow) AS BIGINT) AS inr
+    FROM e JOIN ow ON e.src = ow.src JOIN r0 ON e.src = r0.node GROUP BY 1),
+  r1 AS (SELECT n.node, n.seed,
+      CASE WHEN n.seed = 1 THEN 15000000000 // (100 * sc.ns) ELSE 0 END
+        + (85 * coalesce(c1.inr, 0)) // 100 AS r
+    FROM n CROSS JOIN sc LEFT JOIN c1 ON n.node = c1.dst),
+  c2 AS (SELECT e.dst, CAST(sum((r1.r * e.w) // ow.ow) AS BIGINT) AS inr
+    FROM e JOIN ow ON e.src = ow.src JOIN r1 ON e.src = r1.node GROUP BY 1),
+  r2 AS (SELECT n.node, n.seed,
+      CASE WHEN n.seed = 1 THEN 15000000000 // (100 * sc.ns) ELSE 0 END
+        + (85 * coalesce(c2.inr, 0)) // 100 AS r
+    FROM n CROSS JOIN sc LEFT JOIN c2 ON n.node = c2.dst)
+  SELECT r1.node, CAST(r1.seed AS BIGINT) AS seed,
+    CAST(r1.r AS BIGINT) AS ppr_i1, CAST(r2.r AS BIGINT) AS ppr_i2
+  FROM r1 JOIN r2 ON r1.node = r2.node ORDER BY r1.node"""))
   )
 }

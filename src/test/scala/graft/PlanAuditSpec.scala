@@ -303,6 +303,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pagerank: |nodes|-row teleport frame × 1-row node-count broadcast
     // (per iteration); the edge build and contributions are equi joins
     "graph_pagerank_fixed",
+    // personalized pagerank: the same |nodes|-row teleport frame ×
+    // 1-row seed-count broadcast per iteration
+    "graph_personalized_pagerank",
     // semdedup (+ its incremental probe): the same vector×centroid
     // routing cross join as topk_ivf; the broadcast side is the COARSE
     // quantizer tier only — ~√n up to maxFlatCells=4096 flat, ~n^(1/4)

@@ -3021,4 +3021,93 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("ci_hi_e9") == rFull + 2 * se)
     }
   }
+  /** Sequential replay of the Hampel windows: per user the driver walks
+    * the event_id-ordered series, takes the lower median of the ±3
+    * window and of its deviations, and re-derives every per-user count.
+    */
+  test("window_hampel_filter equals the sequential window replay") {
+    import org.apache.spark.sql.functions._
+    val series = Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    def lowerMedian(xs: Vector[Long]): Long =
+      xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val expected = series.map { case (u, xs) =>
+      var flagged = 0L; var mass = 0L
+      xs.indices.foreach { i =>
+        val win = xs.slice(math.max(0, i - 3), math.min(xs.length, i + 4))
+        val med = lowerMedian(win)
+        val mad = lowerMedian(win.map(v => math.abs(v - med)))
+        val isFlag = (mad > 0 && math.abs(xs(i) - med) * 10000L > 44478L * mad) ||
+          (mad == 0 && xs(i) != med)
+        if (isFlag) { flagged += 1; mass += math.abs(xs(i) - med) }
+      }
+      u -> ((xs.length.toLong, flagged, flagged * 1000000L / xs.length, mass))
+    }
+    val rows = run("window_hampel_filter")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val e = expected(u)
+      assert(r.getAs[Long]("n_events") == e._1, s"user $u n")
+      assert(r.getAs[Long]("n_flagged") == e._2, s"user $u flagged")
+      assert(r.getAs[Long]("flagged_ppm") == e._3, s"user $u ppm")
+      assert(r.getAs[Long]("repair_mass_cents") == e._4, s"user $u mass")
+    }
+  }
+
+  /** BigInt replay of the personalized power iterations off the
+    * independently re-derived edge weights; plus the PPR invariants:
+    * total mass conserved up to integral-division truncation, and the
+    * seed neighborhood holds more mass than the uniform share.
+    */
+  test("graph_personalized_pagerank equals the BigInt power-iteration replay") {
+    import org.apache.spark.sql.functions._
+    val edges = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getAs[Number]("src").longValue,
+        r.getAs[Number]("dst").longValue), r.getAs[Long]("w"))).toMap
+    val nodes = (0L until 25L).toVector
+    val seeds = Set(0L, 1L, 2L)
+    val ow = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def iterate(r: Map[Long, Long]): Map[Long, Long] = {
+      val in = edges.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((src, _), w) => (r(src) * w) / ow(src)
+      }.sum).toMap
+      nodes.map(v => v -> ((if (seeds(v)) 15000000000L / (100L * 3L) else 0L)
+        + (85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val r0 = nodes.map(v =>
+      v -> (if (seeds(v)) 1000000000L / 3L else 0L)).toMap
+    val r1 = iterate(r0); val r2 = iterate(r1)
+    val rows = run("graph_personalized_pagerank")
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val v = r.getAs[Number]("node").longValue
+      assert(r.getAs[Long]("ppr_i1") == r1(v), s"node $v i1")
+      assert(r.getAs[Long]("ppr_i2") == r2(v), s"node $v i2")
+      assert(r.getAs[Long]("seed") == (if (seeds(v)) 1L else 0L))
+    }
+    val total = r2.values.sum
+    assert(total <= 1000000000L && total >= 1000000000L - 2000L,
+      s"mass conserved up to truncation, got $total")
+    val seedMass = seeds.toSeq.map(r2).sum
+    assert(seedMass > 3L * 1000000000L / 25L,
+      "seed neighborhood must hold more than the uniform share")
+  }
 }
