@@ -11984,6 +11984,129 @@ object RelationalQueries extends QueryModule {
     FROM n CROSS JOIN sc LEFT JOIN c2 ON n.node = c2.dst)
   SELECT r1.node, CAST(r1.seed AS BIGINT) AS seed,
     CAST(r1.r AS BIGINT) AS ppr_i1, CAST(r2.r AS BIGINT) AS ppr_i2
-  FROM r1 JOIN r2 ON r1.node = r2.node ORDER BY r1.node"""))
+  FROM r1 JOIN r2 ON r1.node = r2.node ORDER BY r1.node""")),
+
+    // ── Survey raking / iterative proportional fitting (Deming–Stephan
+    //    1940 — THE reweighting workhorse when a biased sample must
+    //    match known population margins on two dimensions at once;
+    //    post-stratification handles one margin, raking alternates
+    //    row/column adjustments until both hold): sample = a
+    //    deterministic md5 subsample whose inclusion rate varies by
+    //    segment (a REAL selection bias to undo), cells =
+    //    (mktsegment × nation-band), 3 unrolled IPF iterations — each
+    //    step w′ = (w·target·10⁶) DIV current in decimal(38,0) integer
+    //    micro-weights, so every iterate is engine-exact; the final
+    //    max row/col margin gaps (ppm) ship as the convergence proof.
+    //    Scale: one corpus aggregate to |segments|×|bands| = 25 cells;
+    //    the iterations are 25-row joins — free at any corpus size. ────
+    QueryDef("agg_survey_raking",
+      (s, dir) => {
+        import s.implicits._
+        val fullC = Tables.load(s, dir, "customer")
+          .select($"c_mktsegment".as("seg"),
+            expr("c_nationkey DIV 5").as("band"),
+            expr("""CASE WHEN CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 2), 16, 10) AS BIGINT)
+                < 128 + 24 * (length(c_mktsegment) % 3) THEN 1L ELSE 0L END""")
+              .as("in_samp"))
+        val cells = fullC.groupBy($"seg", $"band")
+          .agg(count(lit(1)).as("n_full"), sum($"in_samp").as("n_samp"))
+          .localCheckpoint()
+        val rowm = cells.groupBy($"seg").agg(sum($"n_full").as("r_t"))
+        val colm = cells.groupBy($"band").agg(sum($"n_full").as("c_t"))
+        val w0 = cells.filter($"n_samp" > 0L)
+          .withColumn("w", lit(1000000L))
+        val wFinal = (0 until 3).foldLeft(w0) { (prev, _) =>
+          val rw = prev.groupBy($"seg")
+            .agg(sum($"w".cast("decimal(38,0)") * $"n_samp").as("cur"))
+          val a = prev
+            .join(broadcast(rw), "seg").join(broadcast(rowm), "seg")
+            .select($"seg", $"band", $"n_full", $"n_samp",
+              expr("(CAST(w AS DECIMAL(38,0)) * r_t * 1000000) div cur")
+                .as("w"))
+          val cw = a.groupBy($"band")
+            .agg(sum($"w".cast("decimal(38,0)") * $"n_samp").as("cur"))
+          a.join(broadcast(cw), "band").join(broadcast(colm), "band")
+            .select($"seg", $"band", $"n_full", $"n_samp",
+              expr("(CAST(w AS DECIMAL(38,0)) * c_t * 1000000) div cur")
+                .as("w"))
+        }
+        val wc = wFinal.localCheckpoint()
+        val rowGap = wc.groupBy($"seg")
+          .agg(sum($"w".cast("decimal(38,0)") * $"n_samp").as("cur"))
+          .join(broadcast(rowm), "seg")
+          .agg(max(expr("""(abs(cur - CAST(r_t AS DECIMAL(38,0)) * 1000000)
+              * 1000000) div (CAST(r_t AS DECIMAL(38,0)) * 1000000)"""))
+            .as("max_row_gap_ppm"))
+        val colGap = wc.groupBy($"band")
+          .agg(sum($"w".cast("decimal(38,0)") * $"n_samp").as("cur"))
+          .join(broadcast(colm), "band")
+          .agg(max(expr("""(abs(cur - CAST(c_t AS DECIMAL(38,0)) * 1000000)
+              * 1000000) div (CAST(c_t AS DECIMAL(38,0)) * 1000000)"""))
+            .as("max_col_gap_ppm"))
+        wc.crossJoin(broadcast(rowGap)).crossJoin(broadcast(colGap))
+          .select($"seg", $"band", $"n_full", $"n_samp",
+            $"w".as("w_e6"), $"max_row_gap_ppm", $"max_col_gap_ppm")
+          .orderBy($"seg", $"band")
+      },
+      Some("""WITH full_c AS (SELECT c_mktsegment AS seg,
+      CAST(c_nationkey // 5 AS BIGINT) AS band,
+      c_custkey,
+      CASE WHEN (strpos('0123456789abcdef',
+          md5(CAST(c_custkey AS VARCHAR))[1]) - 1) * 16
+        + strpos('0123456789abcdef', md5(CAST(c_custkey AS VARCHAR))[2]) - 1
+        < 128 + 24 * (length(c_mktsegment) % 3) THEN 1 ELSE 0 END AS in_samp
+    FROM customer),
+  cells AS (SELECT seg, band, CAST(count(*) AS BIGINT) AS n_full,
+      CAST(sum(in_samp) AS BIGINT) AS n_samp
+    FROM full_c GROUP BY 1, 2),
+  rowm AS (SELECT seg, CAST(sum(n_full) AS BIGINT) AS r_t FROM cells GROUP BY 1),
+  colm AS (SELECT band, CAST(sum(n_full) AS BIGINT) AS c_t FROM cells GROUP BY 1),
+  w0 AS (SELECT seg, band, n_full, n_samp, CAST(1000000 AS HUGEINT) AS w
+    FROM cells WHERE n_samp > 0),
+  rw0 AS (SELECT seg, CAST(sum(w * n_samp) AS HUGEINT) AS cur FROM w0 GROUP BY seg),
+  a0 AS (SELECT p.seg, p.band, p.n_full, p.n_samp,
+      (p.w * rowm.r_t * 1000000) // rw0.cur AS w
+    FROM w0 p JOIN rw0 ON p.seg = rw0.seg
+    JOIN rowm ON p.seg = rowm.seg),
+  cw0 AS (SELECT band, CAST(sum(w * n_samp) AS HUGEINT) AS cur FROM a0 GROUP BY band),
+  b0 AS (SELECT p.seg, p.band, p.n_full, p.n_samp,
+      (p.w * colm.c_t * 1000000) // cw0.cur AS w
+    FROM a0 p JOIN cw0 ON p.band = cw0.band
+    JOIN colm ON p.band = colm.band),
+  rw1 AS (SELECT seg, CAST(sum(w * n_samp) AS HUGEINT) AS cur FROM b0 GROUP BY seg),
+  a1 AS (SELECT p.seg, p.band, p.n_full, p.n_samp,
+      (p.w * rowm.r_t * 1000000) // rw1.cur AS w
+    FROM b0 p JOIN rw1 ON p.seg = rw1.seg
+    JOIN rowm ON p.seg = rowm.seg),
+  cw1 AS (SELECT band, CAST(sum(w * n_samp) AS HUGEINT) AS cur FROM a1 GROUP BY band),
+  b1 AS (SELECT p.seg, p.band, p.n_full, p.n_samp,
+      (p.w * colm.c_t * 1000000) // cw1.cur AS w
+    FROM a1 p JOIN cw1 ON p.band = cw1.band
+    JOIN colm ON p.band = colm.band),
+  rw2 AS (SELECT seg, CAST(sum(w * n_samp) AS HUGEINT) AS cur FROM b1 GROUP BY seg),
+  a2 AS (SELECT p.seg, p.band, p.n_full, p.n_samp,
+      (p.w * rowm.r_t * 1000000) // rw2.cur AS w
+    FROM b1 p JOIN rw2 ON p.seg = rw2.seg
+    JOIN rowm ON p.seg = rowm.seg),
+  cw2 AS (SELECT band, CAST(sum(w * n_samp) AS HUGEINT) AS cur FROM a2 GROUP BY band),
+  b2 AS (SELECT p.seg, p.band, p.n_full, p.n_samp,
+      (p.w * colm.c_t * 1000000) // cw2.cur AS w
+    FROM a2 p JOIN cw2 ON p.band = cw2.band
+    JOIN colm ON p.band = colm.band),
+  gaps AS (SELECT
+      (SELECT max(abs(rw.cur - rowm.r_t * 1000000) * 1000000
+          // (rowm.r_t * 1000000))
+        FROM (SELECT seg, CAST(sum(w * n_samp) AS HUGEINT) AS cur
+          FROM b2 GROUP BY seg) rw JOIN rowm ON rw.seg = rowm.seg)
+        AS max_row_gap_ppm,
+      (SELECT max(abs(cw.cur - colm.c_t * 1000000) * 1000000
+          // (colm.c_t * 1000000))
+        FROM (SELECT band, CAST(sum(w * n_samp) AS HUGEINT) AS cur
+          FROM b2 GROUP BY band) cw JOIN colm ON cw.band = colm.band)
+        AS max_col_gap_ppm)
+  SELECT p.seg, p.band, p.n_full, p.n_samp, CAST(p.w AS BIGINT) AS w_e6,
+    CAST(g.max_row_gap_ppm AS BIGINT) AS max_row_gap_ppm,
+    CAST(g.max_col_gap_ppm AS BIGINT) AS max_col_gap_ppm
+  FROM b2 p, gaps g ORDER BY p.seg, p.band"""))
   )
 }

@@ -605,7 +605,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_index_pq_permute",
     // jackknife: the 1-row totals/mean/SE recombines onto the |G|=25
     // per-group frame (the anova scalar-recombine shape)
-    "agg_jackknife_ratio_ci")
+    "agg_jackknife_ratio_ci",
+    // raking: two 1-row margin-gap recombines onto the 25-cell frame
+    "agg_survey_raking")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -3110,4 +3110,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(seedMass > 3L * 1000000000L / 25L,
       "seed neighborhood must hold more than the uniform share")
   }
+  /** BigInt replay of the 3 unrolled IPF iterations off independently
+    * re-derived cells, plus the raking contract: final weighted margins
+    * match the population margins within integer-truncation ppm.
+    */
+  test("agg_survey_raking equals the BigInt IPF replay and converges") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.load(spark, dir, "customer")
+      .selectExpr("c_mktsegment AS seg", "c_nationkey DIV 5 AS band",
+        """CASE WHEN CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 2), 16, 10) AS BIGINT)
+          < 128 + 24 * (length(c_mktsegment) % 3) THEN 1L ELSE 0L END AS in_samp""")
+      .groupBy("seg", "band")
+      .agg(count(lit(1)).as("n_full"), sum("in_samp").as("n_samp"))
+      .collect()
+      .map(r => ((r.getString(0), r.getAs[Number](1).longValue),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.map(_._1).sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.map(_._1).sum).toMap
+    var w: Map[(String, Long), BigInt] = cells.collect {
+      case (k, (_, ns)) if ns > 0 => k -> BigInt(1000000)
+    }
+    (0 until 3).foreach { _ =>
+      val rw = w.groupBy(_._1._1).view
+        .mapValues(m => m.map { case (k, v) => v * cells(k)._2 }.sum).toMap
+      w = w.map { case (k, v) =>
+        k -> (v * rowT(k._1) * 1000000) / rw(k._1) }
+      val cw = w.groupBy(_._1._2).view
+        .mapValues(m => m.map { case (k, v) => v * cells(k)._2 }.sum).toMap
+      w = w.map { case (k, v) =>
+        k -> (v * colT(k._2) * 1000000) / cw(k._2) }
+    }
+    val rows = run("agg_survey_raking")
+    assert(rows.length == w.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getAs[Number]("band").longValue)
+      assert(r.getAs[Long]("n_full") == cells(k)._1)
+      assert(r.getAs[Long]("n_samp") == cells(k)._2)
+      assert(r.getAs[Long]("w_e6") == w(k).toLong, s"cell $k weight")
+      // convergence: the col pass runs last, so col margins are exact
+      // up to truncation; rows lag one half-step (571 ppm at sf0.001)
+      assert(r.getAs[Long]("max_row_gap_ppm") <= 2000L,
+        "row margins must be near-matched after 3 iterations")
+      assert(r.getAs[Long]("max_col_gap_ppm") <= 5L)
+    }
+  }
 }
