@@ -8976,7 +8976,185 @@ object PipelineQueries extends QueryModule {
     imbp.mx * 8 * 1000000 // tot.t <= imbn.mx * 8 * 1000000 // tot.t
       AS balanced
   FROM natm JOIN perm USING (sub), tot, imbn, imbp
-  ORDER BY sub"""))
+  ORDER BY sub""")),
+
+    // ── DoReMi-style domain-mixture update (Xie et al. 2023 "DoReMi":
+    //    reweight pretraining domains by EXCESS quality/loss via
+    //    multiplicative weights — the online counterpart of the static
+    //    √n temperature mix in pipeline_domain_mix): reward = each
+    //    source's Gopher pass-rate excess over the corpus rate (the
+    //    library's own quality gate as the reward signal), one
+    //    Hedge/EG step w′ ∝ w·(1 + η·r) with η=2 in integer ppm —
+    //    clamped at 0, renormalized by ONE integral division — applied
+    //    to the char-mass baseline mix. Every column is an exact
+    //    integer; the update is replayable by construction. Scale: one
+    //    kernel scan (GopherKernel) to a |sources|-row aggregate, then
+    //    1-row total recombines. ─────────────────────────────────────
+    QueryDef("pipeline_doremi_update",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TextHashFunctions.register(s)
+        val f = Tables.load(s, dir, "documents")
+          .select($"source", $"n_chars",
+            graft.functions.TextHashFunctions.gopherStats($"text").as("g"))
+          .select($"source", $"n_chars",
+            when(($"g".getItem(0) >= 50L && $"g".getItem(0) <= 100000L)
+              && (lit(3L) * $"g".getItem(0) <= $"g".getItem(1)
+                && $"g".getItem(1) <= lit(10L) * $"g".getItem(0))
+              && (lit(10L) * ($"g".getItem(2) + $"g".getItem(3))
+                <= $"g".getItem(0))
+              && (lit(5L) * $"g".getItem(4) >= lit(4L) * $"g".getItem(0))
+              && ($"g".getItem(5) >= 2L), 1L).otherwise(0L).as("keep"))
+        val perS = f.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_s"),
+            sum($"keep").as("pass_s"))
+        val tot = perS.agg(sum($"n_docs").as("n_total"),
+          sum($"chars_s").as("chars_total"), sum($"pass_s").as("pass_total"))
+        val upd = perS.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            expr("pass_s * 1000000 DIV n_docs").as("pass_ppm"),
+            expr("""pass_s * 1000000 DIV n_docs
+              - pass_total * 1000000 DIV n_total""").as("excess_ppm"),
+            expr("chars_s * 1000000 DIV chars_total").as("w0_ppm"))
+          .withColumn("u",
+            expr("greatest(0L, w0_ppm * (1000000 + 2 * excess_ppm))"))
+        val un = upd.agg(sum($"u".cast("decimal(38,0)")).as("u_total"))
+        upd.crossJoin(broadcast(un))
+          .select($"source", $"n_docs", $"pass_ppm", $"excess_ppm",
+            $"w0_ppm",
+            expr("CAST((CAST(u AS DECIMAL(38,0)) * 1000000) div u_total AS BIGINT)")
+              .as("w1_ppm"),
+            ($"u" > $"w0_ppm" * lit(1000000L)).as("upweighted"))
+          .orderBy($"source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, n_chars, text,
+      string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+  m AS (SELECT doc_id, source, n_chars, len(toks) AS words,
+      length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+      (length(text) - length(replace(text, '#', ''))) AS n_hash,
+      (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+      len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+      len(list_intersect(list_distinct(toks),
+        ['the','a','and','of','to','in','is','that'])) AS n_stop
+    FROM t),
+  f AS (SELECT source, n_chars,
+      CASE WHEN (words >= 50 AND words <= 100000)
+        AND (3 * words <= nonws AND nonws <= 10 * words)
+        AND (10 * (n_hash + n_ell) <= words)
+        AND (5 * alpha_words >= 4 * words)
+        AND (n_stop >= 2) THEN 1 ELSE 0 END AS keep
+    FROM m),
+  per_s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS chars_s,
+      CAST(sum(keep) AS BIGINT) AS pass_s
+    FROM f GROUP BY source),
+  tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      CAST(sum(chars_s) AS BIGINT) AS chars_total,
+      CAST(sum(pass_s) AS BIGINT) AS pass_total FROM per_s),
+  scored AS (SELECT p.source, p.n_docs,
+      p.pass_s * 1000000 // p.n_docs AS pass_ppm,
+      p.pass_s * 1000000 // p.n_docs
+        - tot.pass_total * 1000000 // tot.n_total AS excess_ppm,
+      p.chars_s * 1000000 // tot.chars_total AS w0_ppm
+    FROM per_s p, tot),
+  upd AS (SELECT *,
+      greatest(0, w0_ppm * (1000000 + 2 * excess_ppm)) AS u
+    FROM scored),
+  un AS (SELECT CAST(sum(u) AS HUGEINT) AS u_total FROM upd)
+  SELECT u.source, u.n_docs, CAST(u.pass_ppm AS BIGINT) AS pass_ppm,
+    CAST(u.excess_ppm AS BIGINT) AS excess_ppm,
+    CAST(u.w0_ppm AS BIGINT) AS w0_ppm,
+    CAST(CAST(u.u AS HUGEINT) * 1000000 // un.u_total AS BIGINT) AS w1_ppm,
+    u.u > u.w0_ppm * 1000000 AS upweighted
+  FROM upd u, un ORDER BY u.source""")),
+
+    // ── IVF hot-cell rebalance (the REPAIR step sim_index_ivf_balance's
+    //    audit calls for: a hot cell is a tail-latency wall, and the
+    //    standard fix — FAISS's split of oversized inverted lists —
+    //    halves it with a cheap hyperplane rather than re-training the
+    //    whole quantizer): route to the 8 seeded centroids (the
+    //    silhouette assignment shape), take the TWO largest cells,
+    //    split each by the seed-7 random-hyperplane sign (rh_signature,
+    //    the LSH kernel — its ±1 dot chain is oracle-replayable), and
+    //    report the global imbalance factor C·max/n before (C=8) vs
+    //    after (C=10) the split. All counts exact; one routing scan +
+    //    ≤10-row arithmetic. ─────────────────────────────────────────
+    QueryDef("sim_ivf_cell_rebalance",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.SketchFunctions.register(s)
+        graft.functions.VectorFunctions.register(s)
+        val v = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val cent = v.filter($"vec_id" < 8)
+          .select($"vec_id".as("cell"), $"embedding".as("ce"))
+        val assign = v.crossJoin(broadcast(cent))
+          .select($"vec_id", $"embedding", $"cell",
+            expr("cosine_sim(embedding, ce)").as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell")))
+          .filter($"rn" === 1)
+          .select($"vec_id", $"embedding", $"cell")
+          .localCheckpoint()
+        val sizes = assign.groupBy($"cell").agg(count(lit(1)).as("sz"))
+        val hot = sizes.orderBy($"sz".desc, $"cell").limit(2)
+        val subs = assign.join(broadcast(hot.select($"cell")), "cell")
+          .select($"cell",
+            expr("rh_signature(embedding, 1, 7)").cast("long").as("sub"))
+          .groupBy($"cell")
+          .agg(sum(when($"sub" === 0L, 1L).otherwise(0L)).as("n_sub0"),
+            sum(when($"sub" === 1L, 1L).otherwise(0L)).as("n_sub1"))
+        val n = assign.agg(count(lit(1)).as("n_vecs"))
+        val imbBefore = sizes.agg(max($"sz").as("mx"))
+        val coldMax = sizes.join(broadcast(hot.select($"cell")), Seq("cell"),
+          "left_anti").agg(coalesce(max($"sz"), lit(0L)).as("mx_cold"))
+        val subMax = subs.agg(max(greatest($"n_sub0", $"n_sub1")).as("mx_sub"))
+        hot.join(subs, "cell")
+          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(imbBefore))
+          .crossJoin(broadcast(coldMax))
+          .crossJoin(broadcast(subMax))
+          .select($"cell", $"sz".as("size_before"), $"n_sub0", $"n_sub1",
+            expr("8 * mx * 1000000 DIV n_vecs").as("imb_before_ppm"),
+            expr("10 * greatest(mx_cold, mx_sub) * 1000000 DIV n_vecs")
+              .as("imb_after_ppm"),
+            expr("""10 * greatest(mx_cold, mx_sub) <= 8 * mx""")
+              .as("improved"))
+          .orderBy($"cell")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cell, e AS ce FROM v
+          WHERE vec_id < 8),
+        assign AS (SELECT vec_id, e, cell FROM (
+            SELECT c.vec_id, c.e, t.cell,
+              row_number() OVER (PARTITION BY c.vec_id
+                ORDER BY list_cosine_similarity(c.e, t.ce) DESC, t.cell)
+                AS rn
+            FROM v c CROSS JOIN cent t) WHERE rn = 1),
+        sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz
+          FROM assign GROUP BY cell),
+        hot AS (SELECT cell, sz FROM sizes ORDER BY sz DESC, cell LIMIT 2),
+        subs AS (SELECT a.cell,
+            CAST(sum(CASE WHEN ${OracleGen.sigExpr(7L, 1, 64, "a.e")} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sub0,
+            CAST(sum(CASE WHEN ${OracleGen.sigExpr(7L, 1, 64, "a.e")} = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sub1
+          FROM assign a JOIN hot ON a.cell = hot.cell GROUP BY a.cell),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM assign),
+        ib AS (SELECT CAST(max(sz) AS BIGINT) AS mx FROM sizes),
+        cm AS (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) AS mx_cold
+          FROM sizes WHERE cell NOT IN (SELECT cell FROM hot)),
+        sm AS (SELECT CAST(max(greatest(n_sub0, n_sub1)) AS BIGINT) AS mx_sub
+          FROM subs)
+        SELECT h.cell, h.sz AS size_before, s.n_sub0, s.n_sub1,
+          8 * ib.mx * 1000000 // nv.n_vecs AS imb_before_ppm,
+          10 * greatest(cm.mx_cold, sm.mx_sub) * 1000000 // nv.n_vecs
+            AS imb_after_ppm,
+          10 * greatest(cm.mx_cold, sm.mx_sub) <= 8 * ib.mx AS improved
+        FROM hot h JOIN subs s ON h.cell = s.cell, nv, ib, cm, sm
+        ORDER BY h.cell"""))
   )
 }
 

@@ -607,7 +607,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // per-group frame (the anova scalar-recombine shape)
     "agg_jackknife_ratio_ci",
     // raking: two 1-row margin-gap recombines onto the 25-cell frame
-    "agg_survey_raking")
+    "agg_survey_raking",
+    // doremi: the 1-row corpus-totals + update-normalizer recombines
+    // onto the |sources|-row frame
+    "pipeline_doremi_update",
+    // ivf rebalance: the vector×8-centroid routing cross join (the
+    // embed_silhouette shape) + four 1-row size recombines
+    "sim_ivf_cell_rebalance")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -924,4 +924,49 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("balanced") == (imbP <= imbN))
     }
   }
+  /** The DoReMi update must be exactly reconstructible from its own
+    * audit columns, normalize to ~1e6, and move weight toward
+    * above-average-quality sources only.
+    */
+  test("pipeline_doremi_update: the EG step replays from the audit columns") {
+    val rows = run("pipeline_doremi_update")
+    assert(rows.length >= 2)
+    val us = rows.map { r =>
+      val w0 = r.getAs[Long]("w0_ppm"); val ex = r.getAs[Long]("excess_ppm")
+      math.max(0L, w0 * (1000000L + 2L * ex))
+    }
+    val uTot = us.map(BigInt(_)).sum
+    rows.zip(us).foreach { case (r, u) =>
+      assert(r.getAs[Long]("w1_ppm") == ((BigInt(u) * 1000000) / uTot).toLong,
+        s"${r.getAs[String]("source")}: w1 must replay from (w0, excess)")
+      assert(r.getAs[Boolean]("upweighted") ==
+        (u > r.getAs[Long]("w0_ppm") * 1000000L))
+      if (r.getAs[Long]("w0_ppm") > 0L)
+        assert(r.getAs[Boolean]("upweighted") ==
+          (r.getAs[Long]("excess_ppm") > 0L),
+          "weight moves toward above-average quality iff excess > 0")
+    }
+    val w1Sum = rows.map(_.getAs[Long]("w1_ppm")).sum
+    assert(w1Sum <= 1000000L && w1Sum >= 1000000L - rows.length,
+      s"renormalized mix must sum to 1e6 up to truncation, got $w1Sum")
+  }
+
+  /** The split must conserve members and the imbalance arithmetic must
+    * replay from the emitted sizes plus the corpus count.
+    */
+  test("sim_ivf_cell_rebalance conserves members and replays the imbalance") {
+    val rows = run("sim_ivf_cell_rebalance")
+    assert(rows.length == 2)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val maxSz = rows.map(_.getAs[Long]("size_before")).max
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sub0") + r.getAs[Long]("n_sub1")
+        == r.getAs[Long]("size_before"), "split conserves members")
+      assert(r.getAs[Long]("imb_before_ppm") == 8L * maxSz * 1000000L / n)
+      // at sf0.001 the shared DIV-by-n denominator keeps the ppm
+      // comparison exact, so the bit must equal the ppm ordering
+      assert(r.getAs[Boolean]("improved") ==
+        (r.getAs[Long]("imb_after_ppm") <= r.getAs[Long]("imb_before_ppm")))
+    }
+  }
 }
