@@ -9154,7 +9154,104 @@ object PipelineQueries extends QueryModule {
             AS imb_after_ppm,
           10 * greatest(cm.mx_cold, sm.mx_sub) <= 8 * ib.mx AS improved
         FROM hot h JOIN subs s ON h.cell = s.cell, nv, ib, cm, sm
-        ORDER BY h.cell"""))
+        ORDER BY h.cell""")),
+
+    // ── Kneser–Ney bigram LM scoring (Kneser & Ney 1995 — the standard
+    //    LM smoothing; `text_lm_score`'s stupid backoff is the cheap
+    //    web-scale fallback, KN is what a real perplexity filter ships):
+    //    absolute discount d=3/4 kept EXACT as quarters (4c−3 integer
+    //    numerators), continuation probability from the type counts
+    //    N1+(·w2)/T with add-quarter smoothing (4·N1b+1)/(4T+1), the
+    //    interpolated P = (max(4c−3,0) + 3·N1f·p_cont)/(4c1) evaluated
+    //    in ONE fixed IEEE op order mirrored in the oracle; each term
+    //    quantized to micro-nats BEFORE the per-doc sum (the DSIR
+    //    ln-parity pattern → order-free integer addition). Same split
+    //    and join shapes as text_lm_score: vocabulary-sized count
+    //    tables, hash joins, nothing corpus-quadratic. ────────────────
+    QueryDef("text_lm_kneser_ney",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", tokens($"text").as("toks"))
+        val train = docs.filter($"doc_id" % 4 =!= 0)
+        val held = docs.filter($"doc_id" % 4 === 0)
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", explode(transform(
+            sequence(lit(1), size($"toks") - 1),
+            i => struct(i.as("pos"),
+              element_at($"toks", i).as("w1"),
+              element_at($"toks", i + 1).as("w2")))).as("b"))
+          .select($"doc_id", $"b.pos".as("pos"),
+            $"b.w1".as("w1"), $"b.w2".as("w2"))
+        val bc = bigrams(train).groupBy($"w1", $"w2")
+          .agg(count(lit(1)).as("c_bg"))
+        val c1 = bc.groupBy($"w1")
+          .agg(sum($"c_bg").as("c1"), count(lit(1)).as("n1f"))
+        val n1b = bc.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+        val tb = bc.agg(count(lit(1)).as("t"))
+        val sval = bigrams(held)
+          .join(bc, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(n1b, Seq("w2"), "left")
+          .crossJoin(broadcast(tb))
+          .select($"doc_id",
+            when($"c_bg".isNull, 1L).otherwise(0L).as("unseen_pair"),
+            floor(lit(1000000) * log(
+              when($"c1".isNotNull,
+                (expr("CAST(greatest(4 * coalesce(c_bg, 0L) - 3, 0L) AS DOUBLE)")
+                  + lit(3.0) * $"n1f"
+                    * (expr("CAST(4 * coalesce(n1b, 0L) + 1 AS DOUBLE)")
+                      / (lit(4L) * $"t" + lit(1L))))
+                  / (lit(4.0) * $"c1"))
+                .otherwise(expr("CAST(4 * coalesce(n1b, 0L) + 1 AS DOUBLE)")
+                  / (lit(4L) * $"t" + lit(1L)))))
+              .cast("long").as("term_unat"))
+        sval.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum($"unseen_pair").as("n_unseen_pairs"),
+            sum($"term_unat").as("kn_sum_unat"))
+          .withColumn("kn_mean_unat",
+            expr("kn_sum_unat DIV n_bigrams"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id,
+      string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+  tr AS (SELECT * FROM tt WHERE doc_id % 4 <> 0),
+  hd AS (SELECT * FROM tt WHERE doc_id % 4 = 0 AND len(toks) >= 2),
+  trb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+      SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tr WHERE len(toks) >= 2)),
+  bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+    FROM trb GROUP BY w1, w2),
+  c1 AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c1,
+      CAST(count(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+  n1b AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bc GROUP BY w2),
+  tb AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+  hb AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM hd)),
+  sval AS (SELECT h.doc_id,
+      CASE WHEN b.c_bg IS NULL THEN 1 ELSE 0 END AS unseen_pair,
+      CAST(floor(1000000 * ln(
+        CASE WHEN c1.c1 IS NOT NULL THEN
+          (CAST(greatest(4 * coalesce(b.c_bg, 0) - 3, 0) AS DOUBLE)
+            + 3.0 * c1.n1f
+              * (CAST(4 * coalesce(n1b.n1b, 0) + 1 AS DOUBLE)
+                / (4 * tb.t + 1)))
+          / (4.0 * c1.c1)
+        ELSE CAST(4 * coalesce(n1b.n1b, 0) + 1 AS DOUBLE) / (4 * tb.t + 1)
+        END)) AS BIGINT) AS term_unat
+    FROM hb h
+    LEFT JOIN bc b ON h.w1 = b.w1 AND h.w2 = b.w2
+    LEFT JOIN c1 ON h.w1 = c1.w1
+    LEFT JOIN n1b ON h.w2 = n1b.w2
+    CROSS JOIN tb)
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum(unseen_pair) AS BIGINT) AS n_unseen_pairs,
+    CAST(sum(term_unat) AS BIGINT) AS kn_sum_unat,
+    CAST(sum(term_unat) // count(*) AS BIGINT) AS kn_mean_unat
+  FROM sval GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
 

@@ -613,7 +613,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipeline_doremi_update",
     // ivf rebalance: the vector×8-centroid routing cross join (the
     // embed_silhouette shape) + four 1-row size recombines
-    "sim_ivf_cell_rebalance")
+    "sim_ivf_cell_rebalance",
+    // Kneser-Ney: the 1-row bigram-type-total broadcast onto the
+    // held-out bigram frame (the text_lm_score n_tokens shape)
+    "text_lm_kneser_ney")
 
   test("agg_sketch_error_bounds builds and explains with zero Spark jobs") {
     // The sketch-vs-exact booleans must live IN the plan (1×1 broadcast

@@ -969,4 +969,49 @@ class CurationOpsSpec extends AnyFunSuite {
         (r.getAs[Long]("imb_after_ppm") <= r.getAs[Long]("imb_before_ppm")))
     }
   }
+  /** Full driver replay of the KN arithmetic: count tables from the
+    * same split, the quarters-exact discounted probability in the same
+    * op order, per-term micro-nat floors — sums must match exactly.
+    */
+  test("text_lm_kneser_ney equals the sequential KN replay") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector))
+    val train = toks.filter(_._1 % 4 != 0)
+    val held = toks.filter(t => t._1 % 4 == 0 && t._2.length >= 2)
+    def bigrams(xs: Vector[String]) = xs.sliding(2).map(p => (p(0), p(1)))
+    val bc = train.flatMap(t => if (t._2.length >= 2) bigrams(t._2) else Iterator.empty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = bc.size.toLong
+    val expected = held.map { case (id, xs) =>
+      val terms = bigrams(xs).map { case (w1, w2) =>
+        val pc = (4L * n1b.getOrElse(w2, 0L) + 1).toDouble / (4L * t + 1L)
+        val p = c1.get(w1) match {
+          case Some(cw1) =>
+            (math.max(4L * bc.getOrElse((w1, w2), 0L) - 3L, 0L).toDouble
+              + 3.0 * n1f(w1) * pc) / (4.0 * cw1)
+          case None => pc
+        }
+        (math.floor(1000000 * math.log(p)).toLong,
+          if (bc.contains((w1, w2))) 0L else 1L)
+      }.toVector
+      id -> ((terms.length.toLong, terms.map(_._2).sum, terms.map(_._1).sum))
+    }.toMap
+    val rows = run("text_lm_kneser_ney")
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val e = expected(id)
+      assert(r.getAs[Long]("n_bigrams") == e._1, s"doc $id n")
+      assert(r.getAs[Long]("n_unseen_pairs") == e._2, s"doc $id unseen")
+      assert(r.getAs[Long]("kn_sum_unat") == e._3, s"doc $id sum")
+      assert(r.getAs[Long]("kn_mean_unat") == e._3 / e._1, s"doc $id mean")
+      assert(r.getAs[Long]("kn_mean_unat") < 0L, "log-prob terms are negative")
+    }
+  }
 }
