@@ -5012,8 +5012,12 @@ object PipelineQueries extends QueryModule {
           .agg(sum($"tf" * $"w").as("sc"))
           .filter($"y" * $"sc" <= 0L)
           .select($"doc_id")
+        // broadcast the mispredicted-id set (≤ |train docs| longs): a
+        // plan-estimated SMJ here re-shuffles the checkpointed tf table
+        // by doc_id every round (guide §3.1 — hint when a side is known
+        // small); the delta aggregation itself stays map-side partial
         def update(w: org.apache.spark.sql.DataFrame, mis: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = w
-          .join(train.join(mis, "doc_id")
+          .join(train.join(broadcast(mis), "doc_id")
             .groupBy($"bucket").agg(sum($"y" * $"tf").as("dw")),
             Seq("bucket"), "left")
           .select($"bucket", ($"w" + coalesce($"dw", lit(0L))).as("w"))

@@ -9627,18 +9627,23 @@ object RelationalQueries extends QueryModule {
 
     // ── multi-source BFS distance (the "blast radius" primitive:
     //    reachability fronts for influence propagation, recall-set
-    //    expansion, fraud-ring tracing): 4 FIXED rounds of frontier
-    //    relaxation dist'(v) = min(dist(v), min over (u,v) dist(u)+1)
-    //    over the customer–supplier bipartite trade graph (parity-
-    //    disjoint node ids, the kcore device), seeded at the 10 lowest
-    //    customers. Each round is ONE |dist|⋈|edges| shuffle join plus
-    //    a min hash-agg; the dist table never exceeds |nodes| rows and
-    //    the fixed round count is the diameter budget — the standard
-    //    bounded-iteration contract (pagerank/kcore/kmeans), no driver
-    //    convergence read-back. localCheckpoint per round stops lineage
-    //    doubling (round 4 would otherwise re-expand the orders⋈lineitem
-    //    edge build 2⁴ times). Output is the distance histogram
-    //    (d = -1 ⇒ unreached), O(diameter) rows. ───────────────────────
+    //    expansion, fraud-ring tracing): 4 FIXED rounds of FRONTIER
+    //    expansion over the customer–supplier bipartite trade graph
+    //    (parity-disjoint node ids, the kcore device), seeded at the 10
+    //    lowest customers. r15 optimization (guide §2.3, shuffle fewer
+    //    bytes): the previous form relaxed the FULL dist table against
+    //    the edges every round — dist'(v) = min over all settled u — so
+    //    rounds 2-4 re-expanded every already-settled node (≈ Σ|E|
+    //    expansion rows per round). Textbook BFS only ever expands the
+    //    frontier: nodes first reached last round. Per round: one
+    //    |frontier|⋈|edges| join + distinct + an anti join against the
+    //    settled set; a node's min distance is the round it first
+    //    appears (unit edge weights), so the (node, d) relation is
+    //    IDENTICAL to the full-relaxation form — the oracle still
+    //    replays the unrolled min-fold. localCheckpoint per round stops
+    //    lineage doubling (round 4 would otherwise re-expand the
+    //    orders⋈lineitem edge build 2⁴ times). Output is the distance
+    //    histogram (d = -1 ⇒ unreached), O(diameter) rows. ─────────────
     QueryDef("graph_bfs_distance",
       (s, dir) => {
         import s.implicits._
@@ -9655,13 +9660,22 @@ object RelationalQueries extends QueryModule {
           .filter($"c_custkey" <= 10)
           .select(($"c_custkey" * 2).cast("long").as("node"),
             lit(0L).as("d"))
-        val dist = (1 to 4).foldLeft(seeds.localCheckpoint()) { (dst, _) =>
-          dst.union(
-            dst.join(edges, dst("node") === edges("a"))
-              .select(edges("b").as("node"), (dst("d") + 1L).as("d")))
-            .groupBy($"node").agg(min($"d").as("d"))
+        // frontier loop: `fresh` is the set of nodes FIRST reached this
+        // round (d = round index); settled = union of all frontiers so
+        // far, one-row-per-node by construction, so no min-agg is needed
+        val seeds0 = seeds.localCheckpoint()
+        var settled = Seq(seeds0)
+        var frontier = seeds0
+        for (_ <- 1 to 4) {
+          val fresh = frontier.join(edges, frontier("node") === edges("a"))
+            .select(edges("b").as("node"), (frontier("d") + 1L).as("d"))
+            .distinct()
+            .join(settled.reduce(_ unionByName _), Seq("node"), "left_anti")
             .localCheckpoint()
+          settled = settled :+ fresh
+          frontier = fresh
         }
+        val dist = settled.reduce(_ unionByName _)
         val nodes = edges.select($"a".as("node"))
           .union(seeds.select($"node")).distinct()
         nodes.join(dist, Seq("node"), "left")
@@ -10732,14 +10746,22 @@ object RelationalQueries extends QueryModule {
               graft.functions.SketchFunctions
                 .sortedIntersectCount($"na", $"nb").as("sup"))
         }
+        // r15 optimization (guide §2.4, remove shuffles outright): the
+        // per-cap hub exclusion was TWO anti joins against the hub set
+        // per cap — six |es|-row join passes across the sweep. An edge
+        // survives cap c iff max(deg(a), deg(b)) ≤ c, so join the degree
+        // table onto the sampled edges ONCE, checkpoint (a, b, dmax),
+        // and each cap's subgraph is a plain filter over that snapshot
+        // (caps nest, the filter is monotone). Identical edge sets.
+        val dm = es
+          .join(deg.select($"n".as("a"), $"deg".as("da")), "a")
+          .join(deg.select($"n".as("b"), $"deg".as("db")), "b")
+          .select($"a", $"b", greatest($"da", $"db").as("dmax"))
+          .localCheckpoint()
         val keep = s.sparkContext.getPersistentRDDs.keySet
         val collected = Seq(30L, 60L, 120L).map { cap =>
-          val hubs = deg.filter($"deg" > cap).select($"n")
-          val nHubs = hubs.count()
-          val ec = es
-            .join(hubs.select($"n".as("a")), Seq("a"), "left_anti")
-            .join(hubs.select($"n".as("b")), Seq("b"), "left_anti")
-            .select($"a", $"b")
+          val nHubs = deg.filter($"deg" > cap).count()
+          val ec = dm.filter($"dmax" <= cap).select($"a", $"b")
             .localCheckpoint()
           val r = support(ec).agg(count(lit(1)).as("n_edges"),
               sum(when($"sup" >= 1L, 1L).otherwise(0L)).as("n_sup_pos"),
