@@ -752,6 +752,13 @@ object PipelineQueries extends QueryModule {
           docs.limit(0), batches(0), docs.filter(col("doc_id") <= b2))
         Dedup.minhashIndex(docs.limit(0), "doc_id", "text")
           .write.mode("overwrite").parquet(idx) // empty schema-only seed
+        // r16 MEASURED AND LEFT ALONE (guide §2.6): checkpointing each
+        // step's pair output (to shrink the 2,421-line union plan) was
+        // tried and measured SLOWER (5.6 → 6.2 s isolated) — the lazy
+        // 3-step union runs as one job whose independent step subtrees
+        // overlap in the scheduler, and serializing them costs more than
+        // the big plan does. The 128 scan nodes in the printed plan
+        // dedupe at runtime via ReuseExchange.
         batches.zip(earlier)
           .map { case (b, ex) =>
             Dedup.ingestStep(idx, ex, b, "doc_id", "text", threshold = 0.8) }
@@ -2885,9 +2892,17 @@ object PipelineQueries extends QueryModule {
           .select(explode(tokens($"text")).as("w"))
           .filter($"w".rlike("^[a-z]+$") && length($"w") >= 2)
           .groupBy($"w").agg(count(lit(1)).as("c_w"))
+        // r16 (guide §5): the symbol table is vocab-sized (word types ×
+        // short arrays) but each merge round references its predecessor
+        // twice (pair count + merge rewrite) and the emit reads it again
+        // — unbarriered, the before-plan re-ran the corpus tokenize +
+        // type aggregate 42 scans deep (1,795 plan lines). Checkpointing
+        // syms0 and each round's state keeps the corpus-sized work in
+        // the first aggregate only, exactly what the scaladoc promises.
         val syms0 = types.select($"c_w",
           transform(sequence(lit(1), length($"w")),
             i => $"w".substr(i, lit(1))).as("syms"))
+          .localCheckpoint()
         def round(symsDf: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
           val pairs = symsDf
             .filter(size($"syms") >= 2)
@@ -2897,7 +2912,10 @@ object PipelineQueries extends QueryModule {
                 element_at($"syms", i + 1).as("b")))).as("p"))
             .groupBy($"p.a".as("a"), $"p.b".as("b"))
             .agg(sum($"c_w").as("pair_count"))
+          // best is 1 row read by the merge AND the emit; merged is the
+          // next round's twice-read input — both checkpointed (see syms0)
           val best = pairs.orderBy($"pair_count".desc, $"a", $"b").limit(1)
+            .localCheckpoint()
           val merged = symsDf
             .crossJoin(broadcast(best.select($"a".as("ma"), $"b".as("mb"))))
             .select($"c_w", aggregate(
@@ -2908,6 +2926,7 @@ object PipelineQueries extends QueryModule {
                 concat(slice(acc, lit(1), size(acc) - 1),
                   array(concat($"ma", $"mb"))))
                 .otherwise(concat(acc, array(x)))).as("syms"))
+            .localCheckpoint()
           (best, merged)
         }
         val (b1, s1) = round(syms0)
@@ -5004,20 +5023,33 @@ object PipelineQueries extends QueryModule {
           .unionByName(docs.select($"doc_id", lit(4096L).as("bucket"),
             lit(8L).as("tf")))
           .join(lab, "doc_id")
-        val train = tf.filter(pmod($"doc_id", lit(5L)) < 4L).localCheckpoint()
+        // r16 (guide §2.4, share one exchange): the checkpointed feature
+        // table loses its partitioning through the bias union, so every
+        // training round's groupBy(doc_id, y) re-shuffled it — 7 full
+        // feature-table exchanges. Repartition by doc_id ONCE before the
+        // checkpoint (LogicalRDD preserves outputPartitioning): the
+        // per-round score aggregate, the mis semi-join and the n_train
+        // distinct all cluster by doc_id and now reuse that layout.
+        val train = tf.filter(pmod($"doc_id", lit(5L)) < 4L)
+          .repartition($"doc_id").localCheckpoint()
+        // heldout feeds BOTH final scoring branches (trained + standin);
+        // checkpointed so the explode + tf aggregate over the heldout
+        // fifth runs once, not twice (guide §5 reuse).
         val heldout = tf.filter(pmod($"doc_id", lit(5L)) === 4L)
+          .localCheckpoint()
         def misSet(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = train
           .join(broadcast(w), Seq("bucket"))
           .groupBy($"doc_id", $"y")
           .agg(sum($"tf" * $"w").as("sc"))
           .filter($"y" * $"sc" <= 0L)
           .select($"doc_id")
-        // broadcast the mispredicted-id set (≤ |train docs| longs): a
-        // plan-estimated SMJ here re-shuffles the checkpointed tf table
-        // by doc_id every round (guide §3.1 — hint when a side is known
-        // small); the delta aggregation itself stays map-side partial
+        // the delta aggregation stays map-side partial; the mis join side
+        // is hinted by the caller (broadcast only when its measured count
+        // is broadcast-sized — r15 ADVICE: round 1 can mispredict nearly
+        // every train doc, and at 100 TB an unconditional hint would blow
+        // the 8 GB / 512 M-row broadcast cap)
         def update(w: org.apache.spark.sql.DataFrame, mis: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = w
-          .join(train.join(broadcast(mis), "doc_id")
+          .join(train.join(mis, "doc_id")
             .groupBy($"bucket").agg(sum($"y" * $"tf").as("dw")),
             Seq("bucket"), "left")
           .select($"bucket", ($"w" + coalesce($"dw", lit(0L))).as("w"))
@@ -5029,8 +5061,16 @@ object PipelineQueries extends QueryModule {
         val misCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
         (1 to 7).foreach { _ =>
           val mis = misSet(w).localCheckpoint()
-          misCounts += mis.count()
-          w = update(w, mis).localCheckpoint()
+          val nMis = mis.count()
+          misCounts += nMis
+          // guide §3.1: broadcast the mispredicted-id set only when its
+          // just-measured cardinality is safely under the broadcast size
+          // class (~50 M longs ≈ 400 MB framed); otherwise let the
+          // planner shuffle-join — train is doc_id-partitioned, so the
+          // fallback co-locates on the checkpoint layout. At sf0.1 every
+          // round broadcasts (≤ ~8 k ids), identical plan to r15.
+          val misJ = if (nMis <= 50000000L) broadcast(mis) else mis
+          w = update(w, misJ).localCheckpoint()
         }
         def accuracy(scored: org.apache.spark.sql.DataFrame, tag: String): org.apache.spark.sql.DataFrame = scored
           .agg(count(lit(1)).as("n"),

@@ -18,6 +18,29 @@ object RelationalQueries extends QueryModule {
 
   private def ts(s: String): Column = lit(Timestamp.valueOf(s + " 00:00:00"))
 
+  // r16 optimization (guide §2.4, remove shuffles outright): the shared
+  // co-purchase edge build of the triangle/k-truss family. The r3–r15
+  // form self-joined the distinct (order, part) relation on the order
+  // key — a distinct shuffle of the item rows, a second exchange for the
+  // join, then a |pairs|-row distinct shuffle. Baskets are tiny (≤7
+  // items per order at any TPC-H SF — bounded by basket size, not
+  // corpus, at 100 TB), so the pairs are generated MAP-SIDE instead: ONE
+  // shuffle groups items by order (collect_set absorbs duplicate (o,p)
+  // rows, replacing the old up-front distinct), each sorted basket array
+  // emits its C(k,2) ordered pairs via posexplode + slice inside the
+  // same stage, and only the caller's final edge distinct shuffles pair
+  // rows. Same relation, verified edge-for-edge (symdiff 0, |E| =
+  // 1 196 000 at sf0.1); build measured 3.1 → 2.0 s warm at 32 cores.
+  // Returned PRE-distinct so callers that sparsify (doulion's md5 coin)
+  // can filter before paying the dedup shuffle.
+  private def copurchasePairsRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(slice(col("ps"), col("i") + lit(2),
+        size(col("ps")) - col("i") - lit(1))).as("b"))
+
   // One tuned clone per parent session for join_bloom_pruned, not one
   // per build: a fresh SessionState each call re-registers functions and
   // re-infers every parquet footer (the per-session Tables memo starts
@@ -275,10 +298,17 @@ object RelationalQueries extends QueryModule {
       .filter($"c_nationkey" =!= $"s_nationkey")
       .groupBy($"c_nationkey".as("a"), $"s_nationkey".as("b"))
       .agg(count(lit(1)).as("w"))
-    // undirected: each directed pair contributes its weight both ways
+    // undirected: each directed pair contributes its weight both ways.
+    // r16 (guide §5): the edge list is ≤|nations|² rows but every caller
+    // references it 3–5× (label rounds, degree, total weight, internal
+    // weight) — unbarriered, graph_community_modularity's before-plan
+    // re-ran the lineitem⋈orders⋈customer⋈supplier rollup 162 scans deep
+    // (3,315 plan lines). One localCheckpoint makes the 4-table join run
+    // once per query; everything downstream is nation-grid-sized.
     val edges = dir0.select($"a".as("src"), $"b".as("dst"), $"w")
       .unionByName(dir0.select($"b".as("src"), $"a".as("dst"), $"w"))
       .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+      .localCheckpoint()
     val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
     def round(lbl: DataFrame): DataFrame = {
       val adopted = edges
@@ -292,7 +322,9 @@ object RelationalQueries extends QueryModule {
         .select($"node", coalesce($"lbl", $"node".cast("long")).as("lbl"))
     }
     val l0 = nodes.select($"node", $"node".cast("long").as("lbl"))
-    (edges, round(round(l0)))
+    // labels are |nations| rows and modularity's internal-weight join
+    // references them twice — checkpoint so the two label rounds run once
+    (edges, round(round(l0)).localCheckpoint())
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -780,12 +812,10 @@ object RelationalQueries extends QueryModule {
     QueryDef("graph_triangle_doulion",
       (s, dir) => {
         import s.implicits._
-        val io = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        val kept = io.alias("x")
-          .join(io.alias("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b"))
+        // r16: map-side pair generation (copurchasePairsRaw) — the coin
+        // still lands BEFORE the distinct, so the sparsifier keeps its
+        // "full edge relation never shuffles" property.
+        val kept = copurchasePairsRaw(s, dir)
           .filter(
             substring(md5(concat($"a".cast("string"), lit(":"),
               $"b".cast("string"))), 1, 1) < "4")
@@ -4011,28 +4041,37 @@ object RelationalQueries extends QueryModule {
     QueryDef("agg_basket_lift",
       (s, dir) => {
         import s.implicits._
-        // localCheckpoint: `items` feeds the support counts, BOTH
-        // self-join sides (via fitems), and the basket total — five
-        // evaluations of the 600 k-row distinct without a barrier
-        // (the kcore pattern; ~3 s → ~1.5 s at sf0.1). At cluster scale:
-        // persist(DISK_ONLY) on the deduped basket relation.
-        val items = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        // r16 (guide §2.4/§2.3): one basket aggregate replaces the
+        // distinct + checkpoint + self-join. collect_set dedups the
+        // (order, part) rows (the old distinct), the checkpointed basket
+        // arrays feed the support counts, the pair generator AND the
+        // basket total (3 consumers, one materialization), and the
+        // C(k,2) ordered pairs are emitted MAP-SIDE from the sorted
+        // array (baskets ≤7 items at any SF) — the pair aggregate's
+        // partial (map-side) phase now collapses repeats before the only
+        // pair-sized exchange, and the support counts ride a broadcast
+        // join AFTER the c_ab >= 3 prune instead of widening every pair
+        // row through the shuffle. Same relation: c_ab is the number of
+        // orders containing both parts regardless of the frequent prune,
+        // and the inner joins with the n_ord >= 8 set keep exactly the
+        // frequent pairs the old fitems self-join produced.
+        val grp = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+          .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
           .localCheckpoint()
-        val counts = items.groupBy($"pk").agg(count(lit(1)).as("n_ord"))
+        val counts = grp.select(explode($"ps").as("pk"))
+          .groupBy($"pk").agg(count(lit(1)).as("n_ord"))
         val freq = counts.filter($"n_ord" >= 8)
-        // plain equi-join, not a forced broadcast: the frequent-part set
-        // scales with the part dimension, so AQE should pick broadcast
-        // only when the pruned set is actually small
-        val fitems = items.join(freq, "pk")
-        val nOrders = items.select($"ok").distinct()
-          .agg(count(lit(1)).as("n_total"))
-        val pairs = fitems.select($"ok", $"pk".as("p1"), $"n_ord".as("c_a"))
-          .join(fitems.select($"ok", $"pk".as("p2"), $"n_ord".as("c_b")), "ok")
-          .filter($"p1" < $"p2")
-          .groupBy($"p1", $"c_a", $"p2", $"c_b")
+        val nOrders = grp.agg(count(lit(1)).as("n_total"))
+        val pairs = grp
+          .select(posexplode($"ps").as(Seq("i", "p1")), $"ps")
+          .select($"p1", explode(slice($"ps", $"i" + lit(2),
+            size($"ps") - $"i" - lit(1))).as("p2"))
+          .groupBy($"p1", $"p2")
           .agg(count(lit(1)).as("c_ab"))
           .filter($"c_ab" >= 3)
+          .join(freq.select($"pk".as("p1"), $"n_ord".as("c_a")), "p1")
+          .join(freq.select($"pk".as("p2"), $"n_ord".as("c_b")), "p2")
         pairs.crossJoin(broadcast(nOrders))
           .select($"p1", $"p2", $"c_a", $"c_b", $"c_ab",
             (($"c_ab" * $"n_total").cast("double") /
@@ -5366,8 +5405,9 @@ object RelationalQueries extends QueryModule {
     //    textbook per-key quadratic into a bounded ≤496-pair cost per
     //    user at ANY scale (the production estimator subsamples pairs;
     //    a deterministic prefix cap is the reproducible form). Pair
-    //    generation is a self-equi-join on user_id (hash shuffle, rn <
-    //    rn and day-strictly-greater filtered in place — no BNLJ); the
+    //    generation is MAP-SIDE (r16): one ≤32-struct array per user,
+    //    pairs via posexplode + slice, rn < rn by array order and
+    //    day-strictly-greater filtered in place — no join at all; the
     //    median is the exact PERCENTILE_CONT interpolation shared by
     //    both engines. Slopes are IEEE divisions of exact BIGINT
     //    cent/day deltas. ──────────────────────────────────────────────
@@ -5384,18 +5424,34 @@ object RelationalQueries extends QueryModule {
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 32)
           .select($"user_id", $"d", $"y", $"rn")
-        val n = pts.groupBy($"user_id")
-          .agg(count(lit(1)).as("n_points"))
-        val pairs = pts.as("p").join(pts.as("q"),
-            col("p.user_id") === col("q.user_id")
-              && col("p.rn") < col("q.rn") && col("q.d") > col("p.d"))
-          .select(col("p.user_id").as("user_id"),
-            ((col("q.y") - col("p.y")).cast("double")
-              / (col("q.d") - col("p.d")).cast("double")).as("slope"))
-        val sen = pairs.groupBy($"user_id")
+        // r16 (guide §2.4): the pair generator was a self-join of the
+        // capped points — the un-checkpointed window ran TWICE (two
+        // events scans, two sorts) and the join side was a plan-chosen
+        // broadcast of |users|·32 rows, a non-starter at 100 TB. One
+        // collect_list per user (≤32 structs, sorted by rn — bounded by
+        // the cap, never by corpus) keeps everything downstream of the
+        // single window exchange map-side: pairs come from posexplode +
+        // slice over the array, and every later aggregate/join clusters
+        // by user_id, which the window's partitioning already satisfies
+        // — plan shows exactly 2 exchanges (window + final orderBy),
+        // down from 4 + a broadcast.
+        val grp = pts.groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"rn", $"d", $"y"))).as("rs"))
+        val pairs = grp
+          // cast: size() is IntegerType; n_points must stay the BIGINT
+          // the old count(*) emitted (driver hash compares schemas)
+          .select($"user_id", size($"rs").cast("long").as("n_points"),
+            posexplode($"rs").as(Seq("i", "p")), $"rs")
+          .select($"user_id", $"n_points", $"p",
+            explode(slice($"rs", $"i" + lit(2),
+              size($"rs") - $"i" - lit(1))).as("q"))
+          .filter($"q.d" > $"p.d")
+          .select($"user_id", $"n_points",
+            (($"q.y" - $"p.y").cast("double")
+              / ($"q.d" - $"p.d").cast("double")).as("slope"))
+        pairs.groupBy($"user_id", $"n_points")
           .agg(count(lit(1)).as("n_pairs"),
             expr("percentile(slope, 0.5D)").as("sen_slope"))
-        n.join(sen, Seq("user_id"))
           .select($"user_id", $"n_points", $"n_pairs", $"sen_slope")
           .orderBy($"user_id")
       },
@@ -5576,25 +5632,35 @@ object RelationalQueries extends QueryModule {
     QueryDef("graph_neighbor_jaccard",
       (s, dir) => {
         import s.implicits._
-        val e0 = Tables.load(s, dir, "orders")
+        // r16 (guide §2.4): the old form materialized the distinct
+        // (cust, supp) edge list, counted degrees per cust, semi-joined
+        // the ≤64-degree keep set back, checkpointed the edge list, and
+        // SELF-JOINED it on cust for shared-neighbor pairs — four
+        // shuffles plus a join before the pair aggregate. One
+        // collect_set aggregate replaces all of it: the set dedups the
+        // raw orders⋈lineitem rows (the old distinct), its size IS the
+        // cust degree (the old keep count), and the sorted supplier
+        // array emits its C(k,2) ordered pairs map-side (the old
+        // self-join) — pairs enter the (s1, s2) aggregate through
+        // map-side partial aggregation instead of a 2-sided exchange.
+        // The checkpoint pins ≤|cust| array rows (≤64 elems each), not
+        // the |E|-row edge list. Same relation: pair (s1, s2) counted
+        // once per qualifying cust, degree = per-supp count over kept
+        // custs' distinct edges.
+        val grp = Tables.load(s, dir, "orders")
           .join(Tables.load(s, dir, "lineitem"),
             $"o_orderkey" === $"l_orderkey")
           .select($"o_custkey".as("cust"), $"l_suppkey".as("supp"))
-          .distinct()
-        val keep = e0.groupBy($"cust").agg(count(lit(1)).as("dc"))
-          .filter($"dc" <= 64).select($"cust")
-        // localCheckpoint: `e` feeds the degree count AND both self-join
-        // sides, and e itself is e0 ⋈ keep(e0) — unbarriered, the base
-        // orders⋈lineitem join re-evaluates ~6× (the kcore pattern;
-        // measured 4.5 s at sf0.1 vs ~1.5 s checkpointed). At cluster
-        // scale the same barrier is persist(DISK_ONLY) on the capped
-        // edge list, which is ≤64·|customers| rows by construction.
-        val e = e0.join(keep, Seq("cust"), "left_semi").localCheckpoint()
-        val deg = e.groupBy($"supp").agg(count(lit(1)).as("d"))
-        val shared = e.as("a").join(e.as("b"),
-            col("a.cust") === col("b.cust")
-              && col("a.supp") < col("b.supp"))
-          .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
+          .groupBy($"cust").agg(sort_array(collect_set($"supp")).as("ss"))
+          .filter(size($"ss") <= 64)
+          .localCheckpoint()
+        val deg = grp.select(explode($"ss").as("supp"))
+          .groupBy($"supp").agg(count(lit(1)).as("d"))
+        val shared = grp
+          .select(posexplode($"ss").as(Seq("i", "s1")), $"ss")
+          .select($"s1", explode(slice($"ss", $"i" + lit(2),
+            size($"ss") - $"i" - lit(1))).as("s2"))
+          .groupBy($"s1", $"s2")
           .agg(count(lit(1)).as("shared"))
         shared
           .join(deg.select($"supp".as("s1"), $"d".as("d1")), Seq("s1"))
@@ -8121,6 +8187,13 @@ object RelationalQueries extends QueryModule {
             Window.orderBy($"v")
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         val n = byV.agg(sum($"t").as("n_total"))
+        // r16 (guide §5, truncate exponentially-shared plans): perG is
+        // |event_type| rows, but the BH chain below references it (and
+        // each derived step) 2–4×, and without a barrier the before-plan
+        // re-derived the full events scan + histogram 48 TIMES (2,245
+        // plan lines). Checkpointing the tiny fan-out points (perG,
+        // ranked — group-count-sized at ANY corpus size) makes the
+        // events side scan once and the plan linear.
         val perG = cells.join(byV, "v")
           .groupBy($"g")
           .agg(sum($"c").as("n1"),
@@ -8131,6 +8204,7 @@ object RelationalQueries extends QueryModule {
           .select($"g", $"n1",
             ($"n1" * $"n2" - abs($"u2" - $"n1" * $"n2")).as("p_num"),
             ($"n1" * $"n2").as("p_den"))
+          .localCheckpoint()
         val other = perG.select($"g".as("g2"), $"p_num".as("num2"),
           $"p_den".as("den2"))
         val ranked = perG.join(broadcast(other),
@@ -8139,6 +8213,7 @@ object RelationalQueries extends QueryModule {
                 && $"g2" <= $"g"))
           .groupBy($"g", $"n1", $"p_num", $"p_den")
           .agg(count(lit(1)).as("bh_rank"))
+          .localCheckpoint()
         val m = ranked.agg(count(lit(1)).as("m"))
         val withCond = ranked.crossJoin(broadcast(m))
           .withColumn("cond",
@@ -8357,11 +8432,19 @@ object RelationalQueries extends QueryModule {
     QueryDef("graph_copurchase_projection",
       (s, dir) => {
         import s.implicits._
-        val ps = Tables.load(s, dir, "lineitem")
-          .select($"l_partkey".as("p"), $"l_suppkey".as("sk")).distinct()
-        ps.select($"p", $"sk".as("s1"))
-          .join(ps.select($"p".as("p2"), $"sk".as("s2")),
-            $"p" === $"p2" && $"s1" < $"s2")
+        // r16 (guide §2.4): the distinct + self-join on the part key is
+        // one collect_set aggregate instead — the set dedups (p, sk)
+        // rows, and the per-part supplier pairs (≤C(4,2) at any SF: a
+        // part's supplier list is catalog-bounded) are generated
+        // map-side from the sorted array, entering the (s1, s2) count
+        // through its partial phase. Two exchanges total (group by p,
+        // pair aggregate) instead of distinct + join + aggregate.
+        Tables.load(s, dir, "lineitem")
+          .select($"l_partkey".as("p"), $"l_suppkey".as("sk"))
+          .groupBy($"p").agg(sort_array(collect_set($"sk")).as("ss"))
+          .select(posexplode($"ss").as(Seq("i", "s1")), $"ss")
+          .select($"s1", explode(slice($"ss", $"i" + lit(2),
+            size($"ss") - $"i" - lit(1))).as("s2"))
           .groupBy($"s1", $"s2")
           .agg(count(lit(1)).as("shared_parts"))
           .orderBy($"shared_parts".desc, $"s1", $"s2")
@@ -8727,11 +8810,12 @@ object RelationalQueries extends QueryModule {
     //    the edit distance only within blocks): customers block on the
     //    7-digit name prefix (≤100 per block by construction; real ER
     //    uses phonetic/qgram keys, same plan shape), the within-block
-    //    self-join fans out O(block²) bounded by the blocking key, and
-    //    levenshtein ≤ 1 verifies (classic DP — identical integers in
-    //    both engines). BLOCK PURGING (standard ER hot-block defense,
+    //    pair fan-out is O(block²) bounded by the blocking key (r16:
+    //    generated map-side from per-block sorted arrays, no self-join),
+    //    and levenshtein ≤ 1 verifies (classic DP — identical integers
+    //    in both engines). BLOCK PURGING (standard ER hot-block defense,
     //    and the sf1 guard): blocks over 150 members are dropped before
-    //    the self-join — a hot key (here: verbatim-duplicated names in
+    //    any pair work — a hot key (here: verbatim-duplicated names in
     //    the replicated stress fixture; in production, "John Smith")
     //    otherwise turns the block quadratic (measured: 4.5 s → wedged
     //    at sf1 pre-purge). Output: the matched pairs with distances,
@@ -8744,15 +8828,27 @@ object RelationalQueries extends QueryModule {
             substring($"c_name", 10, 7).as("blk"))
         val kept = c.groupBy($"blk").agg(count(lit(1)).as("bsz"))
           .filter($"bsz" <= 150L).select($"blk")
-        val cb = c.join(kept, "blk")
-        cb.select($"k".as("ka"), $"nm".as("na"), $"blk")
-          .join(cb.select($"k".as("kb"), $"nm".as("nb"),
-            $"blk".as("blk2")), $"blk" === $"blk2" && $"ka" < $"kb")
+        // r16 (guide §2.4): the within-block pair fan-out is map-side —
+        // one collect_list of (k, nm) per surviving block (≤150 structs,
+        // bounded by the purge gate, which stays a SEPARATE count
+        // aggregate so a hot block is dropped by the semi-join BEFORE
+        // any array for it is built), pairs via posexplode + slice in
+        // the same stage. Replaces the cb self-join: the purged edge
+        // relation no longer crosses two join exchanges, and ka < kb
+        // falls out of the k-sorted array order.
+        val grp = c.join(kept, Seq("blk"), "left_semi")
+          .groupBy($"blk")
+          .agg(sort_array(collect_list(struct($"k", $"nm"))).as("ms"))
+        grp.select(posexplode($"ms").as(Seq("i", "p")), $"ms")
+          .select($"p", explode(slice($"ms", $"i" + lit(2),
+            size($"ms") - $"i" - lit(1))).as("q"))
           // threshold-bounded levenshtein (Spark 4 3-arg form): the DP
           // early-exits once distance must exceed 1 and returns -1 —
           // O(len) per pair instead of O(len²) across the ~7 M in-block
           // candidate pairs; survivors carry their TRUE distance, so the
           // thresholdless DuckDB twin sees identical rows.
+          .select($"p.k".as("ka"), $"q.k".as("kb"),
+            $"p.nm".as("na"), $"q.nm".as("nb"))
           .select($"ka", $"kb", $"na", $"nb",
             expr("CAST(levenshtein(na, nb, 1) AS BIGINT)").as("dist"))
           .filter($"dist" >= 0L && $"dist" <= 1L)
@@ -9401,7 +9497,8 @@ object RelationalQueries extends QueryModule {
     //    histogram), each decile reports its exact user count, cent
     //    volume, and cumulative share rationals. Same reduced-histogram
     //    mechanics as PSI, partitioned by nothing bigger than the
-    //    O(users) collapse. ─────────────────────────────────────────────
+    //    distinct-spend histogram (r16: the former |users|-row global
+    //    rank window collapsed onto rank ranges of that histogram). ─────
     QueryDef("agg_lorenz_deciles",
       (s, dir) => {
         import s.implicits._
@@ -9411,17 +9508,39 @@ object RelationalQueries extends QueryModule {
           .agg(expr(
             "CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)")
             .as("cents"))
-        val cum = perUser
-          .withColumn("rn", row_number().over(
-            Window.orderBy($"cents", $"user_id")).cast("long"))
-          .withColumn("n", count(lit(1)).over(
+        // r16 (guide §2, the flagged per-row global window): ranking
+        // EVERY user through one unpartitioned row_number serialized the
+        // |users| relation onto a single task. Deciles only need rank
+        // RANGES, and users tied on cents are interchangeable within a
+        // range (identical cents, and only decile AGGREGATES ship), so
+        // the ranks collapse onto the spend HISTOGRAM: each distinct
+        // cents value occupies rn ∈ [lo, hi], each decile d covers
+        // rn ∈ [dlo(d), dhi(d)] (exact integer bounds of the old
+        // least(10, (rn−1)·10 DIV n + 1) rule), and a 10-way explode +
+        // interval intersection yields per-decile user counts and cent
+        // volume. The only global window left runs over DISTINCT spend
+        // values — the reduced-histogram class every other cum-window
+        // in this module uses.
+        val hist = perUser.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+        val cum = hist
+          .withColumn("hi", sum($"cnt").over(Window.orderBy($"cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", sum($"cnt").over(
             Window.rowsBetween(Window.unboundedPreceding,
               Window.unboundedFollowing)))
+          .withColumn("lo", $"hi" - $"cnt" + 1L)
         val byDecile = cum
-          .withColumn("decile",
-            expr("least(CAST(10 AS BIGINT), ((rn - 1) * 10) DIV n + 1)"))
+          .select($"cents", $"lo", $"hi", $"n",
+            explode(sequence(lit(1L), lit(10L))).as("decile"))
+          .withColumn("dlo", expr("((decile - 1) * n + 9) DIV 10 + 1"))
+          .withColumn("dhi",
+            expr("CASE WHEN decile = 10 THEN n ELSE (decile * n + 9) DIV 10 END"))
+          .withColumn("olo", greatest($"lo", $"dlo"))
+          .withColumn("ohi", least($"hi", $"dhi"))
+          .filter($"ohi" >= $"olo")
           .groupBy($"decile")
-          .agg(count(lit(1)).as("n_users"), sum($"cents").as("cents"))
+          .agg(sum($"ohi" - $"olo" + 1L).as("n_users"),
+            sum($"cents" * ($"ohi" - $"olo" + 1L)).as("cents"))
         val tot = byDecile.agg(sum($"cents").as("total_cents"))
         byDecile.crossJoin(broadcast(tot))
           .withColumn("cum_cents", sum($"cents").over(
@@ -10073,10 +10192,19 @@ object RelationalQueries extends QueryModule {
             .as("x"))
           .withColumn("idx", row_number().over(
             Window.partitionBy($"n_name").orderBy($"o_orderdate")).cast("long") - 1L)
+          // r16 (guide §5): daily feeds the stats aggregate AND the
+          // deviation join, dev feeds the denominator AND both sides of
+          // the lag equi join — unbarriered, the before-plan re-derived
+          // the orders⋈customer⋈nation rollup 36 scans deep (878 plan
+          // lines). Both relations are O(nations·days) — grid-sized, not
+          // corpus-sized — so two localCheckpoints make the base rollup
+          // run once.
+          .localCheckpoint()
         val stats = daily.groupBy($"n_name")
           .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
         val dev = daily.join(broadcast(stats), "n_name")
           .select($"n_name", $"idx", $"n", ($"n" * $"x" - $"sx").as("d"))
+          .localCheckpoint()
         val den = dev.groupBy($"n_name")
           .agg(max($"n").as("n"),
             sum(($"d".cast(dec) * $"d").cast(dec)).as("den"))
@@ -10464,12 +10592,9 @@ object RelationalQueries extends QueryModule {
     QueryDef("graph_ktruss_peel",
       (s, dir) => {
         import s.implicits._
-        val io = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        val e0 = io.alias("x")
-          .join(io.alias("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b"))
+        // r16: map-side pair generation (copurchasePairsRaw) replaces
+        // the io self-join — one less shuffle feeding the same distinct.
+        val e0 = copurchasePairsRaw(s, dir)
           .distinct()
           .localCheckpoint()
         // EDGE-ITERATOR support (r11 verdict item 2 — the wedge-join
@@ -10592,13 +10717,17 @@ object RelationalQueries extends QueryModule {
     QueryDef("graph_ktruss_capped",
       (s, dir) => {
         import s.implicits._
-        val io = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        val e0 = io.alias("x")
-          .join(io.alias("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b"))
+        // r16: map-side pair generation (copurchasePairsRaw) replaces
+        // the io self-join; e0 is also checkpointed ONCE — it used to be
+        // re-derived for the degree table and again for the hub
+        // anti-joins — and released (blocking) as soon as the capped
+        // edge set ec materializes, so nothing but ec stays pinned
+        // during the support pass (the sf10 starvation lesson).
+        val pinnedBefore = s.sparkContext.getPersistentRDDs.keySet
+        val e0 = copurchasePairsRaw(s, dir)
           .distinct()
+          .localCheckpoint()
+        val e0Ids = s.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
         val deg = e0.select($"a".as("n")).union(e0.select($"b".as("n")))
           .groupBy($"n").agg(count(lit(1)).as("deg"))
         val hubs = deg.filter($"deg" > 60L).select($"n")
@@ -10607,6 +10736,9 @@ object RelationalQueries extends QueryModule {
           .join(hubs.select($"n".as("b")), Seq("b"), "left_anti")
           .select($"a", $"b")
           .localCheckpoint()
+        s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (e0Ids.contains(id)) rdd.unpersist(blocking = true)
+        }
         graft.functions.SketchFunctions.register(s)
         def support(ed: DataFrame): DataFrame = {
           val adj = ed.select($"a".as("n"), $"b".as("m"))
@@ -10707,32 +10839,34 @@ object RelationalQueries extends QueryModule {
     //    Reported per cap ∈ {30, 60, 120}: exact hub count, sampled
     //    edges retained, sampled edges with any triangle signal,
     //    sampled support max and total (the Σsup cost proxy a 100 TB
-    //    run sizes against). The sampled edge set is checkpointed ONCE
-    //    and shared by all three caps (the capped subgraphs nest);
-    //    per-cap work = two anti-joins + one sampled support pass.
-    //    Memory discipline is inherited from the unsampled form: stats
-    //    collapse to a collected 1-row verdict per cap and every RDD
-    //    pinned after the shared deg/es snapshots is unpersisted,
-    //    blocking, before the next cap runs. ───────────────────────────
+    //    run sizes against). The sampled (a, b, dmax) snapshot — edges
+    //    under the deterministic coin, each carrying its max endpoint
+    //    degree — is checkpointed ONCE and shared by all three caps
+    //    (the capped subgraphs nest: an edge survives cap c iff
+    //    dmax ≤ c); per-cap work = one monotone dmax filter + one
+    //    sampled support pass. Memory discipline is inherited from the
+    //    unsampled form: stats collapse to a collected 1-row verdict
+    //    per cap and every RDD pinned after the shared deg/dm
+    //    snapshots is unpersisted, blocking, before the next cap runs. ──
     QueryDef("graph_ktruss_cap_sweep",
       (s, dir) => {
         import s.implicits._
-        val io = Tables.load(s, dir, "lineitem")
-          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-        val e0 = io.alias("x")
-          .join(io.alias("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b"))
+        // r16: map-side pair generation (copurchasePairsRaw) + ONE e0
+        // materialization. Previously e0 was re-derived from scratch for
+        // the deg snapshot AND again for the coin-filtered es snapshot
+        // (two full edge builds), and es stayed pinned for the whole
+        // sweep although its only consumer was the dm build (r15
+        // ADVICE). Now: checkpoint e0 once, derive deg and dm from it
+        // (the coin folds into the dm build — no es snapshot at all),
+        // release e0 blocking before the sweep so only deg + dm stay
+        // pinned while the support passes run.
+        val pinnedBefore = s.sparkContext.getPersistentRDDs.keySet
+        val e0 = copurchasePairsRaw(s, dir)
           .distinct()
+          .localCheckpoint()
+        val e0Ids = s.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
         val deg = e0.select($"a".as("n")).union(e0.select($"b".as("n")))
           .groupBy($"n").agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
-        // deterministic md5 coin, rate 4/16: one |E|-row pass, pinned
-        // once for the whole sweep (|E|/4 two-long rows — bounded where
-        // pinning full e0 starved execution memory at sf10)
-        val es = e0.filter(
-            substring(md5(concat(lit("ks:"), $"a".cast("string"),
-              lit(":"), $"b".cast("string"))), 1, 1) < "4")
           .localCheckpoint()
         graft.functions.SketchFunctions.register(s)
         def support(ed: DataFrame): DataFrame = {
@@ -10748,16 +10882,25 @@ object RelationalQueries extends QueryModule {
         }
         // r15 optimization (guide §2.4, remove shuffles outright): the
         // per-cap hub exclusion was TWO anti joins against the hub set
-        // per cap — six |es|-row join passes across the sweep. An edge
-        // survives cap c iff max(deg(a), deg(b)) ≤ c, so join the degree
-        // table onto the sampled edges ONCE, checkpoint (a, b, dmax),
-        // and each cap's subgraph is a plain filter over that snapshot
-        // (caps nest, the filter is monotone). Identical edge sets.
-        val dm = es
+        // per cap — six sampled-edge join passes across the sweep. An
+        // edge survives cap c iff max(deg(a), deg(b)) ≤ c, so join the
+        // degree table onto the sampled edges ONCE, checkpoint
+        // (a, b, dmax), and each cap's subgraph is a plain filter over
+        // that snapshot (caps nest, the filter is monotone). Identical
+        // edge sets. The deterministic md5 coin (rate 4/16, replayable —
+        // the dedup_lsh_eval bounded-harness device) lands here, in the
+        // same pass that attaches the degrees (r16: was a separate
+        // pinned es snapshot).
+        val dm = e0.filter(
+            substring(md5(concat(lit("ks:"), $"a".cast("string"),
+              lit(":"), $"b".cast("string"))), 1, 1) < "4")
           .join(deg.select($"n".as("a"), $"deg".as("da")), "a")
           .join(deg.select($"n".as("b"), $"deg".as("db")), "b")
           .select($"a", $"b", greatest($"da", $"db").as("dmax"))
           .localCheckpoint()
+        s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (e0Ids.contains(id)) rdd.unpersist(blocking = true)
+        }
         val keep = s.sparkContext.getPersistentRDDs.keySet
         val collected = Seq(30L, 60L, 120L).map { cap =>
           val nHubs = deg.filter($"deg" > cap).count()
@@ -12037,6 +12180,14 @@ object RelationalQueries extends QueryModule {
         val colm = cells.groupBy($"band").agg(sum($"n_full").as("c_t"))
         val w0 = cells.filter($"n_samp" > 0L)
           .withColumn("w", lit(1000000L))
+        // r16 (guide §5, truncate exponentially-shared plans): each
+        // half-round references its predecessor TWICE (margin aggregate
+        // + the rescale join), so the unbarriered 3-round fold built a
+        // plan with ~4³ copies of the w0 subtree — dozens of duplicate
+        // tiny aggregates and broadcasts in one query. The state is
+        // |segments|·|bands| rows (25 at any SF — margins, not corpus),
+        // so a localCheckpoint per half-round costs microseconds and
+        // keeps the plan linear in rounds.
         val wFinal = (0 until 3).foldLeft(w0) { (prev, _) =>
           val rw = prev.groupBy($"seg")
             .agg(sum($"w".cast("decimal(38,0)") * $"n_samp").as("cur"))
@@ -12045,12 +12196,14 @@ object RelationalQueries extends QueryModule {
             .select($"seg", $"band", $"n_full", $"n_samp",
               expr("(CAST(w AS DECIMAL(38,0)) * r_t * 1000000) div cur")
                 .as("w"))
+            .localCheckpoint()
           val cw = a.groupBy($"band")
             .agg(sum($"w".cast("decimal(38,0)") * $"n_samp").as("cur"))
           a.join(broadcast(cw), "band").join(broadcast(colm), "band")
             .select($"seg", $"band", $"n_full", $"n_samp",
               expr("(CAST(w AS DECIMAL(38,0)) * c_t * 1000000) div cur")
                 .as("w"))
+            .localCheckpoint()
         }
         val wc = wFinal.localCheckpoint()
         val rowGap = wc.groupBy($"seg")

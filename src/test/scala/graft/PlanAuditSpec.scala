@@ -11,8 +11,19 @@ class PlanAuditSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  // r16 (VERDICT item 2, suite runtime): build each registered query
+  // ONCE per suite run and share the Dataset across every audit. The
+  // four 506-query audits below each rebuilt all queries (re-running the
+  // eager-input jobs — checkpoints, index writes — some builders
+  // legitimately execute), ~75 s apiece; tests in a ScalaTest suite run
+  // sequentially, so a plain HashMap is safe.
+  private val built =
+    scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def builtQuery(name: String): org.apache.spark.sql.DataFrame =
+    built.getOrElseUpdate(name, SparkEntry.queries(name)(spark, sfDir))
+
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    builtQuery(name).queryExecution.executedPlan.toString
 
   test("date filter is pushed down to the parquet scan") {
     val p = plan("filter_partition_date")
@@ -658,7 +669,7 @@ class PlanAuditSpec extends AnyFunSuite {
       case other => other.children.exists(reduced)
     }
     val globalWindowQueries = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val lp = builtQuery(name).queryExecution.optimizedPlan
       val gw = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       val bad = gw.filterNot(w => reduced(w.child))
       assert(bad.isEmpty, s"$name: ${bad.size} global window(s) over unreduced input")
@@ -698,8 +709,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // Kruskal-Wallis: the same O(domain) reduced pooled-rank
       // cumulative window as MWU/KS/CvM
       "agg_kruskal_wallis",
-      // BH FDR: the same O(domain) reduced pooled-rank cumulative window
-      "agg_fdr_bh",
+      // (agg_fdr_bh left this set in r16: its O(domain) cumulative
+      // window still runs, but inside the eagerly-materialized perG
+      // checkpoint prefix, so the FINAL plan these audits inspect no
+      // longer contains it)
       // token budget: rank/prefix windows over the |sources|-row frame
       // (the full_curation O(sources) class)
       "pipeline_token_budget",
@@ -759,7 +772,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // leaf wrapper that hides its subtree from collect().
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val phys = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val phys = builtQuery(name).queryExecution.sparkPlan
       val gw = phys.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       if (gw.nonEmpty) Some(name) else None
     }
@@ -768,7 +781,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "agg_weighted_median_distributed", "dq_distribution_ks",
       "agg_mann_whitney_u", "agg_gini_coefficient", "agg_median_ci_rank",
       "window_rolling_corr", "agg_cvm_two_sample", "agg_kruskal_wallis",
-      "agg_fdr_bh", "pipeline_token_budget", "text_zipf_fit",
+      // agg_fdr_bh left in r16: its window now runs inside the
+      // checkpointed perG prefix, not the final plan
+      "pipeline_token_budget", "text_zipf_fit",
       "agg_sprt_sequential", "agg_peak_over_threshold",
       "split_temporal_holdout", "agg_psi_bands", "agg_page_hinkley",
       "sample_neyman_allocation", "agg_lorenz_deciles", "agg_runs_test",
@@ -790,7 +805,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // both engines and are left alone.
     import org.apache.spark.sql.types.DecimalType
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val wide = SparkEntry.queries(name)(spark, sfDir).schema.fields.collect {
+      val wide = builtQuery(name).schema.fields.collect {
         case f if f.dataType.isInstanceOf[DecimalType] &&
           f.dataType.asInstanceOf[DecimalType].precision > 18 =>
           s"${f.name}:${f.dataType.simpleString}"

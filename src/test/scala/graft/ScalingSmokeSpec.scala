@@ -61,7 +61,18 @@ class ScalingSmokeSpec extends AnyFunSuite {
       // cosines) quadratic even while in-cell occupancy stays flat.
       "dedup_semdedup_cells")
 
+  // r16 (VERDICT item 2): the three heavyweight decade guards below cost
+  // 10+ minutes of wall clock between them (243 s + 549 s + 31 s measured
+  // this round) and the r15 verify budget killed `sbt test` mid-suite.
+  // They now run only when SPARK_GRAFT_STRESS is set — the scaling pass's
+  // documented toggle (SCALING.md "Stress gate") — so routine `sbt test`
+  // fits the budget; the cheap sf1 recall guards stay always-armed.
+  private def assumeStress(): Unit =
+    assume(sys.env.contains("SPARK_GRAFT_STRESS"),
+      "stress decade gated off (set SPARK_GRAFT_STRESS=1; see SCALING.md)")
+
   test("approximate dedup operators stay sub-quadratic at 10× data") {
+    assumeStress()
     assume(new java.io.File(s"$sf1/documents.parquet").exists(),
       "sf1 not generated (tools/gen_sf1.py)")
     // warm up EVERY guarded query, not just the first — each has its own
@@ -103,6 +114,7 @@ class ScalingSmokeSpec extends AnyFunSuite {
     // Vector angles follow the golden-angle spiral so ids are
     // uncorrelated with direction — the lowest-id seeding needs spread
     // seeds, same as the real embeddings fixture (ids ⊥ geometry).
+    assumeStress()
     assume(new java.io.File(s"$sf1/documents.parquet").exists(),
       "sf1 not generated (scaling pass only — this test is synthetic but heavyweight)")
     import org.apache.spark.sql.functions._
@@ -180,6 +192,7 @@ class ScalingSmokeSpec extends AnyFunSuite {
     // user must degrade boundedly, not explode — and out-of-order input
     // needs no repair pass (the window's (t, event_id) sort re-orders).
     val sf10 = "/root/repo/sf10"
+    assumeStress()
     assume(new java.io.File(s"$sf10/events.parquet").exists(),
       "sf10 not generated (tools/gen_sf1.py)")
     import org.apache.spark.sql.functions._
